@@ -1,0 +1,58 @@
+package graft.core
+
+/** Generators for DuckDB oracle SQL that is *bitwise-compatible* with the
+  * Spark plans in SparkEntry.
+  *
+  * Strategy for cross-engine hash-identical floats:
+  *  - All vector arithmetic is done in Double with an explicit
+  *    left-to-right fold. Spark's `aggregate(zip_with(...))` folds
+  *    sequentially over array order; the generated SQL spells out the
+  *    same chain (`0.0 + t1 + t2 + ...`), which parses left-associative
+  *    — identical IEEE-754 operation sequence, identical bits.
+  *  - Aggregated doubles (SUM over rows) are order-dependent, so both
+  *    sides cast to DECIMAL first (exact, order-independent), sum, then
+  *    cast back to DOUBLE.
+  *  - Integer outputs are cast to BIGINT on both sides; timestamps are
+  *    formatted to strings (`yyyy-MM-dd HH:mm:ss`) to sidestep
+  *    LTZ/NTZ/ns-precision representation differences.
+  *
+  * DuckDB lists are 1-indexed; Spark's `element_at` is 1-indexed too, so
+  * the same index appears on both sides where needed.
+  */
+object OracleSql {
+
+  /** Default embedding dimension of the driver testdata (FIXTURES.md). */
+  val Dim = 64
+
+  private def cd(s: String): String = s"CAST($s AS DOUBLE)"
+
+  /** Sum chain `0.0 + t1 + ... + tn` — left-associative, matching a
+    * sequential Spark `aggregate` fold with a 0.0 initial value. */
+  private def chain(terms: Seq[String]): String = ("0.0" +: terms).mkString(" + ")
+
+  /** Squared L2 distance between two list columns, explicit fold. */
+  def l2Sq(a: String, b: String, dim: Int = Dim): String =
+    chain((1 to dim).map { i =>
+      val t = s"(${cd(s"$a[$i]")} - ${cd(s"$b[$i]")})"
+      s"$t * $t"
+    })
+
+  def l2(a: String, b: String, dim: Int = Dim): String = s"sqrt(${l2Sq(a, b, dim)})"
+
+  def dot(a: String, b: String, dim: Int = Dim): String =
+    chain((1 to dim).map(i => s"${cd(s"$a[$i]")} * ${cd(s"$b[$i]")}"))
+
+  def norm(a: String, dim: Int = Dim): String = s"sqrt(${dot(a, a, dim)})"
+
+  def cosineDistance(a: String, b: String, dim: Int = Dim): String =
+    s"1.0 - (${dot(a, b, dim)}) / (${norm(a, dim)} * ${norm(b, dim)})"
+
+  /** CTE exposing the query vector (vec_id = `qid`) as table q(qe). */
+  def queryCte(qid: Long): String =
+    s"WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid)"
+
+  /** Order-independent exact SUM of a double expression: route through
+    * DECIMAL. `scale` must cover the true decimal precision of expr. */
+  def decSum(expr: String, scale: Int = 2, precision: Int = 28): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL($precision,$scale))) AS DOUBLE)"
+}

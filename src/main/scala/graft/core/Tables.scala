@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver's deterministic parquet testdata (TESTDATA.md)
+  * and the engine's canonical vector-table schema (SURVEY.md §1.4).
+  *
+  * The reference's single logical record is the `Node`
+  * (`/root/reference/src/vector_db/types.py:5-10`): id + fixed-dim
+  * float32 embedding + schemaless metadata + optional content. Our
+  * canonical DataFrame schema mirrors it; the two-layer memmap split
+  * (`storage.py:100-181`) becomes Parquet column pruning for free.
+  */
+object Tables {
+
+  /** Canonical vector-store schema (the engine's one logical table). */
+  val nodeSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("content", StringType, nullable = true),
+    StructField("metadata", MapType(StringType, StringType), nullable = true),
+    StructField("is_deleted", BooleanType, nullable = false)))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read it as a nanos-long (legacy conf) and rebuild a
+    * microsecond timestamp column (`ts div 1000`, integral division — a
+    * double division would lose precision above 2^53 ns). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+
+  /** Adapt the driver's `embeddings` table to the canonical node schema,
+    * using `label` as a filterable metadata key (FIXTURES.md §A). */
+  def embeddingsAsNodes(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).select(
+      col("vec_id").as("id"),
+      col("embedding"),
+      lit(null).cast(StringType).as("content"),
+      map(lit("label"), col("label").cast(StringType)).as("metadata"),
+      lit(false).as("is_deleted"))
+
+  /** Ingest validation, mirroring the reference's hard dim-check at write
+    * (`inference/mmap_vector_store.py:100-107`): rows whose embedding is
+    * null or has the wrong dimension fail the job (strict=true) or are
+    * dropped (strict=false). Runs distributed — no driver collect. */
+  def validateDim(df: DataFrame, embeddingCol: String, dim: Int, strict: Boolean = true): DataFrame = {
+    val ok = col(embeddingCol).isNotNull && size(col(embeddingCol)) === dim
+    if (strict) {
+      // raise_error inside a when() keeps the check codegen'd and lazy.
+      df.withColumn(embeddingCol,
+        when(ok, col(embeddingCol))
+          .otherwise(raise_error(concat(
+            lit(s"Embedding dimension mismatch: expected $dim, got "),
+            coalesce(size(col(embeddingCol)).cast(StringType), lit("null"))))))
+    } else df.filter(ok)
+  }
+}
