@@ -1,7 +1,9 @@
 package graft
 
 import graft.core.{OracleSql, Tables}
+import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
+import graft.operators.{Crud, Dedup, Ivf, Pq, Search}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -180,7 +182,147 @@ object SparkEntry {
       Tables.documents(s, dir)
         .groupBy(md5(col("text")).as("text_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("text_hash"))
+        .orderBy("text_hash")),
+
+    // ---- O2+S2: kNN with hydration join (the reference's /search result
+    // assembly: index hits → storage rows, hnsw.py:368-373)
+    "q2_knn_hydrated" -> ((s, dir) => {
+      val topk = withQuery(s, dir)
+        .select(col("vec_id"), l2(col("embedding"), col("qe")).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      val docs = Tables.documents(s, dir)
+      topk.join(docs, topk("vec_id") === docs("doc_id"), "left")
+        .select(col("vec_id"), col("dist"), col("lang"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    }),
+
+    // ---- Dedup (MinHash+LSH): shingle → minhash → band → bucket-join
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 8, bands = 4, shingle = 3).orderBy("a", "b")),
+
+    // ---- Dedup (n-gram Jaccard): inverted-index pair join
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5).orderBy("a", "b")),
+
+    // ---- Dedup (SimHash): 64-bit sign-sum fingerprint (rows-only check)
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "text")
+        .select("doc_id", "simhash").orderBy("doc_id")),
+
+    // ---- ANN extension: embedding-cosine near-duplicate pairs
+    "ann_cosine_neardup" -> ((s, dir) =>
+      Dedup.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45).orderBy("a", "b")),
+
+    // ---- Text analysis: language ID (marker-word heuristic)
+    "t_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // ---- Text analysis: quality signals + score
+    "t_quality" -> ((s, dir) => {
+      val sig = TextFunctions.qualitySignals(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"), sig("n_tokens_q").as("n_tokens_q"),
+        sig("punct_ratio").as("punct_ratio"),
+        sig("stopword_ratio").as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Text analysis: min-shingle document fingerprint
+    "t_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- S1: upsert (update-in-place + insert, storage.py:198-230)
+    "s1_upsert" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val updates = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), lit("UPDATED").as("text"))
+      Crud.upsert(docs, updates, "doc_id")
+        .filter(col("doc_id") < 20).orderBy("doc_id")
+    }),
+
+    // ---- S5/B2: tombstone delete + compaction
+    "s5_delete_compact" -> ((s, dir) =>
+      Crud.compact(Crud.tombstone(Tables.documents(s, dir), "doc_id", Seq(0L, 1L, 2L, 3L, 4L)))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // ---- S6: next-id assignment (max+1, storage.py:276-280)
+    "s6_next_id" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .agg(coalesce(max(col("vec_id")) + 1, lit(0)).cast("long").as("next_id"))),
+
+    // ---- B4: IVF build — cluster size histogram (rows-only: KMeans)
+    "b4_ivf_build" -> ((s, dir) => {
+      val (assigned, _) = Ivf.build(Tables.embeddings(s, dir), "embedding", k = 8)
+      assigned.groupBy(col(Ivf.ClusterCol)).agg(count(lit(1)).as("n"))
+        .orderBy(Ivf.ClusterCol)
+    }),
+
+    // ---- O6: IVF n_probe pruned search (rows-only: KMeans)
+    "o6_ivf_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val (assigned, model) = Ivf.build(emb, "embedding", k = 8)
+      Ivf.search(assigned, model, "vec_id", q, nProbe = 3, topK = 10)
+        .select("vec_id", "dist")
+    }),
+
+    // ---- B5: IVF incremental add — nearest-centroid assignment
+    "b5_ivf_add" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (_, model) = Ivf.build(emb, "embedding", k = 8)
+      val newRows = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Ivf.assign(newRows, model).select("vec_id", Ivf.ClusterCol).orderBy("vec_id")
+    }),
+
+    // ---- B8: PQ codebook training (rows-only: KMeans)
+    "b8_pq_train" -> ((s, dir) => {
+      val cb = Pq.train(Tables.embeddings(s, dir), "embedding",
+        dim = 64, chunks = 8, k = 16)
+      import s.implicits._
+      cb.centroids.zipWithIndex.flatMap { case (cents, c) =>
+        cents.zipWithIndex.map { case (cent, i) => (c, i, cent.toSeq) }
+      }.toSeq.toDF("chunk", "idx", "centroid").orderBy("chunk", "idx")
+    }),
+
+    // ---- B9: PQ encode — per-chunk argmin codes (rows-only: KMeans)
+    "b9_pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Pq.train(emb, "embedding", dim = 64, chunks = 8, k = 16)
+      Pq.encode(emb, "embedding", cb).select("vec_id", "pq_code").orderBy("vec_id")
+    }),
+
+    // ---- ADC search extension: approximate top-k over PQ codes
+    "o6_pq_adc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val cb = Pq.train(emb, "embedding", dim = 64, chunks = 8, k = 16)
+      Pq.adcSearch(Pq.encode(emb, "embedding", cb), "vec_id", "pq_code", cb, q, k = 10)
+        .select("vec_id", "dist")
+    }),
+
+    // ---- E1/E2: deterministic hashing embedder over documents
+    "e1_embed_docs" -> ((s, dir) =>
+      HashingEmbedder.embed(Tables.documents(s, dir), "doc_id", "text", dim = 64)
+        .select("doc_id", "embedding").orderBy("doc_id")),
+
+    // ---- E2 + O2: text-query search over hashed embeddings
+    "e2_embed_search" -> ((s, dir) => {
+      val docs = HashingEmbedder.embed(Tables.documents(s, dir), "doc_id", "text", dim = 64)
+      val q = HashingEmbedder.embedText(s, "spark table scan fast query", dim = 64)
+      Search.knnCosine(docs, "doc_id", "embedding", q.toSeq, 10)
+        .select("doc_id", "dist")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -274,7 +416,117 @@ object SparkEntry {
 
       "dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-          |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+          |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+      "q2_knn_hydrated" ->
+        s"""$cte, topk AS (
+           |SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10)
+           |SELECT t.vec_id, t.dist, d.lang FROM topk t
+           |LEFT JOIN documents d ON t.vec_id = d.doc_id
+           |ORDER BY t.dist ASC, t.vec_id ASC""".stripMargin,
+
+      "dedup_minhash_lsh" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+          |ws AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ts)-2, 1)),
+          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS w FROM toks),
+          |sig AS (
+          |  SELECT doc_id, list_transform(generate_series(0, 7),
+          |    s -> list_min(list_transform(w,
+          |      t -> md5(concat(CAST(s AS VARCHAR), '|', t))))) AS mh FROM ws),
+          |bands AS (
+          |  SELECT doc_id, u.band_id,
+          |    md5(array_to_string(mh[u.band_id*2+1 : u.band_id*2+2], '|')) AS bh
+          |  FROM sig, unnest(generate_series(0, 3)) AS u(band_id)),
+          |pairs AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM bands x JOIN bands y
+          |  ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id)
+          |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin,
+
+      "dedup_ngram_jaccard" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ts)-2, 1)),
+          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
+          |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+          |inter AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT a, b,
+          |  CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) AS jaccard
+          |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+          |WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5
+          |ORDER BY a, b""".stripMargin,
+
+      "ann_cosine_neardup" ->
+        s"""SELECT x.vec_id AS a, y.vec_id AS b,
+           |${cosineSim("x.embedding", "y.embedding")} AS cos_sim
+           |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+           |WHERE ${cosineSim("x.embedding", "y.embedding")} >= 0.45
+           |ORDER BY a, b""".stripMargin,
+
+      "t_langid" -> langIdSql,
+
+      "t_quality" -> {
+        val nTok = """len(string_split_regex(text, '\s+'))"""
+        val punct = """CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
+        val enList = TextFunctions.langMarkers("en").map(m => s"'$m'").mkString("[", ", ", "]")
+        val stop = s"""CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains($enList, t))) AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE)"""
+        s"""SELECT doc_id,
+           |CAST($nTok AS BIGINT) AS n_tokens_q,
+           |$punct AS punct_ratio,
+           |$stop AS stopword_ratio,
+           |least(CAST($nTok AS DOUBLE) / 64.0, 1.0) * 0.5
+           | + (1.0 - least(($punct) * 4.0, 1.0)) * 0.3
+           | + least(($stop) * 5.0, 1.0) * 0.2 AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "t_fingerprint" ->
+        """SELECT doc_id, list_min(list_transform(
+          |  generate_series(1, greatest(length(lower(text))-7, 1)),
+          |  i -> md5(substr(lower(text), i, 8)))) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "s1_upsert" ->
+        """SELECT doc_id, text FROM (
+          |  SELECT doc_id, 'UPDATED' AS text FROM documents WHERE doc_id < 10
+          |  UNION ALL
+          |  SELECT doc_id, text FROM documents
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id < 10)
+          |) u WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+
+      "s5_delete_compact" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE doc_id NOT IN (0, 1, 2, 3, 4) ORDER BY doc_id""".stripMargin,
+
+      "s6_next_id" ->
+        "SELECT CAST(coalesce(max(vec_id) + 1, 0) AS BIGINT) AS next_id FROM embeddings"
     )
+  }
+
+  /** Language-ID oracle generated from TextFunctions.langMarkers so the
+    * marker sets can never drift between engine and oracle. */
+  private def langIdSql: String = {
+    val ordered = TextFunctions.langMarkers.toSeq.sortBy(_._1)
+    def arr(ms: Seq[String]) = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+    val scores = ordered.map { case (l, ms) =>
+      s"len(list_intersect(w, ${arr(ms)})) AS s_$l" }.mkString(",\n")
+    val greatestAll = ordered.map("s_" + _._1).mkString("greatest(", ", ", ")")
+    val cases = ordered.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents),
+       |s AS (SELECT doc_id, $scores FROM t),
+       |sm AS (SELECT *, $greatestAll AS m FROM s)
+       |SELECT doc_id, CASE WHEN m = 0 THEN 'und' $cases END AS lang_pred
+       |FROM sm ORDER BY doc_id""".stripMargin
   }
 }

@@ -47,6 +47,9 @@ object OracleSql {
   def cosineDistance(a: String, b: String, dim: Int = Dim): String =
     s"1.0 - (${dot(a, b, dim)}) / (${norm(a, dim)} * ${norm(b, dim)})"
 
+  def cosineSim(a: String, b: String, dim: Int = Dim): String =
+    s"(${dot(a, b, dim)}) / (${norm(a, dim)} * ${norm(b, dim)})"
+
   /** CTE exposing the query vector (vec_id = `qid`) as table q(qe). */
   def queryCte(qid: Long): String =
     s"WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid)"

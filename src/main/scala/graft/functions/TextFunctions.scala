@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar operators for training-data pipelines: token
+  * counting, language ID (n-gram/stopword heuristic), quality scoring,
+  * and document fingerprinting. All pure Catalyst column expressions
+  * (codegen'd, per-row scans — no shuffle, no UDFs), so they hold at
+  * 100 TB as embarrassingly parallel map work.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(text, "\\s+")).cast("long")
+
+  /** BPE-ish subword count: words + digits + punctuation runs, the usual
+    * cheap proxy for tokenizer output size. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[\\s\\p{Punct}])|(?=[\\s\\p{Punct}])"),
+      t => t =!= "" && t =!= " ")).cast("long")
+
+  /** Stopword-marker language scores. Marker sets are tiny per-language
+    * function-word lists (public linguistic knowledge). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我"))
+
+  private def markerHits(tokens: Column, markers: Seq[String]): Column =
+    size(array_intersect(tokens, array(markers.map(lit): _*))) // distinct markers present
+
+  /** Language-ID heuristic: the language whose marker set has the most
+    * distinct hits in the text; ties and zero hits → "und" (undetermined)
+    * unless a single language leads strictly. Deterministic: languages
+    * evaluated in sorted order, strict-greater to win. */
+  def langId(text: Column): Column = {
+    val tokens = array_distinct(split(lower(text), "\\s+"))
+    val ordered = langMarkers.toSeq.sortBy(_._1)
+    val scored = ordered.map { case (lang, markers) => (lang, markerHits(tokens, markers)) }
+    val best = scored.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    best._1
+  }
+
+  /** Quality signals: character length, token count, punctuation ratio,
+    * uppercase ratio, mean token length, stopword(en) ratio. */
+  def qualitySignals(text: Column): Map[String, Column] = {
+    val toks = split(text, "\\s+")
+    val nTok = size(toks)
+    val len = length(text)
+    Map(
+      "n_chars_q" -> len.cast("long"),
+      "n_tokens_q" -> nTok.cast("long"),
+      "punct_ratio" -> (length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+        greatest(len, lit(1)).cast("double")),
+      "upper_ratio" -> (length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+        greatest(len, lit(1)).cast("double")),
+      "mean_token_len" -> ((len - (nTok - 1)).cast("double") /
+        greatest(nTok, lit(1)).cast("double")),
+      "stopword_ratio" -> (size(filter(split(lower(text), "\\s+"),
+        t => t.isin(langMarkers("en"): _*))).cast("double") /
+        greatest(nTok, lit(1)).cast("double")))
+  }
+
+  /** Scalar quality score in [0,1]: rewards mid-length docs with low
+    * punctuation density and a sane stopword rate. Deterministic double
+    * arithmetic (fixed operation order). */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text)
+    val lenScore = least(s("n_tokens_q").cast("double") / lit(64.0), lit(1.0))
+    val punctPenalty = least(s("punct_ratio") * lit(4.0), lit(1.0))
+    val stopScore = least(s("stopword_ratio") * lit(5.0), lit(1.0))
+    (lenScore * lit(0.5) + (lit(1.0) - punctPenalty) * lit(0.3) + stopScore * lit(0.2))
+  }
+
+  /** Document fingerprint: minimum md5 over character shingles — the
+    * order-robust rolling-hash fingerprint (winnowing's min-selection
+    * over a shingle window, degenerate window = whole doc). */
+  def fingerprint(text: Column, shingle: Int = 8): Column = {
+    val t = lower(text)
+    array_min(transform(
+      sequence(lit(1), greatest(length(t) - (shingle - 1), lit(1))),
+      i => md5(t.substr(i, lit(shingle)))))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CRUD semantics over immutable storage: the reference's mutable memmap
+  * slots (`/root/reference/src/vector_db/storage.py:198-306`) become
+  * snapshot + tombstone tables with explicit compaction. The all-zero-
+  * vector≡deleted quirk (storage.py:150-158) is deliberately NOT
+  * replicated (SURVEY §1.3) — deletes are explicit tombstones.
+  */
+object Crud {
+
+  /** S1 upsert: update-in-place if id exists, else insert
+    * (storage.py:198-230). updates win over existing; one hash shuffle
+    * on id (anti-join), broadcast when updates are small. */
+  def upsert(existing: DataFrame, updates: DataFrame, idCol: String): DataFrame =
+    updates.unionByName(
+      existing.join(updates.select(idCol), Seq(idCol), "left_anti"))
+
+  /** Merge many versions, keep latest by version column (batch replay of
+    * the reference's sequential-overwrite semantics). */
+  def upsertVersioned(df: DataFrame, idCol: String, versionCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(versionCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** S5/B2: tombstone delete (lazy, like the reference's dangling-id
+    * tolerance in search hydration, hnsw.py:370-373). */
+  def tombstone(df: DataFrame, idCol: String, ids: Seq[Long],
+                flagCol: String = "is_deleted"): DataFrame = {
+    val base = if (df.columns.contains(flagCol)) df else df.withColumn(flagCol, lit(false))
+    base.withColumn(flagCol, col(flagCol) || col(idCol).isin(ids: _*))
+  }
+
+  /** Compaction: drop tombstoned rows (the explicit rewrite the memmap
+    * did implicitly by zeroing slots). */
+  def compact(df: DataFrame, flagCol: String = "is_deleted"): DataFrame =
+    df.filter(!col(flagCol)).drop(flagCol)
+
+  /** Hard delete (filter rewrite). */
+  def delete(df: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
+    df.filter(!col(idCol).isin(ids: _*))
+
+  /** get_next_id = max(id) + 1 (storage.py:276-280); 0 on empty. */
+  def nextId(df: DataFrame, idCol: String): Long =
+    df.agg(coalesce(max(col(idCol)) + 1, lit(0L))).head.getLong(0)
+
+  /** S6 id assignment for ingest. Contiguous ids need a total order —
+    * fine for micro-batches; at 100 TB use assignIdsFast (sparse but
+    * parallel, no single-partition window). */
+  def assignIdsContiguous(df: DataFrame, orderCol: String, startId: Long,
+                          idCol: String = "id"): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+    df.withColumn(idCol, row_number().over(w).cast("long") + lit(startId - 1))
+  }
+
+  /** Parallel id assignment: unique, monotonically increasing, sparse. */
+  def assignIdsFast(df: DataFrame, startId: Long, idCol: String = "id"): DataFrame =
+    df.withColumn(idCol, monotonically_increasing_id() + lit(startId))
+
+  /** B11-analog snapshot persistence: parquet write + read-back. */
+  def snapshot(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+  def restore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) index: k-means partitioning + n_probe pruned search.
+  *
+  * Reference semantics (`/root/reference/src/vector_db/indexing/ivf.py`):
+  *  - build: k-means over all vectors, inverted lists label → ids
+  *    (`ivf.py:49-85`); requires non-empty input (`ivf.py:58-59`) and
+  *    N ≥ k (`ivf.py:71-72`).
+  *  - search: rank centroids by L2 to the query, scan the n_probe nearest
+  *    lists exhaustively, global top-k (`ivf.py:138-199`); validates
+  *    1 ≤ n_probe ≤ k (`ivf.py:166-167`).
+  *  - add: assign to nearest (possibly stale) centroid (`ivf.py:87-117`).
+  *  - delete: drop from lists (`ivf.py:119-136`).
+  *  - stats: min/max/avg/total over list sizes (`ivf.py:201-215`).
+  *
+  * Spark design (100 TB): the "inverted list" is a `cluster_id` column;
+  * persisted tables are written `partitionBy("cluster_id")` so probing
+  * n_probe clusters is literal partition pruning at the parquet scan.
+  * Only the k×dim centroid matrix ever reaches the driver.
+  */
+object Ivf {
+
+  val ClusterCol = "cluster_id"
+
+  case class Model(kmeans: KMeansModel, embCol: String) {
+    /** k×dim centroid matrix (small; lives on the driver / broadcast). */
+    def centroids: Array[Array[Float]] =
+      kmeans.clusterCenters.map(_.toArray.map(_.toFloat))
+    def k: Int = kmeans.getK
+  }
+
+  /** B4: build the index. Returns (rows + cluster_id, model). */
+  def build(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
+            maxIter: Int = 100): (DataFrame, Model) = {
+    require(k > 0, s"k must be positive, got $k")
+    val model = trainKMeans(df, embCol, k, seed, maxIter)
+    (assign(df, model), model)
+  }
+
+  private def trainKMeans(df: DataFrame, embCol: String, k: Int, seed: Long,
+                          maxIter: Int): Model = {
+    val vecs = df.select(array_to_vector(col(embCol)).as("features"))
+    // Mirrors the reference's build-time checks (ivf.py:58-59, 71-72)
+    // without an extra count() job: KMeans itself fails on empty input,
+    // so only the N >= k check needs a (cheap, column-pruned) count.
+    val n = df.select(col(embCol)).limit(k).count()
+    if (n == 0) throw new IllegalArgumentException("Cannot build index from empty node list")
+    if (n < k) throw new IllegalArgumentException(
+      s"Need at least $k nodes to build index with $k clusters")
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol(ClusterCol)
+    Model(km.fit(vecs), embCol)
+  }
+
+  /** B5: assign rows to their nearest centroid (also the incremental-add
+    * path — new rows are assigned to possibly-stale centroids, matching
+    * ivf.py:108-113; rebuild() is the explicit re-train). */
+  def assign(df: DataFrame, model: Model): DataFrame = {
+    val withFeatures = df.withColumn("__features", array_to_vector(col(model.embCol)))
+    model.kmeans.setFeaturesCol("__features").setPredictionCol(ClusterCol)
+      .transform(withFeatures)
+      .drop("__features")
+  }
+
+  /** Persist as a cluster-partitioned table: probing = partition pruning. */
+  def writePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(ClusterCol).parquet(path)
+
+  /** O6: n_probe pruned top-k search. Ranks the k centroids by L2 on the
+    * driver (k values — tiny), prunes to the n_probe nearest clusters
+    * (partition pruning on a partitioned table), exact top-k on survivors
+    * with the (dist, id) tie-break. */
+  def search(assigned: DataFrame, model: Model, idCol: String,
+             query: Seq[Float], nProbe: Int, topK: Int,
+             filter: Option[Column] = None): DataFrame = {
+    require(nProbe >= 1 && nProbe <= model.k,
+      s"n_probe must be between 1 and ${model.k}, got $nProbe")
+    val probed = probeClusters(model, query, nProbe)
+    val base = assigned.filter(col(ClusterCol).isin(probed: _*))
+    Search.knnExact(base, idCol, model.embCol, query, topK, filter)
+  }
+
+  /** The n_probe nearest centroid ids to the query (driver-side: k rows). */
+  def probeClusters(model: Model, query: Seq[Float], nProbe: Int): Seq[Int] = {
+    def l2sq(a: Array[Float]): Double =
+      a.zip(query).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (l2sq(c), i) }
+      .sortBy(identity).take(nProbe).map(_._2).toSeq
+  }
+
+  /** B6: delete by id — tombstone-free filter rewrite (SURVEY B2/B6). */
+  def delete(assigned: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
+    assigned.filter(!col(idCol).isin(ids: _*))
+
+  /** B7: cluster stats (min/max/avg/total over list sizes, ivf.py:207-215). */
+  def clusterStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy(ClusterCol).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("min_size"), max(col("c")).as("max_size"),
+        avg(col("c")).as("avg_size"), sum(col("c")).as("total"))
+
+  /** B11: model persistence round-trip. */
+  def save(model: Model, path: String): Unit = model.kmeans.write.overwrite().save(path)
+  def load(spark: SparkSession, path: String, embCol: String): Model =
+    Model(KMeansModel.load(path), embCol)
+}

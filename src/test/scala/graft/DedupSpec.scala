@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Dedup, Ivf}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+      (2L, "the quick brown fox leaps over the lazy dog"),   // near dup of 0
+      (3L, "completely different words about spark engines here"),
+      (4L, "here words different about completely engines spark")) // permutation of 3's word set
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content, keeps lowest id") {
+    val r = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(r.length == 4)
+    val dup = r.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+    assert(Dedup.exactKeepFirst(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("minhash: identical docs have identical signatures; near dups share most") {
+    val sig = Dedup.minhashSignature(docs, "text", numHashes = 8)
+      .select("doc_id", "minhash").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sig(0L) == sig(1L))
+    val shared02 = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    assert(shared02 >= 4, s"near-dups share only $shared02/8 minhashes")
+    // with shingle=1 (word sets), a permutation has an identical signature
+    val sig1 = Dedup.minhashSignature(docs, "text", numHashes = 8, shingle = 1)
+      .select("doc_id", "minhash").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sig1(3L) == sig1(4L))
+  }
+
+  test("minhash LSH emits dup candidates without all-pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+    // word-set LSH (shingle=1) also pairs the permuted docs 3 and 4
+    val p1 = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 4, shingle = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1.contains((3L, 4L)))
+  }
+
+  test("simhash: identical → distance 0; near dup closer than unrelated") {
+    val sh = Dedup.simhash(docs, "text").select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    val s = spark
+    import s.implicits._
+    val dists = Seq((sh(0L), sh(2L), "near"), (sh(0L), sh(3L), "far"))
+      .toDF("a", "b", "kind")
+      .select(col("kind"), Dedup.hammingDistance(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dists("near") < dists("far"))
+  }
+
+  test("ngram jaccard finds overlapping pairs above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p == ((0L, 3L))))
+    val j01 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .filter(col("a") === 0 && col("b") === 1).select("jaccard").head.getDouble(0)
+    assert(j01 == 1.0)
+  }
+
+  test("cosine near-dup: identical vectors pair at sim 1; bucketed matches brute within cluster") {
+    val data = corpus(40, 8)
+    val withDup = data :+ (100L, data.head._2.clone())
+    val df = toDF(withDup)
+    val brute = Dedup.cosineNearDupPairs(df, "id", "embedding", 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((0L, 100L)))
+    val (assigned, _) = Ivf.build(df, "embedding", 4)
+    val bucketed = Dedup.cosineNearDupBucketed(assigned, "id", "embedding", 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.contains((0L, 100L))) // same vector ⇒ same cluster
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Ivf, Search}
+import org.apache.spark.sql.functions._
+
+/** IVF build/search contracts from the reference's tests:
+  * conservation Σ|lists| = N (test_ivf.py:44), error messages
+  * (test_ivf.py:51-64,183-195), self@dist<1e-6 (test_ivf.py:117-125),
+  * recall ≥ 0.6 on ≥ 70% of 10 queries with exhaustive probe
+  * (test_ivf.py:129-167). */
+class IvfSpec extends SparkSpec {
+
+  test("build: k clusters, sizes conserve N, centroids have right shape") {
+    val df = toDF(corpus(50, 8))
+    val (assigned, model) = Ivf.build(df, "embedding", k = 4)
+    assert(model.k == 4)
+    assert(model.centroids.length == 4 && model.centroids.forall(_.length == 8))
+    val sizes = assigned.groupBy(Ivf.ClusterCol).count().collect()
+    assert(sizes.map(_.getAs[Long]("count")).sum == 50L)
+    assert(sizes.length <= 4)
+  }
+
+  test("build: empty input and N < k raise the reference's errors") {
+    val empty = toDF(Seq.empty)
+    val e1 = intercept[IllegalArgumentException](Ivf.build(empty, "embedding", 4))
+    assert(e1.getMessage.contains("empty"))
+    val e2 = intercept[IllegalArgumentException](Ivf.build(toDF(corpus(3, 8)), "embedding", 4))
+    assert(e2.getMessage.contains("at least"))
+  }
+
+  test("search: n_probe bounds validated") {
+    val (assigned, model) = Ivf.build(toDF(corpus(50, 8)), "embedding", 4)
+    val q = corpus(50, 8).head._2.toSeq
+    intercept[IllegalArgumentException](Ivf.search(assigned, model, "id", q, 0, 5))
+    intercept[IllegalArgumentException](Ivf.search(assigned, model, "id", q, 5, 5))
+  }
+
+  test("search: exact-match query returns itself at distance < 1e-6") {
+    val data = corpus(100, 16)
+    val (assigned, model) = Ivf.build(toDF(data), "embedding", 4)
+    val res = Ivf.search(assigned, model, "id", data(7)._2.toSeq, nProbe = 4, topK = 5).collect()
+    assert(res.head.getAs[Long]("id") == 7L)
+    assert(res.head.getAs[Double]("dist") < 1e-6)
+  }
+
+  test("recall >= 0.6 vs brute force on >= 70% of 10 queries (exhaustive probe)") {
+    val data = corpus(100, 16)
+    val df = toDF(data).cache()
+    val (assigned, model) = Ivf.build(df, "embedding", 4)
+    val cached = assigned.cache()
+    val hits = (0 until 10).count { qi =>
+      val q = data(qi * 7 % 100)._2.toSeq
+      val exact = Search.knnExact(df, "id", "embedding", q, 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val approx = Ivf.search(cached, model, "id", q, nProbe = 4, topK = 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size.toDouble / 5 >= 0.6
+    }
+    // n_probe = k is exhaustive: recall is exactly 1.0, well above the bar
+    assert(hits >= 7, s"only $hits/10 queries hit recall >= 0.6")
+  }
+
+  test("incremental add assigns to nearest centroid; delete removes") {
+    val data = corpus(50, 8)
+    val (assigned, model) = Ivf.build(toDF(data), "embedding", 4)
+    val newRows = toDF(Seq((100L, data.head._2))) // duplicate of row 0's vector
+    val added = Ivf.assign(newRows, model)
+    val c0 = assigned.filter(col("id") === 0).select(Ivf.ClusterCol).head.getInt(0)
+    assert(added.select(Ivf.ClusterCol).head.getInt(0) == c0)
+    val afterDelete = Ivf.delete(assigned, "id", Seq(0L, 1L))
+    assert(afterDelete.count() == 48)
+  }
+
+  test("cluster stats: min/max/avg/total") {
+    val (assigned, _) = Ivf.build(toDF(corpus(50, 8)), "embedding", 4)
+    val r = Ivf.clusterStats(assigned).head
+    assert(r.getAs[Long]("total") == 50L)
+    assert(r.getAs[Long]("min_size") <= r.getAs[Long]("max_size"))
+  }
+
+  test("model persistence round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/model"
+    val data = corpus(50, 8)
+    val (_, model) = Ivf.build(toDF(data), "embedding", 4)
+    Ivf.save(model, dir)
+    val loaded = Ivf.load(spark, dir, "embedding")
+    assert(loaded.k == model.k)
+    assert(loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+  }
+}

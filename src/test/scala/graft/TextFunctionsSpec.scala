@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.{HashingEmbedder, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox is one of the animals"),
+      (1L, "der hund ist nicht ein der die das"),
+      (2L, "el perro es un animal que la de y"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+  }
+
+  test("token counting: whitespace and subword") {
+    val r = df.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(0L) == 9L && r(3L) == 2L)
+    val sub = df.filter(col("doc_id") === 3)
+      .select(TextFunctions.subwordCount(lit("don't stop, won't stop!"))).head.getLong(0)
+    assert(sub >= 8) // words + punctuation pieces
+  }
+
+  test("langId picks the language with most marker hits; und when none") {
+    val r = df.select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(0L) == "en")
+    assert(r(1L) == "de")
+    assert(r(2L) == "es")
+    assert(r(3L) == "und")
+  }
+
+  test("quality score is in [0,1], higher for natural text than garbage") {
+    val s = spark
+    import s.implicits._
+    val q = Seq(
+      (0L, "the cat sat on the mat and the dog is in the house of a friend"),
+      (1L, "!!! ### $$$ %%% ^^^ &&& *** ((( )))"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0L) > q(1L))
+  }
+
+  test("fingerprint: deterministic, case-insensitive, content-sensitive") {
+    val s = spark
+    import s.implicits._
+    val fp = Seq((0L, "Hello World Document"), (1L, "hello world document"),
+      (2L, "another document entirely"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("hashing embedder: deterministic, normalized, dim-correct") {
+    val e = HashingEmbedder.embed(df, "doc_id", "text", dim = 32)
+    val vecs = e.select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.values.forall(_.length == 32))
+    val n0 = math.sqrt(vecs(0L).map(x => x.toDouble * x).sum)
+    assert(math.abs(n0 - 1.0) < 1e-5)
+    // determinism: re-run gives identical vectors
+    val again = HashingEmbedder.embed(df, "doc_id", "text", dim = 32)
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs == again)
+    // same text in two rows ⇒ same embedding
+    val t = HashingEmbedder.embedText(spark, "the quick brown fox is one of the animals", 32)
+    assert(t.toSeq == vecs(0L))
+  }
+}
