@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Crud, Dedup, Ivf, Pq, Search}
+import graft.operators.{Crud, Dedup, Hnsw, Ivf, Multimodal, Pq, Search}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -322,7 +322,61 @@ object SparkEntry {
       val q = HashingEmbedder.embedText(s, "spark table scan fast query", dim = 64)
       Search.knnCosine(docs, "doc_id", "embedding", q.toSeq, 10)
         .select("doc_id", "dist")
-    })
+    }),
+
+    // ---- O3: HNSW-equivalent top-k (per-partition graphs; rows-only —
+    // approximate by contract, recall gated in HnswSpec)
+    "o3_hnsw_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      Hnsw.search(emb.withColumnRenamed("vec_id", "id"), "id", "embedding",
+        q, k = 10, ef = 50).select("id", "dist")
+    }),
+
+    // ---- B1/B3: HNSW build — edge histogram per level (rows-only)
+    "b1_hnsw_edges" -> ((s, dir) =>
+      Hnsw.buildEdges(Tables.embeddings(s, dir), "vec_id", "embedding",
+          Hnsw.Params(m = 8, efConstruction = 50), numPartitions = 4)
+        .groupBy("level").agg(count(lit(1)).as("n_edges"))
+        .orderBy("level")),
+
+    // ---- B10: streaming ingest — watermark-free complete-mode hourly
+    // rollup over the events stream; must equal the batch oracle exactly
+    "b10_stream_hourly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dSum(col("value")).as("sum_value"))
+      val name = s"b10_sink_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("h", "event_type")
+    }),
+
+    // ---- Multimodal: binary payload + batch feature extraction (stub
+    // codec, real plumbing; rows-only)
+    "mm_extract_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text"),
+        "media", dim = 16)
+        .select("doc_id", "features").orderBy("doc_id")),
+
+    // ---- Multimodal: frame sampling over binary payloads
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "media", strideBytes = 64)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("byte_offset"))
+        .orderBy("doc_id", "frame_no"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -508,7 +562,18 @@ object SparkEntry {
           |WHERE doc_id NOT IN (0, 1, 2, 3, 4) ORDER BY doc_id""".stripMargin,
 
       "s6_next_id" ->
-        "SELECT CAST(coalesce(max(vec_id) + 1, 0) AS BIGINT) AS next_id FROM embeddings"
+        "SELECT CAST(coalesce(max(vec_id) + 1, 0) AS BIGINT) AS next_id FROM embeddings",
+
+      "b10_stream_hourly" ->
+        s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+           |event_type, count(*) AS n, ${decSum("value")} AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+      "mm_frame_sample" ->
+        """SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_no,
+          |CAST(off AS BIGINT) AS byte_offset
+          |FROM (SELECT doc_id, unnest(generate_series(0, length(text)-1, 64)) AS off
+          |FROM documents) t ORDER BY doc_id, frame_no""".stripMargin
     )
   }
 

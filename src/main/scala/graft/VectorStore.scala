@@ -1,0 +1,130 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.HashingEmbedder
+import graft.operators.{Crud, Hnsw, Ivf, Pq, Search}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Public library facade — the engine's analog of the reference's
+  * embedded `MemoryMappingService` (`inference/mmap_vector_store.py:12-177`):
+  * open a store at a path, write/read/delete/search, with index build
+  * (IVF/PQ/HNSW) as explicit batch operations.
+  *
+  * Everything is a DataFrame→DataFrame transformation over a parquet
+  * snapshot; the only driver-side state is the store path and small
+  * model artifacts (k centroids, chunks×k codebook).
+  */
+class VectorStore private (val spark: SparkSession, val path: String,
+                           val dim: Int) {
+
+  private def dataPath = s"$path/vectors"
+  private def ivfModelPath = s"$path/ivf_model"
+  private def ivfDataPath = s"$path/vectors_by_cluster"
+
+  /** Current snapshot (empty on a fresh store). */
+  def snapshot(): DataFrame =
+    try spark.read.parquet(dataPath)
+    catch { case _: Exception =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Tables.nodeSchema)
+    }
+
+  /** S6 write path: validate dims, assign ids from next_id, upsert,
+    * persist (mmap_vector_store.py:83-125). Rows: (embedding, content?,
+    * metadata?). */
+  def ingest(rows: DataFrame, embCol: String = "embedding"): Long = {
+    val cur = snapshot()
+    val start = Crud.nextId(cur, "id")
+    val validated = Tables.validateDim(rows, embCol, dim)
+    val withIds = Crud.assignIdsFast(validated, start)
+      .withColumn("content", coalesce(tryCol(validated, "content"), lit(null).cast("string")))
+      .withColumn("metadata", coalesce(tryCol(validated, "metadata"),
+        lit(null).cast("map<string,string>")))
+      .withColumn("is_deleted", lit(false))
+      .select("id", "embedding", "content", "metadata", "is_deleted")
+    val merged = Crud.upsert(cur, withIds, "id")
+    val tmp = dataPath + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    swap(tmp, dataPath)
+    start
+  }
+
+  private def tryCol(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) col(name) else lit(null)
+
+  private def swap(tmp: String, dst: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    fs.delete(d, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), d)
+  }
+
+  /** O2/O7: exact filtered search over live rows. */
+  def search(query: Seq[Float], k: Int,
+             metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+    val live = snapshot().filter(!col("is_deleted"))
+    val pred = if (metadataFilter.isEmpty) None
+      else Some(Search.metadataFilter(col("metadata"), metadataFilter))
+    Search.knnExact(live, "id", "embedding", query, k, pred)
+  }
+
+  /** E1+O2: text-query search through the hashing embedder. */
+  def searchText(query: String, k: Int,
+                 metadataFilter: Map[String, String] = Map.empty): DataFrame =
+    search(HashingEmbedder.embedText(spark, query, dim).toSeq, k, metadataFilter)
+
+  /** O3: HNSW-equivalent search (per-partition graphs). */
+  def searchHnsw(query: Seq[Float], k: Int, ef: Int = 50): DataFrame =
+    Hnsw.search(snapshot().filter(!col("is_deleted")), "id", "embedding", query, k, ef)
+
+  /** B4: build the IVF index; persists model + cluster-partitioned data. */
+  def buildIvf(k: Int, seed: Long = 42L): Ivf.Model = {
+    val (assigned, model) = Ivf.build(snapshot().filter(!col("is_deleted")),
+      "embedding", k, seed)
+    Ivf.save(model, ivfModelPath)
+    Ivf.writePartitioned(assigned, ivfDataPath)
+    model
+  }
+
+  /** O6: n_probe pruned search over the partitioned IVF table (probing
+    * is parquet partition pruning). */
+  def searchIvf(query: Seq[Float], nProbe: Int, k: Int): DataFrame = {
+    val model = Ivf.load(spark, ivfModelPath, "embedding")
+    val assigned = spark.read.parquet(ivfDataPath)
+    Ivf.search(assigned, model, "id", query, nProbe, k)
+  }
+
+  /** B8/B9: train PQ codebook and encode the snapshot. */
+  def trainPq(chunks: Int, k: Int, seed: Long = 42L): Pq.Codebook =
+    Pq.train(snapshot().filter(!col("is_deleted")), "embedding", dim, chunks, k, seed)
+
+  /** S5: tombstone delete + persisted snapshot. */
+  def delete(ids: Seq[Long]): Unit = {
+    val next = Crud.tombstone(snapshot(), "id", ids)
+    val tmp = dataPath + ".tmp"
+    next.write.mode("overwrite").parquet(tmp)
+    swap(tmp, dataPath)
+  }
+
+  /** Compaction: physically drop tombstoned rows. */
+  def compact(): Unit = {
+    val next = Crud.compact(snapshot()).withColumn("is_deleted", lit(false))
+    val tmp = dataPath + ".tmp"
+    next.write.mode("overwrite").parquet(tmp)
+    swap(tmp, dataPath)
+  }
+
+  /** S2/S4: point lookup and live count. */
+  def get(id: Long): Option[org.apache.spark.sql.Row] =
+    snapshot().filter(col("id") === id && !col("is_deleted")).collect().headOption
+  def size(): Long = snapshot().filter(!col("is_deleted")).count()
+}
+
+object VectorStore {
+  /** Open (or create) a store rooted at `path` with a fixed embedding
+    * dimension — dim is a hard write-time contract, like the reference's
+    * config-fixed dim (src/config.yaml:3, storage.py:138). */
+  def open(spark: SparkSession, path: String, dim: Int): VectorStore =
+    new VectorStore(spark, path, dim)
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** HNSW-equivalent ANN: per-partition small-world graphs built inside
+  * `mapPartitions`, searched per-partition, merged with a global top-k.
+  *
+  * Capability parity with the reference's HNSW (`indexing/hnsw.py`):
+  * insert (B1, hnsw.py:143-225), bulk build (B3, hnsw.py:279-287),
+  * delete via filter + dangling-id tolerance (B2, hnsw.py:227-277),
+  * top-k search with ef beam (O3-O5, hnsw.py:79-374), edges persistence
+  * (B11, hnsw.py:376-423). The graph algorithm itself is written from
+  * the published HNSW construction (Malkov & Yashunin, arXiv:1603.09320):
+  * geometric level sampling, greedy descent on upper layers, best-first
+  * beam of width ef at the target layer, bidirectional M-edges with
+  * neighbor pruning.
+  *
+  * Distributed design: a global pointer-chasing graph does not fit
+  * Spark's execution model, so each partition holds an independent
+  * graph over its shard (SURVEY §7 step 7). Each shard returns its own
+  * top-k; the merge is exact over shard candidates, so shard recall
+  * composes — per-partition recall r gives ≥ r overall. Acceptance is
+  * the reference's own contract: recall ≥ 0.7 vs exact on ≥ 80% of
+  * queries (test_hnsw.py:141-153), not structural identity.
+  *
+  * Scale: build is embarrassingly parallel per shard; search touches
+  * ~ef·M nodes per shard. For serving-size corpora prefer IVF (O6) —
+  * this operator exists for capability parity and for in-memory-shard
+  * regimes (each executor holds its shard's graph).
+  */
+object Hnsw {
+
+  case class Params(m: Int = 16, efConstruction: Int = 200, ef: Int = 50,
+                    seed: Long = 42L)
+
+  /** Partition-local HNSW graph (standard algorithm, double-precision
+    * distances, (dist, id) tie-break everywhere). */
+  final class LocalGraph(params: Params, rng: scala.util.Random) {
+    val m: Int = params.m
+    val maxM: Int = params.m
+    val maxM0: Int = 2 * params.m
+    private val levelMult: Double = 1.0 / math.log(m.toDouble)
+
+    val vectors = mutable.LongMap.empty[Array[Float]]
+    // neighbors(id)(level) = buffer of neighbor ids
+    val neighbors = mutable.LongMap.empty[Array[mutable.ArrayBuffer[Long]]]
+    var entryPoint: Long = -1L
+    var maxLevel: Int = -1
+
+    private def dist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    private def distTo(q: Array[Float], id: Long): Double = dist(q, vectors(id))
+
+    def size: Int = vectors.size
+
+    private def sampleLevel(): Int =
+      math.floor(-math.log(rng.nextDouble() max Double.MinPositiveValue) * levelMult).toInt
+
+    /** Greedy hill-climb at one level (upper-layer descent). */
+    private def greedyStep(q: Array[Float], start: Long, level: Int): Long = {
+      var curr = start
+      var currDist = distTo(q, curr)
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = neighbors(curr)
+        if (level < ns.length) {
+          ns(level).foreach { nb =>
+            if (vectors.contains(nb)) {
+              val d = distTo(q, nb)
+              if (d < currDist || (d == currDist && nb < curr)) {
+                curr = nb; currDist = d; improved = true
+              }
+            }
+          }
+        }
+      }
+      curr
+    }
+
+    /** Best-first beam search of width ef at one level. Returns (dist, id)
+      * ascending. */
+    private def searchLayer(q: Array[Float], entry: Long, ef: Int, level: Int): mutable.ArrayBuffer[(Double, Long)] = {
+      val visited = mutable.HashSet[Long](entry)
+      implicit val ord: Ordering[(Double, Long)] = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      val candidates = mutable.PriorityQueue.empty[(Double, Long)](ord.reverse) // min-heap
+      val results = mutable.PriorityQueue.empty[(Double, Long)](ord)           // max-heap of best ef
+      val d0 = distTo(q, entry)
+      candidates.enqueue((d0, entry)); results.enqueue((d0, entry))
+      while (candidates.nonEmpty) {
+        val (cd, cid) = candidates.dequeue()
+        if (cd > results.head._1 && results.size >= ef) {
+          candidates.clear() // early termination: next candidate can't improve
+        } else {
+          val ns = neighbors(cid)
+          if (level < ns.length) {
+            ns(level).foreach { nb =>
+              if (!visited.contains(nb) && vectors.contains(nb)) {
+                visited += nb
+                val d = distTo(q, nb)
+                if (results.size < ef || d < results.head._1) {
+                  candidates.enqueue((d, nb))
+                  results.enqueue((d, nb))
+                  if (results.size > ef) results.dequeue()
+                }
+              }
+            }
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.from(results)
+      out.sortInPlace()
+      out
+    }
+
+    /** Keep the M closest of a candidate set (simple pruning heuristic). */
+    private def selectNeighbors(q: Array[Float], cands: Seq[Long], count: Int): Seq[Long] =
+      cands.distinct.map(c => (distTo(q, c), c)).sorted.take(count).map(_._2)
+
+    def insert(id: Long, vec: Array[Float]): Unit = {
+      if (vectors.contains(id)) return // idempotent re-insert (hnsw.py:152-155)
+      val level = sampleLevel()
+      vectors(id) = vec
+      neighbors(id) = Array.fill(level + 1)(mutable.ArrayBuffer.empty[Long])
+      if (entryPoint < 0) { entryPoint = id; maxLevel = level; return }
+      var curr = entryPoint
+      var l = maxLevel
+      while (l > level) { curr = greedyStep(vec, curr, l); l -= 1 }
+      l = math.min(level, maxLevel)
+      while (l >= 0) {
+        val cands = searchLayer(vec, curr, params.efConstruction, l)
+        val selected = selectNeighbors(vec, cands.map(_._2).toSeq, m)
+        val cap = if (l == 0) maxM0 else maxM
+        selected.foreach { nb =>
+          neighbors(id)(l) += nb
+          val nbLists = neighbors(nb)
+          if (l < nbLists.length) {
+            nbLists(l) += id
+            if (nbLists(l).length > cap) {
+              val pruned = selectNeighbors(vectors(nb), nbLists(l).toSeq, cap)
+              nbLists(l) = mutable.ArrayBuffer.from(pruned)
+            }
+          }
+        }
+        curr = if (cands.nonEmpty) cands.head._2 else curr
+        l -= 1
+      }
+      if (level > maxLevel) { maxLevel = level; entryPoint = id }
+    }
+
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (entryPoint < 0) return Seq.empty
+      var curr = entryPoint
+      var l = maxLevel
+      while (l > 0) { curr = greedyStep(q, curr, l); l -= 1 }
+      searchLayer(q, curr, math.max(ef, k), 0)
+        .take(k).map { case (d, id) => (id, d) }.toSeq
+    }
+  }
+
+  /** B1/B3: build per-partition graphs and emit the edges table
+    * (partition_id, src, level, dst) — the persistable index artifact
+    * (the analog of the reference's pickled adjacency, hnsw.py:381-398). */
+  def buildEdges(df: DataFrame, idCol: String, embCol: String,
+                 params: Params = Params(), numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions else df.rdd.getNumPartitions
+    df.select(col(idCol).cast("long"), col(embCol))
+      .repartition(parts, col(idCol))
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val g = buildLocal(rows, params, pid)
+        g.neighbors.iterator.flatMap { case (src, levels) =>
+          levels.iterator.zipWithIndex.flatMap { case (nbs, level) =>
+            nbs.iterator.map(dst => (pid, src, level, dst))
+          }
+        }
+      }.toDF("partition_id", "src", "level", "dst")
+  }
+
+  private def buildLocal(rows: Iterator[Row], params: Params, pid: Int): LocalGraph = {
+    val rng = new scala.util.Random(params.seed + pid)
+    val g = new LocalGraph(params, rng)
+    // deterministic build order: sort the shard by id before inserting
+    rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+      .foreach { case (id, v) => g.insert(id, v) }
+    g
+  }
+
+  /** O3: batch top-k search. Builds shard graphs and searches all queries
+    * in one pass; exact merge of shard candidates via per-query window.
+    * Queries are broadcast (small side). */
+  def searchBatch(df: DataFrame, idCol: String, embCol: String,
+                  queries: Seq[(Long, Array[Float])], k: Int, ef: Int = 50,
+                  params: Params = Params(), numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions else df.rdd.getNumPartitions
+    val bq = spark.sparkContext.broadcast(queries)
+    val local = df.select(col(idCol).cast("long"), col(embCol))
+      .repartition(parts, col(idCol))
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val g = buildLocal(rows, params, pid)
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) }
+        }
+      }.toDF("query_id", "id", "dist")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Single-query convenience (reference /search path). */
+  def search(df: DataFrame, idCol: String, embCol: String, query: Seq[Float],
+             k: Int, ef: Int = 50, params: Params = Params()): DataFrame =
+    searchBatch(df, idCol, embCol, Seq((0L, query.toArray)), k, ef, params)
+      .drop("query_id")
+
+  /** B2: delete = filter; searches tolerate dangling ids by construction
+    * (per-partition graphs are rebuilt from the filtered table). */
+  def delete(df: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
+    df.filter(!col(idCol).isin(ids: _*))
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus per-partition batch decode /
+  * feature-extract / frame-sample operators.
+  *
+  * The actual codecs (JPEG/PNG/PCM decode) are STUBBED — this container
+  * has no media libraries — behind [[FakeCodec]], a deterministic
+  * byte-level stand-in. Everything Spark-side is real and tested:
+  * schema, binary handling, `mapPartitions` batch shape (one decoder
+  * instance per partition, streamed rows, no per-row setup), partition
+  * preservation, and the feature/frame output contracts a real codec
+  * drop-in would keep.
+  */
+object Multimodal {
+
+  /** Typed media metadata carried alongside the opaque payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image/jpeg, audio/wav, ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** STUB decoder: deterministic features from raw bytes (byte-value
+    * histogram folded into `dim` buckets, L2-normalized). A real codec
+    * implements the same (bytes ⇒ float[dim]) contract. */
+  object FakeCodec {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val acc = new Array[Double](dim)
+      var i = 0
+      while (i < bytes.length) {
+        acc((bytes(i) & 0xff) % dim) += 1.0
+        i += 1
+      }
+      val norm = math.sqrt(acc.map(x => x * x).sum) max 1.0
+      acc.map(x => (x / norm).toFloat)
+    }
+
+    /** STUB frame sampler: offsets every `strideBytes` (a real video
+      * codec yields keyframe offsets instead). */
+    def frameOffsets(bytes: Array[Byte], strideBytes: Int): Seq[Long] =
+      if (bytes.isEmpty) Seq.empty
+      else 0L.until(bytes.length.toLong, strideBytes.toLong)
+  }
+
+  /** Batch feature extraction over a binary column: one decoder per
+    * partition, rows streamed through it (the mapInPandas batch shape,
+    * JVM-side). Output adds `features: array<float>`. */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int,
+                      outCol: String = "features"): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, ArrayType(FloatType, false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      // per-partition decoder setup happens HERE (real codecs init once)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val feats = if (bytes == null) null else FakeCodec.features(bytes, dim)
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one output row per sampled frame (id, frame_no,
+    * offset). Real video decode swaps FakeCodec.frameOffsets only. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   strideBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else FakeCodec.frameOffsets(bytes, strideBytes).iterator.zipWithIndex
+          .map { case (off, no) => (id, no, off) }
+      }
+    }.toDF(idCol, "frame_no", "byte_offset")
+  }
+
+  /** Wrap a text table as a multimodal fixture (text bytes as payload) —
+    * lets the plumbing run against the driver testdata, which has no
+    * binary tables. */
+  def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      col(textCol).cast(BinaryType).as("media"),
+      struct(
+        lit("text/plain").as("media_type"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(IntegerType).as("sample_rate"),
+        length(col(textCol)).cast(LongType).as("duration_ms")).as("media_meta"))
+}

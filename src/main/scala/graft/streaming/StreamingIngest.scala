@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.operators.Crud
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming ingest — the engine's replacement for the
+  * reference's request-at-a-time HTTP `/embed` loop (`api/app.py:119-160`)
+  * and its threshold flush (B10, `services/indexing_service.py:77-89`:
+  * persist the index every `flush_threshold` = 1000 inserts).
+  *
+  * Micro-batches arrive via any streaming source; `foreachBatch` applies
+  * the batch as an upsert into the parquet snapshot (S1 semantics), and
+  * the flush-threshold analog re-publishes the downstream index artifact
+  * once enough rows accumulated since the last flush. Checkpointing gives
+  * exactly-once upserts — the durability the reference got from
+  * per-insert pickling (hnsw.py:223-225) without the per-row write.
+  *
+  * Scale: each micro-batch is a normal distributed job; the upsert is an
+  * anti-join on id (broadcast when the batch is small). State for
+  * windowed aggregation lives in the state store, keyed by window ×
+  * group — no driver accumulation.
+  */
+object StreamingIngest {
+
+  /** Start a micro-batch upsert stream into `targetDir` (parquet
+    * snapshot). `onFlush(totalRows)` fires after any batch that leaves
+    * the snapshot at ≥ flushThreshold rows — the reference's threshold
+    * semantics (indexing_service.py:87-89 checks total store size, with
+    * a dirty flag limiting redundant saves; callers keep that dirty
+    * logic and rebuild/republish index artifacts here). */
+  def upsertStream(stream: DataFrame, idCol: String, targetDir: String,
+                   checkpointDir: String, flushThreshold: Long = 1000L,
+                   onFlush: Long => Unit = _ => ()): StreamingQuery = {
+    val spark = stream.sparkSession
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try Some(spark.read.parquet(targetDir))
+          catch { case _: Exception => None } // first batch: no snapshot yet
+        val merged = existing match {
+          case Some(cur) => Crud.upsert(cur, batch, idCol)
+          case None => batch
+        }
+        // two-phase publish: write tmp, then swap — a crash between
+        // batches leaves the previous snapshot intact and the checkpoint
+        // replays the batch.
+        val tmp = targetDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(targetDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val total = spark.read.parquet(targetDir).count()
+        if (total >= flushThreshold) onFlush(total)
+        ()
+      }
+      .start()
+  }
+
+  /** Event-time windowed aggregation with watermark — the streaming form
+    * of the engine's hourly rollup (events_hourly). State is bounded by
+    * the watermark horizon. */
+  def windowedCounts(stream: DataFrame, tsCol: String, typeCol: String,
+                     window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** File-source stream over a directory of parquet (the batch tables'
+    * streaming twin — used to replay `events` as a stream). */
+  def fileStream(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Hnsw, Search}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** HNSW contracts from the reference's tests: self@dist<1e-6 + ordering
+  * (test_hnsw.py:95-111), recall ≥ 0.7 on ≥ 80% of 10 queries
+  * (test_hnsw.py:136-153, N=100 dim=16 M=8 efc=50 ef=50 k=5), level-0
+  * connectivity ≥ 90% (test_hnsw.py:155-185, N=50 dim=8 M=4 efc=20),
+  * idempotent re-insert (test_hnsw.py:309-327), delete (B2). */
+class HnswSpec extends SparkSpec {
+
+  test("search returns the query itself first at distance < 1e-6") {
+    val data = corpus(20, 8)
+    val res = Hnsw.search(toDF(data), "id", "embedding", data.head._2.toSeq,
+      k = 5, ef = 20, Hnsw.Params(m = 8, efConstruction = 50)).collect()
+    assert(res.length == 5)
+    assert(res.head.getAs[Long]("id") == 0L)
+    assert(res.head.getAs[Double]("dist") < 1e-6)
+    val dists = res.map(_.getAs[Double]("dist"))
+    assert(dists.sameElements(dists.sorted))
+  }
+
+  test("recall >= 0.7 vs brute force on >= 80% of 10 queries") {
+    val data = corpus(100, 16)
+    val df = toDF(data).cache()
+    val queries = (0 until 10).map(i => (i.toLong, data(i * 11 % 100)._2))
+    val params = Hnsw.Params(m = 8, efConstruction = 50)
+    val approx = Hnsw.searchBatch(df, "id", "embedding", queries, k = 5, ef = 50, params)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    val good = queries.count { case (qid, qv) =>
+      val exact = Search.knnExact(df, "id", "embedding", qv.toSeq, 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+      exact.intersect(approx(qid)).size.toDouble / 5 >= 0.7
+    }
+    assert(good >= 8, s"only $good/10 queries reached recall 0.7")
+  }
+
+  test("level-0 graph connectivity >= 90% BFS-reachable per partition") {
+    val data = corpus(50, 8)
+    val edges = Hnsw.buildEdges(toDF(data), "id", "embedding",
+      Hnsw.Params(m = 4, efConstruction = 20), numPartitions = 1)
+      .filter(col("level") === 0)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(nodes.length >= 45) // all but stragglers participate in the graph
+    val seen = mutable.Set(nodes.head)
+    val stack = mutable.Stack(nodes.head)
+    while (stack.nonEmpty) {
+      adj.getOrElse(stack.pop(), Array.empty[Long]).foreach { n =>
+        if (seen.add(n)) stack.push(n)
+      }
+    }
+    assert(seen.size.toDouble / nodes.length >= 0.9,
+      s"only ${seen.size}/${nodes.length} reachable")
+  }
+
+  test("idempotent insert: duplicate ids don't duplicate graph nodes") {
+    val data = corpus(20, 8)
+    val dup = toDF(data ++ data.take(5)) // re-insert 5 ids
+    val res = Hnsw.search(dup, "id", "embedding", data.head._2.toSeq, k = 20,
+      ef = 40, Hnsw.Params(m = 4, efConstruction = 20))
+      .select("id").collect().map(_.getLong(0))
+    assert(res.length == res.distinct.length)
+  }
+
+  test("delete removes ids from results") {
+    val data = corpus(30, 8)
+    val df = Hnsw.delete(toDF(data), "id", Seq(0L, 1L))
+    val res = Hnsw.search(df, "id", "embedding", data.head._2.toSeq, k = 10,
+      ef = 30, Hnsw.Params(m = 4, efConstruction = 20))
+      .select("id").collect().map(_.getLong(0))
+    assert(!res.contains(0L) && !res.contains(1L))
+  }
+
+  test("multi-partition search merges shard results exactly") {
+    val data = corpus(200, 8)
+    val df = toDF(data)
+    val res = Hnsw.searchBatch(df, "id", "embedding",
+      Seq((0L, data(3)._2)), k = 5, ef = 100,
+      Hnsw.Params(m = 8, efConstruction = 100), numPartitions = 4).collect()
+    assert(res.length == 5)
+    assert(res.map(_.getAs[Long]("id")).contains(3L))
+    assert(res.map(_.getAs[Int]("rank")).toSeq.sorted == Seq(1, 2, 3, 4, 5))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Facade lifecycle mirroring the reference's store round-trips
+  * (test_mmap_vector_store.py): write/read/search/delete/persistence. */
+class VectorStoreSpec extends SparkSpec {
+
+  test("ingest → search → delete → compact → reopen round-trip") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("store").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    assert(store.size() == 0L)
+
+    val data = corpus(30, 8)
+    val rows = data.map { case (i, v) => (v, s"doc $i", Map("parity" -> (i % 2).toString)) }
+      .toDF("embedding", "content", "metadata")
+    val firstId = store.ingest(rows)
+    assert(firstId == 0L)
+    assert(store.size() == 30L)
+
+    // search: self at distance ~0 first
+    val hit = store.search(data(5)._2.toSeq, 3).collect()
+    assert(hit.head.getAs[Double]("dist") < 1e-6)
+    val hitId = hit.head.getAs[Long]("id")
+
+    // filtered search respects metadata equality
+    val odd = store.search(data(5)._2.toSeq, 5, Map("parity" -> "1")).collect()
+    assert(odd.forall(_.getAs[Map[String, String]]("metadata")("parity") == "1"))
+
+    // delete tombstones; search skips; compact shrinks
+    store.delete(Seq(hitId))
+    assert(store.size() == 29L)
+    assert(store.search(data(5)._2.toSeq, 3).collect()
+      .forall(_.getAs[Long]("id") != hitId))
+    store.compact()
+
+    // reopen from disk — state persists
+    val reopened = VectorStore.open(s, dir, dim = 8)
+    assert(reopened.size() == 29L)
+    assert(reopened.get(hitId).isEmpty)
+
+    // dim mismatch is a hard ingest error (mmap_vector_store.py:106-107)
+    val bad = Seq((Seq(1f, 2f), "short", Map.empty[String, String]))
+      .toDF("embedding", "content", "metadata")
+    intercept[Exception] { reopened.ingest(bad) }
+  }
+
+  test("IVF build + pruned search through the facade") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("store").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(50, 8)
+    store.ingest(data.map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    val model = store.buildIvf(4)
+    assert(model.k == 4)
+    val res = store.searchIvf(data(3)._2.toSeq, nProbe = 4, k = 5).collect()
+    assert(res.head.getAs[Double]("dist") < 1e-6)
+    // text search via hashing embedder also runs end-to-end
+    assert(store.searchText("some query text", 3).count() == 3)
+  }
+}
