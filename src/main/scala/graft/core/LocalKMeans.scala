@@ -1,0 +1,67 @@
+package graft.core
+
+/** Seeded, deterministic Lloyd's k-means over a driver-side sample.
+  *
+  * Codebook/centroid training at 100 TB scale is done on a bounded
+  * sample (the standard IVF/PQ practice — a few hundred thousand rows
+  * bound the centroid error regardless of corpus size); assignment then
+  * runs distributed via the codegen'd NearestCentroid expression. This
+  * mirrors the reference's `scipy.kmeans2(..., minit='points')`
+  * (ivf.py:75, pq.py:11): init = k distinct sampled points, Lloyd
+  * iterations, empty clusters re-seeded.
+  */
+object LocalKMeans {
+
+  /** @return k×dim centroids (deterministic for fixed inputs/seed). */
+  def fit(points: Array[Array[Float]], k: Int, maxIter: Int = 100,
+          seed: Long = 42L): Array[Array[Float]] = {
+    require(points.nonEmpty, "Cannot build index from empty node list")
+    require(points.length >= k,
+      s"Need at least $k nodes to build index with $k clusters")
+    val dim = points.head.length
+    val rng = new scala.util.Random(seed)
+    // minit='points': k distinct sample indices
+    val init = rng.shuffle(points.indices.toVector).take(k)
+    var centroids = init.map(i => points(i).map(_.toDouble)).toArray
+
+    val assign = new Array[Int](points.length)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      var p = 0
+      while (p < points.length) {
+        val pt = points(p)
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var s = 0.0
+          val c = centroids(j)
+          var i = 0
+          while (i < dim) { val d = pt(i) - c(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = j }
+          j += 1
+        }
+        if (assign(p) != best) { assign(p) = best; changed = true }
+        p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var p2 = 0
+      while (p2 < points.length) {
+        val c = assign(p2); counts(c) += 1
+        val pt = points(p2)
+        var i = 0
+        while (i < dim) { sums(c)(i) += pt(i); i += 1 }
+        p2 += 1
+      }
+      centroids = Array.tabulate(k) { j =>
+        if (counts(j) == 0) points(rng.nextInt(points.length)).map(_.toDouble) // re-seed empty
+        else sums(j).map(_ / counts(j))
+      }
+      iter += 1
+    }
+    centroids.map(_.map(_.toFloat))
+  }
+}

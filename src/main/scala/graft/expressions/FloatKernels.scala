@@ -1,0 +1,172 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Whole-stage-codegen'd distance kernels over `array<float>` columns.
+  *
+  * Spark's higher-order functions (`zip_with`, `aggregate`) are
+  * CodegenFallback — every row pays interpreted lambda dispatch, which
+  * bench showed dominating the pairwise operators (SURVEY §4 anticipated
+  * exactly this: "L2Distance Expression (codegen) — optional, perf-gated;
+  * measure first"). These kernels generate a tight primitive loop
+  * instead.
+  *
+  * Numeric contract: identical IEEE-754 operation sequence to the HOF
+  * fold and to the DuckDB oracle's explicit `0.0 + t1 + ... + tn` chain —
+  * each element pair is converted float→double (exact) and accumulated
+  * left-to-right — so swapping implementations cannot change a single
+  * bit of any result.
+  */
+abstract class FloatFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  /** Java source for one loop step: accumulate into `acc` from floats `xf`, `yf`. */
+  protected def stepJava(acc: String, xf: String, yf: String): String
+  protected def stepEval(x: Float, y: Float): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += stepEval(x.getFloat(i), y.getFloat(i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${stepJava(ev.value.toString, s"$x.getFloat($i)", s"$y.getFloat($i)")}
+         |}
+       """.stripMargin
+    })
+}
+
+/** Σ (a_i - b_i)^2 in double, sequential. */
+case class L2SqFloat(left: Expression, right: Expression) extends FloatFold {
+  override protected def stepJava(acc: String, xf: String, yf: String): String =
+    s"double d = (double)$xf - (double)$yf; $acc += d * d;"
+  override protected def stepEval(x: Float, y: Float): Double = {
+    val d = x.toDouble - y.toDouble; d * d
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_sq_float"
+}
+
+/** Σ a_i · b_i in double, sequential. */
+case class DotFloat(left: Expression, right: Expression) extends FloatFold {
+  override protected def stepJava(acc: String, xf: String, yf: String): String =
+    s"$acc += (double)$xf * (double)$yf;"
+  override protected def stepEval(x: Float, y: Float): Double =
+    x.toDouble * y.toDouble
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_float"
+}
+
+/** Argmin-distance centroid index over (a slice of) a float vector —
+  * the assignment/encode kernel shared by IVF (offset 0, full dim) and
+  * PQ (per-chunk offsets). One generated loop over k×subDim; the
+  * codebook rides along as a referenced object, not literal SQL.
+  * First-match tie-break on equal distances (numpy argmin). */
+case class NearestCentroidFloat(child: Expression,
+                                centroids: Array[Array[Float]],
+                                offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      var s = 0.0
+      var i = 0
+      while (i < c.length) {
+        val d = a.getFloat(offset + i).toDouble - c(i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val bd = ctx.freshName("bestD")
+      val cj = ctx.freshName("cj")
+      s"""
+         |double $bd = Double.MAX_VALUE;
+         |${ev.value} = 0;
+         |for (int $j = 0; $j < $cb.length; $j++) {
+         |  float[] $cj = $cb[$j];
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $cj.length; $i++) {
+         |    double $d = (double)$a.getFloat($offset + $i) - (double)$cj[$i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bd) { $bd = $s; ${ev.value} = $j; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_centroid_float"
+}
+
+object FloatKernels {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def l2Sq(a: Column, b: Column): Column = c(L2SqFloat(e(a), e(b)))
+  def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
+  def dot(a: Column, b: Column): Column = c(DotFloat(e(a), e(b)))
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Index of the nearest centroid to vector[offset:offset+subDim). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]],
+                      offset: Int = 0): Column =
+    c(NearestCentroidFloat(e(vec), centroids, offset))
+}

@@ -38,26 +38,33 @@ object Dedup {
 
   /** Distinct word n-gram shingles (shingle=1 degenerates to the word
     * set). Shingling is what makes minhash discriminate on corpora with
-    * small shared vocabularies. */
+    * small shared vocabularies. Codegen'd (graft.expressions.WordShingles)
+    * — the declarative transform/slice/concat_ws form is CodegenFallback
+    * and benched ~10× slower on the pair operators. */
   def shingleSet(textCol: Column, shingle: Int): Column =
-    if (shingle <= 1) wordSet(textCol)
-    else {
-      val toks = split(lower(textCol), "\\s+")
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - (shingle - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(shingle)))))
-    }
+    graft.expressions.TextKernels.shingles(textCol, shingle)
 
   /** MinHash signature: per seed, the minimum of md5(seed|shingle) over
     * the document's distinct shingles. Lexicographic min over a uniform
     * hex string is a valid min-hash; identical in any engine with md5.
-    * Output column `minhash`: array<string> of length numHashes. */
-  def minhashSignature(df: DataFrame, textCol: String, numHashes: Int = 8,
-                       shingle: Int = 3): DataFrame = {
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleSet(col(textCol), shingle),
-        t => md5(concat(seed.cast("string"), lit("|"), t)))))
-    df.withColumn("minhash", sig)
+    * Output column `minhash`: array<string> of length numHashes (null
+    * for rows with no shingles).
+    *
+    * Implementation: shingles are exploded once and all numHashes mins
+    * are computed in a single (codegen'd md5 + hash-agg) pass — the
+    * nested-HOF form pays interpreted lambda dispatch per seed×shingle
+    * and benched ~50× slower. One shuffle on idCol. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 8, shingle: Int = 3): DataFrame = {
+    val shingles = df.select(col(idCol).as("__mid"),
+      explode(shingleSet(col(textCol), shingle)).as("__sh"))
+    val aggs = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("__sh")))).as(s"__h$s"))
+    val sig = shingles.groupBy("__mid")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__mid"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("minhash"))
+    df.join(sig, df(idCol) === sig("__mid"), "left").drop("__mid")
   }
 
   /** LSH banding over the MinHash signature: band hash = md5 of the
@@ -67,15 +74,20 @@ object Dedup {
                       numHashes: Int = 8, bands: Int = 4, shingle: Int = 3): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide by bands ($bands)")
     val rowsPerBand = numHashes / bands
-    val signed = minhashSignature(df, textCol, numHashes, shingle)
+    val signed = minhashSignature(df, idCol, textCol, numHashes, shingle)
       .select(col(idCol).as("__id"), col("minhash"))
     val banded = signed.select(col("__id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws("|", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))))))
           .as(Seq("band_id", "band_hash")))
-    val a = banded.select(col("band_id"), col("band_hash"), col("__id").as("a"))
-    val b = banded.select(col("band_id"), col("band_hash"), col("__id").as("b"))
-    a.join(b, Seq("band_id", "band_hash"))
+    // single-pass bucket pairing: group ids per (band, hash) bucket and
+    // emit intra-bucket pairs — no self-join, so the signature pipeline
+    // runs once, and the shuffle carries one row per bucket.
+    banded.groupBy("band_id", "band_hash")
+      .agg(collect_list(col("__id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }
@@ -108,14 +120,18 @@ object Dedup {
     * product is never materialized. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val toks = split(lower(col(textCol)), "\\s+")
     val grams = df.select(col(idCol).as("__id"),
-        array_distinct(transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(n))))).as("grams"))
-      .select(col("__id"), explode(col("grams")).as("gram"))
-    val sizes = grams.groupBy("__id").agg(count(lit(1)).as("sz"))
-    val inter = grams.select(col("gram"), col("__id").as("a"))
-      .join(grams.select(col("gram"), col("__id").as("b")), "gram")
+        explode(shingleSet(col(textCol), n)).as("gram"))
+    // per-doc set size is a per-row scalar — no second pass over grams
+    val sizes = df.select(col(idCol).as("__id"),
+      size(shingleSet(col(textCol), n)).cast("long").as("sz"))
+    // inverted-index bucketing: ids per gram, intra-bucket pairs counted
+    // (one shuffle on gram, one on the pair key; never an all-pairs join)
+    val inter = grams.groupBy("gram")
+      .agg(collect_list(col("__id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
@@ -131,10 +147,14 @@ object Dedup {
     * IVF-bucketed partitions (join within cluster_id), not the full table. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                          threshold: Double): DataFrame = {
+    // norms precomputed per row (N sqrt-folds, not N²); cos = dot/(na·nb)
+    // keeps the exact oracle expression shape bit-for-bit
     val a = df.select(col(idCol).as("a"), col(embCol).as("ea"))
+      .withColumn("__na", norm(col("ea")))
     val b = df.select(col(idCol).as("b"), col(embCol).as("eb"))
+      .withColumn("__nb", norm(col("eb")))
     a.join(b, col("a") < col("b"))
-      .withColumn("cos_sim", cosine(col("ea"), col("eb")))
+      .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("__na") * col("__nb")))
       .filter(col("cos_sim") >= threshold)
       .select("a", "b", "cos_sim")
   }
@@ -145,10 +165,12 @@ object Dedup {
   def cosineNearDupBucketed(assigned: DataFrame, idCol: String, embCol: String,
                             threshold: Double): DataFrame = {
     val a = assigned.select(col(Ivf.ClusterCol), col(idCol).as("a"), col(embCol).as("ea"))
+      .withColumn("__na", norm(col("ea")))
     val b = assigned.select(col(Ivf.ClusterCol), col(idCol).as("b"), col(embCol).as("eb"))
+      .withColumn("__nb", norm(col("eb")))
     a.join(b, Seq(Ivf.ClusterCol))
       .filter(col("a") < col("b"))
-      .withColumn("cos_sim", cosine(col("ea"), col("eb")))
+      .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("__na") * col("__nb")))
       .filter(col("cos_sim") >= threshold)
       .select("a", "b", "cos_sim")
   }

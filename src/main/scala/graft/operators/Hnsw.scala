@@ -171,7 +171,8 @@ object Hnsw {
                  params: Params = Params(), numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val parts = if (numPartitions > 0) numPartitions else df.rdd.getNumPartitions
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
     df.select(col(idCol).cast("long"), col(embCol))
       .repartition(parts, col(idCol))
       .mapPartitions { rows =>
@@ -203,7 +204,8 @@ object Hnsw {
                   params: Params = Params(), numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val parts = if (numPartitions > 0) numPartitions else df.rdd.getNumPartitions
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
     val bq = spark.sparkContext.broadcast(queries)
     val local = df.select(col(idCol).cast("long"), col(embCol))
       .repartition(parts, col(idCol))

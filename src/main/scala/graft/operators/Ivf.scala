@@ -1,15 +1,14 @@
 package graft.operators
 
-import graft.functions.VectorFunctions._
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
+import graft.core.LocalKMeans
+import graft.expressions.FloatKernels
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) index: k-means partitioning + n_probe pruned search.
   *
   * Reference semantics (`/root/reference/src/vector_db/indexing/ivf.py`):
-  *  - build: k-means over all vectors, inverted lists label → ids
+  *  - build: k-means over vectors, inverted lists label → ids
   *    (`ivf.py:49-85`); requires non-empty input (`ivf.py:58-59`) and
   *    N ≥ k (`ivf.py:71-72`).
   *  - search: rank centroids by L2 to the query, scan the n_probe nearest
@@ -19,60 +18,55 @@ import org.apache.spark.sql.functions._
   *  - delete: drop from lists (`ivf.py:119-136`).
   *  - stats: min/max/avg/total over list sizes (`ivf.py:201-215`).
   *
-  * Spark design (100 TB): the "inverted list" is a `cluster_id` column;
-  * persisted tables are written `partitionBy("cluster_id")` so probing
-  * n_probe clusters is literal partition pruning at the parquet scan.
-  * Only the k×dim centroid matrix ever reaches the driver.
+  * Spark design (100 TB): centroids are trained on a bounded driver-side
+  * sample (standard IVF practice — sample error is independent of corpus
+  * size) with seeded Lloyd's, then assignment is one distributed scan
+  * through the codegen'd NearestCentroid kernel. The "inverted list" is
+  * a `cluster_id` column; persisted tables are written
+  * `partitionBy("cluster_id")` so probing n_probe clusters is literal
+  * partition pruning at the parquet scan. Only the k×dim centroid matrix
+  * ever reaches the driver.
   */
 object Ivf {
 
   val ClusterCol = "cluster_id"
 
-  case class Model(kmeans: KMeansModel, embCol: String) {
-    /** k×dim centroid matrix (small; lives on the driver / broadcast). */
-    def centroids: Array[Array[Float]] =
-      kmeans.clusterCenters.map(_.toArray.map(_.toFloat))
-    def k: Int = kmeans.getK
+  /** Default build-sample bound: centroid quality saturates well below
+    * this; keeps the driver-side training O(1) in corpus size. */
+  val DefaultSampleSize = 200000
+
+  case class Model(centroids: Array[Array[Float]], embCol: String) {
+    def k: Int = centroids.length
   }
 
   /** B4: build the index. Returns (rows + cluster_id, model). */
   def build(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
-            maxIter: Int = 100): (DataFrame, Model) = {
+            maxIter: Int = 100, sampleSize: Int = DefaultSampleSize): (DataFrame, Model) = {
     require(k > 0, s"k must be positive, got $k")
-    val model = trainKMeans(df, embCol, k, seed, maxIter)
-    (assign(df, model), model)
-  }
-
-  private def trainKMeans(df: DataFrame, embCol: String, k: Int, seed: Long,
-                          maxIter: Int): Model = {
-    val vecs = df.select(array_to_vector(col(embCol)).as("features"))
-    // Mirrors the reference's build-time checks (ivf.py:58-59, 71-72)
-    // without an extra count() job: KMeans itself fails on empty input,
-    // so only the N >= k check needs a (cheap, column-pruned) count.
-    val n = df.select(col(embCol)).limit(k).count()
-    if (n == 0) throw new IllegalArgumentException("Cannot build index from empty node list")
-    if (n < k) throw new IllegalArgumentException(
+    val sample = df.select(col(embCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    // build-time checks mirror the reference (ivf.py:58-59, 71-72)
+    if (sample.isEmpty) throw new IllegalArgumentException(
+      "Cannot build index from empty node list")
+    if (sample.length < k) throw new IllegalArgumentException(
       s"Need at least $k nodes to build index with $k clusters")
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol(ClusterCol)
-    Model(km.fit(vecs), embCol)
+    val model = Model(LocalKMeans.fit(sample, k, maxIter, seed), embCol)
+    (assign(df, model), model)
   }
 
   /** B5: assign rows to their nearest centroid (also the incremental-add
     * path — new rows are assigned to possibly-stale centroids, matching
-    * ivf.py:108-113; rebuild() is the explicit re-train). */
-  def assign(df: DataFrame, model: Model): DataFrame = {
-    val withFeatures = df.withColumn("__features", array_to_vector(col(model.embCol)))
-    model.kmeans.setFeaturesCol("__features").setPredictionCol(ClusterCol)
-      .transform(withFeatures)
-      .drop("__features")
-  }
+    * ivf.py:108-113; build() again is the explicit re-train). One
+    * codegen'd scan, no shuffle. */
+  def assign(df: DataFrame, model: Model): DataFrame =
+    df.withColumn(ClusterCol,
+      FloatKernels.nearestCentroid(col(model.embCol), model.centroids))
 
   /** Persist as a cluster-partitioned table: probing = partition pruning. */
   def writePartitioned(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").partitionBy(ClusterCol).parquet(path)
 
-  /** O6: n_probe pruned top-k search. Ranks the k centroids by L2 on the
+  /** O6: n_probe pruned top-k search. Ranks the k centroids on the
     * driver (k values — tiny), prunes to the n_probe nearest clusters
     * (partition pruning on a partitioned table), exact top-k on survivors
     * with the (dist, id) tie-break. */
@@ -105,8 +99,20 @@ object Ivf {
       .agg(min(col("c")).as("min_size"), max(col("c")).as("max_size"),
         avg(col("c")).as("avg_size"), sum(col("c")).as("total"))
 
-  /** B11: model persistence round-trip. */
-  def save(model: Model, path: String): Unit = model.kmeans.write.overwrite().save(path)
-  def load(spark: SparkSession, path: String, embCol: String): Model =
-    Model(KMeansModel.load(path), embCol)
+  /** B11: model persistence (centroid table round-trip). */
+  def save(model: Model, path: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String, embCol: String): Model = {
+    val rows = spark.read.parquet(path)
+      .orderBy("centroid_id").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    Model(rows, embCol)
+  }
 }

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -36,40 +34,39 @@ object Pq {
     dim / chunks
   }
 
-  /** B8: train per-chunk codebooks. Spark's scheduler supplies the
-    * parallelism the reference got from a process pool (pq.py:64-75). */
-  def train(df: DataFrame, embCol: String, dim: Int, chunks: Int, k: Int,
-            seed: Long = 42L, maxIter: Int = 100): Codebook = {
-    val subDim = validate(dim, chunks)
-    val centroids = (0 until chunks).map { c =>
-      val sub = df.select(
-        array_to_vector(slice(col(embCol), c * subDim + 1, subDim)).as("features"))
-      val km = new KMeans().setK(k).setSeed(seed + c).setMaxIter(maxIter)
-        .setFeaturesCol("features").setPredictionCol("__p")
-      km.fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
-    }.toArray
-    Codebook(centroids)
-  }
+  /** Default train-sample bound (see Ivf.DefaultSampleSize). */
+  val DefaultSampleSize = 200000
 
-  /** Squared L2 between a sub-slice column and a literal centroid array,
-    * as a sequential Double fold (same discipline as VectorFunctions). */
-  private def l2SqLit(subVec: Column, centroid: Column): Column =
-    aggregate(
-      zip_with(subVec, centroid,
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+  /** B8: train per-chunk codebooks on a bounded sample with seeded local
+    * Lloyd's — one distributed sample collect, then pure CPU across
+    * chunks in parallel threads (the analog of the reference's process
+    * pool, pq.py:64-75). Sample-based codebook training is the standard
+    * PQ scale path; encode stays fully distributed. */
+  def train(df: DataFrame, embCol: String, dim: Int, chunks: Int, k: Int,
+            seed: Long = 42L, maxIter: Int = 100,
+            sampleSize: Int = DefaultSampleSize): Codebook = {
+    val subDim = validate(dim, chunks)
+    val sample = df.select(col(embCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = (0 until chunks).map { c => Future {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, c * subDim, (c + 1) * subDim))
+      graft.core.LocalKMeans.fit(sub, k, maxIter, seed + c)
+    } }
+    Codebook(Await.result(Future.sequence(futures), Duration.Inf).toArray)
+  }
 
   /** B9: encode — `pq_code` column of per-chunk argmin centroid indices
-    * (first-match tie-break = numpy argmin). Pure column expression. */
-  def encodeColumn(embCol: Column, cb: Codebook): Column = {
-    val codes = (0 until cb.chunks).map { c =>
-      val sub = slice(embCol, c * cb.subDim + 1, cb.subDim)
-      val dists = transform(typedLit(cb.centroids(c).map(_.toSeq).toSeq),
-        cent => l2SqLit(sub, cent))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    array(codes: _*)
-  }
+    * (first-match tie-break = numpy argmin). One codegen'd
+    * NearestCentroid kernel per chunk, reading the chunk's slice
+    * in-place (no array copies). */
+  def encodeColumn(embCol: Column, cb: Codebook): Column =
+    array((0 until cb.chunks).map { c =>
+      graft.expressions.FloatKernels.nearestCentroid(
+        embCol, cb.centroids(c), offset = c * cb.subDim)
+    }: _*)
 
   def encode(df: DataFrame, embCol: String, cb: Codebook,
              codeCol: String = "pq_code"): DataFrame =

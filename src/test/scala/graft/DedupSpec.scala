@@ -26,14 +26,14 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash: identical docs have identical signatures; near dups share most") {
-    val sig = Dedup.minhashSignature(docs, "text", numHashes = 8)
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", numHashes = 8)
       .select("doc_id", "minhash").collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(sig(0L) == sig(1L))
     val shared02 = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
     assert(shared02 >= 4, s"near-dups share only $shared02/8 minhashes")
     // with shingle=1 (word sets), a permutation has an identical signature
-    val sig1 = Dedup.minhashSignature(docs, "text", numHashes = 8, shingle = 1)
+    val sig1 = Dedup.minhashSignature(docs, "doc_id", "text", numHashes = 8, shingle = 1)
       .select("doc_id", "minhash").collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(sig1(3L) == sig1(4L))
