@@ -369,6 +369,25 @@ object SparkEntry {
         "media", dim = 16)
         .select("doc_id", "features").orderBy("doc_id")),
 
+    // ---- S3: get_embedding = column projection (the reference's
+    // layer-1/layer-2 split, storage.py:254-259)
+    "s3_projection" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"),
+          element_at(col("embedding"), 1).as("dim0"),
+          size(col("embedding")).cast("long").as("n_dims"))
+        .orderBy("vec_id")),
+
+    // ---- Text analysis: corpus vocabulary (token frequency)
+    "t_vocab" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(50)),
+
     // ---- Multimodal: frame sampling over binary payloads
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -563,6 +582,17 @@ object SparkEntry {
 
       "s6_next_id" ->
         "SELECT CAST(coalesce(max(vec_id) + 1, 0) AS BIGINT) AS next_id FROM embeddings",
+
+      "s3_projection" ->
+        """SELECT vec_id, embedding[1] AS dim0,
+          |CAST(array_length(embedding) AS BIGINT) AS n_dims
+          |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin,
+
+      "t_vocab" ->
+        """SELECT word, count(*) AS n FROM (
+          |SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+          |FROM documents) t WHERE word <> ''
+          |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
 
       "b10_stream_hourly" ->
         s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
