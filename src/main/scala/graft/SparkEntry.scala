@@ -369,6 +369,18 @@ object SparkEntry {
         "media", dim = 16)
         .select("doc_id", "features").orderBy("doc_id")),
 
+    // ---- North-star extension: kNN similarity JOIN (bounded-heap
+    // group top-k; map-side combined)
+    "o2_knn_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      Search.knnJoin(emb, "vec_id", "embedding", queries, "qid", "qemb", 5)
+        .select(col("query_id"), col("neighbor_id"), col("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- S3: get_embedding = column projection (the reference's
     // layer-1/layer-2 split, storage.py:254-259)
     "s3_projection" -> ((s, dir) =>
@@ -582,6 +594,21 @@ object SparkEntry {
 
       "s6_next_id" ->
         "SELECT CAST(coalesce(max(vec_id) + 1, 0) AS BIGINT) AS next_id FROM embeddings",
+
+      "o2_knn_join" ->
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+           |cand AS (
+           |  SELECT q.query_id, e.vec_id AS neighbor_id,
+           |  ${OracleSql.l2("e.embedding", "q.qe")} AS dist
+           |  FROM embeddings e CROSS JOIN q),
+           |r AS (
+           |  SELECT query_id, neighbor_id, dist,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY dist ASC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM cand)
+           |SELECT query_id, neighbor_id, dist, rank FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       "s3_projection" ->
         """SELECT vec_id, embedding[1] AS dim0,

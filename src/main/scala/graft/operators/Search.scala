@@ -79,9 +79,9 @@ object Search {
     * Result: one row per (query_id, neighbor) with rank 1..k.
     *
     * Scale: base stays partitioned as-read; queries broadcast; the
-    * rank-k window partitions by query_id (shuffle sized |base|·|q|/k
-    * candidates only if candidates were pre-pruned — for brute force we
-    * aggregate per-partition top-k first to cap the shuffle).
+    * bounded-heap TopK aggregator gets map-side partial aggregation, so
+    * the shuffle carries ≤ k candidates per (query, partition) — never
+    * the |base|·|q| candidate set (a window would shuffle it all).
     */
   def knnJoin(
       base: DataFrame,
@@ -91,16 +91,57 @@ object Search {
       queryId: String,
       queryEmb: String,
       k: Int): DataFrame = {
-    val joined = base.crossJoin(
+    val cand = base.crossJoin(
         broadcast(queries.select(col(queryId).as("query_id"), col(queryEmb).as("__q"))))
-      .withColumn("dist", l2(col(baseEmb), col("__q")))
-      .select(col("query_id"), col(baseId).as("neighbor_id"), col("dist"))
-    // Two-phase top-k: per-partition heap (mapPartitions-free — use a
-    // window after a partial prune) would be ideal; Spark's window with
-    // row_number already does partial sort + single shuffle on query_id.
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("neighbor_id").asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col(baseId).as("neighbor_id"),
+        l2(col(baseEmb), col("__q")).as("dist"))
+    groupedTopK(cand, k)
+  }
+
+  /** IVF-bucketed batch kNN — the 100 TB path: each query only scans its
+    * nProbe nearest clusters (partition pruning on a cluster-partitioned
+    * base). Same output contract as knnJoin; approximate with the usual
+    * IVF recall trade (exhaustive when nProbe = model.k). */
+  def knnJoinIvf(
+      assignedBase: DataFrame,
+      model: Ivf.Model,
+      baseId: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= model.k,
+      s"n_probe must be between 1 and ${model.k}, got $nProbe")
+    import graft.expressions.FloatKernels
+    // rank centroids per query row: array_sort over (dist, cid) structs
+    val centDists = array(model.centroids.zipWithIndex.map { case (c, j) =>
+      struct(FloatKernels.l2Sq(col("__q"), typedLit(c.toSeq)).as("d"),
+        lit(j).as("cid"))
+    }: _*)
+    val probed = queries
+      .select(col(queryId).as("query_id"), col(queryEmb).as("__q"))
+      .withColumn("__probes",
+        transform(slice(array_sort(centDists), 1, nProbe), s => s.getField("cid")))
+      .withColumn(Ivf.ClusterCol, explode(col("__probes")))
+      .drop("__probes")
+    val cand = assignedBase.join(broadcast(probed), Seq(Ivf.ClusterCol))
+      .select(col("query_id"), col(baseId).as("neighbor_id"),
+        l2(col(model.embCol), col("__q")).as("dist"))
+    groupedTopK(cand, k)
+  }
+
+  /** Per-query top-k reduction via the bounded-heap aggregator. */
+  private def groupedTopK(cand: DataFrame, k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    cand.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TopK.topK(k))
+      .flatMap { case (qid, cands) =>
+        cands.iterator.zipWithIndex.map { case ((id, d), i) => (qid, id, d, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "dist", "rank")
   }
 }

@@ -73,4 +73,22 @@ class SearchSpec extends SparkSpec {
     assert(self.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
     assert(self.forall(_.getAs[Double]("dist") < 1e-6))
   }
+
+  test("knnJoinIvf with exhaustive probe equals brute-force knnJoin") {
+    val data = corpus(60, 8)
+    val base = toDF(data)
+    val queries = toDF(data.take(4)).select(col("id").as("qid"), col("embedding").as("qemb"))
+    val (assigned, model) = graft.operators.Ivf.build(base, "embedding", 4)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id")
+    val brute = Search.knnJoin(base, "id", "embedding", queries, "qid", "qemb", 5)
+      .collect().map(key).toMap
+    val ivf = Search.knnJoinIvf(assigned, model, "id", queries, "qid", "qemb", 5, nProbe = 4)
+      .collect().map(key).toMap
+    assert(ivf == brute)
+    // pruned probe still finds each query itself first
+    val pruned = Search.knnJoinIvf(assigned, model, "id", queries, "qid", "qemb", 5, nProbe = 1)
+      .collect().filter(_.getAs[Int]("rank") == 1)
+    assert(pruned.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+  }
 }
