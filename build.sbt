@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[N] = single JVM; collect_list-heavy operators GC-thrash below
   // ~12g at sf0.1 (benched 3x slowdown at 8g), and the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 40+ codegen-compiled queries in one JVM overflow the default 240m
+  // JIT code cache; once full, later queries run interpreted (benched as
+  // intermittent 20-80x slowdowns on whatever query ran after ~#20).
+  "-XX:ReservedCodeCacheSize=1g",
 )

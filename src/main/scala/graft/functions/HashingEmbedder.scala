@@ -22,27 +22,28 @@ object HashingEmbedder {
 
   val DefaultDim = 64
 
-  /** E2 batch path: adds `embedding` (array<float>, length dim). */
+  /** E2 batch path: adds `embedding` (array<float>, length dim).
+    * One explode + one hash-aggregate of `dim` conditional sums — fully
+    * codegen'd, map-side combined, no per-row map/array allocation. */
   def embed(df: DataFrame, idCol: String, textCol: String,
             dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val tok = explode(split(lower(col(textCol)), "\\s+"))
-    val bucketed = df
+    val tokens = df
       .select(col(idCol).as("__eid"), tok.as("__tok"))
       .filter(col("__tok") =!= "")
       .select(col("__eid"),
         pmod(xxhash64(col("__tok")), lit(dim)).cast("int").as("__bucket"),
         when(pmod(xxhash64(concat(lit("sign|"), col("__tok"))), lit(2)) === 0, lit(1.0))
           .otherwise(lit(-1.0)).as("__sign"))
-      .groupBy("__eid", "__bucket").agg(sum(col("__sign")).as("__v"))
-      .groupBy("__eid")
-      .agg(map_from_entries(collect_list(struct(col("__bucket"), col("__v")))).as("__m"))
-    val dense = transform(sequence(lit(0), lit(dim - 1)),
-      i => coalesce(element_at(col("__m"), i), lit(0.0)))
-    val withVec = bucketed.withColumn("__dense", dense)
-      .withColumn("__norm", sqrt(aggregate(col("__dense"), lit(0.0), (a, v) => a + v * v)))
-      .withColumn(outCol, transform(col("__dense"),
-        v => (v / when(col("__norm") === 0.0, lit(1.0)).otherwise(col("__norm"))).cast("float")))
+    val sums = (0 until dim).map(i =>
+      sum(when(col("__bucket") === i, col("__sign")).otherwise(0.0)).as(s"__b$i"))
+    val grouped = tokens.groupBy("__eid").agg(sums.head, sums.tail: _*)
+    val bcols = (0 until dim).map(i => coalesce(col(s"__b$i"), lit(0.0)))
+    val normE = sqrt(bcols.map(c => c * c).reduce(_ + _))
+    val safeNorm = when(normE === 0.0, lit(1.0)).otherwise(normE)
+    val withVec = grouped
+      .withColumn(outCol, array(bcols.map(c => (c / safeNorm).cast("float")): _*))
       .select(col("__eid").as(idCol), col(outCol))
     df.join(withVec, idCol)
   }
