@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators.{Crud, Dedup, Search}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties (SURVEY §5): metric axioms, top-k invariants,
+  * dedup set-semantics, upsert algebra — over generated inputs.
+  * (scalatestplus isn't on the offline classpath, so samples are drawn
+  * from Gens directly with fixed seeds — deterministic across runs.) */
+class PropertySpec extends SparkSpec {
+
+  /** Draw n deterministic samples from gen and assert f on each. */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 12)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .foreach(a => withClue(s"sample #$i: $a\n")(f(a)))
+    }
+
+  private def withClue[T](clue: String)(body: => T): T =
+    try body catch {
+      case e: org.scalatest.exceptions.TestFailedException =>
+        throw e.modifyMessage(m => Some(clue + m.getOrElse("")))
+    }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-10f, 10f)).map(_.toArray)
+
+  test("L2 distance: symmetry, identity, non-negativity (kernel path)") {
+    forAllSamples(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      val s = spark
+      import s.implicits._
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(l2(col("a"), col("b")).as("ab"), l2(col("b"), col("a")).as("ba"),
+          l2(col("a"), col("a")).as("aa"))
+        .head
+      assert(r.getDouble(0) == r.getDouble(1)) // symmetric, bitwise
+      assert(r.getDouble(2) == 0.0)            // identity
+      assert(r.getDouble(0) >= 0.0)
+    }
+  }
+
+  test("knnExact: results are sorted, unique, and are the true k nearest") {
+    forAllSamples(Gen.zip(Gen.chooseNum(1, 10), Gen.chooseNum(11L, 99L)), n = 6) { case (k, seed) =>
+      val data = corpus(30, 4, seed)
+      val res = Search.knnExact(toDF(data), "id", "embedding", data.head._2.toSeq, k)
+        .collect()
+      assert(res.length == k)
+      val dists = res.map(_.getAs[Double]("dist"))
+      assert(dists.sameElements(dists.sorted))
+      val ids = res.map(_.getAs[Long]("id"))
+      assert(ids.distinct.length == ids.length)
+      // oracle: brute force in Scala with the same tie-break
+      val exact = data.map { case (id, v) =>
+        val d = math.sqrt(v.zip(data.head._2)
+          .map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum)
+        (d, id)
+      }.sorted.take(k).map(_._2)
+      assert(ids.toSeq == exact.toSeq)
+    }
+  }
+
+  test("minhash signatures are permutation-invariant over word sets (shingle=1)") {
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    forAllSamples(Gen.zip(wordGen, Gen.chooseNum(1L, 999L)), n = 6) { case (words, seed) =>
+      val s = spark
+      import s.implicits._
+      val shuffled = new scala.util.Random(seed).shuffle(words)
+      val df = Seq((0L, words.mkString(" ")), (1L, shuffled.mkString(" ")))
+        .toDF("doc_id", "text")
+      val sig = Dedup.minhashSignature(df, "doc_id", "text", numHashes = 4, shingle = 1)
+        .select("doc_id", "minhash").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(sig(0L) == sig(1L))
+    }
+  }
+
+  test("upsert: updates win, inserts append, ids stay unique") {
+    val kvGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.alphaStr))
+    forAllSamples(Gen.zip(kvGen, kvGen), n = 6) { case (base, updates) =>
+      val s = spark
+      import s.implicits._
+      val baseDf = base.distinctBy(_._1).toDF("id", "v")
+      val updDf = updates.distinctBy(_._1).toDF("id", "v")
+      val result = Crud.upsert(baseDf, updDf, "id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = base.distinctBy(_._1).toMap ++ updates.distinctBy(_._1).toMap
+      assert(result == expected)
+    }
+  }
+}
