@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Crud, Dedup, Hnsw, Ivf, Multimodal, Pq, Search}
+import graft.operators.{Crud, Dedup, Hnsw, Ivf, Multimodal, Pq, Search, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -361,6 +361,13 @@ object SparkEntry {
       s.table(name).orderBy("h", "event_type")
     }),
 
+    // ---- Sessionization: per-user inactivity-gap sessions (training-
+    // pipeline staple; 8h gap per the event cadence)
+    "events_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "event_id",
+          "value", gapMicros = 8L * 3600 * 1000000)
+        .orderBy("user_id", "session_id")),
+
     // ---- Multimodal: binary payload + batch feature extraction (stub
     // codec, real plumbing; rows-only)
     "mm_extract_features" -> ((s, dir) =>
@@ -625,6 +632,25 @@ object SparkEntry {
         s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
            |event_type, count(*) AS n, ${decSum("value")} AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+      "events_sessionize" ->
+        s"""WITH m AS (
+           |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+           |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${8L * 3600 * 1000000}
+           |      THEN 1 ELSE 0 END AS new_s
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
+           |s AS (
+           |  SELECT user_id, event_id, value, us,
+           |    CAST(sum(new_s) OVER (PARTITION BY user_id
+           |      ORDER BY us ASC, event_id ASC) AS BIGINT) AS session_id
+           |  FROM m)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           |  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
+           |  ${decSum("value")} AS sum_value
+           |FROM s GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin,
 
       "mm_frame_sample" ->
         """SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_no,

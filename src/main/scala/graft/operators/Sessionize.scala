@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sessionization: group per-user event streams into sessions separated
+  * by an inactivity gap — a training-data-pipeline staple (conversation/
+  * browsing session assembly) in both batch and streaming form.
+  *
+  * Batch: session boundaries via lag + running sum over a per-user
+  * window (one shuffle on user_id, deterministic (ts, event_id) order).
+  *
+  * Streaming: `flatMapGroupsWithState` with ProcessingTimeTimeout —
+  * per-user open-session state, sessions emitted when the gap passes or
+  * the state times out. State is one small record per active user,
+  * bounded by the user cardinality, not the stream length.
+  */
+object Sessionize {
+
+  /** Batch sessionization. Emits one row per session:
+    * (user_id, session_id, n_events, start_us, end_us, sum_value). */
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, valueCol: String, gapMicros: Long): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(userCol)).orderBy(us.asc, col(idCol).asc)
+    val newSession = when(
+      lag(us, 1).over(w).isNull || us - lag(us, 1).over(w) > gapMicros, 1)
+      .otherwise(0)
+    events
+      .withColumn("__us", us)
+      .withColumn("__new", newSession)
+      .withColumn("session_id", sum(col("__new")).over(
+        Window.partitionBy(col(userCol)).orderBy(col("__us").asc, col(idCol).asc))
+        .cast("long"))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+          .cast("double").as("sum_value"))
+  }
+
+  /** One event in the typed streaming path. */
+  case class Event(userId: Long, tsMicros: Long, value: Double)
+  /** Open-session state per user. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sumValue: Double)
+  /** Emitted closed (or flushed) session. */
+  case class Session(userId: Long, startUs: Long, endUs: Long, n: Long, sumValue: Double)
+
+  /** Streaming sessionization over a typed event stream. Sessions close
+    * when a later event arrives past the gap, or (when `flushTimeoutMs`
+    * is set) when the group times out after that much processing-time
+    * inactivity. Pass None to close on data gaps only — the timeout
+    * trigger schedules periodic empty batches, which also makes
+    * `processAllAvailable` unsuitable in tests. */
+  def sessionsStream(events: Dataset[Event], gapMicros: Long,
+                     flushTimeoutMs: Option[Long] = None): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (flushTimeoutMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => Session(userId, s.startUs, s.lastUs, s.n, s.sumValue)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(_.tsMicros)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMicros - s.lastUs <= gapMicros =>
+                  cur = Some(SessionState(s.startUs, e.tsMicros, s.n + 1, s.sumValue + e.value))
+                case Some(s) =>
+                  closed += Session(userId, s.startUs, s.lastUs, s.n, s.sumValue)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              flushTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
