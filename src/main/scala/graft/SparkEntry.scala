@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{Crud, Dedup, Hnsw, Ivf, Multimodal, Pq, Search, Sessionize}
+import graft.operators.{AsofJoin, Crud, Dedup, Hnsw, Ivf, Multimodal, Pq, Search, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -361,6 +361,40 @@ object SparkEntry {
       s.table(name).orderBy("h", "event_type")
     }),
 
+    // ---- As-of join: latest order at-or-before each event (temporal
+    // enrichment; union + last-ignoreNulls window composition)
+    "q_asof_enrich" -> ((s, dir) =>
+      AsofJoin.asofLeft(Tables.events(s, dir), "user_id", col("ts"),
+          Tables.orders(s, dir), "o_custkey", col("o_orderdate"),
+          "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")),
+
+    // ---- Grouping sets: ROLLUP over the pricing summary dimensions
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // ---- Set operations: INTERSECT / EXCEPT over filtered id sets
+    "q_setops" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val en = docs.filter(col("lang") === "en").select("doc_id")
+      val src0 = docs.filter(col("source") === "src0").select("doc_id")
+      en.intersect(src0).withColumn("tag", lit("both"))
+        .unionByName(en.except(src0).withColumn("tag", lit("en_only")))
+        .orderBy("tag", "doc_id")
+    }),
+
+    // ---- Distinct aggregates
+    "q_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
     // ---- Sessionization: per-user inactivity-gap sessions (training-
     // pipeline staple; 8h gap per the event cadence)
     "events_sessionize" -> ((s, dir) =>
@@ -632,6 +666,38 @@ object SparkEntry {
         s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
            |event_type, count(*) AS n, ${decSum("value")} AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+      "q_asof_enrich" ->
+        """WITH o AS (
+          |  SELECT o_custkey AS k, o_orderdate AS t, max(o_orderkey) AS o_orderkey,
+          |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+          |  FROM orders GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+          |FROM events e ASOF LEFT JOIN o ON e.user_id = o.k AND o.t <= e.ts
+          |ORDER BY e.event_id""".stripMargin,
+
+      "q_rollup" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |${decSum("l_quantity")} AS sum_qty, count(*) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+      "q_setops" ->
+        """SELECT doc_id, 'both' AS tag FROM (
+          |  (SELECT doc_id FROM documents WHERE lang = 'en')
+          |  INTERSECT
+          |  (SELECT doc_id FROM documents WHERE source = 'src0')) t1
+          |UNION ALL
+          |SELECT doc_id, 'en_only' AS tag FROM (
+          |  (SELECT doc_id FROM documents WHERE lang = 'en')
+          |  EXCEPT
+          |  (SELECT doc_id FROM documents WHERE source = 'src0')) t2
+          |ORDER BY tag, doc_id""".stripMargin,
+
+      "q_distinct" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+          |count(DISTINCT l_suppkey) AS n_supps
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
       "events_sessionize" ->
         s"""WITH m AS (
