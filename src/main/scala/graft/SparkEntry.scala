@@ -275,6 +275,19 @@ object SparkEntry {
         .select("vec_id", "dist")
     }),
 
+    // ---- O6 end-to-end: search a PERSISTED cluster-partitioned table —
+    // probing is literal parquet partition pruning (rows-only)
+    "o6_ivf_partitioned" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val (assigned, model) = Ivf.build(emb, "embedding", k = 8)
+      val path = s"/tmp/graft_ivf_partitioned_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Ivf.writePartitioned(assigned, path)
+      Ivf.search(s.read.parquet(path), model, "vec_id", q, nProbe = 3, topK = 10)
+        .select("vec_id", "dist")
+    }),
+
     // ---- B5: IVF incremental add — nearest-centroid assignment
     "b5_ivf_add" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
