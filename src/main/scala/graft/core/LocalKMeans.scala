@@ -25,43 +25,70 @@ object LocalKMeans {
     var centroids = init.map(i => points(i).map(_.toDouble)).toArray
 
     val assign = new Array[Int](points.length)
-    var iter = 0
-    var changed = true
-    while (iter < maxIter && changed) {
-      changed = false
-      var p = 0
-      while (p < points.length) {
-        val pt = points(p)
-        var best = 0
-        var bestD = Double.MaxValue
-        var j = 0
-        while (j < k) {
-          var s = 0.0
-          val c = centroids(j)
-          var i = 0
-          while (i < dim) { val d = pt(i) - c(i); s += d * d; i += 1 }
-          if (s < bestD) { bestD = s; best = j }
-          j += 1
+    // fixed thread count → fixed partial-sum merge order → results are
+    // deterministic for given (points, k, seed) on any machine
+    val threads = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      var iter = 0
+      var changed = true
+      while (iter < maxIter && changed) {
+        val cents = centroids
+        val ranges = (0 until threads).map { t =>
+          val lo = (points.length.toLong * t / threads).toInt
+          val hi = (points.length.toLong * (t + 1) / threads).toInt
+          (lo, hi)
         }
-        if (assign(p) != best) { assign(p) = best; changed = true }
-        p += 1
+        val tasks = ranges.map { case (lo, hi) =>
+          pool.submit(new java.util.concurrent.Callable[(Boolean, Array[Array[Double]], Array[Int])] {
+            def call() = {
+              var localChanged = false
+              val sums = Array.fill(k)(new Array[Double](dim))
+              val counts = new Array[Int](k)
+              var p = lo
+              while (p < hi) {
+                val pt = points(p)
+                var best = 0
+                var bestD = Double.MaxValue
+                var j = 0
+                while (j < k) {
+                  var s = 0.0
+                  val c = cents(j)
+                  var i = 0
+                  while (i < dim) { val d = pt(i) - c(i); s += d * d; i += 1 }
+                  if (s < bestD) { bestD = s; best = j }
+                  j += 1
+                }
+                if (assign(p) != best) { assign(p) = best; localChanged = true }
+                counts(best) += 1
+                var i2 = 0
+                while (i2 < dim) { sums(best)(i2) += pt(i2); i2 += 1 }
+                p += 1
+              }
+              (localChanged, sums, counts)
+            }
+          })
+        }
+        val results = tasks.map(_.get())
+        changed = results.exists(_._1)
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
+        results.foreach { case (_, ls, lc) => // fixed order merge
+          var j = 0
+          while (j < k) {
+            counts(j) += lc(j)
+            var i = 0
+            while (i < dim) { sums(j)(i) += ls(j)(i); i += 1 }
+            j += 1
+          }
+        }
+        centroids = Array.tabulate(k) { j =>
+          if (counts(j) == 0) points(rng.nextInt(points.length)).map(_.toDouble) // re-seed empty
+          else sums(j).map(_ / counts(j))
+        }
+        iter += 1
       }
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
-      var p2 = 0
-      while (p2 < points.length) {
-        val c = assign(p2); counts(c) += 1
-        val pt = points(p2)
-        var i = 0
-        while (i < dim) { sums(c)(i) += pt(i); i += 1 }
-        p2 += 1
-      }
-      centroids = Array.tabulate(k) { j =>
-        if (counts(j) == 0) points(rng.nextInt(points.length)).map(_.toDouble) // re-seed empty
-        else sums(j).map(_ / counts(j))
-      }
-      iter += 1
-    }
+    } finally pool.shutdown()
     centroids.map(_.map(_.toFloat))
   }
 }

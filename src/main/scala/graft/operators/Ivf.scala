@@ -33,7 +33,7 @@ object Ivf {
 
   /** Default build-sample bound: centroid quality saturates well below
     * this; keeps the driver-side training O(1) in corpus size. */
-  val DefaultSampleSize = 200000
+  val DefaultSampleSize = 100000
 
   case class Model(centroids: Array[Array[Float]], embCol: String) {
     def k: Int = centroids.length

@@ -35,7 +35,7 @@ object Pq {
   }
 
   /** Default train-sample bound (see Ivf.DefaultSampleSize). */
-  val DefaultSampleSize = 200000
+  val DefaultSampleSize = 100000
 
   /** B8: train per-chunk codebooks on a bounded sample with seeded local
     * Lloyd's — one distributed sample collect, then pure CPU across
