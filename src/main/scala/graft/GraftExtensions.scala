@@ -1,0 +1,66 @@
+package graft
+
+import graft.expressions.{DotFloat, L2SqFloat, WordShingles}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Spark SQL surface for the engine's codegen kernels.
+  *
+  * Two registration paths:
+  *  - at session build: `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  *    or `.withExtensions(new GraftExtensions)`;
+  *  - on a live session: `GraftFunctions.register(spark)`.
+  *
+  * Registered functions (vectors are array<float>, results Double):
+  *  - l2_sq(a, b), l2_dist(a, b)  — squared / plain Euclidean distance
+  *  - dot_product(a, b)           — inner product
+  *  - cosine_sim(a, b)            — dot/(|a||b|)
+  *  - word_shingles(text, n)      — distinct lowercase word n-grams
+  */
+object GraftFunctions {
+
+  private def two(name: String, f: (Expression, Expression) => Expression)
+                 (args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+    f(args(0), args(1))
+  }
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("l2_sq", "_FUNC_(a, b) - squared L2 distance of two float vectors",
+      two("l2_sq", L2SqFloat(_, _)) _),
+    ("l2_dist", "_FUNC_(a, b) - Euclidean distance of two float vectors",
+      two("l2_dist", (a, b) => Sqrt(L2SqFloat(a, b))) _),
+    ("dot_product", "_FUNC_(a, b) - inner product of two float vectors",
+      two("dot_product", DotFloat(_, _)) _),
+    ("cosine_sim", "_FUNC_(a, b) - cosine similarity of two float vectors",
+      two("cosine_sim", (a, b) =>
+        Divide(DotFloat(a, b), Multiply(Sqrt(DotFloat(a, a)), Sqrt(DotFloat(b, b))))) _),
+    ("word_shingles", "_FUNC_(text, n) - distinct lowercase word n-gram shingles",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"word_shingles expects 2 arguments, got ${args.length}")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles: n must be an integer literal, got $other")
+        }
+        WordShingles(args(0), n)
+      }))
+
+  /** Register every kernel function on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      ColumnBridge.registerTempFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions` hook (session-build-time registration). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
+        builder))
+    }
+}

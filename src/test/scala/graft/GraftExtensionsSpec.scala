@@ -1,0 +1,38 @@
+package graft
+
+/** SQL surface for the codegen kernels, registered on a live session. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("kernels are callable from spark.sql after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  l2_dist(array(cast(3.0 as float), cast(0.0 as float)),
+        |          array(cast(0.0 as float), cast(4.0 as float))) AS d,
+        |  l2_sq(array(cast(1.0 as float)), array(cast(3.0 as float))) AS sq,
+        |  dot_product(array(cast(2.0 as float), cast(3.0 as float)),
+        |              array(cast(4.0 as float), cast(5.0 as float))) AS dp,
+        |  cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+        |             array(cast(1.0 as float), cast(0.0 as float))) AS cs,
+        |  word_shingles('The quick brown fox', 2) AS sh
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 5.0)
+    assert(r.getDouble(1) == 4.0)
+    assert(r.getDouble(2) == 23.0)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    assert(r.getSeq[String](4) == Seq("the quick", "quick brown", "brown fox"))
+  }
+
+  test("SQL queries over tables can rank by kernel distance") {
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    corpus(20, 4).toDF("id", "embedding").createOrReplaceTempView("vecs")
+    val top = spark.sql(
+      """SELECT a.id, l2_dist(a.embedding, b.embedding) AS dist
+        |FROM vecs a JOIN vecs b ON b.id = 0
+        |ORDER BY dist ASC, a.id ASC LIMIT 3""".stripMargin).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 0.0)
+    assert(top.map(_.getDouble(1)).sameElements(top.map(_.getDouble(1)).sorted))
+  }
+}
