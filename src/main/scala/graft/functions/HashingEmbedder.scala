@@ -45,7 +45,11 @@ object HashingEmbedder {
     val withVec = grouped
       .withColumn(outCol, array(bcols.map(c => (c / safeNorm).cast("float")): _*))
       .select(col("__eid").as(idCol), col(outCol))
-    df.join(withVec, idCol)
+    // left join + zero-vector fallback: token-less rows (empty text) keep
+    // a well-defined embedding instead of silently dropping out
+    df.join(withVec, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol),
+        typedLit(Seq.fill(dim)(0.0f))))
   }
 
   /** E1 single-text path (driver convenience; used by tests/serving). */

@@ -73,5 +73,8 @@ class TextFunctionsSpec extends SparkSpec {
     // same text in two rows ⇒ same embedding
     val t = HashingEmbedder.embedText(spark, "the quick brown fox is one of the animals", 32)
     assert(t.toSeq == vecs(0L))
+    // token-less text keeps its row with a zero vector (no silent drop)
+    val z = HashingEmbedder.embedText(spark, "", 32)
+    assert(z.length == 32 && z.forall(_ == 0.0f))
   }
 }
