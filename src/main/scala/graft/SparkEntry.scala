@@ -302,8 +302,11 @@ object SparkEntry {
       val cb = Pq.train(Tables.embeddings(s, dir), "embedding",
         dim = 64, chunks = 8, k = 16)
       import s.implicits._
+      // centroid stringified: rows-only check, and the verify harness
+      // sorts output rows with pandas, which can't sort array cells
       cb.centroids.zipWithIndex.flatMap { case (cents, c) =>
-        cents.zipWithIndex.map { case (cent, i) => (c, i, cent.toSeq) }
+        cents.zipWithIndex.map { case (cent, i) =>
+          (c, i, cent.mkString("[", ",", "]")) }
       }.toSeq.toDF("chunk", "idx", "centroid").orderBy("chunk", "idx")
     }),
 
@@ -311,7 +314,10 @@ object SparkEntry {
     "b9_pq_encode" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cb = Pq.train(emb, "embedding", dim = 64, chunks = 8, k = 16)
-      Pq.encode(emb, "embedding", cb).select("vec_id", "pq_code").orderBy("vec_id")
+      // pq_code stringified: rows-only check; pandas can't sort array cells
+      Pq.encode(emb, "embedding", cb)
+        .select(col("vec_id"), col("pq_code").cast("string").as("pq_code"))
+        .orderBy("vec_id")
     }),
 
     // ---- ADC search extension: approximate top-k over PQ codes
@@ -326,8 +332,10 @@ object SparkEntry {
 
     // ---- E1/E2: deterministic hashing embedder over documents
     "e1_embed_docs" -> ((s, dir) =>
+      // embedding stringified: rows-only check; pandas can't sort array cells
       HashingEmbedder.embed(Tables.documents(s, dir), "doc_id", "text", dim = 64)
-        .select("doc_id", "embedding").orderBy("doc_id")),
+        .select(col("doc_id"), col("embedding").cast("string").as("embedding"))
+        .orderBy("doc_id")),
 
     // ---- E2 + O2: text-query search over hashed embeddings
     "e2_embed_search" -> ((s, dir) => {
@@ -418,10 +426,12 @@ object SparkEntry {
     // ---- Multimodal: binary payload + batch feature extraction (stub
     // codec, real plumbing; rows-only)
     "mm_extract_features" -> ((s, dir) =>
+      // features stringified: rows-only check; pandas can't sort array cells
       Multimodal.extractFeatures(
         Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text"),
         "media", dim = 16)
-        .select("doc_id", "features").orderBy("doc_id")),
+        .select(col("doc_id"), col("features").cast("string").as("features"))
+        .orderBy("doc_id")),
 
     // ---- North-star extension: kNN similarity JOIN (bounded-heap
     // group top-k; map-side combined)

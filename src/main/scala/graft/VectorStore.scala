@@ -22,13 +22,12 @@ class VectorStore private (val spark: SparkSession, val path: String,
   private def ivfModelPath = s"$path/ivf_model"
   private def ivfDataPath = s"$path/vectors_by_cluster"
 
-  /** Current snapshot (empty on a fresh store). */
+  /** Current snapshot (empty on a fresh store). SnapshotIO recovers
+    * torn publishes; only a never-written store reads as empty. */
   def snapshot(): DataFrame =
-    try spark.read.parquet(dataPath)
-    catch { case _: Exception =>
+    graft.core.SnapshotIO.read(spark, dataPath).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Tables.nodeSchema)
-    }
+        Tables.nodeSchema))
 
   /** S6 write path: validate dims, assign ids from next_id, upsert,
     * persist (mmap_vector_store.py:83-125). Rows: (embedding, content?,
@@ -44,21 +43,12 @@ class VectorStore private (val spark: SparkSession, val path: String,
       .withColumn("is_deleted", lit(false))
       .select("id", "embedding", "content", "metadata", "is_deleted")
     val merged = Crud.upsert(cur, withIds, "id")
-    val tmp = dataPath + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    swap(tmp, dataPath)
+    graft.core.SnapshotIO.publish(merged, dataPath)
     start
   }
 
   private def tryCol(df: DataFrame, name: String): Column =
     if (df.columns.contains(name)) col(name) else lit(null)
-
-  private def swap(tmp: String, dst: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val d = new org.apache.hadoop.fs.Path(dst)
-    fs.delete(d, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), d)
-  }
 
   /** O2/O7: exact filtered search over live rows. */
   def search(query: Seq[Float], k: Int,
@@ -100,20 +90,13 @@ class VectorStore private (val spark: SparkSession, val path: String,
     Pq.train(snapshot().filter(!col("is_deleted")), "embedding", dim, chunks, k, seed)
 
   /** S5: tombstone delete + persisted snapshot. */
-  def delete(ids: Seq[Long]): Unit = {
-    val next = Crud.tombstone(snapshot(), "id", ids)
-    val tmp = dataPath + ".tmp"
-    next.write.mode("overwrite").parquet(tmp)
-    swap(tmp, dataPath)
-  }
+  def delete(ids: Seq[Long]): Unit =
+    graft.core.SnapshotIO.publish(Crud.tombstone(snapshot(), "id", ids), dataPath)
 
   /** Compaction: physically drop tombstoned rows. */
-  def compact(): Unit = {
-    val next = Crud.compact(snapshot()).withColumn("is_deleted", lit(false))
-    val tmp = dataPath + ".tmp"
-    next.write.mode("overwrite").parquet(tmp)
-    swap(tmp, dataPath)
-  }
+  def compact(): Unit =
+    graft.core.SnapshotIO.publish(
+      Crud.compact(snapshot()).withColumn("is_deleted", lit(false)), dataPath)
 
   /** S2/S4: point lookup and live count. */
   def get(id: Long): Option[org.apache.spark.sql.Row] =

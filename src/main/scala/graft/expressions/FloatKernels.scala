@@ -46,19 +46,29 @@ abstract class FloatFold extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimension mismatch (${n} vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += stepEval(x.getFloat(i), y.getFloat(i)); i += 1 }
     acc
   }
 
+  // Hard-error on dimension mismatch (the reference's dim-validation
+  // contract, embedding_service.py:146-149) — an unchecked off-heap read
+  // past a short vector would yield silent garbage distances.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dimension mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${stepJava(ev.value.toString, s"$x.getFloat($i)", s"$y.getFloat($i)")}
@@ -107,8 +117,14 @@ case class NearestCentroidFloat(child: Expression,
       s"$prettyName requires array<float>, got ${dt.simpleString}")
   }
 
+  private val subDim = if (centroids.nonEmpty) centroids(0).length else 0
+
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    if (offset + subDim > a.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: vector too short (${a.numElements()}) for slice " +
+          s"[$offset, ${offset + subDim})")
     var best = 0
     var bestD = Double.MaxValue
     var j = 0
@@ -137,6 +153,11 @@ case class NearestCentroidFloat(child: Expression,
       val bd = ctx.freshName("bestD")
       val cj = ctx.freshName("cj")
       s"""
+         |if (${offset + subDim} > $a.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector too short (" + $a.numElements() +
+         |    ") for slice [$offset, ${offset + subDim})");
+         |}
          |double $bd = Double.MAX_VALUE;
          |${ev.value} = 0;
          |for (int $j = 0; $j < $cb.length; $j++) {

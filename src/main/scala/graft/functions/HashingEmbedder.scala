@@ -22,29 +22,63 @@ object HashingEmbedder {
 
   val DefaultDim = 64
 
+  /** Dense signed-count buffer aggregator: one double slot per bucket,
+    * map-side combined, normalized in `finish`. Buffer entries are exact
+    * small integers (±1 sums), so partial-aggregation order cannot change
+    * a bit of the result; the only rounding happens once, in the final
+    * per-element division.
+    *
+    * (A previous formulation as `dim` separate `sum(when(bucket===i))`
+    * aggregate columns generated multi-MB whole-stage code — 7s+ per
+    * query even on one row, all codegen overhead. A single dense-buffer
+    * aggregator keeps the plan O(1) in `dim`.) */
+  private final class DenseVecAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Int, Double), Array[Double], Seq[Float]] {
+    override def zero: Array[Double] = new Array[Double](dim)
+    override def reduce(b: Array[Double], a: (Int, Double)): Array[Double] = {
+      b(a._1) += a._2; b
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0; while (i < dim) { x(i) += y(i); i += 1 }; x
+    }
+    override def finish(b: Array[Double]): Seq[Float] = {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += b(i) * b(i); i += 1 }
+      val n = if (s == 0.0) 1.0 else math.sqrt(s)
+      val out = new Array[Float](dim)
+      i = 0
+      while (i < dim) { out(i) = (b(i) / n).toFloat; i += 1 }
+      out.toSeq
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+  }
+
   /** E2 batch path: adds `embedding` (array<float>, length dim).
-    * One explode + one hash-aggregate of `dim` conditional sums — fully
-    * codegen'd, map-side combined, no per-row map/array allocation. */
+    * One explode + one dense-buffer hash-aggregate — map-side combined,
+    * shuffle carries one dim-length buffer per id per partition. */
   def embed(df: DataFrame, idCol: String, textCol: String,
             dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
+    val spark = df.sparkSession
+    import spark.implicits._
     val tok = explode(split(lower(col(textCol)), "\\s+"))
     val tokens = df
-      .select(col(idCol).as("__eid"), tok.as("__tok"))
+      .select(col(idCol).cast("long").as("__eid"), tok.as("__tok"))
       .filter(col("__tok") =!= "")
       .select(col("__eid"),
         pmod(xxhash64(col("__tok")), lit(dim)).cast("int").as("__bucket"),
         when(pmod(xxhash64(concat(lit("sign|"), col("__tok"))), lit(2)) === 0, lit(1.0))
           .otherwise(lit(-1.0)).as("__sign"))
-    val sums = (0 until dim).map(i =>
-      sum(when(col("__bucket") === i, col("__sign")).otherwise(0.0)).as(s"__b$i"))
-    val grouped = tokens.groupBy("__eid").agg(sums.head, sums.tail: _*)
-    val bcols = (0 until dim).map(i => coalesce(col(s"__b$i"), lit(0.0)))
-    val normE = sqrt(bcols.map(c => c * c).reduce(_ + _))
-    val safeNorm = when(normE === 0.0, lit(1.0)).otherwise(normE)
-    val withVec = grouped
-      .withColumn(outCol, array(bcols.map(c => (c / safeNorm).cast("float")): _*))
-      .select(col("__eid").as(idCol), col(outCol))
+    val withVec = tokens.as[(Long, Int, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new DenseVecAgg(dim).toColumn.name(outCol))
+      .toDF(idCol, outCol)
+      .select(col(idCol).cast(df.schema(idCol).dataType).as(idCol), col(outCol))
     // left join + zero-vector fallback: token-less rows (empty text) keep
     // a well-defined embedding instead of silently dropping out
     df.join(withVec, Seq(idCol), "left")

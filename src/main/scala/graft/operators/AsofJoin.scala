@@ -32,31 +32,31 @@ object AsofJoin {
         payload.filterNot(_ == rightOrd)
           .map(c => max_by(col(c), col(rightOrd)).as(c)): _*)
     val leftCols = left.columns
+    // Payloads ride in ONE struct filled atomically with last(ignoreNulls):
+    // the matched right row wins as a whole, so its null payload columns
+    // come through as nulls instead of leaking stale values from an older
+    // right row (per-column fill would skip just the null column).
+    val payloadStruct = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(
+        c, rightDedup.schema(c).dataType, nullable = true)))
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", unix_micros(leftTs.cast("timestamp")))
       .withColumn("__side", lit(1))
-    val lPadded = payload.foldLeft(l) { (df, c) =>
-      df.withColumn(s"__p_$c", lit(null).cast(rightDedup.schema(c).dataType))
-    }
-    val r = payload.foldLeft(
-        rightDedup.withColumn("__side", lit(0))) { (df, c) =>
-        df.withColumnRenamed(c, s"__p_$c")
-      }
-      .select(Seq(col("__k"), col("__t"), col("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(c => col(s"__p_$c")): _*)
-    val u = lPadded.select(
-      Seq(col("__k"), col("__t"), col("__side")) ++
-        leftCols.map(col) ++ payload.map(c => col(s"__p_$c")): _*)
-      .unionByName(r)
+      .withColumn("__p", lit(null).cast(payloadStruct))
+      .select(Seq(col("__k"), col("__t"), col("__side"), col("__p")) ++
+        leftCols.map(col): _*)
+    val r = rightDedup
+      .withColumn("__side", lit(0))
+      .withColumn("__p", struct(payload.map(col): _*))
+      .select(Seq(col("__k"), col("__t"), col("__side"), col("__p")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val u = l.unionByName(r)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(u) { (df, c) =>
-      df.withColumn(s"__f_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__f_$c").as(c)): _*)
+    u.withColumn("__f", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__f.$c").as(c)): _*)
   }
 }

@@ -38,23 +38,18 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val existing =
-          try Some(spark.read.parquet(targetDir))
-          catch { case _: Exception => None } // first batch: no snapshot yet
-        val merged = existing match {
+        // SnapshotIO.read runs crash recovery and returns None only when
+        // no snapshot was ever published — a corrupt/missing-mid-publish
+        // state recovers from .tmp/.bak instead of being treated as
+        // "first batch" (which would drop all prior rows).
+        val merged = graft.core.SnapshotIO.read(spark, targetDir) match {
           case Some(cur) => Crud.upsert(cur, batch, idCol)
           case None => batch
         }
-        // two-phase publish: write tmp, then swap — a crash between
-        // batches leaves the previous snapshot intact and the checkpoint
-        // replays the batch.
-        val tmp = targetDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(targetDir)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        // crash-safe publish: write tmp, rename current aside, rename
+        // tmp in; the checkpoint replays the batch on restart and the
+        // upsert is idempotent.
+        graft.core.SnapshotIO.publish(merged, targetDir)
         val total = spark.read.parquet(targetDir).count()
         if (total >= flushThreshold) onFlush(total)
         ()

@@ -34,6 +34,23 @@ class AsofJoinSpec extends SparkSpec {
       (300L, None, None)))
   }
 
+  test("matched right row's null payload column wins (no stale leak-through)") {
+    val s = spark
+    import s.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // older quote has a price; the MATCHED (newer) quote's price is null —
+    // true as-of semantics return the matched row's null, not the stale 1.0
+    val quotes = Seq(
+      (1L, ts(0), 10L, Option(1.0)),
+      (1L, ts(10), 11L, Option.empty[Double]))
+      .toDF("k", "t", "qid", "price")
+    val trades = Seq((1L, ts(20), 100L)).toDF("k", "t", "tid")
+    val r = AsofJoin.asofLeft(trades, "k", col("t"), quotes, "k", col("t"),
+        "qid", Seq("qid", "price")).head
+    assert(r.getAs[Long]("qid") == 11L)
+    assert(r.isNullAt(r.fieldIndex("price")))
+  }
+
   test("right-side (key, ts) duplicates resolve to the max-ord row") {
     val s = spark
     import s.implicits._

@@ -37,6 +37,24 @@ class FloatKernelsSpec extends SparkSpec {
       .head.getDouble(0) == 14.0)
   }
 
+  test("dimension mismatch is a hard error, not a silent truncation") {
+    val df = toDF(Seq((0L, Array(1f, 2f, 3f))))
+    val e = intercept[Exception] {
+      df.select(l2Sq(col("embedding"), lit(Array(1f, 2f)))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("dimension mismatch"))
+    // interpreted path errors identically
+    val e2 = intercept[Exception] {
+      df.groupBy().agg(collect_list(col("embedding")).as("es"))
+        .select(explode(col("es")).as("v"))
+        .select(l2Sq(col("v"), lit(Array(1f, 2f)))).collect()
+    }
+    assert(rootMsg(e2).contains("dimension mismatch"))
+  }
+
   test("null array yields null distance") {
     val s = spark
     import s.implicits._

@@ -29,8 +29,22 @@ for name in sorted(oracle):
             continue
         s = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
         o = con.sql(oracle[name]).df()
-        s = s[sorted(s.columns)].sort_values(by=sorted(s.columns)).reset_index(drop=True)
-        o = o[sorted(o.columns)].sort_values(by=sorted(o.columns)).reset_index(drop=True)
+
+        # array-typed cells (numpy arrays / lists) are unhashable and break
+        # sort_values — canonicalize them to nested tuples first
+        def dearr(v):
+            if isinstance(v, (np.ndarray, list, tuple)):
+                return tuple(dearr(x) for x in v)
+            return v
+        def canon(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                if df[c].dtype == object:
+                    df[c] = df[c].map(dearr)
+            return df.sort_values(by=list(df.columns), key=lambda col:
+                col.map(repr) if col.dtype == object else col
+            ).reset_index(drop=True)
+        s, o = canon(s), canon(o)
         if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
             fails += 1
