@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Crud, Dedup, Hnsw, Ivf, Multimodal, Pq, Search, Sessionize}
+import graft.operators.{AsofJoin, Crud, Dedup, Hnsw, Ivf, Multimodal, Pq, RangeJoin, Search, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -206,9 +206,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5).orderBy("a", "b")),
 
-    // ---- Dedup (SimHash): 64-bit sign-sum fingerprint (rows-only check)
+    // ---- Dedup (SimHash): sign-sum fingerprint. The md5-bit variant is
+    // cross-engine reproducible, so the full 64-bit fingerprint is
+    // oracle-checked (the xxhash64 bigint variant stays library-side
+    // for cheap hamming screening; DedupSpec covers it)
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir), "text")
+      Dedup.simhashMd5Hex(Tables.documents(s, dir), "text")
         .select("doc_id", "simhash").orderBy("doc_id")),
 
     // ---- ANN extension: embedding-cosine near-duplicate pairs
@@ -286,6 +289,32 @@ object SparkEntry {
       Ivf.writePartitioned(assigned, path)
       Ivf.search(s.read.parquet(path), model, "vec_id", q, nProbe = 3, topK = 10)
         .select("vec_id", "dist")
+    }),
+
+    // ---- O6 with n_probe = k: exhaustive probe ≡ brute-force kNN, so the
+    // IVF search path itself is oracle-checked (the recall-traded pruned
+    // variants stay rows-only)
+    "o6_ivf_exhaustive" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val (assigned, model) = Ivf.build(emb, "embedding", k = 8)
+      Ivf.search(assigned, model, "vec_id", q, nProbe = model.k, topK = 10)
+        .select("vec_id", "dist")
+    }),
+
+    // ---- kNN join through the IVF-bucketed scale path, exhaustive probe:
+    // must equal the brute-force kNN join bit-for-bit (oracle-checked)
+    "o2_knn_join_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val (assigned, model) = Ivf.build(emb, "embedding", k = 8)
+      Search.knnJoinIvf(assigned, model, "vec_id", queries, "qid", "qemb",
+          k = 5, nProbe = model.k)
+        .select(col("query_id"), col("neighbor_id"), col("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     }),
 
     // ---- B5: IVF incremental add — nearest-centroid assignment
@@ -422,6 +451,70 @@ object SparkEntry {
       Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "event_id",
           "value", gapMicros = 8L * 3600 * 1000000)
         .orderBy("user_id", "session_id")),
+
+    // ---- Skew-mitigation pattern: two-stage salted aggregation — a hot
+    // key splits across 16 deterministic salt shards in stage 1 (map-side
+    // combined), stage 2 merges the per-shard partials. Decimal partials
+    // keep the result bit-identical to the unsalted oracle.
+    "q_salted_agg" -> ((s, dir) => {
+      val salted = Tables.events(s, dir)
+        .withColumn("__salt", pmod(col("event_id"), lit(16)))
+        .groupBy("user_id", "__salt")
+        .agg(count(lit(1)).as("__n"),
+          sum(col("value").cast(DecimalType(28, 2))).as("__s"))
+      salted.groupBy("user_id")
+        .agg(sum(col("__n")).as("n_events"),
+          sum(col("__s")).cast("double").as("sum_value"))
+        .orderBy("user_id")
+    }),
+
+    // ---- Window frame aggregation: moving sum over the last 3 orders
+    // per customer (decimal-exact within the frame)
+    "q_moving_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("mov_sum",
+          sum(col("o_totalprice").cast(DecimalType(28, 2))).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "mov_sum")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- Range join: orders in the 30 days before each event, per user —
+    // bucketed equi-join (no nested-loop cross product)
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val pairs = RangeJoin.innerPairs(ev, "user_id", col("ts"),
+        Tables.orders(s, dir), "o_custkey", col("o_orderdate"),
+        windowMicros = 30L * 86400 * 1000000L,
+        payload = Seq("o_orderkey", "o_totalprice"))
+      val agg = pairs.groupBy("event_id")
+        .agg(count(lit(1)).as("n_orders"), dSum(col("o_totalprice")).as("sum_total"))
+      ev.join(agg, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_total"), lit(0.0)).as("sum_total"))
+        .orderBy("event_id")
+    }),
+
+    // ---- Streaming stateful dedup: dropDuplicates state over the event
+    // stream (at scale the state is bounded with a watermark; the finite
+    // replay here needs none), then a batch count over the sink
+    "b10_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select("user_id").dropDuplicates("user_id")
+      val name = s"b10_dedup_sink_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).agg(count(lit(1)).as("n_users"))
+    }),
 
     // ---- Multimodal: binary payload + batch feature extraction (stub
     // codec, real plumbing; rows-only)
@@ -621,6 +714,47 @@ object SparkEntry {
            |WHERE ${cosineSim("x.embedding", "y.embedding")} >= 0.45
            |ORDER BY a, b""".stripMargin,
 
+      "dedup_simhash" ->
+        """WITH t AS (
+          |  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS w
+          |  FROM documents),
+          |h AS (SELECT doc_id, list_transform(w, x -> md5(x)) AS hs FROM t),
+          |c AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
+          |  2 * len(list_filter(hs, hx ->
+          |    ((strpos('0123456789abcdef', substr(hx, i // 4 + 1, 1)) - 1) >> (i % 4)) & 1 = 1))
+          |  - len(hs)) AS cnt FROM h),
+          |n AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+          |    (CASE WHEN cnt[4*j+1] > 0 THEN 1 ELSE 0 END)
+          |  + (CASE WHEN cnt[4*j+2] > 0 THEN 2 ELSE 0 END)
+          |  + (CASE WHEN cnt[4*j+3] > 0 THEN 4 ELSE 0 END)
+          |  + (CASE WHEN cnt[4*j+4] > 0 THEN 8 ELSE 0 END)) AS nibs FROM c)
+          |SELECT doc_id, array_to_string(list_transform(nibs,
+          |  nb -> substr('0123456789abcdef', nb + 1, 1)), '') AS simhash
+          |FROM n ORDER BY doc_id""".stripMargin,
+
+      "q_salted_agg" ->
+        s"""SELECT user_id, count(*) AS n_events, ${decSum("value")} AS sum_value
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q_moving_sum" ->
+        """SELECT o_custkey, o_orderkey,
+          |CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+          |  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+      "q_range_join" ->
+        s"""SELECT e.event_id, e.user_id, count(o.o_orderkey) AS n_orders,
+           |coalesce(${decSum("o.o_totalprice")}, 0.0) AS sum_total
+           |FROM events e LEFT JOIN orders o
+           |  ON e.user_id = o.o_custkey
+           |  AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+           |  AND epoch_us(o.o_orderdate) >= epoch_us(e.ts) - ${30L * 86400 * 1000000L}
+           |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin,
+
+      "b10_stream_dedup" ->
+        "SELECT count(DISTINCT user_id) AS n_users FROM events",
+
       "t_langid" -> langIdSql,
 
       "t_quality" -> {
@@ -658,6 +792,25 @@ object SparkEntry {
 
       "s6_next_id" ->
         "SELECT CAST(coalesce(max(vec_id) + 1, 0) AS BIGINT) AS next_id FROM embeddings",
+
+      "o6_ivf_exhaustive" ->
+        s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      "o2_knn_join_ivf" ->
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+           |cand AS (
+           |  SELECT q.query_id, e.vec_id AS neighbor_id,
+           |  ${OracleSql.l2("e.embedding", "q.qe")} AS dist
+           |  FROM embeddings e CROSS JOIN q),
+           |r AS (
+           |  SELECT query_id, neighbor_id, dist,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY dist ASC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM cand)
+           |SELECT query_id, neighbor_id, dist, rank FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       "o2_knn_join" ->
         s"""WITH q AS (

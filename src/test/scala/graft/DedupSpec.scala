@@ -63,6 +63,19 @@ class DedupSpec extends SparkSpec {
     assert(dists("near") < dists("far"))
   }
 
+  test("simhashMd5Hex: 16-hex fingerprint; identical docs identical; near closer than far") {
+    val sh = Dedup.simhashMd5Hex(docs, "text").select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh.values.forall(v => v.length == 16 && v.forall("0123456789abcdef".contains(_))))
+    assert(sh(0L) == sh(1L))
+    def hamming(a: String, b: String): Int =
+      a.zip(b).map { case (x, y) =>
+        java.lang.Integer.bitCount(Integer.parseInt(x.toString, 16) ^
+          Integer.parseInt(y.toString, 16))
+      }.sum
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
+  }
+
   test("ngram jaccard finds overlapping pairs above threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
