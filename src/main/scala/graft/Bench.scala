@@ -35,7 +35,7 @@ object Bench {
     // as a fast fake timing; fatal errors (OOM etc.) propagate and kill
     // the bench rather than being misreported as coverage.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def run(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -46,6 +46,12 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      // two runs; a third only when the min is still slow — the measured
+      // host stalls (same query 0.6s..59s, zero steal) hit slow spans
+      // hardest, and one more sample there costs little
+      val first = (1 to 2).map(_ => run())
+      val times = if (first.filter(_._2).map(_._1).minOption.exists(_ > 1.0))
+        first :+ run() else first
       val good = times.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) Some(good.min) else None)
     }

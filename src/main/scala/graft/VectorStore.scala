@@ -85,9 +85,22 @@ class VectorStore private (val spark: SparkSession, val path: String,
     Ivf.search(assigned, model, "id", query, nProbe, k)
   }
 
-  /** B8/B9: train PQ codebook and encode the snapshot. */
-  def trainPq(chunks: Int, k: Int, seed: Long = 42L): Pq.Codebook =
-    Pq.train(snapshot().filter(!col("is_deleted")), "embedding", dim, chunks, k, seed)
+  private def pqModelPath = s"$path/pq_model"
+
+  /** B8/B9/B11: train PQ codebook (persisted alongside the store). */
+  def trainPq(chunks: Int, k: Int, seed: Long = 42L): Pq.Codebook = {
+    val cb = Pq.train(snapshot().filter(!col("is_deleted")), "embedding", dim, chunks, k, seed)
+    Pq.save(cb, pqModelPath)
+    cb
+  }
+
+  /** ADC extension: memory-bounded approximate search through the
+    * persisted codebook (encode + table-lookup distance, scan-only). */
+  def searchAdc(query: Seq[Float], k: Int): DataFrame = {
+    val cb = Pq.load(spark, pqModelPath)
+    val live = snapshot().filter(!col("is_deleted"))
+    Pq.adcSearch(Pq.encode(live, "embedding", cb), "id", "pq_code", cb, query, k)
+  }
 
   /** S5: tombstone delete + persisted snapshot. */
   def delete(ids: Seq[Long]): Unit =

@@ -99,4 +99,25 @@ object Pq {
     encoded.withColumn("dist", adcDistanceColumn(col(codeCol), cb, query))
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
+
+  /** B11: codebook persistence — parquet round-trip of the chunks×k×subdim
+    * centroid tensor (the engine's analog of the reference's pickled
+    * service-held centroids, inference_service pattern / ivf.py:217-241). */
+  def save(cb: Codebook, path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    cb.centroids.zipWithIndex.flatMap { case (cents, c) =>
+      cents.zipWithIndex.map { case (cent, i) => (c, i, cent.toSeq) }
+    }.toSeq.toDF("chunk", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Codebook = {
+    val rows = spark.read.parquet(path)
+      .orderBy("chunk", "centroid_id").collect()
+    val byChunk = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    Codebook(byChunk.map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+    }.toArray)
+  }
 }

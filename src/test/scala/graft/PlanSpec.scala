@@ -29,6 +29,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Sort ["), s"unexpected global sort in:\n$plan")
   }
 
+  test("range join plans as a hash equi-join, not a nested-loop cross product") {
+    val s = spark
+    import s.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val left = (0 until 50).map(i => (i.toLong, i.toLong % 3, ts(i.toLong))).toDF("lid", "k", "t")
+    val right = (0 until 50).map(i => (i.toLong, i.toLong % 3, ts(i.toLong), 1.0)).toDF("rid", "k", "rt", "x")
+    val plan = graft.operators.RangeJoin.innerPairs(left, "k", col("t"),
+        right, "k", col("rt"), 600000000L, Seq("rid", "x"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a cross product:\n$plan")
+  }
+
+  test("kNN join aggregates map-side (partial TopK before the shuffle)") {
+    val base = toDF(corpus(60, 8))
+    val s = spark
+    import s.implicits._
+    val queries = corpus(3, 8).map { case (i, v) => (i, v) }.toDF("qid", "qemb")
+    val plan = Search.knnJoin(base, "id", "embedding", queries, "qid", "qemb", 5)
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate appears twice: partial (pre-shuffle) + final
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregate pair, plan:\n$plan")
+  }
+
   test("metadata filter on a parquet table is pushed into the scan") {
     val dir = Files.createTempDirectory("pushdown").toString + "/t"
     val s = spark

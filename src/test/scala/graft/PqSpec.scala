@@ -54,6 +54,17 @@ class PqSpec extends SparkSpec {
     assert(res.last == 2L)
   }
 
+  test("codebook parquet round-trip is lossless (B11)") {
+    val df = toDF(corpus(60, 16, seed = 3L))
+    val cb = Pq.train(df, "embedding", 16, chunks = 4, k = 5)
+    val path = java.nio.file.Files.createTempDirectory("pq").toString + "/cb"
+    Pq.save(cb, path)
+    val back = Pq.load(spark, path)
+    assert(back.chunks == cb.chunks && back.k == cb.k && back.subDim == cb.subDim)
+    for (c <- 0 until cb.chunks; i <- 0 until cb.k)
+      assert(java.util.Arrays.equals(back.centroids(c)(i), cb.centroids(c)(i)))
+  }
+
   test("ADC rejects mismatched query dimension") {
     val cb = Pq.Codebook(Array(Array(Array(0f, 0f))))
     intercept[IllegalArgumentException](

@@ -61,5 +61,9 @@ class VectorStoreSpec extends SparkSpec {
     assert(res.head.getAs[Double]("dist") < 1e-6)
     // text search via hashing embedder also runs end-to-end
     assert(store.searchText("some query text", 3).count() == 3)
+    // PQ train persists the codebook; ADC search self-match ranks first
+    store.trainPq(chunks = 4, k = 4)
+    val adc = store.searchAdc(data(3)._2.toSeq, 5).collect()
+    assert(adc.length == 5 && adc.head.getAs[Double]("dist") < 1.0)
   }
 }
