@@ -55,16 +55,24 @@ object Dedup {
     * nested-HOF form pays interpreted lambda dispatch per seed×shingle
     * and benched ~50× slower. One shuffle on idCol. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       numHashes: Int = 8, shingle: Int = 3): DataFrame = {
+                       numHashes: Int = 8, shingle: Int = 3): DataFrame =
+    df.join(signatureOnly(df, idCol, textCol, numHashes, shingle)
+        .withColumnRenamed("__mid", "__sig_id"),
+      df(idCol) === col("__sig_id"), "left").drop("__sig_id")
+
+  /** (id, minhash) pairs only — no join back onto the input. LSH banding
+    * needs nothing else, and skipping the join saves a second scan of the
+    * (wide) document table. Rows with no shingles simply drop out. */
+  private def signatureOnly(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int, shingle: Int): DataFrame = {
     val shingles = df.select(col(idCol).as("__mid"),
       explode(shingleSet(col(textCol), shingle)).as("__sh"))
     val aggs = (0 until numHashes).map(s =>
       min(md5(concat(lit(s.toString), lit("|"), col("__sh")))).as(s"__h$s"))
-    val sig = shingles.groupBy("__mid")
+    shingles.groupBy("__mid")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("__mid"),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("minhash"))
-    df.join(sig, df(idCol) === sig("__mid"), "left").drop("__mid")
   }
 
   /** LSH banding over the MinHash signature: band hash = md5 of the
@@ -74,8 +82,8 @@ object Dedup {
                       numHashes: Int = 8, bands: Int = 4, shingle: Int = 3): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide by bands ($bands)")
     val rowsPerBand = numHashes / bands
-    val signed = minhashSignature(df, idCol, textCol, numHashes, shingle)
-      .select(col(idCol).as("__id"), col("minhash"))
+    val signed = signatureOnly(df, idCol, textCol, numHashes, shingle)
+      .select(col("__mid").as("__id"), col("minhash"))
     val banded = signed.select(col("__id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws("|", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))))))
