@@ -177,6 +177,66 @@ case class NearestCentroidFloat(child: Expression,
   override def prettyName: String = "nearest_centroid_float"
 }
 
+/** ADC lookup fold: Σ_c table(c)(code(c)) over an `array<int>` PQ code —
+  * the per-row cost of ADC search drops to `chunks` array reads. The
+  * distance table (chunks×k query-to-centroid partials) rides along as a
+  * referenced object. Codes are validated against the table bounds. */
+case class AdcLookupFloat(child: Expression, table: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val code = v.asInstanceOf[ArrayData]
+    if (code.numElements() != table.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: code length ${code.numElements()} != chunks ${table.length}")
+    var acc = 0.0
+    var c = 0
+    while (c < table.length) {
+      val idx = code.getInt(c)
+      if (idx < 0 || idx >= table(c).length)
+        throw new IllegalArgumentException(
+          s"$prettyName: code $idx out of range [0, ${table(c).length}) at chunk $c")
+      acc += table(c)(idx)
+      c += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tb = ctx.addReferenceObj("adcTable", table, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c")
+      val idx = ctx.freshName("idx")
+      s"""
+         |if ($a.numElements() != $tb.length) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: code length " + $a.numElements() + " != chunks " + $tb.length);
+         |}
+         |${ev.value} = 0.0;
+         |for (int $c = 0; $c < $tb.length; $c++) {
+         |  int $idx = $a.getInt($c);
+         |  if ($idx < 0 || $idx >= $tb[$c].length) {
+         |    throw new IllegalArgumentException(
+         |      "$prettyName: code " + $idx + " out of range at chunk " + $c);
+         |  }
+         |  ${ev.value} += $tb[$c][$idx];
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "adc_lookup_float"
+}
+
 object FloatKernels {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -190,4 +250,8 @@ object FloatKernels {
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]],
                       offset: Int = 0): Column =
     c(NearestCentroidFloat(e(vec), centroids, offset))
+
+  /** ADC table-lookup fold over an array<int> PQ code column. */
+  def adcLookup(code: Column, table: Array[Array[Double]]): Column =
+    c(AdcLookupFloat(e(code), table))
 }

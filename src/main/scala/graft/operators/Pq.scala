@@ -80,17 +80,18 @@ object Pq {
   def adcDistanceColumn(codeCol: Column, cb: Codebook, query: Seq[Float]): Column = {
     require(query.length == cb.dim,
       s"query dim ${query.length} != codebook dim ${cb.dim}")
-    val table: Seq[Seq[Double]] = (0 until cb.chunks).map { c =>
+    val table: Array[Array[Double]] = (0 until cb.chunks).map { c =>
       val qSub = query.slice(c * cb.subDim, (c + 1) * cb.subDim)
-      cb.centroids(c).toSeq.map { cent =>
+      cb.centroids(c).map { cent =>
         cent.zip(qSub).map { case (x, y) =>
           (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble)
         }.sum
       }
-    }
-    sqrt(aggregate(
-      zip_with(codeCol, typedLit(table), (code, row) => element_at(row, code + 1)),
-      lit(0.0), (acc, v) => acc + v))
+    }.toArray
+    // codegen table-lookup fold (the zip_with/aggregate HOF form is
+    // CodegenFallback — interpreted dispatch per row dominated the
+    // 1M-row scale probe)
+    sqrt(graft.expressions.FloatKernels.adcLookup(codeCol, table))
   }
 
   /** Approximate top-k via ADC over encoded rows. */
