@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Crud, Dedup, Hnsw, Ivf, Multimodal, Pq, RangeJoin, Search, Sessionize}
+import graft.operators.{AsofJoin, Crud, Dedup, Hnsw, Ivf, Lsh, Multimodal, Pq, RangeJoin, Search, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -384,6 +384,27 @@ object SparkEntry {
         q, k = 10, ef = 50).select("id", "dist")
     }),
 
+    // ---- O3/O6 second scale path: hyperplane-LSH bucketed ANN with
+    // 1-bit multi-probe (rows-only: approximate by contract, planted-
+    // near-dup recall gated in LshSpec)
+    "o3_lsh_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val model = Lsh.fit(dim = 64, nBits = 12)
+      Lsh.search(Lsh.assign(emb, "embedding", model), model, "vec_id",
+        "embedding", q, k = 10).select("vec_id", "dist")
+    }),
+
+    // ---- LSH-bucketed embedding near-dup (the corpus-scale candidate
+    // generator; identical vectors always collide — rows-only)
+    "ann_cosine_neardup_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Lsh.fit(dim = 64, nBits = 8)
+      Lsh.cosineNearDupPairs(Lsh.assign(emb, "embedding", model), "vec_id",
+        "embedding", threshold = 0.45).orderBy("a", "b")
+    }),
+
     // ---- B1/B3: HNSW build — edge histogram per level (rows-only)
     "b1_hnsw_edges" -> ((s, dir) =>
       Hnsw.buildEdges(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -556,6 +577,37 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word").asc)
         .limit(50)),
+
+    // ---- Text analysis: TF-IDF top terms per document (ln is bitwise-
+    // identical across libm/DuckDB on these values — verified)
+    "t_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+      val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word").asc)
+      tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * graft.expressions.FloatKernels.ln(
+          col("n_docs").cast("double") / col("df").cast("double")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "word", "tf", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // ---- Text analysis: exact quarter-quantiles of doc length per lang
+    // (quarter fractions over ints interpolate exactly in both engines)
+    "t_quantiles" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.25)").as("p25"),
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")),
 
     // ---- Multimodal: frame sampling over binary payloads
     "mm_frame_sample" -> ((s, dir) =>
@@ -893,6 +945,32 @@ object SparkEntry {
            |  ${decSum("value")} AS sum_value
            |FROM s GROUP BY user_id, session_id
            |ORDER BY user_id, session_id""".stripMargin,
+
+      "t_tfidf" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+          |  FROM documents),
+          |tok2 AS (SELECT * FROM tok WHERE word <> ''),
+          |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+          |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+          |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+          |s AS (
+          |  SELECT tf.doc_id, tf.word, tf.tf,
+          |    tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+          |  FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n),
+          |r AS (
+          |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY tfidf DESC, word ASC) AS BIGINT) AS rank FROM s)
+          |SELECT doc_id, word, tf, tfidf, rank FROM r
+          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      "t_quantiles" ->
+        """SELECT lang,
+          |quantile_cont(n_chars, 0.25) AS p25,
+          |quantile_cont(n_chars, 0.5) AS p50,
+          |quantile_cont(n_chars, 0.75) AS p75,
+          |count(*) AS n
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "mm_frame_sample" ->
         """SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_no,

@@ -177,6 +177,29 @@ case class NearestCentroidFloat(child: Expression,
   override def prettyName: String = "nearest_centroid_float"
 }
 
+/** Natural log via `java.lang.Math.log`. Spark's built-in `log` uses
+  * StrictMath (fdlibm), which differs from the platform libm — and thus
+  * from the DuckDB oracle — by 1 ulp on some inputs; Math.log matches
+  * libm bitwise (verified against DuckDB's ln). Null-in → null-out. */
+case class LnDouble(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires double, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = java.lang.Math.log(v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"java.lang.Math.log($x)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ln_libm"
+}
+
 /** ADC lookup fold: Σ_c table(c)(code(c)) over an `array<int>` PQ code —
   * the per-row cost of ADC search drops to `chunks` array reads. The
   * distance table (chunks×k query-to-centroid partials) rides along as a
@@ -254,4 +277,7 @@ object FloatKernels {
   /** ADC table-lookup fold over an array<int> PQ code column. */
   def adcLookup(code: Column, table: Array[Array[Double]]): Column =
     c(AdcLookupFloat(e(code), table))
+
+  /** Natural log matching platform libm (and the DuckDB oracle) bitwise. */
+  def ln(x: Column): Column = c(LnDouble(e(x.cast("double"))))
 }
