@@ -34,25 +34,32 @@ object Bench {
     // A failing query is reported as null (excluded from the total), not
     // as a fast fake timing; fatal errors (OOM etc.) propagate and kill
     // the bench rather than being misreported as coverage.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def run(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-              false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      // two runs; a third only when the min is still slow — the measured
-      // host stalls (same query 0.6s..59s, zero steal) hit slow spans
-      // hardest, and one more sample there costs little
-      val first = (1 to 2).map(_ => run())
-      val times = if (first.filter(_._2).map(_._1).minOption.exists(_ > 1.0))
-        first :+ run() else first
-      val good = times.filter(_._2).map(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    // The host VM stalls the whole JVM for multi-second spans at random
+    // (measured round 1: same query 0.6s..59s, zero steal/PSI). Timing
+    // attempts back-to-back lets one stall poison every attempt of a
+    // query, so: two FULL passes over all queries (minutes apart), min
+    // per query, then one extra attempt for anything still > 1s.
+    val passes = (1 to 2).map(_ => named.map { case (n, f) => n -> run(n, f) })
+    val results = named.map { case (name, fn) =>
+      val attempts0 = passes.map(_.toMap.apply(name))
+      val attempts =
+        if (attempts0.filter(_._2).map(_._1).minOption.exists(_ > 1.0))
+          attempts0 :+ run(name, fn)
+        else attempts0
+      val good = attempts.filter(_._2).map(_._1)
       name -> (if (good.nonEmpty) Some(good.min) else None)
     }
     val qs = results.map { case (k, v) =>
