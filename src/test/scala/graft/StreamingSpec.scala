@@ -40,6 +40,47 @@ class StreamingSpec extends SparkSpec {
     assert(flushes.get() == 1) // 2 + 2 rows >= threshold
   }
 
+  test("stream ingest → threshold flush → IVF rebuild → search sees new rows") {
+    // the reference's full write path (HTTP ingest → storage → index
+    // insert → threshold save, services/indexing_service.py:77-89) as a
+    // streaming pipeline: micro-batch upserts, flush triggers an index
+    // rebuild, searches over the rebuilt index find the new vectors
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = Files.createTempDirectory("streamivf").toString
+    val dim = 8
+    val rebuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextFloat())
+    }
+    val source = MemoryStream[(Long, Seq[Float])]
+    source.addData((0L until 20L).map(i => (i, vec(i.toInt))): _*)
+
+    var model: graft.operators.Ivf.Model = null
+    val q1 = StreamingIngest.upsertStream(
+      source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
+      flushThreshold = 10, onFlush = _ => {
+        rebuilds.incrementAndGet()
+        val snap = s.read.parquet(s"$tmp/snap")
+        val (assigned, m) = graft.operators.Ivf.build(snap, "embedding", k = 4)
+        graft.operators.Ivf.writePartitioned(assigned, s"$tmp/by_cluster")
+        model = m
+        ()
+      })
+    q1.awaitTermination()
+    assert(rebuilds.get() == 1, "flush threshold (20 >= 10) must fire exactly once")
+
+    // search the rebuilt partitioned index for an ingested vector
+    val hits = graft.operators.Ivf.search(
+        s.read.parquet(s"$tmp/by_cluster"), model, "id", vec(7), nProbe = 4, topK = 3)
+      .collect()
+    assert(hits.head.getAs[Long]("id") == 7L)
+    assert(hits.head.getAs[Double]("dist") < 1e-6)
+  }
+
   test("windowed counts with watermark match the batch rollup") {
     val s = spark
     import s.implicits._
