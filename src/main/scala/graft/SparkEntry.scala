@@ -366,6 +366,33 @@ object SparkEntry {
         .select(col("doc_id"), col("embedding").cast("string").as("embedding"))
         .orderBy("doc_id")),
 
+    // ---- E1 oracle slice: the hashing-embedder pipeline (tokenize →
+    // hash-bucket ±1 counts → L2 normalize) with md5-derived buckets so
+    // every step exists in DuckDB — norm² is an exact integer and the
+    // normalized components are single correctly-rounded ops, so the
+    // embedding math is verified bit-for-bit (the production embedder
+    // keeps xxhash64; identical structure)
+    "e1_embed_oracle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("t"))
+        .filter(col("t") =!= "")
+      val withB = toks.select(col("doc_id"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % 64).as("bucket"),
+        when(conv(substring(md5(col("t")), 9, 1), 16, 10).cast("int") % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)).as("sign"))
+      val counts = withB.groupBy("doc_id", "bucket").agg(sum(col("sign")).as("c"))
+      val agg = counts.groupBy("doc_id").agg(
+        sum(col("c") * col("c")).as("norm_sq"),
+        (0 until 8).map(i =>
+          sum(when(col("bucket") === i, col("c")).otherwise(0.0)).as(s"c$i")): _*)
+      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(Seq(col("doc_id"), coalesce(col("norm_sq"), lit(0.0)).as("norm_sq")) ++
+          (0 until 8).map(i =>
+            coalesce(col(s"c$i") / sqrt(col("norm_sq")), lit(0.0)).as(s"d$i")): _*)
+        .orderBy("doc_id")
+    }),
+
     // ---- E2 + O2: text-query search over hashed embeddings
     "e2_embed_search" -> ((s, dir) => {
       val docs = HashingEmbedder.embed(Tables.documents(s, dir), "doc_id", "text", dim = 64)
@@ -946,6 +973,8 @@ object SparkEntry {
            |FROM s GROUP BY user_id, session_id
            |ORDER BY user_id, session_id""".stripMargin,
 
+      "e1_embed_oracle" -> embedOracleSql,
+
       "t_tfidf" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
@@ -978,6 +1007,31 @@ object SparkEntry {
           |FROM (SELECT doc_id, unnest(generate_series(0, length(text)-1, 64)) AS off
           |FROM documents) t ORDER BY doc_id, frame_no""".stripMargin
     )
+  }
+
+  /** Hashing-embedder oracle: md5-hex → bucket/sign parsed per nibble
+    * with strpos (DuckDB) exactly as conv() parses it in Spark. */
+  private def embedOracleSql: String = {
+    def nib(j: Int) = s"CAST(strpos('0123456789abcdef', substr(m, $j, 1)) - 1 AS BIGINT)"
+    val value = (1 to 8).map(j => s"${nib(j)} * ${1L << (4 * (8 - j))}").mkString(" + ")
+    val comps = (0 until 8).map(i =>
+      s"sum(CASE WHEN bucket = $i THEN c ELSE 0 END) AS c$i").mkString(",\n")
+    val outs = (0 until 8).map(i =>
+      s"coalesce(c$i / sqrt(norm_sq), 0.0) AS d$i").mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(t) AS m FROM tok WHERE t <> ''),
+       |bs AS (SELECT doc_id, ($value) % 64 AS bucket,
+       |  CASE WHEN (${nib(9)}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+       |c AS (SELECT doc_id, bucket, sum(sign) AS c FROM bs GROUP BY 1, 2),
+       |a AS (SELECT doc_id, sum(c*c) AS norm_sq,
+       |$comps
+       |FROM c GROUP BY 1)
+       |SELECT d.doc_id, coalesce(norm_sq, 0.0) AS norm_sq,
+       |$outs
+       |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Language-ID oracle generated from TextFunctions.langMarkers so the
