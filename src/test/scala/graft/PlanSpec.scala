@@ -54,6 +54,27 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate pair, plan:\n$plan")
   }
 
+  test("bucketed tables co-locate the join: no Exchange on either side") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle question
+    try {
+      corpus(200, 4).map { case (i, v) => (i, v) }.toDF("id", "embedding")
+        .write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bk_vectors")
+      (0L until 200L).map(i => (i, s"doc $i")).toDF("id", "content")
+        .write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bk_docs")
+      val joined = s.table("bk_vectors").join(s.table("bk_docs"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 200)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      s.sql("DROP TABLE IF EXISTS bk_vectors")
+      s.sql("DROP TABLE IF EXISTS bk_docs")
+    }
+  }
+
   test("metadata filter on a parquet table is pushed into the scan") {
     val dir = Files.createTempDirectory("pushdown").toString + "/t"
     val s = spark
