@@ -303,6 +303,19 @@ object SparkEntry {
         .select("vec_id", "dist")
     }),
 
+    // ---- O7 through the IVF path: metadata filter composes BEFORE the
+    // pruned scan (pushdown below the probe filter); exhaustive probe
+    // makes it oracle-exact
+    "o7_ivf_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val (assigned, model) = Ivf.build(emb, "embedding", k = 8)
+      Ivf.search(assigned, model, "vec_id", q, nProbe = model.k, topK = 10,
+          filter = Some(col("label") === 3))
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("dist"))
+    }),
+
     // ---- kNN join through the IVF-bucketed scale path, exhaustive probe:
     // must equal the brute-force kNN join bit-for-bit (oracle-checked)
     "o2_knn_join_ivf" -> ((s, dir) => {
@@ -871,6 +884,12 @@ object SparkEntry {
 
       "s6_next_id" ->
         "SELECT CAST(coalesce(max(vec_id) + 1, 0) AS BIGINT) AS next_id FROM embeddings",
+
+      "o7_ivf_filtered" ->
+        s"""$cte SELECT e.vec_id AS vec_id, CAST(e.label AS BIGINT) AS label,
+           |${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q WHERE e.label = 3
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
       "o6_ivf_exhaustive" ->
         s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist

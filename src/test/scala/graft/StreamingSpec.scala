@@ -81,6 +81,39 @@ class StreamingSpec extends SparkSpec {
     assert(hits.head.getAs[Double]("dist") < 1e-6)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val evData = Seq((1L, ts(10), 100L), (1L, ts(30), 101L), (2L, ts(20), 200L))
+    val orData = Seq((1L, ts(5), 900L), (1L, ts(25), 901L), (2L, ts(50), 902L))
+
+    val evs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ors = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    evs.addData(evData: _*)
+    ors.addData(orData: _*)
+    val e = evs.toDF().toDF("k", "et", "eid").withWatermark("et", "1 hour")
+    val o = ors.toDF().toDF("k2", "ot", "oid").withWatermark("ot", "1 hour")
+    // orders in the 15 minutes before each event
+    val joined = e.join(o,
+      col("k") === col("k2") && col("ot") <= col("et") &&
+        col("ot") >= col("et") - org.apache.spark.sql.functions.expr("INTERVAL 15 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = s.table("ssj").select("eid", "oid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch equivalent via the RangeJoin operator
+    val want = graft.operators.RangeJoin.innerPairs(
+        evData.toDF("k", "et", "eid"), "k", col("et"),
+        orData.toDF("k", "ot", "oid"), "k", col("ot"),
+        windowMicros = 15L * 60 * 1000000, payload = Seq("oid"))
+      .select("eid", "oid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want == Set((100L, 900L), (101L, 901L)))
+  }
+
   test("windowed counts with watermark match the batch rollup") {
     val s = spark
     import s.implicits._
