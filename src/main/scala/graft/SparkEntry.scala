@@ -488,6 +488,29 @@ object SparkEntry {
         .agg(dSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // ---- Grouping sets: CUBE (all 4 grouping combinations)
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dSum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // ---- Null-semantics parity: null group keys, count(*) vs count(col),
+    // null-skipping aggregates, coalesce — engines must agree exactly
+    "q_null_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).withColumn("prio_n",
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      o.groupBy(col("prio_n"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("prio_n")).as("n_nonnull"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          dSum(col("o_totalprice")).as("sum_price"))
+        .withColumn("prio_out", coalesce(col("prio_n"), lit("<none>")))
+        .select("prio_out", "n_rows", "n_nonnull", "n_cust", "sum_price")
+        .orderBy("prio_out")
+    }),
+
     // ---- Set operations: INTERSECT / EXCEPT over filtered id sets
     "q_setops" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -955,6 +978,23 @@ object SparkEntry {
            |${decSum("l_quantity")} AS sum_qty, count(*) AS n
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+      "q_cube" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |${decSum("l_extendedprice")} AS sum_price, count(*) AS n
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+      "q_null_agg" ->
+        s"""WITH o AS (
+           |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           |    ELSE o_orderpriority END AS prio_n, o_custkey, o_totalprice
+           |  FROM orders)
+           |SELECT coalesce(prio_n, '<none>') AS prio_out,
+           |count(*) AS n_rows, count(prio_n) AS n_nonnull,
+           |count(DISTINCT o_custkey) AS n_cust,
+           |${decSum("o_totalprice")} AS sum_price
+           |FROM o GROUP BY prio_n ORDER BY prio_out""".stripMargin,
 
       "q_setops" ->
         """SELECT doc_id, 'both' AS tag FROM (
