@@ -793,7 +793,8 @@ object SparkEntry {
           |sig AS (
           |  SELECT doc_id, list_transform(generate_series(0, 7),
           |    s -> list_min(list_transform(w,
-          |      t -> md5(concat(CAST(s AS VARCHAR), '|', t))))) AS mh FROM ws),
+          |      t -> substr(md5(concat(CAST(s // 4 AS VARCHAR), '|', t)),
+          |                  (s % 4) * 8 + 1, 8)))) AS mh FROM ws),
           |bands AS (
           |  SELECT doc_id, u.band_id,
           |    md5(array_to_string(mh[u.band_id*2+1 : u.band_id*2+2], '|')) AS bh

@@ -44,11 +44,13 @@ object Dedup {
   def shingleSet(textCol: Column, shingle: Int): Column =
     graft.expressions.TextKernels.shingles(textCol, shingle)
 
-  /** MinHash signature: per seed, the minimum of md5(seed|shingle) over
-    * the document's distinct shingles. Lexicographic min over a uniform
-    * hex string is a valid min-hash; identical in any engine with md5.
-    * Output column `minhash`: array<string> of length numHashes (null
-    * for rows with no shingles).
+  /** MinHash signature: hash family h_i(t) = the i-th 8-hex-char slice
+    * of md5(⌊i/4⌋ | t) — ⌈numHashes/4⌉ digests per shingle instead of
+    * numHashes (a 128-bit digest carries four independent 32-bit
+    * hashes). Lexicographic min over a uniform hex slice is a valid
+    * min-hash; identical in any engine with md5. Output column
+    * `minhash`: array<string> of length numHashes (null for rows with
+    * no shingles).
     *
     * Implementation: shingles are exploded once and all numHashes mins
     * are computed in a single (codegen'd md5 + hash-agg) pass — the
@@ -67,8 +69,10 @@ object Dedup {
                             numHashes: Int, shingle: Int): DataFrame = {
     val shingles = df.select(col(idCol).as("__mid"),
       explode(shingleSet(col(textCol), shingle)).as("__sh"))
-    val aggs = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s.toString), lit("|"), col("__sh")))).as(s"__h$s"))
+    val aggs = (0 until numHashes).map { i =>
+      val digest = md5(concat(lit((i / 4).toString), lit("|"), col("__sh")))
+      min(substring(digest, (i % 4) * 8 + 1, 8)).as(s"__h$i")
+    }
     shingles.groupBy("__mid")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("__mid"),
