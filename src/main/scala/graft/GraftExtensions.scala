@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotFloat, L2SqFloat, WordShingles}
+import graft.expressions.{DotFloat, L2SqFloat, LnDouble, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
@@ -37,6 +37,13 @@ object GraftFunctions {
     ("cosine_sim", "_FUNC_(a, b) - cosine similarity of two float vectors",
       two("cosine_sim", (a, b) =>
         Divide(DotFloat(a, b), Multiply(Sqrt(DotFloat(a, a)), Sqrt(DotFloat(b, b))))) _),
+    ("ln_libm", "_FUNC_(x) - natural log via platform libm (bitwise == DuckDB ln; " +
+      "Spark's built-in log is StrictMath, 1 ulp off)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"ln_libm expects 1 argument, got ${args.length}")
+        LnDouble(org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+          org.apache.spark.sql.types.DoubleType))
+      }),
     ("word_shingles", "_FUNC_(text, n) - distinct lowercase word n-gram shingles",
       (args: Seq[Expression]) => {
         require(args.length == 2, s"word_shingles expects 2 arguments, got ${args.length}")

@@ -14,13 +14,16 @@ class GraftExtensionsSpec extends SparkSpec {
         |              array(cast(4.0 as float), cast(5.0 as float))) AS dp,
         |  cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
         |             array(cast(1.0 as float), cast(0.0 as float))) AS cs,
-        |  word_shingles('The quick brown fox', 2) AS sh
+        |  word_shingles('The quick brown fox', 2) AS sh,
+        |  ln_libm(10) AS ln10
         |""".stripMargin).head()
     assert(r.getDouble(0) == 5.0)
     assert(r.getDouble(1) == 4.0)
     assert(r.getDouble(2) == 23.0)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
     assert(r.getSeq[String](4) == Seq("the quick", "quick brown", "brown fox"))
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(5)) ==
+      java.lang.Double.doubleToRawLongBits(java.lang.Math.log(10.0)))
   }
 
   test("SQL queries over tables can rank by kernel distance") {

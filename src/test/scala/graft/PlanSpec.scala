@@ -54,6 +54,22 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate pair, plan:\n$plan")
   }
 
+  test("window top-N applies partial WindowGroupLimit before the shuffle") {
+    val s = spark
+    import s.implicits._
+    val df = corpus(100, 2).map { case (i, _) => (i % 7, i, i.toDouble) }
+      .toDF("k", "id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("score").desc, col("id").asc)
+    val plan = df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 3)
+      .queryExecution.executedPlan.toString
+    // map-side group-limit trims each partition to k rows per key BEFORE
+    // the exchange — the shuffle never carries the full table
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial WindowGroupLimit before the shuffle:\n$plan")
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     val s = spark
     import s.implicits._
