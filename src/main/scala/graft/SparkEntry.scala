@@ -672,6 +672,29 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("lang")),
 
+    // ---- Flagship curation pipeline: the training-data path end-to-end
+    // — language ID + quality gate + exact-dup keep-first + MinHash-LSH
+    // near-dup removal, composed with semi/anti joins. Oracle = the same
+    // component oracles composed as subqueries.
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lang = docs.select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      val qual = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val keepers = docs.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id"))
+      val nearDupLosers = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 8, bands = 4, shingle = 3).select(col("b"))
+      docs.join(lang, "doc_id").join(qual, "doc_id")
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .join(keepers, col("doc_id") === col("keep_id"), "left_semi")
+        .join(nearDupLosers, col("doc_id") === col("b"), "left_anti")
+        .select("doc_id", "lang_pred", "quality")
+        .orderBy("doc_id")
+    }),
+
     // ---- Multimodal: frame sampling over binary payloads
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -783,27 +806,7 @@ object SparkEntry {
            |LEFT JOIN documents d ON t.vec_id = d.doc_id
            |ORDER BY t.dist ASC, t.vec_id ASC""".stripMargin,
 
-      "dedup_minhash_lsh" ->
-        """WITH toks AS (
-          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
-          |ws AS (
-          |  SELECT doc_id, list_distinct(list_transform(
-          |    generate_series(1, greatest(len(ts)-2, 1)),
-          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS w FROM toks),
-          |sig AS (
-          |  SELECT doc_id, list_transform(generate_series(0, 7),
-          |    s -> list_min(list_transform(w,
-          |      t -> substr(md5(concat(CAST(s // 4 AS VARCHAR), '|', t)),
-          |                  (s % 4) * 8 + 1, 8)))) AS mh FROM ws),
-          |bands AS (
-          |  SELECT doc_id, u.band_id,
-          |    md5(array_to_string(mh[u.band_id*2+1 : u.band_id*2+2], '|')) AS bh
-          |  FROM sig, unnest(generate_series(0, 3)) AS u(band_id)),
-          |pairs AS (
-          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-          |  FROM bands x JOIN bands y
-          |  ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id)
-          |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin,
+      "dedup_minhash_lsh" -> minhashLshSql,
 
       "dedup_ngram_jaccard" ->
         """WITH toks AS (
@@ -873,20 +876,7 @@ object SparkEntry {
 
       "t_langid" -> langIdSql,
 
-      "t_quality" -> {
-        val nTok = """len(string_split_regex(text, '\s+'))"""
-        val punct = """CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
-        val enList = TextFunctions.langMarkers("en").map(m => s"'$m'").mkString("[", ", ", "]")
-        val stop = s"""CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains($enList, t))) AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE)"""
-        s"""SELECT doc_id,
-           |CAST($nTok AS BIGINT) AS n_tokens_q,
-           |$punct AS punct_ratio,
-           |$stop AS stopword_ratio,
-           |least(CAST($nTok AS DOUBLE) / 64.0, 1.0) * 0.5
-           | + (1.0 - least(($punct) * 4.0, 1.0)) * 0.3
-           | + least(($stop) * 5.0, 1.0) * 0.2 AS quality
-           |FROM documents ORDER BY doc_id""".stripMargin
-      },
+      "t_quality" -> qualitySql,
 
       "t_fingerprint" ->
         """SELECT doc_id, list_min(list_transform(
@@ -1035,6 +1025,8 @@ object SparkEntry {
 
       "e1_embed_oracle" -> embedOracleSql,
 
+      "pipeline_curate" -> curateSql,
+
       "t_tfidf" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
@@ -1068,6 +1060,59 @@ object SparkEntry {
           |FROM documents) t ORDER BY doc_id, frame_no""".stripMargin
     )
   }
+
+  /** MinHash-LSH candidate-pair oracle (shared with pipeline_curate). */
+  private def minhashLshSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+      |ws AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(ts)-2, 1)),
+      |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS w FROM toks),
+      |sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 7),
+      |    s -> list_min(list_transform(w,
+      |      t -> substr(md5(concat(CAST(s // 4 AS VARCHAR), '|', t)),
+      |                  (s % 4) * 8 + 1, 8)))) AS mh FROM ws),
+      |bands AS (
+      |  SELECT doc_id, u.band_id,
+      |    md5(array_to_string(mh[u.band_id*2+1 : u.band_id*2+2], '|')) AS bh
+      |  FROM sig, unnest(generate_series(0, 3)) AS u(band_id)),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |  ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
+
+  /** Quality-signals oracle (shared with pipeline_curate). */
+  private def qualitySql: String = {
+    val nTok = """len(string_split_regex(text, '\s+'))"""
+    val punct = """CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
+    val enList = TextFunctions.langMarkers("en").map(m => s"'$m'").mkString("[", ", ", "]")
+    val stop = s"""CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains($enList, t))) AS DOUBLE) / CAST(greatest($nTok, 1) AS DOUBLE)"""
+    s"""SELECT doc_id,
+       |CAST($nTok AS BIGINT) AS n_tokens_q,
+       |$punct AS punct_ratio,
+       |$stop AS stopword_ratio,
+       |least(CAST($nTok AS DOUBLE) / 64.0, 1.0) * 0.5
+       | + (1.0 - least(($punct) * 4.0, 1.0)) * 0.3
+       | + least(($stop) * 5.0, 1.0) * 0.2 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Curation-pipeline oracle: the component oracles composed as
+    * subqueries — language gate, quality gate, exact-dup keep-first,
+    * near-dup loser removal. */
+  private def curateSql: String =
+    s"""SELECT d.doc_id, l.lang_pred, q.quality
+       |FROM documents d
+       |JOIN ($langIdSql) l ON d.doc_id = l.doc_id
+       |JOIN ($qualitySql) q ON d.doc_id = q.doc_id
+       |WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+       |AND d.doc_id IN (
+       |  SELECT min(doc_id) FROM documents GROUP BY md5(text))
+       |AND d.doc_id NOT IN (SELECT b FROM ($minhashLshSql) p)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Hashing-embedder oracle: md5-hex → bucket/sign parsed per nibble
     * with strpos (DuckDB) exactly as conv() parses it in Spark. */
