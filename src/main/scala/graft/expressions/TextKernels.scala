@@ -68,8 +68,77 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
+/** SimHash helper invoked from generated code: one md5 + tight bit loop
+  * per token, one static call per row. Bit semantics identical to the
+  * declarative md5-nibble form (and the DuckDB oracle): bit i of a token
+  * is bit (i mod 4) of hex nibble (i div 4) of md5(token); output is the
+  * 16-hex-char fingerprint of the sign-summed counts. */
+object SimhashUtil {
+  private val HexChars = "0123456789abcdef".getBytes
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def simhashHex(tokens: ArrayData): UTF8String = {
+    val counts = new Array[Int](64)
+    val md = mdLocal.get()
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      md.reset()
+      val digest = md.digest(tokens.getUTF8String(t).getBytes)
+      var i = 0
+      while (i < 64) {
+        // hex char j = i/4: even j → high nibble of byte j/2, odd → low
+        val j = i >> 2
+        val nib = if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xF
+                  else digest(j >> 1) & 0xF
+        counts(i) += (if (((nib >> (i & 3)) & 1) == 1) 1 else -1)
+        i += 1
+      }
+      t += 1
+    }
+    val out = new Array[Byte](16)
+    var j = 0
+    while (j < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) { if (counts(4 * j + b) > 0) nib |= 1 << b; b += 1 }
+      out(j) = HexChars(nib)
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** array<string> of tokens → 16-hex-char md5 simhash fingerprint. */
+case class SimhashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SimhashUtil.simhashHex(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.SimhashUtil.simhashHex($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash_md5"
+}
+
 object TextKernels {
   /** Distinct lowercase word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** md5-bit simhash hex fingerprint of a token-array column. */
+  def simhashMd5(tokens: Column): Column =
+    ColumnBridge.column(SimhashMd5(ColumnBridge.expression(tokens)))
 }

@@ -137,27 +137,9 @@ object Dedup {
     * common cross-engine 64-bit hash exists). Bit i (0..63) is bit
     * (i mod 4) of hex nibble (i div 4) of md5(token). Per-row scan, no
     * shuffle. */
-  def simhashMd5Hex(df: DataFrame, textCol: String): DataFrame = {
-    val toks = wordSet(col(textCol))
-    val hashes = transform(toks, t => md5(t))
-    def bitsOf(h: Column): Column = array((0 until 64).map { i =>
-      val nib = conv(substring(h, i / 4 + 1, 1), 16, 10).cast("int")
-      when(shiftright(nib, i % 4).bitwiseAND(1) === 1, 1).otherwise(-1)
-    }: _*)
-    val counts = aggregate(hashes, array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, bitsOf(h), (c, b) => c + b))
-    val hexArr = typedLit(HexAlphabet.map(_.toString))
-    val nibChars = (0 until 16).map { j =>
-      val nib = (0 until 4).map(b =>
-          when(element_at(col("__sh_counts"), 4 * j + b + 1) > 0, lit(1 << b))
-            .otherwise(lit(0)))
-        .reduce(_ + _)
-      element_at(hexArr, nib + 1)
-    }
-    df.withColumn("__sh_counts", counts)
-      .withColumn("simhash", concat(nibChars: _*))
-      .drop("__sh_counts")
-  }
+  def simhashMd5Hex(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash",
+      graft.expressions.TextKernels.simhashMd5(wordSet(col(textCol))))
 
   /** Word n-gram Jaccard similarity pairs ≥ threshold. Candidate pairs
     * share at least one n-gram (inverted-index join), so the all-pairs
