@@ -146,23 +146,22 @@ object Dedup {
     * product is never materialized. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val grams = df.select(col(idCol).as("__id"),
-        explode(shingleSet(col(textCol), n)).as("gram"))
-    // per-doc set size is a per-row scalar — no second pass over grams
-    val sizes = df.select(col(idCol).as("__id"),
-      size(shingleSet(col(textCol), n)).cast("long").as("sz"))
-    // inverted-index bucketing: ids per gram, intra-bucket pairs counted
-    // (one shuffle on gram, one on the pair key; never an all-pairs join)
-    val inter = grams.groupBy("gram")
-      .agg(collect_list(col("__id")).as("ids"))
+    // each exploded gram row carries its doc's set size, so the pair
+    // counts come out of the bucket aggregation already joined — two
+    // shuffles total (gram buckets, pair keys), no size-lookup joins
+    val grams = df
+      .select(col(idCol).as("__id"), shingleSet(col(textCol), n).as("__g"))
+      .select(col("__id"), size(col("__g")).cast("long").as("sz"),
+        explode(col("__g")).as("gram"))
+    grams.groupBy("gram")
+      .agg(collect_list(struct(col("__id"), col("sz"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("__id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("__id").as("b"), col("sz").as("szb")), "b")
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x.__id") < col("y.__id"))
+      .groupBy(col("x.__id").as("a"), col("y.__id").as("b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
