@@ -77,6 +77,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("range join equals the brute theta join for random windows and data") {
+    import graft.operators.RangeJoin
+    val rowGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 5000L)))
+    forAllSamples(Gen.zip(rowGen, rowGen, Gen.chooseNum(1L, 900L)), n = 5) {
+      case (ls, rs, winSec) =>
+        val s = spark
+        import s.implicits._
+        val w = winSec * 1000000L
+        val left = ls.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t)) }
+          .toDF("lid", "k", "t")
+        val right = rs.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong + 1000, k, new java.sql.Timestamp(t)) }
+          .toDF("rid", "k", "rt")
+        val got = RangeJoin.innerPairs(left, "k", col("t"), right, "k", col("rt"),
+            w, Seq("rid"))
+          .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          ((lk, lt), li) <- ls.zipWithIndex
+          ((rk, rt), ri) <- rs.zipWithIndex
+          ltu = lt * 1000 // Timestamp(ms) → micros
+          rtu = rt * 1000
+          if lk == rk && rtu <= ltu && rtu >= ltu - w
+        } yield (li.toLong, ri.toLong + 1000)).toSet
+        assert(got == want)
+    }
+  }
+
+  test("LSH: identical vectors always share a bucket; signature matches driver") {
+    import graft.operators.Lsh
+    forAllSamples(Gen.zip(vecGen, Gen.chooseNum(1L, 99L)), n = 6) { case (v, seed) =>
+      val model = Lsh.fit(8, nBits = 10, seed)
+      val s = spark
+      import s.implicits._
+      val assigned = Lsh.assign(Seq((0L, v), (1L, v.clone()))
+        .toDF("id", "embedding"), "embedding", model)
+      val buckets = assigned.select("id", Lsh.BucketCol).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(buckets(0L) == buckets(1L))
+      assert(buckets(0L) == Lsh.signature(v.toSeq, model))
+    }
+  }
+
   test("upsert: updates win, inserts append, ids stay unique") {
     val kvGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.alphaStr))
     forAllSamples(Gen.zip(kvGen, kvGen), n = 6) { case (base, updates) =>
