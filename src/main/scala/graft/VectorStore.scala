@@ -111,6 +111,25 @@ class VectorStore private (val spark: SparkSession, val path: String,
     graft.core.SnapshotIO.publish(
       Crud.compact(snapshot()).withColumn("is_deleted", lit(false)), dataPath)
 
+  /** §2.5 `/search` analog: one entry point with the reference's request
+    * shape — `top_k`/`ef`/`n_probe` defaults from `GraftConfig`
+    * (api/models.py:16-20), index selection via `params("index")`, and
+    * unknown params ignored exactly as the reference's index kwargs
+    * pass-through does (api/app.py:196-205, hnsw.py:331). */
+  def searchApi(query: Seq[Float], params: Map[String, String] = Map.empty,
+                metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+    val cfg = graft.core.GraftConfig.default
+    val k = params.get("top_k").map(_.toInt).getOrElse(cfg.topK)
+    params.getOrElse("index", "exact") match {
+      case "hnsw" =>
+        searchHnsw(query, k, params.get("ef").map(_.toInt).getOrElse(cfg.ef))
+      case "ivf" =>
+        searchIvf(query, params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe), k)
+      case "pq" => searchAdc(query, k)
+      case _ => search(query, k, metadataFilter)
+    }
+  }
+
   /** S2/S4: point lookup and live count. */
   def get(id: Long): Option[org.apache.spark.sql.Row] =
     snapshot().filter(col("id") === id && !col("is_deleted")).collect().headOption

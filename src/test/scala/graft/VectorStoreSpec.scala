@@ -65,5 +65,12 @@ class VectorStoreSpec extends SparkSpec {
     store.trainPq(chunks = 4, k = 4)
     val adc = store.searchAdc(data(3)._2.toSeq, 5).collect()
     assert(adc.length == 5 && adc.head.getAs[Double]("dist") < 1.0)
+    // unified /search analog: defaults (top_k=5), index dispatch, and
+    // unknown params ignored like the reference's kwargs pass-through
+    assert(store.searchApi(data(3)._2.toSeq).count() == 5)
+    val viaIvf = store.searchApi(data(3)._2.toSeq,
+      Map("index" -> "ivf", "top_k" -> "3", "n_probe" -> "4", "bogus" -> "x"))
+    assert(viaIvf.count() == 3)
+    assert(viaIvf.collect().head.getAs[Double]("dist") < 1e-6)
   }
 }
