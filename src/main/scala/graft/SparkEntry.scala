@@ -469,7 +469,11 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name).orderBy("h", "event_type")
+      // analysis is eager, so the result plan holds the sink data and the
+      // catalog entry can be dropped (repeated bench runs don't leak views)
+      val out = s.table(name).orderBy("h", "event_type")
+      s.catalog.dropTempView(name)
+      out
     }),
 
     // ---- As-of join: latest order at-or-before each event (temporal
@@ -597,7 +601,9 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name).agg(count(lit(1)).as("n_users"))
+      val out = s.table(name).agg(count(lit(1)).as("n_users"))
+      s.catalog.dropTempView(name)
+      out
     }),
 
     // ---- Multimodal: binary payload + batch feature extraction (stub

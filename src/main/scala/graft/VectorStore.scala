@@ -64,9 +64,18 @@ class VectorStore private (val spark: SparkSession, val path: String,
                  metadataFilter: Map[String, String] = Map.empty): DataFrame =
     search(HashingEmbedder.embedText(spark, query, dim).toSeq, k, metadataFilter)
 
-  /** O3: HNSW-equivalent search (per-partition graphs). */
-  def searchHnsw(query: Seq[Float], k: Int, ef: Int = 50): DataFrame =
-    Hnsw.search(snapshot().filter(!col("is_deleted")), "id", "embedding", query, k, ef)
+  /** O3: HNSW-equivalent search (per-partition graphs). The metadata
+    * filter composes before the graph search (pre-filtering — strictly
+    * better recall than the reference's navigate-through-filtered beam). */
+  def searchHnsw(query: Seq[Float], k: Int, ef: Int = 50,
+                 metadataFilter: Map[String, String] = Map.empty): DataFrame =
+    Hnsw.search(live(metadataFilter), "id", "embedding", query, k, ef)
+
+  private def live(metadataFilter: Map[String, String]): DataFrame = {
+    val base = snapshot().filter(!col("is_deleted"))
+    if (metadataFilter.isEmpty) base
+    else base.filter(Search.metadataFilter(col("metadata"), metadataFilter))
+  }
 
   /** B4: build the IVF index; persists model + cluster-partitioned data. */
   def buildIvf(k: Int, seed: Long = 42L): Ivf.Model = {
@@ -78,11 +87,15 @@ class VectorStore private (val spark: SparkSession, val path: String,
   }
 
   /** O6: n_probe pruned search over the partitioned IVF table (probing
-    * is parquet partition pruning). */
-  def searchIvf(query: Seq[Float], nProbe: Int, k: Int): DataFrame = {
+    * is parquet partition pruning; the metadata filter pushes down below
+    * the probe filter). */
+  def searchIvf(query: Seq[Float], nProbe: Int, k: Int,
+                metadataFilter: Map[String, String] = Map.empty): DataFrame = {
     val model = Ivf.load(spark, ivfModelPath, "embedding")
     val assigned = spark.read.parquet(ivfDataPath)
-    Ivf.search(assigned, model, "id", query, nProbe, k)
+    val pred = if (metadataFilter.isEmpty) None
+      else Some(Search.metadataFilter(col("metadata"), metadataFilter))
+    Ivf.search(assigned, model, "id", query, nProbe, k, pred)
   }
 
   private def pqModelPath = s"$path/pq_model"
@@ -96,10 +109,11 @@ class VectorStore private (val spark: SparkSession, val path: String,
 
   /** ADC extension: memory-bounded approximate search through the
     * persisted codebook (encode + table-lookup distance, scan-only). */
-  def searchAdc(query: Seq[Float], k: Int): DataFrame = {
+  def searchAdc(query: Seq[Float], k: Int,
+                metadataFilter: Map[String, String] = Map.empty): DataFrame = {
     val cb = Pq.load(spark, pqModelPath)
-    val live = snapshot().filter(!col("is_deleted"))
-    Pq.adcSearch(Pq.encode(live, "embedding", cb), "id", "pq_code", cb, query, k)
+    Pq.adcSearch(Pq.encode(live(metadataFilter), "embedding", cb),
+      "id", "pq_code", cb, query, k)
   }
 
   /** S5: tombstone delete + persisted snapshot. */
@@ -122,11 +136,15 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val k = params.get("top_k").map(_.toInt).getOrElse(cfg.topK)
     params.getOrElse("index", "exact") match {
       case "hnsw" =>
-        searchHnsw(query, k, params.get("ef").map(_.toInt).getOrElse(cfg.ef))
+        searchHnsw(query, k, params.get("ef").map(_.toInt).getOrElse(cfg.ef),
+          metadataFilter)
       case "ivf" =>
-        searchIvf(query, params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe), k)
-      case "pq" => searchAdc(query, k)
-      case _ => search(query, k, metadataFilter)
+        searchIvf(query, params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe),
+          k, metadataFilter)
+      case "pq" => searchAdc(query, k, metadataFilter)
+      case "exact" => search(query, k, metadataFilter)
+      case other => throw new IllegalArgumentException(
+        s"unknown index type '$other' (expected exact, hnsw, ivf, or pq)")
     }
   }
 

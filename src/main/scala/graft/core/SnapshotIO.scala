@@ -24,8 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotIO {
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // resolve the filesystem from the snapshot path itself, not the
+  // default FS — an s3a:// store on an hdfs:// default cluster must use
+  // the path's own filesystem for every exists/rename/delete
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def complete(f: FileSystem, dir: Path): Boolean =
     f.exists(dir) && f.exists(new Path(dir, "_SUCCESS"))
@@ -33,8 +36,8 @@ object SnapshotIO {
   /** Atomically publish `df` as the snapshot at `dst`. */
   def publish(df: DataFrame, dst: String): Unit = {
     val spark = df.sparkSession
-    val f = fs(spark)
     val dstP = new Path(dst)
+    val f = fs(spark, dstP)
     val tmpP = new Path(dst + ".tmp")
     val bakP = new Path(dst + ".bak")
     // The write may lazily read the current dst (upsert/compact plans do);
@@ -51,19 +54,22 @@ object SnapshotIO {
   }
 
   /** Read the current snapshot, running crash recovery first.
-    * None only when no snapshot was ever published. */
+    * None only when no snapshot was ever published. A recovery rename
+    * that loses a race to a concurrent reader is fine — dst exists
+    * afterwards either way, so only a rename that leaves dst missing is
+    * an error. */
   def read(spark: SparkSession, dst: String): Option[DataFrame] = {
-    val f = fs(spark)
     val dstP = new Path(dst)
+    val f = fs(spark, dstP)
     val tmpP = new Path(dst + ".tmp")
     val bakP = new Path(dst + ".bak")
     if (!f.exists(dstP)) {
       if (complete(f, tmpP)) {
-        if (!f.rename(tmpP, dstP))
+        if (!f.rename(tmpP, dstP) && !f.exists(dstP))
           throw new java.io.IOException(s"recovery rename $tmpP -> $dstP failed")
         f.delete(bakP, true)
       } else if (f.exists(bakP)) {
-        if (!f.rename(bakP, dstP))
+        if (!f.rename(bakP, dstP) && !f.exists(dstP))
           throw new java.io.IOException(s"recovery rename $bakP -> $dstP failed")
       }
     }

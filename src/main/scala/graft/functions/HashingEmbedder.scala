@@ -59,26 +59,24 @@ object HashingEmbedder {
 
   /** E2 batch path: adds `embedding` (array<float>, length dim).
     * One explode + one dense-buffer hash-aggregate — map-side combined,
-    * shuffle carries one dim-length buffer per id per partition. */
+    * shuffle carries one dim-length buffer per id per partition. The
+    * aggregator runs as a udaf over a relational groupBy, so the id
+    * column keeps its original type (no lossy casts). */
   def embed(df: DataFrame, idCol: String, textCol: String,
             dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val spark = df.sparkSession
-    import spark.implicits._
     val tok = explode(split(lower(col(textCol)), "\\s+"))
     val tokens = df
-      .select(col(idCol).cast("long").as("__eid"), tok.as("__tok"))
+      .select(col(idCol).as("__eid"), tok.as("__tok"))
       .filter(col("__tok") =!= "")
       .select(col("__eid"),
         pmod(xxhash64(col("__tok")), lit(dim)).cast("int").as("__bucket"),
         when(pmod(xxhash64(concat(lit("sign|"), col("__tok"))), lit(2)) === 0, lit(1.0))
           .otherwise(lit(-1.0)).as("__sign"))
-    val withVec = tokens.as[(Long, Int, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(new DenseVecAgg(dim).toColumn.name(outCol))
-      .toDF(idCol, outCol)
-      .select(col(idCol).cast(df.schema(idCol).dataType).as(idCol), col(outCol))
+    val vecAgg = udaf(new DenseVecAgg(dim))
+    val withVec = tokens.groupBy(col("__eid"))
+      .agg(vecAgg(col("__bucket"), col("__sign")).as(outCol))
+      .withColumnRenamed("__eid", idCol)
     // left join + zero-vector fallback: token-less rows (empty text) keep
     // a well-defined embedding instead of silently dropping out
     df.join(withVec, Seq(idCol), "left")

@@ -83,6 +83,8 @@ object Lsh {
       .filter(col("a") < col("b"))
       .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("__na") * col("__nb")))
       .filter(col("cos_sim") >= threshold)
-      .select("a", "b", "cos_sim").distinct()
+      // each row has exactly one bucket, so same-bucket pairs are already
+      // unique — no distinct() (it would add a full extra shuffle)
+      .select("a", "b", "cos_sim")
   }
 }

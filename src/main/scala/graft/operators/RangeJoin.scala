@@ -32,10 +32,14 @@ object RangeJoin {
       .withColumn("__t", unix_micros(leftTs.cast("timestamp")))
       .withColumn("__b", floor(col("__t") / windowMicros))
       .withColumn("__k", col(leftKey))
+    // payloads ride under internal names so a payload column that also
+    // exists on the left (e.g. the join key itself) cannot make the
+    // final projection ambiguous
     val r0 = right
       .withColumn("__rt", unix_micros(rightTs.cast("timestamp")))
       .withColumn("__k", col(rightKey))
-      .select(Seq(col("__k"), col("__rt")) ++ payload.map(col): _*)
+      .select(Seq(col("__k"), col("__rt")) ++
+        payload.map(c => col(c).as(s"__p_$c")): _*)
     // a right row at rt matches left ts in [rt, rt + window] → left
     // buckets floor(rt/w) and floor(rt/w)+1
     val r = r0.withColumn("__b",
@@ -43,6 +47,6 @@ object RangeJoin {
           floor(col("__rt") / windowMicros) + 1)))
     l.join(r, Seq("__k", "__b"))
       .filter(col("__rt") >= col("__t") - windowMicros && col("__rt") <= col("__t"))
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__p_$c").as(c)): _*)
   }
 }

@@ -77,4 +77,17 @@ class TextFunctionsSpec extends SparkSpec {
     val z = HashingEmbedder.embedText(spark, "", 32)
     assert(z.length == 32 && z.forall(_ == 0.0f))
   }
+
+  test("hashing embedder groups by non-numeric ids without loss") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("doc-a", "alpha beta"), ("doc-b", "alpha beta"), ("doc-c", "gamma"))
+      .toDF("uid", "text")
+    val vecs = HashingEmbedder.embed(df, "uid", "text", dim = 16)
+      .select("uid", "embedding").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.size == 3)
+    assert(vecs("doc-a") == vecs("doc-b")) // same text, same vector
+    assert(vecs("doc-a") != vecs("doc-c"))
+  }
 }
