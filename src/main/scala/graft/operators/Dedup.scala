@@ -81,9 +81,16 @@ object Dedup {
 
   /** LSH banding over the MinHash signature: band hash = md5 of the
     * concatenated band slice. Docs sharing any band hash are candidate
-    * near-duplicates. Returns candidate pairs (a < b), distinct. */
+    * near-duplicates. Returns candidate pairs (a < b), distinct.
+    *
+    * `maxBucket` bounds the quadratic intra-bucket pair fan-out: a band
+    * bucket holding more than maxBucket docs (a degenerate hash region —
+    * at corpus scale usually boilerplate/empty docs) is dropped rather
+    * than exploded into O(n²) pairs. The default never triggers below
+    * ~100k colliding docs; set it to Int.MaxValue for exhaustive runs. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 8, bands: Int = 4, shingle: Int = 3): DataFrame = {
+                      numHashes: Int = 8, bands: Int = 4, shingle: Int = 3,
+                      maxBucket: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide by bands ($bands)")
     val rowsPerBand = numHashes / bands
     val signed = signatureOnly(df, idCol, textCol, numHashes, shingle)
@@ -97,7 +104,7 @@ object Dedup {
     // runs once, and the shuffle carries one row per bucket.
     banded.groupBy("band_id", "band_hash")
       .agg(collect_list(col("__id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
@@ -144,15 +151,30 @@ object Dedup {
   /** Word n-gram Jaccard similarity pairs ≥ threshold. Candidate pairs
     * share at least one n-gram (inverted-index join), so the all-pairs
     * product is never materialized. */
+  /** `maxDocFreq` (off by default) applies a consistent stopword-style
+    * cutoff for corpus scale: grams appearing in more than maxDocFreq
+    * docs are removed from the gram UNIVERSE — they count toward neither
+    * intersections nor set sizes — so jaccard stays a true Jaccard over
+    * the filtered universe instead of a skewed ratio, and no posting
+    * list ever explodes into O(n²) pairs. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // each exploded gram row carries its doc's set size, so the pair
-    // counts come out of the bucket aggregation already joined — two
-    // shuffles total (gram buckets, pair keys), no size-lookup joins
-    val grams = df
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val grams0 = df
       .select(col(idCol).as("__id"), shingleSet(col(textCol), n).as("__g"))
       .select(col("__id"), size(col("__g")).cast("long").as("sz"),
         explode(col("__g")).as("gram"))
+    val grams = if (maxDocFreq == Int.MaxValue) grams0 else {
+      // the ultra-common gram set is tiny — broadcast anti-join, and
+      // recompute per-doc sizes over the filtered universe
+      val common = grams0.groupBy("gram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDocFreq).select("gram")
+      val kept = grams0.drop("sz").join(broadcast(common), Seq("gram"), "left_anti")
+      kept.join(kept.groupBy("__id").agg(count(lit(1)).as("sz")), "__id")
+    }
+    // each exploded gram row carries its doc's set size, so the pair
+    // counts come out of the bucket aggregation already joined — two
+    // shuffles total (gram buckets, pair keys), no size-lookup joins
     grams.groupBy("gram")
       .agg(collect_list(struct(col("__id"), col("sz"))).as("ids"))
       .filter(size(col("ids")) > 1)

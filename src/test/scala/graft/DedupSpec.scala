@@ -86,6 +86,23 @@ class DedupSpec extends SparkSpec {
     assert(j01 == 1.0)
   }
 
+  test("ngram jaccard maxDocFreq removes common grams from both sides of the ratio") {
+    val s = spark
+    import s.implicits._
+    // "x" appears in every doc; with maxDocFreq=2 it leaves the universe
+    // and docs 0/1 become identical over their remaining grams
+    val d = Seq((0L, "x a b"), (1L, "x a b"), (2L, "x c d"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 1,
+        threshold = 0.99, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
+    // capped run is a subset-or-equal of the exact run at any threshold
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 1, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 1L)))
+  }
+
   test("cosine near-dup: identical vectors pair at sim 1; bucketed matches brute within cluster") {
     val data = corpus(40, 8)
     val withDup = data :+ (100L, data.head._2.clone())
