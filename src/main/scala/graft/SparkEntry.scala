@@ -836,7 +836,8 @@ object SparkEntry {
         s"""SELECT x.vec_id AS a, y.vec_id AS b,
            |${cosineSim("x.embedding", "y.embedding")} AS cos_sim
            |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-           |WHERE ${cosineSim("x.embedding", "y.embedding")} >= 0.45
+           |WHERE ${norm("x.embedding")} > 0 AND ${norm("y.embedding")} > 0
+           |AND ${cosineSim("x.embedding", "y.embedding")} >= 0.45
            |ORDER BY a, b""".stripMargin,
 
       "dedup_simhash" ->

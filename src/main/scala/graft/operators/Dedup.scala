@@ -26,10 +26,16 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Rows that survive exact dedup (keep-first semantics). */
+  /** Rows that survive exact dedup (keep-first semantics). Null text
+    * passes through untouched — md5(null) is null, and a null-hash
+    * partition would otherwise collapse all null-content rows into one
+    * as if they were mutual duplicates. (exact() above keeps plain SQL
+    * GROUP BY semantics — one null group — matching its oracle.) */
   def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    df.withColumn("__rn",
+        when(col(textCol).isNull, lit(1)).otherwise(row_number().over(w)))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Distinct lowercase word tokens of a text column. */
@@ -200,9 +206,12 @@ object Dedup {
       .withColumn("__na", norm(col("ea")))
     val b = df.select(col(idCol).as("b"), col(embCol).as("eb"))
       .withColumn("__nb", norm(col("eb")))
+    // zero-norm vectors (e.g. the embedder's token-less fallback) yield
+    // cos = 0/0 = NaN, and Spark sorts NaN above every number — guard so
+    // they can never pass the threshold as phantom near-dups
     a.join(b, col("a") < col("b"))
       .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("__na") * col("__nb")))
-      .filter(col("cos_sim") >= threshold)
+      .filter(col("__na") > 0 && col("__nb") > 0 && col("cos_sim") >= threshold)
       .select("a", "b", "cos_sim")
   }
 
@@ -218,7 +227,7 @@ object Dedup {
     a.join(b, Seq(Ivf.ClusterCol))
       .filter(col("a") < col("b"))
       .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("__na") * col("__nb")))
-      .filter(col("cos_sim") >= threshold)
+      .filter(col("__na") > 0 && col("__nb") > 0 && col("cos_sim") >= threshold)
       .select("a", "b", "cos_sim")
   }
 }

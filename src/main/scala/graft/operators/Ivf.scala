@@ -39,12 +39,27 @@ object Ivf {
     def k: Int = centroids.length
   }
 
+  /** Bounded UNBIASED training sample: a seeded Bernoulli sample sized
+    * from a fast count, then a limit as the hard cap. A bare limit()
+    * would take the physical head of the table — on time- or
+    * label-ordered corpora (the normal case) that trains centroids on
+    * one region of the distribution only. */
+  private[operators] def trainingSample(df: DataFrame, embCol: String,
+                                        sampleSize: Int, seed: Long): Array[Array[Float]] = {
+    val proj = df.select(org.apache.spark.sql.functions.col(embCol))
+    val n = proj.count()
+    val sampled =
+      if (n <= sampleSize) proj
+      else proj.sample(withReplacement = false,
+        math.min(1.0, sampleSize * 1.2 / n), seed).limit(sampleSize)
+    sampled.collect().map(_.getSeq[Float](0).toArray)
+  }
+
   /** B4: build the index. Returns (rows + cluster_id, model). */
   def build(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
             maxIter: Int = 100, sampleSize: Int = DefaultSampleSize): (DataFrame, Model) = {
     require(k > 0, s"k must be positive, got $k")
-    val sample = df.select(col(embCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
+    val sample = trainingSample(df, embCol, sampleSize, seed)
     // build-time checks mirror the reference (ivf.py:58-59, 71-72)
     if (sample.isEmpty) throw new IllegalArgumentException(
       "Cannot build index from empty node list")
@@ -82,6 +97,9 @@ object Ivf {
 
   /** The n_probe nearest centroid ids to the query (driver-side: k rows). */
   def probeClusters(model: Model, query: Seq[Float], nProbe: Int): Seq[Int] = {
+    val dim = model.centroids.headOption.map(_.length).getOrElse(0)
+    require(query.length == dim,
+      s"query dim ${query.length} != centroid dim $dim") // zip would silently truncate
     def l2sq(a: Array[Float]): Double =
       a.zip(query).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
     model.centroids.zipWithIndex

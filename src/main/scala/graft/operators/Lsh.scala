@@ -82,7 +82,9 @@ object Lsh {
     a.join(b, Seq(BucketCol))
       .filter(col("a") < col("b"))
       .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("__na") * col("__nb")))
-      .filter(col("cos_sim") >= threshold)
+      // zero-norm guard: NaN sorts above every double in Spark, so 0/0
+      // pairs would otherwise pass any threshold
+      .filter(col("__na") > 0 && col("__nb") > 0 && col("cos_sim") >= threshold)
       // each row has exactly one bucket, so same-bucket pairs are already
       // unique — no distinct() (it would add a full extra shuffle)
       .select("a", "b", "cos_sim")

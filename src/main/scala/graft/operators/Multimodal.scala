@@ -54,6 +54,7 @@ object Multimodal {
     * JVM-side). Output adds `features: array<float>`. */
   def extractFeatures(df: DataFrame, binCol: String, dim: Int,
                       outCol: String = "features"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
     val outSchema = df.schema.add(StructField(outCol, ArrayType(FloatType, false)))
     val enc = RowEncoder.encoderFor(outSchema)
     val binIdx = df.schema.fieldIndex(binCol)
@@ -71,6 +72,7 @@ object Multimodal {
     * offset). Real video decode swaps FakeCodec.frameOffsets only. */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
                    strideBytes: Int): DataFrame = {
+    require(strideBytes > 0, s"strideBytes must be positive, got $strideBytes")
     val spark = df.sparkSession
     import spark.implicits._
     val idIdx = df.schema.fieldIndex(idCol)

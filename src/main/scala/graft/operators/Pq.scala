@@ -46,8 +46,9 @@ object Pq {
             seed: Long = 42L, maxIter: Int = 100,
             sampleSize: Int = DefaultSampleSize): Codebook = {
     val subDim = validate(dim, chunks)
-    val sample = df.select(col(embCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
+    // unbiased seeded sample (see Ivf.trainingSample — a bare limit()
+    // would train codebooks on the physical head of an ordered corpus)
+    val sample = Ivf.trainingSample(df, embCol, sampleSize, seed)
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global

@@ -20,9 +20,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   /** Batch sessionization. Emits one row per session:
-    * (user_id, session_id, n_events, start_us, end_us, sum_value). */
+    * (user_id, session_id, n_events, start_us, end_us, sum_value).
+    * `valueScale` is the decimal scale of the exact value sum (default 2
+    * — money-like values); it must cover the true decimal precision of
+    * `valueCol` or each value is rounded to it (HALF_UP) first. The
+    * streaming twin accumulates with the same rounding, so both paths
+    * return the same sums. */
   def sessions(events: DataFrame, userCol: String, tsCol: String,
-               idCol: String, valueCol: String, gapMicros: Long): DataFrame = {
+               idCol: String, valueCol: String, gapMicros: Long,
+               valueScale: Int = 2): DataFrame = {
     val us = unix_micros(col(tsCol))
     val w = Window.partitionBy(col(userCol)).orderBy(us.asc, col(idCol).asc)
     val newSession = when(
@@ -38,14 +44,17 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         min(col("__us")).as("start_us"),
         max(col("__us")).as("end_us"),
-        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(28, valueScale)))
           .cast("double").as("sum_value"))
   }
 
   /** One event in the typed streaming path. */
   case class Event(userId: Long, tsMicros: Long, value: Double)
-  /** Open-session state per user. */
-  case class SessionState(startUs: Long, lastUs: Long, n: Long, sumValue: Double)
+  /** Open-session state per user. The value sum is an exact decimal of
+    * per-event values rounded to `valueScale` — same semantics as the
+    * batch path's DECIMAL cast, so the two paths agree bit-for-bit. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long,
+                          sumValue: BigDecimal)
   /** Emitted closed (or flushed) session. */
   case class Session(userId: Long, startUs: Long, endUs: Long, n: Long, sumValue: Double)
 
@@ -56,18 +65,21 @@ object Sessionize {
     * trigger schedules periodic empty batches, which also makes
     * `processAllAvailable` unsuitable in tests. */
   def sessionsStream(events: Dataset[Event], gapMicros: Long,
-                     flushTimeoutMs: Option[Long] = None): Dataset[Session] = {
+                     flushTimeoutMs: Option[Long] = None,
+                     valueScale: Int = 2): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     val timeoutConf = if (flushTimeoutMs.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    def dec(v: Double): BigDecimal =
+      BigDecimal(v).setScale(valueScale, BigDecimal.RoundingMode.HALF_UP)
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, timeoutConf) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption
-              .map(s => Session(userId, s.startUs, s.lastUs, s.n, s.sumValue)).toSeq
+              .map(s => Session(userId, s.startUs, s.lastUs, s.n, s.sumValue.toDouble)).toSeq
             state.remove()
             out.iterator
           } else {
@@ -76,13 +88,24 @@ object Sessionize {
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.tsMicros - s.lastUs <= gapMicros =>
-                  cur = Some(SessionState(s.startUs, e.tsMicros, s.n + 1, s.sumValue + e.value))
+                // within the gap of the open session's INTERVAL — a late
+                // (cross-batch out-of-order) event extends the bounds
+                // with min/max, never regresses them
+                case Some(s) if e.tsMicros >= s.startUs - gapMicros &&
+                    e.tsMicros - s.lastUs <= gapMicros =>
+                  cur = Some(SessionState(math.min(s.startUs, e.tsMicros),
+                    math.max(s.lastUs, e.tsMicros), s.n + 1, s.sumValue + dec(e.value)))
+                // too old to belong to the open session (predates its
+                // start by more than the gap): emit it as its own closed
+                // single-event session, keep the open one intact
+                case Some(s) if e.tsMicros < s.startUs - gapMicros =>
+                  closed += Session(userId, e.tsMicros, e.tsMicros, 1L,
+                    dec(e.value).toDouble)
                 case Some(s) =>
-                  closed += Session(userId, s.startUs, s.lastUs, s.n, s.sumValue)
-                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+                  closed += Session(userId, s.startUs, s.lastUs, s.n, s.sumValue.toDouble)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, dec(e.value)))
                 case None =>
-                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, dec(e.value)))
               }
             }
             cur.foreach { s =>

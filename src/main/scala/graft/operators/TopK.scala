@@ -23,7 +23,8 @@ object TopK {
     override def zero: Seq[Cand] = Vector.empty
 
     override def reduce(buf: Seq[Cand], c: Cand): Seq[Cand] =
-      if (buf.length >= k && implicitly[Ordering[(Double, Long)]].gteq(ord(c), ord(buf.last))) buf
+      if (buf.nonEmpty && buf.length >= k &&
+          implicitly[Ordering[(Double, Long)]].gteq(ord(c), ord(buf.last))) buf
       else ((buf :+ c).sortBy(ord)).take(k)
 
     override def merge(a: Seq[Cand], b: Seq[Cand]): Seq[Cand] =
@@ -36,5 +37,8 @@ object TopK {
   }
 
   /** Typed column for `groupByKey(...).agg(topK(k))`. */
-  def topK(k: Int): TypedColumn[Cand, Seq[Cand]] = new TopKAgg(k).toColumn
+  def topK(k: Int): TypedColumn[Cand, Seq[Cand]] = {
+    require(k > 0, s"k must be positive, got $k")
+    new TopKAgg(k).toColumn
+  }
 }

@@ -86,6 +86,24 @@ class DedupSpec extends SparkSpec {
     assert(j01 == 1.0)
   }
 
+  test("zero-norm embeddings never pair as near-dups (NaN guard)") {
+    val data = corpus(10, 4) :+ (99L, Array(0f, 0f, 0f, 0f))
+    val pairs = Dedup.cosineNearDupPairs(toDF(data), "id", "embedding", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
+  test("exactKeepFirst passes null-text rows through instead of deduping them") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, Option("same")), (1L, Option("same")),
+      (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactKeepFirst(d, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L)) // dup text collapsed, null rows both kept
+  }
+
   test("ngram jaccard maxDocFreq removes common grams from both sides of the ratio") {
     val s = spark
     import s.implicits._

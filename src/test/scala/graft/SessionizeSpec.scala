@@ -47,4 +47,30 @@ class SessionizeSpec extends SparkSpec {
       assert(closed.head == Session(1L, 0L, 30L * 1000000, 2L, 3.0))
     } finally q.stop()
   }
+
+  test("streaming: a late cross-batch event never regresses the session bounds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[Event]
+    val gap = 60L * 1000000
+    val out = Sessionize.sessionsStream(source.toDS(), gap)
+    val q = out.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      source.addData(Event(1L, 100L * 1000000, 1.0))
+      q.processAllAvailable()
+      // late event 50s earlier — within the gap of the session interval:
+      // merged with min/max, not a shrunken lastUs
+      source.addData(Event(1L, 50L * 1000000, 2.0))
+      q.processAllAvailable()
+      source.addData(Event(1L, 500L * 1000000, 4.0)) // closes it
+      q.processAllAvailable()
+      val closed = s.table("sess_late").as[Session].collect()
+      assert(closed.length == 1)
+      val sess = closed.head
+      assert(sess.startUs == 50L * 1000000 && sess.endUs == 100L * 1000000)
+      assert(sess.endUs >= sess.startUs && sess.n == 2L && sess.sumValue == 3.0)
+    } finally q.stop()
+  }
 }
