@@ -112,6 +112,52 @@ object SimhashUtil {
   }
 }
 
+object SimhashXxUtil {
+  /** 64-bit xxhash64-based simhash (bit i = bit i of Spark's xxhash64,
+    * seed 42) — bit-identical to the declarative
+    * `shiftright(xxhash64(t), i) & 1` sign-sum form it replaces. */
+  def simhashXx(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(tokens.getUTF8String(t), StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        counts(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= 1L << i; i += 1 }
+    out
+  }
+}
+
+/** array<string> of tokens → 64-bit xxhash64 simhash. */
+case class SimhashXx(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SimhashXxUtil.simhashXx(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.SimhashXxUtil.simhashXx($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash_xx"
+}
+
 /** array<string> of tokens → 16-hex-char md5 simhash fingerprint. */
 case class SimhashMd5(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -141,4 +187,8 @@ object TextKernels {
   /** md5-bit simhash hex fingerprint of a token-array column. */
   def simhashMd5(tokens: Column): Column =
     ColumnBridge.column(SimhashMd5(ColumnBridge.expression(tokens)))
+
+  /** 64-bit xxhash64 simhash of a token-array column. */
+  def simhashXx(tokens: Column): Column =
+    ColumnBridge.column(SimhashXx(ColumnBridge.expression(tokens)))
 }

@@ -118,23 +118,12 @@ object Dedup {
   }
 
   /** SimHash (64-bit, via xxhash64): sign-sum of token hash bits.
-    * Per-row scan, no shuffle. Output `simhash`: bigint. */
-  def simhash(df: DataFrame, textCol: String): DataFrame = {
-    val tokens = wordSet(col(textCol))
-    // bitsOf(t)(i) = bit i of hash(t) ? +1 : -1  (static 64-column array)
-    def bitsOf(t: Column): Column = array((0 until 64).map(i =>
-      when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)
-    // counts(i) = Σ_tokens bitsOf(token)(i)
-    val counts = aggregate(tokens, array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, bitsOf(t), (c, b) => c + b))
-    // simhash = OR_{i: counts(i) > 0} 2^i  (as signed 64-bit)
-    val sim = (0 until 64).map(i =>
-        when(element_at(col("__simhash_counts"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    df.withColumn("__simhash_counts", counts)
-      .withColumn("simhash", sim)
-      .drop("__simhash_counts")
-  }
+    * Per-row scan, no shuffle, one codegen kernel call per row (the
+    * aggregate/zip_with HOF form this replaces paid interpreted dispatch
+    * per token×bit). Output `simhash`: bigint. */
+  def simhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash",
+      graft.expressions.TextKernels.simhashXx(wordSet(col(textCol))))
 
   /** Hamming distance between two simhash columns (near-dup if small). */
   def hammingDistance(a: Column, b: Column): Column =

@@ -230,4 +230,67 @@ object Hnsw {
     * (per-partition graphs are rebuilt from the filtered table). */
   def delete(df: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
     df.filter(!col(idCol).isin(ids: _*))
+
+  /** O3 over a PERSISTED index (the B11 load path): reconstruct each
+    * shard's graph from the edges table emitted by [[buildEdges]] plus
+    * the vector table, search without re-running graph construction.
+    *
+    * `numPartitions` must be the value used at build time: vectors are
+    * re-keyed to their shard with the same hash partitioning
+    * (pmod(murmur3(id), parts) — exactly HashPartitioning's id
+    * expression), so each shard's adjacency meets its own vectors.
+    * The per-shard entry point is re-elected as the node with the
+    * highest level (lowest id on ties) — the reference's re-election
+    * rule (hnsw.py:250-269). Dangling edge targets are skipped by the
+    * search, so a filtered/compacted vector table works unchanged. */
+  def searchEdges(edges: DataFrame, vectors: DataFrame, idCol: String,
+                  embCol: String, queries: Seq[(Long, Array[Float])], k: Int,
+                  ef: Int = 50, numPartitions: Int = 0,
+                  params: Params = Params()): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val bq = spark.sparkContext.broadcast(queries)
+    val vds = vectors
+      .select(pmod(hash(col(idCol)), lit(parts)).as("pid"),
+        col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+      .as[(Int, Long, Seq[Float])]
+    val eds = edges.select(col("partition_id").cast("int"),
+        col("src").cast("long"), col("level").cast("int"), col("dst").cast("long"))
+      .as[(Int, Long, Int, Long)]
+    val local = vds.groupByKey(_._1).cogroup(eds.groupByKey(_._1)) {
+      (pid, vs, es) =>
+        val g = new LocalGraph(params, new scala.util.Random(params.seed + pid))
+        vs.foreach { case (_, id, emb) => g.vectors(id) = emb.toArray }
+        val adj = mutable.LongMap.empty[mutable.Map[Int, mutable.ArrayBuffer[Long]]]
+        var top = -1
+        es.foreach { case (_, src, level, dst) =>
+          adj.getOrElseUpdate(src, mutable.Map.empty)
+            .getOrElseUpdate(level, mutable.ArrayBuffer.empty) += dst
+          if (level > top) top = level
+        }
+        g.vectors.keysIterator.foreach { id =>
+          val byLevel = adj.getOrElse(id, mutable.Map.empty)
+          val maxL = if (byLevel.isEmpty) 0 else byLevel.keysIterator.max + 1
+          g.neighbors(id) = Array.tabulate(math.max(maxL, 1))(l =>
+            byLevel.getOrElse(l, mutable.ArrayBuffer.empty))
+        }
+        // entry = highest-level node, lowest id on ties (hnsw.py:250-269)
+        if (g.vectors.nonEmpty) {
+          val (ep, lvl) = g.vectors.keysIterator
+            .map(id => (id, g.neighbors(id).length - 1))
+            .foldLeft((-1L, -1)) { case ((bi, bl), (i, l)) =>
+              if (l > bl || (l == bl && (bi < 0 || i < bi))) (i, l) else (bi, bl)
+            }
+          g.entryPoint = ep
+          g.maxLevel = lvl
+        }
+        bq.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) }
+        }
+    }.toDF("query_id", "id", "dist")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
+    local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

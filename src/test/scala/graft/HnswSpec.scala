@@ -87,4 +87,27 @@ class HnswSpec extends SparkSpec {
     assert(res.map(_.getAs[Long]("id")).contains(3L))
     assert(res.map(_.getAs[Int]("rank")).toSeq.sorted == Seq(1, 2, 3, 4, 5))
   }
+
+  test("persisted edges search (B11 load path) equals the direct build-and-search") {
+    val data = corpus(150, 8)
+    val df = toDF(data)
+    val params = Hnsw.Params(m = 8, efConstruction = 60)
+    val parts = 4
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    Hnsw.buildEdges(df, "id", "embedding", params, parts)
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    val queries = Seq((0L, data(5)._2), (1L, data(77)._2))
+    def rows(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => (x.getAs[Long]("query_id"), x.getAs[Int]("rank"),
+        x.getAs[Long]("id"), x.getAs[Double]("dist"))).sortBy(t => (t._1, t._2))
+    val fromEdges = rows(Hnsw.searchEdges(spark.read.parquet(s"$dir/edges"), df,
+      "id", "embedding", queries, k = 5, ef = 60, parts, params).collect())
+    val direct = rows(Hnsw.searchBatch(df, "id", "embedding",
+      queries, k = 5, ef = 60, params, parts).collect())
+    // same seeded per-shard graphs ⇒ identical results, no rebuild needed
+    assert(fromEdges.toSeq == direct.toSeq)
+    assert(fromEdges.count(_._1 == 0L) == 5 && fromEdges.count(_._1 == 1L) == 5)
+    // self-match survives the persisted round-trip
+    assert(fromEdges.exists { case (q, _, id, d) => q == 0L && id == 5L && d < 1e-6 })
+  }
 }
