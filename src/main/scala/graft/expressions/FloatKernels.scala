@@ -109,6 +109,9 @@ case class NearestCentroidFloat(child: Expression,
                                 centroids: Array[Array[Float]],
                                 offset: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty,
+    "nearest_centroid_float: empty centroid set (corrupt/empty model?) " +
+      "would silently assign every row to index 0")
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

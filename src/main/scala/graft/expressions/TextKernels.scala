@@ -86,16 +86,19 @@ object SimhashUtil {
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
-      md.reset()
-      val digest = md.digest(tokens.getUTF8String(t).getBytes)
-      var i = 0
-      while (i < 64) {
-        // hex char j = i/4: even j → high nibble of byte j/2, odd → low
-        val j = i >> 2
-        val nib = if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xF
-                  else digest(j >> 1) & 0xF
-        counts(i) += (if (((nib >> (i & 3)) & 1) == 1) 1 else -1)
-        i += 1
+      val tok = tokens.getUTF8String(t)
+      if (tok != null) { // null tokens contribute nothing
+        md.reset()
+        val digest = md.digest(tok.getBytes)
+        var i = 0
+        while (i < 64) {
+          // hex char j = i/4: even j → high nibble of byte j/2, odd → low
+          val j = i >> 2
+          val nib = if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xF
+                    else digest(j >> 1) & 0xF
+          counts(i) += (if (((nib >> (i & 3)) & 1) == 1) 1 else -1)
+          i += 1
+        }
       }
       t += 1
     }
@@ -121,12 +124,15 @@ object SimhashXxUtil {
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(tokens.getUTF8String(t), StringType, 42L)
-      var i = 0
-      while (i < 64) {
-        counts(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
-        i += 1
+      val tok = tokens.getUTF8String(t)
+      if (tok != null) { // null tokens contribute nothing
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(tok, StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          counts(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
       }
       t += 1
     }

@@ -81,14 +81,16 @@ object HashingEmbedder {
     val withVec = tokens.as[(String, Int, Double)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
-      .agg(new DenseVecAgg(dim).toColumn.name(outCol))
-      .toDF("__eid", outCol)
-    // left join + zero-vector fallback: token-less rows (empty text) keep
-    // a well-defined embedding instead of silently dropping out
+      .agg(new DenseVecAgg(dim).toColumn.name("__emb"))
+      .toDF("__eid", "__emb")
+    // left join under an internal name, then surface as outCol — a
+    // pre-existing outCol column on df is replaced, not made ambiguous.
+    // Zero-vector fallback: token-less rows (empty text) keep a
+    // well-defined embedding instead of silently dropping out.
     df.join(withVec, df(idCol).cast("string") === col("__eid"), "left")
       .drop("__eid")
-      .withColumn(outCol, coalesce(col(outCol),
-        typedLit(Seq.fill(dim)(0.0f))))
+      .withColumn(outCol, coalesce(col("__emb"), typedLit(Seq.fill(dim)(0.0f))))
+      .drop("__emb")
   }
 
   /** E1 single-text path (driver convenience; used by tests/serving). */

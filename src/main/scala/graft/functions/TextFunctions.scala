@@ -16,10 +16,12 @@ object TextFunctions {
     size(split(text, "\\s+")).cast("long")
 
   /** BPE-ish subword count: words + digits + punctuation runs, the usual
-    * cheap proxy for tokenizer output size. */
+    * cheap proxy for tokenizer output size. All whitespace fragments are
+    * dropped (trim-based — a bare `=!= " "` check would count tabs and
+    * newlines as subwords). */
   def subwordCount(text: Column): Column =
     size(filter(split(text, "(?<=[\\s\\p{Punct}])|(?=[\\s\\p{Punct}])"),
-      t => t =!= "" && t =!= " ")).cast("long")
+      t => trim(t) =!= "")).cast("long")
 
   /** Stopword-marker language scores. Marker sets are tiny per-language
     * function-word lists (public linguistic knowledge). */
@@ -34,9 +36,10 @@ object TextFunctions {
     size(array_intersect(tokens, array(markers.map(lit): _*))) // distinct markers present
 
   /** Language-ID heuristic: the language whose marker set has the most
-    * distinct hits in the text; ties and zero hits → "und" (undetermined)
-    * unless a single language leads strictly. Deterministic: languages
-    * evaluated in sorted order, strict-greater to win. */
+    * distinct hits in the text; zero hits → "und" (undetermined). Ties
+    * resolve to the alphabetically-first tied language (deterministic:
+    * languages evaluated in sorted order, strict-greater to displace) —
+    * the DuckDB oracle's CASE ladder implements the same rule. */
   def langId(text: Column): Column = {
     val tokens = array_distinct(split(lower(text), "\\s+"))
     val ordered = langMarkers.toSeq.sortBy(_._1)

@@ -29,29 +29,45 @@ object StreamingIngest {
     * the snapshot at ≥ flushThreshold rows — the reference's threshold
     * semantics (indexing_service.py:87-89 checks total store size, with
     * a dirty flag limiting redundant saves; callers keep that dirty
-    * logic and rebuild/republish index artifacts here). */
+    * logic and rebuild/republish index artifacts here).
+    *
+    * A batch carrying several rows for one id resolves to a single row:
+    * by max `versionCol` when given, else an arbitrary-but-single row —
+    * preserving the store's id-uniqueness invariant (S1 update-in-place,
+    * storage.py:198-230). `trigger` defaults to AvailableNow (drain the
+    * backlog and stop — the replay shape); pass a processing-time
+    * trigger for continuous ingest. */
   def upsertStream(stream: DataFrame, idCol: String, targetDir: String,
                    checkpointDir: String, flushThreshold: Long = 1000L,
-                   onFlush: Long => Unit = _ => ()): StreamingQuery = {
+                   onFlush: Long => Unit = _ => (),
+                   versionCol: Option[String] = None,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = stream.sparkSession
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchOne = versionCol match {
+          case Some(v) => Crud.upsertVersioned(batch, idCol, v)
+          case None => batch.dropDuplicates(idCol)
+        }
         // SnapshotIO.read runs crash recovery and returns None only when
         // no snapshot was ever published — a corrupt/missing-mid-publish
         // state recovers from .tmp/.bak instead of being treated as
         // "first batch" (which would drop all prior rows).
         val merged = graft.core.SnapshotIO.read(spark, targetDir) match {
-          case Some(cur) => Crud.upsert(cur, batch, idCol)
-          case None => batch
+          case Some(cur) => Crud.upsert(cur, batchOne, idCol)
+          case None => batchOne
         }
         // crash-safe publish: write tmp, rename current aside, rename
         // tmp in; the checkpoint replays the batch on restart and the
         // upsert is idempotent.
         graft.core.SnapshotIO.publish(merged, targetDir)
-        val total = spark.read.parquet(targetDir).count()
-        if (total >= flushThreshold) onFlush(total)
+        if (flushThreshold != Long.MaxValue) {
+          // parquet count() is a footer-metadata scan, not a data read
+          val total = spark.read.parquet(targetDir).count()
+          if (total >= flushThreshold) onFlush(total)
+        }
         ()
       }
       .start()
@@ -62,11 +78,12 @@ object StreamingIngest {
     * the watermark horizon. */
   def windowedCounts(stream: DataFrame, tsCol: String, typeCol: String,
                      window: String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame =
+                     watermark: String = "2 hours",
+                     valueCol: String = "value"): DataFrame =
     stream
       .withWatermark(tsCol, watermark)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(typeCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
 
   /** File-source stream over a directory of parquet (the batch tables'
     * streaming twin — used to replay `events` as a stream). */
