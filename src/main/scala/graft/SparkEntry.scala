@@ -199,12 +199,13 @@ object SparkEntry {
     // ---- Dedup (MinHash+LSH): shingle → minhash → band → bucket-join
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        numHashes = 8, bands = 4, shingle = 3).orderBy("a", "b")),
+        numHashes = 8, bands = 4, shingle = 3,
+        maxBucket = Int.MaxValue).orderBy("a", "b")),
 
     // ---- Dedup (n-gram Jaccard): inverted-index pair join
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5).orderBy("a", "b")),
+        n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue).orderBy("a", "b")),
 
     // ---- Dedup (SimHash): sign-sum fingerprint. The md5-bit variant is
     // cross-engine reproducible, so the full 64-bit fingerprint is
@@ -424,25 +425,30 @@ object SparkEntry {
         q, k = 10, ef = 50).select("id", "dist")
     }),
 
-    // ---- O3/O6 second scale path: hyperplane-LSH bucketed ANN with
-    // 1-bit multi-probe (rows-only: approximate by contract, planted-
-    // near-dup recall gated in LshSpec)
+    // ---- O3/O6 second scale path: banded hyperplane-LSH ANN, 16 tables
+    // × 8 bits with 2-bit multi-probe. Approximate by contract, but at
+    // these settings the candidate set provably covers the true top-10
+    // with overwhelming probability, so the result is oracle-checked
+    // against the exact-kNN SQL (recall-vs-exact also gated in LshSpec).
     "o3_lsh_search" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === QueryVecId)
         .select("embedding").head.getSeq[Float](0).toSeq
-      val model = Lsh.fit(dim = 64, nBits = 12)
+      val model = Lsh.fitBanded(dim = 64, bitsPerTable = 8, nTables = 16)
       Lsh.search(Lsh.assign(emb, "embedding", model), model, "vec_id",
-        "embedding", q, k = 10).select("vec_id", "dist")
+        "embedding", q, k = 10, probeBits = 2)
+        .select("vec_id", "dist")
+        .orderBy(col("dist").asc, col("vec_id").asc)
     }),
 
     // ---- LSH-bucketed embedding near-dup (the corpus-scale candidate
-    // generator; identical vectors always collide — rows-only)
+    // generator): 32 tables × 4 bits recovers the full exact pair set at
+    // threshold 0.45 on this data, so it shares the exact-pairs oracle.
     "ann_cosine_neardup_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = Lsh.fit(dim = 64, nBits = 8)
+      val model = Lsh.fitBanded(dim = 64, bitsPerTable = 4, nTables = 32)
       Lsh.cosineNearDupPairs(Lsh.assign(emb, "embedding", model), "vec_id",
-        "embedding", threshold = 0.45).orderBy("a", "b")
+        "embedding", threshold = 0.45, maxBucket = 10000).orderBy("a", "b")
     }),
 
     // ---- B1/B3: HNSW build — edge histogram per level (rows-only)
@@ -692,7 +698,8 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"))
         .select(col("keep_id"))
       val nearDupLosers = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        numHashes = 8, bands = 4, shingle = 3).select(col("b"))
+        numHashes = 8, bands = 4, shingle = 3,
+        maxBucket = Int.MaxValue).select(col("b"))
       docs.join(lang, "doc_id").join(qual, "doc_id")
         .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
         .join(keepers, col("doc_id") === col("keep_id"), "left_semi")
@@ -722,6 +729,12 @@ object SparkEntry {
            |FROM embeddings e CROSS JOIN q ORDER BY vec_id""".stripMargin,
 
       "o2_knn_exact" ->
+        s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      // banded LSH at 16×8 bits + 2-bit multi-probe achieves full
+      // top-10 recall on this data, so the exact-kNN SQL is its oracle
+      "o3_lsh_search" ->
         s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
            |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
@@ -833,6 +846,16 @@ object SparkEntry {
           |ORDER BY a, b""".stripMargin,
 
       "ann_cosine_neardup" ->
+        s"""SELECT x.vec_id AS a, y.vec_id AS b,
+           |${cosineSim("x.embedding", "y.embedding")} AS cos_sim
+           |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+           |WHERE ${norm("x.embedding")} > 0 AND ${norm("y.embedding")} > 0
+           |AND ${cosineSim("x.embedding", "y.embedding")} >= 0.45
+           |ORDER BY a, b""".stripMargin,
+
+      // 32×4-bit banded LSH recovers the complete exact pair set at this
+      // threshold on this data — same oracle as the brute-force query
+      "ann_cosine_neardup_lsh" ->
         s"""SELECT x.vec_id AS a, y.vec_id AS b,
            |${cosineSim("x.embedding", "y.embedding")} AS cos_sim
            |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id

@@ -48,7 +48,12 @@ object SnapshotIO {
       if (!f.rename(dstP, bakP))
         throw new java.io.IOException(s"rename $dstP -> $bakP failed")
     }
-    if (!f.rename(tmpP, dstP))
+    // mirror read(): a concurrent reader's crash recovery may win the
+    // tmp→dst rename between our rename-aside and rename-in — dst exists
+    // afterwards either way, so only a rename that leaves dst missing is
+    // a real failure (reporting the race as an IOException would turn a
+    // successful publish into a spurious error)
+    if (!f.rename(tmpP, dstP) && !f.exists(dstP))
       throw new java.io.IOException(s"rename $tmpP -> $dstP failed")
     f.delete(bakP, true)
   }

@@ -180,6 +180,61 @@ case class NearestCentroidFloat(child: Expression,
   override def prettyName: String = "nearest_centroid_float"
 }
 
+/** Hyperplane-signature helper invoked from generated code: all L·b
+  * plane dots in one pass over the vector row, one static call per row.
+  * Bit j of table t = [dot(v, planes[t·b + j]) ≥ 0], with the engine-wide
+  * left-to-right float→double dot fold (identical to [[DotFloat]] and to
+  * the driver-side `Lsh.signatures`). */
+object LshSigUtil {
+  def signatures(v: ArrayData, planes: Array[Array[Float]],
+                 bitsPerTable: Int): ArrayData = {
+    val dim = planes(0).length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_sigs: vector dim ${v.numElements()} != plane dim $dim")
+    val out = new Array[Int](planes.length / bitsPerTable)
+    var p = 0
+    while (p < planes.length) {
+      val h = planes(p)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += v.getFloat(i).toDouble * h(i).toDouble; i += 1 }
+      if (acc >= 0) out(p / bitsPerTable) |= 1 << (p % bitsPerTable)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** array<float> → array<int> of per-table hyperplane LSH signatures. */
+case class HyperplaneSigsFloat(child: Expression,
+                               planes: Array[Array[Float]],
+                               bitsPerTable: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes.nonEmpty && planes.length % bitsPerTable == 0,
+    s"hyperplane_sigs: ${planes.length} planes not divisible by $bitsPerTable bits/table")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    LshSigUtil.signatures(v.asInstanceOf[ArrayData], planes, bitsPerTable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expressions.LshSigUtil.signatures($v, $ref, $bitsPerTable);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "hyperplane_sigs"
+}
+
 /** Natural log via `java.lang.Math.log`. Spark's built-in `log` uses
   * StrictMath (fdlibm), which differs from the platform libm — and thus
   * from the DuckDB oracle — by 1 ulp on some inputs; Math.log matches
@@ -280,6 +335,11 @@ object FloatKernels {
   /** ADC table-lookup fold over an array<int> PQ code column. */
   def adcLookup(code: Column, table: Array[Array[Double]]): Column =
     c(AdcLookupFloat(e(code), table))
+
+  /** Per-table hyperplane LSH signatures over an array<float> column. */
+  def hyperplaneSigs(vec: Column, planes: Array[Array[Float]],
+                     bitsPerTable: Int): Column =
+    c(HyperplaneSigsFloat(e(vec), planes, bitsPerTable))
 
   /** Natural log matching platform libm (and the DuckDB oracle) bitwise. */
   def ln(x: Column): Column = c(LnDouble(e(x.cast("double"))))

@@ -92,11 +92,12 @@ object Dedup {
     * `maxBucket` bounds the quadratic intra-bucket pair fan-out: a band
     * bucket holding more than maxBucket docs (a degenerate hash region —
     * at corpus scale usually boilerplate/empty docs) is dropped rather
-    * than exploded into O(n²) pairs. The default never triggers below
-    * ~100k colliding docs; set it to Int.MaxValue for exhaustive runs. */
+    * than exploded into O(n²) pairs. The default (10k → ≤ ~5·10⁷ pairs
+    * from a worst-case bucket) is the 100 TB-safe behavior; exhaustive
+    * runs opt in with Int.MaxValue. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 8, bands: Int = 4, shingle: Int = 3,
-                      maxBucket: Int = 100000): DataFrame = {
+                      maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must divide by bands ($bands)")
     val rowsPerBand = numHashes / bands
     val signed = signatureOnly(df, idCol, textCol, numHashes, shingle)
@@ -146,15 +147,17 @@ object Dedup {
   /** Word n-gram Jaccard similarity pairs ≥ threshold. Candidate pairs
     * share at least one n-gram (inverted-index join), so the all-pairs
     * product is never materialized. */
-  /** `maxDocFreq` (off by default) applies a consistent stopword-style
-    * cutoff for corpus scale: grams appearing in more than maxDocFreq
-    * docs are removed from the gram UNIVERSE — they count toward neither
-    * intersections nor set sizes — so jaccard stays a true Jaccard over
-    * the filtered universe instead of a skewed ratio, and no posting
-    * list ever explodes into O(n²) pairs. */
+  /** `maxDocFreq` (on by default — the 100 TB-safe behavior) applies a
+    * consistent stopword-style cutoff for corpus scale: grams appearing
+    * in more than maxDocFreq docs are removed from the gram UNIVERSE —
+    * they count toward neither intersections nor set sizes — so jaccard
+    * stays a true Jaccard over the filtered universe instead of a skewed
+    * ratio, and no posting list ever explodes into O(n²) pairs.
+    * Exhaustive runs opt in with Int.MaxValue (which also skips the
+    * cutoff scan entirely). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+                        maxDocFreq: Int = 10000): DataFrame = {
     val grams0 = df
       .select(col(idCol).as("__id"), shingleSet(col(textCol), n).as("__g"))
       .select(col("__id"), size(col("__g")).cast("long").as("sz"),

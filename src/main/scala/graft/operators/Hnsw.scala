@@ -252,8 +252,13 @@ object Hnsw {
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     val bq = spark.sparkContext.broadcast(queries)
+    // hash the CASTED long, not the raw column: buildEdges repartitions
+    // on the post-cast long id, and murmur3 hashes int vs long inputs
+    // differently — hashing the raw column would strand every vector of
+    // a non-bigint id column in the wrong shard (adjacency/vector
+    // mismatch → silently degraded results)
     val vds = vectors
-      .select(pmod(hash(col(idCol)), lit(parts)).as("pid"),
+      .select(pmod(hash(col(idCol).cast("long")), lit(parts)).as("pid"),
         col(idCol).cast("long").as("id"), col(embCol).as("emb"))
       .as[(Int, Long, Seq[Float])]
     val eds = edges.select(col("partition_id").cast("int"),

@@ -46,12 +46,19 @@ object Ivf {
     * one region of the distribution only. */
   private[operators] def trainingSample(df: DataFrame, embCol: String,
                                         sampleSize: Int, seed: Long): Array[Array[Float]] = {
-    val proj = df.select(org.apache.spark.sql.functions.col(embCol))
+    import org.apache.spark.sql.functions.{col => c, rand}
+    val proj = df.select(c(embCol))
     val n = proj.count()
+    // the cap must not consume leading partitions first (limit() alone
+    // would — systematically dropping trailing-partition rows and
+    // re-introducing physical-order bias), so rank the over-sampled rows
+    // by an independent seeded rand: TakeOrdered over ~1.2·sampleSize
+    // rows, uniform among them
     val sampled =
       if (n <= sampleSize) proj
       else proj.sample(withReplacement = false,
-        math.min(1.0, sampleSize * 1.2 / n), seed).limit(sampleSize)
+          math.min(1.0, sampleSize * 1.2 / n), seed)
+        .orderBy(rand(seed ^ 0x9e3779b97f4a7c15L)).limit(sampleSize)
     sampled.collect().map(_.getSeq[Float](0).toArray)
   }
 

@@ -4,89 +4,150 @@ import graft.expressions.FloatKernels
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Random-hyperplane LSH over embedding columns — the second ANN scale
-  * path next to IVF partition pruning (SURVEY §2.1 O6), and the bucketed
-  * candidate generator for embedding near-dup at corpus scale.
+/** Banded (multi-table) random-hyperplane LSH over embedding columns —
+  * the bucketed candidate generator for embedding near-dup at corpus
+  * scale, and an ANN scale path next to IVF partition pruning and HNSW
+  * (SURVEY §2.1 O6).
   *
-  * Signature bit j = [dot(v, h_j) ≥ 0] for seeded Gaussian hyperplanes
-  * h_j (sign-random-projection; collision probability 1 - θ/π for angle
-  * θ — SimHash for vectors). Deterministic: seeded plane generation and
-  * the engine-wide left-to-right double dot fold on both driver and
-  * executor sides.
+  * Amplification: L independent tables of b bits each. Within a table
+  * the b bits AND-combine (all must agree → high precision); across
+  * tables collisions OR-combine (any table suffices → recall
+  * 1-(1-p^b)^L for per-bit agreement p = 1 - θ/π at angle θ). A single
+  * AND-only signature (L=1) has recall p^b ≈ 0 at moderate similarity —
+  * the round-2 failure mode this banding replaces; the construction is
+  * the standard one from the published LSH literature (Indyk–Motwani
+  * amplification; Charikar sign-random-projection for the per-bit hash).
   *
-  * Scale: signatures are one codegen'd scan (nBits dot kernels, no
-  * shuffle); bucketed search prunes to the query's bucket plus 1-bit
-  * multi-probe neighbors; near-dup pairing shuffles once on the bucket
-  * id and never materializes cross-bucket pairs.
+  * Deterministic end-to-end: seeded plane generation plus the
+  * engine-wide left-to-right float→double dot fold on both driver and
+  * executor sides ([[graft.expressions.LshSigUtil]]).
+  *
+  * Scale: signatures are one codegen'd scan (all L·b plane dots in a
+  * single kernel call per row, no shuffle); search prunes to the probed
+  * buckets per table; near-dup pairing shuffles one row per (table,
+  * bucket) — never all-pairs — with a `maxBucket` guard on degenerate
+  * buckets. Choose b by corpus size (buckets/table = 2^b; bigger b →
+  * smaller buckets, lower per-table recall) and L by the recall target.
   */
 object Lsh {
 
+  val SigsCol = "lsh_sigs"
   val BucketCol = "lsh_bucket"
 
-  case class Model(planes: Array[Array[Float]]) {
+  /** L = planes.length / bitsPerTable tables; table t owns planes
+    * [t·b, (t+1)·b). */
+  case class Model(planes: Array[Array[Float]], bitsPerTable: Int) {
+    require(planes.nonEmpty && planes.length % bitsPerTable == 0,
+      s"${planes.length} planes not divisible into $bitsPerTable-bit tables")
     def nBits: Int = planes.length
+    def nTables: Int = planes.length / bitsPerTable
     def dim: Int = planes.headOption.map(_.length).getOrElse(0)
   }
 
-  /** Seeded Gaussian hyperplanes (data-independent — no training scan). */
-  def fit(dim: Int, nBits: Int, seed: Long = 42L): Model = {
-    require(nBits > 0 && nBits <= 30, s"nBits must be in [1, 30], got $nBits")
+  /** Single-table model (AND-only — precision path; use [[fitBanded]]
+    * for any recall-sensitive workload). */
+  def fit(dim: Int, nBits: Int, seed: Long = 42L): Model =
+    fitBanded(dim, bitsPerTable = nBits, nTables = 1, seed = seed)
+
+  /** Seeded Gaussian hyperplanes for L tables × b bits (data-independent
+    * — no training scan). */
+  def fitBanded(dim: Int, bitsPerTable: Int, nTables: Int,
+                seed: Long = 42L): Model = {
+    require(bitsPerTable > 0 && bitsPerTable <= 30,
+      s"bitsPerTable must be in [1, 30], got $bitsPerTable")
+    require(nTables > 0, s"nTables must be positive, got $nTables")
     require(dim > 0, s"dim must be positive, got $dim")
     val rnd = new java.util.Random(seed)
-    Model(Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    Model(Array.fill(nTables * bitsPerTable)(
+      Array.fill(dim)(rnd.nextGaussian().toFloat)), bitsPerTable)
   }
 
-  /** Signature as an int bucket id: Σ_j [dot(v, h_j) ≥ 0] << j. */
-  def signatureColumn(emb: Column, model: Model): Column =
-    model.planes.zipWithIndex.map { case (h, j) =>
-      when(FloatKernels.dot(emb, lit(h)) >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
+  /** Adds `lsh_sigs` (array<int>, one signature per table) and
+    * `lsh_bucket` (table 0's signature — the single-table view). */
   def assign(df: DataFrame, embCol: String, model: Model): DataFrame =
-    df.withColumn(BucketCol, signatureColumn(col(embCol), model))
+    df.withColumn(SigsCol,
+        FloatKernels.hyperplaneSigs(col(embCol), model.planes, model.bitsPerTable))
+      .withColumn(BucketCol, col(SigsCol).getItem(0))
 
-  /** Driver-side signature of one vector — the same float→double
-    * left-to-right fold as the DotFloat kernel, so a query lands in
-    * exactly the bucket its row would. */
-  def signature(v: Seq[Float], model: Model): Int = {
+  /** Driver-side per-table signatures of one vector — the same
+    * float→double left-to-right fold as the codegen kernel, so a query
+    * lands in exactly the buckets its row would. */
+  def signatures(v: Seq[Float], model: Model): Array[Int] = {
     require(v.length == model.dim,
       s"vector dim ${v.length} != model dim ${model.dim}")
-    model.planes.zipWithIndex.map { case (h, j) =>
+    val out = new Array[Int](model.nTables)
+    var p = 0
+    while (p < model.planes.length) {
+      val h = model.planes(p)
       var acc = 0.0
       var i = 0
       while (i < h.length) { acc += v(i).toDouble * h(i).toDouble; i += 1 }
-      if (acc >= 0) 1 << j else 0
-    }.sum
+      if (acc >= 0) out(p / model.bitsPerTable) |= 1 << (p % model.bitsPerTable)
+      p += 1
+    }
+    out
   }
 
-  /** Approximate top-k: candidates from the query's bucket plus every
-    * 1-bit-flip neighbor (multi-probe — boundary-crossing tolerance),
-    * exact (dist, id) rerank on the survivors. */
+  /** Table-0 signature (single-table compatibility view). */
+  def signature(v: Seq[Float], model: Model): Int = signatures(v, model)(0)
+
+  /** Buckets probed for one table: the signature itself plus every
+    * signature within Hamming distance `probeBits` (multi-probe —
+    * boundary-crossing tolerance without extra tables). */
+  private[operators] def probes(sig: Int, bits: Int, probeBits: Int): Seq[Int] = {
+    val one = (0 until bits).map(j => sig ^ (1 << j))
+    val two = if (probeBits < 2) Seq.empty else
+      for { j <- 0 until bits; l <- j + 1 until bits } yield sig ^ (1 << j) ^ (1 << l)
+    sig +: (one ++ two)
+  }
+
+  /** Approximate top-k: candidates from any table whose probed bucket
+    * set contains the row's signature, exact (dist, id) rerank on the
+    * survivors. Per-table probe count is 1 + b + C(b,2) at the default
+    * `probeBits = 2` — a fixed, tiny fraction of the 2^b buckets. */
   def search(assigned: DataFrame, model: Model, idCol: String, embCol: String,
-             query: Seq[Float], k: Int): DataFrame = {
-    val sig = signature(query, model)
-    val buckets = sig +: (0 until model.nBits).map(j => sig ^ (1 << j))
-    Search.knnExact(assigned.filter(col(BucketCol).isin(buckets: _*)),
-      idCol, embCol, query, k)
+             query: Seq[Float], k: Int, probeBits: Int = 2): DataFrame = {
+    val sigs = signatures(query, model)
+    val cond = (0 until model.nTables).map { t =>
+      col(SigsCol).getItem(t)
+        .isin(probes(sigs(t), model.bitsPerTable, probeBits): _*)
+    }.reduce(_ || _)
+    Search.knnExact(assigned.filter(cond), idCol, embCol, query, k)
   }
 
-  /** Near-duplicate candidate pairs: exact cosine over same-bucket pairs
-    * only (the LSH-bucketed variant of Dedup.cosineNearDupBucketed). */
+  /** Near-duplicate candidate pairs with exact cosine rerank: ids are
+    * bucketed per (table, signature), intra-bucket pairs emitted from a
+    * single grouped pass (one row per bucket through the shuffle, no
+    * self-join of the signature pipeline), deduped across tables, then
+    * reranked by exact cosine via two hash joins back to the vectors.
+    *
+    * `maxBucket` bounds the quadratic intra-bucket fan-out: a bucket
+    * holding more docs than this (a degenerate hash region — at corpus
+    * scale usually zero/boilerplate vectors) is dropped rather than
+    * exploded into O(n²) candidate pairs. Scale-safe by default; raise
+    * it only for exhaustive small-data runs. */
   def cosineNearDupPairs(assigned: DataFrame, idCol: String, embCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double, maxBucket: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions._
-    val a = assigned.select(col(BucketCol), col(idCol).as("a"), col(embCol).as("ea"))
-      .withColumn("__na", norm(col("ea")))
-    val b = assigned.select(col(BucketCol), col(idCol).as("b"), col(embCol).as("eb"))
-      .withColumn("__nb", norm(col("eb")))
-    a.join(b, Seq(BucketCol))
+    val cand = assigned
+      .select(col(idCol).as("__id"),
+        posexplode(col(SigsCol)).as(Seq("__table", "__sig")))
+      .groupBy("__table", "__sig")
+      .agg(collect_list(col("__id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val va = assigned.select(col(idCol).as("a"), col(embCol).as("ea"))
+      .withColumn("__na", norm(col("ea")))
+    val vb = assigned.select(col(idCol).as("b"), col(embCol).as("eb"))
+      .withColumn("__nb", norm(col("eb")))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
       .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("__na") * col("__nb")))
       // zero-norm guard: NaN sorts above every double in Spark, so 0/0
       // pairs would otherwise pass any threshold
       .filter(col("__na") > 0 && col("__nb") > 0 && col("cos_sim") >= threshold)
-      // each row has exactly one bucket, so same-bucket pairs are already
-      // unique — no distinct() (it would add a full extra shuffle)
       .select("a", "b", "cos_sim")
   }
 }

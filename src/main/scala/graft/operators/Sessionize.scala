@@ -85,6 +85,14 @@ object Sessionize {
           } else {
             val sorted = batch.toSeq.sortBy(_.tsMicros)
             var cur = state.getOption
+            // pre-start stragglers (cross-batch out-of-order events
+            // predating the open session by more than the gap) accumulate
+            // here and merge by the same gap rule — two stragglers within
+            // the gap of each other form ONE session, as the batch path
+            // would, not two singletons. Stragglers split across BATCHES
+            // can still split sessions relative to batch; within a batch
+            // the two paths agree.
+            var straggler: Option[SessionState] = None
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               cur match {
@@ -95,12 +103,19 @@ object Sessionize {
                     e.tsMicros - s.lastUs <= gapMicros =>
                   cur = Some(SessionState(math.min(s.startUs, e.tsMicros),
                     math.max(s.lastUs, e.tsMicros), s.n + 1, s.sumValue + dec(e.value)))
-                // too old to belong to the open session (predates its
-                // start by more than the gap): emit it as its own closed
-                // single-event session, keep the open one intact
+                // too old to belong to the open session: fold into the
+                // straggler session (events arrive ts-sorted, so the gap
+                // rule applies to the straggler's own end)
                 case Some(s) if e.tsMicros < s.startUs - gapMicros =>
-                  closed += Session(userId, e.tsMicros, e.tsMicros, 1L,
-                    dec(e.value).toDouble)
+                  straggler = straggler match {
+                    case Some(st) if e.tsMicros - st.lastUs <= gapMicros =>
+                      Some(SessionState(st.startUs, e.tsMicros, st.n + 1,
+                        st.sumValue + dec(e.value)))
+                    case other =>
+                      other.foreach(st => closed += Session(userId,
+                        st.startUs, st.lastUs, st.n, st.sumValue.toDouble))
+                      Some(SessionState(e.tsMicros, e.tsMicros, 1L, dec(e.value)))
+                  }
                 case Some(s) =>
                   closed += Session(userId, s.startUs, s.lastUs, s.n, s.sumValue.toDouble)
                   cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, dec(e.value)))
@@ -108,6 +123,8 @@ object Sessionize {
                   cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, dec(e.value)))
               }
             }
+            straggler.foreach(st => closed += Session(userId,
+              st.startUs, st.lastUs, st.n, st.sumValue.toDouble))
             cur.foreach { s =>
               state.update(s)
               flushTimeoutMs.foreach(state.setTimeoutDuration)

@@ -121,6 +121,34 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((0L, 1L)))
   }
 
+  test("scale guards bound degenerate buckets by default (planted-degenerate probe)") {
+    val s = spark
+    import s.implicits._
+    // 400 byte-identical boilerplate docs — every band bucket and every
+    // gram posting list is degenerate — plus one genuine near-dup pair.
+    // The guards must drop the degenerate region (0 pairs from it, not
+    // C(400,2) ≈ 80k) while the honest pair still comes through.
+    val boiler = (100L until 500L).map(i => (i, "lorem ipsum dolor sit amet boilerplate"))
+    val d = (Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota")) ++ boiler)
+      .toDF("doc_id", "text")
+    val lsh = Dedup.minhashLshPairs(d, "doc_id", "text",
+        numHashes = 8, bands = 4, shingle = 3, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.exists { case (a, b) => a >= 100L && b >= 100L },
+      "degenerate bucket must be dropped, not exploded")
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.3, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac == Set((0L, 1L)),
+      s"expected only the honest pair over the guarded universe, got $jac")
+    // exhaustive opt-in still explodes (the oracle-run setting)
+    val full = Dedup.minhashLshPairs(d, "doc_id", "text",
+      numHashes = 8, bands = 4, shingle = 3, maxBucket = Int.MaxValue).count()
+    assert(full >= 400L * 399 / 2)
+  }
+
   test("cosine near-dup: identical vectors pair at sim 1; bucketed matches brute within cluster") {
     val data = corpus(40, 8)
     val withDup = data :+ (100L, data.head._2.clone())

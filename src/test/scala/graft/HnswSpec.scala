@@ -110,4 +110,30 @@ class HnswSpec extends SparkSpec {
     // self-match survives the persisted round-trip
     assert(fromEdges.exists { case (q, _, id, d) => q == 0L && id == 5L && d < 1e-6 })
   }
+
+  test("persisted edges search works for non-bigint id columns") {
+    // murmur3 hashes int and long inputs differently: searchEdges must
+    // shard on the CASTED long (as buildEdges does) or every vector of
+    // an int-id table lands in the wrong shard and results silently
+    // degrade — this pins the agreement for int ids
+    val data = corpus(120, 8)
+    val s = spark
+    import s.implicits._
+    val intDf = data.map { case (id, v) => (id.toInt, v) }.toDF("id", "embedding")
+    val longDf = toDF(data)
+    val params = Hnsw.Params(m = 8, efConstruction = 60)
+    val parts = 4
+    val edges = Hnsw.buildEdges(intDf, "id", "embedding", params, parts)
+    val queries = Seq((0L, data(5)._2), (1L, data(40)._2))
+    def rows(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => (x.getAs[Long]("query_id"), x.getAs[Int]("rank"),
+        x.getAs[Long]("id"), x.getAs[Double]("dist"))).sortBy(t => (t._1, t._2))
+    val fromInt = rows(Hnsw.searchEdges(edges, intDf, "id", "embedding",
+      queries, k = 5, ef = 60, parts, params).collect())
+    val fromLong = rows(Hnsw.searchEdges(
+      Hnsw.buildEdges(longDf, "id", "embedding", params, parts), longDf,
+      "id", "embedding", queries, k = 5, ef = 60, parts, params).collect())
+    assert(fromInt.toSeq == fromLong.toSeq)
+    assert(fromInt.exists { case (q, _, id, d) => q == 0L && id == 5L && d < 1e-6 })
+  }
 }

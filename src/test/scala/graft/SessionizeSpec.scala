@@ -73,4 +73,34 @@ class SessionizeSpec extends SparkSpec {
       assert(sess.endUs >= sess.startUs && sess.n == 2L && sess.sumValue == 3.0)
     } finally q.stop()
   }
+
+  test("streaming: two pre-start stragglers within the gap merge into one session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[Event]
+    val gap = 60L * 1000000
+    val out = Sessionize.sessionsStream(source.toDS(), gap)
+    val q = out.writeStream.format("memory").queryName("sess_strag")
+      .outputMode("append").start()
+    try {
+      // open session starts at t=1000s
+      source.addData(Event(1L, 1000L * 1000000, 1.0))
+      q.processAllAvailable()
+      // two stragglers at t=100s and t=130s — both predate the open
+      // session by far more than the gap, but are within the gap of each
+      // other: the batch path would make ONE session of them, so must we
+      source.addData(Event(1L, 100L * 1000000, 2.0), Event(1L, 130L * 1000000, 3.0))
+      q.processAllAvailable()
+      val closed = s.table("sess_strag").as[Session].collect()
+      assert(closed.length == 1, s"expected one merged straggler session, got ${closed.toSeq}")
+      assert(closed.head == Session(1L, 100L * 1000000, 130L * 1000000, 2L, 5.0))
+      // the open session is untouched: closing it later emits exactly it
+      source.addData(Event(1L, 5000L * 1000000, 4.0))
+      q.processAllAvailable()
+      val all = s.table("sess_strag").as[Session].collect().sortBy(_.startUs)
+      assert(all.length == 2)
+      assert(all(1) == Session(1L, 1000L * 1000000, 1000L * 1000000, 1L, 1.0))
+    } finally q.stop()
+  }
 }
