@@ -20,6 +20,9 @@ object SparkEntry {
 
   private val QueryVecId = 0L
 
+  /** Text query shared by the E2 search queries and their oracle. */
+  private val EmbedQueryText = "spark table scan fast query"
+
   /** Base table joined with the broadcast 1-row query vector (qe). */
   private def withQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -407,10 +410,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- E2 + O2: text-query search over hashed embeddings
+    // ---- E2 + O2: text-query search over hashed embeddings, end-to-end
+    // oracle-exact: the md5-variant count embedder runs for corpus AND
+    // query, and cosine over raw signed counts (exact integers) is
+    // bitwise-reproducible in SQL — embed → knnCosine → top-10 is the
+    // full E2 path under the hash gate, not a rows-only check
     "e2_embed_search" -> ((s, dir) => {
+      val docs = HashingEmbedder.embedMd5Counts(Tables.documents(s, dir),
+        "doc_id", "text", dim = 64)
+      val q = HashingEmbedder.md5CountsLocal(EmbedQueryText, 64).map(_.toFloat)
+      Search.knnCosine(docs, "doc_id", "embedding", q.toSeq, 10)
+        .select("doc_id", "dist")
+    }),
+
+    // ---- E2 production variant (xxhash64 + normalized — no cross-engine
+    // 64-bit hash exists, so rows-only; determinism and distributed/
+    // driver agreement pinned in TextFunctionsSpec)
+    "e2_embed_search_xx" -> ((s, dir) => {
       val docs = HashingEmbedder.embed(Tables.documents(s, dir), "doc_id", "text", dim = 64)
-      val q = HashingEmbedder.embedText(s, "spark table scan fast query", dim = 64)
+      val q = HashingEmbedder.embedText(s, EmbedQueryText, dim = 64)
       Search.knnCosine(docs, "doc_id", "embedding", q.toSeq, 10)
         .select("doc_id", "dist")
     }),
@@ -613,14 +631,17 @@ object SparkEntry {
     }),
 
     // ---- Multimodal: binary payload + batch feature extraction (stub
-    // codec, real plumbing; rows-only)
+    // codec, real plumbing). One row per (doc, bucket) scalar feature —
+    // the byte-histogram codec is expressible in SQL (ord() per char ==
+    // byte on this ASCII corpus), so the full decode path is oracle-exact
     "mm_extract_features" -> ((s, dir) =>
-      // features stringified: rows-only check; pandas can't sort array cells
       Multimodal.extractFeatures(
         Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text"),
         "media", dim = 16)
-        .select(col("doc_id"), col("features").cast("string").as("features"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("bucket", "feature")))
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+          col("feature").cast("double").as("feature"))
+        .orderBy("doc_id", "bucket")),
 
     // ---- North-star extension: kNN similarity JOIN (bounded-heap
     // group top-k; map-side combined)
@@ -1055,6 +1076,10 @@ object SparkEntry {
 
       "e1_embed_oracle" -> embedOracleSql,
 
+      "e2_embed_search" -> embedSearchSql,
+
+      "mm_extract_features" -> mmFeaturesSql,
+
       "pipeline_curate" -> curateSql,
 
       "t_tfidf" ->
@@ -1144,11 +1169,20 @@ object SparkEntry {
        |AND d.doc_id NOT IN (SELECT b FROM ($minhashLshSql) p)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** md5 hex nibble j (1-based) of column `m` as BIGINT — DuckDB's
+    * strpos parse, exactly what conv() computes in Spark. */
+  private def mdNib(j: Int): String =
+    s"CAST(strpos('0123456789abcdef', substr(m, $j, 1)) - 1 AS BIGINT)"
+
+  /** First-8-hex-chars value of md5 column `m` (the bucket hash). */
+  private def mdValue: String =
+    (1 to 8).map(j => s"${mdNib(j)} * ${1L << (4 * (8 - j))}").mkString(" + ")
+
   /** Hashing-embedder oracle: md5-hex → bucket/sign parsed per nibble
     * with strpos (DuckDB) exactly as conv() parses it in Spark. */
   private def embedOracleSql: String = {
-    def nib(j: Int) = s"CAST(strpos('0123456789abcdef', substr(m, $j, 1)) - 1 AS BIGINT)"
-    val value = (1 to 8).map(j => s"${nib(j)} * ${1L << (4 * (8 - j))}").mkString(" + ")
+    def nib(j: Int) = mdNib(j)
+    val value = mdValue
     val comps = (0 until 8).map(i =>
       s"sum(CASE WHEN bucket = $i THEN c ELSE 0 END) AS c$i").mkString(",\n")
     val outs = (0 until 8).map(i =>
@@ -1168,6 +1202,58 @@ object SparkEntry {
        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** E2 search oracle: the md5-count embedder for every doc, the query's
+    * count vector generated driver-side from the SAME Scala hash
+    * ([[graft.functions.HashingEmbedder.md5CountsLocal]]) and inlined as
+    * VALUES. All counts are exact integers, so dot/norm sums are
+    * order-independent and the final 1 - dot/(nd*nq) rounds identically
+    * in both engines. */
+  private def embedSearchSql: String = {
+    val qc = HashingEmbedder.md5CountsLocal(EmbedQueryText, 64)
+    val qNormSq = qc.map(c => c * c).sum
+    val qVals = qc.zipWithIndex.collect {
+      case (c, b) if c != 0.0 => s"($b, $c)"
+    }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(t) AS m FROM tok WHERE t <> ''),
+       |bs AS (SELECT doc_id, ($mdValue) % 64 AS bucket,
+       |  CASE WHEN (${mdNib(9)}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+       |c AS (SELECT doc_id, bucket, sum(sign) AS c FROM bs GROUP BY 1, 2),
+       |nd AS (SELECT doc_id, sum(c*c) AS nsq FROM c GROUP BY 1),
+       |qv AS (SELECT * FROM (VALUES $qVals) AS t(bucket, qc)),
+       |dp AS (SELECT c.doc_id, sum(c.c * qv.qc) AS dotv
+       |  FROM c JOIN qv ON c.bucket = qv.bucket GROUP BY 1)
+       |SELECT d.doc_id AS doc_id,
+       |  1.0 - coalesce(dp.dotv, 0.0) /
+       |    (sqrt(coalesce(nd.nsq, 0.0)) * sqrt($qNormSq)) AS dist
+       |FROM documents d
+       |LEFT JOIN nd ON d.doc_id = nd.doc_id
+       |LEFT JOIN dp ON d.doc_id = dp.doc_id
+       |ORDER BY dist ASC, d.doc_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** Multimodal feature oracle: the byte-histogram stub codec re-derived
+    * from characters (ord == byte on the ASCII corpus), normalized by
+    * greatest(norm, 1) exactly as FakeCodec does, rounded through REAL to
+    * match the float32 features. */
+  private def mmFeaturesSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+      |  FROM documents),
+      |hb AS (SELECT doc_id, ord(substr(text, i, 1)) % 16 AS bucket FROM pos),
+      |h AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c
+      |  FROM hb GROUP BY 1, 2),
+      |n AS (SELECT doc_id, greatest(sqrt(sum(c*c)), 1.0) AS nm FROM h GROUP BY 1),
+      |grid AS (SELECT doc_id, unnest(generate_series(0, 15)) AS bucket FROM documents)
+      |SELECT g.doc_id AS doc_id, CAST(g.bucket AS BIGINT) AS bucket,
+      |  CAST(CAST(coalesce(h.c, 0.0) / coalesce(n.nm, 1.0) AS REAL) AS DOUBLE) AS feature
+      |FROM grid g
+      |LEFT JOIN h ON g.doc_id = h.doc_id AND g.bucket = h.bucket
+      |LEFT JOIN n ON g.doc_id = n.doc_id
+      |ORDER BY g.doc_id, g.bucket""".stripMargin
 
   /** Language-ID oracle generated from TextFunctions.langMarkers so the
     * marker sets can never drift between engine and oracle. */

@@ -32,7 +32,7 @@ object HashingEmbedder {
     * aggregate columns generated multi-MB whole-stage code — 7s+ per
     * query even on one row, all codegen overhead. A single dense-buffer
     * aggregator keeps the plan O(1) in `dim`.) */
-  private final class DenseVecAgg(dim: Int)
+  private final class DenseVecAgg(dim: Int, normalize: Boolean = true)
       extends org.apache.spark.sql.expressions.Aggregator[(Int, Double), Array[Double], Seq[Float]] {
     override def zero: Array[Double] = new Array[Double](dim)
     override def reduce(b: Array[Double], a: (Int, Double)): Array[Double] = {
@@ -42,11 +42,16 @@ object HashingEmbedder {
       var i = 0; while (i < dim) { x(i) += y(i); i += 1 }; x
     }
     override def finish(b: Array[Double]): Seq[Float] = {
-      var s = 0.0
+      val out = new Array[Float](dim)
       var i = 0
+      if (!normalize) {
+        // raw signed counts — exact small integers, float-exact
+        while (i < dim) { out(i) = b(i).toFloat; i += 1 }
+        return out.toSeq
+      }
+      var s = 0.0
       while (i < dim) { s += b(i) * b(i); i += 1 }
       val n = if (s == 0.0) 1.0 else math.sqrt(s)
-      val out = new Array[Float](dim)
       i = 0
       while (i < dim) { out(i) = (b(i) / n).toFloat; i += 1 }
       out.toSeq
@@ -68,20 +73,48 @@ object HashingEmbedder {
   def embed(df: DataFrame, idCol: String, textCol: String,
             dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val tok = explode(split(lower(col(textCol)), "\\s+"))
     val tokens = df
-      .select(col(idCol).cast("string").as("__eid"), tok.as("__tok"))
+      .select(col(idCol).cast("string").as("__eid"),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
       .filter(col("__tok") =!= "")
       .select(col("__eid"),
         pmod(xxhash64(col("__tok")), lit(dim)).cast("int").as("__bucket"),
         when(pmod(xxhash64(concat(lit("sign|"), col("__tok"))), lit(2)) === 0, lit(1.0))
           .otherwise(lit(-1.0)).as("__sign"))
+    aggTokens(df, idCol, tokens, dim, outCol, normalize = true)
+  }
+
+  /** md5-variant UNNORMALIZED signed-count embedding: bucket = (64-bit
+    * int of the first 8 hex chars of md5(token)) mod dim, sign = parity
+    * of the 9th hex nibble — every step exists identically in ANSI-ish
+    * SQL, and the raw counts are exact small integers, so any arithmetic
+    * over them (dots, norms, cosine) is order-independent and
+    * oracle-checkable bit-for-bit. Cosine over the raw counts equals
+    * cosine over the normalized vectors mathematically AND avoids the
+    * float-rounding of the normalized components. */
+  def embedMd5Counts(df: DataFrame, idCol: String, textCol: String,
+                     dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val digest = md5(col("__tok"))
+    val tokens = df
+      .select(col(idCol).cast("string").as("__eid"),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col("__eid"),
+        (conv(substring(digest, 1, 8), 16, 10).cast("long") % dim).cast("int").as("__bucket"),
+        when(conv(substring(digest, 9, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
+          .otherwise(lit(-1.0)).as("__sign"))
+    aggTokens(df, idCol, tokens, dim, outCol, normalize = false)
+  }
+
+  private def aggTokens(df: DataFrame, idCol: String, tokens: DataFrame,
+                        dim: Int, outCol: String, normalize: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val withVec = tokens.as[(String, Int, Double)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
-      .agg(new DenseVecAgg(dim).toColumn.name("__emb"))
+      .agg(new DenseVecAgg(dim, normalize).toColumn.name("__emb"))
       .toDF("__eid", "__emb")
     // left join under an internal name, then surface as outCol — a
     // pre-existing outCol column on df is replaced, not made ambiguous.
@@ -91,6 +124,27 @@ object HashingEmbedder {
       .drop("__eid")
       .withColumn(outCol, coalesce(col("__emb"), typedLit(Seq.fill(dim)(0.0f))))
       .drop("__emb")
+  }
+
+  /** Driver-side twin of [[embedMd5Counts]]'s per-token hash — shared
+    * with the oracle-SQL generator so engine and oracle can't drift. */
+  def md5BucketSign(token: String, dim: Int): (Int, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(token.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bucket = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % dim).toInt
+    val sign = if (Character.digit(hex.charAt(8), 16) % 2 == 0) 1 else -1
+    (bucket, sign)
+  }
+
+  /** Driver-side md5-variant count vector of one text (query embedding
+    * for [[embedMd5Counts]] corpora; exact integers). */
+  def md5CountsLocal(text: String, dim: Int = DefaultDim): Array[Double] = {
+    val out = new Array[Double](dim)
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+      val (b, s) = md5BucketSign(t, dim)
+      out(b) += s
+    }
+    out
   }
 
   /** E1 single-text path (driver convenience; used by tests/serving). */

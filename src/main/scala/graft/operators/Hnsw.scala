@@ -266,36 +266,118 @@ object Hnsw {
       .as[(Int, Long, Int, Long)]
     val local = vds.groupByKey(_._1).cogroup(eds.groupByKey(_._1)) {
       (pid, vs, es) =>
-        val g = new LocalGraph(params, new scala.util.Random(params.seed + pid))
-        vs.foreach { case (_, id, emb) => g.vectors(id) = emb.toArray }
-        val adj = mutable.LongMap.empty[mutable.Map[Int, mutable.ArrayBuffer[Long]]]
-        var top = -1
-        es.foreach { case (_, src, level, dst) =>
-          adj.getOrElseUpdate(src, mutable.Map.empty)
-            .getOrElseUpdate(level, mutable.ArrayBuffer.empty) += dst
-          if (level > top) top = level
-        }
-        g.vectors.keysIterator.foreach { id =>
-          val byLevel = adj.getOrElse(id, mutable.Map.empty)
-          val maxL = if (byLevel.isEmpty) 0 else byLevel.keysIterator.max + 1
-          g.neighbors(id) = Array.tabulate(math.max(maxL, 1))(l =>
-            byLevel.getOrElse(l, mutable.ArrayBuffer.empty))
-        }
-        // entry = highest-level node, lowest id on ties (hnsw.py:250-269)
-        if (g.vectors.nonEmpty) {
-          val (ep, lvl) = g.vectors.keysIterator
-            .map(id => (id, g.neighbors(id).length - 1))
-            .foldLeft((-1L, -1)) { case ((bi, bl), (i, l)) =>
-              if (l > bl || (l == bl && (bi < 0 || i < bi))) (i, l) else (bi, bl)
-            }
-          g.entryPoint = ep
-          g.maxLevel = lvl
-        }
+        val g = reconstruct(pid, params,
+          vs.map { case (_, id, emb) => (id, emb.toArray) },
+          es.map { case (_, src, level, dst) => (src, level, dst) })
         bq.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) }
         }
     }.toDF("query_id", "id", "dist")
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist").asc, col("id").asc)
     local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Rebuild one shard's graph from its vectors + persisted adjacency;
+    * entry point re-elected as the highest-level node, lowest id on ties
+    * (the reference's re-election rule, hnsw.py:250-269). */
+  private def reconstruct(pid: Int, params: Params,
+                          vecs: Iterator[(Long, Array[Float])],
+                          es: Iterator[(Long, Int, Long)]): LocalGraph = {
+    val g = new LocalGraph(params, new scala.util.Random(params.seed + pid))
+    vecs.foreach { case (id, emb) => g.vectors(id) = emb }
+    val adj = mutable.LongMap.empty[mutable.Map[Int, mutable.ArrayBuffer[Long]]]
+    es.foreach { case (src, level, dst) =>
+      adj.getOrElseUpdate(src, mutable.Map.empty)
+        .getOrElseUpdate(level, mutable.ArrayBuffer.empty) += dst
+    }
+    g.vectors.keysIterator.foreach { id =>
+      val byLevel = adj.getOrElse(id, mutable.Map.empty)
+      val maxL = if (byLevel.isEmpty) 0 else byLevel.keysIterator.max + 1
+      g.neighbors(id) = Array.tabulate(math.max(maxL, 1))(l =>
+        byLevel.getOrElse(l, mutable.ArrayBuffer.empty))
+    }
+    if (g.vectors.nonEmpty) {
+      val (ep, lvl) = g.vectors.keysIterator
+        .map(id => (id, g.neighbors(id).length - 1))
+        .foldLeft((-1L, -1)) { case ((bi, bl), (i, l)) =>
+          if (l > bl || (l == bl && (bi < 0 || i < bi))) (i, l) else (bi, bl)
+        }
+      g.entryPoint = ep
+      g.maxLevel = lvl
+    }
+    g
+  }
+
+  /** B1 incremental (the reference's live-graph insert, hnsw.py:143-225):
+    * insert a batch of NEW vectors into persisted shard graphs and emit
+    * the updated edges table — no full rebuild. Each new row is routed to
+    * its shard by the same hash as [[buildEdges]]; the shard graph is
+    * reconstructed from its edges, the batch inserted in sorted-id order
+    * (deterministic), and the whole shard's adjacency re-emitted. Ids
+    * already present in the graph are idempotent no-ops (hnsw.py:152-155
+    * — changed vectors require delete + insert).
+    *
+    * Scale: the shuffle carries each shard's vectors + adjacency once per
+    * batch — the right trade when batches are much smaller than the
+    * corpus (the streaming-flush shape); for bulk loads prefer
+    * [[buildEdges]]. `numPartitions` must match the build. */
+  def insertEdges(edges: DataFrame, vectors: DataFrame, newRows: DataFrame,
+                  idCol: String, embCol: String, numPartitions: Int = 0,
+                  params: Params = Params()): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    def keyed(df: DataFrame, isNew: Boolean) = df
+      .select(pmod(hash(col(idCol).cast("long")), lit(parts)).as("pid"),
+        col(idCol).cast("long").as("id"), col(embCol).as("emb"),
+        lit(isNew).as("is_new"))
+    val vds = keyed(vectors, isNew = false)
+      .unionByName(keyed(newRows, isNew = true))
+      .as[(Int, Long, Seq[Float], Boolean)]
+    val eds = edges.select(col("partition_id").cast("int"),
+        col("src").cast("long"), col("level").cast("int"), col("dst").cast("long"))
+      .as[(Int, Long, Int, Long)]
+    vds.groupByKey(_._1).cogroup(eds.groupByKey(_._1)) { (pid, vs, es) =>
+      val fresh = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      val existing = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      vs.foreach { case (_, id, emb, isNew) =>
+        if (isNew) fresh += ((id, emb.toArray)) else existing += ((id, emb.toArray))
+      }
+      val g = reconstruct(pid, params, existing.iterator,
+        es.map { case (_, src, level, dst) => (src, level, dst) })
+      fresh.sortInPlaceBy(_._1).foreach { case (id, v) => g.insert(id, v) }
+      g.neighbors.iterator.flatMap { case (src, levels) =>
+        levels.iterator.zipWithIndex.flatMap { case (nbs, level) =>
+          nbs.iterator.map(dst => (pid, src, level, dst))
+        }
+      }
+    }.toDF("partition_id", "src", "level", "dst")
+  }
+
+  /** Streaming-flush hook (B10 → B1): bring a persisted edges snapshot up
+    * to date with the current vector snapshot by inserting only the ids
+    * the graph hasn't seen — the incremental analog of the reference's
+    * per-flush index save (indexing_service.py:77-89). First flush builds
+    * from scratch. Publish is crash-safe ([[graft.core.SnapshotIO]]). */
+  def refreshEdges(vectors: DataFrame, edgesDir: String, idCol: String,
+                   embCol: String, numPartitions: Int,
+                   params: Params = Params()): Unit = {
+    val spark = vectors.sparkSession
+    val updated = graft.core.SnapshotIO.read(spark, edgesDir) match {
+      case None => buildEdges(vectors, idCol, embCol, params, numPartitions)
+      case Some(edges) =>
+        // known = every id the graph has adjacency for (edge-isolated
+        // nodes of single-node shards simply re-insert — idempotent);
+        // the existing/fresh split must be disjoint: a fresh id loaded
+        // as "existing" would make its insert a no-op and leave it
+        // permanently unlinked
+        val known = edges.select(col("src").as("__known")).distinct()
+        val onId = vectors(idCol).cast("long") === col("__known")
+        val fresh = vectors.join(known, onId, "left_anti")
+        val linked = vectors.join(known, onId, "left_semi")
+        insertEdges(edges, linked, fresh, idCol, embCol, numPartitions, params)
+    }
+    graft.core.SnapshotIO.publish(updated, edgesDir)
   }
 }

@@ -78,6 +78,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(z.length == 32 && z.forall(_ == 0.0f))
   }
 
+  test("md5-count embedder: distributed path equals the driver-side twin") {
+    val texts = Seq((0L, "the quick brown fox is one of the animals"),
+      (1L, "spark table scan fast query"), (2L, ""))
+    val s = spark
+    import s.implicits._
+    val cdf = texts.toDF("doc_id", "text")
+    val vecs = HashingEmbedder.embedMd5Counts(cdf, "doc_id", "text", dim = 32)
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    texts.foreach { case (id, t) =>
+      val local = HashingEmbedder.md5CountsLocal(t, 32).map(_.toFloat).toSeq
+      assert(vecs(id) == local, s"doc $id distributed != local")
+    }
+    // counts are raw integers (unnormalized)
+    assert(vecs(0L).forall(x => x == math.rint(x)))
+  }
+
   test("hashing embedder groups by non-numeric ids without loss") {
     val s = spark
     import s.implicits._
