@@ -459,6 +459,41 @@ object SparkEntry {
         .orderBy(col("dist").asc, col("vec_id").asc)
     }),
 
+    // ---- O7 × O3: metadata filter composed below the HNSW path
+    // (test_search_api.py:149-172 exclusion semantics). The filter
+    // applies before graph construction, so each per-shard graph holds
+    // only matching rows; with ef far above every filtered shard the
+    // beam is exhaustive and the exact shard merge equals exact
+    // filtered kNN — oracle-checked. Pruned-setting recall is gated in
+    // HnswSpec.
+    "o7_hnsw_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      Hnsw.search(emb, "vec_id", "embedding", q, k = 10, ef = 200,
+          Hnsw.Params(m = 8, efConstruction = 50),
+          filter = Some(col("label") === 3))
+        .select(col("id").as("vec_id"), col("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    }),
+
+    // ---- O7 × O6-scale-path: metadata filter composed below banded
+    // LSH. At 32×4 with 2-bit multi-probe each table probes 11 of 16
+    // buckets — the chance any row escapes all 32 tables is (5/16)^32,
+    // so the candidate set provably covers the filtered corpus and the
+    // exact filtered-kNN SQL is its oracle.
+    "o7_lsh_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val model = Lsh.fitBanded(dim = 64, bitsPerTable = 4, nTables = 32)
+      Lsh.search(Lsh.assign(emb, "embedding", model), model, "vec_id",
+          "embedding", q, k = 10, probeBits = 2,
+          filter = Some(col("label") === 3))
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    }),
+
     // ---- LSH-bucketed embedding near-dup (the corpus-scale candidate
     // generator): 32 tables × 4 bits recovers the full exact pair set at
     // threshold 0.45 on this data, so it shares the exact-pairs oracle.
@@ -475,6 +510,22 @@ object SparkEntry {
           Hnsw.Params(m = 8, efConstruction = 50), numPartitions = 4)
         .groupBy("level").agg(count(lit(1)).as("n_edges"))
         .orderBy("level")),
+
+    // ---- B1 incremental: insert a batch into persisted shard graphs
+    // (no full rebuild — the reference's live-graph insert,
+    // hnsw.py:143-225) and report the updated edge histogram (rows-only;
+    // the incremental ≡ rebuild recall contract is gated in HnswSpec)
+    "b1_hnsw_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val params = Hnsw.Params(m = 8, efConstruction = 50)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val edges = Hnsw.buildEdges(base, "vec_id", "embedding", params, numPartitions = 4)
+      Hnsw.insertEdges(edges, base, batch, "vec_id", "embedding",
+          numPartitions = 4, params)
+        .groupBy("level").agg(count(lit(1)).as("n_edges"))
+        .orderBy("level")
+    }),
 
     // ---- B10: streaming ingest — watermark-free complete-mode hourly
     // rollup over the events stream; must equal the batch oracle exactly
@@ -764,6 +815,19 @@ object SparkEntry {
            |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
       "o7_knn_filtered" ->
+        s"""$cte SELECT e.vec_id AS vec_id, CAST(e.label AS BIGINT) AS label,
+           |${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q WHERE e.label = 3
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      // filtered HNSW/LSH both reduce to exact filtered kNN at these
+      // settings (exhaustive beam / near-total bucket coverage)
+      "o7_hnsw_filtered" ->
+        s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q WHERE e.label = 3
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      "o7_lsh_filtered" ->
         s"""$cte SELECT e.vec_id AS vec_id, CAST(e.label AS BIGINT) AS label,
            |${l2("e.embedding", "q.qe")} AS dist
            |FROM embeddings e CROSS JOIN q WHERE e.label = 3

@@ -201,13 +201,20 @@ object Hnsw {
     * Queries are broadcast (small side). */
   def searchBatch(df: DataFrame, idCol: String, embCol: String,
                   queries: Seq[(Long, Array[Float])], k: Int, ef: Int = 50,
-                  params: Params = Params(), numPartitions: Int = 0): DataFrame = {
+                  params: Params = Params(), numPartitions: Int = 0,
+                  filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     val bq = spark.sparkContext.broadcast(queries)
-    val local = df.select(col(idCol).cast("long"), col(embCol))
+    // pre-filtering (the reference's exclusion semantics,
+    // test_search_api.py:149-172: non-matching docs must NEVER appear):
+    // the predicate composes before the graph is built, so it pushes into
+    // the scan and filtered-out ids are structurally absent — zero
+    // violations by construction, and the beam never wastes width on them
+    val local = filter.fold(df)(df.filter)
+      .select(col(idCol).cast("long"), col(embCol))
       .repartition(parts, col(idCol))
       .mapPartitions { rows =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -222,8 +229,10 @@ object Hnsw {
 
   /** Single-query convenience (reference /search path). */
   def search(df: DataFrame, idCol: String, embCol: String, query: Seq[Float],
-             k: Int, ef: Int = 50, params: Params = Params()): DataFrame =
-    searchBatch(df, idCol, embCol, Seq((0L, query.toArray)), k, ef, params)
+             k: Int, ef: Int = 50, params: Params = Params(),
+             filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    searchBatch(df, idCol, embCol, Seq((0L, query.toArray)), k, ef, params,
+        filter = filter)
       .drop("query_id")
 
   /** B2: delete = filter; searches tolerate dangling ids by construction

@@ -114,6 +114,63 @@ object Ivf {
       .sortBy(identity).take(nProbe).map(_._2).toSeq
   }
 
+  /** Centroid-drift metric for streaming maintenance: mean L2 distance
+    * between the model's centroids and centroids re-estimated from the
+    * currently assigned rows. Incremental adds assign to stale centroids
+    * (B5, ivf.py:108-113) — this measures how stale, so callers can
+    * trigger an explicit re-train instead of guessing.
+    *
+    * One distributed aggregation (explode to (cluster, pos) cells,
+    * shuffle carries k×dim partial means); only the k×dim mean matrix
+    * reaches the driver. `fraction` < 1 samples the scan — at corpus
+    * scale a small seeded sample estimates drift just as well. Empty
+    * clusters contribute nothing (no data ⇒ no evidence of drift). */
+  def drift(assigned: DataFrame, model: Model, fraction: Double = 1.0,
+            seed: Long = 42L): Double = {
+    val dim = model.centroids.headOption.map(_.length).getOrElse(0)
+    val base = if (fraction >= 1.0) assigned
+      else assigned.sample(withReplacement = false, fraction, seed)
+    val est = base
+      .select(col(ClusterCol),
+        posexplode(col(model.embCol)).as(Seq("__pos", "__v")))
+      .groupBy(ClusterCol, "__pos").agg(avg(col("__v")).as("__m"))
+      .collect()
+    val means = Array.fill(model.k)(new Array[Double](dim))
+    val seen = new Array[Boolean](model.k)
+    est.foreach { r =>
+      val c = r.getInt(0)
+      means(c)(r.getInt(1)) = r.getDouble(2)
+      seen(c) = true
+    }
+    val shifts = model.centroids.indices.filter(seen).map { c =>
+      var s = 0.0; var i = 0
+      while (i < dim) {
+        val d = model.centroids(c)(i).toDouble - means(c)(i); s += d * d; i += 1
+      }
+      math.sqrt(s)
+    }
+    if (shifts.isEmpty) 0.0 else shifts.sum / shifts.length
+  }
+
+  /** Streaming maintenance step (B5 + explicit re-train trigger): assign
+    * the snapshot with the possibly-stale model; when mean centroid
+    * drift exceeds `driftThreshold`, re-train (B4) and re-assign.
+    * Returns (assigned rows, current model, whether a rebuild fired) —
+    * wire it into `StreamingIngest.upsertStream(onFlush = ...)` as the
+    * index-refresh analog of the reference's threshold save
+    * (indexing_service.py:77-89). */
+  def maintain(snapshot: DataFrame, model: Model, k: Int,
+               driftThreshold: Double, seed: Long = 42L,
+               driftFraction: Double = 1.0,
+               sampleSize: Int = DefaultSampleSize): (DataFrame, Model, Boolean) = {
+    val assigned = assign(snapshot, model)
+    val d = drift(assigned, model, driftFraction, seed)
+    if (d > driftThreshold) {
+      val (re, m2) = build(snapshot, model.embCol, k, seed, sampleSize = sampleSize)
+      (re, m2, true)
+    } else (assigned, model, false)
+  }
+
   /** B6: delete by id — tombstone-free filter rewrite (SURVEY B2/B6). */
   def delete(assigned: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
     assigned.filter(!col(idCol).isin(ids: _*))

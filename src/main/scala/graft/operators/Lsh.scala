@@ -106,13 +106,18 @@ object Lsh {
     * survivors. Per-table probe count is 1 + b + C(b,2) at the default
     * `probeBits = 2` — a fixed, tiny fraction of the 2^b buckets. */
   def search(assigned: DataFrame, model: Model, idCol: String, embCol: String,
-             query: Seq[Float], k: Int, probeBits: Int = 2): DataFrame = {
+             query: Seq[Float], k: Int, probeBits: Int = 2,
+             filter: Option[Column] = None): DataFrame = {
     val sigs = signatures(query, model)
     val cond = (0 until model.nTables).map { t =>
       col(SigsCol).getItem(t)
         .isin(probes(sigs(t), model.bitsPerTable, probeBits): _*)
     }.reduce(_ || _)
-    Search.knnExact(assigned.filter(cond), idCol, embCol, query, k)
+    // metadata pre-filter composes WITH the bucket probe (both conjuncts
+    // reach the scan): filtered-out rows are structurally excluded —
+    // the reference's exclusion contract (test_search_api.py:149-172)
+    val base = filter.fold(assigned)(assigned.filter)
+    Search.knnExact(base.filter(cond), idCol, embCol, query, k)
   }
 
   /** Near-duplicate candidate pairs with exact cosine rerank: ids are

@@ -111,6 +111,87 @@ class HnswSpec extends SparkSpec {
     assert(fromEdges.exists { case (q, _, id, d) => q == 0L && id == 5L && d < 1e-6 })
   }
 
+  test("filtered search: zero exclusion violations, recall >= 0.7 on the filtered subset") {
+    // reference filter contract (test_search_api.py:149-172): the
+    // predicate composes BEFORE graph construction, so non-matching ids
+    // are structurally absent; recall is vs exact kNN on the subset
+    val s = spark
+    import s.implicits._
+    val data = corpus(200, 16)
+    val df = data.map { case (id, v) => (id, v, (id % 4).toInt) }
+      .toDF("id", "embedding", "label")
+    val filt = col("label") === 1
+    val fdf = df.filter(filt)
+    val params = Hnsw.Params(m = 8, efConstruction = 50)
+    val queries = (0 until 10).map(i => (i.toLong, data(i * 17 % 200)._2))
+    val res = Hnsw.searchBatch(df, "id", "embedding", queries, k = 5, ef = 50,
+      params, filter = Some(filt)).collect()
+    res.foreach(r => assert(r.getAs[Long]("id") % 4 == 1,
+      s"filter violation: id ${r.getAs[Long]("id")}"))
+    val byQ = res.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    val good = queries.count { case (qid, qv) =>
+      val exact = Search.knnExact(fdf, "id", "embedding", qv.toSeq, 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+      exact.intersect(byQ(qid)).size.toDouble / 5 >= 0.7
+    }
+    assert(good >= 8, s"only $good/10 filtered queries reached recall 0.7")
+  }
+
+  test("incremental insertEdges: new batch searchable, recall matches full rebuild") {
+    // the reference inserts into a live graph (hnsw.py:143-225); the
+    // engine's analog inserts a batch into persisted shard graphs with
+    // no full rebuild — acceptance is the reference's recall contract,
+    // plus the inserted ids must actually be reachable
+    val data = corpus(150, 16)
+    val base = toDF(data.take(100))
+    val batch = toDF(data.drop(100))
+    val all = toDF(data)
+    val params = Hnsw.Params(m = 8, efConstruction = 50)
+    val parts = 4
+    val edges0 = Hnsw.buildEdges(base, "id", "embedding", params, parts)
+    val edges1 = Hnsw.insertEdges(edges0, base, batch, "id", "embedding", parts, params)
+    // every inserted id has adjacency in the updated graph
+    val srcs = edges1.select("src").distinct().collect().map(_.getLong(0)).toSet
+    (100L until 150L).foreach(id => assert(srcs.contains(id), s"inserted id $id has no edges"))
+    val queries = (0 until 10).map(i => (i.toLong, data(i * 13 % 150)._2))
+    val approx = Hnsw.searchEdges(edges1, all, "id", "embedding", queries,
+        k = 5, ef = 50, parts, params)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    val good = queries.count { case (qid, qv) =>
+      val exact = Search.knnExact(all, "id", "embedding", qv.toSeq, 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+      exact.intersect(approx(qid)).size.toDouble / 5 >= 0.7
+    }
+    assert(good >= 8, s"only $good/10 queries reached recall 0.7 after incremental insert")
+    // a query ON a new vector finds it at distance ~0
+    val self = Hnsw.searchEdges(edges1, all, "id", "embedding",
+      Seq((0L, data(120)._2)), k = 1, ef = 50, parts, params).collect()
+    assert(self.head.getAs[Long]("id") == 120L && self.head.getAs[Double]("dist") < 1e-6)
+    // re-inserting already-present ids is a no-op (idempotent, hnsw.py:152-155)
+    val edges2 = Hnsw.insertEdges(edges1, all, batch, "id", "embedding", parts, params)
+    assert(edges2.count() == edges1.count())
+  }
+
+  test("refreshEdges: snapshot catch-up builds then inserts only unseen ids") {
+    val data = corpus(120, 8)
+    val params = Hnsw.Params(m = 8, efConstruction = 40)
+    val parts = 2
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-refresh").toString + "/edges"
+    val v1 = toDF(data.take(80))
+    Hnsw.refreshEdges(v1, dir, "id", "embedding", parts, params) // first flush: full build
+    val n1 = spark.read.parquet(dir).count()
+    assert(n1 > 0)
+    val v2 = toDF(data)
+    Hnsw.refreshEdges(v2, dir, "id", "embedding", parts, params) // catch-up: 40 new ids
+    val edges = spark.read.parquet(dir)
+    assert(edges.count() > n1)
+    val res = Hnsw.searchEdges(edges, v2, "id", "embedding",
+      Seq((0L, data(100)._2)), k = 3, ef = 40, parts, params).collect()
+    assert(res.head.getAs[Long]("id") == 100L && res.head.getAs[Double]("dist") < 1e-6)
+  }
+
   test("persisted edges search works for non-bigint id columns") {
     // murmur3 hashes int and long inputs differently: searchEdges must
     // shard on the CASTED long (as buildEdges does) or every vector of

@@ -60,6 +60,46 @@ class IvfSpec extends SparkSpec {
     assert(hits >= 7, s"only $hits/10 queries hit recall >= 0.6")
   }
 
+  test("recall >= 0.6 vs brute force at n_probe = k/2 (pruned probe)") {
+    // the reference's recall bar (test_ivf.py:150-167) at a genuinely
+    // pruned setting — half the clusters are never scanned
+    val data = corpus(200, 16)
+    val df = toDF(data).cache()
+    val (assigned, model) = Ivf.build(df, "embedding", k = 8)
+    val cached = assigned.cache()
+    val hits = (0 until 10).count { qi =>
+      val q = data(qi * 7 % 200)._2.toSeq
+      val exact = Search.knnExact(df, "id", "embedding", q, 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val approx = Ivf.search(cached, model, "id", q, nProbe = 4, topK = 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size.toDouble / 5 >= 0.6
+    }
+    assert(hits >= 7, s"only $hits/10 queries hit recall >= 0.6 at nProbe=k/2")
+  }
+
+  test("drift: near zero on stationary data, large after a shift, maintain() fires") {
+    val data = corpus(200, 8)
+    val df = toDF(data)
+    val (assigned, model) = Ivf.build(df, "embedding", k = 4)
+    val d0 = Ivf.drift(assigned, model)
+    // centroids were trained on exactly this data: re-estimated means are
+    // the converged Lloyd's means (sample == full data here)
+    assert(d0 < 0.15, s"stationary drift $d0 not near zero")
+    // shift the whole distribution by +5 in every dim
+    val shifted = df.withColumn("embedding",
+      transform(col("embedding"), v => (v + lit(5.0f)).cast("float")))
+    val shiftedAssigned = Ivf.assign(shifted, model)
+    val d1 = Ivf.drift(shiftedAssigned, model)
+    assert(d1 > 1.0, s"shifted drift $d1 unexpectedly small")
+    val (reassigned, m2, fired) = Ivf.maintain(shifted, model, k = 4, driftThreshold = 0.5)
+    assert(fired, "maintain must re-train past the threshold")
+    assert(Ivf.drift(reassigned, m2) < 0.15, "post-rebuild drift must collapse")
+    // sampled drift agrees in order of magnitude with the full scan
+    val dSampled = Ivf.drift(shiftedAssigned, model, fraction = 0.5)
+    assert(dSampled > 1.0)
+  }
+
   test("incremental add assigns to nearest centroid; delete removes") {
     val data = corpus(50, 8)
     val (assigned, model) = Ivf.build(toDF(data), "embedding", 4)

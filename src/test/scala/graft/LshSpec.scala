@@ -94,6 +94,34 @@ class LshSpec extends SparkSpec {
     assert(mean >= 0.7, s"mean search recall $mean < 0.7 (per-query: $recalls)")
   }
 
+  test("filtered search: zero exclusion violations, recall >= 0.7 on the filtered subset") {
+    // the reference's filter contract (test_search_api.py:149-172):
+    // non-matching docs must NEVER appear, and recall is measured
+    // against exact kNN over the matching subset only
+    val s = spark
+    import s.implicits._
+    val data = gaussCorpus(300, dim, seed = 21)
+    val df = data.map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("id", "embedding", "label")
+    val model = Lsh.fitBanded(dim, bitsPerTable = 8, nTables = 16, seed = 4)
+    val assigned = Lsh.assign(df, "embedding", model)
+    val filt = col("label") === 1
+    val fdf = df.filter(filt)
+    val recalls = (0 until 5).map { qi =>
+      val q = data(qi * 50 + 3)._2.toSeq
+      val res = Lsh.search(assigned, model, "id", "embedding", q, 10,
+        probeBits = 2, filter = Some(filt)).collect()
+      res.foreach(r => assert(r.getAs[Long]("id") % 3 == 1,
+        s"filter violation: id ${r.getAs[Long]("id")}"))
+      val exact = Search.knnExact(fdf, "id", "embedding", q, 10)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val approx = res.map(_.getAs[Long]("id")).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean filtered recall $mean < 0.7 (per-query: $recalls)")
+  }
+
   test("single-table model remains the L=1 special case of the banded path") {
     val data = gaussCorpus(60, dim, seed = 3)
     val model = Lsh.fit(dim, nBits = 6, seed = 9)

@@ -81,6 +81,80 @@ class StreamingSpec extends SparkSpec {
     assert(hits.head.getAs[Double]("dist") < 1e-6)
   }
 
+  test("drift maintenance: shifted distribution triggers rebuild, conservation holds") {
+    // B5 semantics assign new rows to stale centroids; Ivf.maintain
+    // measures the resulting centroid drift and fires an explicit
+    // re-train when it crosses the threshold — the streaming-ingest
+    // analog of the reference's "build() again is the re-train"
+    // guidance (ivf.py:87-117)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = Files.createTempDirectory("streamdrift").toString
+    val dim = 8
+    def vec(seed: Int, shift: Float): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextFloat() + shift)
+    }
+    val rebuilt = new java.util.concurrent.atomic.AtomicInteger(0)
+    var model: graft.operators.Ivf.Model = null
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    // batch 1: unit cube at the origin — train the initial model here
+    source.addData((0L until 40L).map(i => (i, vec(i.toInt, 0f))): _*)
+    val q1 = StreamingIngest.upsertStream(
+      source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
+      flushThreshold = 10, onFlush = _ => {
+        val snap = s.read.parquet(s"$tmp/snap")
+        if (model == null) model = graft.operators.Ivf.build(snap, "embedding", k = 4)._2
+        else {
+          val (_, m2, fired) = graft.operators.Ivf.maintain(
+            snap, model, k = 4, driftThreshold = 0.5)
+          model = m2
+          if (fired) rebuilt.incrementAndGet()
+          ()
+        }
+        ()
+      })
+    q1.awaitTermination()
+    assert(model != null && rebuilt.get() == 0)
+
+    // stationary batch: same distribution ⇒ no rebuild
+    source.addData((40L until 60L).map(i => (i, vec(i.toInt, 0f))): _*)
+    StreamingIngest.upsertStream(
+      source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
+      flushThreshold = 10, onFlush = _ => {
+        val snap = s.read.parquet(s"$tmp/snap")
+        val (_, m2, fired) = graft.operators.Ivf.maintain(
+          snap, model, k = 4, driftThreshold = 0.5)
+        model = m2
+        if (fired) rebuilt.incrementAndGet()
+        ()
+      }).awaitTermination()
+    assert(rebuilt.get() == 0, "stationary data must not trigger a rebuild")
+
+    // shifted batch: distribution moves by +5 in every dim ⇒ drift
+    // blows past the threshold ⇒ rebuild fires
+    source.addData((60L until 160L).map(i => (i, vec(i.toInt, 5f))): _*)
+    StreamingIngest.upsertStream(
+      source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
+      flushThreshold = 10, onFlush = _ => {
+        val snap = s.read.parquet(s"$tmp/snap")
+        val (assigned, m2, fired) = graft.operators.Ivf.maintain(
+          snap, model, k = 4, driftThreshold = 0.5)
+        model = m2
+        if (fired) {
+          rebuilt.incrementAndGet()
+          // cluster conservation after the re-train: every row assigned,
+          // totals preserved (ivf.py stats contract)
+          val stats = graft.operators.Ivf.clusterStats(assigned).collect().head
+          assert(stats.getAs[Long]("total") == snap.count())
+        }
+        ()
+      }).awaitTermination()
+    assert(rebuilt.get() == 1, "shifted distribution must trigger exactly one rebuild")
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val s = spark
     import s.implicits._
