@@ -1,0 +1,56 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.{Ivf, Search}
+import org.apache.spark.sql.functions._
+
+/** Recall/latency curve for the pruned IVF search paths (run manually;
+  * not part of the driver contract). For each n_probe setting, measures
+  * mean recall@k vs the exact kNN answer over `nQueries` held-out query
+  * vectors plus mean per-query latency — the documented evidence behind
+  * COVERAGE.md's recall curve and IvfSpec's n_probe=k/2 gate (the
+  * reference's acceptance style: a recall contract at a pruned setting,
+  * /root/reference/tests/indexing/test_ivf.py:150-167). */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val kClusters = if (args.length > 1) args(1).toInt else 16
+    val topK = 10
+    val nQueries = 20
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.embeddings(spark, dir).cache()
+    val n = emb.count()
+    val (assignedRaw, model) = Ivf.build(emb, "embedding", kClusters)
+    val assigned = assignedRaw.cache()
+    assigned.count()
+
+    val queries = emb.orderBy(col("vec_id")).limit(nQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+
+    val exact: Map[Long, Set[Long]] = queries.map { case (qid, q) =>
+      qid -> Search.knnExact(emb, "vec_id", "embedding", q, topK)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+
+    println(f"RECALL sf_dir=$dir n=$n k_clusters=$kClusters top_k=$topK queries=$nQueries")
+    println("n_probe  mean_recall  mean_latency_s")
+    for (nProbe <- Seq(1, 2, 4, kClusters / 2, kClusters).distinct.sorted) {
+      var recallSum = 0.0
+      val t0 = System.nanoTime()
+      queries.foreach { case (qid, q) =>
+        val got = Ivf.search(assigned, model, "vec_id", q, nProbe, topK)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        recallSum += got.intersect(exact(qid)).size.toDouble / topK
+      }
+      val lat = (System.nanoTime() - t0) / 1e9 / nQueries
+      println(f"$nProbe%7d  ${recallSum / nQueries}%11.3f  $lat%14.4f")
+    }
+    spark.stop()
+  }
+}

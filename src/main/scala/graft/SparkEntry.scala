@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Crud, Dedup, Hnsw, Ivf, Lsh, Multimodal, Pq, RangeJoin, Search, Sessionize}
+import graft.operators.{AsofJoin, Crud, Dedup, Hnsw, Ivf, Lsh, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -210,6 +210,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue).orderBy("a", "b")),
 
+    // ---- Dedup clustering: connected components over the Jaccard pair
+    // graph (iterative min-label propagation; oracle is a DuckDB
+    // recursive CTE over the identical pair SQL). Upgrades pair-based
+    // keep-first to transitive cluster-canonical semantics.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+        "text", n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue)
+      Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
     // ---- Dedup (SimHash): sign-sum fingerprint. The md5-bit variant is
     // cross-engine reproducible, so the full 64-bit fingerprint is
     // oracle-checked (the xxhash64 bigint variant stays library-side
@@ -239,6 +249,37 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
+
+    // ---- Text analysis: Gopher-style repetition signals (word-level
+    // dup fractions + top-bigram coverage; per-row scan, no shuffle)
+    "t_repetition" -> ((s, dir) => {
+      val sig = TextFunctions.repetitionSignals(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"), sig("n_tokens").as("n_tokens"),
+        sig("dup_word_frac").as("dup_word_frac"),
+        sig("dup_3gram_frac").as("dup_3gram_frac"),
+        sig("top_bigram_frac").as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Sampling: fixed-size per-stratum deterministic sample (the
+    // quota shape — exactly n per lang; WindowGroupLimit partial)
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedFixed(Tables.documents(s, dir), Seq("lang"), "doc_id", 20)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")),
+
+    // ---- Sampling: Bernoulli-by-hash (row-level agreement of the hash)
+    "sample_hash_frac" -> ((s, dir) =>
+      Sampling.hashFraction(Tables.documents(s, dir), "doc_id", 0.25)
+        .select("doc_id").orderBy("doc_id")),
+
+    // ---- Sampling: deterministic train/val/test split (weights chosen
+    // binary-exact so the cumulative cuts are bit-identical in SQL)
+    "sample_hash_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
 
     // ---- Text analysis: min-shingle document fingerprint
     "t_fingerprint" -> ((s, dir) =>
@@ -930,6 +971,38 @@ object SparkEntry {
           |WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5
           |ORDER BY a, b""".stripMargin,
 
+      // same pair CTE as dedup_ngram_jaccard, then min-label reachability:
+      // walk enumerates (node, label) states with label < node (the seed is
+      // (node, node)); the global component min always propagates because
+      // every node on a path from the min has a larger id than the min, so
+      // the w.comp < e.dst guard never blocks it — it only prunes labels
+      // that could never win the MIN
+      "dedup_clusters" ->
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ts)-2, 1)),
+          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
+          |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+          |inter AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT a, b FROM inter
+          |  JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+          |  WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5),
+          |edges AS (
+          |  SELECT a AS src, b AS dst FROM pairs
+          |  UNION SELECT b AS src, a AS dst FROM pairs),
+          |walk(id, comp) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, w.comp FROM walk w
+          |  JOIN edges e ON e.src = w.id WHERE w.comp < e.dst)
+          |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
       "ann_cosine_neardup" ->
         s"""SELECT x.vec_id AS a, y.vec_id AS b,
            |${cosineSim("x.embedding", "y.embedding")} AS cos_sim
@@ -992,6 +1065,55 @@ object SparkEntry {
       "t_langid" -> langIdSql,
 
       "t_quality" -> qualitySql,
+
+      // hash-uniform twin: first 8 md5 hex chars as u32 over 2^32, same
+      // expression Sampling.hashUniform computes via conv(_,16,10)
+      "sample_stratified" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          |    ORDER BY CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT),
+          |      doc_id) AS rn
+          |  FROM documents) t
+          |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+      "sample_hash_frac" ->
+        """SELECT doc_id FROM documents
+          |WHERE CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT)
+          |  / 4294967296.0 < 0.25
+          |ORDER BY doc_id""".stripMargin,
+
+      "sample_hash_split" ->
+        """SELECT split, count(*) AS n FROM (
+          |  SELECT CASE WHEN u < 0.75 THEN 'train'
+          |              WHEN u < 0.875 THEN 'val'
+          |              ELSE 'test' END AS split
+          |  FROM (SELECT CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT)
+          |    / 4294967296.0 AS u FROM documents) h) s
+          |GROUP BY split ORDER BY split""".stripMargin,
+
+      // word-level repetition twins of TextFunctions.repetitionSignals;
+      // same tokenization as the jaccard grams (regex whitespace split on
+      // lowered text), integer-count arithmetic cast to double at the end
+      "t_repetition" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+          |g AS (SELECT doc_id, t, len(t) AS n,
+          |  CASE WHEN len(t) >= 2 THEN list_transform(
+          |    generate_series(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1]))
+          |  ELSE [] END AS bg,
+          |  CASE WHEN len(t) >= 3 THEN list_transform(
+          |    generate_series(1, len(t)-2), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+          |  ELSE [] END AS g3
+          |  FROM toks)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          |  CASE WHEN n > 0 THEN CAST(n - len(list_distinct(t)) AS DOUBLE)
+          |    / CAST(n AS DOUBLE) ELSE 0.0 END AS dup_word_frac,
+          |  CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+          |    / CAST(len(g3) AS DOUBLE) ELSE 0.0 END AS dup_3gram_frac,
+          |  CASE WHEN len(bg) > 0 THEN CAST(list_max(list_transform(list_distinct(bg),
+          |    b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+          |    / CAST(len(bg) AS DOUBLE) ELSE 0.0 END AS top_bigram_frac
+          |FROM g ORDER BY doc_id""".stripMargin,
 
       "t_fingerprint" ->
         """SELECT doc_id, list_min(list_transform(

@@ -90,4 +90,43 @@ object TextFunctions {
       sequence(lit(1), greatest(length(t) - (shingle - 1), lit(1))),
       i => md5(t.substr(i, lit(shingle)))))
   }
+
+  /** Gopher-style repetition signals (word-level): the within-document
+    * repetition filters a corpus-curation pipeline runs alongside
+    * [[qualitySignals]] (Rae et al. 2021 §A1.1 use line/paragraph and
+    * top-n-gram fractions; these are their whitespace-token analogs).
+    * Per-row scans only — no shuffle, embarrassingly parallel:
+    *  - dup_word_frac: fraction of token positions occupied by repeats
+    *    of an earlier token,
+    *  - dup_3gram_frac: same over 3-gram positions,
+    *  - top_bigram_frac: fraction of bigram positions covered by the
+    *    single most frequent bigram (count only — no tie-break needed).
+    * Degenerate docs (< n tokens) score 0.0 by definition: nothing is
+    * repeated. The per-row top-bigram fold is O(tokens·distinct), fine
+    * for documents; chunk pathological multi-MB docs upstream. */
+  def repetitionSignals(text: Column): Map[String, Column] = {
+    val t = split(lower(text), "\\s+")
+    val n = size(t)
+    val emptyArr = array().cast("array<string>")
+    val bg = when(n >= 2, transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(emptyArr)
+    val g3 = when(n >= 3, transform(sequence(lit(1), n - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(emptyArr)
+    def dupFrac(arr: Column): Column =
+      when(size(arr) > 0,
+        (size(arr) - size(array_distinct(arr))).cast("double") / size(arr).cast("double"))
+        .otherwise(lit(0.0))
+    val topBigram =
+      when(size(bg) > 0,
+        array_max(transform(array_distinct(bg),
+          b => size(filter(bg, x => x === b)))).cast("double") / size(bg).cast("double"))
+        .otherwise(lit(0.0))
+    Map(
+      "n_tokens" -> n.cast("long"),
+      "dup_word_frac" -> dupFrac(t),
+      "dup_3gram_frac" -> dupFrac(g3),
+      "top_bigram_frac" -> topBigram)
+  }
 }

@@ -222,4 +222,59 @@ object Dedup {
       .filter(col("__na") > 0 && col("__nb") > 0 && col("cos_sim") >= threshold)
       .select("a", "b", "cos_sim")
   }
+
+  /** Connected components over an undirected near-dup pair graph:
+    * (id, comp) for every node that appears in a pair, where comp is
+    * the smallest id in the node's component. Pair-based keep-first
+    * removal (`a < b` ⇒ drop b) mis-handles chains — with pairs (1,2)
+    * and (2,3) but not (1,3), dropping 2 and 3 is only correct if 1~3
+    * transitively; components make that transitivity explicit, and the
+    * canonical representative (min id) is what a curation pipeline
+    * keeps per duplicate cluster.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels, until a
+    * fixpoint. Rounds = graph diameter; near-dup graphs are
+    * short-diameter (dup clusters are near-cliques), so this converges
+    * in a few rounds at any corpus size. Each round is one E-sized
+    * shuffle join + one V-sized aggregation — never all-pairs, no
+    * driver-side graph. Lineage is cut with localCheckpoint every
+    * round so plans stay O(1) deep regardless of iteration count. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIter: Int = 25): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    // symmetric closure; distinct keeps each round's join bounded by
+    // the true edge count even when the pair generator emits dups
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // labels flow across edges: each node's candidate = min neighbor label
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("nbr") < col("comp")).as("__chg"))
+      val mat = next.localCheckpoint()
+      changed = mat.filter(col("__chg")).count()
+      labels = mat.select("id", "comp")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster-canonical near-dup removal: keep every row whose id is its
+    * component's representative (min id), plus all rows outside the pair
+    * graph. The scale shape is one broadcast-or-shuffle anti-join
+    * against the non-canonical member set (|components| − |clusters|
+    * rows — far smaller than the corpus). */
+  def keepCanonical(df: DataFrame, idCol: String, components: DataFrame): DataFrame = {
+    val losers = components.filter(col("id") =!= col("comp"))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
 }

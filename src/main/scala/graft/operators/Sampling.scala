@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines. All
+  * randomness is hash-derived (md5 of the id + salt), so results are
+  * reproducible run-to-run, engine-independent (exact DuckDB twins —
+  * unlike `rand(seed)`, whose stream is engine-private), stable under
+  * repartitioning, and consistent for a given row across incremental
+  * runs — the properties corpus curation needs from a sampler.
+  *
+  * Scale design: hash-based filters are per-row scans (no shuffle);
+  * the fixed-size stratified sample is one window per stratum with a
+  * rank predicate Spark rewrites to a partial WindowGroupLimit (top-n
+  * retained map-side before the shuffle — the q_window_rank shape).
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) hash of `id` (+ salt): first 8 md5 hex chars as
+    * an unsigned 32-bit int over 2^32. Changing the salt draws an
+    * independent sample. */
+  def hashUniform(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Bernoulli-by-hash sample: keeps each row independently with
+    * probability `fraction`, deterministically in the row id. */
+  def hashFraction(df: DataFrame, idCol: String, fraction: Double,
+                   salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.filter(hashUniform(col(idCol), salt) < fraction)
+  }
+
+  /** Fixed-size per-stratum sample: the `n` rows with the smallest hash
+    * in each stratum (id tie-break for md5 collisions). Exactly n per
+    * stratum when the stratum has ≥ n rows — the quota-sampling contract
+    * `hashFraction` can't give. */
+  def stratifiedFixed(df: DataFrame, strata: Seq[String], idCol: String,
+                      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(hashUniform(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Deterministic dataset split (train/val/test …): labels each row by
+    * where its hash uniform falls among the cumulative `weights`
+    * (normalized; last split absorbs the remainder, so every row gets a
+    * label). A row's split never changes as the corpus grows — append-
+    * only pipelines can split incrementally without leakage. */
+  def splitColumn(id: Column, weights: Seq[(String, Double)],
+                  salt: String = ""): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be non-empty and positive, got $weights")
+    val total = weights.map(_._2).sum
+    val u = hashUniform(id, salt)
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    weights.init.zip(cuts.init).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), rest) => when(u < cut, lit(name)).otherwise(rest)
+    }
+  }
+}

@@ -161,4 +161,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bucketed.contains((0L, 100L))) // same vector ⇒ same cluster
   }
+
+  test("connected components: chains close transitively, min id is canonical") {
+    val s = spark
+    import s.implicits._
+    // two components: a 4-node chain 7-3-9-5 (min 3) and a triangle
+    // 10-11-12 with a pendant 13 (min 10); 2 is isolated (not in pairs)
+    val pairs = Seq((7L, 3L), (3L, 9L), (9L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 9L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("keepCanonical drops non-representative members, keeps everything else") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs)
+    val df = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(df, "doc_id", comp)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // 2,3 lose to canonical 1; 4 untouched
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    (0L until 400L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("id", "lang")
+  }
+
+  test("hashFraction: deterministic, near the target rate, salt-independent draws") {
+    val a = Sampling.hashFraction(corpus, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashFraction(corpus, "id", 0.25).collect().map(_.getLong(0)).toSet
+    assert(a == b) // rerun ⇒ identical sample
+    assert(math.abs(a.size - 100) < 40, s"got ${a.size}/400 at fraction 0.25")
+    val salted = Sampling.hashFraction(corpus, "id", 0.25, salt = "v2")
+      .collect().map(_.getLong(0)).toSet
+    assert(salted != a) // a new salt draws an independent sample
+    // subset property: raising the fraction only adds rows (hash is fixed)
+    val wider = Sampling.hashFraction(corpus, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+  }
+
+  test("stratifiedFixed: exact quota per stratum, capped by stratum size") {
+    val r = Sampling.stratifiedFixed(corpus, Seq("lang"), "id", 30)
+      .groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("en" -> 30L, "de" -> 30L))
+    // a stratum smaller than the quota returns whole
+    val tiny = Sampling.stratifiedFixed(corpus.filter(col("id") < 8), Seq("lang"), "id", 30)
+      .groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(tiny == Map("en" -> 2L, "de" -> 6L))
+  }
+
+  test("splitColumn: every row labeled, stable under corpus growth, ratios sane") {
+    val weights = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val labeled = corpus.select(col("id"),
+      Sampling.splitColumn(col("id"), weights).as("split")).cache()
+    val counts = labeled.groupBy("split").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(counts.values.sum == 400L)
+    assert(counts("train") > 250 && counts("train") < 350)
+    // a row's split never changes as the corpus grows: labels computed on
+    // the first half are a strict sub-map of labels on the whole
+    val half = corpus.filter(col("id") < 200).select(col("id"),
+      Sampling.splitColumn(col("id"), weights).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (k, v) => full(k) == v })
+    labeled.unpersist()
+  }
+
+  test("splitColumn rejects empty or non-positive weights") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq("a" -> 0.5, "b" -> -0.1))
+    }
+  }
+}

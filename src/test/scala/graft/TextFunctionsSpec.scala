@@ -107,4 +107,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(vecs("doc-a") == vecs("doc-b")) // same text, same vector
     assert(vecs("doc-a") != vecs("doc-c"))
   }
+
+  test("repetition signals: hand-computed fractions, degenerate docs score 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "a b a b a b"),        // 6 tokens {a,b}: dup_word 4/6; 5 bigrams
+                                  // {a b ×3, b a ×2}: top 3/5; 4 trigrams
+                                  // {a b a ×2, b a b ×2}: dup 2/4
+      (1L, "x y z w"),            // all distinct: dup fracs 0, top bigram 1/3
+      (2L, "solo"),               // 1 token: no bigrams/trigrams → 0.0
+      (3L, "p p p p"))            // dup_word 3/4, top bigram 3/3, dup_3gram 1/2
+      .toDF("doc_id", "text")
+    val sig = graft.functions.TextFunctions.repetitionSignals(col("text"))
+    val r = df.select(col("doc_id"), sig("n_tokens").as("n"),
+        sig("dup_word_frac").as("dw"), sig("dup_3gram_frac").as("d3"),
+        sig("top_bigram_frac").as("tb")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(0L) == ((6L, 4.0 / 6, 2.0 / 4, 3.0 / 5)))
+    assert(r(1L) == ((4L, 0.0, 0.0, 1.0 / 3)))
+    assert(r(2L) == ((1L, 0.0, 0.0, 0.0)))
+    assert(r(3L) == ((4L, 3.0 / 4, 1.0 / 2, 1.0)))
+  }
 }
