@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Crud, Dedup, Hnsw, Ivf, Lsh, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize}
+import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, Lsh, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -828,8 +828,142 @@ object SparkEntry {
         "doc_id", "media", strideBytes = 64)
         .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
           col("byte_offset"))
-        .orderBy("doc_id", "frame_no"))
+        .orderBy("doc_id", "frame_no")),
+
+    // ---- PII detection + redaction. Synthetic PII is salted into each
+    // doc deterministically (both engines build the same string) so the
+    // regex machinery is exercised on every row; patterns are restricted
+    // to Java-regex ∩ RE2 syntax so the oracle runs identical strings.
+    "t_pii" -> ((s, dir) => {
+      val salted = piiSalted(col("text"), col("doc_id"))
+      val sig = graft.functions.PiiFunctions.piiSignals(salted)
+      Tables.documents(s, dir).select(col("doc_id"),
+          sig("n_emails").as("n_emails"), sig("n_phones").as("n_phones"),
+          sig("n_ipv4").as("n_ipv4"),
+          md5(graft.functions.PiiFunctions.redactPii(salted)).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Benchmark-contamination screen: corpus docs sharing ≥2 word
+    // 3-grams with the held-out benchmark slice (doc_id % 50 == 0).
+    // Benchmark gram set broadcast; corpus never self-joined.
+    "contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Contamination.overlap(docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          n = 3, minShared = 2)
+        .orderBy("doc_id")
+    }),
+
+    // ---- Context-window chunking: 64-token windows, 16-token overlap
+    "chunk_docs" -> ((s, dir) =>
+      Chunker.chunk(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // ---- Concat-and-slice sequence packing into 2048-token windows —
+    // distributed prefix sum (no single-reducer global window); the
+    // oracle is the equivalent SQL window cumsum.
+    "pack_offsets" -> ((s, dir) =>
+      Chunker.packOffsets(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", capacity = 2048, numPartitions = 8)
+        .orderBy("doc_id")),
+
+    // ---- B9 with a fixed deterministic codebook: the k-means path is
+    // rows-only (b9_pq_encode), but the encode ARITHMETIC (per-chunk
+    // strict-argmin over double-fold distances) is oracle-exact here —
+    // the codebook values are embedded in the generated SQL as exact
+    // double literals.
+    "b9_pq_encode_fixed" -> ((s, dir) =>
+      Pq.encode(Tables.embeddings(s, dir), "embedding", fixedPqCodebook)
+        .select(col("vec_id"),
+          concat_ws("-", col("pq_code").cast("array<string>")).as("code"))
+        .orderBy("vec_id")),
+
+    // ---- ADC top-k with the fixed codebook — oracle recomputes the
+    // distance table from the query vector with the identical operation
+    // sequence, so the full PQ search path hash-matches.
+    "o6_pq_adc_fixed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      Pq.adcSearch(Pq.encode(emb, "embedding", fixedPqCodebook), "vec_id",
+          "pq_code", fixedPqCodebook, q, k = 10)
+        .select("vec_id", "dist")
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    }),
+
+    // ---- JSONL export round-trip: the training-data sink format. Write
+    // the docs as JSON lines, read them back with the same schema, and
+    // prove content fidelity against the plain-table oracle.
+    "export_jsonl" -> ((s, dir) => {
+      val out = s"/tmp/graft_export_jsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      docs.write.mode("overwrite").json(out)
+      s.read.schema(docs.schema).json(out)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** Deterministic PII salt appended to each doc (Spark side; the
+    * oracle builds the identical string in SQL). */
+  private def piiSalted(text: Column, docId: Column): Column =
+    concat(text, lit(" contact user"), docId.cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad((docId % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (docId % 256).cast("string"), lit(".0.1"))
+
+  /** Fixed deterministic PQ codebook (8 chunks × 4 centroids × subdim 8)
+    * for the oracle-exact encode/ADC twins: seeded uniform floats,
+    * embedded in the generated SQL as exact double literals
+    * (Float→Double widening is exact and Double.toString round-trips),
+    * so both engines run the identical argmin arithmetic. */
+  private[graft] lazy val fixedPqCodebook: Pq.Codebook = {
+    val rnd = new java.util.Random(20260812L)
+    Pq.Codebook(Array.fill(8)(Array.fill(4)(Array.fill(8)(
+      rnd.nextFloat() * 2f - 1f))))
+  }
+
+  /** Squared L2 from the embedding's chunk-c slice to fixed centroid j —
+    * the same double fold as NearestCentroidFloat (x − cent, left to
+    * right). */
+  private def pqDistSql(c: Int, j: Int): String = {
+    val cb = fixedPqCodebook
+    ("0.0" +: (0 until cb.subDim).map { d =>
+      val cent = cb.centroids(c)(j)(d).toDouble.toString
+      val x = s"(CAST(embedding[${c * cb.subDim + d + 1}] AS DOUBLE) - $cent)"
+      s"$x * $x"
+    }).mkString(" + ")
+  }
+
+  /** First-match strict-argmin over the 4 fixed centroids of chunk c —
+    * the CASE ladder picks the earliest index attaining the minimum,
+    * matching the kernel's `s < bestD` replace rule. */
+  private def pqCodeSql(c: Int): String = {
+    val ds = (0 until fixedPqCodebook.k).map(j => s"(${pqDistSql(c, j)})")
+    s"""CASE WHEN ${ds(0)} <= ${ds(1)} AND ${ds(0)} <= ${ds(2)} AND ${ds(0)} <= ${ds(3)} THEN 0
+       |WHEN ${ds(1)} <= ${ds(2)} AND ${ds(1)} <= ${ds(3)} THEN 1
+       |WHEN ${ds(2)} <= ${ds(3)} THEN 2 ELSE 3 END""".stripMargin
+  }
+
+  /** ADC table cell (c, j): squared L2 from the query's chunk-c slice to
+    * fixed centroid j — the same chain Pq.adcDistanceColumn computes
+    * driver-side ((cent − q), left-to-right 0.0-seeded sum). */
+  private def adcTableSql(c: Int, j: Int): String = {
+    val cb = fixedPqCodebook
+    ("0.0" +: (0 until cb.subDim).map { d =>
+      val cent = cb.centroids(c)(j)(d).toDouble.toString
+      val t = s"($cent - CAST(q.qe[${c * cb.subDim + d + 1}] AS DOUBLE))"
+      s"$t * $t"
+    }).mkString(" + ")
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1298,7 +1432,86 @@ object SparkEntry {
         """SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_no,
           |CAST(off AS BIGINT) AS byte_offset
           |FROM (SELECT doc_id, unnest(generate_series(0, length(text)-1, 64)) AS off
-          |FROM documents) t ORDER BY doc_id, frame_no""".stripMargin
+          |FROM documents) t ORDER BY doc_id, frame_no""".stripMargin,
+
+      "t_pii" -> {
+        import graft.functions.PiiFunctions.{EmailRe, PhoneRe, Ipv4Re}
+        s"""WITH salted AS (SELECT doc_id,
+           |  concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+           |    '@example.com or +1-555-',
+           |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+           |    ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.1') AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$EmailRe', '[EMAIL]', 'g'),
+           |    '$PhoneRe', '[PHONE]', 'g'),
+           |    '$Ipv4Re', '[IP]', 'g')) AS redacted_md5
+           |FROM salted ORDER BY doc_id""".stripMargin
+      },
+
+      // same gram CTE as dedup_ngram_jaccard, restricted to the
+      // benchmark slice on one side and the corpus on the other
+      "contamination" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ts)-2, 1)),
+          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
+          |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+          |SELECT doc_id, count(*) AS n_shared
+          |FROM grams JOIN bg USING (g) WHERE doc_id % 50 <> 0
+          |GROUP BY 1 HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
+
+      "chunk_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+          |nc AS (SELECT doc_id, ts,
+          |  greatest(1, CAST(ceil((len(ts) - 16) / 48.0) AS BIGINT)) AS n FROM toks),
+          |ch AS (SELECT doc_id, ts,
+          |  unnest(generate_series(1, n)) - 1 AS chunk_id FROM nc)
+          |SELECT doc_id, chunk_id,
+          |  md5(array_to_string(list_slice(ts, chunk_id*48 + 1, chunk_id*48 + 64), ' ')) AS chunk_md5,
+          |  CAST(len(list_slice(ts, chunk_id*48 + 1, chunk_id*48 + 64)) AS BIGINT) AS n_chunk_tokens
+          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+      "pack_offsets" ->
+        """WITH toks AS (SELECT doc_id,
+          |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok FROM documents),
+          |c AS (SELECT doc_id, n_tok,
+          |  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM toks)
+          |SELECT doc_id, n_tok,
+          |  CAST(cum // 2048 AS BIGINT) AS pack_id,
+          |  CAST(cum % 2048 AS BIGINT) AS pack_offset
+          |FROM c ORDER BY doc_id""".stripMargin,
+
+      "b9_pq_encode_fixed" -> {
+        val codes = (0 until 8).map(c => s"(${pqCodeSql(c)})")
+        s"""SELECT vec_id, concat_ws('-', ${codes.mkString(", ")}) AS code
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      },
+
+      "o6_pq_adc_fixed" -> {
+        val encCols = (0 until 8).map(c => s"(${pqCodeSql(c)}) AS c$c").mkString(", ")
+        val terms = (0 until 8).map { c =>
+          s"""(CASE c$c WHEN 0 THEN (${adcTableSql(c, 0)})
+             |WHEN 1 THEN (${adcTableSql(c, 1)})
+             |WHEN 2 THEN (${adcTableSql(c, 2)})
+             |ELSE (${adcTableSql(c, 3)}) END)""".stripMargin
+        }
+        s"""${queryCte(QueryVecId)}, enc AS (SELECT vec_id, $encCols FROM embeddings)
+           |SELECT vec_id, sqrt(${("0.0" +: terms).mkString(" + ")}) AS dist
+           |FROM enc CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+      },
+
+      "export_jsonl" ->
+        """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin
     )
   }
 

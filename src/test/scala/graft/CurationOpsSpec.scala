@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.PiiFunctions
+import graft.operators.{Chunker, Contamination}
+import org.apache.spark.sql.functions._
+
+/** PII redaction, contamination screening, chunking, and sequence
+  * packing — the curation/layout operators between a raw corpus and
+  * trainable samples. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("piiSignals/redactPii: counts and placeholders per class, clean text untouched") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org or x@y.io, call +1-555-0199, host 10.0.0.1"),
+      (2L, "no pii here, just 1.2 version text and a+b@ invalid"),
+      (3L, "+12-123-4567 then 255.255.255.255 and bob@corp.net")).toDF("id", "text")
+    val sig = PiiFunctions.piiSignals(col("text"))
+    val rows = df.select(col("id"), sig("n_emails"), sig("n_phones"), sig("n_ipv4"),
+        PiiFunctions.redactPii(col("text")).as("red"))
+      .orderBy("id").collect()
+    assert(rows(0).getLong(1) == 2 && rows(0).getLong(2) == 1 && rows(0).getLong(3) == 1)
+    assert(rows(0).getString(4) ==
+      "mail [EMAIL] or [EMAIL], call [PHONE], host [IP]")
+    assert(rows(1).getLong(1) == 0 && rows(1).getLong(2) == 0 && rows(1).getLong(3) == 0)
+    assert(rows(1).getString(4) == rows(1).getString(4)) // unchanged shape
+    assert(rows(2).getString(4) == "[PHONE] then [IP] and [EMAIL]")
+  }
+
+  test("contamination: shared-gram counting, minShared gate, decontaminate anti-join") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over lazy dogs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox appeared"), // shares "the quick brown", "quick brown fox"
+      (2L, "quick brown fox jumps over a fence"), // shares 3 grams
+      (3L, "completely unrelated text about spark engines"), // 0 shared
+      (4L, "the quick red fox")).toDF("doc_id", "text") // ≤1 shared gram
+    val hit = Contamination.overlap(corpus, bench, "doc_id", "text", n = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hit.keySet == Set(1L, 2L))
+    assert(hit(1L) == 2 && hit(2L) == 3)
+    val clean = Contamination.decontaminate(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L, 4L))
+  }
+
+  test("chunk: coverage, overlap, short-doc and exact-boundary cases") {
+    val s = spark
+    import s.implicits._
+    val words = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words), (2L, "short doc"), (3L, (1 to 48).map(i => s"v$i").mkString(" ")))
+      .toDF("id", "text")
+    val out = Chunker.chunk(df, "id", "text", chunkTokens = 32, overlap = 8)
+      .orderBy("id", "chunk_id").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    // 100 tokens, stride 24: ceil((100-8)/24) = 4 chunks
+    assert(doc1.length == 4)
+    assert(doc1.head.getString(2).startsWith("w1 w2 ") && doc1.head.getLong(3) == 32)
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = doc1(0).getString(2).split(" ")
+    val c1 = doc1(1).getString(2).split(" ")
+    assert(c0.takeRight(8).sameElements(c1.take(8)))
+    // last chunk is short (tokens 73..100 = 28), not dropped
+    assert(doc1(3).getLong(3) == 28)
+    // every token is covered in order
+    assert(doc1.flatMap(_.getString(2).split(" ")).distinct.length == 100)
+    assert(out.filter(_.getLong(0) == 2L).map(r => (r.getLong(1), r.getString(2))).toSeq ==
+      Seq((0L, "short doc")))
+    // 48 tokens: ceil((48-8)/24) = 2 chunks, second is tokens 25..48
+    val doc3 = out.filter(_.getLong(0) == 3L)
+    assert(doc3.length == 2 && doc3(1).getLong(3) == 24)
+  }
+
+  test("packOffsets: matches a sequential scan, invariant to partition count") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 500L).map(i => (i, 1L + rnd.nextInt(300)))
+    val df = docs.toDF("id", "n_tok").repartition(13) // scrambled input layout
+    val cap = 512L
+    // sequential reference
+    var cum = 0L
+    val expect = docs.sortBy(_._1).map { case (id, nt) =>
+      val r = (id, nt, cum / cap, cum % cap); cum += nt; r
+    }
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Chunker.packOffsets(df, "id", "n_tok", cap, numPartitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == expect, s"parts=$parts")
+    }
+    // pack ids are dense: every pack below the last one exists
+    val packs = expect.map(_._3).toSet
+    assert(packs == (0L to expect.last._3).toSet)
+  }
+
+  test("packOffsets: empty input and capacity guard") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "n_tok")
+    assert(Chunker.packOffsets(empty, "id", "n_tok", 128).count() == 0)
+    intercept[IllegalArgumentException] {
+      Chunker.packOffsets(empty, "id", "n_tok", 0)
+    }
+  }
+}
