@@ -897,6 +897,21 @@ object SparkEntry {
         .orderBy(col("dist").asc, col("vec_id").asc)
     }),
 
+    // ---- O6 with fixed deterministic centroids: the k-means path is
+    // rows-only (clustering isn't SQL-expressible), but the SEARCH
+    // semantics — assign to nearest centroid, rank centroids to the
+    // query, prune to n_probe clusters, exact (dist, id) top-k on the
+    // survivors — are oracle-exact here, centroids embedded in the
+    // generated SQL as exact double literals.
+    "o6_ivf_fixed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val model = Ivf.Model(fixedIvfCentroids, "embedding")
+      Ivf.search(Ivf.assign(emb, model), model, "vec_id", q, nProbe = 2, topK = 10)
+        .select("vec_id", "dist")
+    }),
+
     // ---- JSONL export round-trip: the training-data sink format. Write
     // the docs as JSON lines, read them back with the same schema, and
     // prove content fidelity against the plain-table oracle.
@@ -964,6 +979,32 @@ object SparkEntry {
       s"$t * $t"
     }).mkString(" + ")
   }
+
+  /** Fixed deterministic IVF centroids (8 × dim) for the oracle-exact
+    * search twin — same literal-embedding contract as
+    * [[fixedPqCodebook]]. */
+  private[graft] lazy val fixedIvfCentroids: Array[Array[Float]] = {
+    val rnd = new java.util.Random(11047L)
+    Array.fill(8)(Array.fill(OracleSql.Dim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  /** Row-to-centroid-j squared L2 (assignment side: x − cent, the
+    * NearestCentroidFloat fold). */
+  private def ivfAssignDistSql(j: Int): String =
+    ("0.0" +: (0 until OracleSql.Dim).map { d =>
+      val cent = fixedIvfCentroids(j)(d).toDouble.toString
+      val x = s"(CAST(embedding[${d + 1}] AS DOUBLE) - $cent)"
+      s"$x * $x"
+    }).mkString(" + ")
+
+  /** Query-to-centroid-j squared L2 (probe side: cent − q, the
+    * Ivf.probeClusters driver fold). */
+  private def ivfQueryDistSql(j: Int): String =
+    ("0.0" +: (0 until OracleSql.Dim).map { d =>
+      val cent = fixedIvfCentroids(j)(d).toDouble.toString
+      val t = s"($cent - CAST(q.qe[${d + 1}] AS DOUBLE))"
+      s"$t * $t"
+    }).mkString(" + ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1511,7 +1552,26 @@ object SparkEntry {
 
       "export_jsonl" ->
         """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // first-occurrence argmin via list_position(list_min) mirrors the
+      // kernel's strict-< replace rule; centroid ranking mirrors the
+      // driver's (dist, id)-ascending probe selection
+      "o6_ivf_fixed" -> {
+        val lv = (0 until 8).map(j => s"(${ivfAssignDistSql(j)})").mkString(", ")
+        val cdist = (0 until 8)
+          .map(j => s"SELECT $j AS j, (${ivfQueryDistSql(j)}) AS d FROM q")
+          .mkString(" UNION ALL ")
+        s"""${queryCte(QueryVecId)},
+           |enc AS (SELECT vec_id, embedding,
+           |  (list_position(lv, list_min(lv)) - 1) AS cid
+           |  FROM (SELECT vec_id, embedding, list_value($lv) AS lv FROM embeddings)),
+           |cdist AS ($cdist),
+           |probe AS (SELECT j FROM cdist ORDER BY d ASC, j ASC LIMIT 2)
+           |SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
+           |FROM enc e CROSS JOIN q WHERE e.cid IN (SELECT j FROM probe)
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+      }
     )
   }
 

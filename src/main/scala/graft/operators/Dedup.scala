@@ -109,14 +109,24 @@ object Dedup {
     // single-pass bucket pairing: group ids per (band, hash) bucket and
     // emit intra-bucket pairs — no self-join, so the signature pipeline
     // runs once, and the shuffle carries one row per bucket.
-    banded.groupBy("band_id", "band_hash")
-      .agg(collect_list(col("__id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    intraBucketPairs(
+      banded.groupBy("band_id", "band_hash")
+        .agg(collect_list(col("__id")).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket),
+      "ids", "a", "b").distinct()
   }
+
+  /** Intra-bucket combination pairs: each bucket's id array is sorted
+    * and exploded into its C(s,2) ordered pairs directly — `a < b` by
+    * construction, half the generated rows of the explode×explode form,
+    * and no post-filter. Works for any orderable element type (structs
+    * sort lexicographically by field). */
+  private[operators] def intraBucketPairs(buckets: DataFrame, idsCol: String,
+                                          aCol: String, bCol: String): DataFrame =
+    buckets.select(array_sort(col(idsCol)).as("__s"))
+      .select(col("__s"), posexplode(col("__s")).as(Seq("__i", aCol)))
+      .select(col(aCol),
+        explode(slice(col("__s"), col("__i") + 2, size(col("__s")))).as(bCol))
 
   /** SimHash (64-bit, via xxhash64): sign-sum of token hash bits.
     * Per-row scan, no shuffle, one codegen kernel call per row (the
@@ -173,12 +183,11 @@ object Dedup {
     // each exploded gram row carries its doc's set size, so the pair
     // counts come out of the bucket aggregation already joined — two
     // shuffles total (gram buckets, pair keys), no size-lookup joins
-    grams.groupBy("gram")
-      .agg(collect_list(struct(col("__id"), col("sz"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("x"), col("ids"))
-      .select(col("x"), explode(col("ids")).as("y"))
-      .filter(col("x.__id") < col("y.__id"))
+    intraBucketPairs(
+      grams.groupBy("gram")
+        .agg(collect_list(struct(col("__id"), col("sz"))).as("ids"))
+        .filter(size(col("ids")) > 1),
+      "ids", "x", "y")
       .groupBy(col("x.__id").as("a"), col("y.__id").as("b"),
         col("x.sz").as("sza"), col("y.sz").as("szb"))
       .agg(count(lit(1)).as("inter"))

@@ -134,16 +134,14 @@ object Lsh {
   def cosineNearDupPairs(assigned: DataFrame, idCol: String, embCol: String,
                          threshold: Double, maxBucket: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions._
-    val cand = assigned
-      .select(col(idCol).as("__id"),
-        posexplode(col(SigsCol)).as(Seq("__table", "__sig")))
-      .groupBy("__table", "__sig")
-      .agg(collect_list(col("__id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val cand = Dedup.intraBucketPairs(
+      assigned
+        .select(col(idCol).as("__id"),
+          posexplode(col(SigsCol)).as(Seq("__table", "__sig")))
+        .groupBy("__table", "__sig")
+        .agg(collect_list(col("__id")).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket),
+      "ids", "a", "b").distinct()
     val va = assigned.select(col(idCol).as("a"), col(embCol).as("ea"))
       .withColumn("__na", norm(col("ea")))
     val vb = assigned.select(col(idCol).as("b"), col(embCol).as("eb"))
