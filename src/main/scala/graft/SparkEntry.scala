@@ -912,6 +912,38 @@ object SparkEntry {
         .select("vec_id", "dist")
     }),
 
+    // ---- Second flagship: the full training-export path end-to-end —
+    // language/quality gate + exact-dup keep-first (pipeline_curate's
+    // core) → benchmark decontamination → PII redaction → concat-and-
+    // slice packing into 2048-token windows. Every stage is a component
+    // with its own oracle; the composed SQL is their composition.
+    "pipeline_export" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lang = docs.select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      val qual = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val keepers = docs.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("keep_id")).select("keep_id")
+      val gated = docs.join(lang, "doc_id").join(qual, "doc_id")
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .join(keepers, col("doc_id") === col("keep_id"), "left_semi")
+        .filter(col("doc_id") % 50 =!= 0) // never train on the eval slice
+      val clean = Contamination.decontaminate(gated,
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        n = 3, minShared = 2)
+      val redacted = clean.select(col("doc_id"),
+        graft.functions.PiiFunctions.redactPii(col("text")).as("rtext"))
+      Chunker.packOffsets(
+          redacted.select(col("doc_id"),
+            TextFunctions.tokenCount(col("rtext")).as("n_tok")),
+          "doc_id", "n_tok", capacity = 2048, numPartitions = 8)
+        .join(redacted, "doc_id")
+        .select(col("doc_id"), col("n_tok"), col("pack_id"),
+          col("pack_offset"), md5(col("rtext")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- JSONL export round-trip: the training-data sink format. Write
     // the docs as JSON lines, read them back with the same schema, and
     // prove content fidelity against the plain-table oracle.
@@ -1005,6 +1037,15 @@ object SparkEntry {
       val t = s"($cent - CAST(q.qe[${d + 1}] AS DOUBLE))"
       s"$t * $t"
     }).mkString(" + ")
+
+  /** PII-redaction SQL over column expression `c` — identical pattern
+    * strings and application order as PiiFunctions.redactPii. */
+  private def redactSql(c: String): String = {
+    import graft.functions.PiiFunctions.{EmailRe, PhoneRe, Ipv4Re}
+    s"regexp_replace(regexp_replace(regexp_replace($c, " +
+      s"'$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'), " +
+      s"'$Ipv4Re', '[IP]', 'g')"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1553,6 +1594,38 @@ object SparkEntry {
       "export_jsonl" ->
         """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "pipeline_export" ->
+        s"""WITH corpus AS (
+           |  SELECT d.doc_id, d.text FROM documents d
+           |  JOIN ($langIdSql) l ON d.doc_id = l.doc_id
+           |  JOIN ($qualitySql) q ON d.doc_id = q.doc_id
+           |  WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+           |  AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+           |  AND d.doc_id % 50 <> 0),
+           |toks_all AS (
+           |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+           |grams_all AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    generate_series(1, greatest(len(ts)-2, 1)),
+           |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks_all),
+           |bg AS (SELECT DISTINCT g FROM grams_all WHERE doc_id % 50 = 0),
+           |contam AS (
+           |  SELECT doc_id FROM grams_all JOIN bg USING (g)
+           |  WHERE doc_id % 50 <> 0 GROUP BY 1 HAVING count(*) >= 2),
+           |red AS (
+           |  SELECT doc_id, ${redactSql("text")} AS rtext FROM corpus
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           |tok AS (SELECT doc_id, rtext,
+           |  CAST(len(string_split_regex(rtext, '\\s+')) AS BIGINT) AS n_tok FROM red),
+           |c AS (SELECT doc_id, rtext, n_tok,
+           |  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tok)
+           |SELECT doc_id, n_tok,
+           |  CAST(cum // 2048 AS BIGINT) AS pack_id,
+           |  CAST(cum % 2048 AS BIGINT) AS pack_offset,
+           |  md5(rtext) AS text_md5
+           |FROM c ORDER BY doc_id""".stripMargin,
 
       // first-occurrence argmin via list_position(list_min) mirrors the
       // kernel's strict-< replace rule; centroid ranking mirrors the

@@ -103,4 +103,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,1)]"),
       s"filter not pushed to parquet scan:\n$plan")
   }
+
+  test("contamination screen broadcasts the benchmark gram set (corpus never shuffled on gram)") {
+    val s = spark
+    import s.implicits._
+    val corpusDf = (0L until 50L).map(i => (i, s"alpha beta gamma delta doc $i body")).toDF("doc_id", "text")
+    val benchDf = Seq((999L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val plan = graft.operators.Contamination.overlap(corpusDf, benchDf, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark grams not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled on gram (sort-merge join):\n$plan")
+  }
+
+  test("chunking is a pure per-row generate: no Exchange in the plan") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20L).map(i => (i, "one two three four five six")).toDF("id", "text")
+    val plan = graft.operators.Chunker.chunk(df, "id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in chunking plan:\n$plan")
+  }
 }
