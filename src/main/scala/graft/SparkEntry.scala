@@ -484,6 +484,20 @@ object SparkEntry {
         q, k = 10, ef = 50).select("id", "dist")
     }),
 
+    // ---- O3 exhaustive twin: with ef ≥ shard size the beam search
+    // visits every node reachable from the entry point, so on connected
+    // shard graphs the deterministic build + exact shard merge equals
+    // exact kNN — pinning the whole HNSW search arithmetic (greedy
+    // descent, beam, (dist,id) merge) to the exact-kNN SQL oracle, the
+    // same construction as o6_ivf_exhaustive (nProbe = k).
+    "o3_hnsw_exhaustive" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      Hnsw.search(emb.withColumnRenamed("vec_id", "id"), "id", "embedding",
+        q, k = 10, ef = 5000).select("id", "dist")
+    }),
+
     // ---- O3/O6 second scale path: banded hyperplane-LSH ANN, 16 tables
     // × 8 bits with 2-bit multi-probe. Approximate by contract, but at
     // these settings the candidate set provably covers the true top-10
@@ -1594,6 +1608,12 @@ object SparkEntry {
       "export_jsonl" ->
         """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // exhaustive-ef HNSW ≡ exact kNN (deterministic build, connected
+      // shards, exact merge) — the same oracle pattern as o6_ivf_exhaustive
+      "o3_hnsw_exhaustive" ->
+        s"""$cte SELECT e.vec_id AS id, ${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, id ASC LIMIT 10""".stripMargin,
 
       "pipeline_export" ->
         s"""WITH corpus AS (
