@@ -220,6 +220,15 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy("id")
     }),
 
+    // ---- Dedup (boilerplate): CCNet-style segment-level removal — drop
+    // segments occurring in ≥ minDocFreq distinct docs, reassemble the
+    // rest in order. Testdata docs are single-line, so the query
+    // segments on " " (word granularity); the operator's delim covers
+    // line-level for real corpora.
+    "dedup_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateRemove(Tables.documents(s, dir), "doc_id", "text",
+        delim = " ", minDocFreq = 390L).orderBy("doc_id")),
+
     // ---- Dedup (SimHash): sign-sum fingerprint. The md5-bit variant is
     // cross-engine reproducible, so the full 64-bit fingerprint is
     // oracle-checked (the xxhash64 bigint variant stays library-side
@@ -1232,6 +1241,34 @@ object SparkEntry {
           |  SELECT e.dst, w.comp FROM walk w
           |  JOIN edges e ON e.src = w.id WHERE w.comp < e.dst)
           |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+      // segment doc-frequency ≥ 390 → boilerplate; survivors re-joined
+      // in original position order (string_agg ORDER BY ≡ the engine's
+      // array_sort over (pos, seg) structs)
+      "dedup_boilerplate" ->
+        """WITH segs AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+          |         generate_subscripts(string_split(text, ' '), 1) AS pos
+          |  FROM documents),
+          |s2 AS (SELECT * FROM segs WHERE seg <> ''),
+          |boiler AS (
+          |  SELECT seg FROM s2 GROUP BY seg HAVING count(DISTINCT doc_id) >= 390),
+          |kept AS (
+          |  SELECT s2.* FROM s2 LEFT JOIN boiler b ON s2.seg = b.seg
+          |  WHERE b.seg IS NULL),
+          |reb AS (
+          |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+          |         CAST(count(*) AS BIGINT) AS n_kept
+          |  FROM kept GROUP BY doc_id),
+          |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_all
+          |        FROM s2 GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  coalesce(reb.text_clean, '') AS text_clean,
+          |  coalesce(reb.n_kept, 0) AS n_kept,
+          |  coalesce(tot.n_all, 0) - coalesce(reb.n_kept, 0) AS n_removed
+          |FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+          |LEFT JOIN tot ON d.doc_id = tot.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
 
       "ann_cosine_neardup" ->
         s"""SELECT x.vec_id AS a, y.vec_id AS b,

@@ -286,4 +286,60 @@ object Dedup {
       .select(col("id").as("__loser"))
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
+
+  /** Segment-level boilerplate removal (CCNet-style line dedup,
+    * github.com/facebookresearch/cc_net): drop every segment whose exact
+    * text occurs in ≥ `minDocFreq` distinct documents — headers, nav
+    * bars, cookie banners repeat across pages while real prose doesn't —
+    * and reassemble each document from its surviving segments in
+    * original order. `delim` is the literal segment separator ("\n" for
+    * line-level; the driver testdata has single-line docs, so its query
+    * segments on " ").
+    *
+    * Output: idCol, text_clean (surviving segments re-joined; "" when
+    * everything was boilerplate), n_kept, n_removed. Every input row
+    * appears exactly once.
+    *
+    * Scale shape: one segment-key shuffle to count document frequency
+    * (map-side partial via the two-level groupBy), then an anti-join of
+    * segments against the boilerplate set — which is *small by
+    * construction* (only segments repeated across ≥ minDocFreq docs), so
+    * AQE converts it to a broadcast join at runtime — then one shuffle
+    * back to idCol to reassemble. Never all-pairs, no global sort; the
+    * per-doc sort is an in-memory array_sort over that doc's own
+    * segments. */
+  def boilerplateRemove(df: DataFrame, idCol: String, textCol: String,
+                        delim: String, minDocFreq: Long): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val segs = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .toDF(idCol, "__pos", "__seg")
+      .filter(col("__seg") =!= "")
+    // df(seg) counts *distinct docs*, not occurrences: a phrase repeated
+    // inside one document is repetition (TextFunctions.repetitionSignals),
+    // not boilerplate. Two-level agg keeps the partial map-side.
+    val boiler = segs.groupBy("__seg", idCol).agg(count(lit(1)).as("__c"))
+      .groupBy("__seg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__seg")
+    val marked = segs.join(boiler.withColumn("__b", lit(1)), Seq("__seg"), "left")
+    val rebuilt = marked.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__seg"),
+        col("__b").isNotNull.as("__is_b")))).as("__all"))
+      .select(col(idCol),
+        filter(col("__all"), x => !x("__is_b")).as("__kept"),
+        size(col("__all")).cast("long").as("__n_all"))
+      .select(col(idCol),
+        array_join(transform(col("__kept"), x => x("__seg")), delim).as("text_clean"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n_all") - size(col("__kept"))).cast("long").as("n_removed"))
+    // null/empty-text rows have no segments and fall out of `segs`;
+    // restore them so every input row appears exactly once
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }

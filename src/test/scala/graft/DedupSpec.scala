@@ -185,4 +185,39 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 4L)) // 2,3 lose to canonical 1; 4 untouched
   }
+
+  test("boilerplateRemove drops cross-doc repeated segments, preserves order") {
+    val s = spark
+    import s.implicits._
+    // "COOKIE NOTICE" appears in 3 docs, "nav|bar" in 2; prose is unique.
+    // One doc repeats a unique line twice (repetition != boilerplate).
+    val lined = Seq(
+      (0L, "COOKIE NOTICE\nreal prose alpha\nnav|bar"),
+      (1L, "nav|bar\nCOOKIE NOTICE\nsecond doc body"),
+      (2L, "COOKIE NOTICE"),                        // all boilerplate
+      (3L, "self repeated line\nself repeated line"),
+      (4L, null.asInstanceOf[String]))              // null text survives
+      .toDF("doc_id", "text")
+    val r = Dedup.boilerplateRemove(lined, "doc_id", "text",
+        delim = "\n", minDocFreq = 2L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(0L) == (("real prose alpha", 1L, 2L)))
+    assert(r(1L) == (("second doc body", 1L, 2L)))
+    assert(r(2L) == (("", 0L, 1L)))
+    // a line repeated within ONE doc is kept both times, in order
+    assert(r(3L) == (("self repeated line\nself repeated line", 2L, 0L)))
+    assert(r(4L) == (("", 0L, 0L)))
+    assert(r.size == 5)
+  }
+
+  test("boilerplateRemove: regex metacharacters in delim are literal") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "a.b.a"), (1L, "a.c.a")).toDF("doc_id", "text")
+    val r = Dedup.boilerplateRemove(df, "doc_id", "text", delim = ".",
+        minDocFreq = 2L)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(0L -> "b", 1L -> "c")) // "a" boilerplate; "." not a wildcard
+  }
 }
