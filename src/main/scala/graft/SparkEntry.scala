@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, Lsh, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize}
+import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, LmScore, Lsh, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -809,6 +809,13 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // ---- Text analysis: CCNet-style bigram-LM scoring — train add-one
+    // smoothed bigram/unigram counts on the corpus, score each doc by
+    // mean negative log-prob (sequential in-order fold; libm-exact ln)
+    "t_lm_score" -> ((s, dir) =>
+      LmScore.selfScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ---- Text analysis: exact quarter-quantiles of doc length per lang
     // (quarter fractions over ints interpolate exactly in both engines)
     "t_quantiles" -> ((s, dir) =>
@@ -1552,6 +1559,40 @@ object SparkEntry {
           |    ORDER BY tfidf DESC, word ASC) AS BIGINT) AS rank FROM s)
           |SELECT doc_id, word, tf, tfidf, rank FROM r
           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      // bigram-LM self-score: per-doc sequential fold over bigram
+      // positions (list_reduce ≡ the engine's in-order aggregate fold);
+      // DuckDB ln and the engine's LnDouble are both libm-exact
+      "t_lm_score" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+          |  FROM documents),
+          |tok AS (
+          |  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+          |  FROM toks),
+          |bg AS (
+          |  SELECT a.doc_id, a.pos AS bpos, a.w AS w1, b.w AS w2
+          |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+          |bgc AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+          |ugc AS (SELECT w AS w1, count(*) AS cw FROM tok GROUP BY 1),
+          |v AS (SELECT count(*) AS vocab FROM ugc),
+          |scored AS (
+          |  SELECT g.doc_id, g.bpos,
+          |    ln(CAST(coalesce(c.cbg, 0) + 1 AS DOUBLE) /
+          |       CAST(coalesce(u.cw, 0) + v.vocab AS DOUBLE)) AS lp
+          |  FROM bg g LEFT JOIN bgc c ON g.w1 = c.w1 AND g.w2 = c.w2
+          |  LEFT JOIN ugc u ON g.w1 = u.w1 CROSS JOIN v),
+          |agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |    list_reduce(list_prepend(0.0, list(lp ORDER BY bpos)),
+          |                (x, y) -> x + y) AS sum_logprob
+          |  FROM scored GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+          |  a.sum_logprob,
+          |  (-a.sum_logprob) / CAST(a.n_bigrams AS DOUBLE) AS lm_score
+          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
 
       "t_quantiles" ->
         """SELECT lang,

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring — the CCNet-style quality filter
+  * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+  * from Web Crawl Data", 2020): score each document by its mean negative
+  * log-probability under an add-one-smoothed bigram model; low-score
+  * (low-perplexity-ish) text reads like the training corpus, high-score
+  * text is noise. The reference has no LM surface — this is part of the
+  * training-data-pipeline extension family (same tier as Dedup /
+  * Contamination).
+  *
+  * Scale design: the model is two count tables (bigram, unigram) built
+  * with map-side-combined aggregations — one shuffle each, pruneable via
+  * `minCount` so the bigram table stays bounded on a 100 TB corpus
+  * (pruned bigrams score as unseen, which add-one smoothing already
+  * handles). Scoring joins the corpus' bigrams against the model on the
+  * (w1, w2) hash keys — linear shuffles, never all-pairs — and reduces
+  * per document. The vocabulary size V enters as a broadcast scalar.
+  *
+  * Determinism: log-probs use the libm-exact ln kernel
+  * ([[graft.expressions.FloatKernels.ln]]), and the per-document sum is
+  * a *sequential fold in token order* (array_sort over (pos, lp) structs,
+  * then `aggregate`), so the result is bit-identical regardless of
+  * partitioning — and matches a DuckDB oracle that folds the same list
+  * with `list_reduce`.
+  */
+object LmScore {
+
+  /** Lowercased whitespace tokens as an array column (empties removed). */
+  private def toksArr(textCol: String) =
+    filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")
+
+  /** (doc) → exploded (id, pos, w1, w2) bigram rows. pos is the 0-based
+    * bigram index within the document. */
+  private def bigramRows(df: DataFrame, idCol: String, textCol: String) = {
+    val arr = toksArr(textCol)
+    df.select(col(idCol), arr.as("__toks"))
+      .select(col(idCol), posexplode(
+        zip_with(
+          slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+          slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col(idCol), col("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+  }
+
+  /** Bigram model: (w1, w2, cbg). `minCount` prunes the long tail so the
+    * model stays bounded at corpus scale (pruned = unseen at scoring). */
+  def bigramCounts(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 1L): DataFrame =
+    bigramRows(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+      .filter(col("cbg") >= minCount)
+
+  /** Unigram model: (w1, cw) — token occurrence counts (the conditioning
+    * denominator), not document frequencies. */
+  def unigramCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(explode(toksArr(textCol)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cw"))
+
+  /** Score every document against a trained model:
+    * p(w2|w1) = (cbg + 1) / (cw1 + V), V = |model vocabulary|.
+    * Output: idCol, n_bigrams, sum_logprob, lm_score = −sum/n (mean
+    * negative log-prob; perplexity = exp(lm_score)). Documents with < 2
+    * tokens have n_bigrams = 0 and null scores. */
+  def score(df: DataFrame, idCol: String, textCol: String,
+            bigrams: DataFrame, unigrams: DataFrame): DataFrame = {
+    val v = unigrams.agg(count(lit(1)).as("__v"))
+    val lp = graft.expressions.FloatKernels.ln(
+      (coalesce(col("cbg"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("cw"), lit(0L)) + col("__v")).cast("double"))
+    val scored = bigramRows(df, idCol, textCol)
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol), col("pos"), lp.as("__lp"))
+    val agg = scored.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("__lp")))).as("__l"))
+      .select(col(idCol),
+        size(col("__l")).cast("long").as("n_bigrams"),
+        aggregate(transform(col("__l"), x => x("__lp")), lit(0.0d),
+          (acc, x) => acc + x).as("sum_logprob"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("sum_logprob"),
+        (-col("sum_logprob") / col("n_bigrams").cast("double")).as("lm_score"))
+  }
+
+  /** Train on the corpus itself and score it — the self-perplexity shape
+    * used for corpus-internal outlier filtering. */
+  def selfScore(df: DataFrame, idCol: String, textCol: String,
+                minCount: Long = 1L): DataFrame =
+    score(df, idCol, textCol,
+      bigramCounts(df, idCol, textCol, minCount),
+      unigramCounts(df, idCol, textCol))
+}
