@@ -833,17 +833,18 @@ object SparkEntry {
     // component oracles composed as subqueries.
     "pipeline_curate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val lang = docs.select(col("doc_id"),
-        TextFunctions.langId(col("text")).as("lang_pred"))
-      val qual = docs.select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
       val keepers = docs.groupBy(md5(col("text")))
         .agg(min(col("doc_id")).as("keep_id"))
         .select(col("keep_id"))
       val nearDupLosers = Dedup.minhashLshPairs(docs, "doc_id", "text",
         numHashes = 8, bands = 4, shingle = 3,
         maxBucket = Int.MaxValue).select(col("b"))
-      docs.join(lang, "doc_id").join(qual, "doc_id")
+      // lang/quality are per-row scalars — computed inline, not joined
+      // back (two fewer shuffles than the component-per-join shape; the
+      // oracle composes the same component SQL as subqueries either way)
+      docs
+        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
         .join(keepers, col("doc_id") === col("keep_id"), "left_semi")
         .join(nearDupLosers, col("doc_id") === col("b"), "left_anti")
@@ -949,13 +950,11 @@ object SparkEntry {
     // with its own oracle; the composed SQL is their composition.
     "pipeline_export" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val lang = docs.select(col("doc_id"),
-        TextFunctions.langId(col("text")).as("lang_pred"))
-      val qual = docs.select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
       val keepers = docs.groupBy(md5(col("text")))
         .agg(min(col("doc_id")).as("keep_id")).select("keep_id")
-      val gated = docs.join(lang, "doc_id").join(qual, "doc_id")
+      val gated = docs
+        .withColumn("lang_pred", TextFunctions.langId(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
         .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
         .join(keepers, col("doc_id") === col("keep_id"), "left_semi")
         .filter(col("doc_id") % 50 =!= 0) // never train on the eval slice
@@ -964,13 +963,15 @@ object SparkEntry {
         n = 3, minShared = 2)
       val redacted = clean.select(col("doc_id"),
         graft.functions.PiiFunctions.redactPii(col("text")).as("rtext"))
+      // the md5 rides through packOffsets as payload — no join-back, so
+      // the gating/decontamination/redaction lineage runs exactly once
       Chunker.packOffsets(
           redacted.select(col("doc_id"),
-            TextFunctions.tokenCount(col("rtext")).as("n_tok")),
+            TextFunctions.tokenCount(col("rtext")).as("n_tok"),
+            md5(col("rtext")).as("text_md5")),
           "doc_id", "n_tok", capacity = 2048, numPartitions = 8)
-        .join(redacted, "doc_id")
         .select(col("doc_id"), col("n_tok"), col("pack_id"),
-          col("pack_offset"), md5(col("rtext")).as("text_md5"))
+          col("pack_offset"), col("text_md5"))
         .orderBy("doc_id")
     }),
 

@@ -46,9 +46,10 @@ object Chunker {
         size(col("__chunk")).cast("long").as("n_chunk_tokens"))
   }
 
-  /** Concat-and-slice packing offsets (see object doc). Output: idCol
-    * (long), n_tok, pack_id, pack_offset — deterministic in `idCol`
-    * order regardless of partitioning. `tokCol` must be non-negative.
+  /** Concat-and-slice packing offsets (see object doc). Output: every
+    * input column (idCol/tokCol cast to long in place) + pack_id +
+    * pack_offset — deterministic in `idCol` order regardless of
+    * partitioning. `tokCol` must be non-negative.
     *
     * RDD `mapPartitionsWithIndex` is the genuine per-partition
     * imperative case here: a running sum with a per-partition seed is
@@ -61,17 +62,29 @@ object Chunker {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df
-      .select(col(idCol).cast("long").as("__id"), col(tokCol).cast("long").as("n_tok"))
-      .repartitionByRange(parts, col("__id"))
-      .sortWithinPartitions("__id")
-    // one physical plan instance → both passes see identical partitions
-    val base = sorted.rdd
+    // every input column passes through (payload like a content hash
+    // rides along, so callers never need a join-back that would
+    // recompute the upstream pipeline); idCol/tokCol are cast to long
+    // in place
+    val prepped = df
+      .withColumn(idCol, col(idCol).cast("long"))
+      .withColumn(tokCol, col(tokCol).cast("long"))
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(idCol)
+    val schema = prepped.schema
+    val tokIdx = schema.fieldIndex(tokCol)
+    // persisted so the totals pass and the output pass share ONE
+    // materialization of the upstream lineage (which may be an entire
+    // curation pipeline). Size is bounded by the caller's projection —
+    // pass ids + counts (+ small payload), not full text. The returned
+    // plan stays lazy, so the cache is released by LRU eviction, not
+    // an eager unpersist.
+    val base = prepped.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-partition token totals — bounded driver traffic (one
     // long per partition, independent of row count)
     val totals = base.mapPartitionsWithIndex { case (pid, it) =>
       var s = 0L
-      it.foreach(s += _.getLong(1))
+      it.foreach(s += _.getLong(tokIdx))
       Iterator.single((pid, s))
     }.collect().sortBy(_._1).map(_._2)
     val prefix = totals.scanLeft(0L)(_ + _)
@@ -80,13 +93,18 @@ object Chunker {
     val packed = base.mapPartitionsWithIndex { case (pid, it) =>
       var cum = bc.value(pid)
       it.map { r =>
-        val nt = r.getLong(1)
-        val out = (r.getLong(0), nt, cum / capacity, cum % capacity)
+        val nt = r.getLong(tokIdx)
+        val out = org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ (cum / capacity) :+ (cum % capacity))
         cum += nt
         out
       }
     }
-    import spark.implicits._
-    packed.toDF(idCol, "n_tok", "pack_id", "pack_offset")
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("pack_id",
+        org.apache.spark.sql.types.LongType, nullable = false) :+
+      org.apache.spark.sql.types.StructField("pack_offset",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(packed, outSchema)
   }
 }

@@ -96,6 +96,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(packs == (0L to expect.last._3).toSet)
   }
 
+  test("packOffsets: payload columns pass through unchanged") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((2L, 10L, "b"), (0L, 5L, "a"), (1L, 7L, "x"))
+      .toDF("id", "n_tok", "tag").repartition(3)
+    val r = Chunker.packOffsets(df, "id", "n_tok", 8L, numPartitions = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(2), x.getLong(3), x.getLong(4)))).toMap
+    // id order: 0 (cum 0) → pack 0 off 0; 1 (cum 5) → pack 0 off 5;
+    // 2 (cum 12) → pack 1 off 4. tag survives beside them.
+    assert(r == Map(0L -> (("a", 0L, 0L)), 1L -> (("x", 0L, 5L)),
+      2L -> (("b", 1L, 4L))))
+  }
+
   test("packOffsets: empty input and capacity guard") {
     val s = spark
     import s.implicits._
