@@ -322,6 +322,18 @@ object SparkEntry {
         .orderBy(Ivf.ClusterCol)
     }),
 
+    // ---- B4 oracle twin: one Lloyd refinement step from the fixed
+    // deterministic centroids — assignment argmin + per-(cluster, dim)
+    // sum/count/mean, folded in vec_id order so the doubles are
+    // bit-exact. Pins the k-means UPDATE arithmetic the way
+    // o6_ivf_fixed pins the assignment/probe side.
+    "b4_lloyd_fixed" -> ((s, dir) => {
+      val model = Ivf.Model(fixedIvfCentroids, "embedding")
+      Ivf.lloydStepOrdered(
+          Ivf.assign(Tables.embeddings(s, dir), model), "vec_id", "embedding")
+        .orderBy("cluster_id", "dim_pos")
+    }),
+
     // ---- O6: IVF n_probe pruned search (rows-only: KMeans)
     "o6_ivf_search" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1729,6 +1741,30 @@ object SparkEntry {
       // first-occurrence argmin via list_position(list_min) mirrors the
       // kernel's strict-< replace rule; centroid ranking mirrors the
       // driver's (dist, id)-ascending probe selection
+      // one Lloyd step from the fixed centroids: argmin assignment
+      // (list_min position ≡ codegen NearestCentroid lowest-index
+      // tie-break), then in-vec_id-order component folds per cell
+      "b4_lloyd_fixed" -> {
+        val lv = (0 until 8).map(j => s"(${ivfAssignDistSql(j)})").mkString(", ")
+        s"""WITH enc AS (SELECT vec_id, embedding,
+           |  (list_position(lv, list_min(lv)) - 1) AS cid
+           |  FROM (SELECT vec_id, embedding, list_value($lv) AS lv FROM embeddings)),
+           |cells AS (
+           |  SELECT cid, vec_id, unnest(embedding) AS v,
+           |         generate_subscripts(embedding, 1) AS pos
+           |  FROM enc),
+           |agg AS (
+           |  SELECT CAST(cid AS BIGINT) AS cluster_id,
+           |    CAST(pos AS BIGINT) AS dim_pos,
+           |    list_reduce(list_prepend(0.0, list(CAST(v AS DOUBLE) ORDER BY vec_id)),
+           |                (x, y) -> x + y) AS comp_sum,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM cells GROUP BY 1, 2)
+           |SELECT cluster_id, dim_pos, comp_sum, n,
+           |  comp_sum / CAST(n AS DOUBLE) AS comp_mean
+           |FROM agg ORDER BY cluster_id, dim_pos""".stripMargin
+      },
+
       "o6_ivf_fixed" -> {
         val lv = (0 until 8).map(j => s"(${ivfAssignDistSql(j)})").mkString(", ")
         val cdist = (0 until 8)

@@ -171,6 +171,33 @@ object Ivf {
     } else (assigned, model, false)
   }
 
+  /** Oracle-twin Lloyd refinement step: per-(cluster, dimension)
+    * component sums, counts, and means, computed with a *sequential
+    * in-id-order fold* so the doubles are bit-exact and
+    * engine-independent. The production estimate ([[drift]]) streams an
+    * avg — same semantics, order-dependent last bits; this ordered
+    * variant exists so the k-means UPDATE arithmetic (assign → per-
+    * cluster mean) can be pinned to a SQL oracle, the way
+    * `o6_ivf_fixed` pins the assignment argmin. Collects each
+    * cluster-dim cell's values into one in-memory array — bounded
+    * inputs only, not the 100 TB path. Output: cluster_id, dim_pos
+    * (1-based), comp_sum, n, comp_mean. Empty clusters emit nothing. */
+  def lloydStepOrdered(assigned: DataFrame, idCol: String, embCol: String): DataFrame =
+    assigned
+      .select(col(ClusterCol), col(idCol).cast("long").as("__id"),
+        posexplode(col(embCol)).as(Seq("__pos", "__v")))
+      .groupBy(col(ClusterCol), col("__pos"))
+      .agg(
+        array_sort(collect_list(struct(col("__id"),
+          col("__v").cast("double").as("__d")))).as("__l"),
+        count(lit(1)).as("n"))
+      .select(col(ClusterCol).cast("long").as("cluster_id"),
+        (col("__pos") + 1).cast("long").as("dim_pos"),
+        aggregate(transform(col("__l"), x => x("__d")), lit(0.0d),
+          (acc, x) => acc + x).as("comp_sum"),
+        col("n"))
+      .withColumn("comp_mean", col("comp_sum") / col("n").cast("double"))
+
   /** B6: delete by id — tombstone-free filter rewrite (SURVEY B2/B6). */
   def delete(assigned: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
     assigned.filter(!col(idCol).isin(ids: _*))

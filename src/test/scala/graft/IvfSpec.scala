@@ -118,6 +118,24 @@ class IvfSpec extends SparkSpec {
     assert(r.getAs[Long]("min_size") <= r.getAs[Long]("max_size"))
   }
 
+  test("lloydStepOrdered: partition-invariant bit-exact sums, counts conserve N") {
+    val df = toDF(corpus(60, 8))
+    val (_, model) = Ivf.build(df, "embedding", k = 4)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Ivf.lloydStepOrdered(Ivf.assign(d, model), "id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    val one = run(df.coalesce(1))
+    val many = run(df.repartition(7))
+    assert(one == many) // bit-exact doubles across partitionings
+    // each dimension's counts over clusters sum to N
+    val perDim = one.groupBy(_._1._2).map { case (_, cells) => cells.map(_._2._2).sum }
+    assert(perDim.forall(_ == 60L))
+    // mean is sum/n exactly
+    assert(one.values.forall { case (s, n, m) => m == s / n.toDouble })
+  }
+
   test("model persistence round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/model"
     val data = corpus(50, 8)
