@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, LmScore, Lsh, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize}
+import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, LmScore, Lsh, MediaCodec, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -864,6 +864,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Multimodal REAL decode: build PCM8 WAV containers from doc
+    // text bytes, parse them back with the pure-JVM RIFF codec, emit
+    // signal stats. The oracle recomputes the stats straight from the
+    // characters — pinning header round-trip, sample extraction, and
+    // the rms arithmetic (integer Σ sample², then one sqrt/div).
+    "mm_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (id, MediaCodec.encodeWav(t.getBytes("UTF-8"), sampleRate = 8000))
+        }.toDF("doc_id", "media")
+      Multimodal.audioFeatures(wavs, "doc_id", "media").orderBy("doc_id")
+    }),
+
     // ---- Multimodal: frame sampling over binary payloads
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -1614,6 +1629,26 @@ object SparkEntry {
           |quantile_cont(n_chars, 0.75) AS p75,
           |count(*) AS n
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // PCM8 samples are text bytes (ASCII ⇒ ord = byte) centered at
+      // 128; duration floors twice like WavMeta.durationMs
+      "mm_wav_decode" ->
+        """WITH ch AS (
+          |  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS c
+          |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+          |agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+          |    CAST(sum((c - 128) * (c - 128)) AS BIGINT) AS sum_sq
+          |  FROM ch GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+          |  coalesce(a.n_samples, 0) AS n_samples,
+          |  CAST(coalesce(a.n_samples, 0) * 1000 // 8000 AS BIGINT) AS duration_ms,
+          |  coalesce(a.sum_sq, 0) AS sum_sq,
+          |  CASE WHEN coalesce(a.n_samples, 0) = 0 THEN 0.0
+          |       ELSE sqrt(CAST(a.sum_sq AS DOUBLE) / CAST(a.n_samples AS DOUBLE))
+          |  END AS rms
+          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
 
       "mm_frame_sample" ->
         """SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_no,

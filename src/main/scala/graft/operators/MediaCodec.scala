@@ -1,0 +1,153 @@
+package graft.operators
+
+/** Real pure-JVM codecs for the uncompressed media containers: RIFF/PCM
+  * WAV (audio) and 24-bit uncompressed BMP (image). No native or
+  * third-party libraries — plain header parsing and sample extraction —
+  * so the multimodal decode path is REAL for these formats;
+  * [[Multimodal.FakeCodec]] remains the clearly-marked stand-in only for
+  * compressed codecs (JPEG/MP3/H.264) that genuinely need external
+  * decoders.
+  *
+  * Both decoders are strict: malformed magic/headers throw
+  * IllegalArgumentException rather than guessing, so a bad payload
+  * surfaces as a per-row error a pipeline can quarantine.
+  */
+object MediaCodec {
+
+  // ---------------------------------------------------------------- WAV
+
+  final case class WavMeta(sampleRate: Int, channels: Int,
+                           bitsPerSample: Int, nSamples: Long) {
+    /** Millisecond duration, integer floor — frames / rate. */
+    def durationMs: Long =
+      if (sampleRate == 0) 0L
+      else nSamples / channels * 1000L / sampleRate
+  }
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def putLe16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putLe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Encode mono PCM WAV. `bitsPerSample` ∈ {8, 16}: 8-bit takes raw
+    * unsigned bytes; 16-bit takes little-endian signed pairs. */
+  def encodeWav(data: Array[Byte], sampleRate: Int,
+                bitsPerSample: Int = 8, channels: Int = 1): Array[Byte] = {
+    require(bitsPerSample == 8 || bitsPerSample == 16,
+      s"bitsPerSample must be 8 or 16, got $bitsPerSample")
+    require(sampleRate > 0 && channels > 0,
+      s"sampleRate/channels must be positive, got $sampleRate/$channels")
+    val out = new Array[Byte](44 + data.length)
+    val blockAlign = channels * bitsPerSample / 8
+    System.arraycopy("RIFF".getBytes, 0, out, 0, 4)
+    putLe32(out, 4, 36 + data.length)
+    System.arraycopy("WAVE".getBytes, 0, out, 8, 4)
+    System.arraycopy("fmt ".getBytes, 0, out, 12, 4)
+    putLe32(out, 16, 16)                       // PCM fmt chunk length
+    putLe16(out, 20, 1)                        // audio format = PCM
+    putLe16(out, 22, channels)
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * blockAlign)  // byte rate
+    putLe16(out, 32, blockAlign)
+    putLe16(out, 34, bitsPerSample)
+    System.arraycopy("data".getBytes, 0, out, 36, 4)
+    putLe32(out, 40, data.length)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
+  /** Decode PCM WAV → (meta, samples centered at 0). 8-bit samples are
+    * unsigned-with-128-bias in the container, returned as value − 128;
+    * 16-bit are little-endian signed. Chunk-walks the RIFF body, so
+    * extra chunks (LIST, fact, …) before/after `data` are tolerated. */
+  def decodeWav(bytes: Array[Byte]): (WavMeta, Array[Int]) = {
+    require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var off = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var data: Array[Byte] = null
+    while (off + 8 <= bytes.length && (data == null || sampleRate == 0)) {
+      val id = tag(bytes, off)
+      val len = le32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"chunk $id overruns payload")
+      id match {
+        case "fmt " =>
+          require(le16(bytes, off + 8) == 1, "only PCM (format 1) supported")
+          channels = le16(bytes, off + 10)
+          sampleRate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+          require(bits == 8 || bits == 16, s"unsupported bits/sample $bits")
+        case "data" => data = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+        case _ => () // skip auxiliary chunks
+      }
+      off += 8 + len + (len & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(sampleRate > 0 && data != null, "missing fmt or data chunk")
+    val samples =
+      if (bits == 8) data.map(b => (b & 0xff) - 128)
+      else Array.tabulate(data.length / 2)(i => le16(data, 2 * i).toShort.toInt)
+    (WavMeta(sampleRate, channels, bits, samples.length.toLong), samples)
+  }
+
+  // ---------------------------------------------------------------- BMP
+
+  /** Encode a bottom-up uncompressed 24-bit BMP from row-major RGB
+    * triplets (length = 3 · width · height). */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(rgb.length == 3 * width * height,
+      s"rgb length ${rgb.length} != ${3 * width * height}")
+    val rowBytes = (3 * width + 3) / 4 * 4 // rows pad to 4-byte boundary
+    val out = new Array[Byte](54 + rowBytes * height)
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(out, 2, out.length)
+    putLe32(out, 10, 54)     // pixel offset
+    putLe32(out, 14, 40)     // BITMAPINFOHEADER
+    putLe32(out, 18, width)
+    putLe32(out, 22, height) // positive = bottom-up
+    putLe16(out, 26, 1)      // planes
+    putLe16(out, 28, 24)     // bpp
+    putLe32(out, 30, 0)      // BI_RGB (uncompressed)
+    putLe32(out, 34, rowBytes * height)
+    for (y <- 0 until height; x <- 0 until width) {
+      val src = 3 * (y * width + x)
+      val dst = 54 + (height - 1 - y) * rowBytes + 3 * x
+      // BMP stores BGR
+      out(dst) = rgb(src + 2); out(dst + 1) = rgb(src + 1); out(dst + 2) = rgb(src)
+    }
+    out
+  }
+
+  /** Decode an uncompressed 24-bit BMP → (width, height, row-major RGB
+    * triplets, top-down). */
+  def decodeBmp(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    val pixelOff = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val height = le32(bytes, 22)
+    require(le16(bytes, 28) == 24, "only 24-bit BMP supported")
+    require(le32(bytes, 30) == 0, "only uncompressed (BI_RGB) supported")
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowBytes = (3 * width + 3) / 4 * 4
+    require(pixelOff + rowBytes * height <= bytes.length, "pixel data overruns payload")
+    val rgb = new Array[Byte](3 * width * height)
+    for (y <- 0 until height; x <- 0 until width) {
+      val src = pixelOff + (height - 1 - y) * rowBytes + 3 * x
+      val dst = 3 * (y * width + x)
+      rgb(dst) = bytes(src + 2); rgb(dst + 1) = bytes(src + 1); rgb(dst + 2) = bytes(src)
+    }
+    (width, height, rgb)
+  }
+}

@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus per-partition batch decode /
   * feature-extract / frame-sample operators.
   *
-  * The actual codecs (JPEG/PNG/PCM decode) are STUBBED — this container
-  * has no media libraries — behind [[FakeCodec]], a deterministic
-  * byte-level stand-in. Everything Spark-side is real and tested:
-  * schema, binary handling, `mapPartitions` batch shape (one decoder
-  * instance per partition, streamed rows, no per-row setup), partition
-  * preservation, and the feature/frame output contracts a real codec
-  * drop-in would keep.
+  * Codec status: uncompressed containers decode for REAL —
+  * [[MediaCodec]] parses RIFF/PCM WAV and 24-bit BMP in pure JVM code
+  * (see [[audioFeatures]] / [[imageStats]]). Only compressed codecs
+  * (JPEG/MP3/H.264), which genuinely need external decoder libraries
+  * this container lacks, remain behind [[FakeCodec]], a deterministic
+  * byte-level stand-in. Everything Spark-side is real and tested either
+  * way: schema, binary handling, `mapPartitions` batch shape (one
+  * decoder instance per partition, streamed rows, no per-row setup),
+  * partition preservation, and the feature/frame output contracts.
   */
 object Multimodal {
 
@@ -86,6 +88,69 @@ object Multimodal {
           .map { case (off, no) => (id, no, off) }
       }
     }.toDF(idCol, "frame_no", "byte_offset")
+  }
+
+  /** REAL audio decode: parse each row's PCM WAV payload
+    * ([[MediaCodec.decodeWav]]) and emit per-clip signal stats. Output:
+    * idCol, sample_rate, n_samples, duration_ms, sum_sq (exact integer
+    * Σ sample², order-free), rms = sqrt(sum_sq / n). One decoder pass
+    * per partition; malformed payloads yield a null row tail rather
+    * than failing the job (quarantine by `WHERE sample_rate IS NULL`). */
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        try {
+          val (meta, samples) = MediaCodec.decodeWav(bytes)
+          var ss = 0L
+          var i = 0
+          while (i < samples.length) { ss += samples(i).toLong * samples(i); i += 1 }
+          val rms =
+            if (samples.isEmpty) 0.0
+            else math.sqrt(ss.toDouble / samples.length.toDouble)
+          (id, Some(meta.sampleRate.toLong), Some(meta.nSamples),
+            Some(meta.durationMs), Some(ss), Some(rms))
+        } catch {
+          case _: IllegalArgumentException =>
+            (id, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Double])
+        }
+      }
+    }.toDF(idCol, "sample_rate", "n_samples", "duration_ms", "sum_sq", "rms")
+  }
+
+  /** REAL image decode: parse each row's 24-bit BMP payload
+    * ([[MediaCodec.decodeBmp]]) and emit dimensions + exact integer
+    * luminance sum (Σ r+g+b — order-free) and mean channel value.
+    * Malformed payloads yield nulls, as in [[audioFeatures]]. */
+  def imageStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        try {
+          val (w, h, rgb) = MediaCodec.decodeBmp(bytes)
+          var s = 0L
+          var i = 0
+          while (i < rgb.length) { s += (rgb(i) & 0xff); i += 1 }
+          (id, Some(w.toLong), Some(h.toLong), Some(s),
+            Some(s.toDouble / rgb.length.toDouble))
+        } catch {
+          case _: IllegalArgumentException =>
+            (id, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Double])
+        }
+      }
+    }.toDF(idCol, "width", "height", "lum_sum", "mean_channel")
   }
 
   /** Wrap a text table as a multimodal fixture (text bytes as payload) —

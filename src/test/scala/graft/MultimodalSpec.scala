@@ -43,4 +43,54 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getInt(1), r.getLong(2)))
     assert(frames.toSeq == Seq((0, 0L), (1, 4L), (2, 8L))) // 11 bytes / stride 4
   }
+
+  test("WAV codec: 8/16-bit round-trip, aux-chunk walking, strict errors") {
+    import graft.operators.MediaCodec
+    // 8-bit: stored unsigned, decoded centered
+    val (m8, s8) = MediaCodec.decodeWav(
+      MediaCodec.encodeWav(Array[Byte](0, 127.toByte, 128.toByte, 255.toByte), 8000))
+    assert(m8 == MediaCodec.WavMeta(8000, 1, 8, 4L))
+    assert(s8.toSeq == Seq(-128, -1, 0, 127))
+    assert(m8.durationMs == 0L) // 4 samples @8kHz floors to 0 ms
+    // 16-bit LE signed
+    val pcm16 = Array[Byte](0x34, 0x12, 0xff.toByte, 0xff.toByte) // 0x1234, -1
+    val (m16, s16) = MediaCodec.decodeWav(
+      MediaCodec.encodeWav(pcm16, 44100, bitsPerSample = 16))
+    assert(m16.bitsPerSample == 16 && m16.nSamples == 2L)
+    assert(s16.toSeq == Seq(0x1234, -1))
+    // an auxiliary chunk between fmt and data is skipped, not fatal
+    val w = MediaCodec.encodeWav(Array[Byte](130.toByte), 8000)
+    val aux = Array[Byte]('L', 'I', 'S', 'T', 2, 0, 0, 0, 7, 7)
+    val spliced = w.take(36) ++ aux ++ w.drop(36)
+    // patch RIFF size for the extra 10 bytes
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte; spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    assert(MediaCodec.decodeWav(spliced)._2.toSeq == Seq(2))
+    intercept[IllegalArgumentException](MediaCodec.decodeWav("junk!junk".getBytes))
+  }
+
+  test("BMP codec: round-trip through row padding; imageStats/audioFeatures real decode") {
+    import graft.operators.MediaCodec
+    val s = spark
+    import s.implicits._
+    // 3x2 : rowBytes pads 9 → 12; round-trip must be exact
+    val rgb = Array.tabulate(18)(i => (i * 7).toByte)
+    val (w, h, back) = MediaCodec.decodeBmp(MediaCodec.encodeBmp(3, 2, rgb))
+    assert(w == 3 && h == 2 && back.toSeq == rgb.toSeq)
+    val imgs = Seq((1L, MediaCodec.encodeBmp(3, 2, rgb)),
+      (2L, "notbmp".getBytes)).toDF("id", "media")
+    val st = Multimodal.imageStats(imgs, "id", "media").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getLong(1) == 3L && st(1L).getLong(2) == 2L)
+    assert(st(1L).getLong(3) == rgb.map(_ & 0xff).sum.toLong)
+    assert(st(2L).isNullAt(1) && st(2L).isNullAt(4)) // quarantined, not fatal
+    val wavs = Seq((1L, MediaCodec.encodeWav(Array[Byte](131.toByte, 124.toByte), 8000)),
+      (2L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    val af = Multimodal.audioFeatures(wavs, "id", "media").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // samples +3, -4 → sum_sq 25, rms sqrt(12.5)
+    assert(af(1L).getLong(4) == 25L)
+    assert(af(1L).getDouble(5) == math.sqrt(12.5))
+    assert(af(2L).isNullAt(1))
+  }
 }
