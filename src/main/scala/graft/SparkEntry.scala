@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, LmScore, Lsh, MediaCodec, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize}
+import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -970,6 +970,32 @@ object SparkEntry {
         .select("vec_id", "dist")
     }),
 
+    // ---- IVF-PQ composite (FAISS-IVFPQ shape): coarse assign → residual
+    // PQ encode → probe 2 clusters → per-cluster ADC tables → top-k.
+    // Fixed centroids + fixed codebook make the whole path oracle-exact:
+    // residual float rounding, per-chunk argmin encode, table lookups,
+    // the (dist, id) tie-break — every stage hash-checked.
+    "o6_ivfpq_fixed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val model = IvfPq.Model(Ivf.Model(fixedIvfCentroids, "embedding"), fixedPqCodebook)
+      IvfPq.search(IvfPq.encode(emb, "embedding", model), model, "vec_id",
+        q, nProbe = 2, topK = 10).select("vec_id", "dist")
+    }),
+
+    // ---- IVF-PQ two-stage deployment: ADC shortlist (30) → exact
+    // rerank. Also oracle-exact with the fixed model — pins the
+    // shortlist boundary AND the exact re-scoring.
+    "o6_ivfpq_rerank_fixed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val model = IvfPq.Model(Ivf.Model(fixedIvfCentroids, "embedding"), fixedPqCodebook)
+      IvfPq.search(IvfPq.encode(emb, "embedding", model), model, "vec_id",
+        q, nProbe = 2, topK = 10, rerank = 30).select("vec_id", "dist")
+    }),
+
     // ---- Second flagship: the full training-export path end-to-end —
     // language/quality gate + exact-dup keep-first (pipeline_curate's
     // core) → benchmark decontamination → PII redaction → concat-and-
@@ -1076,6 +1102,83 @@ object SparkEntry {
   private[graft] lazy val fixedIvfCentroids: Array[Array[Float]] = {
     val rnd = new java.util.Random(11047L)
     Array.fill(8)(Array.fill(OracleSql.Dim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  /** IVF-PQ fixed-model oracle: the full composite path in SQL —
+    * assignment argmin (list_min position ≡ lowest-index tie-break),
+    * residual = double-subtract rounded to REAL (≡ the engine's float
+    * zip_with subtraction, exact by the 2p+2 double-rounding theorem),
+    * per-chunk encode argmin over residual slices, per-cluster ADC
+    * tables from the query residuals, 0.0-seeded left-fold sums
+    * everywhere, (dist, id) top-k; `rerank` > 0 adds the ADC-shortlist →
+    * exact-L2 rerank stage. Centroid/codebook literals are exact double
+    * strings of the float values. */
+  private def ivfPqFixedSql(rerank: Int): String = {
+    import OracleSql.{Dim, l2}
+    val cb = fixedPqCodebook
+    def arr(xs: Seq[String]) = xs.mkString("[", ", ", "]")
+    val il = arr(fixedIvfCentroids.toSeq.map(c =>
+      arr(c.toSeq.map(_.toDouble.toString))))
+    val pl = arr(cb.centroids.toSeq.map(ch =>
+      arr(ch.toSeq.map(ct => arr(ct.toSeq.map(_.toDouble.toString))))))
+    val lv = (0 until fixedIvfCentroids.length)
+      .map(j => s"(${ivfAssignDistSql(j)})").mkString(", ")
+    val cdist = fixedIvfCentroids.indices
+      .map(j => s"SELECT $j AS j, (${ivfQueryDistSql(j)}) AS d FROM q")
+      .mkString(" UNION ALL ")
+    val resElems = arr((1 to Dim).map(i =>
+      s"CAST(CAST(embedding[$i] AS DOUBLE) - il[cid + 1][$i] AS REAL)"))
+    val chunkCols = (0 until cb.chunks).map { ch =>
+      val ds = (0 until cb.k).map { j =>
+        ("0.0" +: (0 until cb.subDim).map { d =>
+          val x = s"(CAST(r[${ch * cb.subDim + d + 1}] AS DOUBLE) - " +
+            s"pl[${ch + 1}][${j + 1}][${d + 1}])"
+          s"$x * $x"
+        }).mkString(" + ")
+      }
+      s"list_value(${ds.map(x => s"($x)").mkString(", ")}) AS lv$ch, " +
+        s"(list_position(lv$ch, list_min(lv$ch)) - 1) AS c$ch"
+    }.mkString(",\n    ")
+    val codeList = arr((0 until cb.chunks).map(ch => s"c$ch"))
+    val qrs = s"list_transform(range(1, ${fixedIvfCentroids.length + 1}), " +
+      s"cl -> list_transform(range(1, ${Dim + 1}), " +
+      s"i -> CAST(CAST(qe[i] AS DOUBLE) - il[cl][i] AS REAL)))"
+    val cells = (0 until cb.chunks).map { ch =>
+      "(" + ("0.0" +: (0 until cb.subDim).map { d =>
+        val x = s"(pl[${ch + 1}][code[${ch + 1}] + 1][${d + 1}] - " +
+          s"CAST(qrs[cid + 1][${ch * cb.subDim + d + 1}] AS DOUBLE))"
+        s"$x * $x"
+      }).mkString(" + ") + ")"
+    }
+    val adcDist = s"sqrt(${("0.0" +: cells).mkString(" + ")})"
+    val tail =
+      if (rerank == 0)
+        """SELECT vec_id, dist FROM scored
+          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+      else
+        s""", short AS (SELECT vec_id FROM scored
+           |  ORDER BY dist ASC, vec_id ASC LIMIT $rerank)
+           |SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN q
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    s"""${OracleSql.queryCte(QueryVecId)},
+       |consts AS (SELECT $il AS il, $pl AS pl),
+       |enc AS (SELECT vec_id, embedding,
+       |  (list_position(lvv, list_min(lvv)) - 1) AS cid
+       |  FROM (SELECT vec_id, embedding, list_value($lv) AS lvv FROM embeddings)),
+       |res AS (SELECT vec_id, cid, $resElems AS r FROM enc, consts),
+       |coded AS (SELECT vec_id, cid,
+       |    $chunkCols,
+       |    $codeList AS code
+       |  FROM res, consts),
+       |cdist AS ($cdist),
+       |probe AS (SELECT j FROM cdist ORDER BY d ASC, j ASC LIMIT 2),
+       |qrt AS (SELECT $qrs AS qrs FROM q, consts),
+       |scored AS (
+       |  SELECT cd.vec_id, $adcDist AS dist
+       |  FROM coded cd, qrt, consts
+       |  WHERE cd.cid IN (SELECT j FROM probe))
+       |$tail""".stripMargin
   }
 
   /** Row-to-centroid-j squared L2 (assignment side: x − cent, the
@@ -1799,6 +1902,10 @@ object SparkEntry {
            |  comp_sum / CAST(n AS DOUBLE) AS comp_mean
            |FROM agg ORDER BY cluster_id, dim_pos""".stripMargin
       },
+
+      "o6_ivfpq_fixed" -> ivfPqFixedSql(rerank = 0),
+
+      "o6_ivfpq_rerank_fixed" -> ivfPqFixedSql(rerank = 30),
 
       "o6_ivf_fixed" -> {
         val lv = (0 until 8).map(j => s"(${ivfAssignDistSql(j)})").mkString(", ")
