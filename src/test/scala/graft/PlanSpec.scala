@@ -22,6 +22,24 @@ class PlanSpec extends SparkSpec {
       s"expected partition pruning on cluster_id, plan:\n$plan")
   }
 
+  test("IVF-PQ search over a partitioned code table prunes partitions and scans no vectors") {
+    val data = corpus(100, 16)
+    val dir = Files.createTempDirectory("ivfpqplan").toString + "/t"
+    val (encoded, model) = graft.operators.IvfPq.build(toDF(data), "embedding",
+      kClusters = 4, chunks = 4, kCodes = 4)
+    // the persisted index drops raw vectors: (id, cluster_id, pq_code)
+    Ivf.writePartitioned(encoded.select("id", Ivf.ClusterCol, "pq_code"), dir)
+    val table = spark.read.parquet(dir)
+    val plan = graft.operators.IvfPq.search(table, model, "id",
+        data.head._2.toSeq, nProbe = 2, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"expected partition pruning on cluster_id, plan:\n$plan")
+    // ADC reads codes only — the scan schema must not include embeddings
+    assert(plan.contains("ReadSchema") && !plan.contains("embedding"),
+      s"ADC scan should read pq_code, not vectors, plan:\n$plan")
+  }
+
   test("exact kNN plans as TakeOrderedAndProject (no global sort)") {
     val plan = Search.knnExact(toDF(corpus(50, 8)), "id", "embedding",
       corpus(1, 8).head._2.toSeq, 5).queryExecution.executedPlan.toString
