@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.functions.HashingEmbedder
-import graft.operators.{Crud, Hnsw, Ivf, Pq, Search}
+import graft.operators.{Crud, Hnsw, Ivf, IvfPq, Pq, Search}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,46 @@ class VectorStore private (val spark: SparkSession, val path: String,
     Ivf.search(assigned, model, "id", query, nProbe, k, pred)
   }
 
+  private def ivfPqModelPath = s"$path/ivfpq_model"
+  private def ivfPqDataPath = s"$path/codes_by_cluster"
+
+  /** IVF-PQ composite build: persists both model levels plus the
+    * cluster-partitioned CODE table — (id, cluster_id, pq_code,
+    * metadata), no raw vectors, the ~32× compressed layout that makes
+    * the composite the 100 TB ANN path. */
+  def buildIvfPq(kClusters: Int, chunks: Int, kCodes: Int,
+                 seed: Long = 42L): IvfPq.Model = {
+    val (encoded, model) = IvfPq.build(snapshot().filter(!col("is_deleted")),
+      "embedding", kClusters, chunks, kCodes, seed)
+    IvfPq.save(model, ivfPqModelPath)
+    Ivf.writePartitioned(
+      encoded.select(col("id"), col(Ivf.ClusterCol), col(IvfPq.CodeCol),
+        col("metadata")), ivfPqDataPath)
+    model
+  }
+
+  /** IVF-PQ search over the persisted code table: cluster probe =
+    * partition pruning, ADC over codes only. `rerank` > 0 fetches the
+    * shortlist's raw vectors from the snapshot (a point-join on a
+    * fixed-size id set) and re-scores exactly — the standard two-stage
+    * deployment. */
+  def searchIvfPq(query: Seq[Float], nProbe: Int, k: Int, rerank: Int = 0,
+                  metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+    val model = IvfPq.load(spark, ivfPqModelPath, "embedding")
+    val table = spark.read.parquet(ivfPqDataPath)
+    val pred = if (metadataFilter.isEmpty) None
+      else Some(Search.metadataFilter(col("metadata"), metadataFilter))
+    if (rerank == 0)
+      IvfPq.search(table, model, "id", query, nProbe, k, 0, pred)
+    else {
+      val short = IvfPq.search(table, model, "id", query, nProbe, rerank, 0, pred)
+        .select("id")
+      Search.knnExact(
+        snapshot().filter(!col("is_deleted")).join(short, "id"),
+        "id", "embedding", query, k)
+    }
+  }
+
   private def pqModelPath = s"$path/pq_model"
 
   /** B8/B9/B11: train PQ codebook (persisted alongside the store). */
@@ -142,9 +182,13 @@ class VectorStore private (val spark: SparkSession, val path: String,
         searchIvf(query, params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe),
           k, metadataFilter)
       case "pq" => searchAdc(query, k, metadataFilter)
+      case "ivfpq" =>
+        searchIvfPq(query,
+          params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe), k,
+          params.get("rerank").map(_.toInt).getOrElse(0), metadataFilter)
       case "exact" => search(query, k, metadataFilter)
       case other => throw new IllegalArgumentException(
-        s"unknown index type '$other' (expected exact, hnsw, ivf, or pq)")
+        s"unknown index type '$other' (expected exact, hnsw, ivf, ivfpq, or pq)")
     }
   }
 

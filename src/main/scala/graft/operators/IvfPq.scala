@@ -113,4 +113,16 @@ object IvfPq {
     else Search.knnExact(adc.limit(rerank).drop("dist"),
       idCol, model.ivf.embCol, query, topK)
   }
+
+  /** B11 for the composite: both levels persist as parquet side tables
+    * (coarse centroids via [[Ivf.save]], residual codebook via
+    * [[Pq.save]]). */
+  def save(model: Model, path: String): Unit = {
+    Ivf.save(model.ivf, s"$path/ivf")
+    Pq.save(model.pq, s"$path/pq")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+           embCol: String): Model =
+    Model(Ivf.load(spark, s"$path/ivf", embCol), Pq.load(spark, s"$path/pq"))
 }

@@ -73,4 +73,29 @@ class VectorStoreSpec extends SparkSpec {
     assert(viaIvf.count() == 3)
     assert(viaIvf.collect().head.getAs[Double]("dist") < 1e-6)
   }
+
+  test("IVF-PQ build + two-stage search through the facade") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("store").toString
+    val store = VectorStore.open(s, dir, dim = 16)
+    val data = corpus(60, 16)
+    store.ingest(data.map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    store.buildIvfPq(kClusters = 4, chunks = 4, kCodes = 4)
+    // code table holds codes + metadata, NOT raw vectors
+    val codeCols = s.read.parquet(s"$dir/codes_by_cluster").schema.fieldNames.toSet
+    assert(codeCols("pq_code") && codeCols("cluster_id") && !codeCols("embedding"))
+    // ADC-only search returns k approximate hits from the probed clusters
+    assert(store.searchIvfPq(data(3)._2.toSeq, nProbe = 4, k = 5).count() == 5)
+    // rerank re-scores exactly: the query vector itself comes back first
+    val rr = store.searchIvfPq(data(3)._2.toSeq, nProbe = 4, k = 5, rerank = 20)
+      .collect()
+    assert(rr.length == 5 && rr.head.getAs[Double]("dist") < 1e-6)
+    // facade dispatch, with the reference's unknown-kwarg tolerance
+    val api = store.searchApi(data(3)._2.toSeq,
+      Map("index" -> "ivfpq", "top_k" -> "3", "n_probe" -> "4",
+        "rerank" -> "20", "bogus" -> "x"))
+    assert(api.count() == 3)
+    assert(api.collect().head.getAs[Double]("dist") < 1e-6)
+  }
 }
