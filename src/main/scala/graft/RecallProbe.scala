@@ -51,6 +51,31 @@ object RecallProbe {
       val lat = (System.nanoTime() - t0) / 1e9 / nQueries
       println(f"$nProbe%7d  ${recallSum / nQueries}%11.3f  $lat%14.4f")
     }
+
+    // IVF-PQ composite: ADC-only vs rerank (shortlist = 4·k) at the
+    // same probe settings — the compressed-scan path's recall evidence
+    val (encodedRaw, pqModel) = graft.operators.IvfPq.build(
+      emb, "embedding", kClusters, chunks = 8, kCodes = 64)
+    val encoded = encodedRaw.cache()
+    encoded.count()
+    println("IVFPQ (chunks=8 kCodes=64)")
+    println("n_probe  adc_recall  rerank_recall  adc_lat_s  rerank_lat_s")
+    for (nProbe <- Seq(1, 2, 4, kClusters / 2, kClusters).distinct.sorted) {
+      def run(rerank: Int): (Double, Double) = {
+        var recallSum = 0.0
+        val t0 = System.nanoTime()
+        queries.foreach { case (qid, q) =>
+          val got = graft.operators.IvfPq.search(encoded, pqModel, "vec_id",
+              q, nProbe, topK, rerank)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          recallSum += got.intersect(exact(qid)).size.toDouble / topK
+        }
+        (recallSum / nQueries, (System.nanoTime() - t0) / 1e9 / nQueries)
+      }
+      val (ra, la) = run(0)
+      val (rr, lr) = run(10 * topK)
+      println(f"$nProbe%7d  $ra%10.3f  $rr%13.3f  $la%9.4f  $lr%12.4f")
+    }
     spark.stop()
   }
 }
