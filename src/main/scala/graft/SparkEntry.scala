@@ -277,6 +277,14 @@ object SparkEntry {
       Sampling.stratifiedFixed(Tables.documents(s, dir), Seq("lang"), "doc_id", 20)
         .select("doc_id", "lang").orderBy("lang", "doc_id")),
 
+    // ---- Sampling: mixture construction — per-source quotas (the
+    // domain-mixing step; src0's quota exceeds its stratum size to
+    // exercise the min(quota, |s|) clamp, unlisted sources drop)
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(Tables.documents(s, dir), "source", "doc_id",
+          Map("src0" -> 40L, "src1" -> 10L, "src2" -> 5L, "src5" -> 7L))
+        .select("doc_id", "source").orderBy("source", "doc_id")),
+
     // ---- Sampling: Bernoulli-by-hash (row-level agreement of the hash)
     "sample_hash_frac" -> ((s, dir) =>
       Sampling.hashFraction(Tables.documents(s, dir), "doc_id", 0.25)
@@ -1480,6 +1488,16 @@ object SparkEntry {
           |      doc_id) AS rn
           |  FROM documents) t
           |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+      "sample_mixture" ->
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+          |    ORDER BY CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT),
+          |      doc_id) AS rn
+          |  FROM documents) t
+          |WHERE rn <= CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 10
+          |  WHEN 'src2' THEN 5 WHEN 'src5' THEN 7 ELSE 0 END
+          |ORDER BY source, doc_id""".stripMargin,
 
       "sample_hash_frac" ->
         """SELECT doc_id FROM documents

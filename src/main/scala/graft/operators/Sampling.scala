@@ -46,6 +46,33 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Mixture construction — the domain-mixing step of corpus assembly
+    * ("60% web, 30% code, 10% books" → per-source quotas): stratum s
+    * keeps its min(quotas(s), |s|) smallest-hash rows; strata absent
+    * from `quotas` are dropped (quota 0). Deterministic in the row id,
+    * like every sampler here, so a mixture is reproducible and can be
+    * re-materialized incrementally. One window shuffle on the stratum
+    * key (WindowGroupLimit applies the per-stratum top-N partially,
+    * before the exchange — the same plan contract as
+    * [[stratifiedFixed]]). */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+                    quotas: Map[String, Long]): DataFrame = {
+    require(quotas.nonEmpty, "quotas must be non-empty")
+    require(quotas.values.forall(_ >= 0), s"quotas must be >= 0, got $quotas")
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+      when(col(stratumCol) === s, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashUniform(col(idCol)).asc, col(idCol).asc)
+    // literal max-quota filter first: that's the form the optimizer
+    // turns into a partial WindowGroupLimit below the exchange; the
+    // per-stratum quota column then refines it exactly
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lit(quotas.values.max))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
   /** Deterministic dataset split (train/val/test …): labels each row by
     * where its hash uniform falls among the cumulative `weights`
     * (normalized; last split absorbs the remainder, so every row gets a

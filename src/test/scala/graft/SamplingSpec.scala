@@ -54,6 +54,24 @@ class SamplingSpec extends SparkSpec {
     labeled.unpersist()
   }
 
+  test("mixtureSample: per-stratum quotas, clamped to stratum size, unlisted drop") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 300L)
+      .map(i => (i, s"src${i % 3}")).toDF("id", "source") // 100 per source
+    val got = Sampling.mixtureSample(df, "source", "id",
+        Map("src0" -> 60L, "src1" -> 150L, "src2" -> 0L))
+      .collect().map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length)
+    assert(got.getOrElse("src0", 0) == 60)
+    assert(got.getOrElse("src1", 0) == 100) // quota over size → whole stratum
+    assert(got.getOrElse("src2", 0) == 0)
+    // determinism + monotonicity: a larger quota only ADDS rows
+    def ids(q: Long) = Sampling.mixtureSample(df, "source", "id",
+        Map("src0" -> q)).collect().map(_.getLong(0)).toSet
+    assert(ids(30).subsetOf(ids(60)))
+    assert(ids(30) == ids(30))
+  }
+
   test("splitColumn rejects empty or non-positive weights") {
     intercept[IllegalArgumentException] {
       Sampling.splitColumn(col("id"), Seq.empty)
