@@ -121,6 +121,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WAV/BMP codecs: encode∘decode = id over generated payloads (pure JVM, no Spark)") {
+    import graft.operators.MediaCodec
+    val bytesGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)
+    forAllSamples(Gen.zip(bytesGen, Gen.chooseNum(1, 48000)), n = 20) {
+      case (data, rate) =>
+        val (m8, s8) = MediaCodec.decodeWav(MediaCodec.encodeWav(data, rate))
+        assert(m8.sampleRate == rate && m8.nSamples == data.length.toLong)
+        assert(s8.toSeq == data.toSeq.map(b => (b & 0xff) - 128))
+        val d16 = if (data.length % 2 == 0) data else data.dropRight(1)
+        val (m16, s16) = MediaCodec.decodeWav(
+          MediaCodec.encodeWav(d16, rate, bitsPerSample = 16))
+        assert(m16.nSamples == d16.length / 2)
+        assert(s16.toSeq == (0 until d16.length / 2).map(i =>
+          ((d16(2 * i) & 0xff) | (d16(2 * i + 1) << 8)).toShort.toInt))
+    }
+    val dimGen = Gen.zip(Gen.chooseNum(1, 9), Gen.chooseNum(1, 7))
+    forAllSamples(dimGen, n = 15) { case (w, h) =>
+      val rnd = new scala.util.Random(w * 31 + h)
+      val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val (w2, h2, back) = MediaCodec.decodeBmp(MediaCodec.encodeBmp(w, h, rgb))
+      assert(w2 == w && h2 == h && back.toSeq == rgb.toSeq)
+    }
+  }
+
+  test("boilerplateRemove: minDocFreq above corpus size is the identity") {
+    val s = spark
+    import s.implicits._
+    val docGen = Gen.listOfN(6,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd")).map(_.mkString(" ")))
+    forAllSamples(docGen, n = 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val r = Dedup.boilerplateRemove(df, "doc_id", "text", " ",
+          minDocFreq = texts.length + 1L)
+        .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+      // nothing reaches the doc-frequency bar → text round-trips
+      // (modulo collapsed empty segments from double spaces — inputs
+      // here are single-spaced)
+      texts.zipWithIndex.foreach { case (t, i) => assert(r(i.toLong) == t) }
+    }
+  }
+
   test("upsert: updates win, inserts append, ids stay unique") {
     val kvGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.alphaStr))
     forAllSamples(Gen.zip(kvGen, kvGen), n = 6) { case (base, updates) =>
