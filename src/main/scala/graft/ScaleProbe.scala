@@ -72,6 +72,37 @@ object ScaleProbe {
       Dedup.minhashLshPairs(docs.filter(col("id") % 5 === 0), "id", "text",
         numHashes = 8, bands = 4, shingle = 3).count())
 
+    // IVF-PQ composite over the stored corpus: residual encode persisted
+    // cluster-partitioned, then two-stage search over codes only
+    val ivfpqDir = s"$dir-ivfpq"
+    var ipModel: graft.operators.IvfPq.Model = null
+    t("ivfpq_build_encode_persist") {
+      val (enc, m) = graft.operators.IvfPq.build(df, "embedding",
+        kClusters = 64, chunks = 8, kCodes = 256)
+      ipModel = m
+      Ivf.writePartitioned(enc.select("id", Ivf.ClusterCol, "pq_code"), ivfpqDir)
+      n
+    }
+    val ipCodes = spark.read.parquet(ivfpqDir)
+    t("ivfpq_adc_top10_probe4")(
+      graft.operators.IvfPq.search(ipCodes, ipModel, "id", q, 4, 10).count())
+
+    // boilerplate removal over n docs: df-count shuffle + anti-join +
+    // per-doc reassembly (segments = words here). Forcing via .head on
+    // the sum — count() over a global aggregate is optimized to a
+    // constant and would skip the whole pipeline
+    t("boilerplate_remove") {
+      Dedup.boilerplateRemove(docs, "id", "text", " ", minDocFreq = n / 2)
+        .agg(sum(length(col("text_clean")))).head.getLong(0)
+    }
+
+    // bigram-LM self-score over n docs: two count shuffles + model join +
+    // per-doc ordered fold
+    t("lm_selfscore") {
+      graft.operators.LmScore.selfScore(docs, "id", "text", minCount = 2L)
+        .agg(sum(col("lm_score"))).head.getDouble(0).toLong
+    }
+
     // bucketed time-range join: n events x n/10 orders, 30-bucket window
     val evs = spark.range(n).select(col("id").as("eid"),
       pmod(col("id") * 2654435761L, lit(100000)).as("k"),
