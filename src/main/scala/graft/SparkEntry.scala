@@ -1019,9 +1019,15 @@ object SparkEntry {
         .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
         .join(keepers, col("doc_id") === col("keep_id"), "left_semi")
         .filter(col("doc_id") % 50 =!= 0) // never train on the eval slice
-      val clean = Contamination.decontaminate(gated,
+      // contamination is screened on the RAW docs, not on `gated`:
+      // removal is by doc_id, so extra flagged ids that gating would
+      // drop anyway are harmless — and the gating lineage then feeds
+      // ONLY the anti-join, running once instead of once per
+      // decontaminate input reference
+      val dirty = Contamination.overlap(docs,
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
-        n = 3, minShared = 2)
+        n = 3, minShared = 2).select("doc_id")
+      val clean = gated.join(dirty, Seq("doc_id"), "left_anti")
       val redacted = clean.select(col("doc_id"),
         graft.functions.PiiFunctions.redactPii(col("text")).as("rtext"))
       // the md5 rides through packOffsets as payload — no join-back, so

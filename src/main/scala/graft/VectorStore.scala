@@ -123,6 +123,10 @@ class VectorStore private (val spark: SparkSession, val path: String,
     * deployment. */
   def searchIvfPq(query: Seq[Float], nProbe: Int, k: Int, rerank: Int = 0,
                   metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+    // mirror IvfPq.search's guard: this path re-purposes `rerank` as the
+    // shortlist size, which would otherwise silently truncate top_k
+    require(rerank == 0 || rerank >= k,
+      s"rerank ($rerank) must be 0 (off) or >= k ($k)")
     val model = IvfPq.load(spark, ivfPqModelPath, "embedding")
     val table = spark.read.parquet(ivfPqDataPath)
     val pred = if (metadataFilter.isEmpty) None

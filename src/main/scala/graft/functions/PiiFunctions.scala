@@ -20,8 +20,15 @@ object PiiFunctions {
   /** International-prefix phone shape: +C[C]-NNN-NNNN. */
   val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 
-  /** Dotted-quad IPv4 (word-bounded so version strings like 1.2.3.4.5
-    * don't double-match; both engines support \b). */
+  /** Dotted-quad IPv4. \b stops a match from starting or ending inside
+    * a digit run (so 1234.5.6.7890 doesn't partially match), but \b
+    * holds between a digit and a '.', so a five-part version string
+    * like 1.2.3.4.5 still yields a false positive on its first four
+    * parts → "[IP].5". Preventing that needs (?<![.0-9])/(?![.0-9])
+    * lookarounds, which the RE2-compat contract above rules out — a
+    * deliberate trade: identical engine/oracle semantics over perfect
+    * precision. Curation-side impact is over-redaction (safe direction);
+    * PiiSpec documents the behavior. */
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Non-overlapping match counts per PII class. */

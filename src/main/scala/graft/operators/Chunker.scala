@@ -30,7 +30,9 @@ object Chunker {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlap")
     val stride = chunkTokens - overlap
-    val toks = split(col(textCol), "\\s+")
+    // null text behaves like empty text (one empty chunk) — explode of a
+    // null sequence would silently drop the document instead
+    val toks = split(coalesce(col(textCol), lit("")), "\\s+")
     // ceil((n - overlap) / stride) starts, min 1 — the last window is
     // allowed to be short rather than dropping tail tokens
     val nChunks = greatest(lit(1L),
@@ -68,7 +70,13 @@ object Chunker {
     // in place
     val prepped = df
       .withColumn(idCol, col(idCol).cast("long"))
-      .withColumn(tokCol, col(tokCol).cast("long"))
+      // fail fast with a usable message — a null/negative count would
+      // otherwise surface as an opaque executor NPE inside pass 1
+      .withColumn(tokCol,
+        when(col(tokCol).isNull || col(tokCol) < 0,
+          raise_error(lit(s"packOffsets: '$tokCol' must be non-null and " +
+            "non-negative")))
+          .otherwise(col(tokCol).cast("long")))
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(idCol)
     val schema = prepped.schema

@@ -265,14 +265,31 @@ object Dedup {
       // labels flow across edges: each node's candidate = min neighbor label
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          (col("nbr") < col("comp")).as("__chg"))
-      val mat = next.localCheckpoint()
+      val hop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("__c1"))
+      // pointer-halving shortcut: comp ← labels(comp).comp. Any label a
+      // node holds names a member of its own component, so chasing one
+      // more link stays in-component while labels spread geometrically —
+      // convergence in O(log diameter) rounds instead of O(diameter)
+      // (a 30-doc edit chain closes in ~5 rounds, not 29)
+      val next = hop
+        .join(labels.select(col("id").as("__c1"), col("comp").as("__pc")),
+          Seq("__c1"), "left")
+        .select(col("id"),
+          least(col("__c1"), coalesce(col("__pc"), col("__c1"))).as("comp"),
+          col("__old"))
+      val mat = next.select(col("id"), col("comp"),
+        (col("comp") < col("__old")).as("__chg")).localCheckpoint()
       changed = mat.filter(col("__chg")).count()
       labels = mat.select("id", "comp")
       iter += 1
     }
+    // a silent partial result would under-deduplicate: labels mid-
+    // propagation look exactly like converged ones
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter iterations " +
+        s"($changed labels still moving) — raise maxIter")
     labels
   }
 

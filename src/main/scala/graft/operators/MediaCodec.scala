@@ -83,9 +83,12 @@ object MediaCodec {
         s"chunk $id overruns payload")
       id match {
         case "fmt " =>
+          require(len >= 16, s"fmt chunk too short ($len bytes)")
           require(le16(bytes, off + 8) == 1, "only PCM (format 1) supported")
           channels = le16(bytes, off + 10)
+          require(channels >= 1, s"bad channel count $channels")
           sampleRate = le32(bytes, off + 12)
+          require(sampleRate > 0, s"bad sample rate $sampleRate")
           bits = le16(bytes, off + 22)
           require(bits == 8 || bits == 16, s"unsupported bits/sample $bits")
         case "data" => data = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
@@ -140,8 +143,13 @@ object MediaCodec {
     require(le16(bytes, 28) == 24, "only 24-bit BMP supported")
     require(le32(bytes, 30) == 0, "only uncompressed (BI_RGB) supported")
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
-    val rowBytes = (3 * width + 3) / 4 * 4
-    require(pixelOff + rowBytes * height <= bytes.length, "pixel data overruns payload")
+    require(pixelOff >= 54, s"bad pixel offset $pixelOff")
+    // long arithmetic: a forged width ~2^30 must fail the bound, not
+    // overflow into a "valid" small product
+    val rowBytesL = (3L * width + 3) / 4 * 4
+    require(3L * width * height <= Int.MaxValue &&
+      pixelOff + rowBytesL * height <= bytes.length, "pixel data overruns payload")
+    val rowBytes = rowBytesL.toInt
     val rgb = new Array[Byte](3 * width * height)
     for (y <- 0 until height; x <- 0 until width) {
       val src = pixelOff + (height - 1 - y) * rowBytes + 3 * x

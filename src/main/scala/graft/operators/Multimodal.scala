@@ -116,7 +116,10 @@ object Multimodal {
           (id, Some(meta.sampleRate.toLong), Some(meta.nSamples),
             Some(meta.durationMs), Some(ss), Some(rms))
         } catch {
-          case _: IllegalArgumentException =>
+          // NonFatal, not just IllegalArgumentException: a forged header
+          // that slips past validation surfaces as AIOOBE/Arithmetic —
+          // still a per-row quarantine, never a job kill
+          case scala.util.control.NonFatal(_) =>
             (id, None: Option[Long], None: Option[Long],
               None: Option[Long], None: Option[Long], None: Option[Double])
         }
@@ -145,7 +148,7 @@ object Multimodal {
           (id, Some(w.toLong), Some(h.toLong), Some(s),
             Some(s.toDouble / rgb.length.toDouble))
         } catch {
-          case _: IllegalArgumentException =>
+          case scala.util.control.NonFatal(_) =>
             (id, None: Option[Long], None: Option[Long],
               None: Option[Long], None: Option[Double])
         }

@@ -14,7 +14,8 @@ object ProfileTextOps {
     val docs = spark.range(n).select(col("id"),
       concat_ws(" ", (0 until 8).map(j =>
         pmod(xxhash64(col("id") * 8 + j), lit(5000)).cast("string")): _*).as("text"))
-    docs.agg(sum(length(col("text")))).count() // warm
+    docs.agg(sum(length(col("text")))).head // warm (head, not count —
+    // count() over a global aggregate folds to a constant and runs nothing)
     (1 to 2).foreach { r =>
       var t0 = System.nanoTime()
       val lm = graft.operators.LmScore.selfScore(docs, "id", "text", minCount = 2L)

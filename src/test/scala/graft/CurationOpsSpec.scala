@@ -96,6 +96,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(packs == (0L to expect.last._3).toSet)
   }
 
+  test("chunk: null text behaves like empty text — the doc still yields a chunk") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "a b")).toDF("id", "text")
+    val r = Chunker.chunk(df, "id", "text", chunkTokens = 4, overlap = 0)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r.size == 2 && r(1L) == "" && r(2L) == "a b")
+  }
+
+  test("packOffsets: null token count fails fast with a usable message") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None)).map { case (i, t) => (i, t) }
+      .toDF("id", "n_tok")
+    val e = intercept[Exception] {
+      Chunker.packOffsets(df, "id", "n_tok", 8L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-negative"))
+  }
+
   test("packOffsets: payload columns pass through unchanged") {
     val s = spark
     import s.implicits._

@@ -186,6 +186,16 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L)) // 2,3 lose to canonical 1; 4 untouched
   }
 
+  test("connected components: an 80-node path closes in O(log n) rounds") {
+    val s = spark
+    import s.implicits._
+    // worst case for one-hop propagation (diameter 79 > default maxIter)
+    val chain = (0L until 79L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 80 && comp.values.forall(_ == 0L))
+  }
+
   test("boilerplateRemove drops cross-doc repeated segments, preserves order") {
     val s = spark
     import s.implicits._

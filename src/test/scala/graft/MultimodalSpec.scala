@@ -67,6 +67,22 @@ class MultimodalSpec extends SparkSpec {
     spliced(4) = (riffLen & 0xff).toByte; spliced(5) = ((riffLen >> 8) & 0xff).toByte
     assert(MediaCodec.decodeWav(spliced)._2.toSeq == Seq(2))
     intercept[IllegalArgumentException](MediaCodec.decodeWav("junk!junk".getBytes))
+    // forged headers fail validation instead of reading out of bounds:
+    // a truncated trailing fmt chunk (declared len 4)…
+    val shortFmt = ("RIFF".getBytes :+ 36.toByte :+ 0.toByte :+ 0.toByte :+ 0.toByte) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ Array[Byte](4, 0, 0, 0) ++
+      Array.fill[Byte](24)(0)
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(shortFmt))
+    // …zero channels…
+    val w0 = MediaCodec.encodeWav(Array[Byte](1), 8000)
+    w0(22) = 0
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(w0))
+    // …and a BMP with a negative pixel offset or forged huge width
+    val bmp = MediaCodec.encodeBmp(2, 2, Array.fill[Byte](12)(1))
+    val badOff = bmp.clone(); badOff(13) = 0x80.toByte // pixelOff < 0
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(badOff))
+    val badW = bmp.clone(); badW(21) = 0x40.toByte // width ~2^30, overflows 3wh
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(badW))
   }
 
   test("BMP codec: round-trip through row padding; imageStats/audioFeatures real decode") {
