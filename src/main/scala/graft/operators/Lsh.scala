@@ -120,11 +120,22 @@ object Lsh {
     Search.knnExact(base.filter(cond), idCol, embCol, query, k)
   }
 
-  /** Near-duplicate candidate pairs with exact cosine rerank: ids are
-    * bucketed per (table, signature), intra-bucket pairs emitted from a
-    * single grouped pass (one row per bucket through the shuffle, no
-    * self-join of the signature pipeline), deduped across tables, then
-    * reranked by exact cosine via two hash joins back to the vectors.
+  /** Near-duplicate candidate pairs with exact cosine rerank, computed
+    * IN the bucket: rows are bucketed per (table, signature) carrying
+    * (id, vector) structs, each bucket's C(s,2) pairs are generated and
+    * cosine-scored inside the same stage, and only pairs clearing the
+    * threshold survive to the cross-table distinct. Nothing quadratic
+    * ever reaches a shuffle: candidate scoring is a generator + codegen
+    * dot in one pipelined stage, the distinct sees only true near-dups
+    * (a tiny set by definition of the threshold), and the
+    * join-back-to-vectors of the previous formulation disappears
+    * entirely. The same double-precision left-to-right dot fold runs on
+    * every occurrence of a pair, so the cross-table distinct dedups on
+    * bit-identical scores.
+    *
+    * The per-table shuffle carries each vector L times (once per
+    * table) — linear in corpus size with a small constant, the standard
+    * LSH trade against the candidate-pair shuffles it replaces.
     *
     * `maxBucket` bounds the quadratic intra-bucket fan-out: a bucket
     * holding more docs than this (a degenerate hash region — at corpus
@@ -134,23 +145,24 @@ object Lsh {
   def cosineNearDupPairs(assigned: DataFrame, idCol: String, embCol: String,
                          threshold: Double, maxBucket: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions._
-    val cand = Dedup.intraBucketPairs(
-      assigned
-        .select(col(idCol).as("__id"),
-          posexplode(col(SigsCol)).as(Seq("__table", "__sig")))
-        .groupBy("__table", "__sig")
-        .agg(collect_list(col("__id")).as("ids"))
-        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket),
-      "ids", "a", "b").distinct()
-    val va = assigned.select(col(idCol).as("a"), col(embCol).as("ea"))
+    val buckets = assigned
+      .select(struct(col(idCol).as("id"), col(embCol).as("emb")).as("__item"),
+        posexplode(col(SigsCol)).as(Seq("__table", "__sig")))
+      .groupBy("__table", "__sig")
+      .agg(collect_list(col("__item")).as("items"))
+      .filter(size(col("items")) > 1 && size(col("items")) <= maxBucket)
+    // struct arrays sort lexicographically by leading field → pairs are
+    // ordered by id: a < b by construction
+    Dedup.intraBucketPairs(buckets, "items", "x", "y")
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.emb").as("ea"), col("y.emb").as("eb"))
       .withColumn("__na", norm(col("ea")))
-    val vb = assigned.select(col(idCol).as("b"), col(embCol).as("eb"))
       .withColumn("__nb", norm(col("eb")))
-    cand.join(va, Seq("a")).join(vb, Seq("b"))
       .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("__na") * col("__nb")))
       // zero-norm guard: NaN sorts above every double in Spark, so 0/0
       // pairs would otherwise pass any threshold
       .filter(col("__na") > 0 && col("__nb") > 0 && col("cos_sim") >= threshold)
       .select("a", "b", "cos_sim")
+      .distinct()
   }
 }
