@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize}
+import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,6 +22,15 @@ object SparkEntry {
 
   /** Text query shared by the E2 search queries and their oracle. */
   private val EmbedQueryText = "spark table scan fast query"
+
+  /** Hybrid-search constants shared by the BM25/RRF queries and their
+    * oracles (doubles interpolate into the SQL via toString, so both
+    * engines compute from the identical IEEE-754 values). */
+  private val BmTerms = Seq("vector", "query", "spark")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val HybridC = 50
+  private val RrfK = 60
 
   /** Base table joined with the broadcast 1-row query vector (qe). */
   private def withQuery(s: SparkSession, dir: String): DataFrame = {
@@ -218,6 +227,20 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
         "text", n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue)
       Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
+    // ---- Dedup (cluster representative by quality): survivors are all
+    // unclustered docs + each cluster's best-quality member (tie → min
+    // id) — curation-grade near-dup removal where survival follows
+    // quality, not id order
+    "dedup_cluster_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue)
+      Dedup.keepBestInCluster(docs, "doc_id", "quality",
+          Dedup.connectedComponents(pairs))
+        .select("doc_id", "quality").orderBy("doc_id")
     }),
 
     // ---- Dedup (boilerplate): CCNet-style segment-level removal — drop
@@ -829,6 +852,26 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // ---- Keyword search: BM25 top-k (the hybrid companion surface —
+    // exact-integer stats, libm-exact ln, ordered score fold)
+    "t_bm25" -> ((s, dir) =>
+      TextSearch.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        BmTerms, 20, Bm25K1, Bm25B)),
+
+    // ---- Hybrid search: BM25 top-C and cosine top-C fused by
+    // reciprocal rank (RRF) — the standard keyword+vector read path
+    "hybrid_rrf" -> ((s, dir) => {
+      val bmTop = TextSearch.bm25TopK(Tables.documents(s, dir), "doc_id",
+        "text", BmTerms, HybridC, Bm25K1, Bm25B)
+      val cosTop = withQuery(s, dir)
+        .filter(norm(col("embedding")) > 0)
+        .select(col("vec_id").as("doc_id"),
+          cosine(col("embedding"), col("qe")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(HybridC)
+      TextSearch.rrfFuse(bmTop, cosTop, "doc_id", 10, RrfK)
+    }),
+
     // ---- Text analysis: CCNet-style bigram-LM scoring — train add-one
     // smoothed bigram/unigram counts on the corpus, score each doc by
     // mean negative log-prob (sequential in-order fold; libm-exact ln)
@@ -1224,6 +1267,45 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** BM25 oracle CTE chain — mirrors [[TextSearch.bm25Scored]] clause by
+    * clause: exact-BIGINT tf/df/dl/N/Σdl, libm ln, and the same
+    * left-to-right `0.0 + term0 + term1 + …` score fold (doubles
+    * interpolate from the shared constants, so both engines parse the
+    * identical IEEE-754 literals). Yields CTE `bm25_scored(doc_id,
+    * score)`. */
+  private def bm25OracleCtes: String = {
+    val toksOf = "string_split_regex(lower(text), '\\s+')"
+    val dlOf = s"len(list_filter($toksOf, x -> x <> ''))"
+    val tfCols = BmTerms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN w = '${BmTerms(i)}' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i")
+      .mkString(", ")
+    val dfCols = BmTerms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val inList = BmTerms.map(t => s"'$t'").mkString(", ")
+    val avgdl = "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+    val contribs = BmTerms.indices.map { i =>
+      val tfD = s"CAST(tf$i AS DOUBLE)"
+      val dfD = s"CAST(df$i AS DOUBLE)"
+      val idf = s"ln((CAST(n_docs AS DOUBLE) - $dfD + 0.5) / ($dfD + 0.5) + 1.0)"
+      s"$idf * ($tfD * ${Bm25K1 + 1.0}) / ($tfD + $Bm25K1 * " +
+        s"(1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE) / ($avgdl)))"
+    }
+    val score = ("0.0" +: contribs).mkString(" + ")
+    s"""bm25_tok AS (
+       |  SELECT doc_id, $dlOf AS dl, unnest($toksOf) AS w FROM documents),
+       |bm25_tf AS (
+       |  SELECT doc_id, CAST(min(dl) AS BIGINT) AS dl, $tfCols
+       |  FROM bm25_tok WHERE w IN ($inList) GROUP BY doc_id),
+       |bm25_corpus AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM($dlOf) AS BIGINT) AS total_tokens FROM documents),
+       |bm25_dfs AS (SELECT $dfCols FROM bm25_tf),
+       |bm25_scored AS (
+       |  SELECT doc_id, $score AS score
+       |  FROM bm25_tf CROSS JOIN bm25_corpus CROSS JOIN bm25_dfs)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     import OracleSql._
     val cte = queryCte(QueryVecId)
@@ -1369,30 +1451,25 @@ object SparkEntry {
       // the w.comp < e.dst guard never blocks it — it only prunes labels
       // that could never win the MIN
       "dedup_clusters" ->
-        """WITH RECURSIVE toks AS (
-          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
-          |grams AS (
-          |  SELECT doc_id, unnest(list_distinct(list_transform(
-          |    generate_series(1, greatest(len(ts)-2, 1)),
-          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
-          |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
-          |inter AS (
-          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-          |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
-          |  GROUP BY 1, 2),
-          |pairs AS (
-          |  SELECT a, b FROM inter
-          |  JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-          |  WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5),
-          |edges AS (
-          |  SELECT a AS src, b AS dst FROM pairs
-          |  UNION SELECT b AS src, a AS dst FROM pairs),
-          |walk(id, comp) AS (
-          |  SELECT src, src FROM edges
-          |  UNION
-          |  SELECT e.dst, w.comp FROM walk w
-          |  JOIN edges e ON e.src = w.id WHERE w.comp < e.dst)
-          |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
+        s"""$clustersCtes
+           |SELECT id, min(comp) AS comp FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+      // cluster components + per-cluster best-quality survivor (ties →
+      // lowest id); quality doubles are bit-identical (t_quality), so
+      // the window order and the loser set agree across engines
+      "dedup_cluster_best" ->
+        s"""$clustersCtes,
+           |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+           |quals AS (SELECT doc_id, quality FROM ($qualitySql)),
+           |ranked AS (
+           |  SELECT c.id, CAST(row_number() OVER (PARTITION BY c.comp
+           |    ORDER BY q.quality DESC, c.id ASC) AS BIGINT) AS rn
+           |  FROM comps c JOIN quals q ON c.id = q.doc_id),
+           |losers AS (SELECT id FROM ranked WHERE rn <> 1)
+           |SELECT d.doc_id, q.quality FROM documents d
+           |JOIN quals q ON d.doc_id = q.doc_id
+           |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+           |ORDER BY d.doc_id""".stripMargin,
 
       // segment doc-frequency ≥ 390 → boilerplate; survivors re-joined
       // in original position order (string_agg ORDER BY ≡ the engine's
@@ -1715,6 +1792,39 @@ object SparkEntry {
           |SELECT doc_id, word, tf, tfidf, rank FROM r
           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+      // BM25 top-k — statistics are exact BIGINTs, the score chain is
+      // generated from the same constants the engine folds with
+      "t_bm25" ->
+        s"""WITH $bm25OracleCtes
+           |SELECT doc_id, score FROM bm25_scored
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+      // hybrid RRF fusion: both top-C cuts happen on bit-identical
+      // scores, ranks are integers, and the fused score is two exact
+      // reciprocal terms added in list order
+      "hybrid_rrf" ->
+        s"""${queryCte(QueryVecId)},
+           |$bm25OracleCtes,
+           |bm AS (SELECT doc_id, score FROM bm25_scored
+           |  ORDER BY score DESC, doc_id ASC LIMIT $HybridC),
+           |bmr AS (SELECT doc_id, CAST(row_number() OVER
+           |  (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank_a FROM bm),
+           |cos AS (SELECT e.vec_id AS doc_id,
+           |    ${cosineSim("e.embedding", "q.qe")} AS score
+           |  FROM embeddings e CROSS JOIN q
+           |  WHERE ${norm("e.embedding")} > 0
+           |  ORDER BY score DESC, doc_id ASC LIMIT $HybridC),
+           |cosr AS (SELECT doc_id, CAST(row_number() OVER
+           |  (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank_b FROM cos),
+           |fused AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           |    COALESCE(1.0 / (${RrfK.toDouble} + CAST(a.rank_a AS DOUBLE)), 0.0) +
+           |    COALESCE(1.0 / (${RrfK.toDouble} + CAST(b.rank_b AS DOUBLE)), 0.0)
+           |    AS rrf_score,
+           |    a.rank_a AS rank_a, b.rank_b AS rank_b
+           |  FROM bmr a FULL OUTER JOIN cosr b ON a.doc_id = b.doc_id)
+           |SELECT doc_id, rrf_score, rank_a, rank_b FROM fused
+           |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
       // bigram-LM self-score: per-doc sequential fold over bigram
       // positions (list_reduce ≡ the engine's in-order aggregate fold);
       // DuckDB ln and the engine's LnDouble are both libm-exact
@@ -1973,6 +2083,35 @@ object SparkEntry {
       |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
 
   /** Quality-signals oracle (shared with pipeline_curate). */
+  /** Shared CTE chain for the ngram-Jaccard pair graph + recursive
+    * connected-components walk (DuckDB mirror of
+    * `Dedup.ngramJaccardPairs` + `Dedup.connectedComponents`); yields
+    * CTE `walk(id, comp)` — callers GROUP BY id / min(comp). */
+  private def clustersCtes: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(ts)-2, 1)),
+      |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a, b FROM inter
+      |  JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION SELECT b AS src, a AS dst FROM pairs),
+      |walk(id, comp) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.comp FROM walk w
+      |  JOIN edges e ON e.src = w.id WHERE w.comp < e.dst)""".stripMargin
+
   private def qualitySql: String = {
     val nTok = """len(string_split_regex(text, '\s+'))"""
     val punct = """CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""

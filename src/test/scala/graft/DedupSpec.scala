@@ -186,6 +186,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L)) // 2,3 lose to canonical 1; 4 untouched
   }
 
+  test("keepBestInCluster keeps the highest-scored member, ties go to min id") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs)
+    val df = Seq((1L, 0.2), (2L, 0.9), (3L, 0.4),   // cluster {1,2,3}: 2 wins
+      (5L, 0.7), (6L, 0.7),                          // cluster {5,6}: tie → 5
+      (4L, 0.1))                                     // unclustered survives
+      .toDF("doc_id", "quality")
+    val kept = Dedup.keepBestInCluster(df, "doc_id", "quality", comp)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L, 4L))
+  }
+
   test("connected components: an 80-node path closes in O(log n) rounds") {
     val s = spark
     import s.implicits._
