@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize, TextSearch}
+import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -82,6 +82,18 @@ object SparkEntry {
         .select(col("vec_id"), cosineDistance(col("embedding"), col("qe")).as("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)),
+
+    // ---- O2 variant: radius search — all rows within L2 distance 1.3
+    // of the query (the range_search companion the public ANN stacks
+    // pair with top-k; result ordered here for the deterministic dump)
+    "o2_range_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      Search.rangeSearch(emb, "vec_id", "embedding", q, radius = 1.3)
+        .select("vec_id", "dist")
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    }),
 
     // ---- O7: conjunctive equality filter before kNN (storage_service.py:106-128)
     "o7_knn_filtered" -> ((s, dir) =>
@@ -996,6 +1008,29 @@ object SparkEntry {
     // ---- ADC top-k with the fixed codebook — oracle recomputes the
     // distance table from the query vector with the identical operation
     // sequence, so the full PQ search path hash-matches.
+    // ---- O6 compression tier 3: SQ8 scalar quantization — per-dim
+    // exact min/max grid (order-free training: no sample, no seed),
+    // closed-form encode, full-precision-query ADC. Fully oracle-exact
+    // INCLUDING training, unlike the k-means tiers (their training is
+    // iterative; their fixed-codebook twins pin the search arithmetic).
+    "o6_sq8_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val m = Sq.train(emb, "embedding")
+      Sq.encode(emb, "embedding", m)
+        .select(col("vec_id"),
+          concat_ws("-", col("sq_code").cast("array<string>")).as("code"))
+        .orderBy("vec_id")
+    }),
+
+    "o6_sq8_adc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val m = Sq.train(emb, "embedding")
+      Sq.adcSearch(Sq.encode(emb, "embedding", m), "vec_id", "sq_code", m, q, k = 10)
+        .select("vec_id", "dist")
+    }),
+
     "o6_pq_adc_fixed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === QueryVecId)
@@ -1327,6 +1362,12 @@ object SparkEntry {
       "o2_knn_cosine" ->
         s"""$cte SELECT e.vec_id AS vec_id, ${cosineDistance("e.embedding", "q.qe")} AS dist
            |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      "o2_range_search" ->
+        s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q
+           |WHERE ${l2("e.embedding", "q.qe")} <= 1.3
+           |ORDER BY dist ASC, vec_id ASC""".stripMargin,
 
       "o7_knn_filtered" ->
         s"""$cte SELECT e.vec_id AS vec_id, CAST(e.label AS BIGINT) AS label,
@@ -1949,6 +1990,27 @@ object SparkEntry {
           |  CAST(cum % 2048 AS BIGINT) AS pack_offset
           |FROM c ORDER BY doc_id""".stripMargin,
 
+      // SQ8: training (exact min/max) + encode + ADC are ALL in-SQL —
+      // no fixed-model twin needed
+      "o6_sq8_encode" ->
+        s"""WITH $sqOracleCtes
+           |SELECT vec_id, array_to_string(code, '-') AS code
+           |FROM sq_enc ORDER BY vec_id""".stripMargin,
+
+      "o6_sq8_adc_topk" -> {
+        val terms = (1 to OracleSql.Dim).map { i =>
+          val dec = s"(mns[$i] + CAST(code[$i] AS DOUBLE) / 255.0 * dfs[$i])"
+          val d = s"(CAST(q.qe[$i] AS DOUBLE) - $dec)"
+          s"$d * $d"
+        }
+        s"""${queryCte(QueryVecId)},
+           |$sqOracleCtes
+           |SELECT vec_id,
+           |  sqrt(${("0.0" +: terms).mkString(" + ")}) AS dist
+           |FROM sq_enc CROSS JOIN sq_arr CROSS JOIN q
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+      },
+
       "b9_pq_encode_fixed" -> {
         val codes = (0 until 8).map(c => s"(${pqCodeSql(c)})")
         s"""SELECT vec_id, concat_ws('-', ${codes.mkString(", ")}) AS code
@@ -2083,6 +2145,28 @@ object SparkEntry {
       |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
 
   /** Quality-signals oracle (shared with pipeline_curate). */
+  /** SQ8 oracle CTE chain — per-dim exact min/max grid, closed-form
+    * encode, mirroring [[Sq.train]]/[[Sq.encodeColumn]] operation by
+    * operation. Yields `sq_arr(mns, dfs)` and `sq_enc(vec_id, code)`. */
+  private def sqOracleCtes: String = {
+    val dim = OracleSql.Dim
+    s"""sq_stats AS (
+       |  SELECT i, CAST(min(v) AS DOUBLE) AS mn,
+       |    CAST(max(v) AS DOUBLE) - CAST(min(v) AS DOUBLE) AS df
+       |  FROM (SELECT unnest(embedding) AS v,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings)
+       |  GROUP BY i),
+       |sq_arr AS (SELECT list(mn ORDER BY i) AS mns, list(df ORDER BY i) AS dfs
+       |  FROM sq_stats),
+       |sq_enc AS (
+       |  SELECT vec_id, list_transform(generate_series(1, $dim), i ->
+       |    CASE WHEN dfs[i] = 0.0 THEN 0
+       |    ELSE CAST(greatest(0, least(255, floor(
+       |      (CAST(embedding[i] AS DOUBLE) - mns[i]) / dfs[i] * 255.0 + 0.5)))
+       |      AS INTEGER) END) AS code
+       |  FROM embeddings CROSS JOIN sq_arr)""".stripMargin
+  }
+
   /** Shared CTE chain for the ngram-Jaccard pair graph + recursive
     * connected-components walk (DuckDB mirror of
     * `Dedup.ngramJaccardPairs` + `Dedup.connectedComponents`); yields

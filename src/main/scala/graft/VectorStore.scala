@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.functions.HashingEmbedder
-import graft.operators.{Crud, Hnsw, Ivf, IvfPq, Pq, Search}
+import graft.operators.{Crud, Hnsw, Ivf, IvfPq, Pq, Search, Sq}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -143,6 +143,25 @@ class VectorStore private (val spark: SparkSession, val path: String,
   }
 
   private def pqModelPath = s"$path/pq_model"
+  private def sqModelPath = s"$path/sq_model"
+
+  /** SQ8 tier: train the per-dim grid on the live rows (exact min/max —
+    * deterministic, no seed) and persist it alongside the store. */
+  def trainSq(): Sq.Model = {
+    val m = Sq.train(snapshot().filter(!col("is_deleted")), "embedding")
+    Sq.save(m, sqModelPath, spark)
+    m
+  }
+
+  /** SQ8 ADC search through the persisted grid (encode + table-lookup
+    * distance, scan-only — the memory-bounded tier between exact and
+    * PQ). */
+  def searchSq(query: Seq[Float], k: Int,
+               metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+    val m = Sq.load(spark, sqModelPath)
+    Sq.adcSearch(Sq.encode(live(metadataFilter), "embedding", m),
+      "id", "sq_code", m, query, k)
+  }
 
   /** B8/B9/B11: train PQ codebook (persisted alongside the store). */
   def trainPq(chunks: Int, k: Int, seed: Long = 42L): Pq.Codebook = {
@@ -186,13 +205,14 @@ class VectorStore private (val spark: SparkSession, val path: String,
         searchIvf(query, params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe),
           k, metadataFilter)
       case "pq" => searchAdc(query, k, metadataFilter)
+      case "sq8" => searchSq(query, k, metadataFilter)
       case "ivfpq" =>
         searchIvfPq(query,
           params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe), k,
           params.get("rerank").map(_.toInt).getOrElse(0), metadataFilter)
       case "exact" => search(query, k, metadataFilter)
       case other => throw new IllegalArgumentException(
-        s"unknown index type '$other' (expected exact, hnsw, ivf, ivfpq, or pq)")
+        s"unknown index type '$other' (expected exact, hnsw, ivf, ivfpq, pq, or sq8)")
     }
   }
 

@@ -65,6 +65,29 @@ object Search {
       .limit(k)
   }
 
+  /** O2 variant: radius (range) search — every row within `radius` L2
+    * distance of the query, unordered (callers sort or aggregate; the
+    * result size is data-dependent, so no TakeOrdered shortcut exists
+    * and imposing a global sort here would force a range-partition
+    * exchange on pipelines that only count or join the matches). The
+    * range_search companion to top-k that the public ANN stacks pair
+    * with it — engine extension; the reference is top-k only. Per-row
+    * scan + filter: no shuffle at any scale. */
+  def rangeSearch(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      query: Seq[Float],
+      radius: Double,
+      filter: Option[Column] = None): DataFrame = {
+    require(radius >= 0, s"radius must be non-negative, got $radius")
+    val q = lit(query.toArray)
+    val base = filter.fold(df)(df.filter)
+    base
+      .withColumn("dist", l2(col(embCol), q))
+      .filter(col("dist") <= radius)
+  }
+
   /** Conjunctive metadata equality filter — the reference's only
     * predicate form (`storage_service.py:118-128`: every (k,v) must
     * match; missing key ⇒ no match). On a MapType metadata column the

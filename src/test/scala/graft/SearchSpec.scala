@@ -62,6 +62,26 @@ class SearchSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("rangeSearch: exactly the rows within radius, filter composes") {
+    val data = corpus(50, 8)
+    val df = toDF(data)
+    val q = data.head._2.toSeq
+    val all = Search.knnExact(df, "id", "embedding", q, 50)
+      .select("id", "dist").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r = all.values.toSeq.sorted.apply(10) // radius capturing 11 rows
+    val in = Search.rangeSearch(df, "id", "embedding", q, r)
+      .select("id", "dist").collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(in == all.filter(_._2 <= r), "range set must equal brute-force cut")
+    // a pre-filter structurally excludes non-matching rows
+    val odd = Search.rangeSearch(df, "id", "embedding", q, r,
+      Some(col("id") % 2 === 1)).select("id").collect().map(_.getLong(0))
+    assert(odd.forall(_ % 2 == 1))
+    assert(Search.rangeSearch(df, "id", "embedding", q, 0.0).count()
+      == all.count(_._2 <= 0.0))
+  }
+
   test("knnJoin yields k ranked neighbors per query") {
     val data = corpus(50, 8)
     val base = toDF(data)

@@ -74,6 +74,26 @@ class VectorStoreSpec extends SparkSpec {
     assert(viaIvf.collect().head.getAs[Double]("dist") < 1e-6)
   }
 
+  test("SQ8 train + ADC search through the facade") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("store").toString
+    val store = VectorStore.open(s, dir, dim = 16)
+    val data = corpus(60, 16)
+    store.ingest(data.map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    val m = store.trainSq()
+    assert(m.dim == 16 && m.vdiff.forall(_ >= 0))
+    // 8-bit reconstruction: the query vector itself ranks first with a
+    // near-zero (grid-pitch-bounded) distance
+    val hits = store.searchSq(data(3)._2.toSeq, 5).select("id", "dist").collect()
+    assert(hits.length == 5)
+    assert(hits.head.getAs[Double]("dist") < 0.05)
+    // facade dispatch with unknown-kwarg tolerance
+    val api = store.searchApi(data(3)._2.toSeq,
+      Map("index" -> "sq8", "top_k" -> "3", "bogus" -> "x"))
+    assert(api.count() == 3)
+  }
+
   test("IVF-PQ build + two-stage search through the facade") {
     val s = spark
     import s.implicits._
