@@ -59,12 +59,34 @@ object ScaleProbe {
     t("knn_join_100q_top10")(
       Search.knnJoin(df, "id", "embedding", queries, "qid", "qemb", 10).count())
 
+    // SQ8 tier: exact min/max train (one explode + 64-group agg), encode
+    // persisted, ADC over stored codes (scan-only)
+    var sqm: graft.operators.Sq.Model = null
+    t("sq8_train_minmax") {
+      sqm = graft.operators.Sq.train(df, "embedding"); sqm.dim.toLong
+    }
+    val sqDir = s"$dir-sqcodes"
+    t("sq8_encode_persist") {
+      graft.operators.Sq.encode(df, "embedding", sqm).select("id", "sq_code")
+        .write.mode("overwrite").parquet(sqDir)
+      n
+    }
+    val sqCodes = spark.read.parquet(sqDir)
+    t("sq8_adc_top10_stored")(
+      graft.operators.Sq.adcSearch(sqCodes, "id", "sq_code", sqm, q, 10).count())
+
     // hashing embedder over n synthetic ~8-token docs (dense-buffer agg)
     val docs = spark.range(n).select(col("id"),
       concat_ws(" ", (0 until 8).map(j =>
         pmod(xxhash64(col("id") * 8 + j), lit(5000)).cast("string")): _*).as("text"))
     t("embed_docs_dim64")(
       HashingEmbedder.embed(docs, "id", "text", dim = 64).count())
+
+    // BM25 top-10 over the n docs: one corpus-stats pass + one
+    // matched-token-only shuffle + TakeOrdered (no corpus join)
+    t("bm25_top10")(
+      graft.operators.TextSearch.bm25TopK(docs, "id", "text",
+        Seq("17", "4242", "999"), 10).count())
 
     // MinHash LSH candidate pairs over n/5 docs (explode -> 8 min-aggs ->
     // banded buckets; shuffles only signatures and bucket groups)

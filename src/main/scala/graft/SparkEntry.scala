@@ -83,6 +83,20 @@ object SparkEntry {
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)),
 
+    // ---- O2 variant: grouped top-k — per-label nearest-3 in one pass
+    // (partial WindowGroupLimit below the exchange; the partitioned-
+    // search shape for per-category retrieval)
+    "o2_knn_grouped" -> ((s, dir) => {
+      val w = Window.partitionBy("label")
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      withQuery(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          l2(col("embedding"), col("qe")).as("dist"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("label", "rank")
+    }),
+
     // ---- O2 variant: radius search — all rows within L2 distance 1.3
     // of the query (the range_search companion the public ANN stacks
     // pair with top-k; result ordered here for the deterministic dump)
@@ -319,6 +333,15 @@ object SparkEntry {
       Sampling.mixtureSample(Tables.documents(s, dir), "source", "doc_id",
           Map("src0" -> 40L, "src1" -> 10L, "src2" -> 5L, "src5" -> 7L))
         .select("doc_id", "source").orderBy("source", "doc_id")),
+
+    // ---- Sampling: epoch-based upsampling (the repeat-factor half of
+    // domain mixing — 2.25 epochs of src0, half of src1, one of src2;
+    // fractional epochs select deterministically by salted hash)
+    "sample_upsample" -> ((s, dir) =>
+      Sampling.upsample(Tables.documents(s, dir), "source", "doc_id",
+          Map("src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0))
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")),
 
     // ---- Sampling: Bernoulli-by-hash (row-level agreement of the hash)
     "sample_hash_frac" -> ((s, dir) =>
@@ -1363,6 +1386,18 @@ object SparkEntry {
         s"""$cte SELECT e.vec_id AS vec_id, ${cosineDistance("e.embedding", "q.qe")} AS dist
            |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
+      "o2_knn_grouped" ->
+        s"""$cte, d AS (
+           |  SELECT e.vec_id AS vec_id, CAST(e.label AS BIGINT) AS label,
+           |    ${l2("e.embedding", "q.qe")} AS dist
+           |  FROM embeddings e CROSS JOIN q),
+           |r AS (
+           |  SELECT vec_id, label, dist, CAST(row_number() OVER
+           |    (PARTITION BY label ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rank
+           |  FROM d)
+           |SELECT vec_id, label, dist, rank FROM r WHERE rank <= 3
+           |ORDER BY label, rank""".stripMargin,
+
       "o2_range_search" ->
         s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
            |FROM embeddings e CROSS JOIN q
@@ -1622,6 +1657,27 @@ object SparkEntry {
           |WHERE rn <= CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 10
           |  WHEN 'src2' THEN 5 WHEN 'src5' THEN 7 ELSE 0 END
           |ORDER BY source, doc_id""".stripMargin,
+
+      // epoch upsampling: whole copies by source + one fractional copy
+      // under the salted hash cut; copy indices materialize via
+      // generate_series exactly like the engine's sequence-explode
+      "sample_upsample" ->
+        """WITH h AS (
+          |  SELECT doc_id, source,
+          |    CAST(concat('0x', left(md5(concat('up', CAST(doc_id AS VARCHAR))), 8))
+          |      AS UBIGINT) / 4294967296.0 AS u
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, source,
+          |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+          |      WHEN 'src2' THEN 1 ELSE 0 END)
+          |    + (CASE WHEN u < (CASE source WHEN 'src0' THEN 0.25
+          |        WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.0 ELSE 0.0 END)
+          |      THEN 1 ELSE 0 END) AS copies
+          |  FROM h)
+          |SELECT doc_id, source,
+          |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+          |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin,
 
       "sample_hash_frac" ->
         """SELECT doc_id FROM documents

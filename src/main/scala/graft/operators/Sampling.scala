@@ -73,6 +73,35 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Epoch-based upsampling — the other half of mixture construction
+    * ("2.25 epochs of web, 0.5 of books"): every row of stratum s
+    * appears ⌊e_s⌋ times, plus once more iff its salted hash-uniform
+    * falls under frac(e_s) — deterministic in the row id, so the
+    * mixed corpus re-materializes identically. Output adds `epoch`
+    * (0-based copy index, so downstream shuffles/packing can
+    * distinguish copies). Strata absent from `epochs` drop (0 epochs).
+    *
+    * Scale: pure per-row sequence-explode — no shuffle; the fan-out is
+    * exactly the requested epoch factor. */
+  def upsample(df: DataFrame, stratumCol: String, idCol: String,
+               epochs: Map[String, Double], salt: String = "up"): DataFrame = {
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    require(epochs.values.forall(e => e >= 0 && !e.isInfinite && !e.isNaN),
+      s"epoch factors must be finite and >= 0, got $epochs")
+    val whole = epochs.foldLeft(lit(0L)) { case (acc, (s, e)) =>
+      when(col(stratumCol) === s, lit(math.floor(e).toLong)).otherwise(acc)
+    }
+    val fracP = epochs.foldLeft(lit(0.0)) { case (acc, (s, e)) =>
+      when(col(stratumCol) === s, lit(e - math.floor(e))).otherwise(acc)
+    }
+    df.withColumn("__copies",
+        whole + when(hashUniform(col(idCol), salt) < fracP, lit(1L))
+          .otherwise(lit(0L)))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Deterministic dataset split (train/val/test …): labels each row by
     * where its hash uniform falls among the cumulative `weights`
     * (normalized; last split absorbs the remainder, so every row gets a

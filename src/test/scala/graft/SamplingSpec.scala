@@ -72,6 +72,33 @@ class SamplingSpec extends SparkSpec {
     assert(ids(30) == ids(30))
   }
 
+  test("upsample: whole epochs exact, fractional epochs near-rate, deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 600L)
+      .map(i => (i, s"src${i % 3}")).toDF("id", "source") // 200 per source
+    val up = Sampling.upsample(df, "source", "id",
+      Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.25))
+    val bySrc = up.collect().map(r => (r.getString(1), r.getLong(0), r.getAs[Long]("epoch")))
+    val counts = bySrc.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts("src0") == 400)                      // exactly 2 epochs
+    assert(counts("src1") > 60 && counts("src1") < 140) // ~0.5 epoch
+    assert(counts("src2") > 210 && counts("src2") < 290) // ~1.25 epochs
+    // every src2 row keeps its base copy; only the fractional copy varies
+    assert(bySrc.filter(_._1 == "src2").count(_._3 == 0L) == 200)
+    // copy indices are dense 0..copies-1 per row
+    val perRow = bySrc.groupBy(t => (t._1, t._2)).values
+    assert(perRow.forall(c => c.map(_._3).sorted.toSeq == (0L until c.length).toSeq))
+    // deterministic re-materialization
+    val again = Sampling.upsample(df, "source", "id",
+      Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.25))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getAs[Long]("epoch"))).toSet
+    assert(again == bySrc.toSet)
+    // unlisted strata drop
+    assert(Sampling.upsample(df, "source", "id", Map("src0" -> 1.0))
+      .select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("src0"))
+  }
+
   test("splitColumn rejects empty or non-positive weights") {
     intercept[IllegalArgumentException] {
       Sampling.splitColumn(col("id"), Seq.empty)
