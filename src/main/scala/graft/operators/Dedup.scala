@@ -4,6 +4,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import scala.collection.mutable
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (content hash), MinHash + LSH banding, SimHash, n-gram Jaccard,
@@ -258,15 +259,26 @@ object Dedup {
     * in a few rounds at any corpus size. Each round is one E-sized
     * shuffle join + one V-sized aggregation — never all-pairs, no
     * driver-side graph. Lineage is cut with localCheckpoint every
-    * round so plans stay O(1) deep regardless of iteration count. */
+    * round so plans stay O(1) deep regardless of iteration count.
+    *
+    * Small graphs short-circuit to a driver-side union-find
+    * (`localThreshold` directed edges, default 1M ≈ 16 MB): near-dup
+    * pair graphs are tiny relative to their corpus — dup clusters are
+    * bounded — and the iterative path pays ~2 Spark jobs per round,
+    * which dwarfs the actual work below millions of edges. Identical
+    * output either way (min-id labels are algorithm-independent);
+    * pass 0 to force the distributed path. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
-                          bCol: String = "b", maxIter: Int = 25): DataFrame = {
+                          bCol: String = "b", maxIter: Int = 25,
+                          localThreshold: Long = 1000000L): DataFrame = {
     val e = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // symmetric closure; distinct keeps each round's join bounded by
     // the true edge count even when the pair generator emits dups
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    val nEdges = edges.count() // checkpoint is materialized — metadata-cheap
+    if (nEdges <= localThreshold) return ccLocal(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
     var iter = 0
@@ -301,6 +313,34 @@ object Dedup {
       s"connectedComponents did not converge within $maxIter iterations " +
         s"($changed labels still moving) — raise maxIter")
     labels
+  }
+
+  /** Driver union-find over a bounded edge list. Union always attaches
+    * the larger root under the smaller, so every root IS its component's
+    * minimum id — the same (id, min-id) contract as the distributed
+    * loop, no relabel pass needed. */
+  private def ccLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val nodes = mutable.LongMap.empty[Unit]
+    edges.select("src", "dst").collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      nodes(a) = (); nodes(b) = ()
+      val (ra, rb) = (find(a), find(b))
+      // rooting at the smaller id makes the root the component label
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    nodes.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "comp")
   }
 
   /** Cluster-canonical near-dup removal: keep every row whose id is its

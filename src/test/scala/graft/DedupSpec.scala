@@ -173,6 +173,11 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 9L -> 3L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+    // the distributed loop (forced past the small-graph shortcut)
+    // produces the identical labeling
+    val dist = Dedup.connectedComponents(pairs, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == comp)
   }
 
   test("keepCanonical drops non-representative members, keeps everything else") {
@@ -203,9 +208,10 @@ class DedupSpec extends SparkSpec {
   test("connected components: an 80-node path closes in O(log n) rounds") {
     val s = spark
     import s.implicits._
-    // worst case for one-hop propagation (diameter 79 > default maxIter)
+    // worst case for one-hop propagation (diameter 79 > default maxIter);
+    // force the distributed path — the log-round contract is its subject
     val chain = (0L until 79L).map(i => (i, i + 1)).toDF("a", "b")
-    val comp = Dedup.connectedComponents(chain).collect()
+    val comp = Dedup.connectedComponents(chain, localThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size == 80 && comp.values.forall(_ == 0L))
   }
