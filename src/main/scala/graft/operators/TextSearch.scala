@@ -40,6 +40,12 @@ object TextSearch {
                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     require(terms.distinct == terms, s"duplicate query terms: $terms")
+    // tokens are lowercased and whitespace-split, so a term that isn't
+    // a single lowercase token can never match — fail loudly instead of
+    // silently scoring it 0 everywhere
+    require(terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)
+        && t == t.toLowerCase),
+      s"terms must be single lowercase tokens, got $terms")
     val spark = docs.sparkSession
     val toks = docs.select(col(idCol).as("__id"),
         size(array_remove(split(lower(col(textCol)), "\\s+"), "")).cast("long").as("dl"),

@@ -42,6 +42,18 @@ class TextSearchSpec extends SparkSpec {
     assert(math.abs(r(2L) - bm(2.0)) < 1e-12)
   }
 
+  test("bm25 rejects terms that could never match the token stream") {
+    intercept[IllegalArgumentException] {
+      TextSearch.bm25Scored(docs, "doc_id", "text", Seq("Spark"))
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.bm25Scored(docs, "doc_id", "text", Seq("two words"))
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.bm25Scored(docs, "doc_id", "text", Seq("a", "a"))
+    }
+  }
+
   test("bm25 top-k: deterministic (score desc, id asc) cut") {
     val top = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("spark", "engine"), 2)
       .collect().map(_.getAs[Long]("doc_id"))
