@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -81,6 +81,16 @@ object SparkEntry {
       withQuery(s, dir)
         .select(col("vec_id"), cosineDistance(col("embedding"), col("qe")).as("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)),
+
+    // ---- O2 variant: maximum-inner-product search (MIPS) — top-k by
+    // dot product descending, the retrieval metric of dual-encoder /
+    // recommendation stacks where magnitude carries signal. Same
+    // TakeOrderedAndProject shape as the distance paths.
+    "o2_knn_dot" -> ((s, dir) =>
+      withQuery(s, dir)
+        .select(col("vec_id"), dot(col("embedding"), col("qe")).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
         .limit(10)),
 
     // ---- O2 variant: grouped top-k — per-label nearest-3 in one pass
@@ -716,6 +726,32 @@ object SparkEntry {
         .agg(dSum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // ---- Pivot: wide conditional aggregation (explicit value list, so
+    // no extra distinct-values job; absent cells stay NULL on both
+    // engines). Single shuffle — same plan as the groupBy it rewrites to.
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dSum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")),
+
+    // ---- Unpivot: measures → (measure, value) rows — the inverse
+    // reshape (pure per-row generate above one aggregation; the oracle
+    // is the UNION ALL expansion)
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(dSum(col("l_quantity")).as("sum_qty"),
+          dSum(col("l_extendedprice")).as("sum_base_price"),
+          dSum(col("l_discount")).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")),
+
     // ---- Null-semantics parity: null group keys, count(*) vs count(col),
     // null-skipping aggregates, coalesce — engines must agree exactly
     "q_null_agg" -> ((s, dir) => {
@@ -1054,6 +1090,34 @@ object SparkEntry {
         .select("vec_id", "dist")
     }),
 
+    // ---- O6 tier: 1-bit binary quantization. Train-free (the code
+    // column IS the index); encode + Hamming are integer arithmetic, so
+    // all three stages are fully oracle-checked — including the
+    // screen-then-rerank shape every BQ deployment runs.
+    "o6_bq_encode" -> ((s, dir) =>
+      Bq.encode(Tables.embeddings(s, dir), "embedding")
+        .select(col("vec_id"),
+          concat_ws("-", col("bq_code").cast("array<string>")).as("code"))
+        .orderBy("vec_id")),
+
+    "o6_bq_hamming" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      Bq.hammingSearch(Bq.encode(emb, "embedding"), "vec_id", "bq_code",
+          q, k = 10)
+        .select("vec_id", "ham")
+    }),
+
+    "o6_bq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      Bq.rerankSearch(Bq.encode(emb, "embedding"), "vec_id", "bq_code",
+          "embedding", q, k = 10, rerank = 30)
+        .select("vec_id", "dist")
+    }),
+
     "o6_pq_adc_fixed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === QueryVecId)
@@ -1385,6 +1449,10 @@ object SparkEntry {
       "o2_knn_cosine" ->
         s"""$cte SELECT e.vec_id AS vec_id, ${cosineDistance("e.embedding", "q.qe")} AS dist
            |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      "o2_knn_dot" ->
+        s"""$cte SELECT e.vec_id AS vec_id, ${dot("e.embedding", "q.qe")} AS score
+           |FROM embeddings e CROSS JOIN q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
 
       "o2_knn_grouped" ->
         s"""$cte, d AS (
@@ -1816,6 +1884,27 @@ object SparkEntry {
            |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+      "q_pivot" ->
+        s"""SELECT l_returnflag,
+           |${decSum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+           |${decSum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin,
+
+      "q_unpivot" ->
+        s"""WITH a AS (
+           |  SELECT l_returnflag,
+           |    ${decSum("l_quantity")} AS sum_qty,
+           |    ${decSum("l_extendedprice")} AS sum_base_price,
+           |    ${decSum("l_discount")} AS sum_disc
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+           |UNION ALL
+           |SELECT l_returnflag, 'sum_base_price' AS measure, sum_base_price AS value FROM a
+           |UNION ALL
+           |SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM a
+           |ORDER BY l_returnflag, measure""".stripMargin,
+
       "q_null_agg" ->
         s"""WITH o AS (
            |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
@@ -2066,6 +2155,28 @@ object SparkEntry {
            |FROM sq_enc CROSS JOIN sq_arr CROSS JOIN q
            |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
       },
+
+      // BQ: sign-bit pack + Hamming are integer arithmetic — fully
+      // in-SQL, no model object on either side
+      "o6_bq_encode" ->
+        s"""SELECT vec_id,
+           |  array_to_string(${bqCode("embedding")}, '-') AS code
+           |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      "o6_bq_hamming" ->
+        s"""$cte SELECT e.vec_id AS vec_id, ${bqHamming("e.embedding", "q.qe")} AS ham
+           |FROM embeddings e CROSS JOIN q
+           |ORDER BY ham ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      "o6_bq_rerank" ->
+        s"""$cte,
+           |bqh AS (
+           |  SELECT e.vec_id AS vec_id, e.embedding AS embedding, q.qe AS qe,
+           |    ${bqHamming("e.embedding", "q.qe")} AS ham
+           |  FROM embeddings e CROSS JOIN q
+           |  ORDER BY ham ASC, vec_id ASC LIMIT 30)
+           |SELECT vec_id, ${l2("embedding", "qe")} AS dist
+           |FROM bqh ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
       "b9_pq_encode_fixed" -> {
         val codes = (0 until 8).map(c => s"(${pqCodeSql(c)})")

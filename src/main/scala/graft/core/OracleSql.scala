@@ -58,4 +58,35 @@ object OracleSql {
     * DECIMAL. `scale` must cover the true decimal precision of expr. */
   def decSum(expr: String, scale: Int = 2, precision: Int = 28): String =
     s"CAST(SUM(CAST($expr AS DECIMAL($precision,$scale))) AS DOUBLE)"
+
+  /** BQ sign-bit word `w` (0-based) of a float list column: the
+    * CASE-weight sum matching `SignPackFloat`'s MSB-first fold — bit for
+    * dim d = w·wordBits + j carries weight 2^(wordBits−1−j), and a
+    * trailing partial word folds fewer bits (weights shrink with it).
+    * Integer arithmetic, so the sum is exact in both engines. */
+  def bqWord(a: String, w: Int, dim: Int = Dim, wordBits: Int = 32): String = {
+    val dims = (w * wordBits) until math.min((w + 1) * wordBits, dim)
+    require(dims.nonEmpty, s"bqWord: word $w empty at dim $dim")
+    val width = dims.size
+    val terms = dims.zipWithIndex.map { case (d, j) =>
+      val weight = 1L << (width - 1 - j)
+      s"CASE WHEN $a[${d + 1}] >= 0 THEN CAST($weight AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
+  /** Full BQ code as a DuckDB list of words. */
+  def bqCode(a: String, dim: Int = Dim, wordBits: Int = 32): String = {
+    val words = (0 until (dim + wordBits - 1) / wordBits)
+      .map(w => bqWord(a, w, dim, wordBits))
+    s"[${words.mkString(", ")}]"
+  }
+
+  /** Hamming distance Σ_w bit_count(xor(word_w(a), word_w(b))). */
+  def bqHamming(a: String, b: String, dim: Int = Dim, wordBits: Int = 32): String = {
+    val words = (0 until (dim + wordBits - 1) / wordBits).map { w =>
+      s"bit_count(xor(${bqWord(a, w, dim, wordBits)}, ${bqWord(b, w, dim, wordBits)}))"
+    }
+    s"CAST(${words.mkString(" + ")} AS BIGINT)"
+  }
 }

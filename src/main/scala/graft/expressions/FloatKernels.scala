@@ -318,6 +318,113 @@ case class AdcLookupFloat(child: Expression, table: Array[Array[Double]])
   override def prettyName: String = "adc_lookup_float"
 }
 
+/** Sign-bit pack: array<float> → array<long> of `wordBits`-bit words.
+  * Word w is a left fold over its dims d = w·wordBits + j (j ascending):
+  * acc = acc·2 + [v_d ≥ 0] — so bit weights are MSB-first within the
+  * word and a trailing partial word simply folds fewer bits. The ≥ is
+  * the Java primitive comparison (−0.0f packs as 1, NaN as 0); the
+  * DuckDB oracle spells the identical CASE-weight sum. 1-bit binary
+  * quantization for Hamming pre-screening (64× smaller than float32). */
+case class SignPackFloat(child: Expression, wordBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(wordBits >= 1 && wordBits <= 62,
+    s"sign_pack_float: wordBits $wordBits outside [1, 62] (63+ risks sign overflow)")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long]((n + wordBits - 1) / wordBits)
+    var d = 0
+    while (d < n) {
+      val w = d / wordBits
+      out(w) = out(w) * 2L + (if (x.getFloat(d) >= 0f) 1L else 0L)
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $out = new long[($n + $wordBits - 1) / $wordBits];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  $out[$d / $wordBits] =
+         |    $out[$d / $wordBits] * 2L + ($v.getFloat($d) >= 0f ? 1L : 0L);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sign_pack_float"
+}
+
+/** Hamming distance between two packed-word arrays: Σ bitCount(a_w ^ b_w)
+  * as a long. Length mismatch is a hard error (same contract as the
+  * float folds — silent zero-extension would understate distances). */
+case class HammingLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArray(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: code length mismatch ($n vs ${y.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: code length mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += java.lang.Long.bitCount($x.getLong($i) ^ $y.getLong($i));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming_longs"
+}
+
 object FloatKernels {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -343,4 +450,11 @@ object FloatKernels {
 
   /** Natural log matching platform libm (and the DuckDB oracle) bitwise. */
   def ln(x: Column): Column = c(LnDouble(e(x.cast("double"))))
+
+  /** Sign-bit pack an array<float> into array<long> words (1-bit BQ). */
+  def signPack(vec: Column, wordBits: Int): Column =
+    c(SignPackFloat(e(vec), wordBits))
+
+  /** Hamming distance between two packed-word array<long> codes. */
+  def hamming(a: Column, b: Column): Column = c(HammingLongs(e(a), e(b)))
 }

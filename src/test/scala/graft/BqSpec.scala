@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Bq, Search}
+import org.apache.spark.sql.functions._
+
+class BqSpec extends SparkSpec {
+
+  private def vecs(n: Int, dim: Int, seed: Int = 11) = {
+    val s = spark
+    import s.implicits._
+    val r = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => (i, Seq.fill(dim)(r.nextFloat() * 4f - 2f)))
+      .toDF("id", "embedding")
+  }
+
+  test("encode: kernel matches the driver-side fold bit for bit") {
+    val df = vecs(100, 70) // 2 full words + a 6-bit partial word
+    val rows = Bq.encode(df, "embedding")
+      .select("id", "embedding", "bq_code").collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      assert(r.getSeq[Long](2) == Bq.encodeQuery(emb).toSeq,
+        s"row ${r.getLong(0)}: kernel and driver fold disagree")
+    }
+    assert(rows.head.getSeq[Long](2).length == 3)
+  }
+
+  test("encode: sign boundary — zero packs as 1, negative as 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, Seq(0f, -0.5f, 0.5f, -0f))).toDF("id", "embedding")
+    val code = Bq.encode(df, "embedding").select("bq_code")
+      .head.getSeq[Long](0)
+    // 4 dims in one partial word, MSB-first: bits (1,0,1,1) -> 0b1011
+    assert(code == Seq(11L))
+  }
+
+  test("hamming: zero to self, counts flipped sign bits exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Seq(1f, 1f, 1f, 1f)),
+      (1L, Seq(1f, -1f, 1f, -1f)),
+      (2L, Seq(-1f, -1f, -1f, -1f))).toDF("id", "embedding")
+    val q = Seq(1f, 1f, 1f, 1f)
+    val r = Bq.hammingSearch(Bq.encode(df, "embedding"), "id", "bq_code", q, 3)
+      .select("id", "ham")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 0L, 1L -> 2L, 2L -> 4L))
+  }
+
+  test("hamming search: deterministic (ham, id) order and length mismatch fails") {
+    val df = Bq.encode(vecs(300, 64), "embedding")
+    val q = Seq.fill(64)(0.5f)
+    val top = Bq.hammingSearch(df, "id", "bq_code", q, 20)
+      .select("ham", "id").collect()
+    val pairs = top.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.sorted.toSeq == pairs.toSeq, "not (ham, id) ordered")
+    intercept[Exception] {
+      Bq.hammingSearch(df, "id", "bq_code", Seq.fill(32)(0.5f), 5).collect()
+    }
+  }
+
+  test("rerank: recall vs exact kNN beats plain hamming cut at the same k") {
+    val df = vecs(500, 64)
+    val q = Seq.tabulate(64)(i => (math.sin(i * 0.37) * 1.5).toFloat)
+    val exact = Search.knnExact(df, "id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val enc = Bq.encode(df, "embedding")
+    val ham = Bq.hammingSearch(enc, "id", "bq_code", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val rr = Bq.rerankSearch(enc, "id", "bq_code", "embedding", q, 10, 100)
+      .collect().map(_.getLong(0)).toSet
+    val hamRecall = (ham & exact).size / 10.0
+    val rrRecall = (rr & exact).size / 10.0
+    assert(rrRecall >= hamRecall, s"rerank $rrRecall < hamming $hamRecall")
+    assert(rrRecall >= 0.6, s"rerank@100 recall $rrRecall below 0.6")
+  }
+
+  test("rerank window must cover k") {
+    val enc = Bq.encode(vecs(50, 8), "embedding")
+    intercept[IllegalArgumentException] {
+      Bq.rerankSearch(enc, "id", "bq_code", "embedding", Seq.fill(8)(0f),
+        k = 10, rerank = 5)
+    }
+  }
+}
