@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, Pq, RangeJoin, Sampling, Search, Sessionize, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, Pq, RangeJoin, Sampling, Search, Sessionize, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,6 +22,12 @@ object SparkEntry {
 
   /** Text query shared by the E2 search queries and their oracle. */
   private val EmbedQueryText = "spark table scan fast query"
+
+  /** Late-interaction query segments shared by mv_maxsim and its oracle
+    * (each segment is one query-side vector; see
+    * [[graft.operators.MultiVec]]). */
+  private[graft] val MaxsimQuerySegments =
+    Seq("spark table scan", "fast vector query", "data engine")
 
   /** Hybrid-search constants shared by the BM25/RRF queries and their
     * oracles (doubles interpolate into the SQL via toString, so both
@@ -560,6 +566,13 @@ object SparkEntry {
       Search.knnCosine(docs, "doc_id", "embedding", q.toSeq, 10)
         .select("doc_id", "dist")
     }),
+
+    // ---- Multi-vector late-interaction retrieval: per-window doc
+    // vectors + MaxSim scoring (Σ_q max_w cosine). Integer-exact
+    // md5-count embeddings make the full operator oracle-checkable.
+    "mv_maxsim" -> ((s, dir) =>
+      MultiVec.maxsimSearch(Tables.documents(s, dir), "doc_id", "text",
+        MaxsimQuerySegments, k = 10)),
 
     // ---- E2 production variant (xxhash64 + normalized — no cross-engine
     // 64-bit hash exists, so rows-only; determinism and distributed/
@@ -1956,6 +1969,8 @@ object SparkEntry {
 
       "e2_embed_search" -> embedSearchSql,
 
+      "mv_maxsim" -> maxsimSql,
+
       "mm_extract_features" -> mmFeaturesSql,
 
       "pipeline_curate" -> curateSql,
@@ -2432,6 +2447,54 @@ object SparkEntry {
     * VALUES. All counts are exact integers, so dot/norm sums are
     * order-independent and the final 1 - dot/(nd*nq) rounds identically
     * in both engines. */
+  /** MaxSim oracle: windows → per-window md5-count sparse vectors →
+    * per-segment max cosine → summed score. All arithmetic is exact
+    * integer sums under sqrt/divide with the operand order matching the
+    * Spark plan, so scores hash-match bit for bit. Windows whose bucket
+    * counts fully cancel (nsq = 0) are excluded on both sides. */
+  private def maxsimSql: String = {
+    val width = 64
+    val qparts = MaxsimQuerySegments.map(HashingEmbedder.md5CountsLocal(_, 64))
+    val qCtes = qparts.zipWithIndex.map { case (qc, i) =>
+      val vals = qc.zipWithIndex.collect {
+        case (c, b) if c != 0.0 => s"($b, $c)"
+      }.mkString(", ")
+      s"qv$i AS (SELECT * FROM (VALUES $vals) AS t(bucket, qc))"
+    }.mkString(",\n")
+    val simCtes = qparts.zipWithIndex.map { case (qc, i) =>
+      val qnsq = qc.map(c => c * c).sum
+      s"""dp$i AS (SELECT c.doc_id, c.k, sum(c.c * qv$i.qc) AS dotv
+         |  FROM c JOIN qv$i ON c.bucket = qv$i.bucket GROUP BY 1, 2),
+         |mx$i AS (SELECT nd.doc_id,
+         |    max(coalesce(dp$i.dotv, 0.0) /
+         |      (sqrt(nd.nsq) * sqrt(CAST($qnsq AS DOUBLE)))) AS mx
+         |  FROM nd LEFT JOIN dp$i ON nd.doc_id = dp$i.doc_id AND nd.k = dp$i.k
+         |  WHERE nd.nsq > 0 GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val scoreExpr = qparts.indices.map(i => s"mx$i.mx").mkString(" + ")
+    val joins = qparts.indices.drop(1)
+      .map(i => s"JOIN mx$i ON mx0.doc_id = mx$i.doc_id").mkString("\n")
+    s"""WITH win AS (
+       |  SELECT doc_id, k, substr(text, k * $width + 1, $width) AS wt
+       |  FROM (SELECT doc_id, text, unnest(generate_series(0,
+       |      greatest(CAST(ceil(length(text) / $width.0) AS INT) - 1, 0))) AS k
+       |    FROM documents)),
+       |tok AS (
+       |  SELECT doc_id, k, unnest(string_split_regex(lower(wt), '\\s+')) AS t
+       |  FROM win),
+       |h AS (SELECT doc_id, k, md5(t) AS m FROM tok WHERE t <> ''),
+       |bs AS (SELECT doc_id, k, ($mdValue) % 64 AS bucket,
+       |  CASE WHEN (${mdNib(9)}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+       |c AS (SELECT doc_id, k, bucket, sum(sign) AS c FROM bs GROUP BY 1, 2, 3),
+       |nd AS (SELECT doc_id, k, sum(c * c) AS nsq FROM c GROUP BY 1, 2),
+       |$qCtes,
+       |$simCtes
+       |SELECT mx0.doc_id AS doc_id, $scoreExpr AS score
+       |FROM mx0
+       |$joins
+       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   private def embedSearchSql: String = {
     val qc = HashingEmbedder.md5CountsLocal(EmbedQueryText, 64)
     val qNormSq = qc.map(c => c * c).sum
