@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, Pq, RangeJoin, Sampling, Search, Sessionize, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, Pq, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -197,6 +197,32 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- Extension: TPC-H Q5-style local-supplier revenue — six-way
+    // join (fact lineitem; orders semi-filters; customer/supplier/
+    // nation/region broadcast dims; the c_nationkey = s_nationkey
+    // locality predicate rides the supplier join) + one group-by
+    "q5_local_supplier" -> ((s, dir) => {
+      val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val nat = Tables.nation(s, dir)
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.orders(s, dir).select("o_orderkey", "o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
     // ---- Extension: window top-N per group
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -206,6 +232,35 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- Distinct-count sketch: KMV bottom-k estimator over an
+    // md5-derived uniform hash — bounded ≤k-long state, mergeable,
+    // and (uniquely for an approximate aggregate) oracle-exact, since
+    // DuckDB reproduces hash, sketch and estimate bit-for-bit. Exact
+    // distinct rides along to document the estimation error.
+    "sketch_kmv" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Sketch.distinctEstimate(li, col("l_orderkey"), k = 256)
+        .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_distinct")))
+    }),
+
+    // ---- Window-function family: offset (lag/lead), distribution
+    // (percent_rank/cume_dist), bucketing (ntile), frame-edge
+    // (first_value) — one pass, one window sort, deterministic
+    // (o_custkey, o_orderkey) keys
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .select("o_custkey", "o_orderkey", "prev_price", "next_price",
+          "quartile", "pct_rank", "cume", "first_price")
+        .orderBy("o_custkey", "o_orderkey")
     }),
 
     // ---- Extension: event-time hourly aggregation (streaming analog)
@@ -260,6 +315,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue).orderBy("a", "b")),
+
+    // ---- Dedup (fuzzy, character-level): Jaccard candidate screen +
+    // exact Levenshtein gate — both engines run textbook edit distance,
+    // so the two-stage fuzzy-dedup recipe is oracle-exact end-to-end
+    "dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 5, candidateThreshold = 0.3, n = 3,
+        maxDocFreq = Int.MaxValue).orderBy("a", "b")),
 
     // ---- Dedup clustering: connected components over the Jaccard pair
     // graph (iterative min-label propagation; oracle is a DuckDB
@@ -1555,6 +1618,45 @@ object SparkEntry {
           |ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
           |FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
+      "sketch_kmv" ->
+        s"""WITH hsrc AS (
+           |  SELECT md5(CAST(l_orderkey AS VARCHAR)) AS m FROM lineitem),
+           |h AS (SELECT DISTINCT ($mdValue) AS hv FROM hsrc),
+           |km AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+           |ag AS (SELECT max(hv) AS hk, count(*) AS n FROM km),
+           |ex AS (SELECT count(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+           |SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+           |    ELSE CAST(255 AS DOUBLE) /
+           |      (CAST(hk AS DOUBLE) / CAST(4294967296 AS DOUBLE)) END
+           |    AS est_distinct,
+           |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+           |FROM ag CROSS JOIN ex""".stripMargin,
+
+      "q5_local_supplier" ->
+        s"""SELECT n_name,
+           |${decSum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY n_name
+           |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+      "q_window_funcs" ->
+        """SELECT o_custkey, o_orderkey,
+          |lag(o_totalprice, 1) OVER w AS prev_price,
+          |lead(o_totalprice, 1) OVER w AS next_price,
+          |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |percent_rank() OVER w AS pct_rank,
+          |cume_dist() OVER w AS cume,
+          |first_value(o_totalprice) OVER w AS first_price
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
       "events_hourly" ->
         s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
            |event_type, count(*) AS n, ${decSum("value")} AS sum_value
@@ -1599,6 +1701,31 @@ object SparkEntry {
           |  CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) AS jaccard
           |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
           |WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5
+          |ORDER BY a, b""".stripMargin,
+
+      "dedup_editdist" ->
+        """WITH toks AS (
+          |  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS ts
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ts)-2, 1)),
+          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
+          |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+          |inter AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT a, b
+          |  FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+          |  WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.3)
+          |SELECT p.a AS a, p.b AS b,
+          |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+          |FROM pairs p
+          |JOIN toks ta ON p.a = ta.doc_id
+          |JOIN toks tb ON p.b = tb.doc_id
+          |WHERE levenshtein(ta.text, tb.text) <= 5
           |ORDER BY a, b""".stripMargin,
 
       // same pair CTE as dedup_ngram_jaccard, then min-label reachability:

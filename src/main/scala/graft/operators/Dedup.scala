@@ -207,6 +207,33 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Character-level fuzzy duplicate pairs: n-gram Jaccard candidate
+    * screen (never all-pairs — the inverted-index shape of
+    * [[ngramJaccardPairs]]) followed by an exact Levenshtein gate on the
+    * hydrated texts. The two-stage shape is the standard fuzzy-dedup
+    * recipe: cheap token-level recall first, exact character-level
+    * precision on the (tiny) candidate set only. Both engines implement
+    * textbook unit-cost edit distance, so results are oracle-exact.
+    *
+    * Scale: candidates ≪ corpus, so the two hydration joins shuffle
+    * only candidate ids + their texts; Levenshtein (O(len²) per pair)
+    * runs on candidate pairs alone. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, candidateThreshold: Double = 0.3,
+                        n: Int = 3, maxDocFreq: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val cands = ngramJaccardPairs(df, idCol, textCol, n,
+      candidateThreshold, maxDocFreq).select("a", "b")
+    val t = df.select(col(idCol), col(textCol))
+    cands
+      .join(t.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
+      .join(t.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select("a", "b", "edit_dist")
+  }
+
   /** Embedding-cosine near-duplicate pairs (similarity ≥ threshold).
     * Brute all-pairs within the given DataFrame — callers at scale pass
     * IVF-bucketed partitions (join within cluster_id), not the full table. */

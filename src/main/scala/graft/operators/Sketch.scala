@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+  * distinct values of a uniform hash; with h_k the k-th smallest as a
+  * fraction of the hash space, distinct ≈ (k−1)/h_k. The classic
+  * bottom-k estimator (Bar-Yossef et al. 2002) — the mergeable sketch
+  * shape behind every engine's approx_count_distinct, built here on an
+  * md5-derived hash so the DuckDB oracle reproduces the ENTIRE sketch
+  * and estimate bit-for-bit (no cross-engine 64-bit hash exists; md5
+  * does — same trick as [[graft.functions.HashingEmbedder]]).
+  *
+  * Scale: the aggregator state is ≤ k longs per partition, map-side
+  * combined; the shuffle carries one ≤ k-array per partition, the
+  * driver sees one. Rows hashing above the running k-th minimum cost
+  * O(log k) and allocate nothing. Sketches merge associatively
+  * ([[Sketch.mergeSketches]]), so they can be persisted per-partition
+  * and unioned later — the incremental-maintenance story aggregates
+  * like count(DISTINCT) can never have.
+  */
+object Sketch {
+
+  /** Uniform 32-bit hash in [0, 2³²): first 8 hex chars of md5 parsed
+    * as an integer — DuckDB spells the identical nibble parse. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Bounded-state KMV aggregator: buffer = ascending array of ≤ k
+    * distinct hashes. */
+  final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], h: Long): Array[Long] = insert(b, h)
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      y.foldLeft(x)(insert)
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+    private def insert(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // already in the sketch
+      else {
+        val ins = -pos - 1
+        if (ins >= k) b // above the k-th minimum: no-op
+        else {
+          val n = math.min(b.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** One-row DataFrame holding the KMV sketch (`sketch` array<long>,
+    * ascending) of `valueCol` over `df`. */
+  def kmvSketch(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(hash32(valueCol).as("__h")).as[Long]
+      .select(new KmvAgg(k).toColumn.name("sketch"))
+      .toDF("sketch")
+  }
+
+  /** Estimate from a sketch column: exact size when the sketch never
+    * filled, else (k−1) / (h_k / 2³²). */
+  def estimateColumn(sketchCol: Column, k: Int): Column =
+    when(size(sketchCol) < k, size(sketchCol).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (element_at(sketchCol, k).cast("double") / lit(4294967296.0)))
+
+  /** One-row (est_distinct double) distinct-count estimate. */
+  def distinctEstimate(df: DataFrame, valueCol: Column, k: Int): DataFrame =
+    kmvSketch(df, valueCol, k)
+      .select(estimateColumn(col("sketch"), k).as("est_distinct"))
+
+  /** Driver-side sketch union (associative, commutative): the k
+    * smallest of the merged distinct hash sets. */
+  def mergeSketches(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+}

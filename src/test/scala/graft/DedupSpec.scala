@@ -250,4 +250,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(r == Map(0L -> "b", 1L -> "c")) // "a" boilerplate; "." not a wildcard
   }
+
+  test("editDistancePairs: candidate screen + exact gate, distance cut honored") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val df = Seq(
+      (0L, base),
+      (1L, base.replace("quick", "quack")),       // 1 substitution -> dist 1
+      (2L, base.replace("river bank", "ocean pier xyzzy")), // bigger edit
+      (3L, "completely different content with no shared trigrams at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(df, "doc_id", "text", maxDist = 3,
+        candidateThreshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((0L, 1L, 1L)),
+      s"expected only the 1-edit pair, got ${pairs.toSeq}")
+    // widening the gate admits the larger rewrite pair too
+    val wide = Dedup.editDistancePairs(df, "doc_id", "text", maxDist = 20,
+        candidateThreshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((0L, 2L)) && wide.contains((0L, 1L)))
+    assert(!wide.exists(p => p._1 == 3L || p._2 == 3L),
+      "doc with no shared grams must never become a candidate")
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Sketch
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+
+  private def ids(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0L until n.toLong).map(i => i * 7919L % 1000003L).toDF("v")
+  }
+
+  test("sketch: bounded at k, ascending, distinct, partitioning-invariant") {
+    val df = ids(5000)
+    val sk = Sketch.kmvSketch(df, col("v"), 64).head.getSeq[Long](0)
+    assert(sk.length == 64)
+    assert(sk == sk.distinct.sorted, "sketch not ascending-distinct")
+    val sk13 = Sketch.kmvSketch(df.repartition(13), col("v"), 64)
+      .head.getSeq[Long](0)
+    assert(sk == sk13, "sketch depends on partitioning")
+  }
+
+  test("estimate: within 25% of truth at k=256 over 10k distinct values") {
+    val df = ids(10000) // 10000 distinct v values
+    val est = Sketch.distinctEstimate(df, col("v"), 256)
+      .head.getDouble(0)
+    val truth = df.distinct().count().toDouble
+    assert(math.abs(est - truth) / truth < 0.25,
+      s"estimate $est vs truth $truth")
+  }
+
+  test("estimate: exact when distinct count below k") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 2L, 3L, 2L, 1L).toDF("v")
+    val est = Sketch.distinctEstimate(df, col("v"), 256).head.getDouble(0)
+    assert(est == 3.0)
+  }
+
+  test("merge: union of sketches equals sketch of union") {
+    val a = ids(3000)
+    val b = ids(6000) // superset value stream, heavy overlap
+    val k = 128
+    val skA = Sketch.kmvSketch(a, col("v"), k).head.getSeq[Long](0)
+    val skB = Sketch.kmvSketch(b, col("v"), k).head.getSeq[Long](0)
+    val skU = Sketch.kmvSketch(a.union(b), col("v"), k).head.getSeq[Long](0)
+    assert(Sketch.mergeSketches(skA, skB, k) == skU)
+    assert(Sketch.mergeSketches(skA, skB, k) ==
+      Sketch.mergeSketches(skB, skA, k), "merge not commutative")
+  }
+
+  test("duplicate values never inflate the sketch") {
+    val s = spark
+    import s.implicits._
+    val dup = (1 to 1000).map(_ => 42L).toDF("v")
+    val sk = Sketch.kmvSketch(dup, col("v"), 16).head.getSeq[Long](0)
+    assert(sk.length == 1)
+  }
+}
