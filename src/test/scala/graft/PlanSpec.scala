@@ -143,4 +143,62 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in chunking plan:\n$plan")
   }
+
+  test("BQ hamming search: per-row scan + TakeOrderedAndProject, no Exchange") {
+    val dir = Files.createTempDirectory("bqplan").toString + "/t"
+    toDF(corpus(80, 64)).write.parquet(dir)
+    val enc = graft.operators.Bq.encode(spark.read.parquet(dir), "embedding")
+    val plan = graft.operators.Bq.hammingSearch(enc, "id", "bq_code",
+        corpus(1, 64).head._2.toSeq, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k, plan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"BQ screen must not shuffle the table:\n$plan")
+    // the kernels stay inside whole-stage codegen — the `*(n)` stage
+    // marker must wrap the projection computing the hamming column
+    assert(plan.contains("*(1) Project") && plan.contains("hamming_longs"),
+      s"codegen lost:\n$plan")
+  }
+
+  test("maxsim aggregates map-side: partial max before the doc shuffle") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 40L)
+      .map(i => (i, s"alpha beta doc $i " * 8)).toDF("id", "text")
+    val plan = graft.operators.MultiVec.maxsimSearch(df, "id", "text",
+        Seq("alpha beta"), k = 5)
+      .queryExecution.executedPlan.toString
+    // the per-doc max agg must appear as partial+final around ONE exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final max aggregates, plan:\n$plan")
+  }
+
+  test("pivot with explicit values: both aggregation passes map-side partial") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 60L).map(i => (s"g${i % 3}", s"p${i % 2}", i.toDouble))
+      .toDF("g", "p", "v")
+    // Spark compiles pivot to sum per (g, p) then pivotfirst per g —
+    // two shuffles, each preceded by a partial aggregate, and the
+    // explicit value list means no distinct-values discovery job
+    val plan = df.groupBy("g").pivot("p", Seq("p0", "p1")).agg(sum(col("v")))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length <= 2,
+      s"pivot should need at most two shuffles, plan:\n$plan")
+    assert(plan.contains("partial_sum") && plan.contains("partial_pivotfirst"),
+      s"pivot aggregation not map-side combined, plan:\n$plan")
+  }
+
+  test("KMV sketch aggregates map-side: bounded partial sketch before one exchange") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 500L).toDF("v")
+    val plan = graft.operators.Sketch.kmvSketch(df, col("v"), 32)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final sketch aggregates, plan:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"sketch should reduce through one exchange, plan:\n$plan")
+  }
 }
