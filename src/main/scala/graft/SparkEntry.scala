@@ -223,6 +223,21 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // ---- Join-type coverage: FULL OUTER with unmatched rows on BOTH
+    // sides (disjoint modular filters), null-extended columns exact
+    "q_outer_join" -> ((s, dir) => {
+      val left = Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), col("c_acctbal"))
+      val right = Tables.orders(s, dir).filter(col("o_custkey") % 5 === 0)
+        .groupBy(col("o_custkey").as("k2"))
+        .agg(count(lit(1)).as("n_orders"),
+          dSum(col("o_totalprice")).as("sum_price"))
+      left.join(right, col("k") === col("k2"), "full_outer")
+        .select(coalesce(col("k"), col("k2")).as("custkey"),
+          col("c_acctbal"), col("n_orders"), col("sum_price"))
+        .orderBy("custkey")
+    }),
+
     // ---- Extension: window top-N per group
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -426,6 +441,15 @@ object SparkEntry {
     "sample_hash_frac" -> ((s, dir) =>
       Sampling.hashFraction(Tables.documents(s, dir), "doc_id", 0.25)
         .select("doc_id").orderBy("doc_id")),
+
+    // ---- Sampling: weighted without replacement (A-ES priority keys;
+    // libm-exact ln makes the keys — hence the selected set — oracle-
+    // exact). Weight = document length: the "sample long docs more"
+    // curation move.
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+          "n_chars", k = 100)
+        .select("doc_id", "es_key")),
 
     // ---- Sampling: deterministic train/val/test split (weights chosen
     // binary-exact so the cumulative cuts are bit-identical in SQL)
@@ -1645,6 +1669,17 @@ object SparkEntry {
            |GROUP BY n_name
            |ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
+      "q_outer_join" ->
+        s"""WITH l AS (
+           |  SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+           |r AS (
+           |  SELECT o_custkey AS k2, count(*) AS n_orders,
+           |    ${decSum("o_totalprice")} AS sum_price
+           |  FROM orders WHERE o_custkey % 5 = 0 GROUP BY 1)
+           |SELECT coalesce(l.k, r.k2) AS custkey, c_acctbal, n_orders, sum_price
+           |FROM l FULL OUTER JOIN r ON l.k = r.k2
+           |ORDER BY custkey""".stripMargin,
+
       "q_window_funcs" ->
         """SELECT o_custkey, o_orderkey,
           |lag(o_totalprice, 1) OVER w AS prev_price,
@@ -1892,6 +1927,15 @@ object SparkEntry {
           |WHERE CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT)
           |  / 4294967296.0 < 0.25
           |ORDER BY doc_id""".stripMargin,
+
+      "sample_weighted" ->
+        """SELECT doc_id, (-ln(u)) / CAST(n_chars AS DOUBLE) AS es_key
+          |FROM (
+          |  SELECT doc_id, n_chars,
+          |    CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT)
+          |      / 4294967296.0 AS u
+          |  FROM documents)
+          |ORDER BY es_key ASC, doc_id ASC LIMIT 100""".stripMargin,
 
       "sample_hash_split" ->
         """SELECT split, count(*) AS n FROM (

@@ -102,6 +102,28 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    * row priority key = −ln(u)/w with u the row's hash uniform — the k
+    * SMALLEST keys are a weight-proportional sample. ln goes through
+    * the libm-exact kernel ([[graft.expressions.FloatKernels.ln]]) so
+    * keys — and therefore the selected set — are bit-identical to the
+    * DuckDB oracle (pow-based u^(1/w) would not be: pow is not
+    * correctly rounded and differs across libms).
+    *
+    * Deterministic in (id, salt) like every sampler here; zero weights
+    * key to +∞ (never selected while positive-weight rows remain).
+    * Scale: per-row key + `TakeOrderedAndProject` — no shuffle of the
+    * table, same shape as exact kNN. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = negate(graft.expressions.FloatKernels.ln(
+      hashUniform(col(idCol), salt))) / col(weightCol).cast("double")
+    df.withColumn("es_key", key)
+      .orderBy(col("es_key").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic dataset split (train/val/test …): labels each row by
     * where its hash uniform falls among the cumulative `weights`
     * (normalized; last split absorbs the remainder, so every row gets a

@@ -87,4 +87,25 @@ object Sketch {
     * smallest of the merged distinct hash sets. */
   def mergeSketches(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
     (a ++ b).distinct.sorted.take(k)
+
+  /** Streaming maintenance: fold each micro-batch's sketch into the
+    * running one in `state` — the mergeability a count(DISTINCT) can
+    * never stream. State is a ≤ k-long array; callers wanting crash
+    * safety persist it through [[graft.core.SnapshotIO]] in `onBatch`
+    * (it is tiny and idempotent to republish). */
+  def streamingDistinct(stream: DataFrame, valueCol: Column, k: Int,
+                        checkpoint: String,
+                        state: java.util.concurrent.atomic.AtomicReference[Seq[Long]],
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sk = kmvSketch(batch, valueCol, k).head.getSeq[Long](0)
+        state.updateAndGet(cur => mergeSketches(cur, sk, k))
+        ()
+      }
+      .start()
 }

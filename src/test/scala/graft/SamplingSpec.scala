@@ -107,4 +107,24 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitColumn(col("id"), Seq("a" -> 0.5, "b" -> -0.1))
     }
   }
+
+  test("weightedSample: weight-proportional selection, deterministic under partitioning") {
+    val s = spark
+    import s.implicits._
+    // 10% of rows carry 100x the weight of the rest
+    val df = (0L until 1000L)
+      .map(i => (i, if (i < 100) 100.0 else 1.0)).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", k = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val heavy = picked.count(_ < 100L)
+    assert(heavy > 60,
+      s"expected heavy rows to dominate a weighted sample, got $heavy/100")
+    val repicked = Sampling.weightedSample(df.repartition(13), "id", "w", k = 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(picked == repicked, "weighted sample depends on partitioning")
+    // a different salt draws a different (still weight-biased) sample
+    val other = Sampling.weightedSample(df, "id", "w", k = 100, salt = "x")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(other != picked)
+  }
 }

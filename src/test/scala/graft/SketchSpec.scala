@@ -50,6 +50,28 @@ class SketchSpec extends SparkSpec {
       Sketch.mergeSketches(skB, skA, k), "merge not commutative")
   }
 
+  test("streaming sketch across micro-batches equals the batch sketch of all data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("kmvstream").toString
+    val state = new java.util.concurrent.atomic.AtomicReference[Seq[Long]](Seq.empty)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val k = 64
+
+    source.addData(0L until 2000L: _*)
+    Sketch.streamingDistinct(source.toDF().toDF("v"), col("v"), k,
+      s"$tmp/ckpt", state).awaitTermination()
+    source.addData(1000L until 4000L: _*) // overlapping second batch
+    Sketch.streamingDistinct(source.toDF().toDF("v"), col("v"), k,
+      s"$tmp/ckpt", state).awaitTermination()
+
+    val batchAll = Sketch.kmvSketch((0L until 4000L).toDF("v"), col("v"), k)
+      .head.getSeq[Long](0)
+    assert(state.get() == batchAll,
+      "streamed merge diverged from the batch sketch")
+  }
+
   test("duplicate values never inflate the sketch") {
     val s = spark
     import s.implicits._
