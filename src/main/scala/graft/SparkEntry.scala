@@ -1209,6 +1209,20 @@ object SparkEntry {
         .select("vec_id", "ham")
     }),
 
+    // ---- O7 composition on the BQ tier: metadata filter BEFORE the
+    // Hamming screen + rerank (exclusion contract: non-matching rows
+    // can never appear; window is filled from the filtered subset)
+    "o7_bq_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      Bq.rerankSearch(Bq.encode(emb, "embedding"), "vec_id", "bq_code",
+          "embedding", q, k = 10, rerank = 30,
+          filter = Some(col("label") === 3))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("dist"))
+    }),
+
     "o6_bq_rerank" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === QueryVecId)
@@ -2362,6 +2376,17 @@ object SparkEntry {
            |  FROM embeddings e CROSS JOIN q
            |  ORDER BY ham ASC, vec_id ASC LIMIT 30)
            |SELECT vec_id, ${l2("embedding", "qe")} AS dist
+           |FROM bqh ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      "o7_bq_filtered" ->
+        s"""$cte,
+           |bqh AS (
+           |  SELECT e.vec_id AS vec_id, CAST(e.label AS BIGINT) AS label,
+           |    e.embedding AS embedding, q.qe AS qe,
+           |    ${bqHamming("e.embedding", "q.qe")} AS ham
+           |  FROM embeddings e CROSS JOIN q WHERE e.label = 3
+           |  ORDER BY ham ASC, vec_id ASC LIMIT 30)
+           |SELECT vec_id, label, ${l2("embedding", "qe")} AS dist
            |FROM bqh ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
       "b9_pq_encode_fixed" -> {

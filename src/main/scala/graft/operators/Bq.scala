@@ -52,10 +52,13 @@ object Bq {
     FloatKernels.hamming(codeCol, lit(queryCode))
 
   /** Approximate top-k by Hamming distance over encoded rows,
-    * deterministic (ham, id) ascending order. */
+    * deterministic (ham, id) ascending order. The optional pre-filter
+    * composes BEFORE the screen (pushdown-able; the reference's
+    * exclusion contract — non-matching rows can never appear). */
   def hammingSearch(encoded: DataFrame, idCol: String, codeCol: String,
-                    query: Seq[Float], k: Int): DataFrame =
-    encoded
+                    query: Seq[Float], k: Int,
+                    filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    filter.fold(encoded)(encoded.filter)
       .withColumn("ham", hammingColumn(col(codeCol), encodeQuery(query)))
       .orderBy(col("ham").asc, col(idCol).asc)
       .limit(k)
@@ -66,9 +69,10 @@ object Bq {
     * retain the float `embCol` alongside the code. */
   def rerankSearch(encoded: DataFrame, idCol: String, codeCol: String,
                    embCol: String, query: Seq[Float], k: Int,
-                   rerank: Int): DataFrame = {
+                   rerank: Int,
+                   filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(rerank >= k, s"rerank window $rerank smaller than k=$k")
-    hammingSearch(encoded, idCol, codeCol, query, rerank)
+    hammingSearch(encoded, idCol, codeCol, query, rerank, filter)
       .withColumn("dist",
         graft.functions.VectorFunctions.l2(col(embCol), lit(query.toArray)))
       .orderBy(col("dist").asc, col(idCol).asc)

@@ -77,6 +77,25 @@ class BqSpec extends SparkSpec {
     assert(rrRecall >= 0.6, s"rerank@100 recall $rrRecall below 0.6")
   }
 
+  test("filtered search: non-matching rows can never appear (exclusion contract)") {
+    val s = spark
+    import s.implicits._
+    val r = new scala.util.Random(3)
+    val df = (0L until 300L)
+      .map(i => (i, Seq.fill(32)(r.nextFloat() * 2f - 1f), (i % 5).toInt))
+      .toDF("id", "embedding", "label")
+    val enc = Bq.encode(df, "embedding")
+    val q = Seq.fill(32)(0.25f)
+    val ham = Bq.hammingSearch(enc, "id", "bq_code", q, 20,
+      filter = Some(col("label") === 2)).collect()
+    assert(ham.length == 20)
+    assert(ham.forall(_.getAs[Int]("label") == 2), "filter violated in screen")
+    val rr = Bq.rerankSearch(enc, "id", "bq_code", "embedding", q, 10, 40,
+      filter = Some(col("label") === 2)).collect()
+    assert(rr.length == 10)
+    assert(rr.forall(_.getAs[Int]("label") == 2), "filter violated after rerank")
+  }
+
   test("rerank window must cover k") {
     val enc = Bq.encode(vecs(50, 8), "embedding")
     intercept[IllegalArgumentException] {
