@@ -76,6 +76,27 @@ object RecallProbe {
       val (rr, lr) = run(10 * topK)
       println(f"$nProbe%7d  $ra%10.3f  $rr%13.3f  $la%9.4f  $lr%12.4f")
     }
+
+    // BQ tier: 1-bit Hamming screen alone vs screen+exact-rerank at
+    // growing rerank windows — recall evidence for the cheapest tier
+    val bqEnc = graft.operators.Bq.encode(emb, "embedding").cache()
+    bqEnc.count()
+    println("BQ (1-bit sign, 64 dims -> 2 words)")
+    println("rerank_window  hamming_recall  rerank_recall")
+    for (window <- Seq(topK, 3 * topK, 10 * topK, 30 * topK)) {
+      var hamSum = 0.0
+      var rrSum = 0.0
+      queries.foreach { case (qid, q) =>
+        val ham = graft.operators.Bq.hammingSearch(bqEnc, "vec_id", "bq_code",
+            q, topK).select("vec_id").collect().map(_.getLong(0)).toSet
+        hamSum += ham.intersect(exact(qid)).size.toDouble / topK
+        val rr = graft.operators.Bq.rerankSearch(bqEnc, "vec_id", "bq_code",
+            "embedding", q, topK, window)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        rrSum += rr.intersect(exact(qid)).size.toDouble / topK
+      }
+      println(f"$window%13d  ${hamSum / nQueries}%14.3f  ${rrSum / nQueries}%13.3f")
+    }
     spark.stop()
   }
 }

@@ -52,6 +52,26 @@ object ScaleProbe {
     val codes = spark.read.parquet(codesDir)
     t("pq_adc_top10_stored")(Pq.adcSearch(codes, "id", "pq_code", cb, q, 10).count())
 
+    // BQ tier: train-free encode persisted once; Hamming screen and
+    // screen+rerank run over stored 2-long codes (32x smaller scans)
+    val bqDir = s"$dir-bqcodes"
+    t("bq_encode_persist") {
+      graft.operators.Bq.encode(df, "embedding")
+        .select("id", "embedding", "bq_code")
+        .write.mode("overwrite").parquet(bqDir)
+      n
+    }
+    val bqCodes = spark.read.parquet(bqDir)
+    t("bq_hamming_top10_stored")(
+      graft.operators.Bq.hammingSearch(bqCodes, "id", "bq_code", q, 10).count())
+    t("bq_rerank_top10_w300")(
+      graft.operators.Bq.rerankSearch(bqCodes, "id", "bq_code", "embedding",
+        q, 10, 300).count())
+
+    // KMV sketch: bounded-state distinct estimate over all n ids
+    t("kmv_sketch_k256")(
+      graft.operators.Sketch.distinctEstimate(df, col("id"), 256).count())
+
     // batch kNN join: 100 query vectors against the full table, bounded-
     // heap map-side combine (the shuffle carries <= k x queries x parts)
     val queries = df.filter(col("id") < 100)

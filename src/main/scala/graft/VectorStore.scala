@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.functions.HashingEmbedder
-import graft.operators.{Crud, Hnsw, Ivf, IvfPq, Pq, Search, Sq}
+import graft.operators.{Bq, Crud, Hnsw, Ivf, IvfPq, Pq, Search, Sq}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,17 @@ class VectorStore private (val spark: SparkSession, val path: String,
       "id", "sq_code", m, query, k)
   }
 
+  /** BQ tier: train-free 1-bit screen + exact rerank over live rows
+    * (no model to persist — the code column is derived on scan; persist
+    * it as a column via [[graft.operators.Bq.encode]] when the corpus
+    * is large enough to warrant it). */
+  def searchBq(query: Seq[Float], k: Int, rerank: Int = 0,
+               metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+    val enc = Bq.encode(live(metadataFilter), "embedding")
+    if (rerank <= 0) Bq.hammingSearch(enc, "id", "bq_code", query, k)
+    else Bq.rerankSearch(enc, "id", "bq_code", "embedding", query, k, rerank)
+  }
+
   /** B8/B9/B11: train PQ codebook (persisted alongside the store). */
   def trainPq(chunks: Int, k: Int, seed: Long = 42L): Pq.Codebook = {
     val cb = Pq.train(snapshot().filter(!col("is_deleted")), "embedding", dim, chunks, k, seed)
@@ -206,13 +217,16 @@ class VectorStore private (val spark: SparkSession, val path: String,
           k, metadataFilter)
       case "pq" => searchAdc(query, k, metadataFilter)
       case "sq8" => searchSq(query, k, metadataFilter)
+      case "bq" =>
+        searchBq(query, k, params.get("rerank").map(_.toInt).getOrElse(0),
+          metadataFilter)
       case "ivfpq" =>
         searchIvfPq(query,
           params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe), k,
           params.get("rerank").map(_.toInt).getOrElse(0), metadataFilter)
       case "exact" => search(query, k, metadataFilter)
       case other => throw new IllegalArgumentException(
-        s"unknown index type '$other' (expected exact, hnsw, ivf, ivfpq, pq, or sq8)")
+        s"unknown index type '$other' (expected exact, hnsw, ivf, ivfpq, pq, sq8, or bq)")
     }
   }
 

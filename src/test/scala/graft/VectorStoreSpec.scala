@@ -94,6 +94,26 @@ class VectorStoreSpec extends SparkSpec {
     assert(api.count() == 3)
   }
 
+  test("BQ screen + rerank through the facade") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("store").toString
+    val store = VectorStore.open(s, dir, dim = 32)
+    val data = corpus(80, 32)
+    store.ingest(data.map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    // screen-only: k rows in (ham, id) order; self-match has hamming 0
+    val scr = store.searchBq(data(3)._2.toSeq, 5).collect()
+    assert(scr.length == 5 && scr.head.getAs[Long]("ham") == 0L)
+    // rerank re-scores exactly: the query vector itself comes back first
+    val rr = store.searchBq(data(3)._2.toSeq, k = 5, rerank = 30).collect()
+    assert(rr.length == 5 && rr.head.getAs[Double]("dist") < 1e-6)
+    // facade dispatch, with the reference's unknown-kwarg tolerance
+    val api = store.searchApi(data(3)._2.toSeq,
+      Map("index" -> "bq", "top_k" -> "3", "rerank" -> "30", "bogus" -> "x"))
+    assert(api.count() == 3)
+    assert(api.collect().head.getAs[Double]("dist") < 1e-6)
+  }
+
   test("IVF-PQ build + two-stage search through the facade") {
     val s = spark
     import s.implicits._
