@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, Pq, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -278,6 +278,31 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- Time-series gap fill: dense hourly grid (types × hours
+    // between the global bounds) LEFT-joined to the observed rollup,
+    // missing buckets forward-filled per type (last_value IGNORE NULLS
+    // over an unbounded-preceding frame). 215 genuine gaps in the
+    // sf0.01 grid. Grid generation is a per-row sequence explode; the
+    // fill is one window pass per type.
+    "events_gapfill" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(dSum(col("value")).as("v"))
+      val bounds = hourly.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val grid = hourly.select("event_type").distinct()
+        .crossJoin(bounds.select(explode(
+          sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h")))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("v").isNull.cast("long"))
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("v_filled"), col("is_gap"))
+        .orderBy("event_type", "h")
+    }),
+
     // ---- Extension: event-time hourly aggregation (streaming analog)
     "events_hourly" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -338,6 +363,19 @@ object SparkEntry {
       Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
         maxDist = 5, candidateThreshold = 0.3, n = 3,
         maxDocFreq = Int.MaxValue).orderBy("a", "b")),
+
+    // ---- Graph analytics: PageRank over the near-dup pair graph —
+    // 5 power iterations, decimal-routed neighbor sums so the iterative
+    // computation is hash-exact vs the oracle's unrolled SQL. Rank
+    // orders cluster members by connectivity (authority-based canonical
+    // pick, complementing keepBestInCluster's quality argmax).
+    "graph_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+        "text", n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue)
+      PageRank.run(pairs, iters = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
 
     // ---- Dedup clustering: connected components over the Jaccard pair
     // graph (iterative min-label propagation; oracle is a DuckDB
@@ -1711,6 +1749,27 @@ object SparkEntry {
            |event_type, count(*) AS n, ${decSum("value")} AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
 
+      "events_gapfill" ->
+        s"""WITH hh AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h,
+           |    ${decSum("value")} AS v
+           |  FROM events GROUP BY 1, 2),
+           |b AS (SELECT min(h) AS mn, max(h) AS mx FROM hh),
+           |grid AS (
+           |  SELECT t.event_type, g.h
+           |  FROM (SELECT DISTINCT event_type FROM hh) t
+           |  CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+           |              FROM b) g),
+           |j AS (
+           |  SELECT grid.event_type, grid.h, hh.v
+           |  FROM grid LEFT JOIN hh
+           |    ON grid.event_type = hh.event_type AND grid.h = hh.h)
+           |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h,
+           |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+           |FROM j ORDER BY event_type, h""".stripMargin,
+
       "events_json_extract" ->
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |FROM events ORDER BY event_id""".stripMargin,
@@ -1751,6 +1810,8 @@ object SparkEntry {
           |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
           |WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5
           |ORDER BY a, b""".stripMargin,
+
+      "graph_pagerank" -> pagerankSql,
 
       "dedup_editdist" ->
         """WITH toks AS (
@@ -2549,6 +2610,57 @@ object SparkEntry {
     * connected-components walk (DuckDB mirror of
     * `Dedup.ngramJaccardPairs` + `Dedup.connectedComponents`); yields
     * CTE `walk(id, comp)` — callers GROUP BY id / min(comp). */
+  /** PageRank oracle: the jaccard pair CTEs + 5 unrolled power
+    * iterations. Constants interpolate through CAST('<toString>' AS
+    * DOUBLE) so both engines start from the identical IEEE-754 values
+    * (1 − 0.85 is NOT the literal 0.15); neighbor sums go through
+    * DECIMAL(38,18) exactly as the Spark plan does. */
+  private def pagerankSql: String = {
+    val d = 0.85
+    val iters = 5
+    val dS = s"CAST('$d' AS DOUBLE)"
+    val oneMinus = s"CAST('${1.0 - d}' AS DOUBLE)"
+    val iterCtes = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""s$k AS (
+         |  SELECT e.dst AS id,
+         |    CAST(SUM(CAST($prev.r / CAST(dg.deg AS DOUBLE) AS DECIMAL(38,18)))
+         |      AS DOUBLE) AS s
+         |  FROM edges e JOIN dg ON e.src = dg.src JOIN $prev ON $prev.id = e.src
+         |  GROUP BY 1),
+         |r$k AS (
+         |  SELECT n.id,
+         |    $oneMinus / CAST(nn.n AS DOUBLE) +
+         |      $dS * coalesce(s$k.s, CAST(0.0 AS DOUBLE)) AS r
+         |  FROM nodes n CROSS JOIN nn LEFT JOIN s$k ON n.id = s$k.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ts)-2, 1)),
+       |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
+       |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION SELECT b AS src, a AS dst FROM pairs),
+       |dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT id AS doc_id, r FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
   private def clustersCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
