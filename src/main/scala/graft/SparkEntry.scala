@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -277,6 +277,13 @@ object SparkEntry {
           "quartile", "pct_rank", "cume", "first_price")
         .orderBy("o_custkey", "o_orderkey")
     }),
+
+    // ---- Data profiling: one-pass per-column statistics as tidy
+    // (col_name, metric, value) rows — decimal-exact means, exact
+    // distincts; the ingestion-time data-quality snapshot
+    "t_profile" -> ((s, dir) =>
+      Profile.profile(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "n_chars", "text"))),
 
     // ---- Time-series gap fill: dense hourly grid (types × hours
     // between the global bounds) LEFT-joined to the observed rollup,
@@ -1813,6 +1820,8 @@ object SparkEntry {
 
       "graph_pagerank" -> pagerankSql,
 
+      "t_profile" -> profileSql,
+
       "dedup_editdist" ->
         """WITH toks AS (
           |  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS ts
@@ -2610,6 +2619,40 @@ object SparkEntry {
     * connected-components walk (DuckDB mirror of
     * `Dedup.ngramJaccardPairs` + `Dedup.connectedComponents`); yields
     * CTE `walk(id, comp)` — callers GROUP BY id / min(comp). */
+  /** Profiling oracle: the same single-aggregate-row → UNION ALL
+    * unpivot, metric expressions mirrored per column type. */
+  private def profileSql: String = {
+    def num(c: String) = Seq(
+      "n_nonnull" -> s"CAST(count($c) AS DOUBLE)",
+      "n_distinct" -> s"CAST(count(DISTINCT $c) AS DOUBLE)",
+      "min" -> s"CAST(min($c) AS DOUBLE)",
+      "max" -> s"CAST(max($c) AS DOUBLE)",
+      "avg" -> s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / count($c)")
+    def str(c: String) = Seq(
+      "n_nonnull" -> s"CAST(count($c) AS DOUBLE)",
+      "n_distinct" -> s"CAST(count(DISTINCT $c) AS DOUBLE)",
+      "min_len" -> s"CAST(min(length($c)) AS DOUBLE)",
+      "max_len" -> s"CAST(max(length($c)) AS DOUBLE)",
+      "avg_len" -> s"CAST(SUM(CAST(length($c) AS DECIMAL(38,6))) AS DOUBLE) / count($c)")
+    val cols: Seq[(String, Seq[(String, String)])] = Seq(
+      "doc_id" -> num("doc_id"), "lang" -> str("lang"),
+      "n_chars" -> num("n_chars"), "text" -> str("text"))
+    val aggExprs = cols.flatMap { case (c, ms) =>
+      ms.map { case (m, e) => s"""$e AS "$c::$m"""" }
+    }.mkString(",\n")
+    val unions = cols.flatMap { case (c, ms) =>
+      ms.map { case (m, _) =>
+        s"""SELECT '$c' AS col_name, '$m' AS metric, "$c::$m" AS value FROM a"""
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (
+       |SELECT
+       |$aggExprs
+       |FROM documents)
+       |$unions
+       |ORDER BY col_name, metric""".stripMargin
+  }
+
   /** PageRank oracle: the jaccard pair CTEs + 5 unrolled power
     * iterations. Constants interpolate through CAST('<toString>' AS
     * DOUBLE) so both engines start from the identical IEEE-754 values
