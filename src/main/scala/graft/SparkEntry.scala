@@ -2035,7 +2035,8 @@ object SparkEntry {
       // lowered text), integer-count arithmetic cast to double at the end
       "t_repetition" ->
         """WITH toks AS (
-          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |    x -> x <> '') AS t FROM documents),
           |g AS (SELECT doc_id, t, len(t) AS n,
           |  CASE WHEN len(t) >= 2 THEN list_transform(
           |    generate_series(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1]))
@@ -2384,7 +2385,8 @@ object SparkEntry {
 
       "chunk_docs" ->
         """WITH toks AS (
-          |  SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+          |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          |    x -> x <> '') AS ts FROM documents),
           |nc AS (SELECT doc_id, ts,
           |  greatest(1, CAST(ceil((len(ts) - 16) / 48.0) AS BIGINT)) AS n FROM toks),
           |ch AS (SELECT doc_id, ts,

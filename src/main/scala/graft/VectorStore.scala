@@ -218,7 +218,10 @@ class VectorStore private (val spark: SparkSession, val path: String,
       case "pq" => searchAdc(query, k, metadataFilter)
       case "sq8" => searchSq(query, k, metadataFilter)
       case "bq" =>
-        searchBq(query, k, params.get("rerank").map(_.toInt).getOrElse(0),
+        // default to a 3k rerank window so the facade's output schema
+        // (a "dist" column) is consistent across index types; an
+        // explicit rerank=0 opts into the raw Hamming screen ("ham")
+        searchBq(query, k, params.get("rerank").map(_.toInt).getOrElse(3 * k),
           metadataFilter)
       case "ivfpq" =>
         searchIvfPq(query,

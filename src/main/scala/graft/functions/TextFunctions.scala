@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace token count. */
+  /** Raw whitespace-split fragment count (a SPLIT count, not a word
+    * count: leading whitespace or an empty string contributes one empty
+    * fragment — the oracle mirrors this exactly; use
+    * [[repetitionSignals]]/[[graft.operators.Chunker]] tokenization
+    * when phantom fragments matter). */
   def tokenCount(text: Column): Column =
     size(split(text, "\\s+")).cast("long")
 
@@ -105,7 +110,10 @@ object TextFunctions {
     * repeated. The per-row top-bigram fold is O(tokens·distinct), fine
     * for documents; chunk pathological multi-MB docs upstream. */
   def repetitionSignals(text: Column): Map[String, Column] = {
-    val t = split(lower(text), "\\s+")
+    // empty fragments dropped: leading/trailing whitespace would
+    // otherwise add a phantom "" token that inflates n_tokens and every
+    // repetition fraction
+    val t = array_remove(split(lower(text), "\\s+"), "")
     val n = size(t)
     val emptyArr = array().cast("array<string>")
     val bg = when(n >= 2, transform(sequence(lit(1), n - 1),

@@ -31,8 +31,12 @@ object Chunker {
       s"overlap must be in [0, chunkTokens), got $overlap")
     val stride = chunkTokens - overlap
     // null text behaves like empty text (one empty chunk) — explode of a
-    // null sequence would silently drop the document instead
-    val toks = split(coalesce(col(textCol), lit("")), "\\s+")
+    // null sequence would silently drop the document instead. Empty
+    // fragments are dropped: split("") = [""] would otherwise count a
+    // phantom token for empty docs, and leading whitespace would shift
+    // every window boundary by one vs the empty-dropping tokenization
+    // the scoring operators use
+    val toks = array_remove(split(coalesce(col(textCol), lit("")), "\\s+"), "")
     // ceil((n - overlap) / stride) starts, min 1 — the last window is
     // allowed to be short rather than dropping tail tokens
     val nChunks = greatest(lit(1L),

@@ -117,14 +117,18 @@ object Dedup {
       "ids", "a", "b").distinct()
   }
 
-  /** Intra-bucket combination pairs: each bucket's id array is sorted
-    * and exploded into its C(s,2) ordered pairs directly — `a < b` by
-    * construction, half the generated rows of the explode×explode form,
-    * and no post-filter. Works for any orderable element type (structs
-    * sort lexicographically by field). */
+  /** Intra-bucket combination pairs: each bucket's id array is
+    * deduplicated, sorted, and exploded into its C(s,2) ordered pairs
+    * directly — `a < b` STRICTLY by construction (the distinct step
+    * matters: a duplicated id in a bucket — the same doc ingested twice
+    * — would otherwise sort adjacent and emit a self-pair (a,a), which
+    * the old explode×explode form's `a < b` filter excluded). Half the
+    * generated rows of the explode×explode form, no post-filter. Works
+    * for any orderable element type (structs sort lexicographically by
+    * field). */
   private[operators] def intraBucketPairs(buckets: DataFrame, idsCol: String,
                                           aCol: String, bCol: String): DataFrame =
-    buckets.select(array_sort(col(idsCol)).as("__s"))
+    buckets.select(array_sort(array_distinct(col(idsCol))).as("__s"))
       .select(col("__s"), posexplode(col("__s")).as(Seq("__i", aCol)))
       .select(col(aCol),
         explode(slice(col("__s"), col("__i") + 2, size(col("__s")))).as(bCol))
@@ -298,6 +302,19 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIter: Int = 25,
                           localThreshold: Long = 1000000L): DataFrame = {
+    // integral ids only: a blind cast would turn string ids into nulls
+    // (distributed path) or 0 via null-unboxing (local path), silently
+    // collapsing the whole graph into one bogus component
+    Seq(aCol, bCol).foreach { c =>
+      pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => ()
+        case dt => throw new IllegalArgumentException(
+          s"connectedComponents needs integral id columns; '$c' is ${dt.simpleString}")
+      }
+    }
     val e = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // symmetric closure; distinct keeps each round's join bounded by

@@ -79,7 +79,10 @@ object MediaCodec {
     while (off + 8 <= bytes.length && (data == null || sampleRate == 0)) {
       val id = tag(bytes, off)
       val len = le32(bytes, off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length,
+      // long arithmetic: a forged len near Int.MaxValue would overflow
+      // an int sum negative and slip past the bound (decodeBmp already
+      // guards this way)
+      require(len >= 0 && off.toLong + 8L + len.toLong <= bytes.length,
         s"chunk $id overruns payload")
       id match {
         case "fmt " =>

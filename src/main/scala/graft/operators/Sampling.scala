@@ -110,8 +110,12 @@ object Sampling {
     * DuckDB oracle (pow-based u^(1/w) would not be: pow is not
     * correctly rounded and differs across libms).
     *
-    * Deterministic in (id, salt) like every sampler here; zero weights
-    * key to +∞ (never selected while positive-weight rows remain).
+    * Deterministic in (id, salt) like every sampler here. Rows with
+    * null or non-positive weight are EXCLUDED before keying — a null
+    * weight would sort first (Spark ascending = NULLS FIRST) and a
+    * negative weight would produce a negative key, either silently
+    * crowding out the whole sample; zero-weight rows are never
+    * selectable anyway (key +∞).
     * Scale: per-row key + `TakeOrderedAndProject` — no shuffle of the
     * table, same shape as exact kNN. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
@@ -119,7 +123,8 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     val key = negate(graft.expressions.FloatKernels.ln(
       hashUniform(col(idCol), salt))) / col(weightCol).cast("double")
-    df.withColumn("es_key", key)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", key)
       .orderBy(col("es_key").asc, col(idCol).asc)
       .limit(k)
   }

@@ -45,11 +45,16 @@ object Sq {
       .select(posexplode(col(embCol)).as(Seq("__i", "__v")))
       .groupBy("__i")
       .agg(min(col("__v")).cast("double").as("mn"),
-        max(col("__v")).cast("double").as("mx"))
+        max(col("__v")).cast("double").as("mx"),
+        count(lit(1)).as("cnt"))
       .orderBy("__i")
       .collect()
     require(stats.nonEmpty, "cannot train SQ on an empty table")
-    require(stats.length == stats.last.getAs[Int]("__i") + 1,
+    // every dim index must appear in every row: a max-index check alone
+    // would let a short vector (e.g. 63 of 64 dims) slip through and
+    // fail later, deep in ADC codegen, instead of here
+    require(stats.length == stats.last.getAs[Int]("__i") + 1 &&
+        stats.map(_.getAs[Long]("cnt")).distinct.length == 1,
       "ragged embedding dims in SQ training input")
     Model(stats.map(_.getAs[Double]("mn")),
       stats.map(r => r.getAs[Double]("mx") - r.getAs[Double]("mn")))

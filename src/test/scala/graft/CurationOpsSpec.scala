@@ -105,6 +105,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.size == 2 && r(1L) == "" && r(2L) == "a b")
   }
 
+  test("chunk: no phantom tokens — empty docs count 0, whitespace doesn't shift windows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, ""), (2L, " a b"), (3L, "a b")).toDF("id", "text")
+    val r = Chunker.chunk(df, "id", "text", chunkTokens = 2, overlap = 0)
+      .collect().map(x => (x.getLong(0), x.getString(2), x.getLong(3)))
+    assert(r.filter(_._1 == 1L).toSeq == Seq((1L, "", 0L)),
+      "empty doc must report 0 chunk tokens, not a phantom 1")
+    // leading whitespace must not shift the window: docs 2 and 3 chunk identically
+    assert(r.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq ==
+      r.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq)
+  }
+
   test("packOffsets: null token count fails fast with a usable message") {
     val s = spark
     import s.implicits._

@@ -50,6 +50,25 @@ class DedupSpec extends SparkSpec {
     assert(p1.contains((3L, 4L)))
   }
 
+  test("duplicate ids in a bucket never emit self-pairs; string ids rejected by CC") {
+    val s = spark
+    import s.implicits._
+    // the same doc id ingested twice: buckets contain the id twice, but
+    // pair outputs must stay strictly a < b (no (x,x) self-loops)
+    val dup = Seq((1L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val lsh = Dedup.minhashLshPairs(dup, "doc_id", "text", 8, 4, shingle = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.forall(p => p._1 < p._2), s"self/inverted pair in $lsh")
+    val jac = Dedup.ngramJaccardPairs(dup, "doc_id", "text", n = 1,
+        threshold = 0.1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jac.forall(p => p._1 < p._2), s"self/inverted pair in $jac")
+    // CC over non-integral ids must fail loudly, not collapse to node 0
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(Seq(("a", "b")).toDF("a", "b"))
+    }
+  }
+
   test("simhash: identical → distance 0; near dup closer than unrelated") {
     val sh = Dedup.simhash(docs, "text").select("doc_id", "simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -77,6 +77,12 @@ class MultimodalSpec extends SparkSpec {
     val w0 = MediaCodec.encodeWav(Array[Byte](1), 8000)
     w0(22) = 0
     intercept[IllegalArgumentException](MediaCodec.decodeWav(w0))
+    // …a forged chunk length near Int.MaxValue must hit the bound check
+    // (long arithmetic), not wrap negative and read out of bounds
+    val huge = MediaCodec.encodeWav(Array[Byte](1), 8000)
+    huge(40) = 0xf0.toByte; huge(41) = 0xff.toByte
+    huge(42) = 0xff.toByte; huge(43) = 0x7f.toByte // data len = 0x7ffffff0
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(huge))
     // …and a BMP with a negative pixel offset or forged huge width
     val bmp = MediaCodec.encodeBmp(2, 2, Array.fill[Byte](12)(1))
     val badOff = bmp.clone(); badOff(13) = 0x80.toByte // pixelOff < 0

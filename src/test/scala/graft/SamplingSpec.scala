@@ -127,4 +127,15 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(other != picked)
   }
+
+  test("weightedSample: null and non-positive weights are excluded, never dominant") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some(-5.0)), (2L, None), (3L, Some(0.0)), (4L, Some(1.0)),
+      (5L, Some(2.0))).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(picked == Set(4L, 5L),
+      s"only positive-weight rows are sampleable, got $picked")
+  }
 }
