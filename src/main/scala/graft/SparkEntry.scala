@@ -278,6 +278,17 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- Sampled quantiles: exact percentiles over a deterministic
+    // 10% hash sample — reproducible approximate quantiles (error from
+    // the sample rate, not a sketch bound), with the exact median
+    // alongside to document the estimation gap
+    "sketch_quantile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      Sketch.sampledQuantiles(o, col("o_totalprice"), col("o_orderkey"),
+          probs = Seq(0.25, 0.5, 0.75, 0.95), fraction = 0.1)
+        .crossJoin(o.agg(expr("percentile(o_totalprice, 0.5)").as("exact_p50")))
+    }),
+
     // ---- Data profiling: one-pass per-column statistics as tidy
     // (col_name, metric, value) rows — decimal-exact means, exact
     // distincts; the ingestion-time data-quality snapshot
@@ -796,7 +807,10 @@ object SparkEntry {
     // threshold 0.45 on this data, so it shares the exact-pairs oracle.
     "ann_cosine_neardup_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = Lsh.fitBanded(dim = 64, bitsPerTable = 4, nTables = 32)
+      // 64 tables × 4 bits: per-pair miss probability at cos 0.45 is
+      // (1 − 0.65⁴)^64 ≈ 3·10⁻⁶ — 32 tables measurably dropped 1 of
+      // 144 true pairs at sf0.1 (the sf-scaled exact-oracle check)
+      val model = Lsh.fitBanded(dim = 64, bitsPerTable = 4, nTables = 64)
       Lsh.cosineNearDupPairs(Lsh.assign(emb, "embedding", model), "vec_id",
         "embedding", threshold = 0.45, maxBucket = 10000).orderBy("a", "b")
     }),
@@ -1821,6 +1835,20 @@ object SparkEntry {
       "graph_pagerank" -> pagerankSql,
 
       "t_profile" -> profileSql,
+
+      "sketch_quantile" ->
+        """WITH smp AS (
+          |  SELECT o_totalprice FROM orders
+          |  WHERE CAST(concat('0x', left(md5(CAST(o_orderkey AS VARCHAR)), 8)) AS UBIGINT)
+          |    / 4294967296.0 < 0.1),
+          |ex AS (SELECT quantile_cont(o_totalprice, 0.5) AS exact_p50 FROM orders)
+          |SELECT quantile_cont(o_totalprice, 0.25) AS q0,
+          |  quantile_cont(o_totalprice, 0.5) AS q1,
+          |  quantile_cont(o_totalprice, 0.75) AS q2,
+          |  quantile_cont(o_totalprice, 0.95) AS q3,
+          |  ex.exact_p50 AS exact_p50
+          |FROM smp CROSS JOIN ex
+          |GROUP BY ex.exact_p50""".stripMargin,
 
       "dedup_editdist" ->
         """WITH toks AS (

@@ -83,6 +83,30 @@ object Sketch {
     kmvSketch(df, valueCol, k)
       .select(estimateColumn(col("sketch"), k).as("est_distinct"))
 
+  /** Sampled quantiles: exact percentiles over a deterministic
+    * Bernoulli-by-hash row sample — the scale play for quantiles over
+    * corpora where an exact global sort-and-count is too expensive.
+    * Unlike rank-error sketches (KLL/t-digest), the estimate is
+    * REPRODUCIBLE (hash-deterministic in (id, salt)) and therefore
+    * oracle-checkable; error follows from the sample rate rather than a
+    * sketch bound. One aggregate over ~fraction·n rows. */
+  def sampledQuantiles(df: DataFrame, valueCol: Column, idCol: Column,
+                       probs: Seq[Double], fraction: Double,
+                       salt: String = ""): DataFrame = {
+    require(fraction > 0 && fraction <= 1,
+      s"fraction must be in (0,1], got $fraction")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0,1], got $probs")
+    val sampled = df.filter(
+      graft.operators.Sampling.hashUniform(idCol, salt) < fraction)
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      // exact interpolated percentile over the sample (the same
+      // `percentile` ≡ quantile_cont pairing t_quantiles pins)
+      percentile(valueCol, lit(p)).as(s"q$i")
+    }
+    sampled.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Driver-side sketch union (associative, commutative): the k
     * smallest of the merged distinct hash sets. */
   def mergeSketches(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =

@@ -72,6 +72,24 @@ class SketchSpec extends SparkSpec {
       "streamed merge diverged from the batch sketch")
   }
 
+  test("sampledQuantiles: close to exact, deterministic, salt redraws") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20000L).map(i => (i, (i % 1000).toDouble)).toDF("id", "v")
+    val q = Sketch.sampledQuantiles(df, col("v"), col("id"),
+      probs = Seq(0.5), fraction = 0.1).head.getDouble(0)
+    assert(math.abs(q - 499.5) < 25, s"sampled median $q far from 499.5")
+    val q2 = Sketch.sampledQuantiles(df.repartition(11), col("v"), col("id"),
+      probs = Seq(0.5), fraction = 0.1).head.getDouble(0)
+    assert(q == q2, "sampled quantile depends on partitioning")
+    intercept[IllegalArgumentException] {
+      Sketch.sampledQuantiles(df, col("v"), col("id"), Seq(0.5), fraction = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.sampledQuantiles(df, col("v"), col("id"), Seq(1.5), fraction = 0.1)
+    }
+  }
+
   test("duplicate values never inflate the sketch") {
     val s = spark
     import s.implicits._
