@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotFloat, L2SqFloat, LnDouble, WordShingles}
+import graft.expressions.{DotFloat, HammingLongs, L2SqFloat, LnDouble, SignPackFloat, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Multiply, Sqrt}
@@ -53,7 +53,15 @@ object GraftFunctions {
             s"word_shingles: n must be an integer literal, got $other")
         }
         WordShingles(args(0), n)
-      }))
+      }),
+    ("sign_pack", "_FUNC_(v) - 1-bit binary-quantization code of a float vector " +
+      "(sign bits packed into 32-bit words, array<bigint>)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"sign_pack expects 1 argument, got ${args.length}")
+        SignPackFloat(args(0), graft.operators.Bq.WordBits)
+      }),
+    ("hamming_dist", "_FUNC_(a, b) - Hamming distance of two packed bigint codes",
+      two("hamming_dist", HammingLongs(_, _)) _))
 
   /** Register every kernel function on a live session. */
   def register(spark: SparkSession): Unit =

@@ -108,6 +108,24 @@ object ScaleProbe {
       graft.operators.TextSearch.bm25TopK(docs, "id", "text",
         Seq("17", "4242", "999"), 10).count())
 
+    // one-pass profiling of the full docs table (id numeric + text string)
+    t("profile_2col")(
+      graft.operators.Profile.profile(docs, Seq("id", "text")).count())
+
+    // MaxSim late-interaction top-10 over the n docs (windowing +
+    // window-embed shuffle + one doc-level max-agg shuffle)
+    t("maxsim_top10")(
+      graft.operators.MultiVec.maxsimSearch(docs, "id", "text",
+        Seq("17 4242", "999 3"), k = 10).count())
+
+    // PageRank over a 2M-directed-edge ring-like graph, 3 iterations —
+    // the distributed iterative path with decimal-routed sums
+    val prEdges = spark.range(n).select(col("id").as("a"),
+      pmod(col("id") * 48271L + 1L, lit(n)).as("b"))
+      .filter(col("a") =!= col("b"))
+    t("pagerank_1m_edges_3it")(
+      graft.operators.PageRank.run(prEdges, iters = 3).count())
+
     // MinHash LSH candidate pairs over n/5 docs (explode -> 8 min-aggs ->
     // banded buckets; shuffles only signatures and bucket groups)
     t("minhash_lsh_pairs")(

@@ -2847,7 +2847,7 @@ object SparkEntry {
       s"""dp$i AS (SELECT c.doc_id, c.k, sum(c.c * qv$i.qc) AS dotv
          |  FROM c JOIN qv$i ON c.bucket = qv$i.bucket GROUP BY 1, 2),
          |mx$i AS (SELECT nd.doc_id,
-         |    max(coalesce(dp$i.dotv, 0.0) /
+         |    max((coalesce(dp$i.dotv, 0.0) + 0.0) /
          |      (sqrt(nd.nsq) * sqrt(CAST($qnsq AS DOUBLE)))) AS mx
          |  FROM nd LEFT JOIN dp$i ON nd.doc_id = dp$i.doc_id AND nd.k = dp$i.k
          |  WHERE nd.nsq > 0 GROUP BY 1)""".stripMargin

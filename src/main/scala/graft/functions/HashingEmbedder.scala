@@ -92,18 +92,26 @@ object HashingEmbedder {
     * oracle-checkable bit-for-bit. Cosine over the raw counts equals
     * cosine over the normalized vectors mathematically AND avoids the
     * float-rounding of the normalized components. */
+  /** md5 token → (bucket, sign) column pair — the cross-engine hash
+    * core of [[embedMd5Counts]], exposed so other md5-count consumers
+    * (e.g. [[graft.operators.MultiVec]]) can't drift from it. */
+  def md5BucketSignCols(tok: org.apache.spark.sql.Column, dim: Int)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val digest = md5(tok)
+    ((conv(substring(digest, 1, 8), 16, 10).cast("long") % dim).cast("int"),
+      when(conv(substring(digest, 9, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
+        .otherwise(lit(-1.0)))
+  }
+
   def embedMd5Counts(df: DataFrame, idCol: String, textCol: String,
                      dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val digest = md5(col("__tok"))
+    val (bucket, sign) = md5BucketSignCols(col("__tok"), dim)
     val tokens = df
       .select(col(idCol).cast("string").as("__eid"),
         explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
       .filter(col("__tok") =!= "")
-      .select(col("__eid"),
-        (conv(substring(digest, 1, 8), 16, 10).cast("long") % dim).cast("int").as("__bucket"),
-        when(conv(substring(digest, 9, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
-          .otherwise(lit(-1.0)).as("__sign"))
+      .select(col("__eid"), bucket.as("__bucket"), sign.as("__sign"))
     aggTokens(df, idCol, tokens, dim, outCol, normalize = false)
   }
 

@@ -45,21 +45,54 @@ object MultiVec {
       .select(col(idCol), col("k"), col("wtext"))
   }
 
-  /** Embed each window with the md5-count embedder; zero-norm windows
-    * (no tokens) are dropped so cosine never sees a 0/0. */
-  def windowEmbeddings(df: DataFrame, idCol: String, textCol: String,
-                       width: Int, dim: Int): DataFrame = {
-    val win = windows(df, idCol, textCol, width)
-      .withColumn("__wid",
-        concat(col(idCol).cast("string"), lit("#"), col("k").cast("string")))
-    HashingEmbedder.embedMd5Counts(win, "__wid", "wtext", dim)
-      .filter(VectorFunctions.dot(col("embedding"), col("embedding")) > 0.0)
-      .select(col(idCol), col("k"), col("embedding"))
+  /** Sparse per-window signed token counts: one row per (id, k, bucket)
+    * with the exact-integer count `__c` — the md5-count construction
+    * ([[HashingEmbedder.md5BucketSignCols]] — shared, so the hash can't
+    * drift) WITHOUT materializing dense vectors. Token-less windows are
+    * simply absent. One groupBy, map-side combined. */
+  private def sparseCounts(df: DataFrame, idCol: String, textCol: String,
+                           width: Int, dim: Int): DataFrame = {
+    val (bucket, sign) = HashingEmbedder.md5BucketSignCols(col("__tok"), dim)
+    windows(df, idCol, textCol, width)
+      .select(col(idCol), col("k"),
+        explode(split(lower(col("wtext")), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col(idCol), col("k"), bucket.as("__b"), sign.as("__s"))
+      .groupBy(col(idCol), col("k"), col("__b"))
+      .agg(sum(col("__s")).as("__c"))
   }
+
+  /** Dense per-window embeddings (convenience view over
+    * [[sparseCounts]]; zero-norm windows dropped so cosine never sees a
+    * 0/0). The dense materialization pays an interpreted per-row
+    * transform — fine for inspection and moderate corpora; the scoring
+    * path ([[maxsimSearch]]) works on the sparse counts directly and
+    * never builds these. */
+  def windowEmbeddings(df: DataFrame, idCol: String, textCol: String,
+                       width: Int, dim: Int): DataFrame =
+    sparseCounts(df, idCol, textCol, width, dim)
+      .groupBy(col(idCol), col("k"))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c"))))
+        .as("__m"))
+      .select(col(idCol), col("k"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          b => coalesce(element_at(col("__m"), b), lit(0.0)).cast("float"))
+          .as("embedding"))
+      .filter(VectorFunctions.dot(col("embedding"), col("embedding")) > 0.0)
 
   /** MaxSim top-k: score = Σ over query segments of the max window
     * cosine, deterministic (score desc, id asc) cut. Query segments are
-    * embedded driver-side with the identical md5-count fold. */
+    * embedded driver-side with the identical md5-count fold.
+    *
+    * Scoring runs entirely on the SPARSE counts: per (id, k) one
+    * aggregate computes the norm² and Q dot products (each an O(1)
+    * array lookup into the broadcast query counts — all builtin
+    * codegen aggregates, map-side combined), then one doc-level max
+    * aggregate and a TakeOrdered cut. Dense 64-float vectors are never
+    * materialized, which measured ~20× faster at 1M windows than the
+    * dense-vector fold. The `+ 0.0` on each dot normalizes IEEE −0.0
+    * (an all-negative-zero term sum) to +0.0 — the oracle applies the
+    * identical normalization so zero-overlap windows agree bitwise. */
   def maxsimSearch(df: DataFrame, idCol: String, textCol: String,
                    querySegments: Seq[String], k: Int,
                    width: Int = 64, dim: Int = 64): DataFrame = {
@@ -68,17 +101,20 @@ object MultiVec {
     qvecs.zip(querySegments).foreach { case (qv, seg) =>
       require(qv.exists(_ != 0.0), s"query segment '$seg' has no tokens")
     }
-    val wemb = windowEmbeddings(df, idCol, textCol, width, dim)
-    val withSims = qvecs.zipWithIndex.foldLeft(wemb) { case (acc, (qv, i)) =>
-      val qlit = lit(qv.map(_.toFloat))
-      val qnorm = lit(math.sqrt(qv.map(c => c * c).sum))
-      acc.withColumn(s"__sim$i",
-        VectorFunctions.dot(col("embedding"), qlit) /
-          (VectorFunctions.norm(col("embedding")) * qnorm))
+    val counts = sparseCounts(df, idCol, textCol, width, dim)
+    val dotAggs = qvecs.zipWithIndex.map { case (qv, i) =>
+      (sum(col("__c") * element_at(lit(qv), col("__b") + 1)) + lit(0.0))
+        .as(s"__dot$i")
     }
-    val maxes = withSims.groupBy(col(idCol))
-      .agg(max(col("__sim0")).as("__mx0"),
-        qvecs.indices.drop(1).map(i => max(col(s"__sim$i")).as(s"__mx$i")): _*)
+    val perWin = counts.groupBy(col(idCol), col("k"))
+      .agg(sum(col("__c") * col("__c")).as("__nsq"), dotAggs: _*)
+      .filter(col("__nsq") > 0)
+    val maxAggs = qvecs.zipWithIndex.map { case (qv, i) =>
+      val qnorm = lit(math.sqrt(qv.map(c => c * c).sum))
+      max(col(s"__dot$i") / (sqrt(col("__nsq")) * qnorm)).as(s"__mx$i")
+    }
+    val maxes = perWin.groupBy(col(idCol))
+      .agg(maxAggs.head, maxAggs.tail: _*)
     val score = qvecs.indices.map(i => col(s"__mx$i"))
       .reduceLeft(_ + _)
     maxes.withColumn("score", score)

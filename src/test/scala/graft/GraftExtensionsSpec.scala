@@ -24,6 +24,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](4) == Seq("the quick", "quick brown", "brown fox"))
     assert(java.lang.Double.doubleToRawLongBits(r.getDouble(5)) ==
       java.lang.Double.doubleToRawLongBits(java.lang.Math.log(10.0)))
+    // BQ kernels: sign_pack of 4 dims (1,-1,1,1) -> 0b1011 = 11; hamming
+    val bq = spark.sql(
+      """SELECT
+        |  sign_pack(array(cast(1.0 as float), cast(-1.0 as float),
+        |                  cast(1.0 as float), cast(1.0 as float))) AS code,
+        |  hamming_dist(array(cast(11 as bigint)), array(cast(13 as bigint))) AS h
+        |""".stripMargin).head()
+    assert(bq.getSeq[Long](0) == Seq(11L))
+    assert(bq.getLong(1) == 2L) // 0b1011 xor 0b1101 = 0b0110
   }
 
   test("SQL queries over tables can rank by kernel distance") {
