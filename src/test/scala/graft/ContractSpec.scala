@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract consistency guards (no Spark session needed):
+  * queries and oracles can only drift apart by failing this suite. */
+class ContractSpec extends AnyFunSuite {
+
+  /** Queries intentionally WITHOUT a DuckDB oracle — each is seeded /
+    * approximate-by-contract and pinned instead by a fixed- or
+    * exhaustive-setting oracle twin plus spec gates (see COVERAGE.md).
+    * Growing this set is a deliberate act: add the name here AND
+    * document the twin, or the build fails. */
+  private val RowsOnly = Set(
+    "b1_hnsw_edges", "b1_hnsw_incremental", "b4_ivf_build", "b5_ivf_add",
+    "b8_pq_train", "b9_pq_encode", "e1_embed_docs", "e2_embed_search_xx",
+    "o3_hnsw_search", "o6_ivf_partitioned", "o6_ivf_search", "o6_pq_adc_topk")
+
+  test("every oracle key names an existing query") {
+    val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(stray.isEmpty, s"oracles without a query: $stray")
+  }
+
+  test("every query either has an oracle or is a documented rows-only query") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == RowsOnly,
+      s"undocumented rows-only queries: ${noOracle -- RowsOnly}; " +
+        s"stale RowsOnly entries: ${RowsOnly -- noOracle}")
+  }
+
+  test("oracle SQL is non-empty and free of unresolved interpolation") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name: empty oracle SQL")
+      assert(!sql.contains("null") || !sql.contains("$"),
+        s"$name: suspicious unresolved interpolation")
+      assert(!sql.contains("${"), s"$name: unresolved interpolation")
+    }
+  }
+}
