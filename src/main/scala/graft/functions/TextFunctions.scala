@@ -11,7 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace token count. */
   /** Raw whitespace-split fragment count (a SPLIT count, not a word
     * count: leading whitespace or an empty string contributes one empty
     * fragment — the oracle mirrors this exactly; use

@@ -119,13 +119,14 @@ object Dedup {
 
   /** Intra-bucket combination pairs: each bucket's id array is
     * deduplicated, sorted, and exploded into its C(s,2) ordered pairs
-    * directly — `a < b` STRICTLY by construction (the distinct step
-    * matters: a duplicated id in a bucket — the same doc ingested twice
-    * — would otherwise sort adjacent and emit a self-pair (a,a), which
-    * the old explode×explode form's `a < b` filter excluded). Half the
-    * generated rows of the explode×explode form, no post-filter. Works
-    * for any orderable element type (structs sort lexicographically by
-    * field). */
+    * directly — half the generated rows of the explode×explode form.
+    * For SCALAR items `a < b` holds strictly (array_distinct removes
+    * exact duplicates, so no self-pairs). For STRUCT items
+    * array_distinct only removes identical structs: the same id with a
+    * different payload (a doc re-ingested with new text/embedding)
+    * survives and pairs with itself tied on the leading field — struct
+    * callers MUST post-filter on id inequality
+    * ([[ngramJaccardPairs]]/`Lsh.cosineNearDupPairs` do). */
   private[operators] def intraBucketPairs(buckets: DataFrame, idsCol: String,
                                           aCol: String, bCol: String): DataFrame =
     buckets.select(array_sort(array_distinct(col(idsCol))).as("__s"))
@@ -192,7 +193,11 @@ object Dedup {
       // recompute per-doc sizes over the filtered universe
       val common = grams0.groupBy("gram").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDocFreq).select("gram")
+      // distinct BEFORE sizing: a doc ingested twice emits every gram
+      // row twice, which would double its recomputed set size and
+      // silently understate every jaccard it participates in
       val kept = grams0.drop("sz").join(broadcast(common), Seq("gram"), "left_anti")
+        .distinct()
       kept.join(kept.groupBy("__id").agg(count(lit(1)).as("sz")), "__id")
     }
     // each exploded gram row carries its doc's set size, so the pair
@@ -206,6 +211,9 @@ object Dedup {
       .groupBy(col("x.__id").as("a"), col("y.__id").as("b"),
         col("x.sz").as("sza"), col("y.sz").as("szb"))
       .agg(count(lit(1)).as("inter"))
+      // a =!= b: a re-ingested id with different text appears as two
+      // distinct (id, sz) structs in a bucket and would self-pair
+      .filter(col("a") =!= col("b"))
       .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
@@ -304,13 +312,17 @@ object Dedup {
                           localThreshold: Long = 1000000L): DataFrame = {
     // integral ids only: a blind cast would turn string ids into nulls
     // (distributed path) or 0 via null-unboxing (local path), silently
-    // collapsing the whole graph into one bogus component
+    // collapsing the whole graph into one bogus component. Scale-0
+    // decimals up to precision 18 (a common warehouse key type) cast to
+    // long exactly and stay allowed.
     Seq(aCol, bCol).foreach { c =>
       pairs.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.ByteType => ()
+        case dt: org.apache.spark.sql.types.DecimalType
+            if dt.scale == 0 && dt.precision <= 18 => ()
         case dt => throw new IllegalArgumentException(
           s"connectedComponents needs integral id columns; '$c' is ${dt.simpleString}")
       }

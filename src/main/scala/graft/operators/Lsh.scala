@@ -160,8 +160,11 @@ object Lsh {
       .withColumn("__nb", norm(col("eb")))
       .withColumn("cos_sim", dot(col("ea"), col("eb")) / (col("__na") * col("__nb")))
       // zero-norm guard: NaN sorts above every double in Spark, so 0/0
-      // pairs would otherwise pass any threshold
-      .filter(col("__na") > 0 && col("__nb") > 0 && col("cos_sim") >= threshold)
+      // pairs would otherwise pass any threshold. a =!= b: a re-ingested
+      // id with a different embedding would self-pair (see
+      // Dedup.intraBucketPairs struct caveat)
+      .filter(col("a") =!= col("b") &&
+        col("__na") > 0 && col("__nb") > 0 && col("cos_sim") >= threshold)
       .select("a", "b", "cos_sim")
       .distinct()
   }

@@ -114,8 +114,9 @@ object Sampling {
     * null or non-positive weight are EXCLUDED before keying — a null
     * weight would sort first (Spark ascending = NULLS FIRST) and a
     * negative weight would produce a negative key, either silently
-    * crowding out the whole sample; zero-weight rows are never
-    * selectable anyway (key +∞).
+    * crowding out the whole sample. SIZE CONTRACT: the result has
+    * min(k, #rows-with-positive-weight) rows — zero-weight rows never
+    * pad a short sample (weight 0 means selection probability 0).
     * Scale: per-row key + `TakeOrderedAndProject` — no shuffle of the
     * table, same shape as exact kNN. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,

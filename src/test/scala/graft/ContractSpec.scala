@@ -29,11 +29,16 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("oracle SQL is non-empty and free of unresolved interpolation") {
+    // a forgotten s-prefix leaves "$name"/"${expr}" literally in the
+    // SQL: flag '$' followed by an identifier char or '{'. JSONPath
+    // "$.k" (events_json_extract) is legitimate and passes.
+    val unresolved = """\$[A-Za-z_{]""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle SQL")
-      assert(!sql.contains("null") || !sql.contains("$"),
-        s"$name: suspicious unresolved interpolation")
-      assert(!sql.contains("${"), s"$name: unresolved interpolation")
+      assert(unresolved.findFirstIn(sql).isEmpty,
+        s"$name: unresolved interpolation: ${unresolved.findFirstIn(sql)}")
+      assert(!sql.contains(" null)") || sql.contains("IS null"),
+        s"$name: a Scala null may have been interpolated into the SQL")
     }
   }
 }

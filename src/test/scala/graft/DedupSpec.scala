@@ -67,6 +67,49 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.connectedComponents(Seq(("a", "b")).toDF("a", "b"))
     }
+    // ...but exact-integer decimal keys (warehouse bigint readbacks) work
+    val decPairs = Seq((1L, 2L)).toDF("a", "b")
+      .select(col("a").cast("decimal(18,0)").as("a"),
+        col("b").cast("decimal(18,0)").as("b"))
+    assert(Dedup.connectedComponents(decPairs).count() == 2)
+  }
+
+  test("re-ingested id with DIFFERENT payload never self-pairs; sizes not inflated") {
+    val s = spark
+    import s.implicits._
+    // same id, two text versions: the (id, sz) structs differ, so
+    // array_distinct alone would let them self-pair
+    val versioned = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta zeta"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(versioned, "doc_id", "text", n = 1,
+        threshold = 0.1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jac.forall(p => p._1 < p._2), s"self-pair leaked: ${jac.toSeq}")
+    // identical-text duplicate under the maxDocFreq-guarded path must
+    // not double the recomputed set size (which would halve jaccard)
+    val dupTwice = Seq(
+      (1L, "a b c d e f"), (1L, "a b c d e f"), (2L, "a b c d e x"))
+      .toDF("doc_id", "text")
+    val once = Seq((1L, "a b c d e f"), (2L, "a b c d e x"))
+      .toDF("doc_id", "text")
+    def j(df: org.apache.spark.sql.DataFrame) =
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 1, threshold = 0.1,
+          maxDocFreq = 1000)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j(dupTwice) == j(once),
+      "duplicate ingestion changed jaccard values under the guarded path")
+    // LSH cosine path: re-ingested id with a shifted embedding
+    val emb = Seq(
+      (5L, Seq(1f, 0f, 0.5f, 0.2f)), (5L, Seq(1f, 0.01f, 0.5f, 0.2f)),
+      (6L, Seq(1f, 0f, 0.5f, 0.21f))).toDF("id", "embedding")
+    val model = graft.operators.Lsh.fitBanded(dim = 4, bitsPerTable = 2,
+      nTables = 8)
+    val pairs = graft.operators.Lsh.cosineNearDupPairs(
+        graft.operators.Lsh.assign(emb, "embedding", model), "id",
+        "embedding", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall(p => p._1 != p._2), s"LSH self-pair leaked: ${pairs.toSeq}")
   }
 
   test("simhash: identical → distance 0; near dup closer than unrelated") {
