@@ -374,12 +374,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue).orderBy("a", "b")),
 
-    // ---- Dedup (fuzzy, character-level): Jaccard candidate screen +
-    // exact Levenshtein gate — both engines run textbook edit distance,
-    // so the two-stage fuzzy-dedup recipe is oracle-exact end-to-end
+    // ---- Dedup (fuzzy, character-level): character-5-gram Jaccard
+    // candidate screen + exact Levenshtein gate — both engines run
+    // textbook edit distance, so the two-stage fuzzy-dedup recipe is
+    // oracle-exact end-to-end
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
-        maxDist = 5, candidateThreshold = 0.3, n = 3,
+        maxDist = 5, candidateThreshold = 0.3, n = 5,
         maxDocFreq = Int.MaxValue).orderBy("a", "b")),
 
     // ---- Graph analytics: PageRank over the near-dup pair graph —
@@ -1851,13 +1852,11 @@ object SparkEntry {
           |GROUP BY ex.exact_p50""".stripMargin,
 
       "dedup_editdist" ->
-        """WITH toks AS (
-          |  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS ts
-          |  FROM documents),
-          |grams AS (
+        """WITH grams AS (
           |  SELECT doc_id, unnest(list_distinct(list_transform(
-          |    generate_series(1, greatest(len(ts)-2, 1)),
-          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
+          |    generate_series(1, greatest(length(lower(text)) - 4, 1)),
+          |    i -> substr(lower(text), i, 5)))) AS g
+          |  FROM documents),
           |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
           |inter AS (
           |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
@@ -1870,8 +1869,8 @@ object SparkEntry {
           |SELECT p.a AS a, p.b AS b,
           |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
           |FROM pairs p
-          |JOIN toks ta ON p.a = ta.doc_id
-          |JOIN toks tb ON p.b = tb.doc_id
+          |JOIN documents ta ON p.a = ta.doc_id
+          |JOIN documents tb ON p.b = tb.doc_id
           |WHERE levenshtein(ta.text, tb.text) <= 5
           |ORDER BY a, b""".stripMargin,
 

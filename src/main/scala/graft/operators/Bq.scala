@@ -59,6 +59,9 @@ object Bq {
                     query: Seq[Float], k: Int,
                     filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     filter.fold(encoded)(encoded.filter)
+      // null codes (null embeddings) would yield ham = null, which sorts
+      // FIRST ascending in Spark — garbage rows must not crowd the top
+      .filter(col(codeCol).isNotNull)
       .withColumn("ham", hammingColumn(col(codeCol), encodeQuery(query)))
       .orderBy(col("ham").asc, col(idCol).asc)
       .limit(k)

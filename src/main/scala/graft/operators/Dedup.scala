@@ -219,22 +219,67 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** Character-level fuzzy duplicate pairs: n-gram Jaccard candidate
-    * screen (never all-pairs — the inverted-index shape of
-    * [[ngramJaccardPairs]]) followed by an exact Levenshtein gate on the
-    * hydrated texts. The two-stage shape is the standard fuzzy-dedup
-    * recipe: cheap token-level recall first, exact character-level
-    * precision on the (tiny) candidate set only. Both engines implement
-    * textbook unit-cost edit distance, so results are oracle-exact.
+  /** Distinct lowercase character n-grams (texts shorter than n yield
+    * the whole text as a single gram — short texts must still screen). */
+  private def charGramSet(textCol: Column, n: Int): Column = {
+    val t = lower(textCol)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => t.substr(i, lit(n))))
+  }
+
+  /** Character-n-gram Jaccard candidate pairs — the same inverted-index
+    * shape as [[ngramJaccardPairs]] but over CHARACTER grams, which is
+    * what a character-level edit gate needs for recall: a one-character
+    * typo perturbs only n character grams, but (in a short text) every
+    * word shingle. */
+  private def charGramJaccardPairs(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int,
+                                   threshold: Double,
+                                   maxDocFreq: Int): DataFrame = {
+    val grams0 = df
+      .select(col(idCol).as("__id"), charGramSet(col(textCol), n).as("__g"))
+      .select(col("__id"), size(col("__g")).cast("long").as("sz"),
+        explode(col("__g")).as("gram"))
+    val grams = if (maxDocFreq == Int.MaxValue) grams0 else {
+      val common = grams0.groupBy("gram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDocFreq).select("gram")
+      val kept = grams0.drop("sz").join(broadcast(common), Seq("gram"), "left_anti")
+        .distinct()
+      kept.join(kept.groupBy("__id").agg(count(lit(1)).as("sz")), "__id")
+    }
+    intraBucketPairs(
+      grams.groupBy("gram")
+        .agg(collect_list(struct(col("__id"), col("sz"))).as("ids"))
+        .filter(size(col("ids")) > 1),
+      "ids", "x", "y")
+      .groupBy(col("x.__id").as("a"), col("y.__id").as("b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Character-level fuzzy duplicate pairs: CHARACTER n-gram Jaccard
+    * candidate screen (never all-pairs — the inverted-index shape of
+    * [[ngramJaccardPairs]]; character grams, not word shingles, so a
+    * one-character typo in a short text still screens in) followed by
+    * an exact Levenshtein gate on the hydrated texts. The two-stage
+    * shape is the standard fuzzy-dedup recipe: cheap gram-level recall
+    * first, exact character-level precision on the (tiny) candidate set
+    * only. Both engines implement textbook unit-cost edit distance, so
+    * results are oracle-exact.
     *
     * Scale: candidates ≪ corpus, so the two hydration joins shuffle
     * only candidate ids + their texts; Levenshtein (O(len²) per pair)
     * runs on candidate pairs alone. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, candidateThreshold: Double = 0.3,
-                        n: Int = 3, maxDocFreq: Int = 10000): DataFrame = {
+                        n: Int = 5, maxDocFreq: Int = 10000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    val cands = ngramJaccardPairs(df, idCol, textCol, n,
+    val cands = charGramJaccardPairs(df, idCol, textCol, n,
       candidateThreshold, maxDocFreq).select("a", "b")
     val t = df.select(col(idCol), col(textCol))
     cands
@@ -327,8 +372,12 @@ object Dedup {
           s"connectedComponents needs integral id columns; '$c' is ${dt.simpleString}")
       }
     }
-    val e = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+    // null ids fail loudly too: the local path would NPE opaquely and
+    // the distributed path would silently emit comp = null (equi-joins
+    // never match null)
+    def nonNull(c: String) = coalesce(col(c).cast("long"),
+      raise_error(lit(s"connectedComponents: null id in '$c'")).cast("long"))
+    val e = pairs.select(nonNull(aCol).as("src"), nonNull(bCol).as("dst"))
     // symmetric closure; distinct keeps each round's join bounded by
     // the true edge count even when the pair generator emits dups
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))

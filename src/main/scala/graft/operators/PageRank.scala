@@ -41,11 +41,13 @@ object PageRank {
     require(n > 0, "PageRank over an empty pair graph")
     val nD = n.toDouble
     // every node of an undirected pair graph has deg >= 1 — no dangling
-    // mass; the left join + coalesce only guards numeric edge cases
+    // mass; the left join + coalesce only guards numeric edge cases.
+    // edges⋈deg is loop-invariant: materialize it once rather than
+    // re-running the degree aggregation + join every iteration
+    val ew = edges.join(deg, "src").localCheckpoint(true)
     var ranks = nodes.withColumn("r", lit(1.0) / lit(nD))
     for (_ <- 1 to iters) {
-      val contribs = edges
-        .join(deg, "src")
+      val contribs = ew
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), (col("r") / col("deg").cast("double")).as("c"))
       val sums = contribs.groupBy(col("dst").as("id"))

@@ -44,8 +44,9 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    require(cols.forall(!_.contains("::")),
-      s"column names must not contain the '::' key separator: $cols")
+    require(cols.forall(!_.contains(":")),
+      s"column names must not contain ':' (reserved for the metric-key " +
+        s"separator; a trailing ':' would mis-parse the unpivot keys): $cols")
     val aggs = cols.flatMap { c =>
       metricsFor(df, c).map { case (m, a) => a.as(s"$c::$m") }
     }

@@ -124,7 +124,10 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     val key = negate(graft.expressions.FloatKernels.ln(
       hashUniform(col(idCol), salt))) / col(weightCol).cast("double")
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    // !isnan matters: NaN > 0 is TRUE under Spark SQL's NaN ordering,
+    // so NaN-weight rows would otherwise pass and pad the sample
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        !isnan(col(weightCol).cast("double")))
       .withColumn("es_key", key)
       .orderBy(col("es_key").asc, col(idCol).asc)
       .limit(k)

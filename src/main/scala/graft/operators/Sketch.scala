@@ -66,7 +66,10 @@ object Sketch {
   def kmvSketch(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(hash32(valueCol).as("__h")).as[Long]
+    // nulls are skipped like every distinct-count aggregate (a null
+    // hash would crash the primitive-typed aggregation instead)
+    df.select(hash32(valueCol).as("__h"))
+      .filter(col("__h").isNotNull).as[Long]
       .select(new KmvAgg(k).toColumn.name("sketch"))
       .toDF("sketch")
   }

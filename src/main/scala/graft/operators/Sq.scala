@@ -99,7 +99,10 @@ object Sq {
     * (dist, id) order). */
   def adcSearch(encoded: DataFrame, idCol: String, codeCol: String,
                 m: Model, query: Seq[Float], k: Int): DataFrame =
-    encoded.withColumn("dist", adcDistanceColumn(col(codeCol), m, query))
+    encoded
+      // null codes would yield dist = null, which sorts FIRST ascending
+      .filter(col(codeCol).isNotNull)
+      .withColumn("dist", adcDistanceColumn(col(codeCol), m, query))
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
 

@@ -335,5 +335,13 @@ class DedupSpec extends SparkSpec {
     assert(wide.contains((0L, 2L)) && wide.contains((0L, 1L)))
     assert(!wide.exists(p => p._1 == 3L || p._2 == 3L),
       "doc with no shared grams must never become a candidate")
+    // short text with a mid-word typo: WORD shingles would never screen
+    // this in (the typo perturbs every 3-word shingle); character grams must
+    val short = Seq((10L, "alpha beta gamma"), (11L, "alpha betta gamma"))
+      .toDF("doc_id", "text")
+    val sp = Dedup.editDistancePairs(short, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sp.toSeq == Seq((10L, 11L, 1L)),
+      s"1-char typo in a short text must survive the screen, got ${sp.toSeq}")
   }
 }
