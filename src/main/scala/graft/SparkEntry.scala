@@ -377,11 +377,14 @@ object SparkEntry {
     // ---- Dedup (fuzzy, character-level): character-5-gram Jaccard
     // candidate screen + exact Levenshtein gate — both engines run
     // textbook edit distance, so the two-stage fuzzy-dedup recipe is
-    // oracle-exact end-to-end
+    // oracle-exact end-to-end. The df≤100 stopgram cutoff (mirrored in
+    // the oracle) is the 100 TB-safe shape: without it ubiquitous
+    // grams explode the inverted index (measured 769M candidate pairs
+    // at sf0.1 exhaustive vs 152k guarded).
     "dedup_editdist" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
         maxDist = 5, candidateThreshold = 0.3, n = 5,
-        maxDocFreq = Int.MaxValue).orderBy("a", "b")),
+        maxDocFreq = 100).orderBy("a", "b")),
 
     // ---- Graph analytics: PageRank over the near-dup pair graph —
     // 5 power iterations, decimal-routed neighbor sums so the iterative
@@ -1852,11 +1855,14 @@ object SparkEntry {
           |GROUP BY ex.exact_p50""".stripMargin,
 
       "dedup_editdist" ->
-        """WITH grams AS (
+        """WITH grams0 AS (
           |  SELECT doc_id, unnest(list_distinct(list_transform(
           |    generate_series(1, greatest(length(lower(text)) - 4, 1)),
           |    i -> substr(lower(text), i, 5)))) AS g
           |  FROM documents),
+          |keepg AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 100),
+          |grams AS (SELECT grams0.doc_id, grams0.g
+          |          FROM grams0 JOIN keepg ON grams0.g = keepg.g),
           |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
           |inter AS (
           |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i

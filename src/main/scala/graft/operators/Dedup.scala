@@ -219,14 +219,17 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** Distinct lowercase character n-grams (texts shorter than n yield
-    * the whole text as a single gram — short texts must still screen). */
-  private def charGramSet(textCol: Column, n: Int): Column = {
-    val t = lower(textCol)
+  /** Distinct character n-grams of an ALREADY-LOWERCASED text column
+    * (texts shorter than n yield the whole text as a single gram —
+    * short texts must still screen). Callers project `lower(text)`
+    * first: an outer expression referenced inside the `transform`
+    * lambda is re-evaluated PER ELEMENT, so inlining `lower` here
+    * would lowercase the full text once per gram (~300× the work,
+    * measured 2× end-to-end on sf0.1). */
+  private def charGramSet(loweredCol: Column, n: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-      i => t.substr(i, lit(n))))
-  }
+      sequence(lit(1), greatest(length(loweredCol) - (n - 1), lit(1))),
+      i => loweredCol.substr(i, lit(n))))
 
   /** Character-n-gram Jaccard candidate pairs — the same inverted-index
     * shape as [[ngramJaccardPairs]] but over CHARACTER grams, which is
@@ -237,16 +240,33 @@ object Dedup {
                                    textCol: String, n: Int,
                                    threshold: Double,
                                    maxDocFreq: Int): DataFrame = {
-    val grams0 = df
-      .select(col(idCol).as("__id"), charGramSet(col(textCol), n).as("__g"))
-      .select(col("__id"), size(col("__g")).cast("long").as("sz"),
+    // two-step projection: lower(text) must become its own attribute
+    // BEFORE the gram lambda references it, else it re-evaluates per
+    // element (the multi-reference inside charGramSet keeps
+    // CollapseProject from re-inlining it)
+    val lowered = df.select(col(idCol).as("__id"), lower(col(textCol)).as("__t"))
+      .select(col("__id"), charGramSet(col("__t"), n).as("__g"))
+    val grams = if (maxDocFreq == Int.MaxValue)
+      lowered.select(col("__id"), size(col("__g")).cast("long").as("sz"),
         explode(col("__g")).as("gram"))
-    val grams = if (maxDocFreq == Int.MaxValue) grams0 else {
+    else {
+      // df counts via map-side-combined aggregation (skew-safe: a
+      // degenerate gram partial-aggregates per mapper, unlike a window
+      // over gram which would buffer all its rows in one partition);
+      // the common-gram set is small after aggregation, so AQE
+      // broadcasts the anti-join. The kept-set size is a collect_set
+      // window over __id — set semantics so a re-ingested id counts
+      // each kept gram once (union across payloads, matching the
+      // distinct()+groupBy shape this replaces at one shuffle less);
+      // partition memory is bounded by per-doc distinct grams ≤ text
+      // length. Duplicate bucket entries collapse in intraBucketPairs'
+      // array_distinct since (id, sz) structs agree.
+      val grams0 = lowered.select(col("__id"), explode(col("__g")).as("gram"))
       val common = grams0.groupBy("gram").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDocFreq).select("gram")
-      val kept = grams0.drop("sz").join(broadcast(common), Seq("gram"), "left_anti")
-        .distinct()
-      kept.join(kept.groupBy("__id").agg(count(lit(1)).as("sz")), "__id")
+      grams0.join(common, Seq("gram"), "left_anti")
+        .withColumn("sz", size(collect_set(col("gram"))
+          .over(Window.partitionBy("__id"))).cast("long"))
     }
     intraBucketPairs(
       grams.groupBy("gram")
@@ -273,21 +293,29 @@ object Dedup {
     * results are oracle-exact.
     *
     * Scale: candidates ≪ corpus, so the two hydration joins shuffle
-    * only candidate ids + their texts; Levenshtein (O(len²) per pair)
-    * runs on candidate pairs alone. */
+    * only candidate ids + their texts; the gate uses the k-bounded
+    * (banded, early-exit) Levenshtein — O(maxDist·len) per pair, not
+    * O(len²) — which at maxDist=5 on ~300-char texts is ~25× less work
+    * than the full DP, and it runs on candidate pairs alone. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, candidateThreshold: Double = 0.3,
                         n: Int = 5, maxDocFreq: Int = 10000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val cands = charGramJaccardPairs(df, idCol, textCol, n,
       candidateThreshold, maxDocFreq).select("a", "b")
-    val t = df.select(col(idCol), col(textCol))
+    // one text per id: a re-ingested identical row would otherwise
+    // multiply its pairs through the hydration join (for conflicting
+    // payloads under one id the pick is arbitrary — ids are assumed
+    // unique upstream, matching the store's upsert contract)
+    val t = df.select(col(idCol), col(textCol)).dropDuplicates(idCol)
     cands
       .join(t.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
       .join(t.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
+      // threshold form returns -1 past the bound instead of the
+      // distance, so the filter keeps [0, maxDist] explicitly
       .withColumn("edit_dist",
-        levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select("a", "b", "edit_dist")
   }
 

@@ -343,5 +343,12 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sp.toSeq == Seq((10L, 11L, 1L)),
       s"1-char typo in a short text must survive the screen, got ${sp.toSeq}")
+    // re-ingested identical row must not inflate kept-set sizes (the
+    // jaccard screen would silently drop the pair) or emit self-pairs
+    val dup = short.union(Seq((10L, "alpha beta gamma")).toDF("doc_id", "text"))
+    val dp = Dedup.editDistancePairs(dup, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dp.toSeq == Seq((10L, 11L, 1L)),
+      s"duplicate ingestion changed edit-distance pairs: ${dp.toSeq}")
   }
 }
