@@ -47,6 +47,76 @@ object ShingleUtil {
   }
 }
 
+/** Character-n-gram helper invoked from generated code: all char start
+  * offsets computed in one pass, each gram sliced by byte range — one
+  * static call per row instead of an interpreted
+  * sequence/transform/substr HOF tree per position (which additionally
+  * re-evaluates any captured outer expression per element). */
+object CharGramUtil {
+  /** Distinct character n-grams of an ALREADY-LOWERCASED string.
+    * Semantics exactly match the declarative form
+    * `array_distinct(transform(sequence(1, greatest(len-n+1, 1)),
+    *   i => t.substr(i, n)))` and the DuckDB oracle's
+    * `list_transform(generate_series(...), i -> substr(t, i, n))`
+    * mirror: positions are characters (not bytes), a text shorter than
+    * n yields itself as its single gram, and the empty string yields
+    * [""]. The caller lowercases via Spark's own `lower` so engine
+    * agreement is Spark's, not java.lang.String's. */
+  def grams(lowered: UTF8String, n: Int): ArrayData = {
+    val bytes = lowered.getBytes
+    val nBytes = bytes.length
+    // char start byte-offsets (UTF-8: starts are bytes not matching 10xxxxxx)
+    var chars = 0
+    var i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(chars) = nBytes
+    val count = math.max(chars - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var p = 0
+    while (p < count) {
+      val endChar = math.min(p + n, chars)
+      seen.add(UTF8String.fromBytes(bytes, starts(p), starts(endChar) - starts(p)))
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** lowered text → array<string> of distinct character n-grams. */
+case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CharGramUtil.grams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.CharGramUtil.grams($t, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_grams"
+}
+
 /** text → array<string> of distinct lowercase word n-gram shingles. */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -189,6 +259,10 @@ object TextKernels {
   /** Distinct lowercase word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Distinct character n-grams of an already-lowercased text column. */
+  def charGrams(lowered: Column, n: Int): Column =
+    ColumnBridge.column(CharGrams(ColumnBridge.expression(lowered), n))
 
   /** md5-bit simhash hex fingerprint of a token-array column. */
   def simhashMd5(tokens: Column): Column =

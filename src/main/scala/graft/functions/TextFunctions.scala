@@ -88,12 +88,14 @@ object TextFunctions {
   /** Document fingerprint: minimum md5 over character shingles — the
     * order-robust rolling-hash fingerprint (winnowing's min-selection
     * over a shingle window, degenerate window = whole doc). */
-  def fingerprint(text: Column, shingle: Int = 8): Column = {
-    val t = lower(text)
-    array_min(transform(
-      sequence(lit(1), greatest(length(t) - (shingle - 1), lit(1))),
-      i => md5(t.substr(i, lit(shingle)))))
-  }
+  def fingerprint(text: Column, shingle: Int = 8): Column =
+    // bindOnce: referencing lower(text) inside the lambda would
+    // re-lowercase the full text once per shingle position (O(len²))
+    ColumnOps.bindOnce(lower(text)) { t =>
+      array_min(transform(
+        sequence(lit(1), greatest(length(t) - (shingle - 1), lit(1))),
+        i => md5(t.substr(i, lit(shingle)))))
+    }
 
   /** Gopher-style repetition signals (word-level): the within-document
     * repetition filters a corpus-curation pipeline runs alongside
@@ -111,29 +113,40 @@ object TextFunctions {
   def repetitionSignals(text: Column): Map[String, Column] = {
     // empty fragments dropped: leading/trailing whitespace would
     // otherwise add a phantom "" token that inflates n_tokens and every
-    // repetition fraction
-    val t = array_remove(split(lower(text), "\\s+"), "")
-    val n = size(t)
+    // repetition fraction.
+    // bindOnce everywhere a derived array is referenced inside a
+    // lambda: the embedded subtree would otherwise re-evaluate per
+    // element — the unbound forms here were O(n²) (n-grams re-splitting
+    // the text per position) to O(n³) (top-bigram re-deriving the
+    // bigram array per distinct bigram × per scan element).
+    import ColumnOps.bindOnce
+    val t0 = array_remove(split(lower(text), "\\s+"), "")
     val emptyArr = array().cast("array<string>")
-    val bg = when(n >= 2, transform(sequence(lit(1), n - 1),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(emptyArr)
-    val g3 = when(n >= 3, transform(sequence(lit(1), n - 2),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(emptyArr)
+    def bigrams(t: Column): Column =
+      when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(emptyArr)
     def dupFrac(arr: Column): Column =
       when(size(arr) > 0,
         (size(arr) - size(array_distinct(arr))).cast("double") / size(arr).cast("double"))
         .otherwise(lit(0.0))
-    val topBigram =
-      when(size(bg) > 0,
-        array_max(transform(array_distinct(bg),
-          b => size(filter(bg, x => x === b)))).cast("double") / size(bg).cast("double"))
-        .otherwise(lit(0.0))
     Map(
-      "n_tokens" -> n.cast("long"),
-      "dup_word_frac" -> dupFrac(t),
-      "dup_3gram_frac" -> dupFrac(g3),
-      "top_bigram_frac" -> topBigram)
+      "n_tokens" -> size(t0).cast("long"),
+      "dup_word_frac" -> bindOnce(t0)(dupFrac),
+      "dup_3gram_frac" -> bindOnce(t0) { t =>
+        dupFrac(when(size(t) >= 3, transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2))))
+          .otherwise(emptyArr))
+      },
+      "top_bigram_frac" -> bindOnce(t0) { t =>
+        bindOnce(bigrams(t)) { bg =>
+          when(size(bg) > 0,
+            array_max(transform(array_distinct(bg),
+              b => size(filter(bg, x => x === b)))).cast("double")
+              / size(bg).cast("double"))
+            .otherwise(lit(0.0))
+        }
+      })
   }
 }

@@ -221,15 +221,14 @@ object Dedup {
 
   /** Distinct character n-grams of an ALREADY-LOWERCASED text column
     * (texts shorter than n yield the whole text as a single gram —
-    * short texts must still screen). Callers project `lower(text)`
-    * first: an outer expression referenced inside the `transform`
-    * lambda is re-evaluated PER ELEMENT, so inlining `lower` here
-    * would lowercase the full text once per gram (~300× the work,
-    * measured 2× end-to-end on sf0.1). */
+    * short texts must still screen). Codegen kernel
+    * (graft.expressions.CharGrams): one static call per row; the
+    * declarative sequence/transform/substr form is CodegenFallback and
+    * pays interpreted dispatch per position. Callers project
+    * `lower(text)` first so lowering runs once per row through Spark's
+    * own `lower`. */
   private def charGramSet(loweredCol: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(loweredCol) - (n - 1), lit(1))),
-      i => loweredCol.substr(i, lit(n))))
+    graft.expressions.TextKernels.charGrams(loweredCol, n)
 
   /** Character-n-gram Jaccard candidate pairs — the same inverted-index
     * shape as [[ngramJaccardPairs]] but over CHARACTER grams, which is

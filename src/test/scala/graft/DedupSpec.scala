@@ -351,4 +351,29 @@ class DedupSpec extends SparkSpec {
     assert(dp.toSeq == Seq((10L, 11L, 1L)),
       s"duplicate ingestion changed edit-distance pairs: ${dp.toSeq}")
   }
+
+  test("CharGrams kernel == declarative sequence/transform/substr form") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // edge cases: empty, shorter than n, exactly n, repeats (distinct),
+    // multi-byte UTF-8 (char positions, not bytes), whitespace
+    val texts = Seq("", "ab", "abcde", "aaaaaaaa", "héllo wörld däta",
+      "日本語のテキスト", "a b c d e f", "ababababab")
+    val df = texts.toDF("t").select(lower(col("t")).as("t"))
+    for (n <- Seq(2, 3, 5)) {
+      val kernel = df.select(
+          graft.expressions.TextKernels.charGrams(col("t"), n).as("g"))
+        .collect().map(_.getSeq[String](0))
+      val decl = df.select(array_distinct(transform(
+          sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
+          i => col("t").substr(i, lit(n)))).as("g"))
+        .collect().map(_.getSeq[String](0))
+      // sets must agree AND sizes must agree (sz feeds jaccard)
+      kernel.zip(decl).zipWithIndex.foreach { case ((k, d), ix) =>
+        assert(k.toSet == d.toSet && k.size == d.size,
+          s"n=$n text='${texts(ix)}': kernel=$k declarative=$d")
+      }
+    }
+  }
 }
