@@ -1860,7 +1860,8 @@ object SparkEntry {
           |    generate_series(1, greatest(length(lower(text)) - 4, 1)),
           |    i -> substr(lower(text), i, 5)))) AS g
           |  FROM documents),
-          |keepg AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 100),
+          |keepg AS (SELECT g FROM grams0 GROUP BY g
+          |          HAVING count(DISTINCT doc_id) <= 100),
           |grams AS (SELECT grams0.doc_id, grams0.g
           |          FROM grams0 JOIN keepg ON grams0.g = keepg.g),
           |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),

@@ -132,7 +132,10 @@ object TextFunctions {
         .otherwise(lit(0.0))
     Map(
       "n_tokens" -> size(t0).cast("long"),
-      "dup_word_frac" -> bindOnce(t0)(dupFrac),
+      // no bindOnce: dupFrac has no lambda, so t0's repeated per-row
+      // references stay on the codegen path where subexpression
+      // elimination already collapses them
+      "dup_word_frac" -> dupFrac(t0),
       "dup_3gram_frac" -> bindOnce(t0) { t =>
         dupFrac(when(size(t) >= 3, transform(sequence(lit(1), size(t) - 2),
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),

@@ -190,8 +190,11 @@ object Dedup {
         explode(col("__g")).as("gram"))
     val grams = if (maxDocFreq == Int.MaxValue) grams0 else {
       // the ultra-common gram set is tiny — broadcast anti-join, and
-      // recompute per-doc sizes over the filtered universe
-      val common = grams0.groupBy("gram").agg(count(lit(1)).as("__df"))
+      // recompute per-doc sizes over the filtered universe. DISTINCT
+      // docs per gram (as documented), not rows: a re-ingested
+      // identical row must not push a gram over the cutoff
+      val common = grams0.groupBy("gram")
+        .agg(count_distinct(col("__id")).as("__df"))
         .filter(col("__df") > maxDocFreq).select("gram")
       // distinct BEFORE sizing: a doc ingested twice emits every gram
       // row twice, which would double its recomputed set size and
@@ -239,31 +242,32 @@ object Dedup {
                                    textCol: String, n: Int,
                                    threshold: Double,
                                    maxDocFreq: Int): DataFrame = {
-    // two-step projection: lower(text) must become its own attribute
-    // BEFORE the gram lambda references it, else it re-evaluates per
-    // element (the multi-reference inside charGramSet keeps
-    // CollapseProject from re-inlining it)
-    val lowered = df.select(col(idCol).as("__id"), lower(col(textCol)).as("__t"))
-      .select(col("__id"), charGramSet(col("__t"), n).as("__g"))
+    // CharGrams is a plain (non-HOF) kernel that evaluates its child
+    // once per row, so lower() may inline into it directly
+    val lowered = df.select(col(idCol).as("__id"),
+      charGramSet(lower(col(textCol)), n).as("__g"))
     val grams = if (maxDocFreq == Int.MaxValue)
       lowered.select(col("__id"), size(col("__g")).cast("long").as("sz"),
         explode(col("__g")).as("gram"))
     else {
-      // df counts via map-side-combined aggregation (skew-safe: a
-      // degenerate gram partial-aggregates per mapper, unlike a window
-      // over gram which would buffer all its rows in one partition);
-      // the common-gram set is small after aggregation, so AQE
-      // broadcasts the anti-join. The kept-set size is a collect_set
-      // window over __id — set semantics so a re-ingested id counts
-      // each kept gram once (union across payloads, matching the
-      // distinct()+groupBy shape this replaces at one shuffle less);
-      // partition memory is bounded by per-doc distinct grams ≤ text
-      // length. Duplicate bucket entries collapse in intraBucketPairs'
-      // array_distinct since (id, sz) structs agree.
+      // df counts DISTINCT docs via map-side-combined aggregation
+      // (skew-safe: a degenerate gram partial-aggregates per mapper,
+      // unlike a window over gram which would buffer all its rows in
+      // one partition; distinct — not row count — so a re-ingested
+      // identical row cannot push a gram over the cutoff and change
+      // unrelated pairs). The common-gram set is tiny after the
+      // cutoff — broadcast anti-join. The kept-set size is a
+      // collect_set window over __id — set semantics so a re-ingested
+      // id counts each kept gram once (union across payloads, matching
+      // the distinct()+groupBy shape this replaces at one shuffle
+      // less); partition memory is bounded by per-doc distinct grams
+      // ≤ text length. Duplicate bucket entries collapse in
+      // intraBucketPairs' array_distinct since (id, sz) structs agree.
       val grams0 = lowered.select(col("__id"), explode(col("__g")).as("gram"))
-      val common = grams0.groupBy("gram").agg(count(lit(1)).as("__df"))
+      val common = grams0.groupBy("gram")
+        .agg(count_distinct(col("__id")).as("__df"))
         .filter(col("__df") > maxDocFreq).select("gram")
-      grams0.join(common, Seq("gram"), "left_anti")
+      grams0.join(broadcast(common), Seq("gram"), "left_anti")
         .withColumn("sz", size(collect_set(col("gram"))
           .over(Window.partitionBy("__id"))).cast("long"))
     }
@@ -302,14 +306,18 @@ object Dedup {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val cands = charGramJaccardPairs(df, idCol, textCol, n,
       candidateThreshold, maxDocFreq).select("a", "b")
-    // one text per id: a re-ingested identical row would otherwise
-    // multiply its pairs through the hydration join (for conflicting
-    // payloads under one id the pick is arbitrary — ids are assumed
-    // unique upstream, matching the store's upsert contract)
-    val t = df.select(col(idCol), col(textCol)).dropDuplicates(idCol)
+    val t = df.select(col(idCol), col(textCol))
     cands
       .join(t.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
       .join(t.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
+      // pair-level dedup AFTER hydration: a re-ingested identical row
+      // would otherwise multiply its pairs through the joins. Dedup
+      // here costs a candidate-sized aggregation, not the corpus-wide
+      // shuffle a dropDuplicates(id) on the full table would pay (for
+      // conflicting payloads under one id the kept row is arbitrary —
+      // ids are assumed unique upstream, per the store's upsert
+      // contract)
+      .dropDuplicates("a", "b")
       // threshold form returns -1 past the bound instead of the
       // distance, so the filter keeps [0, maxDist] explicitly
       .withColumn("edit_dist",
