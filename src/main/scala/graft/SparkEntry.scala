@@ -260,6 +260,19 @@ object SparkEntry {
         .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_distinct")))
     }),
 
+    // ---- Heavy hitters: single-pass Misra-Gries candidate sweep
+    // (bounded <=k counters, mergeable) + exact verification of the
+    // <=k candidates. The MG membership guarantee (every item with
+    // count > N/(k+1) survives the sweep) makes the composed result
+    // EQUAL to the exact HAVING query no matter the fold order — an
+    // approximate-sketch pipeline with an exact oracle.
+    "sketch_heavy_hitters" -> ((s, dir) =>
+      Sketch.heavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+          .filter(col("word") =!= ""),
+        col("word"), k = 40)),
+
     // ---- Window-function family: offset (lag/lead), distribution
     // (percent_rank/cume_dist), bucketing (ntile), frame-edge
     // (first_value) — one pass, one window sort, deterministic
@@ -518,6 +531,13 @@ object SparkEntry {
         .select(Sampling.splitColumn(col("doc_id"),
           Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
+
+    // ---- Deterministic epoch shuffle: per-epoch pseudorandom corpus
+    // order (the key IS the order — distributed range sort, no global
+    // row index); reproducible and engine-exact via md5
+    "sample_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(Tables.documents(s, dir).select("doc_id"),
+        "doc_id", epoch = 3)),
 
     // ---- Text analysis: min-shingle document fingerprint
     "t_fingerprint" -> ((s, dir) =>
@@ -1733,6 +1753,21 @@ object SparkEntry {
            |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
            |FROM ag CROSS JOIN ex""".stripMargin,
 
+      // exact heavy hitters: the engine's MG-candidates + exact-verify
+      // composition provably equals this plain HAVING query (the MG
+      // membership guarantee), so the sketch pipeline is oracle-exact
+      "sketch_heavy_hitters" ->
+        """WITH w AS (
+          |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+          |  FROM documents),
+          |v AS (SELECT word FROM w WHERE word <> ''),
+          |n AS (SELECT count(*) AS n FROM v)
+          |SELECT word AS item, count(*) AS cnt
+          |FROM v CROSS JOIN n
+          |GROUP BY word, n.n
+          |HAVING count(*) > CAST(n.n AS DOUBLE) / 41
+          |ORDER BY cnt DESC, item ASC""".stripMargin,
+
       "q5_local_supplier" ->
         s"""SELECT n_name,
            |${decSum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
@@ -2063,6 +2098,11 @@ object SparkEntry {
           |  FROM (SELECT CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT)
           |    / 4294967296.0 AS u FROM documents) h) s
           |GROUP BY split ORDER BY split""".stripMargin,
+
+      "sample_epoch_shuffle" ->
+        """SELECT doc_id,
+          |  md5(concat('3', '|', CAST(doc_id AS VARCHAR))) AS shuffle_key
+          |FROM documents""".stripMargin,
 
       // word-level repetition twins of TextFunctions.repetitionSignals;
       // same tokenization as the jaccard grams (regex whitespace split on

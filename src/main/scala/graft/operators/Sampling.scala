@@ -149,4 +149,24 @@ object Sampling {
       case (((name, _), cut), rest) => when(u < cut, lit(name)).otherwise(rest)
     }
   }
+
+  /** Deterministic per-epoch corpus shuffle: every epoch visits the
+    * corpus in a fresh pseudorandom order, reproducibly. The order IS
+    * the md5 key `shuffle_key` = md5(epoch | id) — writing the rows
+    * sorted by it realizes the permutation (e.g.
+    * `.write.sortBy`/ordered file emission); a different epoch draws an
+    * independent permutation; re-runs are identical.
+    *
+    * Scale: `repartitionByRange` + `sortWithinPartitions` is a
+    * distributed total order (range exchange + local sorts) — never a
+    * single-reducer global window. No global row index is materialized
+    * on purpose: a training reader consumes files in key order, and a
+    * contiguous global position would cost a second prefix-sum pass
+    * (see `Chunker.packOffsets` for that shape when offsets ARE
+    * needed). */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat_ws("|", lit(epoch), col(idCol).cast("string"))))
+      .repartitionByRange(col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
 }

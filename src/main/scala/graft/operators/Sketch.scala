@@ -115,6 +115,90 @@ object Sketch {
   def mergeSketches(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
     (a ++ b).distinct.sorted.take(k)
 
+  // ---------------------------------------------------------------
+  // Misra–Gries frequent items (heavy hitters)
+  // ---------------------------------------------------------------
+
+  /** Bounded-state Misra–Gries summary (Misra & Gries 1982; mergeable
+    * form Agarwal et al., PODS 2012): ≤ k counters. Guarantees, for
+    * stream length N: every item with true count > N/(k+1) is present,
+    * and each kept counter under-counts by at most N/(k+1). Counter
+    * VALUES depend on fold order (so they are not oracle-hashable);
+    * the MEMBERSHIP guarantee does not — [[heavyHitters]] exploits
+    * exactly that.
+    *
+    * reduce: hit → +1; room → insert at 1; full → decrement all (the
+    * classic "cancel k+1 distinct items" step), dropping zeros.
+    * merge: sum counts, then subtract the (k+1)-th largest and keep
+    * positive — the PODS'12 mergeable-summaries rule. */
+  final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1, s"Misra-Gries needs k >= 1, got $k")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      b.get(v) match {
+        case Some(c) => b.updated(v, c + 1)
+        case None if b.size < k => b.updated(v, 1L)
+        case None =>
+          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (acc, (v, c)) =>
+        acc.updated(v, acc.getOrElse(v, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from everyone
+        val cut = sum.valuesIterator.toArray.sortBy(-_).apply(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+      }
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** One-row (`items` map<string,long>) Misra–Gries summary of
+    * `valueCol` (nulls skipped, like every counting aggregate). State
+    * is ≤ k counters per partition, map-side combined; the shuffle
+    * carries one small map per partition. */
+  def frequentItems(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(valueCol.cast("string").as("__v"))
+      .filter(col("__v").isNotNull).as[String]
+      .select(new MisraGriesAgg(k).toColumn.name("items"))
+      .toDF("items")
+  }
+
+  /** Exact heavy hitters via the classic two-pass composition: a
+    * single-pass Misra–Gries candidate sweep, then exact counts for
+    * the ≤ k candidates only. By the MG guarantee every item with
+    * count > N/(k+1) is among the candidates, so the verified result
+    * EQUALS the exact `HAVING count(*) > N/(k+1)` query regardless of
+    * the sketch's fold-order nondeterminism — which is what makes an
+    * approximate-sketch pipeline oracle-exact.
+    *
+    * Scale: pass 1 is the bounded-state aggregation; pass 2 filters
+    * the corpus to ≤ k broadcast candidate values and map-side
+    * combines their counts — no corpus-wide groupBy over the full
+    * value domain. Output: (item, cnt) for items with
+    * cnt > N/(k+1), sorted (cnt desc, item asc). */
+  def heavyHitters(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    val vals = df.select(valueCol.cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+    val n = vals.count()
+    val cands = frequentItems(vals, col("__v"), k)
+      .select(explode(map_keys(col("items"))).as("__v"))
+    vals.join(broadcast(cands), Seq("__v"), "left_semi")
+      .groupBy(col("__v").as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(n.toDouble / (k + 1)))
+      .orderBy(col("cnt").desc, col("item").asc)
+  }
+
   /** Streaming maintenance: fold each micro-batch's sketch into the
     * running one in `state` — the mergeability a count(DISTINCT) can
     * never stream. State is a ≤ k-long array; callers wanting crash

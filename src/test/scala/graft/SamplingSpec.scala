@@ -138,4 +138,31 @@ class SamplingSpec extends SparkSpec {
     assert(picked == Set(4L, 5L),
       s"only positive-weight rows are sampleable, got $picked")
   }
+
+  test("epochShuffle: a reproducible permutation, independent across epochs") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 500L).toDF("id")
+    def order(epoch: Int, parts: Int) =
+      Sampling.epochShuffle(df.repartition(parts), "id", epoch)
+        .collect().sortBy(_.getString(1)).map(_.getLong(0)).toSeq
+    val e1 = order(1, 4)
+    // permutation: every row exactly once
+    assert(e1.sorted == (1L to 500L), "shuffle lost or duplicated rows")
+    // reproducible and partitioning-invariant
+    assert(e1 == order(1, 13), "epoch order depends on input partitioning")
+    // epochs draw different permutations
+    val e2 = order(2, 4)
+    assert(e1 != e2, "different epochs must reorder differently")
+    // the emitted partition/sort order equals key order (the contract:
+    // writing rows as laid out realizes the permutation)
+    val laidOut = Sampling.epochShuffle(df.repartition(4), "id", 1)
+      .collect().map(_.getLong(0)).toSeq
+    // toLocalIterator/collect preserves partition order; within/across
+    // partitions rows must already be key-ascending
+    val keys = Sampling.epochShuffle(df.repartition(4), "id", 1)
+      .collect().map(_.getString(1)).toSeq
+    assert(keys == keys.sorted, "rows are not globally key-ordered as laid out")
+    assert(laidOut == e1, "laid-out row order diverges from key order")
+  }
 }

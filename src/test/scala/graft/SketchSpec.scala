@@ -97,4 +97,63 @@ class SketchSpec extends SparkSpec {
     val sk = Sketch.kmvSketch(dup, col("v"), 16).head.getSeq[Long](0)
     assert(sk.length == 1)
   }
+
+  // Zipf-ish stream: item i (1..50) appears 1000/i times, plus noise
+  private def zipfDf(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"item$i")) ++
+      (1 to 2000).map(i => s"noise$i")
+    rows.toDF("v")
+  }
+
+  test("Misra-Gries: every true heavy hitter is in the summary, any partitioning") {
+    val df = zipfDf(spark)
+    val n = df.count()
+    for (parts <- Seq(1, 7, 32); k <- Seq(10, 40)) {
+      val items = Sketch.frequentItems(df.repartition(parts), col("v"), k)
+        .head.getMap[String, Long](0)
+      assert(items.size <= k, s"summary exceeded k=$k: ${items.size}")
+      val exact = df.groupBy("v").count()
+        .filter(col("count") > n.toDouble / (k + 1))
+        .collect().map(_.getString(0)).toSet
+      val missed = exact -- items.keySet
+      assert(missed.isEmpty,
+        s"k=$k parts=$parts: heavy hitters missing from MG summary: $missed")
+      // under-count bound: kept counter >= exact - N/(k+1)
+      val exactCounts = df.groupBy("v").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      items.foreach { case (v, c) =>
+        assert(c <= exactCounts(v) && c >= exactCounts(v) - n.toDouble / (k + 1),
+          s"k=$k counter for $v=$c outside [exact - N/(k+1), exact]")
+      }
+    }
+  }
+
+  test("heavyHitters == exact HAVING query regardless of partitioning; nulls skipped") {
+    val s = spark
+    import s.implicits._
+    val df = zipfDf(s)
+    val n = df.count()
+    val k = 25
+    for (parts <- Seq(3, 17)) {
+      val hh = Sketch.heavyHitters(df.repartition(parts), col("v"), k)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val exact = df.groupBy(col("v").as("item")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > n.toDouble / (k + 1))
+        .orderBy(col("cnt").desc, col("item").asc)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(hh.toSeq == exact.toSeq,
+        s"parts=$parts: heavyHitters diverged from exact")
+    }
+    // nulls contribute nothing (neither to counters nor to N)
+    val withNulls = df.union(Seq.fill(5000)(null: String).toDF("v"))
+    val hh2 = Sketch.heavyHitters(withNulls, col("v"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hh1 = Sketch.heavyHitters(df, col("v"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh2.toSeq == hh1.toSeq, "null rows changed the heavy-hitter set")
+    intercept[IllegalArgumentException] {
+      new Sketch.MisraGriesAgg(0)
+    }
+  }
 }
