@@ -399,6 +399,14 @@ object SparkEntry {
         maxDist = 5, candidateThreshold = 0.3, n = 5,
         maxDocFreq = 100).orderBy("a", "b")),
 
+    // ---- Dedup (substring-level): winnowing-fingerprint shared-passage
+    // pairs — repeated passages >= window+gramLen-1 = 49 chars always
+    // surface (the SIGMOD'03 guarantee); a shared fingerprint certifies
+    // a shared 40-char substring, so the pipeline is oracle-exact
+    "dedup_shared_passage" -> ((s, dir) =>
+      Dedup.sharedPassagePairs(Tables.documents(s, dir), "doc_id", "text",
+        gramLen = 40, window = 10).orderBy("a", "b")),
+
     // ---- Graph analytics: PageRank over the near-dup pair graph —
     // 5 power iterations, decimal-routed neighbor sums so the iterative
     // computation is hash-exact vs the oracle's unrolled SQL. Rank
@@ -1915,6 +1923,29 @@ object SparkEntry {
           |JOIN documents tb ON p.b = tb.doc_id
           |WHERE levenshtein(ta.text, tb.text) <= 5
           |ORDER BY a, b""".stripMargin,
+
+      // winnowing: md5 per char-40-gram position, min per 10-hash
+      // window, distinct per doc, bucket-join on shared fingerprints
+      "dedup_shared_passage" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(lower(text)) >= 40 THEN
+          |      list_transform(generate_series(1, length(lower(text)) - 39),
+          |        i -> md5(substr(lower(text), i, 40)))
+          |    ELSE CAST([] AS VARCHAR[]) END AS hs
+          |  FROM documents),
+          |fp AS (
+          |  SELECT doc_id, unnest(list_distinct(
+          |    CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+          |    ELSE list_transform(generate_series(1, greatest(len(hs) - 9, 1)),
+          |      j -> list_min(list_slice(hs, j, j + 9))) END)) AS f
+          |  FROM h),
+          |keep AS (SELECT f FROM fp GROUP BY f
+          |         HAVING count(*) BETWEEN 2 AND 10000),
+          |k AS (SELECT fp.doc_id, fp.f FROM fp JOIN keep ON fp.f = keep.f)
+          |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+          |FROM k x JOIN k y ON x.f = y.f AND x.doc_id < y.doc_id
+          |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
 
       // same pair CTE as dedup_ngram_jaccard, then min-label reachability:
       // walk enumerates (node, label) states with label < node (the seed is

@@ -96,6 +96,122 @@ object CharGramUtil {
   }
 }
 
+/** Winnowing fingerprint helper (Schleimer/Wilkerson/Aiken, SIGMOD
+  * 2003) invoked from generated code. Guarantee: two documents sharing
+  * any substring of at least `window + gramLen − 1` characters select
+  * at least one identical fingerprint — which is what makes a
+  * fingerprint-bucket join a SOUND candidate generator for
+  * substring-level (repeated-passage) dedup. */
+object WinnowUtil {
+  private val HexChars = "0123456789abcdef".getBytes
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Distinct window-min md5 fingerprints of the char `gramLen`-grams
+    * of an ALREADY-LOWERCASED string. Semantics (mirrored by the
+    * DuckDB oracle): texts shorter than gramLen yield no fingerprints;
+    * otherwise hashes h_i = md5(substr(t, i, gramLen)) for
+    * i = 1..len−gramLen+1, and each of the max(count−window+1, 1)
+    * sliding windows of `window` consecutive hashes selects its
+    * minimum (lexicographic on the hex string — ties collapse to the
+    * same value, so min-by-VALUE needs no index tie-break); output is
+    * the distinct selected set. Sliding min runs via a monotonic deque
+    * (O(count)); the md5s are computed once per position. */
+  def fingerprints(lowered: UTF8String, gramLen: Int, window: Int): ArrayData = {
+    val bytes = lowered.getBytes
+    val nBytes = bytes.length
+    var chars = 0
+    var i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    if (chars < gramLen) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(chars) = nBytes
+    val count = chars - gramLen + 1
+    val md = mdLocal.get()
+    // hex md5 per gram position
+    val hashes = new Array[Array[Byte]](count)
+    var p = 0
+    while (p < count) {
+      md.reset()
+      md.update(bytes, starts(p), starts(p + gramLen) - starts(p))
+      val digest = md.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexChars((digest(b) >> 4) & 0xF)
+        hex(2 * b + 1) = HexChars(digest(b) & 0xF)
+        b += 1
+      }
+      hashes(p) = hex
+      p += 1
+    }
+    def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var j = 0
+      while (j < 32) {
+        if (a(j) != b(j)) return a(j) < b(j)
+        j += 1
+      }
+      false
+    }
+    val nWin = math.max(count - window + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](nWin * 2)
+    // monotonic deque of positions, hashes ascending front-to-back
+    val deque = new Array[Int](count)
+    var head = 0
+    var tail = 0 // exclusive
+    p = 0
+    while (p < count) {
+      while (tail > head && !less(hashes(deque(tail - 1)), hashes(p))) tail -= 1
+      deque(tail) = p; tail += 1
+      val winStart = p - window + 1
+      while (deque(head) < winStart) head += 1
+      // a window completes at p >= window-1; the single degenerate
+      // window of a short doc completes at the last position
+      if (p >= window - 1 || p == count - 1)
+        seen.add(UTF8String.fromBytes(hashes(deque(head))))
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** lowered text → array<string> of distinct winnowing fingerprints. */
+case class WinnowFingerprints(child: Expression, gramLen: Int, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowUtil.fingerprints(v.asInstanceOf[UTF8String], gramLen, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.WinnowUtil.fingerprints($t, $gramLen, $window);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 /** lowered text → array<string> of distinct character n-grams. */
 case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -263,6 +379,12 @@ object TextKernels {
   /** Distinct character n-grams of an already-lowercased text column. */
   def charGrams(lowered: Column, n: Int): Column =
     ColumnBridge.column(CharGrams(ColumnBridge.expression(lowered), n))
+
+  /** Distinct winnowing fingerprints of an already-lowercased text
+    * column (md5 window-mins over char gramLen-grams). */
+  def winnowFingerprints(lowered: Column, gramLen: Int, window: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprints(ColumnBridge.expression(lowered), gramLen, window))
 
   /** md5-bit simhash hex fingerprint of a token-array column. */
   def simhashMd5(tokens: Column): Column =

@@ -326,6 +326,43 @@ object Dedup {
       .select("a", "b", "edit_dist")
   }
 
+  /** Substring-level duplicate-passage pairs via winnowing fingerprints
+    * (Schleimer/Wilkerson/Aiken, SIGMOD 2003): each doc contributes its
+    * distinct window-min md5 fingerprints over character
+    * `gramLen`-grams; docs sharing a fingerprint bucket-join into
+    * pairs. SOUND by the winnowing guarantee: any two docs sharing a
+    * passage of ≥ `window + gramLen − 1` characters select at least
+    * one identical fingerprint — so repeated passages (the
+    * substring-level duplication exact/near-dup doc hashing misses,
+    * Lee et al. 2022 "Deduplicating Training Data...") always surface.
+    * A shared fingerprint certifies a shared `gramLen`-char substring
+    * outright (both docs contain the fingerprinted gram), so no
+    * verify pass is needed.
+    *
+    * Scale: ~2·len/window fingerprints per doc (not len grams); the
+    * bucket shuffle carries one row per (fingerprint, doc); never
+    * all-pairs; `maxBucket` drops degenerate buckets (a fingerprint
+    * shared by half the corpus is boilerplate — [[boilerplateRemove]]
+    * territory — not pairwise signal).
+    *
+    * Output: (a, b, n_shared) with a < b, n_shared = number of shared
+    * selected fingerprints. */
+  def sharedPassagePairs(df: DataFrame, idCol: String, textCol: String,
+                         gramLen: Int = 50, window: Int = 20,
+                         maxBucket: Int = 10000): DataFrame = {
+    require(gramLen >= 1 && window >= 1,
+      s"gramLen and window must be positive, got $gramLen/$window")
+    val fps = df.select(col(idCol).as("__id"),
+      explode(graft.expressions.TextKernels.winnowFingerprints(
+        lower(col(textCol)), gramLen, window)).as("fp"))
+    intraBucketPairs(
+      fps.groupBy("fp").agg(collect_list(col("__id")).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket),
+      "ids", "a", "b")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (similarity ≥ threshold).
     * Brute all-pairs within the given DataFrame — callers at scale pass
     * IVF-bucketed partitions (join within cluster_id), not the full table. */

@@ -352,6 +352,48 @@ class DedupSpec extends SparkSpec {
       s"duplicate ingestion changed edit-distance pairs: ${dp.toSeq}")
   }
 
+  test("winnowing: shared-passage guarantee, exclusion, short docs, kernel == declarative mirror") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val passage = "the quick brown fox jumps over the lazy dog near the riverbank"
+    val docs = Seq(
+      (1L, s"AAAA unrelated prefix text $passage and an unrelated tail one"),
+      (2L, s"completely different opening words here $passage closing words"),
+      (3L, "this document shares no long passage with any of the others at all"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val g = 20
+    val w = 8
+    // guarantee: docs 1,2 share a passage of length 63 >= w+g-1 = 27
+    val pairs = Dedup.sharedPassagePairs(docs, "doc_id", "text", g, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"shared passage missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"doc without a shared $g-gram must not pair: $pairs")
+
+    // kernel == the declarative mirror the DuckDB oracle spells
+    val texts = Seq("", "shorter than gram", passage,
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "héllo wörld " * 5 + "日本語テキスト")
+    val tdf = texts.toDF("t").select(lower(col("t")).as("t"))
+    val kernel = tdf.select(graft.expressions.TextKernels
+        .winnowFingerprints(col("t"), g, w).as("f"))
+      .collect().map(_.getSeq[String](0).toSet)
+    val hs = when(length(col("t")) >= g,
+      transform(sequence(lit(1), length(col("t")) - (g - 1)),
+        i => md5(col("t").substr(i, lit(g)))))
+      .otherwise(array().cast("array<string>"))
+    val decl = tdf.select(hs.as("hs"))
+      .select(when(size(col("hs")) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          j => array_min(slice(col("hs"), j, lit(w))))).as("sel"))
+      .select(array_distinct(col("sel")).as("f"))
+      .collect().map(_.getSeq[String](0).toSet)
+    kernel.zip(decl).zipWithIndex.foreach { case ((k, d), ix) =>
+      assert(k == d, s"text ${ix}: kernel $k != declarative $d")
+    }
+  }
+
   test("CharGrams kernel == declarative sequence/transform/substr form") {
     val s = spark
     import s.implicits._
