@@ -173,6 +173,34 @@ object Sketch {
       .toDF("items")
   }
 
+  /** Driver-side Misra–Gries union (the PODS'12 mergeable-summaries
+    * rule — the same merge the aggregator uses, exposed for streaming
+    * state folds). Preserves the membership guarantee across merges. */
+  def mergeFrequentItems(a: Map[String, Long], b: Map[String, Long],
+                         k: Int): Map[String, Long] =
+    new MisraGriesAgg(k).merge(a, b)
+
+  /** Streaming maintenance: fold each micro-batch's MG summary into
+    * the running one — heavy-hitter candidates over an unbounded
+    * stream with O(k) state (the guarantee degrades gracefully: items
+    * above the frequency threshold over the WHOLE stream stay
+    * present). Same contract as [[streamingDistinct]]. */
+  def streamingFrequentItems(stream: DataFrame, valueCol: Column, k: Int,
+                             checkpoint: String,
+                             state: java.util.concurrent.atomic.AtomicReference[Map[String, Long]],
+                             trigger: org.apache.spark.sql.streaming.Trigger =
+                               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val mg = frequentItems(batch, valueCol, k).head.getMap[String, Long](0)
+        state.updateAndGet(cur => mergeFrequentItems(cur, Map(mg.toSeq: _*), k))
+        ()
+      }
+      .start()
+
   /** Exact heavy hitters via the classic two-pass composition: a
     * single-pass Misra–Gries candidate sweep, then exact counts for
     * the ≤ k candidates only. By the MG guarantee every item with

@@ -156,4 +156,29 @@ class SketchSpec extends SparkSpec {
       new Sketch.MisraGriesAgg(0)
     }
   }
+
+  test("streaming frequent items: stream-wide heavy hitters stay present across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("mgstream").toString
+    val state = new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](Map.empty)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val k = 10
+    // two batches; "hot" is > N/(k+1) of the combined stream
+    val b1 = Seq.fill(500)("hot") ++ (1 to 400).map(i => s"n1_$i")
+    val b2 = Seq.fill(300)("hot") ++ (1 to 400).map(i => s"n2_$i")
+    source.addData(b1: _*)
+    Sketch.streamingFrequentItems(source.toDF().toDF("v"), col("v"), k,
+      s"$tmp/ckpt", state).awaitTermination()
+    source.addData(b2: _*)
+    Sketch.streamingFrequentItems(source.toDF().toDF("v"), col("v"), k,
+      s"$tmp/ckpt", state).awaitTermination()
+    val items = state.get()
+    assert(items.size <= k, s"state exceeded k: ${items.size}")
+    assert(items.contains("hot"),
+      s"stream-wide heavy hitter evicted from the merged summary: $items")
+    // under-count only, never over-count
+    assert(items("hot") <= 800L, s"over-counted: ${items("hot")}")
+  }
 }
