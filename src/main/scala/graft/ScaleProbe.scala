@@ -176,6 +176,29 @@ object ScaleProbe {
           ords.withColumn("rt", timestamp_micros(col("rus"))), "k", col("rt"),
           windowMicros = 3600L * 1000000L, payload = Seq("oid"))
         .groupBy("eid").agg(count(lit(1))).count())
+
+    // winnowing shared-passage pairs over n docs (codegen fingerprints,
+    // ~2.len/window per doc; hot fingerprints cut by maxBucket)
+    t("winnow_passage_pairs")(
+      Dedup.sharedPassagePairs(docs, "id", "text",
+        gramLen = 20, window = 5, maxBucket = 100).count())
+
+    // Misra-Gries heavy hitters over the ~8n-token stream (bounded
+    // <=k counters map-side, then exact verify of <=k candidates)
+    t("heavy_hitters_k100")(
+      graft.operators.Sketch.heavyHitters(
+        docs.select(explode(split(col("text"), " ")).as("w")),
+        col("w"), 100).count())
+
+    // guarded fuzzy-dedup screen over n/10 docs: df-cutoff bounds the
+    // inverted index even with this tiny shared vocabulary
+    t("editdist_pairs_guarded")(
+      Dedup.editDistancePairs(docs.filter(col("id") % 10 === 0), "id", "text",
+        maxDist = 3, candidateThreshold = 0.3, n = 5, maxDocFreq = 100).count())
+
+    // per-epoch deterministic corpus shuffle: distributed range sort
+    t("epoch_shuffle")(
+      graft.operators.Sampling.epochShuffle(docs, "id", epoch = 1).count())
     spark.stop()
   }
 }
