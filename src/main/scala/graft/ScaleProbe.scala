@@ -199,6 +199,16 @@ object ScaleProbe {
     // per-epoch deterministic corpus shuffle: distributed range sort
     t("epoch_shuffle")(
       graft.operators.Sampling.epochShuffle(docs, "id", epoch = 1).count())
+
+    // Bloom-screened blocklist subtraction: n-row corpus minus an
+    // n/10-key content-hash blocklist — one small-side bitmap fold,
+    // then a scan-local screen; only the fpp sliver meets the verify
+    // anti-join (exact semantics, see BloomSpec)
+    t("bloom_subtract_n10_blocklist")(
+      graft.operators.Bloom.subtractByKey(
+        docs, md5(col("text")),
+        docs.filter(col("id") % 10 === 0).select(md5(col("text")).as("bk")),
+        col("bk"), expectedKeys = n / 10, fpp = 0.01).count())
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1223,6 +1223,22 @@ object SparkEntry {
       Contamination.overlap(docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
           n = 3, minShared = 2)
+        .orderBy("doc_id")
+    }),
+
+    // ---- Bloom-screened blocklist subtraction: EXACT corpus − blocklist
+    // by content hash. The bitmap (one small-side aggregation) rides the
+    // corpus scan as a codegen filter; definite-negatives bypass the
+    // join entirely, only the fpp sliver pays the exact verify anti-join
+    // — so the result hash-matches the plain anti-join oracle even with
+    // a probabilistic screen in the middle.
+    "bloom_blocklist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val blocklist = docs.filter(col("doc_id") % 7 === 0)
+        .select(md5(col("text")).as("bad_md5"))
+      Bloom.subtractByKey(docs, md5(col("text")), blocklist, col("bad_md5"),
+          expectedKeys = blocklist.count(), fpp = 0.01)
+        .select("doc_id", "source")
         .orderBy("doc_id")
     }),
 
@@ -2487,6 +2503,13 @@ object SparkEntry {
           |SELECT doc_id, count(*) AS n_shared
           |FROM grams JOIN bg USING (g) WHERE doc_id % 50 <> 0
           |GROUP BY 1 HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
+
+      "bloom_blocklist" ->
+        """SELECT d.doc_id, d.source FROM documents d
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM documents b
+          |  WHERE b.doc_id % 7 = 0 AND md5(b.text) = md5(d.text))
+          |ORDER BY doc_id""".stripMargin,
 
       "chunk_docs" ->
         """WITH toks AS (

@@ -135,6 +135,29 @@ class PlanSpec extends SparkSpec {
       s"corpus shuffled on gram (sort-merge join):\n$plan")
   }
 
+  test("bloom screen branch is a pure scan + codegen filter: no join, no Exchange") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("bloomplan").toString + "/t"
+    (0L until 200L).map(i => (i, s"key-${i % 40}")).toDF("id", "k")
+      .write.parquet(dir)
+    val corpusDf = spark.read.parquet(dir)
+    val model = graft.operators.Bloom.fit(
+      (0L until 40L by 3L).map(i => s"key-$i").toDF("bk"), col("bk"),
+      expectedKeys = 14, fpp = 0.01)
+    // the definite-negative branch (the bulk of the corpus at scale)
+    // must never meet a join or a shuffle — the bitmap comes to the scan
+    val plan = corpusDf.filter(!graft.operators.Bloom.mightContain(col("k"), model))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"bloom screen should be scan-local:\n$plan")
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom kernel missing from plan:\n$plan")
+    // "*(1) Filter" = the filter runs inside a whole-stage-codegen span
+    assert(plan.contains("*(1) Filter"),
+      s"bloom screen fell out of codegen:\n$plan")
+  }
+
   test("chunking is a pure per-row generate: no Exchange in the plan") {
     val s = spark
     import s.implicits._
