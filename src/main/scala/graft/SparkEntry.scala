@@ -23,6 +23,13 @@ object SparkEntry {
   /** Text query shared by the E2 search queries and their oracle. */
   private val EmbedQueryText = "spark table scan fast query"
 
+  /** Dedup guard settings shared by the showcase queries AND their
+    * oracle SQL — the guarded (bounded-fan-out) configuration is the
+    * one demonstrated; both engines apply the identical cutoff so the
+    * results stay hash-exact with the guards on. */
+  private val DedupMaxBucket = 10000
+  private val DedupMaxDocFreq = 10000
+
   /** Late-interaction query segments shared by mv_maxsim and its oracle
     * (each segment is one query-side vector; see
     * [[graft.operators.MultiVec]]). */
@@ -198,9 +205,12 @@ object SparkEntry {
     }),
 
     // ---- Extension: TPC-H Q5-style local-supplier revenue — six-way
-    // join (fact lineitem; orders semi-filters; customer/supplier/
-    // nation/region broadcast dims; the c_nationkey = s_nationkey
-    // locality predicate rides the supplier join) + one group-by
+    // join (fact lineitem; orders joins UNHINTED — at 100× orders is
+    // itself fact-sized and must shuffle-join, so the plan lets
+    // Catalyst/AQE pick by measured size instead of forcing a broadcast
+    // that would OOM past the threshold; customer/supplier/nation/region
+    // stay broadcast dims; the c_nationkey = s_nationkey locality
+    // predicate rides the supplier join) + one group-by
     "q5_local_supplier" -> ((s, dir) => {
       val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
       val nat = Tables.nation(s, dir)
@@ -211,7 +221,7 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"))
       val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.orders(s, dir).select("o_orderkey", "o_custkey")),
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
@@ -376,16 +386,22 @@ object SparkEntry {
         .orderBy(col("dist").asc, col("vec_id").asc)
     }),
 
-    // ---- Dedup (MinHash+LSH): shingle → minhash → band → bucket-join
+    // ---- Dedup (MinHash+LSH): shingle → minhash → band → bucket-join.
+    // The hot-bucket guard stays ON (the 100 TB-safe default) and the
+    // oracle mirrors the same ≤ maxBucket cutoff — the guarded
+    // configuration is the demonstrated one, as dedup_editdist does
+    // with its stopgram cutoff.
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         numHashes = 8, bands = 4, shingle = 3,
-        maxBucket = Int.MaxValue).orderBy("a", "b")),
+        maxBucket = DedupMaxBucket).orderBy("a", "b")),
 
-    // ---- Dedup (n-gram Jaccard): inverted-index pair join
+    // ---- Dedup (n-gram Jaccard): inverted-index pair join. Stopgram
+    // cutoff ON (df ≤ maxDocFreq universe filter), mirrored in the
+    // oracle's keepg CTE — guarded is the demonstrated configuration.
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue).orderBy("a", "b")),
+        n = 3, threshold = 0.5, maxDocFreq = DedupMaxDocFreq).orderBy("a", "b")),
 
     // ---- Dedup (fuzzy, character-level): character-5-gram Jaccard
     // candidate screen + exact Levenshtein gate — both engines run
@@ -414,7 +430,7 @@ object SparkEntry {
     // pick, complementing keepBestInCluster's quality argmax).
     "graph_pagerank" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
-        "text", n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue)
+        "text", n = 3, threshold = 0.5, maxDocFreq = DedupMaxDocFreq)
       PageRank.run(pairs, iters = 5)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
@@ -426,7 +442,7 @@ object SparkEntry {
     // keep-first to transitive cluster-canonical semantics.
     "dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
-        "text", n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue)
+        "text", n = 3, threshold = 0.5, maxDocFreq = DedupMaxDocFreq)
       Dedup.connectedComponents(pairs).orderBy("id")
     }),
 
@@ -438,7 +454,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = Int.MaxValue)
+        n = 3, threshold = 0.5, maxDocFreq = DedupMaxDocFreq)
       Dedup.keepBestInCluster(docs, "doc_id", "quality",
           Dedup.connectedComponents(pairs))
         .select("doc_id", "quality").orderBy("doc_id")
@@ -749,12 +765,19 @@ object SparkEntry {
       MultiVec.maxsimSearch(Tables.documents(s, dir), "doc_id", "text",
         MaxsimQuerySegments, k = 10)),
 
-    // ---- E2 production variant (xxhash64 + normalized — no cross-engine
-    // 64-bit hash exists, so rows-only; determinism and distributed/
-    // driver agreement pinned in TextFunctionsSpec)
+    // ---- E2 NORMALIZED-embedding variant, oracle-exact end-to-end:
+    // the md5-variant normalized embedder runs for corpus AND query
+    // (the e1_embed_oracle construction) — components are single
+    // correctly-rounded float divisions of exact integer counts, and
+    // cosine folds them in array order identically in both engines, so
+    // the full embed → normalize → knnCosine path is hash-checked.
+    // The production embedder keeps xxhash64 with the same structure
+    // (determinism + distributed/driver agreement pinned in
+    // TextFunctionsSpec).
     "e2_embed_search_xx" -> ((s, dir) => {
-      val docs = HashingEmbedder.embed(Tables.documents(s, dir), "doc_id", "text", dim = 64)
-      val q = HashingEmbedder.embedText(s, EmbedQueryText, dim = 64)
+      val docs = HashingEmbedder.embedMd5Normalized(Tables.documents(s, dir),
+        "doc_id", "text", dim = 64)
+      val q = HashingEmbedder.md5NormalizedLocal(EmbedQueryText, 64)
       Search.knnCosine(docs, "doc_id", "embedding", q.toSeq, 10)
         .select("doc_id", "dist")
     }),
@@ -1095,8 +1118,13 @@ object SparkEntry {
         .limit(50)),
 
     // ---- Text analysis: TF-IDF top terms per document (ln is bitwise-
-    // identical across libm/DuckDB on these values — verified)
+    // identical across libm/DuckDB on these values — verified). Per-doc
+    // top-3 via the bounded-heap TopTerms aggregator: map-side partial
+    // aggregation trims every partition to 3 terms per doc before the
+    // shuffle — the rank window this replaces shuffled the full
+    // (doc, word) matrix on doc_id.
     "t_tfidf" -> ((s, dir) => {
+      import s.implicits._
       val docs = Tables.documents(s, dir)
       val toks = docs.select(col("doc_id"),
           explode(split(lower(col("text")), "\\s+")).as("word"))
@@ -1104,13 +1132,18 @@ object SparkEntry {
       val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val dfreq = toks.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word").asc)
       tf.join(dfreq, "word").crossJoin(broadcast(n))
         .withColumn("tfidf", col("tf") * graft.expressions.FloatKernels.ln(
           col("n_docs").cast("double") / col("df").cast("double")))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select("doc_id", "word", "tf", "tfidf", "rank")
+        .select(col("doc_id"), col("word"), col("tf"), col("tfidf"))
+        .as[(Long, String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3, t._4))
+        .agg(graft.operators.TopK.topTerms(3))
+        .flatMap { case (docId, terms) =>
+          terms.iterator.zipWithIndex.map { case ((w, tfv, score), i) =>
+            (docId, w, tfv, score, (i + 1).toLong) } }
+        .toDF("doc_id", "word", "tf", "tfidf", "rank")
         .orderBy("doc_id", "rank")
     }),
 
@@ -1155,7 +1188,10 @@ object SparkEntry {
     // ---- Flagship curation pipeline: the training-data path end-to-end
     // — language ID + quality gate + exact-dup keep-first + MinHash-LSH
     // near-dup removal, composed with semi/anti joins. Oracle = the same
-    // component oracles composed as subqueries.
+    // component oracles composed as subqueries. The LSH hot-bucket
+    // guard stays ON (mirrored in the oracle's bucket-size cutoff), so
+    // the showcase pipeline runs the same bounded-fan-out configuration
+    // it would at 100×.
     "pipeline_curate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val keepers = docs.groupBy(md5(col("text")))
@@ -1163,7 +1199,7 @@ object SparkEntry {
         .select(col("keep_id"))
       val nearDupLosers = Dedup.minhashLshPairs(docs, "doc_id", "text",
         numHashes = 8, bands = 4, shingle = 3,
-        maxBucket = Int.MaxValue).select(col("b"))
+        maxBucket = DedupMaxBucket).select(col("b"))
       // lang/quality are per-row scalars — computed inline, not joined
       // back (two fewer shuffles than the component-per-join shape; the
       // oracle composes the same component SQL as subqueries either way)
@@ -1236,8 +1272,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val blocklist = docs.filter(col("doc_id") % 7 === 0)
         .select(md5(col("text")).as("bad_md5"))
+      // expectedKeys is a static ESTIMATE (table stats / KMV at scale),
+      // not a count() — sizing must not cost an extra blocklist scan.
+      // Over- or under-estimating only moves the fpp; exactness is the
+      // verify join's guarantee regardless (Bloom.subtractByKey doc).
       Bloom.subtractByKey(docs, md5(col("text")), blocklist, col("bad_md5"),
-          expectedKeys = blocklist.count(), fpp = 0.01)
+          expectedKeys = 1 << 17, fpp = 0.01)
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
@@ -1878,22 +1918,8 @@ object SparkEntry {
       "dedup_minhash_lsh" -> minhashLshSql,
 
       "dedup_ngram_jaccard" ->
-        """WITH toks AS (
-          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
-          |grams AS (
-          |  SELECT doc_id, unnest(list_distinct(list_transform(
-          |    generate_series(1, greatest(len(ts)-2, 1)),
-          |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
-          |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
-          |inter AS (
-          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-          |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
-          |  GROUP BY 1, 2)
-          |SELECT a, b,
-          |  CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) AS jaccard
-          |FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-          |WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5
-          |ORDER BY a, b""".stripMargin,
+        s"""WITH $jaccardCtes
+           |SELECT a, b, jaccard FROM jpairs ORDER BY a, b""".stripMargin,
 
       "graph_pagerank" -> pagerankSql,
 
@@ -2346,6 +2372,8 @@ object SparkEntry {
 
       "e2_embed_search" -> embedSearchSql,
 
+      "e2_embed_search_xx" -> embedSearchXxSql,
+
       "mv_maxsim" -> maxsimSql,
 
       "mm_extract_features" -> mmFeaturesSql,
@@ -2700,9 +2728,12 @@ object SparkEntry {
   }
 
   /** MinHash-LSH candidate-pair oracle (shared with pipeline_curate). */
+  /** MinHash-LSH pair oracle — mirrors the engine's hot-bucket guard
+    * (`keepb`: band buckets holding more than [[DedupMaxBucket]] docs
+    * are dropped, exactly as `Dedup.minhashLshPairs(maxBucket)` does). */
   private def minhashLshSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
       |ws AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(ts)-2, 1)),
@@ -2716,10 +2747,14 @@ object SparkEntry {
       |  SELECT doc_id, u.band_id,
       |    md5(array_to_string(mh[u.band_id*2+1 : u.band_id*2+2], '|')) AS bh
       |  FROM sig, unnest(generate_series(0, 3)) AS u(band_id)),
+      |keepb AS (
+      |  SELECT band_id, bh FROM bands GROUP BY band_id, bh
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $DedupMaxBucket),
       |pairs AS (
       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |  FROM bands x JOIN bands y
-      |  ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      |  ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id
+      |  JOIN keepb k ON x.band_id = k.band_id AND x.bh = k.bh)
       |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
 
   /** Quality-signals oracle (shared with pipeline_curate). */
@@ -2807,21 +2842,8 @@ object SparkEntry {
          |      $dS * coalesce(s$k.s, CAST(0.0 AS DOUBLE)) AS r
          |  FROM nodes n CROSS JOIN nn LEFT JOIN s$k ON n.id = s$k.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
-       |grams AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    generate_series(1, greatest(len(ts)-2, 1)),
-       |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
-       |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
-       |inter AS (
-       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-       |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT a, b FROM inter
-       |  JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-       |  WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5),
+    s"""WITH $jaccardCtes,
+       |pairs AS (SELECT a, b FROM jpairs),
        |edges AS (
        |  SELECT a AS src, b AS dst FROM pairs
        |  UNION SELECT b AS src, a AS dst FROM pairs),
@@ -2835,21 +2857,8 @@ object SparkEntry {
   }
 
   private def clustersCtes: String =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts FROM documents),
-      |grams AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    generate_series(1, greatest(len(ts)-2, 1)),
-      |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
-      |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
-      |inter AS (
-      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-      |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT a, b FROM inter
-      |  JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-      |  WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5),
+    s"""WITH RECURSIVE $jaccardCtes,
+      |pairs AS (SELECT a, b FROM jpairs),
       |edges AS (
       |  SELECT a AS src, b AS dst FROM pairs
       |  UNION SELECT b AS src, a AS dst FROM pairs),
@@ -2858,6 +2867,33 @@ object SparkEntry {
       |  UNION
       |  SELECT e.dst, w.comp FROM walk w
       |  JOIN edges e ON e.src = w.id WHERE w.comp < e.dst)""".stripMargin
+
+  /** Shared guarded word-3-gram Jaccard CTE chain — the DuckDB mirror
+    * of `Dedup.ngramJaccardPairs(n = 3, threshold = 0.5, maxDocFreq =
+    * DedupMaxDocFreq)`: grams over the df-filtered universe (keepg, the
+    * stopgram cutoff), set sizes recomputed AFTER the filter, and
+    * jpairs(a, b, jaccard) at threshold 0.5. */
+  private def jaccardCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+       |grams0 AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ts)-2, 1)),
+       |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
+       |keepg AS (SELECT g FROM grams0 GROUP BY g
+       |          HAVING count(DISTINCT doc_id) <= $DedupMaxDocFreq),
+       |grams AS (SELECT grams0.doc_id, grams0.g
+       |          FROM grams0 JOIN keepg ON grams0.g = keepg.g),
+       |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT a, b,
+       |    CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) AS jaccard
+       |  FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5)""".stripMargin
 
   private def qualitySql: String = {
     val nTok = """len(string_split_regex(text, '\s+'))"""
@@ -3000,6 +3036,40 @@ object SparkEntry {
        |LEFT JOIN nd ON d.doc_id = nd.doc_id
        |LEFT JOIN dp ON d.doc_id = dp.doc_id
        |ORDER BY dist ASC, d.doc_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** Normalized-embedding search oracle: dense 64-dim float vectors
+    * assembled per doc (component = CAST(c/sqrt(Σc²) AS REAL) — the
+    * exact DenseVecAgg.finish arithmetic), query components inlined as
+    * exact round-trip double literals narrowed to REAL, cosine distance
+    * via the shared left-associative fold helpers. */
+  private def embedSearchXxSql: String = {
+    val qf = HashingEmbedder.md5NormalizedLocal(EmbedQueryText, 64)
+    // float widens to double exactly; the shortest-round-trip double
+    // string parses back to that double; REAL cast lands on the float
+    val qList = qf.map(f => s"CAST(CAST('${f.toDouble}' AS DOUBLE) AS REAL)")
+      .mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(t) AS m FROM tok WHERE t <> ''),
+       |bs AS (SELECT doc_id, ($mdValue) % 64 AS bucket,
+       |  CASE WHEN (${mdNib(9)}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+       |c AS (SELECT doc_id, bucket, sum(sign) AS c FROM bs GROUP BY 1, 2),
+       |nd AS (SELECT doc_id, sum(c*c) AS nsq FROM c GROUP BY 1),
+       |grid AS (SELECT d.doc_id, u.b
+       |  FROM documents d, unnest(generate_series(0, 63)) AS u(b)),
+       |comp AS (SELECT g.doc_id, g.b,
+       |    CAST(CASE WHEN coalesce(nd.nsq, 0.0) = 0.0 THEN 0.0
+       |         ELSE coalesce(c.c, 0.0) / sqrt(nd.nsq) END AS REAL) AS f
+       |  FROM grid g
+       |  LEFT JOIN c ON g.doc_id = c.doc_id AND g.b = c.bucket
+       |  LEFT JOIN nd ON g.doc_id = nd.doc_id),
+       |vec AS (SELECT doc_id, list(f ORDER BY b) AS v FROM comp GROUP BY doc_id),
+       |q AS (SELECT $qList AS qe)
+       |SELECT vec.doc_id AS doc_id, ${OracleSql.cosineDistance("v", "qe")} AS dist
+       |FROM vec CROSS JOIN q
+       |ORDER BY dist ASC, doc_id ASC LIMIT 10""".stripMargin
   }
 
   /** Multimodal feature oracle: the byte-histogram stub codec re-derived

@@ -115,6 +115,35 @@ object HashingEmbedder {
     aggTokens(df, idCol, tokens, dim, outCol, normalize = false)
   }
 
+  /** md5-variant NORMALIZED embedding — the production [[embed]] shape
+    * (signed counts, L2-normalized, float32 components) with the
+    * cross-engine md5 hash: every component is c/sqrt(Σc²), one
+    * correctly-rounded double division + one double→float rounding from
+    * exact integers, so the embedding — and anything folded over it in
+    * array order — is oracle-checkable bit-for-bit. */
+  def embedMd5Normalized(df: DataFrame, idCol: String, textCol: String,
+                         dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val (bucket, sign) = md5BucketSignCols(col("__tok"), dim)
+    val tokens = df
+      .select(col(idCol).cast("string").as("__eid"),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col("__eid"), bucket.as("__bucket"), sign.as("__sign"))
+    aggTokens(df, idCol, tokens, dim, outCol, normalize = true)
+  }
+
+  /** Driver-side twin of [[embedMd5Normalized]] for a single text —
+    * identical arithmetic to DenseVecAgg.finish (sqrt of the exact
+    * integer norm², per-component divide, round to float). */
+  def md5NormalizedLocal(text: String, dim: Int = DefaultDim): Array[Float] = {
+    val c = md5CountsLocal(text, dim)
+    var s = 0.0
+    c.foreach(v => s += v * v)
+    val n = if (s == 0.0) 1.0 else math.sqrt(s)
+    c.map(v => (v / n).toFloat)
+  }
+
   private def aggTokens(df: DataFrame, idCol: String, tokens: DataFrame,
                         dim: Int, outCol: String, normalize: Boolean): DataFrame = {
     val spark = df.sparkSession

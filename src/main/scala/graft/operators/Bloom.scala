@@ -130,7 +130,14 @@ object Bloom {
     * cheaper than shuffling every row on a text-hash key, and the
     * verify branch's shuffle input is fpp-sized. Null corpus keys
     * follow anti-join semantics (never members ⇒ kept), whichever
-    * branch they land in. */
+    * branch they land in.
+    *
+    * `expectedKeys` is a sizing ESTIMATE — pass table statistics or a
+    * KMV sketch estimate ([[Sketch]]), not an eager count() (which
+    * would cost an extra blocklist scan before the real query).
+    * Mis-estimating cannot change the result: undersizing only raises
+    * the effective fpp (more rows pay the verify join), oversizing
+    * only wastes bitmap bits. */
   def subtractByKey(corpus: DataFrame, keyCol: Column,
                     blocklist: DataFrame, blocklistKeyCol: Column,
                     expectedKeys: Long, fpp: Double = 0.01): DataFrame = {

@@ -13,7 +13,7 @@ class ContractSpec extends AnyFunSuite {
     * document the twin, or the build fails. */
   private val RowsOnly = Set(
     "b1_hnsw_edges", "b1_hnsw_incremental", "b4_ivf_build", "b5_ivf_add",
-    "b8_pq_train", "b9_pq_encode", "e1_embed_docs", "e2_embed_search_xx",
+    "b8_pq_train", "b9_pq_encode", "e1_embed_docs",
     "o3_hnsw_search", "o6_ivf_partitioned", "o6_ivf_search", "o6_pq_adc_topk")
 
   test("every oracle key names an existing query") {

@@ -213,6 +213,35 @@ class PlanSpec extends SparkSpec {
       s"pivot aggregation not map-side combined, plan:\n$plan")
   }
 
+  test("q5 fact-to-orders edge carries no broadcast hint: with broadcasting off it shuffle-joins") {
+    val s = spark
+    // -1 disables stats-based broadcast; explicit broadcast() HINTS
+    // still win — so a surviving shuffle join on l_orderkey proves the
+    // orders edge is unhinted and Catalyst/AQE picks by measured size
+    // (at 100× orders is fact-sized and a forced broadcast would OOM)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q5_local_supplier")(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[l_orderkey".r.findFirstIn(plan).isDefined,
+        s"lineitem-orders join did not degrade to a shuffle join (lurking hint?):\n$plan")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    }
+  }
+
+  test("t_tfidf per-doc top-3 aggregates map-side (partial TopTerms before the shuffle)") {
+    val plan = SparkEntry.queries("t_tfidf")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the bounded-heap aggregator must appear as partial + final around
+    // the doc_id exchange — the rank window this replaced shuffled the
+    // whole (doc, word) matrix with no map-side trim
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final TopTerms aggregates, plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"rank window resurfaced in t_tfidf plan:\n$plan")
+  }
+
   test("KMV sketch aggregates map-side: bounded partial sketch before one exchange") {
     val s = spark
     import s.implicits._
