@@ -1228,6 +1228,37 @@ object SparkEntry {
       Multimodal.audioFeatures(wavs, "doc_id", "media").orderBy("doc_id")
     }),
 
+    // ---- Multimodal REAL JPEG decode: per-doc block-constant grayscale
+    // JPEGs — encoded AND decoded distributed through the JDK's
+    // javax.imageio (a real compressed codec, no stub). At quality 1.0
+    // the quant tables are all ones and each 8×8 block is DC-only, so
+    // the round-trip is bit-exact (pinned in MultimodalSpec) and the
+    // oracle recomputes width/height/lum_sum/mean_channel in closed
+    // form from (doc_id, block grid) — hash-checking that the codec
+    // really ran and extracted the right pixels, not just the header.
+    "mm_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val jpegs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (24 + id % 41).toInt
+          val h = (16 + id % 29).toInt
+          val rgb = new Array[Byte](3 * w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 31 + (x / 8) * 7 + (y / 8) * 13) % 256).toByte
+              val p = 3 * (y * w + x)
+              rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, MediaCodec.encodeJpeg(w, h, rgb, quality = 1.0f))
+        }.toDF("doc_id", "media")
+      Multimodal.imageStats(jpegs, "doc_id", "media").orderBy("doc_id")
+    }),
+
     // ---- Multimodal: frame sampling over binary payloads
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -2491,6 +2522,34 @@ object SparkEntry {
           |       ELSE sqrt(CAST(a.sum_sq AS DOUBLE) / CAST(a.n_samples AS DOUBLE))
           |  END AS rms
           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // closed-form recomputation of the block-constant grayscale
+      // fixture: pixel (x, y) of doc d holds gray value
+      // (d·31 + (x÷8)·7 + (y÷8)·13) mod 256, and the q=1.0 JPEG
+      // round-trip is bit-exact (MultimodalSpec), so lum_sum = 3·Σv and
+      // mean_channel = lum_sum / (3·w·h) match the decoded stats exactly
+      "mm_jpeg_decode" ->
+        """WITH dims AS (
+          |  SELECT doc_id, 24 + doc_id % 41 AS w, 16 + doc_id % 29 AS h
+          |  FROM documents),
+          |px AS (
+          |  SELECT doc_id, w, h,
+          |    (doc_id * 31 + (x // 8) * 7 + (y // 8) * 13) % 256 AS v
+          |  FROM dims,
+          |    unnest(generate_series(0, w - 1)) AS tx(x),
+          |    unnest(generate_series(0, h - 1)) AS ty(y)),
+          |agg AS (
+          |  SELECT doc_id, CAST(3 * sum(v) AS BIGINT) AS lum_sum,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM px GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+          |  a.lum_sum,
+          |  CAST(a.lum_sum AS DOUBLE) / CAST(3 * a.n AS DOUBLE) AS mean_channel
+          |FROM documents d
+          |JOIN dims m ON d.doc_id = m.doc_id
+          |JOIN agg a ON d.doc_id = a.doc_id
           |ORDER BY d.doc_id""".stripMargin,
 
       "mm_frame_sample" ->

@@ -1,18 +1,23 @@
 package graft.operators
 
-/** Real pure-JVM codecs for the uncompressed media containers: RIFF/PCM
-  * WAV (audio) and 24-bit uncompressed BMP (image). No native or
-  * third-party libraries — plain header parsing and sample extraction —
-  * so the multimodal decode path is REAL for these formats;
-  * [[Multimodal.FakeCodec]] remains the clearly-marked stand-in only for
-  * compressed codecs (JPEG/MP3/H.264) that genuinely need external
-  * decoders.
+/** Real codecs for the media containers the engine decodes natively:
+  * RIFF/PCM WAV (audio) and 24-bit uncompressed BMP (image) via plain
+  * pure-JVM header parsing, and baseline JPEG via the JDK-bundled
+  * `javax.imageio` reader/writer — a REAL compressed codec with zero
+  * external dependencies. [[Multimodal.FakeCodec]] remains the
+  * clearly-marked stand-in only for the codecs the JDK does not ship
+  * (MP3/H.264).
   *
-  * Both decoders are strict: malformed magic/headers throw
-  * IllegalArgumentException rather than guessing, so a bad payload
-  * surfaces as a per-row error a pipeline can quarantine.
+  * All decoders are strict: malformed magic/headers throw rather than
+  * guessing, so a bad payload surfaces as a per-row error a pipeline
+  * can quarantine.
   */
 object MediaCodec {
+
+  // ImageIO's default temp-FILE stream cache would put a disk write on
+  // every executor decode; in-memory streams keep the batch decode path
+  // allocation-only. Runs once per JVM at first MediaCodec use.
+  javax.imageio.ImageIO.setUseCache(false)
 
   // ---------------------------------------------------------------- WAV
 
@@ -160,5 +165,81 @@ object MediaCodec {
       rgb(dst) = bytes(src + 2); rgb(dst + 1) = bytes(src + 1); rgb(dst + 2) = bytes(src)
     }
     (width, height, rgb)
+  }
+
+  // --------------------------------------------------------------- JPEG
+
+  /** Encode row-major RGB triplets as baseline JPEG via the JDK writer.
+    * `quality` ∈ (0, 1]; 1.0f sets all-ones quantization tables (the
+    * libjpeg quality-100 scaling), under which a block-constant
+    * grayscale image round-trips bit-exactly: each 8×8 block is DC-only,
+    * DC quantizes losslessly at step 1, and gray pixels keep Cb=Cr=128
+    * exactly through the fixed-point color transforms (coefficient rows
+    * sum to one), so chroma subsampling interpolates a constant. */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte],
+                 quality: Float = 1.0f): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(rgb.length == 3 * width * height,
+      s"rgb length ${rgb.length} != ${3 * width * height}")
+    require(quality > 0f && quality <= 1f, s"quality must be in (0,1], got $quality")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < width * height) {
+      data(3 * i) = rgb(3 * i + 2)       // raster stores BGR
+      data(3 * i + 1) = rgb(3 * i + 1)
+      data(3 * i + 2) = rgb(3 * i)
+      i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Decode baseline JPEG → (width, height, row-major RGB triplets,
+    * top-down) via the JDK reader. Strict on magic; an undecodable body
+    * past the magic throws (IIOException/NPE-free: ImageIO.read returns
+    * null for unreadable streams, converted to a require failure). */
+  def decodeJpeg(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes != null && bytes.length >= 3 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable JPEG payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < px.length) {
+      rgb(3 * i) = ((px(i) >> 16) & 0xff).toByte
+      rgb(3 * i + 1) = ((px(i) >> 8) & 0xff).toByte
+      rgb(3 * i + 2) = (px(i) & 0xff).toByte
+      i += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** Container-sniffing image decode: BMP ("BM") and JPEG (FF D8) by
+    * magic bytes; anything else is a strict per-row error. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes != null && bytes.length >= 2, "empty image payload")
+    if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) decodeJpeg(bytes)
+    else throw new IllegalArgumentException(
+      "unsupported image container (expected BMP or JPEG magic)")
   }
 }

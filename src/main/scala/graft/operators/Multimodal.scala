@@ -9,11 +9,11 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus per-partition batch decode /
   * feature-extract / frame-sample operators.
   *
-  * Codec status: uncompressed containers decode for REAL —
+  * Codec status: WAV, BMP AND baseline JPEG decode for REAL —
   * [[MediaCodec]] parses RIFF/PCM WAV and 24-bit BMP in pure JVM code
-  * (see [[audioFeatures]] / [[imageStats]]). Only compressed codecs
-  * (JPEG/MP3/H.264), which genuinely need external decoder libraries
-  * this container lacks, remain behind [[FakeCodec]], a deterministic
+  * and drives the JDK-bundled `javax.imageio` for JPEG (see
+  * [[audioFeatures]] / [[imageStats]]). Only the codecs the JDK does
+  * not ship (MP3/H.264) remain behind [[FakeCodec]], a deterministic
   * byte-level stand-in. Everything Spark-side is real and tested either
   * way: schema, binary handling, `mapPartitions` batch shape (one
   * decoder instance per partition, streamed rows, no per-row setup),
@@ -29,9 +29,11 @@ object Multimodal {
     StructField("sample_rate", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** STUB decoder: deterministic features from raw bytes (byte-value
-    * histogram folded into `dim` buckets, L2-normalized). A real codec
-    * implements the same (bytes ⇒ float[dim]) contract. */
+  /** STUB decoder for the codecs the JDK does not ship (MP3/H.264):
+    * deterministic features from raw bytes (byte-value histogram folded
+    * into `dim` buckets, L2-normalized). A real codec implements the
+    * same (bytes ⇒ float[dim]) contract — WAV/BMP/JPEG already decode
+    * for real via [[MediaCodec]]. */
   object FakeCodec {
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val acc = new Array[Double](dim)
@@ -127,10 +129,11 @@ object Multimodal {
     }.toDF(idCol, "sample_rate", "n_samples", "duration_ms", "sum_sq", "rms")
   }
 
-  /** REAL image decode: parse each row's 24-bit BMP payload
-    * ([[MediaCodec.decodeBmp]]) and emit dimensions + exact integer
-    * luminance sum (Σ r+g+b — order-free) and mean channel value.
-    * Malformed payloads yield nulls, as in [[audioFeatures]]. */
+  /** REAL image decode: parse each row's image payload — 24-bit BMP or
+    * baseline JPEG, sniffed by magic ([[MediaCodec.decodeImage]]) — and
+    * emit dimensions + exact integer luminance sum (Σ r+g+b —
+    * order-free) and mean channel value. Malformed payloads yield
+    * nulls, as in [[audioFeatures]]. */
   def imageStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -141,7 +144,7 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](binIdx)
         try {
-          val (w, h, rgb) = MediaCodec.decodeBmp(bytes)
+          val (w, h, rgb) = MediaCodec.decodeImage(bytes)
           var s = 0L
           var i = 0
           while (i < rgb.length) { s += (rgb(i) & 0xff); i += 1 }

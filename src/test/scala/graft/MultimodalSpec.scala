@@ -115,4 +115,69 @@ class MultimodalSpec extends SparkSpec {
     assert(af(1L).getDouble(5) == math.sqrt(12.5))
     assert(af(2L).isNullAt(1))
   }
+
+  /** The block-constant grayscale fixture mm_jpeg_decode generates:
+    * every pixel of 8×8 block (bx, by) holds gray value
+    * (seed·31 + bx·7 + by·13) mod 256. */
+  private def blockGray(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((seed * 31 + (x / 8) * 7 + (y / 8) * 13) % 256).toByte
+      val p = 3 * (y * w + x)
+      rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+    }
+    rgb
+  }
+
+  test("JPEG codec: block-constant grayscale round-trips BIT-EXACTLY at quality 1.0") {
+    import graft.operators.MediaCodec
+    // the exactness mm_jpeg_decode's oracle relies on: all-ones quant
+    // tables (q=1.0) + DC-only blocks + constant chroma — including
+    // non-multiple-of-8 dims (edge-replicated partial blocks stay
+    // constant) and every block-value phase
+    for (seed <- Seq(0L, 1L, 7L, 255L); (w, h) <- Seq((24, 16), (27, 19), (8, 8), (3, 5))) {
+      val rgb = blockGray(seed, w, h)
+      val (dw, dh, back) = MediaCodec.decodeJpeg(MediaCodec.encodeJpeg(w, h, rgb, 1.0f))
+      assert(dw == w && dh == h, s"dims drifted for seed=$seed ${w}x$h")
+      assert(back.toSeq == rgb.toSeq, s"JPEG round-trip not exact for seed=$seed ${w}x$h")
+    }
+  }
+
+  test("JPEG codec: lossy content decodes within a small bounded error; strict on garbage") {
+    import graft.operators.MediaCodec
+    // smooth gradient (non-block-constant): decode must stay close at
+    // high quality — this pins that the codec path is a REAL lossy
+    // decoder, not an identity stub
+    val w = 32; val h = 24
+    val rgb = Array.tabulate(3 * w * h) { p =>
+      val i = p / 3; ((i % w) * 3 + (i / w) * 2).toByte
+    }
+    val (dw, dh, back) = MediaCodec.decodeJpeg(MediaCodec.encodeJpeg(w, h, rgb, 0.95f))
+    assert(dw == w && dh == h)
+    val maxErr = rgb.indices.map(i => math.abs((rgb(i) & 0xff) - (back(i) & 0xff))).max
+    assert(maxErr <= 16, s"gradient decode error $maxErr out of bounds")
+    assert(maxErr >= 0) // sanity
+    intercept[IllegalArgumentException](MediaCodec.decodeJpeg("nope".getBytes))
+    // JPEG magic but an undecodable body must throw, not return junk
+    intercept[Exception](
+      MediaCodec.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)))
+  }
+
+  test("imageStats dispatches BMP and JPEG by magic in one mixed column") {
+    import graft.operators.MediaCodec
+    val s = spark
+    import s.implicits._
+    val bmpRgb = Array.tabulate(27)(i => (i * 5).toByte) // 3x3
+    val jpgRgb = blockGray(3L, 16, 8)
+    val imgs = Seq(
+      (1L, MediaCodec.encodeBmp(3, 3, bmpRgb)),
+      (2L, MediaCodec.encodeJpeg(16, 8, jpgRgb, 1.0f)),
+      (3L, "garbage-payload".getBytes)).toDF("id", "media")
+    val st = Multimodal.imageStats(imgs, "id", "media").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getLong(1) == 3L && st(1L).getLong(3) == bmpRgb.map(_ & 0xff).sum.toLong)
+    assert(st(2L).getLong(1) == 16L && st(2L).getLong(2) == 8L)
+    assert(st(2L).getLong(3) == jpgRgb.map(_ & 0xff).sum.toLong) // exact: block-constant q=1.0
+    assert(st(3L).isNullAt(1) && st(3L).isNullAt(4))
+  }
 }
