@@ -6,209 +6,251 @@ import org.apache.spark.sql.functions._
 
 /** Scale probe: synthesizes a 1M-row x 64-dim vector table and times the
   * core operators — evidence for the 100x-scale-up claims (run manually;
-  * not part of the driver contract). */
+  * not part of the driver contract).
+  *
+  * args: [n] [group] — group ∈ {all, vectors, text} selects the probe
+  * family ("text" = the dedup/text/sketch tier, runnable alone at 10M+
+  * rows without paying for the vector-index builds; default all). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val group = args.lift(1).getOrElse("all")
+    require(Set("all", "vectors", "text")(group), s"unknown group $group")
+    val vectors = group == "all" || group == "vectors"
+    val text = group == "all" || group == "text"
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dir = s"/tmp/graft_scale_$n"
-    // deterministic pseudo-random embeddings from hash mixing
-    spark.range(n).select(col("id"),
-        transform(sequence(lit(0), lit(63)),
-          i => (pmod(xxhash64(col("id") * 64 + i), lit(10000)) / 10000.0).cast("float"))
-          .as("embedding"))
-      .write.mode("overwrite").parquet(dir)
-    val df = spark.read.parquet(dir)
-    val q = df.filter(col("id") === 0).select("embedding").head.getSeq[Float](0).toSeq
-
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val r = f
       println(f"SCALE $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$r)")
     }
-    // warm the session (codegen/JIT/file-index) so the first timed op
-    // isn't charged one-time session costs
-    df.agg(sum(element_at(col("embedding"), 1))).count()
 
-    t("exact_knn_top10")(Search.knnExact(df, "id", "embedding", q, 10).count())
-    var model: Ivf.Model = null
-    t("ivf_build_k64") { val (a, m) = Ivf.build(df, "embedding", 64); model = m; a.count() }
-    val assigned = Ivf.assign(df, model)
-    t("ivf_search_probe4")(Ivf.search(assigned, model, "id", q, 4, 10).count())
-    var cb: Pq.Codebook = null
-    t("pq_train_8x256") { cb = Pq.train(df, "embedding", 64, 8, 256); cb.k.toLong }
-    // full encode persisted once (the pipeline shape: encode is a build
-    // step; searches run over stored codes)
-    val codesDir = s"$dir-codes"
-    t("pq_encode_persist") {
-      Pq.encode(df, "embedding", cb).select("id", "pq_code")
-        .write.mode("overwrite").parquet(codesDir)
-      n
-    }
-    val codes = spark.read.parquet(codesDir)
-    t("pq_adc_top10_stored")(Pq.adcSearch(codes, "id", "pq_code", cb, q, 10).count())
+    if (vectors) {
+      val dir = s"/tmp/graft_scale_$n"
+      // deterministic pseudo-random embeddings from hash mixing
+      spark.range(n).select(col("id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(xxhash64(col("id") * 64 + i), lit(10000)) / 10000.0).cast("float"))
+            .as("embedding"))
+        .write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+      val q = df.filter(col("id") === 0).select("embedding").head.getSeq[Float](0).toSeq
 
-    // BQ tier: train-free encode persisted once; Hamming screen and
-    // screen+rerank run over stored 2-long codes (32x smaller scans)
-    val bqDir = s"$dir-bqcodes"
-    t("bq_encode_persist") {
-      graft.operators.Bq.encode(df, "embedding")
-        .select("id", "embedding", "bq_code")
-        .write.mode("overwrite").parquet(bqDir)
-      n
-    }
-    val bqCodes = spark.read.parquet(bqDir)
-    t("bq_hamming_top10_stored")(
-      graft.operators.Bq.hammingSearch(bqCodes, "id", "bq_code", q, 10).count())
-    t("bq_rerank_top10_w300")(
-      graft.operators.Bq.rerankSearch(bqCodes, "id", "bq_code", "embedding",
-        q, 10, 300).count())
+      // warm the session (codegen/JIT/file-index) so the first timed op
+      // isn't charged one-time session costs
+      df.agg(sum(element_at(col("embedding"), 1))).count()
 
-    // KMV sketch: bounded-state distinct estimate over all n ids
-    t("kmv_sketch_k256")(
-      graft.operators.Sketch.distinctEstimate(df, col("id"), 256).count())
+      t("exact_knn_top10")(Search.knnExact(df, "id", "embedding", q, 10).count())
+      var model: Ivf.Model = null
+      t("ivf_build_k64") { val (a, m) = Ivf.build(df, "embedding", 64); model = m; a.count() }
+      val assigned = Ivf.assign(df, model)
+      t("ivf_search_probe4")(Ivf.search(assigned, model, "id", q, 4, 10).count())
+      var cb: Pq.Codebook = null
+      t("pq_train_8x256") { cb = Pq.train(df, "embedding", 64, 8, 256); cb.k.toLong }
+      // full encode persisted once (the pipeline shape: encode is a build
+      // step; searches run over stored codes)
+      val codesDir = s"$dir-codes"
+      t("pq_encode_persist") {
+        Pq.encode(df, "embedding", cb).select("id", "pq_code")
+          .write.mode("overwrite").parquet(codesDir)
+        n
+      }
+      val codes = spark.read.parquet(codesDir)
+      t("pq_adc_top10_stored")(Pq.adcSearch(codes, "id", "pq_code", cb, q, 10).count())
 
-    // batch kNN join: 100 query vectors against the full table, bounded-
-    // heap map-side combine (the shuffle carries <= k x queries x parts)
-    val queries = df.filter(col("id") < 100)
-      .select(col("id").as("qid"), col("embedding").as("qemb"))
-    t("knn_join_100q_top10")(
-      Search.knnJoin(df, "id", "embedding", queries, "qid", "qemb", 10).count())
+      // BQ tier: train-free encode persisted once; Hamming screen and
+      // screen+rerank run over stored 2-long codes (32x smaller scans)
+      val bqDir = s"$dir-bqcodes"
+      t("bq_encode_persist") {
+        graft.operators.Bq.encode(df, "embedding")
+          .select("id", "embedding", "bq_code")
+          .write.mode("overwrite").parquet(bqDir)
+        n
+      }
+      val bqCodes = spark.read.parquet(bqDir)
+      t("bq_hamming_top10_stored")(
+        graft.operators.Bq.hammingSearch(bqCodes, "id", "bq_code", q, 10).count())
+      t("bq_rerank_top10_w300")(
+        graft.operators.Bq.rerankSearch(bqCodes, "id", "bq_code", "embedding",
+          q, 10, 300).count())
 
-    // SQ8 tier: exact min/max train (one explode + 64-group agg), encode
-    // persisted, ADC over stored codes (scan-only)
-    var sqm: graft.operators.Sq.Model = null
-    t("sq8_train_minmax") {
-      sqm = graft.operators.Sq.train(df, "embedding"); sqm.dim.toLong
-    }
-    val sqDir = s"$dir-sqcodes"
-    t("sq8_encode_persist") {
-      graft.operators.Sq.encode(df, "embedding", sqm).select("id", "sq_code")
-        .write.mode("overwrite").parquet(sqDir)
-      n
-    }
-    val sqCodes = spark.read.parquet(sqDir)
-    t("sq8_adc_top10_stored")(
-      graft.operators.Sq.adcSearch(sqCodes, "id", "sq_code", sqm, q, 10).count())
+      // KMV sketch: bounded-state distinct estimate over all n ids
+      t("kmv_sketch_k256")(
+        graft.operators.Sketch.distinctEstimate(df, col("id"), 256).count())
 
-    // hashing embedder over n synthetic ~8-token docs (dense-buffer agg)
-    val docs = spark.range(n).select(col("id"),
-      concat_ws(" ", (0 until 8).map(j =>
-        pmod(xxhash64(col("id") * 8 + j), lit(5000)).cast("string")): _*).as("text"))
-    t("embed_docs_dim64")(
-      HashingEmbedder.embed(docs, "id", "text", dim = 64).count())
+      // batch kNN join: 100 query vectors against the full table, bounded-
+      // heap map-side combine (the shuffle carries <= k x queries x parts)
+      val queries = df.filter(col("id") < 100)
+        .select(col("id").as("qid"), col("embedding").as("qemb"))
+      t("knn_join_100q_top10")(
+        Search.knnJoin(df, "id", "embedding", queries, "qid", "qemb", 10).count())
 
-    // BM25 top-10 over the n docs: one corpus-stats pass + one
-    // matched-token-only shuffle + TakeOrdered (no corpus join)
-    t("bm25_top10")(
-      graft.operators.TextSearch.bm25TopK(docs, "id", "text",
-        Seq("17", "4242", "999"), 10).count())
+      // SQ8 tier: exact min/max train (one explode + 64-group agg), encode
+      // persisted, ADC over stored codes (scan-only)
+      var sqm: graft.operators.Sq.Model = null
+      t("sq8_train_minmax") {
+        sqm = graft.operators.Sq.train(df, "embedding"); sqm.dim.toLong
+      }
+      val sqDir = s"$dir-sqcodes"
+      t("sq8_encode_persist") {
+        graft.operators.Sq.encode(df, "embedding", sqm).select("id", "sq_code")
+          .write.mode("overwrite").parquet(sqDir)
+        n
+      }
+      val sqCodes = spark.read.parquet(sqDir)
+      t("sq8_adc_top10_stored")(
+        graft.operators.Sq.adcSearch(sqCodes, "id", "sq_code", sqm, q, 10).count())
 
-    // one-pass profiling of the full docs table (id numeric + text string)
-    t("profile_2col")(
-      graft.operators.Profile.profile(docs, Seq("id", "text")).count())
+      // IVF-PQ composite over the stored corpus: residual encode persisted
+      // cluster-partitioned, then two-stage search over codes only
+      val ivfpqDir = s"$dir-ivfpq"
+      var ipModel: graft.operators.IvfPq.Model = null
+      t("ivfpq_build_encode_persist") {
+        val (enc, m) = graft.operators.IvfPq.build(df, "embedding",
+          kClusters = 64, chunks = 8, kCodes = 256)
+        ipModel = m
+        Ivf.writePartitioned(enc.select("id", Ivf.ClusterCol, "pq_code"), ivfpqDir)
+        n
+      }
+      val ipCodes = spark.read.parquet(ivfpqDir)
+      t("ivfpq_adc_top10_probe4")(
+        graft.operators.IvfPq.search(ipCodes, ipModel, "id", q, 4, 10).count())
 
-    // MaxSim late-interaction top-10 over the n docs (windowing +
-    // window-embed shuffle + one doc-level max-agg shuffle)
-    t("maxsim_top10")(
-      graft.operators.MultiVec.maxsimSearch(docs, "id", "text",
-        Seq("17 4242", "999 3"), k = 10).count())
+      // PageRank over a 2M-directed-edge ring-like graph, 3 iterations —
+      // the distributed iterative path with decimal-routed sums
+      val prEdges = spark.range(n).select(col("id").as("a"),
+        pmod(col("id") * 48271L + 1L, lit(n)).as("b"))
+        .filter(col("a") =!= col("b"))
+      t("pagerank_1m_edges_3it")(
+        graft.operators.PageRank.run(prEdges, iters = 3).count())
 
-    // PageRank over a 2M-directed-edge ring-like graph, 3 iterations —
-    // the distributed iterative path with decimal-routed sums
-    val prEdges = spark.range(n).select(col("id").as("a"),
-      pmod(col("id") * 48271L + 1L, lit(n)).as("b"))
-      .filter(col("a") =!= col("b"))
-    t("pagerank_1m_edges_3it")(
-      graft.operators.PageRank.run(prEdges, iters = 3).count())
-
-    // MinHash LSH candidate pairs over n/5 docs (explode -> 8 min-aggs ->
-    // banded buckets; shuffles only signatures and bucket groups)
-    t("minhash_lsh_pairs")(
-      Dedup.minhashLshPairs(docs.filter(col("id") % 5 === 0), "id", "text",
-        numHashes = 8, bands = 4, shingle = 3).count())
-
-    // IVF-PQ composite over the stored corpus: residual encode persisted
-    // cluster-partitioned, then two-stage search over codes only
-    val ivfpqDir = s"$dir-ivfpq"
-    var ipModel: graft.operators.IvfPq.Model = null
-    t("ivfpq_build_encode_persist") {
-      val (enc, m) = graft.operators.IvfPq.build(df, "embedding",
-        kClusters = 64, chunks = 8, kCodes = 256)
-      ipModel = m
-      Ivf.writePartitioned(enc.select("id", Ivf.ClusterCol, "pq_code"), ivfpqDir)
-      n
-    }
-    val ipCodes = spark.read.parquet(ivfpqDir)
-    t("ivfpq_adc_top10_probe4")(
-      graft.operators.IvfPq.search(ipCodes, ipModel, "id", q, 4, 10).count())
-
-    // boilerplate removal over n docs: df-count shuffle + anti-join +
-    // per-doc reassembly (segments = words here). Forcing via .head on
-    // the sum — count() over a global aggregate is optimized to a
-    // constant and would skip the whole pipeline
-    t("boilerplate_remove") {
-      Dedup.boilerplateRemove(docs, "id", "text", " ", minDocFreq = n / 2)
-        .agg(sum(length(col("text_clean")))).head.getLong(0)
+      // bucketed time-range join: n events x n/10 orders, 30-bucket window
+      val evs = spark.range(n).select(col("id").as("eid"),
+        pmod(col("id") * 2654435761L, lit(100000)).as("k"),
+        (col("id") % 1000000L * 1000000L).as("tus"))
+      val ords = spark.range(n / 10).select(col("id").as("oid"),
+        pmod(col("id") * 40503L, lit(100000)).as("k"),
+        (col("id") % 1000000L * 9999999L % 1000000000000L).as("rus"))
+      t("range_join_agg")(
+        RangeJoin.innerPairs(
+            evs.withColumn("t", timestamp_micros(col("tus"))), "k", col("t"),
+            ords.withColumn("rt", timestamp_micros(col("rus"))), "k", col("rt"),
+            windowMicros = 3600L * 1000000L, payload = Seq("oid"))
+          .groupBy("eid").agg(count(lit(1))).count())
     }
 
-    // bigram-LM self-score over n docs: two count shuffles + model join +
-    // per-doc ordered fold
-    t("lm_selfscore") {
-      graft.operators.LmScore.selfScore(docs, "id", "text", minCount = 2L)
-        .agg(sum(col("lm_score"))).head.getDouble(0).toLong
+    if (text) {
+      // hashing embedder over n synthetic ~8-token docs (dense-buffer agg)
+      val docs = spark.range(n).select(col("id"),
+        concat_ws(" ", (0 until 8).map(j =>
+          pmod(xxhash64(col("id") * 8 + j), lit(5000)).cast("string")): _*).as("text"))
+      // session warmup (see above) when the vectors group didn't run
+      docs.agg(sum(length(col("text")))).count()
+
+      t("embed_docs_dim64")(
+        HashingEmbedder.embed(docs, "id", "text", dim = 64).count())
+
+      // BM25 top-10 over the n docs: one corpus-stats pass + one
+      // matched-token-only shuffle + TakeOrdered (no corpus join)
+      t("bm25_top10")(
+        graft.operators.TextSearch.bm25TopK(docs, "id", "text",
+          Seq("17", "4242", "999"), 10).count())
+
+      // one-pass profiling of the full docs table (id numeric + text string)
+      t("profile_2col")(
+        graft.operators.Profile.profile(docs, Seq("id", "text")).count())
+
+      // MaxSim late-interaction top-10 over the n docs (windowing +
+      // window-embed shuffle + one doc-level max-agg shuffle)
+      t("maxsim_top10")(
+        graft.operators.MultiVec.maxsimSearch(docs, "id", "text",
+          Seq("17 4242", "999 3"), k = 10).count())
+
+      // MinHash LSH candidate pairs over n/5 docs (explode -> 8 min-aggs ->
+      // banded buckets; shuffles only signatures and bucket groups)
+      t("minhash_lsh_pairs")(
+        Dedup.minhashLshPairs(docs.filter(col("id") % 5 === 0), "id", "text",
+          numHashes = 8, bands = 4, shingle = 3).count())
+
+      // planted degenerate bucket: n/10 docs share ONE identical text, so
+      // every band signature collides into a single ~n/10-doc bucket.
+      // Unguarded that bucket alone fans out into ~(n/10)²/2 pairs (10¹¹
+      // at n=10M — the quadratic blowup); the default maxBucket guard
+      // must drop it and finish in normal-bucket time, bounding the
+      // fan-out to the healthy buckets only
+      t("minhash_lsh_hot_bucket") {
+        val hot = docs.withColumn("text",
+          when(col("id") % 10 === 0, lit("the planted degenerate boilerplate"))
+            .otherwise(col("text")))
+        Dedup.minhashLshPairs(hot, "id", "text",
+          numHashes = 8, bands = 4, shingle = 3, maxBucket = 10000).count()
+      }
+
+      // boilerplate removal over n docs: df-count shuffle + anti-join +
+      // per-doc reassembly (segments = words here). Forcing via .head on
+      // the sum — count() over a global aggregate is optimized to a
+      // constant and would skip the whole pipeline
+      t("boilerplate_remove") {
+        Dedup.boilerplateRemove(docs, "id", "text", " ", minDocFreq = n / 2)
+          .agg(sum(length(col("text_clean")))).head.getLong(0)
+      }
+
+      // bigram-LM self-score over n docs: two count shuffles + model join +
+      // per-doc ordered fold
+      t("lm_selfscore") {
+        graft.operators.LmScore.selfScore(docs, "id", "text", minCount = 2L)
+          .agg(sum(col("lm_score"))).head.getDouble(0).toLong
+      }
+
+      // winnowing shared-passage pairs over n docs (codegen fingerprints,
+      // ~2.len/window per doc; hot fingerprints cut by maxBucket)
+      t("winnow_passage_pairs")(
+        Dedup.sharedPassagePairs(docs, "id", "text",
+          gramLen = 20, window = 5, maxBucket = 100).count())
+
+      // Misra-Gries heavy hitters over the ~8n-token stream (bounded
+      // <=k counters map-side, then exact verify of <=k candidates)
+      t("heavy_hitters_k100")(
+        graft.operators.Sketch.heavyHitters(
+          docs.select(explode(split(col("text"), " ")).as("w")),
+          col("w"), 100).count())
+
+      // guarded fuzzy-dedup screen over n/10 docs: df-cutoff bounds the
+      // inverted index even with this tiny shared vocabulary
+      t("editdist_pairs_guarded")(
+        Dedup.editDistancePairs(docs.filter(col("id") % 10 === 0), "id", "text",
+          maxDist = 3, candidateThreshold = 0.3, n = 5, maxDocFreq = 100).count())
+
+      // per-epoch deterministic corpus shuffle: distributed range sort
+      t("epoch_shuffle")(
+        graft.operators.Sampling.epochShuffle(docs, "id", epoch = 1).count())
+
+      // Bloom-screened blocklist subtraction: n-row corpus minus an
+      // n/10-key content-hash blocklist — one small-side bitmap fold,
+      // then a scan-local screen; only the fpp sliver meets the verify
+      // anti-join (exact semantics, see BloomSpec)
+      t("bloom_subtract_n10_blocklist")(
+        graft.operators.Bloom.subtractByKey(
+          docs, md5(col("text")),
+          docs.filter(col("id") % 10 === 0).select(md5(col("text")).as("bk")),
+          col("bk"), expectedKeys = n / 10, fpp = 0.01).count())
+
+      // packOffsets prefix-sum over all n docs: exercises the
+      // MEMORY_AND_DISK persist of the projected corpus (ids + counts
+      // + a small payload) shared by the totals and output passes —
+      // the spill-behavior probe for Chunker at 10M+ rows
+      t("pack_offsets_prefix_sum") {
+        graft.operators.Chunker.packOffsets(
+            docs.select(col("id"), lit(8L).as("n_tokens"),
+              md5(col("text")).as("payload")),
+            "id", "n_tokens", capacity = 4096L)
+          .agg(sum(col("pack_id"))).head.getLong(0)
+      }
     }
-
-    // bucketed time-range join: n events x n/10 orders, 30-bucket window
-    val evs = spark.range(n).select(col("id").as("eid"),
-      pmod(col("id") * 2654435761L, lit(100000)).as("k"),
-      (col("id") % 1000000L * 1000000L).as("tus"))
-    val ords = spark.range(n / 10).select(col("id").as("oid"),
-      pmod(col("id") * 40503L, lit(100000)).as("k"),
-      (col("id") % 1000000L * 9999999L % 1000000000000L).as("rus"))
-    t("range_join_agg")(
-      RangeJoin.innerPairs(
-          evs.withColumn("t", timestamp_micros(col("tus"))), "k", col("t"),
-          ords.withColumn("rt", timestamp_micros(col("rus"))), "k", col("rt"),
-          windowMicros = 3600L * 1000000L, payload = Seq("oid"))
-        .groupBy("eid").agg(count(lit(1))).count())
-
-    // winnowing shared-passage pairs over n docs (codegen fingerprints,
-    // ~2.len/window per doc; hot fingerprints cut by maxBucket)
-    t("winnow_passage_pairs")(
-      Dedup.sharedPassagePairs(docs, "id", "text",
-        gramLen = 20, window = 5, maxBucket = 100).count())
-
-    // Misra-Gries heavy hitters over the ~8n-token stream (bounded
-    // <=k counters map-side, then exact verify of <=k candidates)
-    t("heavy_hitters_k100")(
-      graft.operators.Sketch.heavyHitters(
-        docs.select(explode(split(col("text"), " ")).as("w")),
-        col("w"), 100).count())
-
-    // guarded fuzzy-dedup screen over n/10 docs: df-cutoff bounds the
-    // inverted index even with this tiny shared vocabulary
-    t("editdist_pairs_guarded")(
-      Dedup.editDistancePairs(docs.filter(col("id") % 10 === 0), "id", "text",
-        maxDist = 3, candidateThreshold = 0.3, n = 5, maxDocFreq = 100).count())
-
-    // per-epoch deterministic corpus shuffle: distributed range sort
-    t("epoch_shuffle")(
-      graft.operators.Sampling.epochShuffle(docs, "id", epoch = 1).count())
-
-    // Bloom-screened blocklist subtraction: n-row corpus minus an
-    // n/10-key content-hash blocklist — one small-side bitmap fold,
-    // then a scan-local screen; only the fpp sliver meets the verify
-    // anti-join (exact semantics, see BloomSpec)
-    t("bloom_subtract_n10_blocklist")(
-      graft.operators.Bloom.subtractByKey(
-        docs, md5(col("text")),
-        docs.filter(col("id") % 10 === 0).select(md5(col("text")).as("bk")),
-        col("bk"), expectedKeys = n / 10, fpp = 0.01).count())
     spark.stop()
   }
 }

@@ -1073,6 +1073,43 @@ object SparkEntry {
       out
     }),
 
+    // ---- B10 → B1/B5: live index maintenance on flush — the reference's
+    // indexing_service loop (save the index on every threshold flush) as
+    // one composed streaming path. The corpus replays as 3 micro-batches
+    // (3 files, maxFilesPerTrigger=1); every flush runs Hnsw.refreshEdges
+    // (first flush builds, later flushes insert only unseen ids into the
+    // persisted shard graphs — no rebuild). The final search runs over
+    // the PERSISTED edges exactly as the last flush left them. Rows-only
+    // (HNSW is approximate by contract); the recall + incremental-insert
+    // contracts are gated in StreamingSpec/HnswSpec.
+    "b10_stream_index" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("b10idx").toString
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      emb.repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val params = Hnsw.Params(m = 8, efConstruction = 50)
+      val q = graft.streaming.StreamingIngest.upsertStream(
+        stream, "vec_id", s"$tmp/snap", s"$tmp/ckpt", flushThreshold = 1,
+        onFlush = { _ =>
+          Hnsw.refreshEdges(s.read.parquet(s"$tmp/snap"), s"$tmp/edges",
+            "vec_id", "embedding", numPartitions = 4, params)
+          ()
+        })
+      q.awaitTermination()
+      val snap = s.read.parquet(s"$tmp/snap")
+      val edges = graft.core.SnapshotIO.read(s, s"$tmp/edges")
+        .getOrElse(sys.error("no edges snapshot published by the stream"))
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      Hnsw.searchEdges(edges, snap, "vec_id", "embedding", queries,
+          k = 5, ef = 100, numPartitions = 4, params)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- Multimodal: binary payload + batch feature extraction (stub
     // codec, real plumbing). One row per (doc, bucket) scalar feature —
     // the byte-histogram codec is expressible in SQL (ord() per char ==

@@ -299,7 +299,21 @@ object Dedup {
     * only candidate ids + their texts; the gate uses the k-bounded
     * (banded, early-exit) Levenshtein — O(maxDist·len) per pair, not
     * O(len²) — which at maxDist=5 on ~300-char texts is ~25× less work
-    * than the full DP, and it runs on candidate pairs alone. */
+    * than the full DP, and it runs on candidate pairs alone.
+    *
+    * COMPLETENESS CONTRACT: results are exact over the pairs the
+    * candidate screen admits, NOT "all pairs within maxDist" — the
+    * screen has two recall gaps by construction. (1) Texts shorter
+    * than `n` characters contribute a single whole-text gram, so a
+    * 1-char edit between two sub-n-char texts yields gram Jaccard 0
+    * and the pair never reaches the gate. (2) A doc whose every gram
+    * exceeds `maxDocFreq` (pure boilerplate) keeps no grams and can
+    * never pair. Both gaps affect only degenerate rows — sub-`n`-char
+    * snippets and all-stopgram texts, which curation pipelines drop
+    * anyway (quality/length filters run first); callers who do need
+    * them should lower `n`, raise `maxDocFreq`, or route the short-text
+    * stratum through an exact small-bucket pass. The oracle mirrors
+    * the screen, so oracle-exactness is unaffected. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int, candidateThreshold: Double = 0.3,
                         n: Int = 5, maxDocFreq: Int = 10000): DataFrame = {

@@ -92,7 +92,19 @@ object Sketch {
     * Unlike rank-error sketches (KLL/t-digest), the estimate is
     * REPRODUCIBLE (hash-deterministic in (id, salt)) and therefore
     * oracle-checkable; error follows from the sample rate rather than a
-    * sketch bound. One aggregate over ~fraction·n rows. */
+    * sketch bound. One aggregate over ~fraction·n rows.
+    *
+    * MEMORY BOUND — size `fraction` to the corpus: unlike the bounded
+    * ≤ k-counter sketches in this file, `percentile` buffers the WHOLE
+    * sample (~fraction·n values) in a single ungrouped aggregation
+    * buffer on one task. Choose fraction so fraction·n stays ≤ ~10M
+    * values (≈ 100 MB of doubles with aggregation overhead): e.g.
+    * fraction ≤ 0.01 at 1B rows, ≤ 1e-4 at 100B rows — sampling error
+    * shrinks with absolute sample SIZE, not rate, so a 10M-row sample
+    * pins percentiles of any corpus to ~4 decimal places. Callers who
+    * need bounded state at arbitrary n and can give up bit-exact
+    * reproducibility should use Spark's `approx_percentile` (mergeable
+    * KLL-style summary) instead. */
   def sampledQuantiles(df: DataFrame, valueCol: Column, idCol: Column,
                        probs: Seq[Double], fraction: Double,
                        salt: String = ""): DataFrame = {
@@ -130,32 +142,63 @@ object Sketch {
     * reduce: hit → +1; room → insert at 1; full → decrement all (the
     * classic "cancel k+1 distinct items" step), dropping zeros.
     * merge: sum counts, then subtract the (k+1)-th largest and keep
-    * positive — the PODS'12 mergeable-summaries rule. */
+    * positive — the PODS'12 mergeable-summaries rule.
+    *
+    * The buffer is a MUTABLE counter map updated in place: typed
+    * aggregation keeps the buffer as a JVM object between reduce calls
+    * (serialization happens only at the partial-aggregate shuffle, one
+    * ≤ k-entry map per partition — hence the kryo buffer encoder), so
+    * the hit/insert paths allocate nothing and the decrement sweep is
+    * one in-place pass instead of an immutable O(k) rebuild. */
   final class MisraGriesAgg(k: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, java.util.HashMap[String, Long], Map[String, Long]] {
     require(k >= 1, s"Misra-Gries needs k >= 1, got $k")
-    override def zero: Map[String, Long] = Map.empty
-    override def reduce(b: Map[String, Long], v: String): Map[String, Long] =
-      b.get(v) match {
-        case Some(c) => b.updated(v, c + 1)
-        case None if b.size < k => b.updated(v, 1L)
-        case None =>
-          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
-      }
-    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
-      val sum = y.foldLeft(x) { case (acc, (v, c)) =>
-        acc.updated(v, acc.getOrElse(v, 0L) + c)
-      }
-      if (sum.size <= k) sum
+    override def zero: java.util.HashMap[String, Long] =
+      new java.util.HashMap[String, Long](k * 2)
+    override def reduce(b: java.util.HashMap[String, Long], v: String): java.util.HashMap[String, Long] = {
+      val c = b.getOrDefault(v, 0L)
+      if (c > 0L) b.put(v, c + 1L)
+      else if (b.size < k) b.put(v, 1L)
       else {
-        // subtract the (k+1)-th largest count from everyone
-        val cut = sum.valuesIterator.toArray.sortBy(-_).apply(k)
-        sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+        val it = b.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
       }
+      b
     }
-    override def finish(b: Map[String, Long]): Map[String, Long] = b
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def merge(x: java.util.HashMap[String, Long],
+                       y: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+      val yi = y.entrySet().iterator()
+      while (yi.hasNext) {
+        val e = yi.next()
+        x.put(e.getKey, x.getOrDefault(e.getKey, 0L) + e.getValue)
+      }
+      if (x.size > k) {
+        // subtract the (k+1)-th largest count from everyone
+        val counts = new Array[Long](x.size)
+        val ci = x.values().iterator()
+        var i = 0
+        while (ci.hasNext) { counts(i) = ci.next(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val cut = counts(counts.length - 1 - k)
+        val it = x.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= cut) it.remove() else e.setValue(e.getValue - cut)
+        }
+      }
+      x
+    }
+    override def finish(b: java.util.HashMap[String, Long]): Map[String, Long] = {
+      val mb = Map.newBuilder[String, Long]
+      val it = b.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); mb += (e.getKey -> e.getValue) }
+      mb.result()
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[java.util.HashMap[String, Long]] =
+      org.apache.spark.sql.Encoders.kryo[java.util.HashMap[String, Long]]
     override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
@@ -177,8 +220,15 @@ object Sketch {
     * rule — the same merge the aggregator uses, exposed for streaming
     * state folds). Preserves the membership guarantee across merges. */
   def mergeFrequentItems(a: Map[String, Long], b: Map[String, Long],
-                         k: Int): Map[String, Long] =
-    new MisraGriesAgg(k).merge(a, b)
+                         k: Int): Map[String, Long] = {
+    val agg = new MisraGriesAgg(k)
+    def toJava(m: Map[String, Long]) = {
+      val j = new java.util.HashMap[String, Long](m.size * 2)
+      m.foreach { case (v, c) => j.put(v, c) }
+      j
+    }
+    agg.finish(agg.merge(toJava(a), toJava(b)))
+  }
 
   /** Streaming maintenance: fold each micro-batch's MG summary into
     * the running one — heavy-hitter candidates over an unbounded
@@ -215,8 +265,15 @@ object Sketch {
     * value domain. Output: (item, cnt) for items with
     * cnt > N/(k+1), sorted (cnt desc, item asc). */
   def heavyHitters(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    // persisted so the three passes (N count, MG sweep, verify semi-join)
+    // share ONE materialization of the upstream lineage instead of
+    // re-scanning it; the eager count() below materializes the cache.
+    // Size is bounded by the single projected value column; the returned
+    // plan stays lazy, so the cache is released by LRU eviction, not an
+    // eager unpersist (same lifecycle as Chunker.packOffsets).
     val vals = df.select(valueCol.cast("string").as("__v"))
       .filter(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vals.count()
     val cands = frequentItems(vals, col("__v"), k)
       .select(explode(map_keys(col("items"))).as("__v"))

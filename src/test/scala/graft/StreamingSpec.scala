@@ -155,6 +155,90 @@ class StreamingSpec extends SparkSpec {
     assert(rebuilt.get() == 1, "shifted distribution must trigger exactly one rebuild")
   }
 
+  test("flush → live HNSW refresh + drift-checked IVF: one maintenance path, search meets recall") {
+    // the reference's B10 live-maintenance loop (indexing_service.py:77-89
+    // saves the index on every threshold flush; hnsw.py:143-225 inserts
+    // into the live graph) as ONE composed streaming path: micro-batch
+    // upsert → flush hook runs Hnsw.refreshEdges (first flush builds,
+    // later flushes insert only unseen ids — no rebuild) AND
+    // Ivf.maintain (drift-checked re-train) → searches over the
+    // persisted artifacts meet the reference's recall contract
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = Files.createTempDirectory("streamidx").toString
+    val parts = 2
+    val params = graft.operators.Hnsw.Params(m = 8, efConstruction = 50)
+    val data = corpus(150, 16)
+    var ivfModel: graft.operators.Ivf.Model = null
+    val ivfRebuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flushes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    def drain(): Unit = StreamingIngest.upsertStream(
+      source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
+      flushThreshold = 1, onFlush = { _ =>
+        flushes.incrementAndGet()
+        val snap = s.read.parquet(s"$tmp/snap")
+        graft.operators.Hnsw.refreshEdges(snap, s"$tmp/edges", "id", "embedding",
+          parts, params)
+        val assigned = if (ivfModel == null) {
+          val (a, m) = graft.operators.Ivf.build(snap, "embedding", k = 4)
+          ivfModel = m; a
+        } else {
+          val (a, m2, fired) = graft.operators.Ivf.maintain(
+            snap, ivfModel, k = 4, driftThreshold = 0.5)
+          ivfModel = m2
+          if (fired) ivfRebuilds.incrementAndGet()
+          a
+        }
+        graft.operators.Ivf.writePartitioned(assigned, s"$tmp/by_cluster")
+        ()
+      }).awaitTermination()
+
+    source.addData(data.take(100).map { case (id, v) => (id, v.toSeq) }: _*)
+    drain()
+    source.addData(data.drop(100).map { case (id, v) => (id, v.toSeq) }: _*)
+    drain()
+    assert(flushes.get() == 2, "each drained micro-batch must flush")
+    assert(ivfRebuilds.get() == 0, "stationary data must not re-train")
+
+    val snap = s.read.parquet(s"$tmp/snap")
+    assert(snap.count() == 150)
+    val edges = graft.core.SnapshotIO.read(s, s"$tmp/edges").get
+    // batch-2 ids got linked into the persisted graph (incremental path ran)
+    assert(edges.filter(col("src") >= 100L).count() > 0,
+      "second flush must have inserted the new ids into the live graph")
+
+    // recall ≥ 0.7 on ≥ 80% of queries vs exact kNN over the full corpus
+    // (the reference's acceptance, test_hnsw.py:136-153) — via the
+    // PERSISTED edges exactly as the flush hook left them
+    val all = toDF(data)
+    val queries = (0 until 10).map(i => (i.toLong, data(i * 13 % 150)._2))
+    val approx = graft.operators.Hnsw.searchEdges(edges, snap, "id", "embedding",
+        queries, k = 5, ef = 50, parts, params)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSet).toMap
+    val good = queries.count { case (qid, qv) =>
+      val exact = graft.operators.Search.knnExact(all, "id", "embedding", qv.toSeq, 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+      exact.intersect(approx(qid)).size.toDouble / 5 >= 0.7
+    }
+    assert(good >= 8, s"only $good/10 queries hit recall 0.7 against the streamed index")
+
+    // a batch-2 vector is reachable through the live graph at dist ~0
+    val self = graft.operators.Hnsw.searchEdges(edges, snap, "id", "embedding",
+      Seq((0L, data(120)._2)), k = 1, ef = 50, parts, params).collect()
+    assert(self.head.getAs[Long]("id") == 120L && self.head.getAs[Double]("dist") < 1e-6)
+
+    // the maintained cluster-partitioned IVF artifact serves fresh rows
+    val hits = graft.operators.Ivf.search(
+        s.read.parquet(s"$tmp/by_cluster"), ivfModel, "id", data(120)._2.toSeq,
+        nProbe = 4, topK = 3).collect()
+    assert(hits.head.getAs[Long]("id") == 120L)
+    assert(hits.head.getAs[Double]("dist") < 1e-6)
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val s = spark
     import s.implicits._
