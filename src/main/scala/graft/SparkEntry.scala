@@ -396,6 +396,20 @@ object SparkEntry {
         numHashes = 8, bands = 4, shingle = 3,
         maxBucket = DedupMaxBucket).orderBy("a", "b")),
 
+    // ---- Dedup (incremental, cross-corpus): a new ingest batch
+    // (doc_id % 7 = 0) deduped AGAINST the existing corpus (the rest) —
+    // cross-side pairs only, so per-batch work scales with the batch,
+    // never re-pairing the corpus against itself (the streaming-flush
+    // dedup shape at 100 TB)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashLshPairsAgainst(
+        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", numHashes = 8, bands = 4, shingle = 3,
+        maxBucket = DedupMaxBucket).orderBy("new_id", "old_id")
+    }),
+
     // ---- Dedup (n-gram Jaccard): inverted-index pair join. Stopgram
     // cutoff ON (df ≤ maxDocFreq universe filter), mirrored in the
     // oracle's keepg CTE — guarded is the demonstrated configuration.
@@ -1296,6 +1310,63 @@ object SparkEntry {
       Multimodal.imageStats(jpegs, "doc_id", "media").orderBy("doc_id")
     }),
 
+    // ---- Multimodal REAL PNG decode: full-color per-pixel pattern.
+    // PNG is lossless, so unlike the JPEG query the fixture needs no
+    // structural constraint — three independent channel formulas prove
+    // full-RGB fidelity through encode → distributed decode.
+    "mm_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (20 + id % 37).toInt
+          val h = (14 + id % 23).toInt
+          val rgb = new Array[Byte](3 * w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = 3 * (y * w + x)
+              rgb(p) = ((id * 31 + x * 7 + y * 13) % 256).toByte
+              rgb(p + 1) = ((id * 17 + x * 5 + y * 11 + 85) % 256).toByte
+              rgb(p + 2) = ((id * 23 + x * 3 + y * 19 + 170) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, MediaCodec.encodePng(w, h, rgb))
+        }.toDF("doc_id", "media")
+      Multimodal.imageStats(pngs, "doc_id", "media").orderBy("doc_id")
+    }),
+
+    // ---- Multimodal REAL resize: decode the PNG fixture and
+    // nearest-neighbor resample to 16×12; the oracle replays the exact
+    // index mapping (sx = ⌊x·w/16⌋, sy = ⌊y·h/12⌋) in closed form, so
+    // the resample arithmetic — not just the dims — is hash-checked
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (20 + id % 37).toInt
+          val h = (14 + id % 23).toInt
+          val rgb = new Array[Byte](3 * w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = 3 * (y * w + x)
+              rgb(p) = ((id * 31 + x * 7 + y * 13) % 256).toByte
+              rgb(p + 1) = ((id * 17 + x * 5 + y * 11 + 85) % 256).toByte
+              rgb(p + 2) = ((id * 23 + x * 3 + y * 19 + 170) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, MediaCodec.encodePng(w, h, rgb))
+        }.toDF("doc_id", "media")
+      Multimodal.imageResizeStats(pngs, "doc_id", "media", dstW = 16, dstH = 12)
+        .orderBy("doc_id")
+    }),
+
     // ---- Multimodal: frame sampling over binary payloads
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -1985,6 +2056,39 @@ object SparkEntry {
 
       "dedup_minhash_lsh" -> minhashLshSql,
 
+      // same signature/banding construction as minhashLshSql, split
+      // into sides; a bucket is kept when it holds >= 1 doc of each
+      // side and <= maxBucket docs total (the engine's cross-side
+      // bucket guard); only (new, old) cross pairs are emitted
+      "dedup_incremental" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+           |ws AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(ts)-2, 1)),
+           |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS w FROM toks),
+           |sig AS (
+           |  SELECT doc_id, list_transform(generate_series(0, 7),
+           |    s -> list_min(list_transform(w,
+           |      t -> substr(md5(concat(CAST(s // 4 AS VARCHAR), '|', t)),
+           |                  (s % 4) * 8 + 1, 8)))) AS mh FROM ws),
+           |bands AS (
+           |  SELECT doc_id, doc_id % 7 = 0 AS is_new, u.band_id,
+           |    md5(array_to_string(mh[u.band_id*2+1 : u.band_id*2+2], '|')) AS bh
+           |  FROM sig, unnest(generate_series(0, 3)) AS u(band_id)),
+           |keepb AS (
+           |  SELECT band_id, bh FROM bands GROUP BY band_id, bh
+           |  HAVING count(DISTINCT CASE WHEN is_new THEN doc_id END) >= 1
+           |    AND count(DISTINCT CASE WHEN NOT is_new THEN doc_id END) >= 1
+           |    AND count(DISTINCT doc_id) <= $DedupMaxBucket),
+           |pairs AS (
+           |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+           |  FROM bands x JOIN bands y
+           |  ON x.band_id = y.band_id AND x.bh = y.bh
+           |    AND x.is_new AND NOT y.is_new AND x.doc_id <> y.doc_id
+           |  JOIN keepb k ON x.band_id = k.band_id AND x.bh = k.bh)
+           |SELECT new_id, old_id FROM pairs ORDER BY new_id, old_id""".stripMargin,
+
       "dedup_ngram_jaccard" ->
         s"""WITH $jaccardCtes
            |SELECT a, b, jaccard FROM jpairs ORDER BY a, b""".stripMargin,
@@ -2586,6 +2690,60 @@ object SparkEntry {
           |  CAST(a.lum_sum AS DOUBLE) / CAST(3 * a.n AS DOUBLE) AS mean_channel
           |FROM documents d
           |JOIN dims m ON d.doc_id = m.doc_id
+          |JOIN agg a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // closed-form recomputation of the full-color PNG fixture: PNG is
+      // lossless, so the decoded channels equal the generator formulas
+      // exactly — lum_sum = Σ(r+g+b) over the w×h grid
+      "mm_png_decode" ->
+        """WITH dims AS (
+          |  SELECT doc_id, 20 + doc_id % 37 AS w, 14 + doc_id % 23 AS h
+          |  FROM documents),
+          |px AS (
+          |  SELECT doc_id, w, h,
+          |    (doc_id * 31 + x * 7 + y * 13) % 256
+          |    + (doc_id * 17 + x * 5 + y * 11 + 85) % 256
+          |    + (doc_id * 23 + x * 3 + y * 19 + 170) % 256 AS v
+          |  FROM dims,
+          |    unnest(generate_series(0, w - 1)) AS tx(x),
+          |    unnest(generate_series(0, h - 1)) AS ty(y)),
+          |agg AS (
+          |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS lum_sum,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM px GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+          |  a.lum_sum,
+          |  CAST(a.lum_sum AS DOUBLE) / CAST(3 * a.n AS DOUBLE) AS mean_channel
+          |FROM documents d
+          |JOIN dims m ON d.doc_id = m.doc_id
+          |JOIN agg a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // nearest-neighbor resample replay: destination pixel (x, y) of
+      // the 16×12 thumbnail reads source pixel (x*w//16, y*h//12); the
+      // channel formulas evaluate at those source coordinates
+      "mm_resize" ->
+        """WITH dims AS (
+          |  SELECT doc_id, 20 + doc_id % 37 AS w, 14 + doc_id % 23 AS h
+          |  FROM documents),
+          |px AS (
+          |  SELECT doc_id,
+          |    (doc_id * 31 + (x * w // 16) * 7 + (y * h // 12) * 13) % 256
+          |    + (doc_id * 17 + (x * w // 16) * 5 + (y * h // 12) * 11 + 85) % 256
+          |    + (doc_id * 23 + (x * w // 16) * 3 + (y * h // 12) * 19 + 170) % 256 AS v
+          |  FROM dims,
+          |    unnest(generate_series(0, 15)) AS tx(x),
+          |    unnest(generate_series(0, 11)) AS ty(y)),
+          |agg AS (
+          |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS lum_sum
+          |  FROM px GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+          |  a.lum_sum,
+          |  CAST(a.lum_sum AS DOUBLE) / CAST(3 * 16 * 12 AS DOUBLE) AS mean_channel
+          |FROM documents d
           |JOIN agg a ON d.doc_id = a.doc_id
           |ORDER BY d.doc_id""".stripMargin,
 

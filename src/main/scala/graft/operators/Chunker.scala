@@ -60,9 +60,20 @@ object Chunker {
     * RDD `mapPartitionsWithIndex` is the genuine per-partition
     * imperative case here: a running sum with a per-partition seed is
     * exactly what the Dataset API cannot express without a global
-    * window (single reducer — the scale killer this avoids). */
+    * window (single reducer — the scale killer this avoids).
+    *
+    * The totals pass and the output pass share one materialization of
+    * the upstream lineage. By default that is a MEMORY_AND_DISK persist
+    * — right when the projection (ids + counts + small payload) fits
+    * the cluster's storage memory + local disk. At 100 TB-corpus scale
+    * pass `spillDir`: the projected input is checkpointed to parquet
+    * there and both passes read the files back, so pressure degrades to
+    * cheap re-reads of a compact columnar file instead of LRU eviction
+    * silently recomputing the entire upstream pipeline (which may be a
+    * full curation DAG). Callers own cleanup of `spillDir`. */
   def packOffsets(df: DataFrame, idCol: String, tokCol: String, capacity: Long,
-                  numPartitions: Int = 0): DataFrame = {
+                  numPartitions: Int = 0,
+                  spillDir: Option[String] = None): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = df.sparkSession
     val parts =
@@ -72,7 +83,7 @@ object Chunker {
     // rides along, so callers never need a join-back that would
     // recompute the upstream pipeline); idCol/tokCol are cast to long
     // in place
-    val prepped = df
+    val validated = df
       .withColumn(idCol, col(idCol).cast("long"))
       // fail fast with a usable message — a null/negative count would
       // otherwise surface as an opaque executor NPE inside pass 1
@@ -81,17 +92,35 @@ object Chunker {
           raise_error(lit(s"packOffsets: '$tokCol' must be non-null and " +
             "non-negative")))
           .otherwise(col(tokCol).cast("long")))
+    // checkpoint-to-parquet path: materialize the (validated, projected)
+    // input once and cut the lineage, so everything downstream — both
+    // passes — recomputes at worst from a compact columnar re-read
+    val staged = spillDir match {
+      case Some(dir) =>
+        validated.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case None => validated
+    }
+    val prepped = staged
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(idCol)
     val schema = prepped.schema
     val tokIdx = schema.fieldIndex(tokCol)
-    // persisted so the totals pass and the output pass share ONE
-    // materialization of the upstream lineage (which may be an entire
-    // curation pipeline). Size is bounded by the caller's projection —
-    // pass ids + counts (+ small payload), not full text. The returned
-    // plan stays lazy, so the cache is released by LRU eviction, not
-    // an eager unpersist.
-    val base = prepped.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the totals pass and the output pass run as separate jobs over the
+    // SAME shuffle (same RDD object → Spark reuses the range shuffle's
+    // map output; upstream lineage executes once, in the shuffle-map
+    // stage of pass 1). The default additionally persists the
+    // post-shuffle sorted rows so pass 2 skips the reduce-side sort —
+    // size is bounded by the caller's projection (pass ids + counts +
+    // small payload, not full text), and the returned plan stays lazy,
+    // so the cache is released by LRU eviction, not an eager unpersist.
+    // In spill mode the persist is deliberately skipped: the whole point
+    // is to keep block storage free, and recompute is a file re-read.
+    val base = spillDir match {
+      case Some(_) => prepped.rdd
+      case None =>
+        prepped.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     // pass 1: per-partition token totals — bounded driver traffic (one
     // long per partition, independent of row count)
     val totals = base.mapPartitionsWithIndex { case (pid, it) =>

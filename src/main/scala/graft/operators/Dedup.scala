@@ -117,6 +117,52 @@ object Dedup {
       "ids", "a", "b").distinct()
   }
 
+  /** Incremental (cross-corpus) MinHash-LSH: candidate near-duplicate
+    * pairs between a NEW ingest batch and the EXISTING corpus — the
+    * streaming-ingest dedup shape. A self-join of batch ∪ corpus would
+    * re-pair the corpus against itself on every flush (quadratic in
+    * corpus buckets, and all of it redundant); this emits cross-side
+    * pairs ONLY, so per-batch work scales with the batch's bucket
+    * overlap, not the corpus's self-similarity.
+    *
+    * Same banding construction as [[minhashLshPairs]]; a bucket is kept
+    * when it holds ≥ 1 doc of EACH side and ≤ `maxBucket` docs total.
+    * Pairs with equal ids are excluded (a re-ingested id is an upsert,
+    * not a duplicate). Output: (new_id, old_id), distinct.
+    *
+    * Scale: corpus signatures are recomputed here for self-containment;
+    * a production flush loop precomputes them once via
+    * [[minhashSignature]] and persists — the banding join then touches
+    * the (id, 8-hash signature) table only, never corpus text. */
+  def minhashLshPairsAgainst(batch: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             numHashes: Int = 8, bands: Int = 4,
+                             shingle: Int = 3,
+                             maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame, isNew: Boolean) =
+      signatureOnly(df, idCol, textCol, numHashes, shingle)
+        .select(col("__mid").as("__id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => md5(concat_ws("|",
+              slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+            .as(Seq("band_id", "band_hash")),
+          lit(isNew).as("__new"))
+    banded(batch, isNew = true).unionByName(banded(corpus, isNew = false))
+      .groupBy("band_id", "band_hash")
+      .agg(
+        collect_set(when(col("__new"), col("__id"))).as("new_ids"),
+        collect_set(when(!col("__new"), col("__id"))).as("old_ids"))
+      .filter(size(col("new_ids")) > 0 && size(col("old_ids")) > 0 &&
+        size(col("new_ids")) + size(col("old_ids")) <= maxBucket)
+      .select(explode(col("new_ids")).as("new_id"), col("old_ids"))
+      .select(col("new_id"), explode(col("old_ids")).as("old_id"))
+      .filter(col("new_id") =!= col("old_id"))
+      .distinct()
+  }
+
   /** Intra-bucket combination pairs: each bucket's id array is
     * deduplicated, sorted, and exploded into its C(s,2) ordered pairs
     * directly — half the generated rows of the explode×explode form.

@@ -217,8 +217,47 @@ object MediaCodec {
     require(bytes != null && bytes.length >= 3 &&
       (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       "not a JPEG payload")
+    decodeViaImageIO(bytes, "JPEG")
+  }
+
+  // ---------------------------------------------------------------- PNG
+
+  /** Encode row-major RGB triplets as PNG via the JDK writer. PNG is
+    * LOSSLESS, so any image round-trips bit-exactly — no fixture
+    * constraints like the JPEG q=1.0 block-constant construction. */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(rgb.length == 3 * width * height,
+      s"rgb length ${rgb.length} != ${3 * width * height}")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < width * height) {
+      data(3 * i) = rgb(3 * i + 2)       // raster stores BGR
+      data(3 * i + 1) = rgb(3 * i + 1)
+      data(3 * i + 2) = rgb(3 * i)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", baos))
+      throw new IllegalStateException("no PNG writer available in this JDK")
+    baos.toByteArray
+  }
+
+  /** Decode PNG → (width, height, row-major RGB triplets). Strict on
+    * the 8-byte PNG signature. */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes != null && bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G', "not a PNG payload")
+    decodeViaImageIO(bytes, "PNG")
+  }
+
+  private def decodeViaImageIO(bytes: Array[Byte], kind: String): (Int, Int, Array[Byte]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    require(img != null, "undecodable JPEG payload")
+    require(img != null, s"undecodable $kind payload")
     val w = img.getWidth
     val h = img.getHeight
     val px = img.getRGB(0, 0, w, h, null, 0, w)
@@ -233,13 +272,44 @@ object MediaCodec {
     (w, h, rgb)
   }
 
-  /** Container-sniffing image decode: BMP ("BM") and JPEG (FF D8) by
-    * magic bytes; anything else is a strict per-row error. */
+  /** Container-sniffing image decode: BMP ("BM"), JPEG (FF D8) and PNG
+    * (89 "PNG") by magic bytes; anything else is a strict per-row
+    * error. */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(bytes != null && bytes.length >= 2, "empty image payload")
     if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) decodeJpeg(bytes)
+    else if ((bytes(0) & 0xff) == 0x89 && bytes.length >= 8 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes)
     else throw new IllegalArgumentException(
-      "unsupported image container (expected BMP or JPEG magic)")
+      "unsupported image container (expected BMP, JPEG or PNG magic)")
+  }
+
+  /** Nearest-neighbor resample of a decoded row-major RGB buffer to
+    * `dstW`×`dstH`: destination pixel (x, y) copies source pixel
+    * (⌊x·srcW/dstW⌋, ⌊y·srcH/dstH⌋) — the standard index mapping, exact
+    * in integer arithmetic (closed-form reproducible, unlike
+    * interpolating kernels). */
+  def resizeNearest(srcW: Int, srcH: Int, rgb: Array[Byte],
+                    dstW: Int, dstH: Int): Array[Byte] = {
+    require(srcW > 0 && srcH > 0 && dstW > 0 && dstH > 0,
+      s"bad dims ${srcW}x$srcH -> ${dstW}x$dstH")
+    require(rgb.length == 3 * srcW * srcH,
+      s"rgb length ${rgb.length} != ${3 * srcW * srcH}")
+    val out = new Array[Byte](3 * dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = (y.toLong * srcH / dstH).toInt
+      var x = 0
+      while (x < dstW) {
+        val sx = (x.toLong * srcW / dstW).toInt
+        val sp = 3 * (sy * srcW + sx)
+        val dp = 3 * (y * dstW + x)
+        out(dp) = rgb(sp); out(dp + 1) = rgb(sp + 1); out(dp + 2) = rgb(sp + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 }

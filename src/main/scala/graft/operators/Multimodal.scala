@@ -159,6 +159,43 @@ object Multimodal {
     }.toDF(idCol, "width", "height", "lum_sum", "mean_channel")
   }
 
+  /** REAL image resize: decode each row's payload (BMP/JPEG/PNG by
+    * magic), nearest-neighbor resample to `dstW`×`dstH`
+    * ([[MediaCodec.resizeNearest]]), and emit the resized dimensions +
+    * luminance stats — the thumbnail/normalize step of a multimodal
+    * training pipeline, with the same per-partition batch shape and
+    * malformed-payload-to-null quarantine as [[imageStats]]. Stats
+    * rather than re-encoded bytes keep the result oracle-checkable;
+    * callers wanting the payload compose [[MediaCodec.resizeNearest]]
+    * with an encoder in the same partition pass. */
+  def imageResizeStats(df: DataFrame, idCol: String, binCol: String,
+                       dstW: Int, dstH: Int): DataFrame = {
+    require(dstW > 0 && dstH > 0, s"bad target dims ${dstW}x$dstH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        try {
+          val (w, h, rgb) = MediaCodec.decodeImage(bytes)
+          val out = MediaCodec.resizeNearest(w, h, rgb, dstW, dstH)
+          var s = 0L
+          var i = 0
+          while (i < out.length) { s += (out(i) & 0xff); i += 1 }
+          (id, Some(dstW.toLong), Some(dstH.toLong), Some(s),
+            Some(s.toDouble / out.length.toDouble))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (id, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Double])
+        }
+      }
+    }.toDF(idCol, "width", "height", "lum_sum", "mean_channel")
+  }
+
   /** Wrap a text table as a multimodal fixture (text bytes as payload) —
     * lets the plumbing run against the driver testdata, which has no
     * binary tables. */

@@ -14,7 +14,11 @@ class ContractSpec extends AnyFunSuite {
   private val RowsOnly = Set(
     "b1_hnsw_edges", "b1_hnsw_incremental", "b4_ivf_build", "b5_ivf_add",
     "b8_pq_train", "b9_pq_encode", "e1_embed_docs",
-    "o3_hnsw_search", "o6_ivf_partitioned", "o6_ivf_search", "o6_pq_adc_topk")
+    "o3_hnsw_search", "o6_ivf_partitioned", "o6_ivf_search", "o6_pq_adc_topk",
+    // streamed-then-searched HNSW index: approximate by the same
+    // contract as o3_hnsw_search; twins: o3_hnsw_exhaustive (oracle)
+    // + StreamingSpec's flush→refresh→search recall gate
+    "b10_stream_index")
 
   test("every oracle key names an existing query") {
     val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

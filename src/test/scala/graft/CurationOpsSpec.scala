@@ -143,6 +143,25 @@ class CurationOpsSpec extends SparkSpec {
       2L -> (("b", 1L, 4L))))
   }
 
+  test("packOffsets: spillDir checkpoint path matches the cached path exactly") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 300L).map(i => (i, 1L + rnd.nextInt(200), s"p$i"))
+    val df = docs.toDF("id", "n_tok", "payload").repartition(7)
+    val spill = java.nio.file.Files.createTempDirectory("packspill").toString
+    val cached = Chunker.packOffsets(df, "id", "n_tok", 256L, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val spilled = Chunker.packOffsets(df, "id", "n_tok", 256L, numPartitions = 4,
+        spillDir = Some(s"$spill/stage"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(spilled == cached)
+    // the staged projection really landed on disk (lineage is cut there)
+    assert(s.read.parquet(s"$spill/stage").count() == 300L)
+  }
+
   test("packOffsets: empty input and capacity guard") {
     val s = spark
     import s.implicits._

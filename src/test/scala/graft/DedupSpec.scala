@@ -50,6 +50,33 @@ class DedupSpec extends SparkSpec {
     assert(p1.contains((3L, 4L)))
   }
 
+  test("incremental cross-corpus LSH: cross-side pairs only, re-ingested id excluded") {
+    val s = spark
+    import s.implicits._
+    // corpus holds 0 and 3; batch brings an exact dup of 0 (id 10), a
+    // near dup of 0 (id 11), an unrelated doc (id 12), and doc 0
+    // re-ingested under its own id (an upsert, not a duplicate)
+    val corpus = docs.filter(col("doc_id").isin(0L, 1L, 3L))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox leaps over the lazy dog"),
+      (12L, "entirely unrelated content on other topics"),
+      (0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAgainst(batch, corpus, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact dup pairs against both corpus copies; the near dup at least one
+    assert(pairs.contains((10L, 0L)) && pairs.contains((10L, 1L)))
+    assert(pairs.contains((11L, 0L)) || pairs.contains((11L, 1L)))
+    // never corpus×corpus (0,1 are mutual dups but same side), never
+    // batch×batch (10,11 are near dups), never the re-ingested self-id
+    assert(pairs.forall { case (n, o) => Set(10L, 11L, 12L, 0L)(n) && Set(0L, 1L, 3L)(o) })
+    assert(!pairs.contains((0L, 0L)))
+    assert(!pairs.exists(_._1 == 12L))
+    // but the re-ingested id DOES pair with the other corpus copy
+    assert(pairs.contains((0L, 1L)))
+  }
+
   test("duplicate ids in a bucket never emit self-pairs; string ids rejected by CC") {
     val s = spark
     import s.implicits._

@@ -163,6 +163,47 @@ class MultimodalSpec extends SparkSpec {
       MediaCodec.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00, 0x01)))
   }
 
+  test("PNG codec: ARBITRARY content round-trips bit-exactly (lossless); strict on garbage") {
+    import graft.operators.MediaCodec
+    val rnd = new scala.util.Random(9)
+    for ((w, h) <- Seq((17, 9), (1, 1), (32, 24))) {
+      val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val (dw, dh, back) = MediaCodec.decodePng(MediaCodec.encodePng(w, h, rgb))
+      assert(dw == w && dh == h)
+      assert(back.toSeq == rgb.toSeq, s"PNG round-trip not exact for ${w}x$h")
+    }
+    intercept[IllegalArgumentException](MediaCodec.decodePng("nope".getBytes))
+    // PNG signature with an undecodable body must throw, not return junk
+    intercept[Exception](MediaCodec.decodePng(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0x00)))
+  }
+
+  test("resizeNearest: index mapping exact; identity resize is a copy; downscale picks floors") {
+    import graft.operators.MediaCodec
+    // 4x2 source, distinct per-pixel values
+    val src = Array.tabulate(24)(i => i.toByte)
+    assert(MediaCodec.resizeNearest(4, 2, src, 4, 2).toSeq == src.toSeq)
+    // 2x1 target: dst(0,0) <- src(0,0), dst(1,0) <- src(2,0)
+    val down = MediaCodec.resizeNearest(4, 2, src, 2, 1)
+    assert(down.toSeq == Seq[Byte](0, 1, 2, 6, 7, 8))
+    // upscale 1x1 -> 3x3 replicates the single pixel
+    val up = MediaCodec.resizeNearest(1, 1, Array[Byte](5, 6, 7), 3, 3)
+    assert(up.length == 27 && up.grouped(3).forall(_.toSeq == Seq[Byte](5, 6, 7)))
+    // resized stats pipeline: PNG in, 16x12 out, lum matches a direct replay
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val w = 21; val h = 15
+    val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+    val expected = {
+      val out = MediaCodec.resizeNearest(w, h, rgb, 16, 12)
+      out.map(_ & 0xff).map(_.toLong).sum
+    }
+    val df = Seq((1L, MediaCodec.encodePng(w, h, rgb))).toDF("id", "media")
+    val st = Multimodal.imageResizeStats(df, "id", "media", 16, 12).collect().head
+    assert(st.getLong(1) == 16L && st.getLong(2) == 12L && st.getLong(3) == expected)
+  }
+
   test("imageStats dispatches BMP and JPEG by magic in one mixed column") {
     import graft.operators.MediaCodec
     val s = spark
