@@ -1367,6 +1367,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Multimodal REAL MP3 container parse: spec-exact CBR frame
+    // streams (headers + frame-length hops are real MPEG-1 Layer III;
+    // bodies carry no audio) walked distributed; the oracle recomputes
+    // frame length 144·bitrate/rate and duration n·1152·1000/44100 in
+    // closed form — sample DECODE stays out of scope (no JDK MP3
+    // decoder), frame-level parsing is the real pipeline need
+    "mm_mp3_frames" -> ((s, dir) => {
+      import s.implicits._
+      val mp3s = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, MediaCodec.buildMp3(
+            nFrames = (3 + id % 9).toInt, bitrateIdx = (1 + id % 14).toInt))
+        }.toDF("doc_id", "media")
+      Multimodal.mp3Stats(mp3s, "doc_id", "media")
+        .select("doc_id", "n_frames", "bitrate_kbps", "n_samples",
+          "duration_ms", "total_bytes")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Multimodal REAL H.264 Annex-B NAL scan: SPS+PPS + GOPs of
+    // IDR/non-IDR slices, start codes scanned distributed — the
+    // keyframe indexing video sharding needs before any pixel decode
+    "mm_h264_nals" -> ((s, dir) => {
+      import s.implicits._
+      val streams = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, MediaCodec.buildH264Stream(
+            gops = (1 + id % 5).toInt, gopLen = (2 + id % 4).toInt))
+        }.toDF("doc_id", "media")
+      Multimodal.h264Stats(streams, "doc_id", "media").orderBy("doc_id")
+    }),
+
     // ---- Multimodal: frame sampling over binary payloads
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -2746,6 +2778,35 @@ object SparkEntry {
           |FROM documents d
           |JOIN agg a ON d.doc_id = a.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      // closed-form replay of the CBR fixture: kbps from the MPEG-1
+      // Layer III table at index 1+id%14, frame bytes 144·kbps·1000//44100,
+      // 1152 samples/frame, duration floored integer ms
+      "mm_mp3_frames" ->
+        """WITH m AS (
+          |  SELECT doc_id, 3 + doc_id % 9 AS nf,
+          |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+          |      [CAST(1 + doc_id % 14 AS INT)] AS kbps
+          |  FROM documents)
+          |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+          |  CAST(kbps AS BIGINT) AS bitrate_kbps,
+          |  CAST(nf * 1152 AS BIGINT) AS n_samples,
+          |  CAST(nf * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+          |  CAST(nf * (144 * kbps * 1000 // 44100) AS BIGINT) AS total_bytes
+          |FROM m ORDER BY doc_id""".stripMargin,
+
+      // NAL census of the SPS+PPS+GOP fixture: gops IDR units, one
+      // non-IDR per remaining slice slot, 2 parameter sets
+      "mm_h264_nals" ->
+        """WITH m AS (
+          |  SELECT doc_id, 1 + doc_id % 5 AS gops, 2 + doc_id % 4 AS gl
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(2 + gops * gl AS BIGINT) AS n_nals,
+          |  CAST(gops AS BIGINT) AS n_idr,
+          |  CAST(gops * (gl - 1) AS BIGINT) AS n_nonidr,
+          |  CAST(1 AS BIGINT) AS n_sps, CAST(1 AS BIGINT) AS n_pps
+          |FROM m ORDER BY doc_id""".stripMargin,
 
       "mm_frame_sample" ->
         """SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_no,

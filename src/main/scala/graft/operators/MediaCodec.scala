@@ -285,6 +285,151 @@ object MediaCodec {
       "unsupported image container (expected BMP, JPEG or PNG magic)")
   }
 
+  // ---------------------------------------------------------------- MP3
+
+  /** MPEG-1 Layer III bitrate table (kbps) indexed by the 4-bit header
+    * bitrate field; 0 (free) and 15 (bad) are rejected. */
+  private val Mp3BitrateKbps =
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+  private val Mp3SamplesPerFrame = 1152
+
+  final case class Mp3Meta(nFrames: Long, bitrateKbps: Int, sampleRate: Int,
+                           nSamples: Long, totalBytes: Long)
+
+  /** Synthesize a valid constant-bitrate MPEG-1 Layer III frame stream
+    * (headers + zero-filled frame bodies). Not an audio ENCODER — the
+    * bodies carry no samples — but every header field and frame length
+    * is spec-exact, so [[parseMp3Frames]] exercises real container
+    * parsing. */
+  def buildMp3(nFrames: Int, bitrateIdx: Int, sampleRateIdx: Int = 0): Array[Byte] = {
+    require(nFrames > 0, s"nFrames must be positive, got $nFrames")
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bad bitrate index $bitrateIdx")
+    require(sampleRateIdx >= 0 && sampleRateIdx <= 2, s"bad samplerate index $sampleRateIdx")
+    val sr = Mp3SampleRates(sampleRateIdx)
+    val frameLen = (144L * Mp3BitrateKbps(bitrateIdx) * 1000 / sr).toInt // padding 0
+    val out = new Array[Byte](nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      val p = f * frameLen
+      out(p) = 0xff.toByte                       // sync 11111111
+      out(p + 1) = 0xfb.toByte                   // sync 111 | MPEG1 (11) | Layer III (01) | no CRC (1)
+      out(p + 2) = ((bitrateIdx << 4) | (sampleRateIdx << 2)).toByte // padding 0, private 0
+      out(p + 3) = 0xc4.toByte                   // mono, no emphasis
+      f += 1
+    }
+    out
+  }
+
+  /** REAL MPEG-1 Layer III frame walk: validate each sync word, decode
+    * bitrate/samplerate/padding from the header, hop frame lengths
+    * (144·bitrate/samplerate + padding — the spec formula), and return
+    * stream stats. The per-frame duration is exact in samples
+    * (1152/frame); callers derive ms as n_samples·1000/rate. Strict:
+    * a broken sync mid-stream or a truncated trailing frame throws
+    * (quarantine per row), matching the WAV/BMP contract. Reported
+    * bitrate is the FIRST frame's (callers wanting VBR averages fold
+    * per-frame rates; the fixture streams here are CBR). */
+  def parseMp3Frames(bytes: Array[Byte]): Mp3Meta = {
+    require(bytes != null && bytes.length >= 4, "empty MP3 payload")
+    var p = 0
+    var n = 0L
+    var firstKbps = -1
+    var sampleRate = -1
+    while (p < bytes.length) {
+      require(p + 4 <= bytes.length, s"truncated MP3 header at offset $p")
+      require((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xe0) == 0xe0,
+        s"broken MP3 sync at offset $p")
+      require((bytes(p + 1) & 0x18) == 0x18, "not MPEG-1")
+      require((bytes(p + 1) & 0x06) == 0x02, "not Layer III")
+      val bi = (bytes(p + 2) >> 4) & 0xf
+      val si = (bytes(p + 2) >> 2) & 0x3
+      val padding = (bytes(p + 2) >> 1) & 0x1
+      require(bi >= 1 && bi <= 14, s"bad bitrate index $bi at offset $p")
+      require(si <= 2, s"bad samplerate index $si at offset $p")
+      val kbps = Mp3BitrateKbps(bi)
+      val sr = Mp3SampleRates(si)
+      if (firstKbps < 0) { firstKbps = kbps; sampleRate = sr }
+      val frameLen = (144L * kbps * 1000 / sr).toInt + padding
+      require(p + frameLen <= bytes.length, s"truncated MP3 frame at offset $p")
+      p += frameLen
+      n += 1
+    }
+    Mp3Meta(n, firstKbps, sampleRate, n * Mp3SamplesPerFrame, bytes.length.toLong)
+  }
+
+  // --------------------------------------------------------------- H.264
+
+  final case class H264Meta(nNals: Long, nIdr: Long, nNonIdr: Long,
+                            nSps: Long, nPps: Long)
+
+  /** Synthesize an H.264 Annex-B byte stream: SPS + PPS, then `gops`
+    * groups of one IDR slice + `gopLen − 1` non-IDR slices, each NAL
+    * prefixed with the 4-byte start code and filled with 0xAA payload
+    * (no accidental start codes / emulation sequences). */
+  def buildH264Stream(gops: Int, gopLen: Int, nalPayload: Int = 8): Array[Byte] = {
+    require(gops > 0 && gopLen > 0, s"bad GOP shape $gops x $gopLen")
+    require(nalPayload >= 1, s"nalPayload must be >= 1, got $nalPayload")
+    val bos = new java.io.ByteArrayOutputStream()
+    def nal(refIdc: Int, nalType: Int): Unit = {
+      bos.write(Array[Byte](0, 0, 0, 1))
+      bos.write(((refIdc << 5) | nalType) & 0xff)
+      var i = 0
+      while (i < nalPayload) { bos.write(0xaa); i += 1 }
+    }
+    nal(3, 7) // SPS
+    nal(3, 8) // PPS
+    var g = 0
+    while (g < gops) {
+      nal(3, 5) // IDR slice
+      var s = 1
+      while (s < gopLen) { nal(2, 1); s += 1 } // non-IDR slices
+      g += 1
+    }
+    bos.toByteArray
+  }
+
+  /** REAL H.264 Annex-B NAL scan: find every 3-/4-byte start code
+    * (00 00 01 / 00 00 00 01), read the NAL header's nal_unit_type
+    * (low 5 bits), and count units by class — the keyframe/GOP indexing
+    * a video pipeline runs before any pixel decode (frame-accurate
+    * sharding needs IDR positions, not pixels). Strict: payload before
+    * the first start code, a forbidden_zero_bit, or an empty NAL
+    * throws. */
+  def parseH264Nals(bytes: Array[Byte]): H264Meta = {
+    require(bytes != null && bytes.length >= 5, "empty H.264 payload")
+    var nNals = 0L; var nIdr = 0L; var nNonIdr = 0L; var nSps = 0L; var nPps = 0L
+    var p = 0
+    var expectStart = true
+    while (p < bytes.length) {
+      val four = p + 4 <= bytes.length && bytes(p) == 0 && bytes(p + 1) == 0 &&
+        bytes(p + 2) == 0 && bytes(p + 3) == 1
+      val three = !four && p + 3 <= bytes.length && bytes(p) == 0 &&
+        bytes(p + 1) == 0 && bytes(p + 2) == 1
+      if (four || three) {
+        val hp = p + (if (four) 4 else 3)
+        require(hp < bytes.length, s"empty NAL at offset $p")
+        val hdr = bytes(hp) & 0xff
+        require((hdr & 0x80) == 0, s"forbidden_zero_bit set at offset $hp")
+        (hdr & 0x1f) match {
+          case 5 => nIdr += 1
+          case 1 => nNonIdr += 1
+          case 7 => nSps += 1
+          case 8 => nPps += 1
+          case _ => ()
+        }
+        nNals += 1
+        expectStart = false
+        p = hp + 1
+      } else {
+        require(!expectStart, "payload before first start code")
+        p += 1
+      }
+    }
+    require(nNals > 0, "no NAL units found")
+    H264Meta(nNals, nIdr, nNonIdr, nSps, nPps)
+  }
+
   /** Nearest-neighbor resample of a decoded row-major RGB buffer to
     * `dstW`×`dstH`: destination pixel (x, y) copies source pixel
     * (⌊x·srcW/dstW⌋, ⌊y·srcH/dstH⌋) — the standard index mapping, exact

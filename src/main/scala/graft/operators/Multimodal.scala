@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus per-partition batch decode /
   * feature-extract / frame-sample operators.
   *
-  * Codec status: WAV, BMP AND baseline JPEG decode for REAL —
+  * Codec status: WAV, BMP, baseline JPEG and PNG decode for REAL —
   * [[MediaCodec]] parses RIFF/PCM WAV and 24-bit BMP in pure JVM code
-  * and drives the JDK-bundled `javax.imageio` for JPEG (see
-  * [[audioFeatures]] / [[imageStats]]). Only the codecs the JDK does
-  * not ship (MP3/H.264) remain behind [[FakeCodec]], a deterministic
+  * and drives the JDK-bundled `javax.imageio` for JPEG/PNG (see
+  * [[audioFeatures]] / [[imageStats]] / [[imageResizeStats]]). MP3 and
+  * H.264 get REAL container/frame-level parsing ([[mp3Stats]] /
+  * [[h264Stats]]: spec-exact MPEG-1 Layer III frame walks, Annex-B NAL
+  * scans — the sharding/indexing metadata pipelines actually need);
+  * only their SIGNAL decode (PCM samples, pixels), which the JDK has no
+  * decoder for, remains behind [[FakeCodec]], a deterministic
   * byte-level stand-in. Everything Spark-side is real and tested either
   * way: schema, binary handling, `mapPartitions` batch shape (one
   * decoder instance per partition, streamed rows, no per-row setup),
@@ -29,11 +33,13 @@ object Multimodal {
     StructField("sample_rate", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** STUB decoder for the codecs the JDK does not ship (MP3/H.264):
-    * deterministic features from raw bytes (byte-value histogram folded
-    * into `dim` buckets, L2-normalized). A real codec implements the
-    * same (bytes ⇒ float[dim]) contract — WAV/BMP/JPEG already decode
-    * for real via [[MediaCodec]]. */
+  /** STUB decoder for the SIGNAL decode the JDK cannot do (MP3 PCM
+    * samples, H.264 pixels): deterministic features from raw bytes
+    * (byte-value histogram folded into `dim` buckets, L2-normalized).
+    * A real codec implements the same (bytes ⇒ float[dim]) contract —
+    * WAV/BMP/JPEG/PNG already decode for real via [[MediaCodec]], and
+    * MP3/H.264 container parsing is real too ([[mp3Stats]],
+    * [[h264Stats]]). */
   object FakeCodec {
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val acc = new Array[Double](dim)
@@ -194,6 +200,60 @@ object Multimodal {
         }
       }
     }.toDF(idCol, "width", "height", "lum_sum", "mean_channel")
+  }
+
+  /** REAL MP3 container parse: walk each row's MPEG-1 Layer III frame
+    * stream ([[MediaCodec.parseMp3Frames]]) and emit frame/duration
+    * stats — the shard-planning metadata an audio pipeline needs before
+    * (and usually instead of) sample decode. duration_ms is exact
+    * integer arithmetic: n_samples·1000 / rate, floored. Malformed
+    * payloads yield nulls (same quarantine as [[audioFeatures]]). */
+  def mp3Stats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        try {
+          val m = MediaCodec.parseMp3Frames(r.getAs[Array[Byte]](binIdx))
+          (id, Some(m.nFrames), Some(m.bitrateKbps.toLong),
+            Some(m.sampleRate.toLong), Some(m.nSamples),
+            Some(m.nSamples * 1000L / m.sampleRate), Some(m.totalBytes))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (id, None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long])
+        }
+      }
+    }.toDF(idCol, "n_frames", "bitrate_kbps", "sample_rate", "n_samples",
+      "duration_ms", "total_bytes")
+  }
+
+  /** REAL H.264 Annex-B NAL scan: count NAL units by class per row
+    * ([[MediaCodec.parseH264Nals]]) — keyframe (IDR) indexing for
+    * frame-accurate video sharding, no pixel decode involved. Malformed
+    * payloads yield nulls. */
+  def h264Stats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        try {
+          val m = MediaCodec.parseH264Nals(r.getAs[Array[Byte]](binIdx))
+          (id, Some(m.nNals), Some(m.nIdr), Some(m.nNonIdr), Some(m.nSps),
+            Some(m.nPps))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (id, None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long])
+        }
+      }
+    }.toDF(idCol, "n_nals", "n_idr", "n_nonidr", "n_sps", "n_pps")
   }
 
   /** Wrap a text table as a multimodal fixture (text bytes as payload) —

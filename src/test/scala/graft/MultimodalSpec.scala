@@ -204,6 +204,53 @@ class MultimodalSpec extends SparkSpec {
     assert(st.getLong(1) == 16L && st.getLong(2) == 12L && st.getLong(3) == expected)
   }
 
+  test("MP3 frame walk: spec-exact frame hops, CBR stats; strict on broken sync/truncation") {
+    import graft.operators.MediaCodec
+    // 128 kbps (idx 9) @ 44100: frame = 144*128000/44100 = 417 bytes
+    val stream = MediaCodec.buildMp3(nFrames = 5, bitrateIdx = 9)
+    assert(stream.length == 5 * 417)
+    val m = MediaCodec.parseMp3Frames(stream)
+    assert(m.nFrames == 5 && m.bitrateKbps == 128 && m.sampleRate == 44100)
+    assert(m.nSamples == 5 * 1152 && m.totalBytes == 5 * 417)
+    // 48 kHz index changes the hop length: 144*320000/48000 = 960
+    val hi = MediaCodec.parseMp3Frames(
+      MediaCodec.buildMp3(nFrames = 2, bitrateIdx = 14, sampleRateIdx = 1))
+    assert(hi.sampleRate == 48000 && hi.totalBytes == 2 * 960)
+    intercept[IllegalArgumentException](
+      MediaCodec.parseMp3Frames("garbage!".getBytes))
+    // valid first frame, then truncated second header
+    intercept[IllegalArgumentException](
+      MediaCodec.parseMp3Frames(stream.take(417 + 2)))
+    // broken sync mid-stream
+    val broken = stream.clone(); broken(417) = 0x00
+    intercept[IllegalArgumentException](MediaCodec.parseMp3Frames(broken))
+  }
+
+  test("H.264 NAL scan: GOP census by type, 3- and 4-byte start codes; strict on junk") {
+    import graft.operators.MediaCodec
+    val st = MediaCodec.buildH264Stream(gops = 3, gopLen = 4)
+    val m = MediaCodec.parseH264Nals(st)
+    assert(m.nNals == 2 + 3 * 4 && m.nIdr == 3 && m.nNonIdr == 3 * 3)
+    assert(m.nSps == 1 && m.nPps == 1)
+    // hand-built stream with a 3-byte start code variant
+    val three = Array[Byte](0, 0, 1, 0x65.toByte, 0xaa.toByte, // IDR (ref 3, type 5)
+      0, 0, 0, 1, 0x41.toByte, 0xaa.toByte)                    // non-IDR
+    val m3 = MediaCodec.parseH264Nals(three)
+    assert(m3.nNals == 2 && m3.nIdr == 1 && m3.nNonIdr == 1)
+    intercept[IllegalArgumentException](
+      MediaCodec.parseH264Nals("no start code here".getBytes))
+    // forbidden_zero_bit set in the NAL header
+    intercept[IllegalArgumentException](MediaCodec.parseH264Nals(
+      Array[Byte](0, 0, 0, 1, 0x85.toByte, 0xaa.toByte)))
+    // distributed stats path with a malformed row quarantined
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, st), (2L, "junk".getBytes)).toDF("id", "media")
+    val rows = Multimodal.h264Stats(df, "id", "media").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == 14L && rows(2L).isNullAt(1))
+  }
+
   test("imageStats dispatches BMP and JPEG by magic in one mixed column") {
     import graft.operators.MediaCodec
     val s = spark

@@ -239,6 +239,47 @@ class StreamingSpec extends SparkSpec {
     assert(hits.head.getAs[Double]("dist") < 1e-6)
   }
 
+  test("flush → incremental dedup: each batch screens against the corpus, not itself") {
+    // the ingest-time dedup shape: on every flush the NEW batch is
+    // LSH-screened against the existing snapshot only (cross-side
+    // pairs), and flagged ids are withheld from the published corpus —
+    // per-batch cost scales with the batch, never re-pairing the corpus
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = Files.createTempDirectory("streamdedup").toString
+    val dupIds = scala.collection.mutable.Set.empty[Long]
+
+    val source = MemoryStream[(Long, String)]
+    def drain(): Unit = StreamingIngest.upsertStream(
+      source.toDF().toDF("id", "text"), "id", s"$tmp/corpus", s"$tmp/ckpt",
+      flushThreshold = Long.MaxValue, onFlush = _ => ()).awaitTermination()
+
+    // seed corpus: two distinct docs
+    source.addData(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different words about spark engines here"))
+    drain()
+
+    // batch 2 arrives with one near-dup of doc 0 and one fresh doc;
+    // screen BEFORE ingest, then upsert only the survivors
+    val batch = Seq(
+      (10L, "the quick brown fox leaps over the lazy dog"),
+      (11L, "novel content never seen in the corpus before")).toDF("id", "text")
+    val corpus = s.read.parquet(s"$tmp/corpus")
+    val flagged = graft.operators.Dedup.minhashLshPairsAgainst(
+        batch, corpus, "id", "text", numHashes = 8, bands = 4, shingle = 3)
+      .select("new_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L), s"expected only the near-dup flagged, got $flagged")
+    dupIds ++= flagged
+
+    source.addData((11L, "novel content never seen in the corpus before"))
+    drain()
+    val ids = s.read.parquet(s"$tmp/corpus").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 11L), s"corpus after screened ingest: $ids")
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val s = spark
     import s.implicits._
