@@ -788,7 +788,7 @@ object SparkEntry {
     // The production embedder keeps xxhash64 with the same structure
     // (determinism + distributed/driver agreement pinned in
     // TextFunctionsSpec).
-    "e2_embed_search_xx" -> ((s, dir) => {
+    "e2_embed_search_norm" -> ((s, dir) => {
       val docs = HashingEmbedder.embedMd5Normalized(Tables.documents(s, dir),
         "doc_id", "text", dim = 64)
       val q = HashingEmbedder.md5NormalizedLocal(EmbedQueryText, 64)
@@ -1097,7 +1097,21 @@ object SparkEntry {
     // (HNSW is approximate by contract); the recall + incremental-insert
     // contracts are gated in StreamingSpec/HnswSpec.
     "b10_stream_index" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("b10idx").toString
+      // fixed scratch root, wiped on entry: repeated bench/verify runs
+      // reuse the one directory instead of accumulating corpus copies
+      // (the checkpoint MUST go too — a stale AvailableNow checkpoint
+      // would mark the replay files already-processed and skip them)
+      val tmp = {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_b10idx")
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+          finally walk.close()
+        }
+        java.nio.file.Files.createDirectories(p).toString
+      }
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       emb.repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
       val stream = s.readStream.schema(emb.schema)
@@ -1314,58 +1328,18 @@ object SparkEntry {
     // PNG is lossless, so unlike the JPEG query the fixture needs no
     // structural constraint — three independent channel formulas prove
     // full-RGB fidelity through encode → distributed decode.
-    "mm_png_decode" -> ((s, dir) => {
-      import s.implicits._
-      val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .map { id =>
-          val w = (20 + id % 37).toInt
-          val h = (14 + id % 23).toInt
-          val rgb = new Array[Byte](3 * w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = 3 * (y * w + x)
-              rgb(p) = ((id * 31 + x * 7 + y * 13) % 256).toByte
-              rgb(p + 1) = ((id * 17 + x * 5 + y * 11 + 85) % 256).toByte
-              rgb(p + 2) = ((id * 23 + x * 3 + y * 19 + 170) % 256).toByte
-              x += 1
-            }
-            y += 1
-          }
-          (id, MediaCodec.encodePng(w, h, rgb))
-        }.toDF("doc_id", "media")
-      Multimodal.imageStats(pngs, "doc_id", "media").orderBy("doc_id")
-    }),
+    "mm_png_decode" -> ((s, dir) =>
+      Multimodal.imageStats(pngFixture(s, dir), "doc_id", "media")
+        .orderBy("doc_id")),
 
     // ---- Multimodal REAL resize: decode the PNG fixture and
     // nearest-neighbor resample to 16×12; the oracle replays the exact
     // index mapping (sx = ⌊x·w/16⌋, sy = ⌊y·h/12⌋) in closed form, so
     // the resample arithmetic — not just the dims — is hash-checked
-    "mm_resize" -> ((s, dir) => {
-      import s.implicits._
-      val pngs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-        .map { id =>
-          val w = (20 + id % 37).toInt
-          val h = (14 + id % 23).toInt
-          val rgb = new Array[Byte](3 * w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = 3 * (y * w + x)
-              rgb(p) = ((id * 31 + x * 7 + y * 13) % 256).toByte
-              rgb(p + 1) = ((id * 17 + x * 5 + y * 11 + 85) % 256).toByte
-              rgb(p + 2) = ((id * 23 + x * 3 + y * 19 + 170) % 256).toByte
-              x += 1
-            }
-            y += 1
-          }
-          (id, MediaCodec.encodePng(w, h, rgb))
-        }.toDF("doc_id", "media")
-      Multimodal.imageResizeStats(pngs, "doc_id", "media", dstW = 16, dstH = 12)
-        .orderBy("doc_id")
-    }),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.imageResizeStats(pngFixture(s, dir), "doc_id", "media",
+          dstW = 16, dstH = 12)
+        .orderBy("doc_id")),
 
     // ---- Multimodal REAL MP3 container parse: spec-exact CBR frame
     // streams (headers + frame-length hops are real MPEG-1 Layer III;
@@ -1653,6 +1627,44 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** Shared PNG fixture for `mm_png_decode` / `mm_resize`: per-doc dims
+    * (20+id%37 × 14+id%23) with three independent per-pixel channel
+    * formulas — ONE definition on the engine side, mirrored once by
+    * [[pngChannelSumSql]] on the oracle side, so a fixture edit can't
+    * drift between the two queries and masquerade as a codec bug. */
+  private def pngFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (20 + id % 37).toInt
+        val h = (14 + id % 23).toInt
+        val rgb = new Array[Byte](3 * w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = 3 * (y * w + x)
+            rgb(p) = ((id * 31 + x * 7 + y * 13) % 256).toByte
+            rgb(p + 1) = ((id * 17 + x * 5 + y * 11 + 85) % 256).toByte
+            rgb(p + 2) = ((id * 23 + x * 3 + y * 19 + 170) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, MediaCodec.encodePng(w, h, rgb))
+      }.toDF("doc_id", "media")
+  }
+
+  /** Oracle-side twin of [[pngFixture]]'s channel formulas: the summed
+    * R+G+B value at source coordinates (`x`, `y`) as a SQL expression —
+    * parameterized on the coordinate expressions so the decode oracle
+    * passes raw (x, y) and the resize oracle passes the nearest-neighbor
+    * mapping, both from this single definition. */
+  private def pngChannelSumSql(x: String, y: String): String =
+    s"""(doc_id * 31 + ($x) * 7 + ($y) * 13) % 256
+       |    + (doc_id * 17 + ($x) * 5 + ($y) * 11 + 85) % 256
+       |    + (doc_id * 23 + ($x) * 3 + ($y) * 19 + 170) % 256""".stripMargin
 
   /** Deterministic PII salt appended to each doc (Spark side; the
     * oracle builds the identical string in SQL). */
@@ -2576,7 +2588,7 @@ object SparkEntry {
 
       "e2_embed_search" -> embedSearchSql,
 
-      "e2_embed_search_xx" -> embedSearchXxSql,
+      "e2_embed_search_norm" -> embedSearchNormSql,
 
       "mv_maxsim" -> maxsimSql,
 
@@ -2729,14 +2741,12 @@ object SparkEntry {
       // lossless, so the decoded channels equal the generator formulas
       // exactly — lum_sum = Σ(r+g+b) over the w×h grid
       "mm_png_decode" ->
-        """WITH dims AS (
+        s"""WITH dims AS (
           |  SELECT doc_id, 20 + doc_id % 37 AS w, 14 + doc_id % 23 AS h
           |  FROM documents),
           |px AS (
           |  SELECT doc_id, w, h,
-          |    (doc_id * 31 + x * 7 + y * 13) % 256
-          |    + (doc_id * 17 + x * 5 + y * 11 + 85) % 256
-          |    + (doc_id * 23 + x * 3 + y * 19 + 170) % 256 AS v
+          |    ${pngChannelSumSql("x", "y")} AS v
           |  FROM dims,
           |    unnest(generate_series(0, w - 1)) AS tx(x),
           |    unnest(generate_series(0, h - 1)) AS ty(y)),
@@ -2757,14 +2767,12 @@ object SparkEntry {
       // the 16×12 thumbnail reads source pixel (x*w//16, y*h//12); the
       // channel formulas evaluate at those source coordinates
       "mm_resize" ->
-        """WITH dims AS (
+        s"""WITH dims AS (
           |  SELECT doc_id, 20 + doc_id % 37 AS w, 14 + doc_id % 23 AS h
           |  FROM documents),
           |px AS (
           |  SELECT doc_id,
-          |    (doc_id * 31 + (x * w // 16) * 7 + (y * h // 12) * 13) % 256
-          |    + (doc_id * 17 + (x * w // 16) * 5 + (y * h // 12) * 11 + 85) % 256
-          |    + (doc_id * 23 + (x * w // 16) * 3 + (y * h // 12) * 19 + 170) % 256 AS v
+          |    ${pngChannelSumSql("x * w // 16", "y * h // 12")} AS v
           |  FROM dims,
           |    unnest(generate_series(0, 15)) AS tx(x),
           |    unnest(generate_series(0, 11)) AS ty(y)),
@@ -3358,7 +3366,7 @@ object SparkEntry {
     * exact DenseVecAgg.finish arithmetic), query components inlined as
     * exact round-trip double literals narrowed to REAL, cosine distance
     * via the shared left-associative fold helpers. */
-  private def embedSearchXxSql: String = {
+  private def embedSearchNormSql: String = {
     val qf = HashingEmbedder.md5NormalizedLocal(EmbedQueryText, 64)
     // float widens to double exactly; the shortest-round-trip double
     // string parses back to that double; REAL cast lands on the float

@@ -104,15 +104,22 @@ object HashingEmbedder {
   }
 
   def embedMd5Counts(df: DataFrame, idCol: String, textCol: String,
-                     dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
+                     dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame =
+    aggTokens(df, idCol, md5Tokens(df, idCol, textCol, dim), dim, outCol,
+      normalize = false)
+
+  /** Shared token prep for the md5-variant embedders: lowercase,
+    * whitespace-split, drop empties, hash each token to (bucket, sign).
+    * One definition so the normalized and raw-count embedders cannot
+    * desynchronize on tokenization. */
+  private def md5Tokens(df: DataFrame, idCol: String, textCol: String,
+                        dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val (bucket, sign) = md5BucketSignCols(col("__tok"), dim)
-    val tokens = df
-      .select(col(idCol).cast("string").as("__eid"),
+    df.select(col(idCol).cast("string").as("__eid"),
         explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
       .filter(col("__tok") =!= "")
       .select(col("__eid"), bucket.as("__bucket"), sign.as("__sign"))
-    aggTokens(df, idCol, tokens, dim, outCol, normalize = false)
   }
 
   /** md5-variant NORMALIZED embedding — the production [[embed]] shape
@@ -122,16 +129,9 @@ object HashingEmbedder {
     * exact integers, so the embedding — and anything folded over it in
     * array order — is oracle-checkable bit-for-bit. */
   def embedMd5Normalized(df: DataFrame, idCol: String, textCol: String,
-                         dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
-    require(dim > 0, s"dim must be positive, got $dim")
-    val (bucket, sign) = md5BucketSignCols(col("__tok"), dim)
-    val tokens = df
-      .select(col(idCol).cast("string").as("__eid"),
-        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
-      .filter(col("__tok") =!= "")
-      .select(col("__eid"), bucket.as("__bucket"), sign.as("__sign"))
-    aggTokens(df, idCol, tokens, dim, outCol, normalize = true)
-  }
+                         dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame =
+    aggTokens(df, idCol, md5Tokens(df, idCol, textCol, dim), dim, outCol,
+      normalize = true)
 
   /** Driver-side twin of [[embedMd5Normalized]] for a single text —
     * identical arithmetic to DenseVecAgg.finish (sqrt of the exact

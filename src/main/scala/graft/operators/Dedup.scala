@@ -156,7 +156,11 @@ object Dedup {
         collect_set(when(col("__new"), col("__id"))).as("new_ids"),
         collect_set(when(!col("__new"), col("__id"))).as("old_ids"))
       .filter(size(col("new_ids")) > 0 && size(col("old_ids")) > 0 &&
-        size(col("new_ids")) + size(col("old_ids")) <= maxBucket)
+        // DISTINCT docs, not side-set sizes summed: a re-ingested id
+        // sits in both sets and must count once, matching the
+        // documented "≤ maxBucket docs total" contract (and the
+        // oracle's count(DISTINCT doc_id)).
+        size(array_union(col("new_ids"), col("old_ids"))) <= maxBucket)
       .select(explode(col("new_ids")).as("new_id"), col("old_ids"))
       .select(col("new_id"), explode(col("old_ids")).as("old_id"))
       .filter(col("new_id") =!= col("old_id"))

@@ -182,17 +182,7 @@ object MediaCodec {
     require(rgb.length == 3 * width * height,
       s"rgb length ${rgb.length} != ${3 * width * height}")
     require(quality > 0f && quality <= 1f, s"quality must be in (0,1], got $quality")
-    val img = new java.awt.image.BufferedImage(width, height,
-      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val data = img.getRaster.getDataBuffer
-      .asInstanceOf[java.awt.image.DataBufferByte].getData
-    var i = 0
-    while (i < width * height) {
-      data(3 * i) = rgb(3 * i + 2)       // raster stores BGR
-      data(3 * i + 1) = rgb(3 * i + 1)
-      data(3 * i + 2) = rgb(3 * i)
-      i += 1
-    }
+    val img = rgbToBufferedImage(width, height, rgb)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -229,17 +219,7 @@ object MediaCodec {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(rgb.length == 3 * width * height,
       s"rgb length ${rgb.length} != ${3 * width * height}")
-    val img = new java.awt.image.BufferedImage(width, height,
-      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val data = img.getRaster.getDataBuffer
-      .asInstanceOf[java.awt.image.DataBufferByte].getData
-    var i = 0
-    while (i < width * height) {
-      data(3 * i) = rgb(3 * i + 2)       // raster stores BGR
-      data(3 * i + 1) = rgb(3 * i + 1)
-      data(3 * i + 2) = rgb(3 * i)
-      i += 1
-    }
+    val img = rgbToBufferedImage(width, height, rgb)
     val baos = new java.io.ByteArrayOutputStream()
     if (!javax.imageio.ImageIO.write(img, "png", baos))
       throw new IllegalStateException("no PNG writer available in this JDK")
@@ -253,6 +233,25 @@ object MediaCodec {
       (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
       bytes(3) == 'G', "not a PNG payload")
     decodeViaImageIO(bytes, "PNG")
+  }
+
+  /** Row-major RGB triplets → TYPE_3BYTE_BGR BufferedImage — the shared
+    * raster build for both ImageIO encoders (the decode twin is
+    * [[decodeViaImageIO]]). */
+  private def rgbToBufferedImage(width: Int, height: Int,
+                                 rgb: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < width * height) {
+      data(3 * i) = rgb(3 * i + 2)       // raster stores BGR
+      data(3 * i + 1) = rgb(3 * i + 1)
+      data(3 * i + 2) = rgb(3 * i)
+      i += 1
+    }
+    img
   }
 
   private def decodeViaImageIO(bytes: Array[Byte], kind: String): (Int, Int, Array[Byte]) = {

@@ -135,8 +135,9 @@ object Multimodal {
     }.toDF(idCol, "sample_rate", "n_samples", "duration_ms", "sum_sq", "rms")
   }
 
-  /** REAL image decode: parse each row's image payload — 24-bit BMP or
-    * baseline JPEG, sniffed by magic ([[MediaCodec.decodeImage]]) — and
+  /** REAL image decode: parse each row's image payload — 24-bit BMP,
+    * baseline JPEG, or PNG, sniffed by magic
+    * ([[MediaCodec.decodeImage]]) — and
     * emit dimensions + exact integer luminance sum (Σ r+g+b —
     * order-free) and mean channel value. Malformed payloads yield
     * nulls, as in [[audioFeatures]]. */

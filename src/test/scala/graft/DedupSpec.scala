@@ -77,6 +77,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("incremental LSH bucket guard counts DISTINCT docs: a re-ingested id " +
+    "at the exact maxBucket boundary does not drop the bucket") {
+    val s = spark
+    import s.implicits._
+    // bucket holds exactly 3 DISTINCT docs: corpus {0, 1} + batch {0}
+    // (re-ingested) ∪ {10}. With maxBucket = 3 the old summed-sizes
+    // guard saw 2 + 2 = 4 > 3 and silently dropped every cross pair;
+    // the distinct-count contract keeps them.
+    val corpus = docs.filter(col("doc_id").isin(0L, 1L))
+    val batch = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAgainst(batch, corpus, "doc_id", "text",
+        8, 4, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 0L)) && pairs.contains((10L, 1L)) &&
+      pairs.contains((0L, 1L)), s"boundary bucket dropped: $pairs")
+    // and one doc beyond the boundary still trips the guard
+    val guarded = Dedup.minhashLshPairsAgainst(batch, corpus, "doc_id", "text",
+        8, 4, maxBucket = 2)
+      .collect()
+    assert(guarded.isEmpty, s"over-boundary bucket kept: ${guarded.toSeq}")
+  }
+
   test("duplicate ids in a bucket never emit self-pairs; string ids rejected by CC") {
     val s = spark
     import s.implicits._

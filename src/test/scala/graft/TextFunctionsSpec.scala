@@ -95,6 +95,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(vecs(0L).forall(x => x == math.rint(x)))
   }
 
+  test("production xxhash64 embed -> knnCosine composition: self-match first, " +
+    "ranking equals driver-side brute force") {
+    // the oracle-checked driver queries pin the md5-variant embedders;
+    // this keeps the production xxhash64 embed+search path exercised
+    val e = HashingEmbedder.embed(df, "doc_id", "text", dim = 32)
+    val q = HashingEmbedder.embedText(spark, "the quick brown fox is one of the animals", 32)
+    val got = graft.operators.Search.knnCosine(e, "doc_id", "embedding", q.toSeq, 4)
+      .select("doc_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 0 has the query's exact text: cosine distance ~0, ranked first
+    assert(got.head._1 == 0L && got.head._2 < 1e-6, s"self-match not first: ${got.toSeq}")
+    // full ranking equals brute-force cosine over the collected embeddings
+    val vecs = e.select("doc_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      1.0 - dot / math.sqrt(na * nb)
+    }
+    val expect = vecs.map { case (id, v) => (id, cosDist(v, q)) }
+      .sortBy { case (id, d) => (d, id) }.take(4).map(_._1).toSeq
+    assert(got.map(_._1).toSeq == expect, s"ranking mismatch: got ${got.toSeq}")
+  }
+
   test("hashing embedder groups by non-numeric ids without loss") {
     val s = spark
     import s.implicits._
