@@ -43,6 +43,36 @@ class PageRankSpec extends SparkSpec {
     assert(r1 == r2, "ranks changed under repartitioning")
   }
 
+  test("driver-local shortcut is BIT-EXACT vs the distributed path") {
+    val s = spark
+    import s.implicits._
+    // irregular degrees + multiple components so the decimal rounding
+    // actually fires on non-trivial values
+    val es = ((0L until 40L).map(i => (i, (i * 7 + 1) % 40)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (100L, 103L)))
+      .toDF("a", "b")
+    val local = PageRank.run(es, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val dist = PageRank.run(es, iters = 5, localThreshold = 0L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(local.keySet == dist.keySet)
+    // raw bits, not approximate equality — the whole point is that the
+    // oracle match is path-independent
+    local.foreach { case (id, r) =>
+      assert(java.lang.Double.doubleToLongBits(r) ==
+        java.lang.Double.doubleToLongBits(dist(id)),
+        s"node $id: local $r != distributed ${dist(id)}")
+    }
+  }
+
+  test("non-long ids fall back to the distributed path") {
+    val s = spark
+    import s.implicits._
+    val es = Seq((1, 2), (2, 3), (1, 3)).toDF("a", "b") // int ids
+    val r = PageRank.run(es, iters = 3).collect().map(_.getDouble(1))
+    assert(r.length == 3 && r.forall(x => math.abs(x - 1.0 / 3) < 1e-12))
+  }
+
   test("rejects empty graphs and bad parameters") {
     intercept[IllegalArgumentException] {
       PageRank.run(pairs((1L, 2L)), iters = 0)
