@@ -1341,6 +1341,27 @@ object SparkEntry {
           dstW = 16, dstH = 12)
         .orderBy("doc_id")),
 
+    // ---- Multimodal REAL perceptual hash: PNG-encoded grouped images
+    // → distributed decode → 9×7 nearest resample → 56-bit dHash. The
+    // oracle replays decode + resample + gradient-compare in closed
+    // form (same dx·w//9 index mapping as mm_resize), so the whole
+    // perceptual-hash arithmetic is hash-checked bit-for-bit.
+    "mm_dhash" -> ((s, dir) =>
+      Multimodal.imageDHash(dhashFixture(s, dir), "doc_id", "media")
+        .orderBy("doc_id")),
+
+    // ---- Image near-dup dedup: dHash + banded Hamming pairs. Groups
+    // of visually-near-identical images (one perturbed pixel apart)
+    // land within Hamming ≤ 2; candidate generation is the pigeonhole
+    // band join (4 bands × 14 bits, complete for maxDist 3 by
+    // construction), never all-pairs — the oracle checks the exact
+    // pair set plus distances against its own all-pairs join.
+    "dedup_image_neardup" -> ((s, dir) =>
+      Dedup.hammingNearDupPairs(
+        Multimodal.imageDHash(dhashFixture(s, dir), "doc_id", "media"),
+        "doc_id", "dhash", maxDist = 3, hashBits = 56, nBands = 4)
+        .orderBy("a", "b")),
+
     // ---- Multimodal REAL MP3 container parse: spec-exact CBR frame
     // streams (headers + frame-length hops are real MPEG-1 Layer III;
     // bodies carry no audio) walked distributed; the oracle recomputes
@@ -1444,6 +1465,21 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).as("n_tok")),
         "doc_id", "n_tok", capacity = 2048, numPartitions = 8)
         .orderBy("doc_id")),
+
+    // ---- Full sequence-packing plan: one row per (document, training
+    // window) overlap, with in-document slice offsets and in-window
+    // placement — what a training loader consumes to assemble
+    // fixed-length samples with document-boundary attention masks.
+    // Window fan-out is closed-form on top of the distributed prefix
+    // sum; the oracle replays it with a window cumsum + generate_series.
+    "pack_windows" -> ((s, dir) =>
+      Chunker.packWindows(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", capacity = 2048, numPartitions = 8)
+        .select(col("doc_id"), col("n_tok"), col("win_id"),
+          col("win_offset"), col("slice_start"), col("slice_len"))
+        .orderBy("doc_id", "win_id")),
 
     // ---- B9 with a fixed deterministic codebook: the k-means path is
     // rows-only (b9_pq_encode), but the encode ARITHMETIC (per-chunk
@@ -1655,6 +1691,77 @@ object SparkEntry {
         (id, MediaCodec.encodePng(w, h, rgb))
       }.toDF("doc_id", "media")
   }
+
+  /** Shared grayscale PNG fixture for `mm_dhash` / `dedup_image_neardup`:
+    * 97 groups of visually-near-identical images. The group id (doc_id
+    * mod 97) fixes the dims (20+gid%13 × 16+gid%11) and the base pixel
+    * pattern (gid·37 + x·53 + y·41 mod 256, grayscale r=g=b); each doc
+    * additionally perturbs ONE group-chosen pixel (gid%w, gid%h) by
+    * (doc_id%5)·40 — a perturbed sample pixel affects at most its two
+    * adjacent horizontal gradient comparisons, so within-group dHashes
+    * sit within Hamming distance 2 by construction and the near-dup
+    * query is guaranteed a non-trivial pair set. x·53 keeps the
+    * gradient wrapping mod 256 frequently, so hashes are bit-diverse
+    * across groups rather than near-constant. */
+  private def dhashFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val gid = id % 97
+        val w = (20 + gid % 13).toInt
+        val h = (16 + gid % 11).toInt
+        val px = (gid % w).toInt
+        val py = (gid % h).toInt
+        val rgb = new Array[Byte](3 * w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (gid * 37 + x * 53 + y * 41) % 256
+            val v =
+              (if (x == px && y == py) (base + (id % 5) * 40) % 256 else base).toByte
+            val p = 3 * (y * w + x)
+            rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        (id, MediaCodec.encodePng(w, h, rgb))
+      }.toDF("doc_id", "media")
+  }
+
+  /** Oracle-side twin of [[dhashFixture]] + the 9×7 resample + the
+    * gradient hash, as a DuckDB CTE chain ending in
+    * `hashes(doc_id, dhash)` — shared by the `mm_dhash` and
+    * `dedup_image_neardup` oracles so fixture edits cannot drift
+    * between them. Sampled luminance at thumbnail (dx, dy) reads source
+    * (dx·w//9, dy·h//7); bit dy·8+dx is set when the right neighbor is
+    * strictly brighter; the 56-bit value is assembled as an exact
+    * BIGINT sum of powers of two (top bit 55 — never the sign bit). */
+  private val dhashOracleCtes: String =
+    """dims AS (
+      |  SELECT doc_id, doc_id % 97 AS gid,
+      |    20 + (doc_id % 97) % 13 AS w, 16 + (doc_id % 97) % 11 AS h
+      |  FROM documents),
+      |samp AS (
+      |  SELECT doc_id, dx, dy,
+      |    CASE WHEN (dx * w // 9) = gid % w AND (dy * h // 7) = gid % h
+      |      THEN (gid*37 + (dx*w//9)*53 + (dy*h//7)*41 + (doc_id % 5) * 40) % 256
+      |      ELSE (gid*37 + (dx*w//9)*53 + (dy*h//7)*41) % 256 END AS v
+      |  FROM dims,
+      |    unnest(generate_series(0, 8)) AS tx(dx),
+      |    unnest(generate_series(0, 6)) AS ty(dy)),
+      |bits AS (
+      |  SELECT s0.doc_id,
+      |    CASE WHEN s1.v > s0.v THEN (1::BIGINT << (s0.dy * 8 + s0.dx))
+      |      ELSE 0 END AS b
+      |  FROM samp s0
+      |  JOIN samp s1 ON s1.doc_id = s0.doc_id AND s1.dy = s0.dy
+      |    AND s1.dx = s0.dx + 1
+      |  WHERE s0.dx < 8),
+      |hashes AS (
+      |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS dhash FROM bits
+      |  GROUP BY doc_id)""".stripMargin
 
   /** Oracle-side twin of [[pngFixture]]'s channel formulas: the summed
     * R+G+B value at source coordinates (`x`, `y`) as a SQL expression —
@@ -2787,6 +2894,24 @@ object SparkEntry {
           |JOIN agg a ON d.doc_id = a.doc_id
           |ORDER BY d.doc_id""".stripMargin,
 
+      // full perceptual-hash replay: fixture formulas → 9×7 nearest
+      // resample → horizontal gradient bits → exact BIGINT assembly
+      "mm_dhash" ->
+        s"""WITH $dhashOracleCtes
+          |SELECT doc_id, dhash FROM hashes ORDER BY doc_id""".stripMargin,
+
+      // the oracle does the honest all-pairs join (fine at oracle
+      // scale); the engine's banded screen must recover the identical
+      // pair set — completeness of the pigeonhole banding is what's
+      // being checked, on top of the hash arithmetic itself
+      "dedup_image_neardup" ->
+        s"""WITH $dhashOracleCtes
+          |SELECT ha.doc_id AS a, hb.doc_id AS b,
+          |  CAST(bit_count(xor(ha.dhash, hb.dhash)) AS BIGINT) AS hamming
+          |FROM hashes ha JOIN hashes hb ON ha.doc_id < hb.doc_id
+          |WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3
+          |ORDER BY a, b""".stripMargin,
+
       // closed-form replay of the CBR fixture: kbps from the MPEG-1
       // Layer III table at index 1+id%14, frame bytes 144·kbps·1000//44100,
       // 1152 samples/frame, duration floored integer ms
@@ -2885,6 +3010,26 @@ object SparkEntry {
           |  CAST(cum // 2048 AS BIGINT) AS pack_id,
           |  CAST(cum % 2048 AS BIGINT) AS pack_offset
           |FROM c ORDER BY doc_id""".stripMargin,
+
+      // window overlap replay: doc spans [cum, cum+n_tok) of the token
+      // stream; generate_series enumerates the windows it crosses and
+      // the slice arithmetic is pure greatest/least algebra
+      "pack_windows" ->
+        """WITH toks AS (SELECT doc_id,
+          |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok FROM documents),
+          |c AS (SELECT doc_id, n_tok,
+          |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |    AS cum FROM toks),
+          |w AS (SELECT doc_id, n_tok, cum,
+          |  unnest(generate_series(cum // 2048, (cum + n_tok - 1) // 2048)) AS win_id
+          |  FROM c WHERE n_tok > 0)
+          |SELECT doc_id, n_tok, win_id,
+          |  CAST(greatest(0, cum - win_id * 2048) AS BIGINT) AS win_offset,
+          |  CAST(greatest(0, win_id * 2048 - cum) AS BIGINT) AS slice_start,
+          |  CAST(least(cum + n_tok, (win_id + 1) * 2048)
+          |    - greatest(cum, win_id * 2048) AS BIGINT) AS slice_len
+          |FROM w ORDER BY doc_id, win_id""".stripMargin,
 
       // SQ8: training (exact min/max) + encode + ADC are ALL in-SQL —
       // no fixed-model twin needed

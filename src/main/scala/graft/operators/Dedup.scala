@@ -196,6 +196,55 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** All unordered id pairs whose fixed-width hashes (simhash, image
+    * dHash, any ≤ `hashBits`-bit fingerprint in a long) lie within
+    * Hamming distance `maxDist`, via banded candidate generation: the
+    * hash splits into `nBands` contiguous bit bands, and a pair within
+    * `maxDist` differs in at most `maxDist` bands, so with
+    * `nBands > maxDist` (pigeonhole) it agrees EXACTLY on at least one
+    * band — candidates come from an inverted-index join on
+    * (band, band_bits), never an all-pairs product, and an exact
+    * XOR-popcount gate verifies each candidate. Complete by
+    * construction relative to the bucket guard: `maxBucket` drops
+    * degenerate buckets (a band value shared by more docs than that —
+    * e.g. a constant-image corpus) exactly like [[minhashLshPairs]],
+    * bounding intra-bucket fan-out at corpus scale.
+    *
+    * `hashBits` must be ≤ 63 (non-negative long hashes) and divisible
+    * by `nBands` so bands are equal-width. Null hashes are ignored.
+    * Output: a, b (ids, a < b), hamming (bigint). */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                          maxDist: Int, hashBits: Int, nBands: Int = 4,
+                          maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(nBands > maxDist,
+      s"nBands ($nBands) must exceed maxDist ($maxDist) for the pigeonhole " +
+        "band screen to be complete")
+    require(hashBits >= 1 && hashBits <= 63 && hashBits % nBands == 0,
+      s"hashBits ($hashBits) must be in [1, 63] and divisible by nBands ($nBands)")
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val bandBits = hashBits / nBands
+    val mask = (1L << bandBits) - 1L
+    val h = hashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(hashCol).cast("long").as("__h"))
+    val bands = (0 until nBands).map(b =>
+      shiftrightunsigned(col("__h"), b * bandBits).bitwiseAND(lit(mask)))
+    val buckets = h
+      .select(col("__id"), posexplode(array(bands: _*)).as(Seq("__band", "__bits")))
+      .groupBy("__band", "__bits").agg(collect_set(col("__id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    val cand = intraBucketPairs(buckets, "ids", "a", "b")
+      .select(col("a"), col("b")).distinct()
+    // exact-gate hydration: id→hash lookups, unhinted — AQE broadcasts
+    // them when the hash table is small, shuffle-joins at corpus scale
+    cand
+      .join(h.select(col("__id").as("a"), col("__h").as("__ha")), "a")
+      .join(h.select(col("__id").as("b"), col("__h").as("__hb")), "b")
+      .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxDist)
+      .select(col("a"), col("b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+  }
+
   private val HexAlphabet = "0123456789abcdef"
 
   /** SimHash variant with md5-derived bits, emitted as a 16-hex-char

@@ -203,6 +203,59 @@ object Multimodal {
     }.toDF(idCol, "width", "height", "lum_sum", "mean_channel")
   }
 
+  /** REAL perceptual difference-hash (dHash, Krawetz 2013): decode each
+    * row's image payload (BMP/JPEG/PNG by magic), nearest-neighbor
+    * resample to a (gw+1)×gh thumbnail ([[MediaCodec.resizeNearest]]),
+    * and hash the horizontal luminance gradients — bit `y·gw + x` is set
+    * iff `lum(x+1, y) > lum(x, y)`, where lum is the integer channel sum
+    * r+g+b of the resampled pixel (monotone in the mean, no division).
+    * The default 8×7 grid yields a 56-bit hash: deliberately under 64
+    * bits so the value stays in the NON-NEGATIVE long range and every
+    * downstream comparison (banding shifts, XOR popcount, cross-engine
+    * oracle SQL) is exact signed-integer arithmetic with no sign-bit
+    * special-casing. Output: idCol, dhash (bigint, null for malformed
+    * payloads — same quarantine as [[imageStats]]).
+    *
+    * Near-duplicate images (re-encodes, small edits, brightness shifts
+    * that preserve gradient signs) land within a small Hamming distance;
+    * pair generation at corpus scale is [[Dedup.hammingNearDupPairs]]'
+    * banded inverted-index join, never all-pairs. */
+  def imageDHash(df: DataFrame, idCol: String, binCol: String,
+                 gw: Int = 8, gh: Int = 7): DataFrame = {
+    require(gw >= 1 && gh >= 1, s"bad dhash grid ${gw}x$gh")
+    require(gw * gh < 64, s"dhash grid ${gw}x$gh needs ${gw * gh} bits; " +
+      "must stay under 64 so the hash fits the non-negative long range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        try {
+          val (w, h, rgb) = MediaCodec.decodeImage(r.getAs[Array[Byte]](binIdx))
+          val t = MediaCodec.resizeNearest(w, h, rgb, gw + 1, gh)
+          var hash = 0L
+          var y = 0
+          while (y < gh) {
+            var x = 0
+            while (x < gw) {
+              val p0 = 3 * (y * (gw + 1) + x)
+              val l0 = (t(p0) & 0xff) + (t(p0 + 1) & 0xff) + (t(p0 + 2) & 0xff)
+              val l1 = (t(p0 + 3) & 0xff) + (t(p0 + 4) & 0xff) + (t(p0 + 5) & 0xff)
+              if (l1 > l0) hash |= 1L << (y * gw + x)
+              x += 1
+            }
+            y += 1
+          }
+          (id, Some(hash))
+        } catch {
+          case scala.util.control.NonFatal(_) => (id, None: Option[Long])
+        }
+      }
+    }.toDF(idCol, "dhash")
+  }
+
   /** REAL MP3 container parse: walk each row's MPEG-1 Layer III frame
     * stream ([[MediaCodec.parseMp3Frames]]) and emit frame/duration
     * stats — the shard-planning metadata an audio pipeline needs before

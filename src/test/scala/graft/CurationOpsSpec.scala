@@ -96,6 +96,52 @@ class CurationOpsSpec extends SparkSpec {
     assert(packs == (0L to expect.last._3).toSet)
   }
 
+  test("packWindows: slices tile every window and reassemble every document") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // lengths straddle the capacity: some docs fit, some span 2+ windows,
+    // zero-token docs must vanish
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 17 == 0) 0L else 1L + rnd.nextInt(250)))
+    val df = docs.toDF("id", "n_tok").repartition(7)
+    val cap = 128L
+    val rows = Chunker.packWindows(df, "id", "n_tok", cap, numPartitions = 4)
+      .select("id", "n_tok", "win_id", "win_offset", "slice_start", "slice_len")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // per document: slices cover [0, n_tok) contiguously in win_id order
+    val byDoc = rows.groupBy(_._1)
+    assert(!byDoc.contains(0L) && !byDoc.contains(17L), "0-token docs emit no rows")
+    docs.filter(_._2 > 0).foreach { case (id, nt) =>
+      val slices = byDoc(id).sortBy(_._3).map(t => (t._5, t._6))
+      assert(slices.head._1 == 0L && slices.map(_._2).sum == nt,
+        s"doc $id slices $slices don't reassemble $nt tokens")
+      slices.sliding(2).foreach {
+        case Array((s0, l0), (s1, _)) => assert(s0 + l0 == s1)
+        case _ =>
+      }
+    }
+    // per window: placements tile [0, cap) with no gaps or overlaps
+    // (the final window may end short)
+    val lastWin = rows.map(_._3).max
+    rows.groupBy(_._3).foreach { case (win, ws) =>
+      val placed = ws.sortBy(_._4).map(t => (t._4, t._6))
+      assert(placed.head._1 == 0L, s"window $win starts at ${placed.head._1}")
+      placed.sliding(2).foreach {
+        case Array((o0, l0), (o1, _)) =>
+          assert(o0 + l0 == o1, s"window $win gap/overlap at $o1")
+        case _ =>
+      }
+      val end = placed.last._1 + placed.last._2
+      assert(end == cap || (win == lastWin && end <= cap),
+        s"window $win ends at $end")
+    }
+    // total conservation: every token is placed exactly once
+    assert(rows.map(_._6).sum == docs.map(_._2).sum)
+  }
+
   test("chunk: null text behaves like empty text — the doc still yields a chunk") {
     val s = spark
     import s.implicits._

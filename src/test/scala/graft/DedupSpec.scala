@@ -470,4 +470,55 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("hammingNearDupPairs: banded screen recovers the exact brute-force pair set") {
+    val s = spark
+    import s.implicits._
+    // deterministic 56-bit hashes: 120 random + planted near-dups at
+    // exact distances 0..4 off hash 0 (4 must be EXCLUDED at maxDist 3)
+    val rnd = new java.util.Random(20260813L)
+    val base = Array.fill(120)(rnd.nextLong() & ((1L << 56) - 1))
+    def flip(h: Long, k: Int): Long = {
+      var out = h
+      var flipped = 0
+      var bit = 0
+      while (flipped < k) { // flip the k lowest distinct bits
+        out ^= 1L << bit; flipped += 1; bit += 1
+      }
+      out
+    }
+    val planted = (0 to 4).map(d => (1000L + d, flip(base(0), d)))
+    val all = base.zipWithIndex.map { case (h, i) => (i.toLong, h) } ++ planted
+    val df = all.toSeq.toDF("id", "h")
+    val got = graft.operators.Dedup
+      .hammingNearDupPairs(df, "id", "h", maxDist = 3, hashBits = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.exists(_._3 == 3L), "fixture must exercise the boundary distance")
+    // the distance-4 plant must not pair with its origin (distance 4 > 3)
+    // — though it legitimately pairs with nearer plants (e.g. 1001 at 3)
+    assert(!got.exists { case (a, b, _) => a == 0L && b == 1004L },
+      "distance-4 plant must not pair with its origin")
+    // null hashes are ignored, not pair-generating
+    val withNull = df.union(Seq((9999L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "h"))
+    assert(graft.operators.Dedup
+      .hammingNearDupPairs(withNull, "id", "h", 3, 56)
+      .filter($"a" === 9999L || $"b" === 9999L).count() == 0)
+    // degenerate bucket guard: a constant-hash corpus exceeds maxBucket
+    // and is dropped rather than exploding quadratically
+    val const = (0L until 50L).map((_, 42L)).toDF("id", "h")
+    assert(graft.operators.Dedup
+      .hammingNearDupPairs(const, "id", "h", 3, 56, maxBucket = 49).count() == 0)
+    intercept[IllegalArgumentException] { // bands must out-number maxDist
+      graft.operators.Dedup.hammingNearDupPairs(df, "id", "h", 4, 56, nBands = 4)
+    }
+    intercept[IllegalArgumentException] { // equal-width bands only
+      graft.operators.Dedup.hammingNearDupPairs(df, "id", "h", 3, 56, nBands = 5)
+    }
+  }
 }

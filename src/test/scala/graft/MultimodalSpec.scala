@@ -251,6 +251,42 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L).getLong(1) == 14L && rows(2L).isNullAt(1))
   }
 
+  test("imageDHash: gradient-sign hash, brightness-invariant, null quarantine") {
+    import graft.operators.MediaCodec
+    val s = spark
+    import s.implicits._
+    // 9×7 source = identity resample for the default 8×7 grid, so the
+    // hash is hand-computable: strictly increasing rows ⇒ all 56 bits
+    def ramp(off: Int) = Array.tabulate(3 * 9 * 7) { p =>
+      val x = (p / 3) % 9
+      (off + x * 10).toByte
+    }
+    val flat = Array.fill(3 * 9 * 7)(77.toByte)
+    val imgs = Seq(
+      (1L, MediaCodec.encodePng(9, 7, ramp(0))),
+      (2L, MediaCodec.encodePng(9, 7, ramp(20))), // brightness-shifted copy
+      (3L, MediaCodec.encodePng(9, 7, flat)),     // no gradients
+      (4L, "not-an-image".getBytes)).toDF("id", "media")
+    val h = Multimodal.imageDHash(imgs, "id", "media").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(h(1L).contains((1L << 56) - 1L), s"ramp hash ${h(1L)}")
+    assert(h(2L) == h(1L), "perceptual hash must survive a brightness shift")
+    assert(h(3L).contains(0L))
+    assert(h(4L).isEmpty)
+    // a single-pixel edit moves the hash by at most 2 bits
+    val dent = ramp(0).clone()
+    val dp = 3 * (3 * 9 + 4) // pixel (4, 3)
+    dent(dp) = 0; dent(dp + 1) = 0; dent(dp + 2) = 0
+    val h2 = Multimodal.imageDHash(
+      Seq((9L, MediaCodec.encodePng(9, 7, dent))).toDF("id", "media"),
+      "id", "media").collect()(0).getLong(1)
+    assert(java.lang.Long.bitCount(h2 ^ h(1L).get) <= 2)
+    // grids that would spill into the sign bit are rejected up front
+    intercept[IllegalArgumentException] {
+      Multimodal.imageDHash(imgs, "id", "media", gw = 8, gh = 8)
+    }
+  }
+
   test("imageStats dispatches BMP and JPEG by magic in one mixed column") {
     import graft.operators.MediaCodec
     val s = spark
