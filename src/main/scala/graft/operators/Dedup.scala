@@ -287,35 +287,50 @@ object Dedup {
       .select(col(idCol).as("__id"), shingleSet(col(textCol), n).as("__g"))
       .select(col("__id"), size(col("__g")).cast("long").as("sz"),
         explode(col("__g")).as("gram"))
-    val grams = if (maxDocFreq == Int.MaxValue) grams0 else {
-      // the ultra-common gram set is tiny — broadcast anti-join, and
-      // recompute per-doc sizes over the filtered universe. DISTINCT
-      // docs per gram (as documented), not rows: a re-ingested
-      // identical row must not push a gram over the cutoff
-      val common = grams0.groupBy("gram")
-        .agg(count_distinct(col("__id")).as("__df"))
-        .filter(col("__df") > maxDocFreq).select("gram")
-      // distinct BEFORE sizing: a doc ingested twice emits every gram
-      // row twice, which would double its recomputed set size and
-      // silently understate every jaccard it participates in
-      val kept = grams0.drop("sz").join(broadcast(common), Seq("gram"), "left_anti")
-        .distinct()
-      kept.join(kept.groupBy("__id").agg(count(lit(1)).as("sz")), "__id")
+    if (maxDocFreq == Int.MaxValue) {
+      // exhaustive path: per-doc sizes ride the exploded rows as struct
+      // payload — two shuffles total (gram buckets, pair keys)
+      return intraBucketPairs(
+        grams0.groupBy("gram")
+          .agg(collect_list(struct(col("__id"), col("sz"))).as("ids"))
+          .filter(size(col("ids")) > 1),
+        "ids", "x", "y")
+        .groupBy(col("x.__id").as("a"), col("y.__id").as("b"),
+          col("x.sz").as("sza"), col("y.sz").as("szb"))
+        .agg(count(lit(1)).as("inter"))
+        // a =!= b: a re-ingested id with different text appears as two
+        // distinct (id, sz) structs in a bucket and would self-pair
+        .filter(col("a") =!= col("b"))
+        .withColumn("jaccard",
+          col("inter") / (col("sza") + col("szb") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
     }
-    // each exploded gram row carries its doc's set size, so the pair
-    // counts come out of the bucket aggregation already joined — two
-    // shuffles total (gram buckets, pair keys), no size-lookup joins
-    intraBucketPairs(
-      grams.groupBy("gram")
-        .agg(collect_list(struct(col("__id"), col("sz"))).as("ids"))
-        .filter(size(col("ids")) > 1),
-      "ids", "x", "y")
-      .groupBy(col("x.__id").as("a"), col("y.__id").as("b"),
-        col("x.sz").as("sza"), col("y.sz").as("szb"))
-      .agg(count(lit(1)).as("inter"))
-      // a =!= b: a re-ingested id with different text appears as two
-      // distinct (id, sz) structs in a bucket and would self-pair
-      .filter(col("a") =!= col("b"))
+    // Guarded path. The ultra-common gram set is tiny — broadcast
+    // anti-join — and DISTINCT docs per gram (as documented), not rows:
+    // a re-ingested identical row must not push a gram over the cutoff.
+    val common = grams0.groupBy("gram")
+      .agg(count_distinct(col("__id")).as("__df"))
+      .filter(col("__df") > maxDocFreq).select("gram")
+    // distinct BEFORE bucketing: a doc ingested twice emits every gram
+    // row twice, which would double intersections AND its recomputed
+    // set size, silently skewing every jaccard it participates in
+    val kept = grams0.drop("sz").join(broadcast(common), Seq("gram"), "left_anti")
+      .distinct()
+    // one aggregation produces the buckets; the per-doc sizes over the
+    // filtered universe fall out of the buckets themselves (explode
+    // back + count — the bucket table is maxDocFreq-bounded), so the
+    // corpus-sized exploded-gram table is shuffled exactly once and the
+    // size lookups join the CANDIDATE-PAIR table, not the gram table.
+    // The one-bucket grams (size 1) still count toward sizes, so the
+    // filter to pairable buckets happens after the explode-back split.
+    val buckets = kept.groupBy("gram").agg(collect_set(col("__id")).as("ids"))
+    val sizes = buckets.select(explode(col("ids")).as("__id"))
+      .groupBy("__id").agg(count(lit(1)).as("sz"))
+    intraBucketPairs(buckets.filter(size(col("ids")) > 1), "ids", "a", "b")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("__id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("__id").as("b"), col("sz").as("szb")), "b")
       .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
