@@ -250,6 +250,39 @@ object ScaleProbe {
             "id", "n_tokens", capacity = 4096L)
           .agg(sum(col("pack_id"))).head.getLong(0)
       }
+
+      // full packing plan: window fan-out on top of the prefix sum —
+      // variable doc lengths so windows straddle documents both ways
+      t("pack_windows_plan") {
+        graft.operators.Chunker.packWindows(
+            docs.select(col("id"),
+              (pmod(xxhash64(col("id")), lit(500)) + 1).as("n_tokens")),
+            "id", "n_tokens", capacity = 2048L)
+          .agg(sum(col("slice_len"))).head.getLong(0)
+      }
+
+      // image-dHash Hamming near-dup pairs over n 56-bit hashes with
+      // planted near-dup groups of 4 (members ≤ 2 bits apart). The
+      // corpus-scale construction: nBlocks=8 → C(8,5)=56 tables keyed
+      // on 35 bits, so buckets stay sparse at ANY realistic n — the
+      // default 4-block screen keys on 14 bits and would quadratically
+      // explode its buckets beyond ~10^5 hashes (see scaladoc)
+      t("dhash_pairs_blocks8") {
+        // 10% of docs sit in planted near-dup groups of 4 (members ≤ 2
+        // bits apart — realistic re-encode/thumbnail dup density); the
+        // rest are unique random hashes
+        val grouped = floor(col("id") / 4) % 10 === 0
+        val hashes = spark.range(n).select(col("id"),
+          when(grouped, xxhash64(floor(col("id") / 4)))
+            .otherwise(xxhash64(col("id") + lit(3000000000L)))
+            .bitwiseAND(lit((1L << 56) - 1))
+            .bitwiseXOR(
+              expr("CASE WHEN id % 4 = 0 THEN 0L " +
+                "ELSE shiftleft(1L, CAST((id % 4) * 7 AS INT)) END"))
+            .as("h"))
+        Dedup.hammingNearDupPairs(hashes, "id", "h",
+          maxDist = 3, hashBits = 56, nBlocks = 8).count()
+      }
     }
     spark.stop()
   }

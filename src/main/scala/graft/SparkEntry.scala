@@ -491,6 +491,21 @@ object SparkEntry {
       Dedup.simhashMd5Hex(Tables.documents(s, dir), "text")
         .select("doc_id", "simhash").orderBy("doc_id")),
 
+    // ---- SimHash near-dup pairs: 56 bits of the oracle-exact md5
+    // fingerprint (first 14 hex chars, parsed identically by both
+    // engines) fed through the SAME blocked Hamming screen as image
+    // dHash (one screen, two modalities) — text near-dup detection the
+    // Manku WWW'07 way, pairs + distances hash-checked against the
+    // oracle's all-pairs join over its own recomputed fingerprints
+    "dedup_simhash_neardup" -> ((s, dir) =>
+      Dedup.hammingNearDupPairs(
+        Dedup.simhashMd5Hex(Tables.documents(s, dir), "text")
+          .select(col("doc_id"),
+            conv(substring(col("simhash"), 1, 14), 16, 10).cast("long")
+              .as("h56")),
+        "doc_id", "h56", maxDist = 3, hashBits = 56, nBlocks = 4)
+        .orderBy("a", "b")),
+
     // ---- ANN extension: embedding-cosine near-duplicate pairs
     "ann_cosine_neardup" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1359,7 +1374,7 @@ object SparkEntry {
     "dedup_image_neardup" -> ((s, dir) =>
       Dedup.hammingNearDupPairs(
         Multimodal.imageDHash(dhashFixture(s, dir), "doc_id", "media"),
-        "doc_id", "dhash", maxDist = 3, hashBits = 56, nBands = 4)
+        "doc_id", "dhash", maxDist = 3, hashBits = 56, nBlocks = 4)
         .orderBy("a", "b")),
 
     // ---- Multimodal REAL MP3 container parse: spec-exact CBR frame
@@ -1729,6 +1744,28 @@ object SparkEntry {
         (id, MediaCodec.encodePng(w, h, rgb))
       }.toDF("doc_id", "media")
   }
+
+  /** Oracle-side md5 SimHash fingerprint (the [[Dedup.simhashMd5Hex]]
+    * construction: bit i of the sign-sum is bit (i mod 4) of hex nibble
+    * (i div 4) of md5(token)), as a DuckDB CTE chain ending in
+    * `fp(doc_id, simhash)` — shared by the `dedup_simhash` and
+    * `dedup_simhash_neardup` oracles. */
+  private val simhashOracleCtes: String =
+    """t AS (
+      |  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |h AS (SELECT doc_id, list_transform(w, x -> md5(x)) AS hs FROM t),
+      |c AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
+      |  2 * len(list_filter(hs, hx ->
+      |    ((strpos('0123456789abcdef', substr(hx, i // 4 + 1, 1)) - 1) >> (i % 4)) & 1 = 1))
+      |  - len(hs)) AS cnt FROM h),
+      |n AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
+      |    (CASE WHEN cnt[4*j+1] > 0 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN cnt[4*j+2] > 0 THEN 2 ELSE 0 END)
+      |  + (CASE WHEN cnt[4*j+3] > 0 THEN 4 ELSE 0 END)
+      |  + (CASE WHEN cnt[4*j+4] > 0 THEN 8 ELSE 0 END)) AS nibs FROM c),
+      |fp AS (SELECT doc_id, array_to_string(list_transform(nibs,
+      |  nb -> substr('0123456789abcdef', nb + 1, 1)), '') AS simhash FROM n)""".stripMargin
 
   /** Oracle-side twin of [[dhashFixture]] + the 9×7 resample + the
     * gradient hash, as a DuckDB CTE chain ending in
@@ -2386,22 +2423,22 @@ object SparkEntry {
            |ORDER BY a, b""".stripMargin,
 
       "dedup_simhash" ->
-        """WITH t AS (
-          |  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS w
-          |  FROM documents),
-          |h AS (SELECT doc_id, list_transform(w, x -> md5(x)) AS hs FROM t),
-          |c AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
-          |  2 * len(list_filter(hs, hx ->
-          |    ((strpos('0123456789abcdef', substr(hx, i // 4 + 1, 1)) - 1) >> (i % 4)) & 1 = 1))
-          |  - len(hs)) AS cnt FROM h),
-          |n AS (SELECT doc_id, list_transform(generate_series(0, 15), j ->
-          |    (CASE WHEN cnt[4*j+1] > 0 THEN 1 ELSE 0 END)
-          |  + (CASE WHEN cnt[4*j+2] > 0 THEN 2 ELSE 0 END)
-          |  + (CASE WHEN cnt[4*j+3] > 0 THEN 4 ELSE 0 END)
-          |  + (CASE WHEN cnt[4*j+4] > 0 THEN 8 ELSE 0 END)) AS nibs FROM c)
-          |SELECT doc_id, array_to_string(list_transform(nibs,
-          |  nb -> substr('0123456789abcdef', nb + 1, 1)), '') AS simhash
-          |FROM n ORDER BY doc_id""".stripMargin,
+        s"""WITH $simhashOracleCtes
+          |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+
+      // fingerprint CTE shared with dedup_simhash; first 14 hex chars
+      // = 56 fingerprint bits (non-negative long range), then the
+      // honest all-pairs join the engine's blocked screen must equal
+      "dedup_simhash_neardup" ->
+        s"""WITH $simhashOracleCtes,
+          |hv AS (SELECT doc_id,
+          |  CAST(CAST(concat('0x', left(simhash, 14)) AS UBIGINT) AS BIGINT) AS h
+          |  FROM fp)
+          |SELECT ha.doc_id AS a, hb.doc_id AS b,
+          |  CAST(bit_count(xor(ha.h, hb.h)) AS BIGINT) AS hamming
+          |FROM hv ha JOIN hv hb ON ha.doc_id < hb.doc_id
+          |WHERE bit_count(xor(ha.h, hb.h)) <= 3
+          |ORDER BY a, b""".stripMargin,
 
       "q_salted_agg" ->
         s"""SELECT user_id, count(*) AS n_events, ${decSum("value")} AS sum_value

@@ -198,39 +198,57 @@ object Dedup {
 
   /** All unordered id pairs whose fixed-width hashes (simhash, image
     * dHash, any ≤ `hashBits`-bit fingerprint in a long) lie within
-    * Hamming distance `maxDist`, via banded candidate generation: the
-    * hash splits into `nBands` contiguous bit bands, and a pair within
-    * `maxDist` differs in at most `maxDist` bands, so with
-    * `nBands > maxDist` (pigeonhole) it agrees EXACTLY on at least one
-    * band — candidates come from an inverted-index join on
-    * (band, band_bits), never an all-pairs product, and an exact
-    * XOR-popcount gate verifies each candidate. Complete by
-    * construction relative to the bucket guard: `maxBucket` drops
-    * degenerate buckets (a band value shared by more docs than that —
-    * e.g. a constant-image corpus) exactly like [[minhashLshPairs]],
-    * bounding intra-bucket fan-out at corpus scale.
+    * Hamming distance `maxDist`, via blocked candidate generation
+    * (Manku/Jain/Das Sarma, WWW 2007 §3): the hash splits into
+    * `nBlocks` contiguous blocks, and a pair within `maxDist` differs
+    * in at most `maxDist` blocks, so it agrees EXACTLY on some
+    * (nBlocks − maxDist)-subset of blocks — one inverted-index join
+    * per subset, keyed on the hash masked to that subset's bits, never
+    * an all-pairs product, with an exact XOR-popcount gate verifying
+    * each candidate. Complete by construction relative to the bucket
+    * guard: `maxBucket` drops degenerate buckets (a key shared by more
+    * docs than that — e.g. a constant-image corpus) exactly like
+    * [[minhashLshPairs]], bounding intra-bucket fan-out.
+    *
+    * `nBlocks` trades table count against key width — THE corpus-scale
+    * knob: C(nBlocks, nBlocks − maxDist) tables of key width
+    * (nBlocks − maxDist)·hashBits/nBlocks bits. The default
+    * (maxDist + 1, one block per table — the textbook minimum) keys on
+    * only hashBits/(maxDist+1) bits, whose buckets stay sparse up to
+    * roughly 2^(hashBits/(maxDist+1)) docs (~10^4 for 56-bit/d=3); a
+    * web-scale corpus raises nBlocks instead (e.g. 8 blocks at d=3 →
+    * C(8,5) = 56 tables keyed on 35 bits, sparse to ~10^9 docs) —
+    * linear explode cost, exponentially sparser buckets.
     *
     * `hashBits` must be ≤ 63 (non-negative long hashes) and divisible
-    * by `nBands` so bands are equal-width. Null hashes are ignored.
+    * by `nBlocks` so blocks are equal-width. Null hashes are ignored.
     * Output: a, b (ids, a < b), hamming (bigint). */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                          maxDist: Int, hashBits: Int, nBands: Int = 4,
+                          maxDist: Int, hashBits: Int, nBlocks: Int = 0,
                           maxBucket: Int = 10000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    require(nBands > maxDist,
-      s"nBands ($nBands) must exceed maxDist ($maxDist) for the pigeonhole " +
-        "band screen to be complete")
-    require(hashBits >= 1 && hashBits <= 63 && hashBits % nBands == 0,
-      s"hashBits ($hashBits) must be in [1, 63] and divisible by nBands ($nBands)")
+    val blocks = if (nBlocks == 0) maxDist + 1 else nBlocks
+    require(blocks > maxDist,
+      s"nBlocks ($blocks) must exceed maxDist ($maxDist) for the pigeonhole " +
+        "block screen to be complete")
+    require(hashBits >= 1 && hashBits <= 63 && hashBits % blocks == 0,
+      s"hashBits ($hashBits) must be in [1, 63] and divisible by nBlocks ($blocks)")
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
-    val bandBits = hashBits / nBands
-    val mask = (1L << bandBits) - 1L
+    val blockBits = hashBits / blocks
+    val blockMask = (1L << blockBits) - 1L
+    // one key mask per (blocks − maxDist)-subset; equality on the
+    // masked hash ⟺ equality on every block of the subset
+    val keyMasks = (0 until blocks).combinations(blocks - maxDist)
+      .map(_.map(b => blockMask << (b * blockBits)).reduce(_ | _))
+      .toSeq
+    require(keyMasks.size <= 4096,
+      s"C($blocks, ${blocks - maxDist}) = ${keyMasks.size} tables — " +
+        "reduce nBlocks (explode fan-out would dominate)")
     val h = hashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"), col(hashCol).cast("long").as("__h"))
-    val bands = (0 until nBands).map(b =>
-      shiftrightunsigned(col("__h"), b * bandBits).bitwiseAND(lit(mask)))
+    val keys = keyMasks.map(m => col("__h").bitwiseAND(lit(m)))
     val buckets = h
-      .select(col("__id"), posexplode(array(bands: _*)).as(Seq("__band", "__bits")))
+      .select(col("__id"), posexplode(array(keys: _*)).as(Seq("__band", "__bits")))
       .groupBy("__band", "__bits").agg(collect_set(col("__id")).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     val cand = intraBucketPairs(buckets, "ids", "a", "b")

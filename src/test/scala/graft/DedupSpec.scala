@@ -514,11 +514,18 @@ class DedupSpec extends SparkSpec {
     val const = (0L until 50L).map((_, 42L)).toDF("id", "h")
     assert(graft.operators.Dedup
       .hammingNearDupPairs(const, "id", "h", 3, 56, maxBucket = 49).count() == 0)
-    intercept[IllegalArgumentException] { // bands must out-number maxDist
-      graft.operators.Dedup.hammingNearDupPairs(df, "id", "h", 4, 56, nBands = 4)
+    intercept[IllegalArgumentException] { // blocks must out-number maxDist
+      graft.operators.Dedup.hammingNearDupPairs(df, "id", "h", 4, 56, nBlocks = 4)
     }
-    intercept[IllegalArgumentException] { // equal-width bands only
-      graft.operators.Dedup.hammingNearDupPairs(df, "id", "h", 3, 56, nBands = 5)
+    intercept[IllegalArgumentException] { // equal-width blocks only
+      graft.operators.Dedup.hammingNearDupPairs(df, "id", "h", 3, 56, nBlocks = 5)
     }
+    // the corpus-scale construction (8 blocks → C(8,5)=56 tables keyed
+    // on 35 bits) must recover the identical pair set — completeness is
+    // invariant in nBlocks, only bucket sparsity changes
+    val gotWide = graft.operators.Dedup
+      .hammingNearDupPairs(df, "id", "h", maxDist = 3, hashBits = 56, nBlocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotWide == want)
   }
 }
