@@ -1377,6 +1377,19 @@ object SparkEntry {
         "doc_id", "dhash", maxDist = 3, hashBits = 56, nBlocks = 4)
         .orderBy("a", "b")),
 
+    // ---- Incremental image dedup: new batch (doc_id ≡ 0 mod 7) vs the
+    // already-ingested corpus, cross-side pairs only — the streaming
+    // flush screen at per-batch cost. Same blocked screen; the oracle
+    // is the honest cross join between the two sides.
+    "dedup_image_incremental" -> ((s, dir) => {
+      val hashes = Multimodal.imageDHash(dhashFixture(s, dir), "doc_id", "media")
+      Dedup.hammingNearDupPairsAgainst(
+        hashes.filter(col("doc_id") % 7 === 0),
+        hashes.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "dhash", maxDist = 3, hashBits = 56, nBlocks = 4)
+        .orderBy("new_id", "old_id")
+    }),
+
     // ---- Multimodal REAL MP3 container parse: spec-exact CBR frame
     // streams (headers + frame-length hops are real MPEG-1 Layer III;
     // bodies carry no audio) walked distributed; the oracle recomputes
@@ -2948,6 +2961,17 @@ object SparkEntry {
           |FROM hashes ha JOIN hashes hb ON ha.doc_id < hb.doc_id
           |WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3
           |ORDER BY a, b""".stripMargin,
+
+      // cross-side pairs only: batch side doc_id ≡ 0 (mod 7), corpus
+      // side the rest, same fixture hashes
+      "dedup_image_incremental" ->
+        s"""WITH $dhashOracleCtes
+          |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+          |  CAST(bit_count(xor(n.dhash, o.dhash)) AS BIGINT) AS hamming
+          |FROM hashes n JOIN hashes o
+          |  ON n.doc_id % 7 = 0 AND o.doc_id % 7 <> 0
+          |WHERE bit_count(xor(n.dhash, o.dhash)) <= 3
+          |ORDER BY new_id, old_id""".stripMargin,
 
       // closed-form replay of the CBR fixture: kbps from the MPEG-1
       // Layer III table at index 1+id%14, frame bytes 144·kbps·1000//44100,

@@ -263,6 +263,66 @@ object Dedup {
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
   }
 
+  /** Incremental (batch-vs-corpus) variant of [[hammingNearDupPairs]]:
+    * Hamming pairs BETWEEN a new batch and an existing corpus only —
+    * the streaming-flush screen ("which incoming images/docs near-match
+    * something already ingested"), costing per flush what the batch
+    * costs, never re-pairing the corpus against itself. Same blocked
+    * construction and completeness contract; a bucket is kept when it
+    * holds ≥ 1 hash of EACH side and ≤ `maxBucket` DISTINCT ids total;
+    * equal ids never pair (a re-ingested id is an upsert, not a dup).
+    * Output: new_id, old_id, hamming (bigint) — one row per pair, min
+    * distance if an id carries several payloads. */
+  def hammingNearDupPairsAgainst(batch: DataFrame, corpus: DataFrame,
+                                 idCol: String, hashCol: String,
+                                 maxDist: Int, hashBits: Int, nBlocks: Int = 0,
+                                 maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val blocks = if (nBlocks == 0) maxDist + 1 else nBlocks
+    require(blocks > maxDist,
+      s"nBlocks ($blocks) must exceed maxDist ($maxDist) for the pigeonhole " +
+        "block screen to be complete")
+    require(hashBits >= 1 && hashBits <= 63 && hashBits % blocks == 0,
+      s"hashBits ($hashBits) must be in [1, 63] and divisible by nBlocks ($blocks)")
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val blockBits = hashBits / blocks
+    val blockMask = (1L << blockBits) - 1L
+    val keyMasks = (0 until blocks).combinations(blocks - maxDist)
+      .map(_.map(b => blockMask << (b * blockBits)).reduce(_ | _))
+      .toSeq
+    def keyed(df: DataFrame, isNew: Boolean) = {
+      val h = df.filter(col(hashCol).isNotNull)
+        .select(col(idCol).cast("long").as("__id"),
+          col(hashCol).cast("long").as("__h"))
+      h.select(col("__id"), col("__h"),
+        posexplode(array(keyMasks.map(m => col("__h").bitwiseAND(lit(m))): _*))
+          .as(Seq("__band", "__bits")),
+        lit(isNew).as("__new"))
+    }
+    keyed(batch, isNew = true).unionByName(keyed(corpus, isNew = false))
+      .groupBy("__band", "__bits")
+      .agg(
+        collect_set(when(col("__new"), struct(col("__id"), col("__h"))))
+          .as("new_hs"),
+        collect_set(when(!col("__new"), struct(col("__id"), col("__h"))))
+          .as("old_hs"))
+      .filter(size(col("new_hs")) > 0 && size(col("old_hs")) > 0 &&
+        // DISTINCT ids across both sides (a re-ingested id counts once),
+        // matching minhashLshPairsAgainst's bucket contract
+        size(array_union(transform(col("new_hs"), s => s("__id")),
+          transform(col("old_hs"), s => s("__id")))) <= maxBucket)
+      .select(explode(col("new_hs")).as("n"), col("old_hs"))
+      .select(col("n"), explode(col("old_hs")).as("o"))
+      .filter(col("n.__id") =!= col("o.__id"))
+      .select(col("n.__id").as("new_id"), col("o.__id").as("old_id"),
+        bit_count(col("n.__h").bitwiseXOR(col("o.__h"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      // min, not distinct: an id ingested twice with different payloads
+      // would otherwise emit the same pair at two distances
+      .groupBy("new_id", "old_id").agg(min(col("hamming")).as("hamming"))
+  }
+
   private val HexAlphabet = "0123456789abcdef"
 
   /** SimHash variant with md5-derived bits, emitted as a 16-hex-char

@@ -528,4 +528,34 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotWide == want)
   }
+
+  test("hammingNearDupPairsAgainst: cross-side pairs only, re-ingested id excluded") {
+    val s = spark
+    import s.implicits._
+    val rnd = new java.util.Random(20260814L)
+    val base = Array.fill(80)(rnd.nextLong() & ((1L << 56) - 1))
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    def flip(h: Long, bits: Int*) = bits.foldLeft(h)((x, b) => x ^ (1L << b))
+    val batch = Seq((1000L, flip(base(0)._2, 5)),          // d=1 to corpus id 0
+      (1001L, flip(base(7)._2, 1, 9, 20)),                  // d=3 to corpus id 7
+      (1002L, flip(base(9)._2, 1, 9, 20, 33)),              // d=4 — excluded
+      (9L, base(9)._2))                                     // re-ingested id
+    val corpusDf = base.toSeq.toDF("id", "h")
+    val batchDf = batch.toDF("id", "h")
+    val got = graft.operators.Dedup
+      .hammingNearDupPairsAgainst(batchDf, corpusDf, "id", "h",
+        maxDist = 3, hashBits = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (nid, nh) <- batch; (oid, oh) <- base.toSeq if nid != oid
+      d = java.lang.Long.bitCount(nh ^ oh) if d <= 3
+    } yield (nid, oid, d.toLong)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((1000L, 0L, 1L)) && want.contains((1001L, 7L, 3L)))
+    assert(!got.exists(_._1 == 1002L), "distance-4 batch row must not pair")
+    assert(!got.exists { case (n, o, _) => n == 9L && o == 9L },
+      "re-ingested id must not self-pair")
+    // corpus-internal near-dups are NOT this operator's job
+    assert(got.forall { case (n, _, _) => batch.exists(_._1 == n) })
+  }
 }
