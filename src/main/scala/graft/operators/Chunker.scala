@@ -75,49 +75,6 @@ object Chunker {
     * cheap re-reads of a compact columnar file instead of LRU eviction
     * silently recomputing the entire upstream pipeline (which may be a
     * full curation DAG). Callers own cleanup of `spillDir`. */
-  /** One row per (document, training window) the document overlaps —
-    * the full concat-and-slice packing plan, where [[packOffsets]] gives
-    * each document only its starting coordinates. A document spanning
-    * `[cum, cum + n_tok)` of the concatenated token stream intersects
-    * windows `cum/capacity .. (cum + n_tok - 1)/capacity`; for each the
-    * output row carries where the slice starts inside the document
-    * (`slice_start`), where it lands inside the window (`win_offset`),
-    * and its length (`slice_len`) — exactly the metadata a training
-    * loader needs to assemble fixed-length samples and to cut
-    * cross-document attention at window-internal boundaries.
-    *
-    * Built ON TOP of [[packOffsets]]' distributed prefix sum: the
-    * window fan-out is per-row closed-form arithmetic (an explode over
-    * the overlap range), no extra shuffle, and a document adds one
-    * output row per window it crosses — total output rows ≤
-    * n_docs + total_tokens/capacity, linear in the corpus. Zero-token
-    * documents occupy no window and yield no rows. Invariants (pinned
-    * by the spec): per window, `win_offset` slices tile `[0, capacity)`
-    * without gaps except in the final window; per document,
-    * `slice_len` sums to `n_tok`. */
-  def packWindows(df: DataFrame, idCol: String, tokCol: String, capacity: Long,
-                  numPartitions: Int = 0,
-                  spillDir: Option[String] = None): DataFrame = {
-    val off = packOffsets(df, idCol, tokCol, capacity, numPartitions, spillDir)
-    // integer arithmetic throughout (`div`, not `/`): double division
-    // loses exactness past 2^53 total tokens — a range a 100 TB corpus
-    // actually approaches
-    val cum = expr(s"pack_id * ${capacity}L + pack_offset")
-    off.filter(col(tokCol) > 0)
-      .withColumn("__cum", cum)
-      .withColumn("win_id", explode(sequence(col("pack_id"),
-        expr(s"(__cum + $tokCol - 1L) div ${capacity}L"))))
-      .select(
-        off.columns.map(col) :+
-          col("win_id") :+
-          greatest(lit(0L), col("__cum") - col("win_id") * capacity)
-            .as("win_offset") :+
-          greatest(lit(0L), col("win_id") * capacity - col("__cum"))
-            .as("slice_start") :+
-          (least(col("__cum") + col(tokCol), (col("win_id") + 1) * capacity)
-            - greatest(col("__cum"), col("win_id") * capacity)).as("slice_len"): _*)
-  }
-
   def packOffsets(df: DataFrame, idCol: String, tokCol: String, capacity: Long,
                   numPartitions: Int = 0,
                   spillDir: Option[String] = None): DataFrame = {
@@ -194,5 +151,49 @@ object Chunker {
       org.apache.spark.sql.types.StructField("pack_offset",
         org.apache.spark.sql.types.LongType, nullable = false))
     spark.createDataFrame(packed, outSchema)
+  }
+
+  /** One row per (document, training window) the document overlaps —
+    * the full concat-and-slice packing plan, where [[packOffsets]] gives
+    * each document only its starting coordinates. A document spanning
+    * `[cum, cum + n_tok)` of the concatenated token stream intersects
+    * windows `cum/capacity .. (cum + n_tok - 1)/capacity`; for each the
+    * output row carries where the slice starts inside the document
+    * (`slice_start`), where it lands inside the window (`win_offset`),
+    * and its length (`slice_len`) — exactly the metadata a training
+    * loader needs to assemble fixed-length samples and to cut
+    * cross-document attention at window-internal boundaries.
+    *
+    * Built ON TOP of [[packOffsets]]' distributed prefix sum: the
+    * window fan-out is per-row closed-form arithmetic (an explode over
+    * the overlap range), no extra shuffle, and a document adds one
+    * output row per window it crosses — total output rows ≤
+    * n_docs + total_tokens/capacity, linear in the corpus. Zero-token
+    * documents occupy no window and yield no rows. Invariants (pinned
+    * by the spec): per window, `win_offset` slices tile `[0, capacity)`
+    * without gaps except in the final window; per document,
+    * `slice_len` sums to `n_tok`. */
+  def packWindows(df: DataFrame, idCol: String, tokCol: String, capacity: Long,
+                  numPartitions: Int = 0,
+                  spillDir: Option[String] = None): DataFrame = {
+    val off = packOffsets(df, idCol, tokCol, capacity, numPartitions, spillDir)
+    // integer arithmetic throughout (`div`, not `/`): double division
+    // loses exactness past 2^53 total tokens — a range a 100 TB corpus
+    // actually approaches. Column names are backtick-quoted in the expr
+    // fragments so arbitrary caller column names parse as identifiers.
+    val cum = expr(s"`pack_id` * ${capacity}L + `pack_offset`")
+    off.filter(col(tokCol) > 0)
+      .withColumn("__cum", cum)
+      .withColumn("win_id", explode(sequence(col("pack_id"),
+        expr(s"(`__cum` + `$tokCol` - 1L) div ${capacity}L"))))
+      .select(
+        off.columns.map(col) :+
+          col("win_id") :+
+          greatest(lit(0L), col("__cum") - col("win_id") * capacity)
+            .as("win_offset") :+
+          greatest(lit(0L), col("win_id") * capacity - col("__cum"))
+            .as("slice_start") :+
+          (least(col("__cum") + col(tokCol), (col("win_id") + 1) * capacity)
+            - greatest(col("__cum"), col("win_id") * capacity)).as("slice_len"): _*)
   }
 }

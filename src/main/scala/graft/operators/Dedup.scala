@@ -222,28 +222,12 @@ object Dedup {
     *
     * `hashBits` must be ≤ 63 (non-negative long hashes) and divisible
     * by `nBlocks` so blocks are equal-width. Null hashes are ignored.
-    * Output: a, b (ids, a < b), hamming (bigint). */
+    * Output: a, b (ids, a < b), hamming (bigint) — one row per pair,
+    * min distance if an id carries several payloads. */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
                           maxDist: Int, hashBits: Int, nBlocks: Int = 0,
                           maxBucket: Int = 10000): DataFrame = {
-    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    val blocks = if (nBlocks == 0) maxDist + 1 else nBlocks
-    require(blocks > maxDist,
-      s"nBlocks ($blocks) must exceed maxDist ($maxDist) for the pigeonhole " +
-        "block screen to be complete")
-    require(hashBits >= 1 && hashBits <= 63 && hashBits % blocks == 0,
-      s"hashBits ($hashBits) must be in [1, 63] and divisible by nBlocks ($blocks)")
-    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
-    val blockBits = hashBits / blocks
-    val blockMask = (1L << blockBits) - 1L
-    // one key mask per (blocks − maxDist)-subset; equality on the
-    // masked hash ⟺ equality on every block of the subset
-    val keyMasks = (0 until blocks).combinations(blocks - maxDist)
-      .map(_.map(b => blockMask << (b * blockBits)).reduce(_ | _))
-      .toSeq
-    require(keyMasks.size <= 4096,
-      s"C($blocks, ${blocks - maxDist}) = ${keyMasks.size} tables — " +
-        "reduce nBlocks (explode fan-out would dominate)")
+    val keyMasks = hammingKeyMasks(maxDist, hashBits, nBlocks, maxBucket)
     val h = hashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"), col(hashCol).cast("long").as("__h"))
     val keys = keyMasks.map(m => col("__h").bitwiseAND(lit(m)))
@@ -261,6 +245,37 @@ object Dedup {
       .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxDist)
       .select(col("a"), col("b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      // min, not raw rows: an id ingested twice with different payloads
+      // joins both payload hashes and would emit the same (a, b) pair
+      // at two distances
+      .groupBy("a", "b").agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Shared parameter validation + key-mask construction for the
+    * blocked Hamming screens: one mask per (blocks − maxDist)-subset of
+    * contiguous blocks; equality on the masked hash ⟺ equality on
+    * every block of the subset. Single definition so the fail-fast
+    * guards cannot drift between the symmetric and incremental
+    * variants. */
+  private def hammingKeyMasks(maxDist: Int, hashBits: Int, nBlocks: Int,
+                              maxBucket: Int): Seq[Long] = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val blocks = if (nBlocks == 0) maxDist + 1 else nBlocks
+    require(blocks > maxDist,
+      s"nBlocks ($blocks) must exceed maxDist ($maxDist) for the pigeonhole " +
+        "block screen to be complete")
+    require(hashBits >= 1 && hashBits <= 63 && hashBits % blocks == 0,
+      s"hashBits ($hashBits) must be in [1, 63] and divisible by nBlocks ($blocks)")
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val blockBits = hashBits / blocks
+    val blockMask = (1L << blockBits) - 1L
+    val keyMasks = (0 until blocks).combinations(blocks - maxDist)
+      .map(_.map(b => blockMask << (b * blockBits)).reduce(_ | _))
+      .toSeq
+    require(keyMasks.size <= 4096,
+      s"C($blocks, ${blocks - maxDist}) = ${keyMasks.size} tables — " +
+        "reduce nBlocks (explode fan-out would dominate)")
+    keyMasks
   }
 
   /** Incremental (batch-vs-corpus) variant of [[hammingNearDupPairs]]:
@@ -277,19 +292,7 @@ object Dedup {
                                  idCol: String, hashCol: String,
                                  maxDist: Int, hashBits: Int, nBlocks: Int = 0,
                                  maxBucket: Int = 10000): DataFrame = {
-    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    val blocks = if (nBlocks == 0) maxDist + 1 else nBlocks
-    require(blocks > maxDist,
-      s"nBlocks ($blocks) must exceed maxDist ($maxDist) for the pigeonhole " +
-        "block screen to be complete")
-    require(hashBits >= 1 && hashBits <= 63 && hashBits % blocks == 0,
-      s"hashBits ($hashBits) must be in [1, 63] and divisible by nBlocks ($blocks)")
-    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
-    val blockBits = hashBits / blocks
-    val blockMask = (1L << blockBits) - 1L
-    val keyMasks = (0 until blocks).combinations(blocks - maxDist)
-      .map(_.map(b => blockMask << (b * blockBits)).reduce(_ | _))
-      .toSeq
+    val keyMasks = hammingKeyMasks(maxDist, hashBits, nBlocks, maxBucket)
     def keyed(df: DataFrame, isNew: Boolean) = {
       val h = df.filter(col(hashCol).isNotNull)
         .select(col(idCol).cast("long").as("__id"),

@@ -43,8 +43,14 @@ object PageRank {
           localThreshold: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // null ids fail loudly (same contract as connectedComponents): a
+    // null key never equi-joins, so its neighbors would silently lose
+    // contributions and drop out of the rank table — and the local path
+    // would unbox null to 0L, merging the phantom node into node 0
+    def nonNull(c: String) = coalesce(col(c),
+      raise_error(lit(s"PageRank: null id in '$c'")).cast(pairs.schema(c).dataType))
+    val edges = pairs.select(nonNull("a").as("src"), nonNull("b").as("dst"))
+      .union(pairs.select(nonNull("b").as("src"), nonNull("a").as("dst")))
       .distinct().localCheckpoint(true)
     val nEdges = edges.count() // checkpoint materialized — metadata-cheap
     require(nEdges > 0, "PageRank over an empty pair graph")

@@ -527,6 +527,14 @@ class DedupSpec extends SparkSpec {
       .hammingNearDupPairs(df, "id", "h", maxDist = 3, hashBits = 56, nBlocks = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotWide == want)
+    // an id ingested twice with different payloads: ONE row per (a, b)
+    // pair at the MIN distance, never two rows at two distances
+    val dupPayload = Seq((5L, base(0)), (5L, flip(base(0), 2)), (6L, base(0)))
+      .toDF("id", "h")
+    val dupRows = graft.operators.Dedup
+      .hammingNearDupPairs(dupPayload, "id", "h", 3, 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dupRows.toSeq == Seq((5L, 6L, 0L)), s"got ${dupRows.toSeq}")
   }
 
   test("hammingNearDupPairsAgainst: cross-side pairs only, re-ingested id excluded") {

@@ -73,6 +73,17 @@ class PageRankSpec extends SparkSpec {
     assert(r.length == 3 && r.forall(x => math.abs(x - 1.0 / 3) < 1e-12))
   }
 
+  test("null ids fail loudly on both paths instead of dropping nodes") {
+    val s = spark
+    import s.implicits._
+    val es = Seq((Some(1L), Some(2L)), (Some(2L), None)).toDF("a", "b")
+    val e = intercept[Exception] { PageRank.run(es, iters = 2).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null id")), s"unexpected error: $e")
+  }
+
   test("rejects empty graphs and bad parameters") {
     intercept[IllegalArgumentException] {
       PageRank.run(pairs((1L, 2L)), iters = 0)
