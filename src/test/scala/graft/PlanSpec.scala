@@ -167,6 +167,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in chunking plan:\n$plan")
   }
 
+  test("packWindows adds NO shuffle above the prefix sum: generate + project only") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 50L).map(i => (i, 1L + i % 40)).toDF("id", "n_tok")
+    // packOffsets ends in an RDD-backed DataFrame (the prefix-sum output);
+    // the window fan-out must plan as closed-form generate/project on top
+    // of that scan — any Exchange here would be a scale regression
+    val plan = graft.operators.Chunker.packWindows(df, "id", "n_tok", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"unexpected shuffle above the prefix sum:\n$plan")
+    assert(plan.contains("Generate"), s"expected an explode generate:\n$plan")
+  }
+
   test("BQ hamming search: per-row scan + TakeOrderedAndProject, no Exchange") {
     val dir = Files.createTempDirectory("bqplan").toString + "/t"
     toDF(corpus(80, 64)).write.parquet(dir)

@@ -280,6 +280,55 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(0L, 1L, 11L), s"corpus after screened ingest: $ids")
   }
 
+  test("flush → incremental IMAGE dedup: dHash screens each batch against the corpus") {
+    // the multimodal twin of the text screen above: on every flush the
+    // new batch's perceptual hashes are blocked-Hamming-screened
+    // against the ingested corpus only; near-dup images (re-encodes /
+    // tiny edits) are withheld, fresh images are published
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.{Dedup, MediaCodec, Multimodal}
+    val tmp = Files.createTempDirectory("streamimgdedup").toString
+
+    def img(seed: Int, dent: Boolean = false): Array[Byte] = {
+      val (w, h) = (24, 18)
+      val rgb = Array.tabulate(3 * w * h) { p =>
+        val x = (p / 3) % w; val y = p / 3 / w
+        ((seed * 37 + x * 53 + y * 41) % 256).toByte
+      }
+      if (dent) { // single-pixel edit: ≤ 2 dHash bits
+        val dp = 3 * (5 * w + 7)
+        rgb(dp) = 0; rgb(dp + 1) = 0; rgb(dp + 2) = 0
+      }
+      MediaCodec.encodePng(w, h, rgb)
+    }
+
+    val source = MemoryStream[(Long, Array[Byte])]
+    def drain(): Unit = StreamingIngest.upsertStream(
+      source.toDF().toDF("id", "media"), "id", s"$tmp/corpus", s"$tmp/ckpt",
+      flushThreshold = Long.MaxValue, onFlush = _ => ()).awaitTermination()
+
+    source.addData((0L, img(1)), (1L, img(2)))
+    drain()
+
+    // batch: a re-encode-with-edit of image 0 and a genuinely new image
+    val batch = Seq((10L, img(1, dent = true)), (11L, img(9))).toDF("id", "media")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageDHash(df, "id", "media")
+    val flagged = Dedup.hammingNearDupPairsAgainst(
+        hashes(batch), hashes(s.read.parquet(s"$tmp/corpus")),
+        "id", "dhash", maxDist = 3, hashBits = 56)
+      .select("new_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L), s"expected only the edited re-encode, got $flagged")
+
+    source.addData((11L, img(9)))
+    drain()
+    val ids = s.read.parquet(s"$tmp/corpus").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 11L), s"corpus after screened ingest: $ids")
+  }
+
   test("stream-stream interval join matches the batch range join") {
     val s = spark
     import s.implicits._
