@@ -925,11 +925,7 @@ object SparkEntry {
     // ---- B10: streaming ingest — watermark-free complete-mode hourly
     // rollup over the events stream; must equal the batch oracle exactly
     "b10_stream_hourly" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.eventsStream(s, dir)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), dSum(col("value")).as("sum_value"))

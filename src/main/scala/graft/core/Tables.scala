@@ -29,15 +29,40 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as a nanos-long (legacy conf) and rebuild a
-    * microsecond timestamp column (`ts div 1000`, integral division — a
-    * double division would lose precision above 2^53 ns). */
+  /** `events.ts` has shipped in two parquet layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as a nanos-long (legacy conf) and
+    * rebuilt as a microsecond timestamp (`ts div 1000`, integral
+    * division — a double division would lose precision above 2^53 ns) —
+    * and plain TIMESTAMP(MICROS) without UTC adjustment, which arrives
+    * as TIMESTAMP_NTZ and only needs a cast to the session-local type
+    * (identity on the stored micros under the UTC session timezone every
+    * entrypoint pins). Dispatch on the schema actually read so both
+    * generations produce the identical TimestampType column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
+  /** Streaming variant of [[events]]: the same two-generation `ts`
+    * dispatch over a file-source stream (schema comes from one batch
+    * footer read; the stream itself never touches the driver). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = load(spark, dir, "events").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
