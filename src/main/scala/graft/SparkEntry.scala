@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -270,6 +270,37 @@ object SparkEntry {
         .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_distinct")))
     }),
 
+    // ---- KMV set operations (Beyer et al. SIGMOD'07): distinct-union /
+    // Jaccard / distinct-intersection estimates from two mergeable
+    // sketches — the cross-shard set-overlap question count(DISTINCT)
+    // can't answer without re-scanning both sides; estimator replayed
+    // hash-for-hash by the oracle
+    "sketch_kmv_setops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val k = 256
+      val a = Sketch.kmvSketch(
+        ev.filter(col("event_type").isin("click", "view")), col("user_id"), k)
+        .select(col("sketch").as("ska"))
+      val b = Sketch.kmvSketch(
+        ev.filter(col("event_type").isin("view", "purchase")), col("user_id"), k)
+        .select(col("sketch").as("skb"))
+      a.crossJoin(b).select(Sketch.setOpEstimates(col("ska"), col("skb"), k): _*)
+    }),
+
+    // ---- fastText-style hashed linear classifier scoring (Joulin et
+    // al. 2016): hashed uni+bigram bag → weight-sum logit, pure per-row
+    // expression riding the scan — the quality/toxicity/domain
+    // classifier pass of a curation pipeline. Weights are a fixed
+    // deterministic vector (the engine contract is scoring, not
+    // training); gram hashing and the ordered weight fold are replayed
+    // exactly by the oracle
+    "t_classifier_score" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextFunctions.hashedLinearLogit(col("text"), ClassifierDim,
+            classifierWeights, bias = 0.1).as("logit"))
+        .withColumn("pred_keep", col("logit") > 0)
+        .orderBy("doc_id")),
+
     // ---- Heavy hitters: single-pass Misra-Gries candidate sweep
     // (bounded <=k counters, mergeable) + exact verification of the
     // <=k candidates. The MG membership guarantee (every item with
@@ -505,6 +536,22 @@ object SparkEntry {
               .as("h56")),
         "doc_id", "h56", maxDist = 3, hashBits = 56, nBlocks = 4)
         .orderBy("a", "b")),
+
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    // clusters — within-cluster cosine pairs only (the paper's O(Σ|c|²)
+    // reduction; at persisted scale a cluster-partition-local join),
+    // components, keep the LEAST-prototypical member (lowest cosine to
+    // its centroid, ties → min id). Fixed deterministic centroids make
+    // every stage — assignment argmin, pair cosines, component walk,
+    // keeper argmin — hash-exact vs the oracle.
+    "dedup_semantic" -> ((s, dir) => {
+      val model = Ivf.Model(fixedIvfCentroids, "embedding")
+      Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding", model,
+          threshold = 0.45)
+        .select(col("vec_id"), col("keep_id"),
+          col(Ivf.ClusterCol).cast("long").as("cluster_id"), col("cos_centroid"))
+        .orderBy("vec_id")
+    }),
 
     // ---- ANN extension: embedding-cosine near-duplicate pairs
     "ann_cosine_neardup" -> ((s, dir) =>
@@ -1192,6 +1239,23 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word").asc)
         .limit(50)),
+
+    // ---- Text analysis: BPE merge learning (Sennrich et al., ACL 2016).
+    // The corpus is touched ONCE (word counts); each of the 6 merge
+    // rounds is a vocab-sized adjacent-pair aggregation + a 1-row argmax
+    // collect. Oracle replays every argmax and literal-replace merge in
+    // unrolled SQL — an iterative learned tokenizer, hash-exact.
+    "t_bpe_learn" -> ((s, dir) =>
+      Bpe.learnMergeTable(Tables.documents(s, dir), "text", nMerges = 6)
+        .orderBy("rank")),
+
+    // ---- BPE tokenization under a fixed merge chain: pure per-row
+    // expression (no shuffle) — the "apply the learned tokenizer at
+    // 100 TB" pass; rank order matters (later merges consume earlier
+    // fusions) and the oracle applies the identical replace chain
+    "t_bpe_apply" -> ((s, dir) =>
+      Bpe.tokenize(Tables.documents(s, dir), "doc_id", "text", FixedBpeMerges)
+        .orderBy("doc_id")),
 
     // ---- Text analysis: TF-IDF top terms per document (ln is bitwise-
     // identical across libm/DuckDB on these values — verified). Per-doc
@@ -2153,6 +2217,40 @@ object SparkEntry {
            |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
            |FROM ag CROSS JOIN ex""".stripMargin,
 
+      // KMV set ops: union sketch = k smallest of the two k-truncated
+      // sketches' union (exactly the engine's mergeSketches), ρ̂ =
+      // union-sketch members present in BOTH sketches / |U|
+      "sketch_kmv_setops" ->
+        s"""WITH ea AS (SELECT DISTINCT user_id FROM events
+           |  WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')),
+           |eb AS (SELECT DISTINCT user_id FROM events
+           |  WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')),
+           |ha AS (SELECT DISTINCT ($mdValue) AS hv FROM
+           |  (SELECT md5(CAST(user_id AS VARCHAR)) AS m FROM ea) t),
+           |hb AS (SELECT DISTINCT ($mdValue) AS hv FROM
+           |  (SELECT md5(CAST(user_id AS VARCHAR)) AS m FROM eb) t),
+           |ka AS (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+           |kb AS (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+           |u AS (SELECT hv FROM
+           |  (SELECT hv FROM ka UNION SELECT hv FROM kb) t
+           |  ORDER BY hv LIMIT 256),
+           |ag AS (SELECT max(hv) AS hk, count(*) AS n FROM u),
+           |nb AS (SELECT count(*) AS c FROM u
+           |  WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)),
+           |es AS (SELECT
+           |    CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+           |      ELSE CAST(255 AS DOUBLE) /
+           |        (CAST(hk AS DOUBLE) / CAST(4294967296 AS DOUBLE)) END
+           |      AS est_union,
+           |    CASE WHEN n = 0 THEN CAST('0.0' AS DOUBLE)
+           |      ELSE CAST(c AS DOUBLE) / CAST(n AS DOUBLE) END AS jaccard
+           |  FROM ag CROSS JOIN nb)
+           |SELECT est_union, jaccard, jaccard * est_union AS est_intersection
+           |FROM es""".stripMargin,
+
+      "t_classifier_score" ->
+        classifierSql(ClassifierDim, classifierWeights, bias = 0.1),
+
       // exact heavy hitters: the engine's MG-candidates + exact-verify
       // composition provably equals this plain HAVING query (the MG
       // membership guarantee), so the sketch pipeline is oracle-exact
@@ -2413,6 +2511,60 @@ object SparkEntry {
           |LEFT JOIN tot ON d.doc_id = tot.doc_id
           |ORDER BY d.doc_id""".stripMargin,
 
+      // SemDeDup: assignment argmin → within-cluster pairs → recursive
+      // component walk → keeper = (cos_centroid asc, id asc) first.
+      // Centroid literals are exact double strings of the float values,
+      // so the centroid-cosine arithmetic is bit-identical
+      "dedup_semantic" -> {
+        val lv = (0 until 8).map(j => s"(${ivfAssignDistSql(j)})").mkString(", ")
+        // per-element STRING cast: a bare decimal literal parses as
+        // DECIMAL(38) (the cosine products overflow it), and DuckDB's
+        // decimal→double conversion is not correctly rounded (measured
+        // 1-ulp error) — CAST('…' AS DOUBLE) goes through strtod and is
+        // exact. The distance-only oracles get away with bare literals
+        // because argmin/float-rounding absorb the ulp; a double output
+        // column does not.
+        val il = fixedIvfCentroids.map(c =>
+          c.map(v => s"CAST('${v.toDouble.toString}' AS DOUBLE)")
+            .mkString("[", ", ", "]"))
+          .mkString("[", ", ", "]")
+        val dotc = ("0.0" +: (1 to OracleSql.Dim).map(i =>
+          s"CAST(l.embedding[$i] AS DOUBLE) * l.il[l.cid + 1][$i]")).mkString(" + ")
+        val cnorm = "sqrt(" + ("0.0" +: (1 to OracleSql.Dim).map(i =>
+          s"l.il[l.cid + 1][$i] * l.il[l.cid + 1][$i]")).mkString(" + ") + ")"
+        s"""WITH RECURSIVE enc AS (
+           |  SELECT vec_id, embedding, (list_position(lv, list_min(lv)) - 1) AS cid
+           |  FROM (SELECT vec_id, embedding, list_value($lv) AS lv FROM embeddings)),
+           |prs AS (
+           |  SELECT x.vec_id AS a, y.vec_id AS b
+           |  FROM enc x JOIN enc y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |  WHERE ${norm("x.embedding")} > 0 AND ${norm("y.embedding")} > 0
+           |    AND ${cosineSim("x.embedding", "y.embedding")} >= 0.45),
+           |edges AS (
+           |  SELECT a AS src, b AS dst FROM prs
+           |  UNION SELECT b AS src, a AS dst FROM prs),
+           |walk(id, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, w.comp FROM walk w
+           |  JOIN edges e ON e.src = w.id WHERE w.comp < e.dst),
+           |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+           |cl AS (SELECT e.vec_id, e.cid, e.embedding, $il AS il FROM enc e),
+           |scored AS (
+           |  SELECT c.id, c.comp, l.cid,
+           |    ($dotc) / ((${norm("l.embedding")}) * ($cnorm)) AS cosc
+           |  FROM comps c JOIN cl l ON c.id = l.vec_id),
+           |ranked AS (
+           |  SELECT id, comp, cid, cosc,
+           |    row_number() OVER (PARTITION BY comp ORDER BY cosc ASC, id ASC) AS rn,
+           |    first_value(id) OVER (PARTITION BY comp ORDER BY cosc ASC, id ASC)
+           |      AS keep_id
+           |  FROM scored)
+           |SELECT id AS vec_id, keep_id, CAST(cid AS BIGINT) AS cluster_id,
+           |  cosc AS cos_centroid
+           |FROM ranked WHERE rn <> 1 ORDER BY vec_id""".stripMargin
+      },
+
       "ann_cosine_neardup" ->
         s"""SELECT x.vec_id AS a, y.vec_id AS b,
            |${cosineSim("x.embedding", "y.embedding")} AS cos_sim
@@ -2642,6 +2794,10 @@ object SparkEntry {
           |SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
           |FROM documents) t WHERE word <> ''
           |GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""".stripMargin,
+
+      "t_bpe_learn" -> bpeLearnSql(6),
+
+      "t_bpe_apply" -> bpeApplySql(FixedBpeMerges),
 
       "b10_stream_hourly" ->
         s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
@@ -3250,6 +3406,111 @@ object SparkEntry {
            |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
       }
     )
+  }
+
+  /** Hashed-classifier demo model: bucket count + a deterministic
+    * closed-form weight vector (stand-in for offline-trained weights —
+    * the engine contract is the scoring pass, not training). */
+  private val ClassifierDim = 64
+  private lazy val classifierWeights: Seq[Double] =
+    (0 until ClassifierDim).map(i =>
+      ((i * 2654435761L + 12345L) % 1000003L).toDouble / 1000003.0 - 0.5)
+
+  /** DuckDB replay of `TextFunctions.hashedLinearLogit`: same gram
+    * sequence (unigrams then bigrams, document order), same md5 bucket
+    * hash (the [[mdValue]] nibble parse applied to a lambda variable),
+    * same 0.0-seeded left fold; weights/bias as strtod string casts
+    * (bare decimal literals parse as DECIMAL and DuckDB's
+    * decimal→double conversion is off by 1 ulp). */
+  private def classifierSql(dim: Int, weights: Seq[Double], bias: Double): String = {
+    def nib(j: Int) =
+      s"CAST(strpos('0123456789abcdef', substr(m, $j, 1)) - 1 AS BIGINT)"
+    val hv = (1 to 8).map(j => s"${nib(j)} * ${1L << (4 * (8 - j))}")
+      .mkString(" + ")
+    val wl = weights.map(w => s"CAST('$w' AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> w <> '') AS ws FROM documents),
+       |grams AS (
+       |  SELECT doc_id, list_concat(ws,
+       |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+       |      i -> concat(ws[i], ' ', ws[i+1]))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS gs FROM toks),
+       |hashed AS (
+       |  SELECT doc_id, list_transform(list_transform(gs, g -> md5(g)),
+       |    m -> ($hv) % $dim) AS bs FROM grams),
+       |scored AS (
+       |  SELECT doc_id, CAST('$bias' AS DOUBLE) + list_reduce(
+       |    list_prepend(CAST('0.0' AS DOUBLE),
+       |      list_transform(bs, b -> ($wl)[b + 1])),
+       |    (x, y) -> x + y) AS logit FROM hashed)
+       |SELECT doc_id, logit, logit > 0 AS pred_keep FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Fixed merge chain for the BPE-apply query (rank order matters:
+    * later merges consume symbols fused by earlier ones — `th`+`e` only
+    * exists because `t`+`h` ran first). */
+  private val FixedBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "an" -> "d")
+
+  /** Unrolled-SQL replay of `Bpe.learnMergeTable(nMerges = n)`: the same
+    * delimited-symbol representation (chr(2)sym-chr(3) wrapping), the
+    * same literal left-to-right replace per merge, and the same
+    * (count desc, left asc, right asc) argmax — each round is one CTE
+    * block, the PageRank unrolled-iteration pattern applied to a learned
+    * tokenizer. */
+  private def bpeLearnSql(n: Int): String = {
+    val so = "chr(2)"; val sc = "chr(3)"
+    val base =
+      s"""words AS (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |    FROM documents) t
+         |  WHERE w <> '' GROUP BY w),
+         |s0 AS (SELECT list_aggregate(list_transform(string_split(word, ''),
+         |  c -> $so || c || $sc), 'string_agg', '') AS syms, cnt FROM words)"""
+        .stripMargin
+    val steps = (1 to n).map { i =>
+      s"""p$i AS (
+         |  SELECT ls[i] AS l, ls[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+         |  FROM (SELECT string_split(trim(syms, $so || $sc), $sc || $so) AS ls,
+         |        cnt FROM s${i - 1}) v, unnest(range(1, len(ls))) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+         |s$i AS (SELECT replace(syms,
+         |  (SELECT $so || l || $sc || $so || r || $sc FROM m$i),
+         |  (SELECT $so || l || r || $sc FROM m$i)) AS syms, cnt FROM s${i - 1})"""
+        .stripMargin
+    }
+    val ranks = (1 to n).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym, " +
+        s"pc AS pair_count FROM m$i").mkString(" UNION ALL ")
+    s"WITH ${(base +: steps).mkString(",\n")}\n$ranks ORDER BY rank"
+  }
+
+  /** Replay of `Bpe.tokenize` under [[FixedBpeMerges]]: identical
+    * replace chain per word, identical token-stream join + md5. */
+  private def bpeApplySql(merges: Seq[(String, String)]): String = {
+    val so = "chr(2)"; val sc = "chr(3)"
+    val syms0 =
+      s"list_aggregate(list_transform(string_split(w, ''), c -> $so || c || $sc), " +
+        "'string_agg', '')"
+    val chain = merges.foldLeft(syms0) { case (acc, (l, r)) =>
+      s"replace($acc, $so || '$l' || $sc || $so || '$r' || $sc, $so || '$l$r' || $sc)"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    w -> w <> '') AS ws FROM documents),
+       |ts AS (
+       |  SELECT doc_id, coalesce(list_aggregate(list_transform(ws,
+       |    w -> trim(replace($chain, $sc || $so, ' '), $so || $sc)),
+       |    'string_agg', ' '), '') AS t FROM toks)
+       |SELECT doc_id,
+       |  CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(len(string_split(t, ' ')) AS BIGINT) END AS n_bpe_tokens,
+       |  md5(t) AS tokens_md5
+       |FROM ts ORDER BY doc_id""".stripMargin
   }
 
   /** MinHash-LSH candidate-pair oracle (shared with pipeline_curate). */

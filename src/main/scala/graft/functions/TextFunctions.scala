@@ -85,6 +85,35 @@ object TextFunctions {
     (lenScore * lit(0.5) + (lit(1.0) - punctPenalty) * lit(0.3) + stopScore * lit(0.2))
   }
 
+  /** fastText-style hashed linear text classifier logit (Joulin et al.
+    * 2016, arXiv:1607.01759): bag of word unigrams + bigrams, each
+    * hashed into one of `dim` weight buckets, logit = bias + Σ weights.
+    * The weight vector is the caller's (trained offline — the quality /
+    * toxicity / domain classifiers a curation pipeline applies at scale
+    * are all this shape); scoring is a pure per-row expression that
+    * rides the corpus scan with no shuffle and no model join.
+    *
+    * Determinism: buckets come from the md5-derived [[graft.operators.Sketch.hash32]]
+    * and the weight fold runs in gram order (unigrams left→right, then
+    * bigrams left→right), so the double sum is bit-reproducible and
+    * oracle-replayable. */
+  def hashedLinearLogit(text: Column, dim: Int, weights: Seq[Double],
+                        bias: Double): Column = {
+    require(weights.length == dim, s"need $dim weights, got ${weights.length}")
+    val wl = lit(weights.toArray)
+    ColumnOps.bindOnce(filter(split(lower(text), "\\s+"), w => w =!= lit(""))) {
+      toks =>
+        val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2), i =>
+            concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        val grams = concat(toks, bigrams)
+        lit(bias) + aggregate(grams, lit(0.0), (acc, g) =>
+          acc + element_at(wl,
+            (graft.operators.Sketch.hash32(g) % dim).cast("int") + 1))
+    }
+  }
+
   /** Document fingerprint: minimum md5 over character shingles — the
     * order-robust rolling-hash fingerprint (winnowing's min-selection
     * over a shingle window, degenerate window = whole doc). */

@@ -608,6 +608,54 @@ object Dedup {
       .select("a", "b", "cos_sim")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over embedding clusters. Assign every row to its
+    * nearest centroid (one codegen scan), compute cosine near-dup pairs
+    * WITHIN clusters only — the paper's complexity reduction, O(Σ|c|²)
+    * instead of O(n²), and at persisted scale a cluster-partition-local
+    * join with no corpus shuffle — connect pairs into components, and
+    * from each component keep the member with the LOWEST cosine
+    * similarity to its cluster centroid (the paper's §3 pick: the least
+    * prototypical example carries the most marginal information), ties
+    * broken by min id.
+    *
+    * Returns the REMOVED rows: (idCol, keep_id, cluster_id,
+    * cos_centroid) — `keep_id` is the surviving representative of the
+    * row's duplicate component, `cos_centroid` the removed row's own
+    * centroid similarity. The window runs over clustered rows only
+    * (|components| ≪ corpus); the centroid table is k rows, broadcast.
+    */
+  def semDedup(df: DataFrame, idCol: String, embCol: String,
+               model: Ivf.Model, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val assigned = Ivf.assign(df, model)
+    val pairs = cosineNearDupBucketed(assigned, idCol, embCol, threshold)
+    val comps = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("comp"))
+    val centSchema = StructType(Seq(
+      StructField(Ivf.ClusterCol, IntegerType, nullable = false),
+      StructField("__cent", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(model.centroids.zipWithIndex.map {
+        case (c, j) => Row(j, c.toSeq)
+      }: _*), centSchema)
+    val w = Window.partitionBy("comp")
+      .orderBy(col("cos_centroid").asc, col(idCol).asc)
+    assigned
+      .join(comps, col(idCol) === col("__cc_id"))
+      .join(broadcast(cents), Seq(Ivf.ClusterCol))
+      .withColumn("cos_centroid",
+        dot(col(embCol), col("__cent")) / (norm(col(embCol)) * norm(col("__cent"))))
+      .withColumn("__keep", first(col(idCol)).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col(idCol), col("__keep").as("keep_id"),
+        col(Ivf.ClusterCol), col("cos_centroid"))
+  }
+
   /** Connected components over an undirected near-dup pair graph:
     * (id, comp) for every node that appears in a pair, where comp is
     * the smallest id in the node's component. Pair-based keep-first

@@ -86,6 +86,27 @@ object Sketch {
     kmvSketch(df, valueCol, k)
       .select(estimateColumn(col("sketch"), k).as("est_distinct"))
 
+  /** KMV set-operation estimates (Beyer, Haas, Reinwald, Sismanis &
+    * Gemulla, SIGMOD 2007 — synopses for distinct-value estimation
+    * under multiset operations): from two KMV sketches, estimate
+    * |A∪B|, Jaccard, and |A∩B|. The union sketch U is the k smallest
+    * distinct hashes of A∪B (computable from the two sketches alone);
+    * ρ̂ = |{h ∈ U : h ∈ A-sketch ∧ h ∈ B-sketch}| / |U| estimates
+    * Jaccard, and |A∩B|^ = ρ̂ · |A∪B|^. Pure array expressions over two
+    * ≤ k-long sketch columns — the reason sketches beat
+    * count(DISTINCT): distinct-intersection needs no re-scan of either
+    * side. Deterministic given the md5-derived hash, so the whole
+    * estimator is oracle-replayable. */
+  def setOpEstimates(a: Column, b: Column, k: Int): Seq[Column] = {
+    val u = slice(array_sort(array_union(a, b)), 1, k)
+    val both = size(array_intersect(u, array_intersect(a, b))).cast("double")
+    val uEst = estimateColumn(u, k)
+    val rho = when(size(u) === 0, lit(0.0))
+      .otherwise(both / size(u).cast("double"))
+    Seq(uEst.as("est_union"), rho.as("jaccard"),
+      (rho * uEst).as("est_intersection"))
+  }
+
   /** Sampled quantiles: exact percentiles over a deterministic
     * Bernoulli-by-hash row sample — the scale play for quantiles over
     * corpora where an exact global sort-and-count is too expensive.

@@ -276,6 +276,42 @@ class DedupSpec extends SparkSpec {
     assert(bucketed.contains((0L, 100L))) // same vector ⇒ same cluster
   }
 
+  test("semDedup removes all but the least-prototypical member per component") {
+    val s = spark
+    import s.implicits._
+    // two fixed unit centroids on axes 0 and 1; a 3-clique of near-dups
+    // near centroid 0 (graded distance from it), a pair near centroid 1,
+    // and a singleton — the keeper must be the member with the LOWEST
+    // cosine to its centroid (ids chosen so min-id would pick wrongly)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val model = Ivf.Model(Array(v(1, 0, 0, 0), v(0, 1, 0, 0)), "embedding")
+    val df = Seq(
+      (1L, v(1, 0.01, 0, 0)),     // most prototypical of the clique
+      (2L, v(1, 0.02, 0, 0)),
+      (3L, v(1, 0.06, 0, 0)),     // farthest from centroid → the keeper
+      (10L, v(0.05, 1, 0, 0)),    // farther from centroid 1 → the keeper
+      (11L, v(0.02, 1, 0, 0)),    // closer to centroid → removed
+      (20L, v(0, 0, 1, 0)))       // singleton: untouched
+      .toDF("id", "embedding")
+    val removed = Dedup.semDedup(df, "id", "embedding", model, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(removed.keySet == Set(1L, 2L, 11L))
+    assert(removed(1L) == 3L && removed(2L) == 3L) // keeper of the clique
+    assert(removed(11L) == 10L)                    // keeper of the pair
+  }
+
+  test("semDedup pairs only within clusters (the paper's recall trade)") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val model = Ivf.Model(Array(v(1, 0, 0, 0), v(1, 0.12, 0, 0)), "embedding")
+    // near-identical vectors that straddle the centroid boundary: each
+    // lands in a different cluster, so no within-cluster pair exists
+    val df = Seq((1L, v(1, 0.055, 0, 0)), (2L, v(1, 0.065, 0, 0)))
+      .toDF("id", "embedding")
+    assert(Dedup.semDedup(df, "id", "embedding", model, 0.9).count() == 0L)
+  }
+
   test("connected components: chains close transitively, min id is canonical") {
     val s = spark
     import s.implicits._

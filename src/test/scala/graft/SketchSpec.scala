@@ -157,6 +157,45 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("setOpEstimates: union/Jaccard/intersection near truth; exact below k") {
+    val s = spark
+    import s.implicits._
+    // A = 1..3000, B = 2001..5000 → |A∪B| = 5000, |A∩B| = 1000, J = 0.2
+    val a = Sketch.kmvSketch((1 to 3000).toDF("v"), col("v"), 256)
+      .select(col("sketch").as("ska"))
+    val b = Sketch.kmvSketch((2001 to 5000).toDF("v"), col("v"), 256)
+      .select(col("sketch").as("skb"))
+    val r = a.crossJoin(b)
+      .select(Sketch.setOpEstimates(col("ska"), col("skb"), 256): _*)
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("est_union") - 5000) / 5000.0 < 0.25)
+    assert(math.abs(r.getAs[Double]("jaccard") - 0.2) < 0.1)
+    assert(math.abs(r.getAs[Double]("est_intersection") - 1000) / 1000.0 < 0.5)
+
+    // below k the union sketch is the exact hash set: estimates exact
+    val sa = Sketch.kmvSketch((1 to 60).toDF("v"), col("v"), 256)
+      .select(col("sketch").as("ska"))
+    val sb = Sketch.kmvSketch((41 to 100).toDF("v"), col("v"), 256)
+      .select(col("sketch").as("skb"))
+    val e = sa.crossJoin(sb)
+      .select(Sketch.setOpEstimates(col("ska"), col("skb"), 256): _*)
+      .collect()(0)
+    assert(e.getAs[Double]("est_union") == 100.0)
+    assert(e.getAs[Double]("jaccard") == 0.2)
+    assert(e.getAs[Double]("est_intersection") == 20.0)
+
+    // disjoint sets: zero intersection, exactly
+    val da = Sketch.kmvSketch((1 to 50).toDF("v"), col("v"), 256)
+      .select(col("sketch").as("ska"))
+    val db = Sketch.kmvSketch((51 to 90).toDF("v"), col("v"), 256)
+      .select(col("sketch").as("skb"))
+    val d = da.crossJoin(db)
+      .select(Sketch.setOpEstimates(col("ska"), col("skb"), 256): _*)
+      .collect()(0)
+    assert(d.getAs[Double]("jaccard") == 0.0)
+    assert(d.getAs[Double]("est_intersection") == 0.0)
+  }
+
   test("streaming frequent items: stream-wide heavy hitters stay present across batches") {
     val s = spark
     import s.implicits._

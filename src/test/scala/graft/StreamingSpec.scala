@@ -291,11 +291,19 @@ class StreamingSpec extends SparkSpec {
     import graft.operators.{Dedup, MediaCodec, Multimodal}
     val tmp = Files.createTempDirectory("streamimgdedup").toString
 
-    def img(seed: Int, dent: Boolean = false): Array[Byte] = {
+    // `flip` transposes the gradient pitches — a STRUCTURALLY different
+    // image (measured dHash distance 38 from the unflipped family).
+    // Varying only `seed` shifts brightness, which dHash is invariant
+    // to BY DESIGN (seeds 2 and 9 differ by 3 gray levels and hash
+    // identically) — so the "genuinely new" image must change structure,
+    // not seed
+    def img(seed: Int, dent: Boolean = false,
+            flip: Boolean = false): Array[Byte] = {
       val (w, h) = (24, 18)
+      val (cx, cy) = if (flip) (41, 53) else (53, 41)
       val rgb = Array.tabulate(3 * w * h) { p =>
         val x = (p / 3) % w; val y = p / 3 / w
-        ((seed * 37 + x * 53 + y * 41) % 256).toByte
+        ((seed * 37 + x * cx + y * cy) % 256).toByte
       }
       if (dent) { // single-pixel edit: ≤ 2 dHash bits
         val dp = 3 * (5 * w + 7)
@@ -313,7 +321,8 @@ class StreamingSpec extends SparkSpec {
     drain()
 
     // batch: a re-encode-with-edit of image 0 and a genuinely new image
-    val batch = Seq((10L, img(1, dent = true)), (11L, img(9))).toDF("id", "media")
+    val batch = Seq((10L, img(1, dent = true)), (11L, img(9, flip = true)))
+      .toDF("id", "media")
     def hashes(df: org.apache.spark.sql.DataFrame) =
       Multimodal.imageDHash(df, "id", "media")
     val flagged = Dedup.hammingNearDupPairsAgainst(
@@ -322,7 +331,7 @@ class StreamingSpec extends SparkSpec {
       .select("new_id").distinct().collect().map(_.getLong(0)).toSet
     assert(flagged == Set(10L), s"expected only the edited re-encode, got $flagged")
 
-    source.addData((11L, img(9)))
+    source.addData((11L, img(9, flip = true)))
     drain()
     val ids = s.read.parquet(s"$tmp/corpus").select("id")
       .collect().map(_.getLong(0)).toSet

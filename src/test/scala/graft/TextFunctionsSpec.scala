@@ -133,6 +133,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(vecs("doc-a") != vecs("doc-c"))
   }
 
+  test("hashedLinearLogit: gram order, bucket lookup, bias; empty doc scores bias") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions.hashedLinearLogit
+    import graft.operators.Sketch
+    val dim = 16
+    val weights = (0 until dim).map(i => i * 0.25 - 1.0)
+    val df = Seq((0L, "Alpha beta"), (1L, ""), (2L, "solo")).toDF("id", "text")
+    val got = df.select(col("id"),
+        hashedLinearLogit(col("text"), dim, weights, bias = 0.5).as("logit"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand fold: unigrams then the bigram, lowercased
+    def bucket(g: String): Int = df.sparkSession.range(1)
+      .select((Sketch.hash32(lit(g)) % dim).cast("int")).collect()(0).getInt(0)
+    val expect0 = 0.5 + weights(bucket("alpha")) + weights(bucket("beta")) +
+      weights(bucket("alpha beta"))
+    assert(got(0L) == expect0)
+    assert(got(1L) == 0.5)                       // no grams: logit = bias
+    assert(got(2L) == 0.5 + weights(bucket("solo"))) // no bigram for 1 token
+  }
+
   test("repetition signals: hand-computed fractions, degenerate docs score 0") {
     val s = spark
     import s.implicits._
