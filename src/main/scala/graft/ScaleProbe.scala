@@ -120,6 +120,16 @@ object ScaleProbe {
       t("ivfpq_adc_top10_probe4")(
         graft.operators.IvfPq.search(ipCodes, ipModel, "id", q, 4, 10).count())
 
+      // SemDeDup over the 1M corpus: k=256 clusters keep within-cluster
+      // pair products ~ n²/k (vs n² brute) — the removal-set pass a
+      // semantic dedup stage runs after embedding; near-isotropic
+      // synthetic vectors yield few pairs, so this times the cluster
+      // bucketing + component/keeper machinery, not pair fan-out
+      t("semdedup_k256") {
+        val (_, sdModel) = Ivf.build(df, "embedding", 256)
+        Dedup.semDedup(df, "id", "embedding", sdModel, threshold = 0.96).count()
+      }
+
       // PageRank over a 2M-directed-edge ring-like graph, 3 iterations —
       // the distributed iterative path with decimal-routed sums
       val prEdges = spark.range(n).select(col("id").as("a"),
@@ -259,6 +269,46 @@ object ScaleProbe {
               (pmod(xxhash64(col("id")), lit(500)) + 1).as("n_tokens")),
             "id", "n_tokens", capacity = 2048L)
           .agg(sum(col("slice_len"))).head.getLong(0)
+      }
+
+      // BPE: the corpus pays ONE word-count aggregation; every merge
+      // round then runs over the distinct-word vocab (bounded by the
+      // 5 000-token synthetic vocabulary here — and by maxVocab-style
+      // caps at 100 TB), so learn cost is rounds × vocab, not corpus
+      t("bpe_learn_8_merges")(
+        graft.operators.Bpe.learnMerges(
+          graft.operators.Bpe.wordCounts(docs, "text"), nMerges = 8).size.toLong)
+
+      // BPE apply: fixed 6-merge chain as a pure per-row expression —
+      // the no-shuffle tokenizer pass over all n docs
+      t("bpe_apply_6_merges")(
+        graft.operators.Bpe.tokenize(docs, "id", "text",
+          Seq("1" -> "2", "12" -> "3", "4" -> "5", "6" -> "7", "8" -> "9",
+            "45" -> "67")).agg(sum(col("n_bpe_tokens"))).head.getLong(0))
+
+      // hashed linear classifier: per-row gram-hash weight fold, rides
+      // the scan (the fastText-shape quality-filter pass)
+      t("classifier_score_dim1k") {
+        val w = (0 until 1024).map(i => (i % 7) * 0.1 - 0.3)
+        docs.select(graft.functions.TextFunctions.hashedLinearLogit(
+            col("text"), 1024, w, bias = 0.05).as("lg"))
+          .agg(sum(col("lg"))).head.getDouble(0).toLong
+      }
+
+      // KMV set ops over two overlapping n/2-row sides: two bounded
+      // sketch folds + O(k) array math — distinct-intersection with no
+      // re-scan of either side
+      t("kmv_setops_k256") {
+        val a = graft.operators.Sketch.kmvSketch(
+          docs.filter(col("id") % 2 === 0), col("text"), 256)
+          .select(col("sketch").as("ska"))
+        val b = graft.operators.Sketch.kmvSketch(
+          docs.filter(col("id") % 3 === 0), col("text"), 256)
+          .select(col("sketch").as("skb"))
+        a.crossJoin(b)
+          .select(graft.operators.Sketch.setOpEstimates(
+            col("ska"), col("skb"), 256): _*)
+          .count()
       }
 
       // image-dHash Hamming near-dup pairs over n 56-bit hashes with

@@ -1171,7 +1171,7 @@ object SparkEntry {
         java.nio.file.Files.createDirectories(p).toString
       }
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      emb.repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+      emb.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
       val stream = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
       val params = Hnsw.Params(m = 8, efConstruction = 50)

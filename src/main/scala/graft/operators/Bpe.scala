@@ -44,11 +44,19 @@ object Bpe {
   final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
 
   /** (word, cnt) vocabulary of a text column: lowercase, whitespace
-    * split. The single corpus-sized pass of the whole algorithm. */
-  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    * split. The single corpus-sized pass of the whole algorithm.
+    * `minCount` is the 100 TB vocab knob: dropping hapax/rare words
+    * (standard BPE practice) bounds the per-iteration table by the
+    * frequent-word vocabulary instead of the raw distinct-word count —
+    * rare words can't win a corpus-weighted pair argmax anyway until
+    * merges are deep enough that their pairs aggregate with common
+    * ones, which `minCount` ≤ the argmax floor preserves. */
+  def wordCounts(df: DataFrame, textCol: String,
+                 minCount: Long = 1L): DataFrame =
     df.select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
 
   /** Word → delimited symbol string of single characters. */
   def initSymbols(word: Column): Column =
@@ -89,15 +97,20 @@ object Bpe {
                   minPairCount: Long = 2L): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // each round's argmax action materializes the CURRENT vocab's cache,
+    // so the previous round's cache is only dropped after its successor
+    // is safely materialized — one job per round (the argmax), no
+    // separate count() materialization pass
     var cur = words.select(initSymbols(col("word")).as("syms"), col("cnt"))
       .persist()
-    cur.count()
+    var prev: DataFrame = null
     var rank = 1
     var done = false
     while (rank <= nMerges && !done) {
       val top = adjacentPairCounts(cur)
         .orderBy(col("pc").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty || top(0).getAs[Long]("pc") < minPairCount) done = true
       else {
         val (l, r) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"))
@@ -105,13 +118,13 @@ object Bpe {
         val next = cur
           .withColumn("syms", applyMerge(col("syms"), l, r))
           .persist()
-        next.count()
-        cur.unpersist()
+        prev = cur
         cur = next
         rank += 1
       }
     }
     cur.unpersist()
+    if (prev != null) prev.unpersist()
     out.toSeq
   }
 

@@ -390,14 +390,23 @@ object Dedup {
     // Guarded path. The ultra-common gram set is tiny — broadcast
     // anti-join — and DISTINCT docs per gram (as documented), not rows:
     // a re-ingested identical row must not push a gram over the cutoff.
-    val common = grams0.groupBy("gram")
-      .agg(count_distinct(col("__id")).as("__df"))
+    // Two-phase screen: a plain per-gram ROW count (map-side partial
+    // longs — no distinct state) upper-bounds the distinct-doc count,
+    // so only grams whose row count crosses the cutoff pay the exact
+    // distinct count; when none do (the normal corpus) AQE sees the
+    // empty broadcast side and collapses the second pass to an empty
+    // relation without scanning.
+    val hot = grams0.groupBy("gram").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxDocFreq).select("gram")
+    val common = grams0.join(broadcast(hot), Seq("gram"), "left_semi")
+      .groupBy("gram").agg(count_distinct(col("__id")).as("__df"))
       .filter(col("__df") > maxDocFreq).select("gram")
-    // distinct BEFORE bucketing: a doc ingested twice emits every gram
-    // row twice, which would double intersections AND its recomputed
-    // set size, silently skewing every jaccard it participates in
+    // no pre-bucketing distinct: collect_set below dedups (gram, id)
+    // during the ONE shuffle the gram table pays, so a doc ingested
+    // twice cannot double intersections or its recomputed set size —
+    // the explicit distinct() this replaces paid a second full shuffle
+    // of the corpus-sized gram table for the same guarantee
     val kept = grams0.drop("sz").join(broadcast(common), Seq("gram"), "left_anti")
-      .distinct()
     // one aggregation produces the buckets; the per-doc sizes over the
     // filtered universe fall out of the buckets themselves (explode
     // back + count — the bucket table is maxDocFreq-bounded), so the

@@ -181,6 +181,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"expected an explode generate:\n$plan")
   }
 
+  test("BPE tokenize and classifier scoring are per-row scans: no Exchange") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20L).map(i => (i, "the quick brown fox")).toDF("id", "text")
+    val bpe = graft.operators.Bpe.tokenize(df, "id", "text",
+        Seq("t" -> "h", "th" -> "e"))
+      .queryExecution.executedPlan.toString
+    assert(!bpe.contains("Exchange"),
+      s"unexpected shuffle in BPE tokenize plan:\n$bpe")
+    val w = (0 until 32).map(_ * 0.1)
+    val cls = df.select(graft.functions.TextFunctions.hashedLinearLogit(
+        col("text"), 32, w, bias = 0.0))
+      .queryExecution.executedPlan.toString
+    assert(!cls.contains("Exchange"),
+      s"unexpected shuffle in classifier plan:\n$cls")
+  }
+
+  test("BPE pair counting aggregates map-side (partial before the vocab shuffle)") {
+    val s = spark
+    import s.implicits._
+    val words = (0L until 30L).map(i => (s"word$i", i + 1)).toDF("word", "cnt")
+    // one merge round's aggregation: partial_sum must appear below the
+    // exchange so a hot pair partial-aggregates per mapper
+    val syms = graft.operators.Bpe.initSymbols(col("word")).as("syms")
+    val plan = words.select(syms, col("cnt"))
+      .select(col("cnt"), graft.operators.Bpe.symbolArray(col("syms")).as("sa"))
+      .filter(size(col("sa")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(0, size(sa)-2), i -> struct(sa[i] AS l, sa[i+1] AS r))"))
+        .as("p"))
+      .groupBy(col("p.l"), col("p.r")).agg(sum("cnt"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"expected map-side partial aggregation in BPE pair counting:\n$plan")
+  }
+
   test("BQ hamming search: per-row scan + TakeOrderedAndProject, no Exchange") {
     val dir = Files.createTempDirectory("bqplan").toString + "/t"
     toDF(corpus(80, 64)).write.parquet(dir)
