@@ -17,7 +17,11 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   *  - l2_sq(a, b), l2_dist(a, b)  — squared / plain Euclidean distance
   *  - dot_product(a, b)           — inner product
   *  - cosine_sim(a, b)            — dot/(|a||b|)
+  *  - ln_libm(x)                  — libm-exact natural log
   *  - word_shingles(text, n)      — distinct lowercase word n-grams
+  *  - sign_pack(v), hamming_dist(a, b) — BQ code + Hamming
+  *  - lang_id / quality_score / token_count / subword_count (text)
+  *  - simhash64(text), doc_fingerprint(text, shingle)
   */
 object GraftFunctions {
 
@@ -61,7 +65,48 @@ object GraftFunctions {
         SignPackFloat(args(0), graft.operators.Bq.WordBits)
       }),
     ("hamming_dist", "_FUNC_(a, b) - Hamming distance of two packed bigint codes",
-      two("hamming_dist", HammingLongs(_, _)) _))
+      two("hamming_dist", HammingLongs(_, _)) _),
+    ("lang_id", "_FUNC_(text) - marker-word language id (en/es/de/fr/zh/unknown)",
+      viaColumn("lang_id", 1)(a => graft.functions.TextFunctions.langId(a(0))) _),
+    ("quality_score", "_FUNC_(text) - Gopher-style [0,1] quality score",
+      viaColumn("quality_score", 1)(a =>
+        graft.functions.TextFunctions.qualityScore(a(0))) _),
+    ("token_count", "_FUNC_(text) - whitespace token count",
+      viaColumn("token_count", 1)(a =>
+        graft.functions.TextFunctions.tokenCount(a(0))) _),
+    ("subword_count", "_FUNC_(text) - BPE-ish regex subword count",
+      viaColumn("subword_count", 1)(a =>
+        graft.functions.TextFunctions.subwordCount(a(0))) _),
+    ("simhash64", "_FUNC_(text) - 64-bit md5 SimHash fingerprint (hex string)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"simhash64 expects 1 argument, got ${args.length}")
+        // custom kernels take Expression children directly — routing the
+        // word-set composite through the Column bridge would hand the
+        // kernel an unresolved ColumnNode whose dataType is void
+        import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Lower, StringSplit}
+        graft.expressions.SimhashMd5(ArrayDistinct(
+          StringSplit(Lower(args(0)), Literal("\\s+"), Literal(-1))))
+      }),
+    ("doc_fingerprint", "_FUNC_(text, shingle) - min-shingle md5 document fingerprint",
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"doc_fingerprint expects 2 arguments, got ${args.length}")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"doc_fingerprint: shingle must be an integer literal, got $other")
+        }
+        ColumnBridge.resolvedExpression(graft.functions.TextFunctions.fingerprint(
+          ColumnBridge.column(args(0)), n))
+      }))
+
+  /** Lift a Column-level composite into a SQL function builder. */
+  private def viaColumn(name: String, arity: Int)
+                       (f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+                       (args: Seq[Expression]): Expression = {
+    require(args.length == arity, s"$name expects $arity arguments, got ${args.length}")
+    ColumnBridge.resolvedExpression(f(args.map(ColumnBridge.column)))
+  }
 
   /** Register every kernel function on a live session. */
   def register(spark: SparkSession): Unit =

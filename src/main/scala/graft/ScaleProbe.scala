@@ -120,13 +120,17 @@ object ScaleProbe {
       t("ivfpq_adc_top10_probe4")(
         graft.operators.IvfPq.search(ipCodes, ipModel, "id", q, 4, 10).count())
 
-      // SemDeDup over the 1M corpus: k=256 clusters keep within-cluster
-      // pair products ~ n²/k (vs n² brute) — the removal-set pass a
-      // semantic dedup stage runs after embedding; near-isotropic
-      // synthetic vectors yield few pairs, so this times the cluster
-      // bucketing + component/keeper machinery, not pair fan-out
-      t("semdedup_k256") {
-        val (_, sdModel) = Ivf.build(df, "embedding", 256)
+      // SemDeDup over the 1M corpus: within-cluster pair work is
+      // ~ n²/(2k), so k MUST scale with n — the paper sizes k ≈ n/1000
+      // (measured: k=256 → 3 906-row clusters → 210 s of pair cosines;
+      // k=1024 → ~977-row clusters → 75 s). The short Lloyd budget is
+      // the ANN-practice norm (centroids partition, they don't have to
+      // converge); maxIter=100 at k=1024 spends ~150 s in the driver
+      // sample fit for no downstream gain. Near-isotropic synthetic
+      // vectors yield few pairs, so this times cluster bucketing + pair
+      // fan-out, not component/keeper work
+      t("semdedup_k1024") {
+        val (_, sdModel) = Ivf.build(df, "embedding", 1024, maxIter = 20)
         Dedup.semDedup(df, "id", "embedding", sdModel, threshold = 0.96).count()
       }
 

@@ -1569,6 +1569,22 @@ object SparkEntry {
           col("win_offset"), col("slice_start"), col("slice_len"))
         .orderBy("doc_id", "win_id")),
 
+    // ---- Third flagship composition: tokenizer-aware packing — BPE
+    // token counts (fixed chain, per-row) feed the packWindows loader
+    // plan, so window boundaries fall on REAL subword counts instead of
+    // whitespace proxies. Oracle composes the BPE replace-chain count
+    // with the window-tiling replay; still one prefix-sum shuffle total.
+    "pipeline_tokenize_pack" -> ((s, dir) => {
+      val counted = Bpe.tokenize(Tables.documents(s, dir), "doc_id", "text",
+          FixedBpeMerges)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+      Chunker.packWindows(counted, "doc_id", "n_tok", capacity = 1024,
+          numPartitions = 8)
+        .select(col("doc_id"), col("n_tok"), col("win_id"),
+          col("win_offset"), col("slice_start"), col("slice_len"))
+        .orderBy("doc_id", "win_id")
+    }),
+
     // ---- B9 with a fixed deterministic codebook: the k-means path is
     // rows-only (b9_pq_encode), but the encode ARITHMETIC (per-chunk
     // strict-argmin over double-fold distances) is oracle-exact here —
@@ -2799,6 +2815,8 @@ object SparkEntry {
 
       "t_bpe_apply" -> bpeApplySql(FixedBpeMerges),
 
+      "pipeline_tokenize_pack" -> bpeWindowsSql(FixedBpeMerges, 1024L),
+
       "b10_stream_hourly" ->
         s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
            |event_type, count(*) AS n, ${decSum("value")} AS sum_value
@@ -3489,9 +3507,11 @@ object SparkEntry {
     s"WITH ${(base +: steps).mkString(",\n")}\n$ranks ORDER BY rank"
   }
 
-  /** Replay of `Bpe.tokenize` under [[FixedBpeMerges]]: identical
-    * replace chain per word, identical token-stream join + md5. */
-  private def bpeApplySql(merges: Seq[(String, String)]): String = {
+  /** Shared CTE chain for BPE-apply oracles: per-doc space-joined token
+    * stream `t` under the given merge chain (wrap → iterated literal
+    * replace → unwrap), exactly `Bpe.symbolsToTokens ∘ applyMergesToWord`
+    * over the filtered word list. */
+  private def bpeStreamCtes(merges: Seq[(String, String)]): String = {
     val so = "chr(2)"; val sc = "chr(3)"
     val syms0 =
       s"list_aggregate(list_transform(string_split(w, ''), c -> $so || c || $sc), " +
@@ -3499,19 +3519,48 @@ object SparkEntry {
     val chain = merges.foldLeft(syms0) { case (acc, (l, r)) =>
       s"replace($acc, $so || '$l' || $sc || $so || '$r' || $sc, $so || '$l$r' || $sc)"
     }
-    s"""WITH toks AS (
+    s"""bpe_w AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |    w -> w <> '') AS ws FROM documents),
-       |ts AS (
+       |bpe_t AS (
        |  SELECT doc_id, coalesce(list_aggregate(list_transform(ws,
        |    w -> trim(replace($chain, $sc || $so, ' '), $so || $sc)),
-       |    'string_agg', ' '), '') AS t FROM toks)
+       |    'string_agg', ' '), '') AS t FROM bpe_w)""".stripMargin
+  }
+
+  /** Replay of `Bpe.tokenize` under [[FixedBpeMerges]]: identical
+    * replace chain per word, identical token-stream join + md5. */
+  private def bpeApplySql(merges: Seq[(String, String)]): String =
+    s"""WITH ${bpeStreamCtes(merges)}
        |SELECT doc_id,
        |  CASE WHEN t = '' THEN CAST(0 AS BIGINT)
        |       ELSE CAST(len(string_split(t, ' ')) AS BIGINT) END AS n_bpe_tokens,
        |  md5(t) AS tokens_md5
-       |FROM ts ORDER BY doc_id""".stripMargin
-  }
+       |FROM bpe_t ORDER BY doc_id""".stripMargin
+
+  /** Tokenizer-aware packing oracle: the BPE token count feeds the same
+    * window-tiling replay `pack_windows` uses. */
+  private def bpeWindowsSql(merges: Seq[(String, String)],
+                            capacity: Long): String =
+    s"""WITH ${bpeStreamCtes(merges)},
+       |toks AS (SELECT doc_id,
+       |  CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(len(string_split(t, ' ')) AS BIGINT) END AS n_tok
+       |  FROM bpe_t),
+       |c AS (SELECT doc_id, n_tok,
+       |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum FROM toks),
+       |w AS (SELECT doc_id, n_tok, cum,
+       |  unnest(generate_series(cum // $capacity, (cum + n_tok - 1) // $capacity))
+       |    AS win_id
+       |  FROM c WHERE n_tok > 0)
+       |SELECT doc_id, n_tok, win_id,
+       |  CAST(greatest(0, cum - win_id * $capacity) AS BIGINT) AS win_offset,
+       |  CAST(greatest(0, win_id * $capacity - cum) AS BIGINT) AS slice_start,
+       |  CAST(least(cum + n_tok, (win_id + 1) * $capacity)
+       |    - greatest(cum, win_id * $capacity) AS BIGINT) AS slice_len
+       |FROM w ORDER BY doc_id, win_id""".stripMargin
 
   /** MinHash-LSH candidate-pair oracle (shared with pipeline_curate). */
   /** MinHash-LSH pair oracle — mirrors the engine's hot-bucket guard

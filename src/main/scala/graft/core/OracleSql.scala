@@ -18,6 +18,15 @@ package graft.core
   *
   * DuckDB lists are 1-indexed; Spark's `element_at` is 1-indexed too, so
   * the same index appears on both sides where needed.
+  *
+  * FLOAT LITERALS: write double constants as STRING casts —
+  * `CAST('0.123…' AS DOUBLE)` — never bare decimal literals. DuckDB
+  * parses a bare decimal literal as DECIMAL(38) (long sum chains then
+  * overflow it), and its decimal→double conversion is NOT correctly
+  * rounded (measured 1-ulp error on round-trip shortest-repr strings);
+  * the string cast goes through strtod and is exact. Distance-only
+  * oracles get away with bare literals because argmin/float-rounding
+  * absorb the ulp — any DOUBLE output column does not.
   */
 object OracleSql {
 

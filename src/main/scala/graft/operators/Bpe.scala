@@ -153,6 +153,15 @@ object Bpe {
       .toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** BPE token array of a text column under a merge chain — the
+    * loader-facing column: counts feed `Chunker.packWindows`, arrays
+    * feed export sinks. Pure per-row expression. */
+  def tokens(text: Column, merges: Seq[(String, String)]): Column = {
+    val words = filter(split(lower(text), "\\s+"), w => w =!= lit(""))
+    flatten(transform(words, w =>
+      split(symbolsToTokens(applyMergesToWord(w, merges)), " ")))
+  }
+
   /** Tokenize a text column with a fixed merge chain: per-document BPE
     * token count and an md5 digest of the space-joined token stream.
     * Pure per-row expression — at corpus scale this rides the scan with

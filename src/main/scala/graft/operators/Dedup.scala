@@ -40,7 +40,7 @@ object Dedup {
   }
 
   /** Distinct lowercase word tokens of a text column. */
-  private def wordSet(textCol: Column): Column =
+  private[graft] def wordSet(textCol: Column): Column =
     array_distinct(split(lower(textCol), "\\s+"))
 
   /** Distinct word n-gram shingles (shingle=1 degenerates to the word
@@ -633,6 +633,12 @@ object Dedup {
     * row's duplicate component, `cos_centroid` the removed row's own
     * centroid similarity. The window runs over clustered rows only
     * (|components| ≪ corpus); the centroid table is k rows, broadcast.
+    *
+    * SIZE k TO THE CORPUS: within-cluster pair work is ~ n²/(2k), so k
+    * must grow linearly with n — the paper uses k ≈ n/1000 (50k
+    * clusters at 50M docs); ScaleProbe measures 1M rows at k=256
+    * (3 906-row clusters) costing ~4× the k=1024 run. A k sized for
+    * yesterday's corpus is the one scale trap this operator has.
     */
   def semDedup(df: DataFrame, idCol: String, embCol: String,
                model: Ivf.Model, threshold: Double): DataFrame = {

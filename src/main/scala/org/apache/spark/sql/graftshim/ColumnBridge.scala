@@ -12,6 +12,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion: resolves the whole ColumnNode
+    * tree (function lookups included) to catalyst expressions now.
+    * `expression` above wraps lazily — fine inside the Dataset API,
+    * which converts at plan-construction time, but a lazy wrapper handed
+    * to the SQL function registry reaches codegen unconverted. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a temp SQL function on an existing session
     * (`sessionState` is private[sql] too). */
   def registerTempFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -62,6 +62,21 @@ class BpeSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_bpe_tokens") == 0L)
   }
 
+  test("tokens array agrees with tokenize's count and conserves characters") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "The theft then")).toDF("id", "text")
+    val chain = Seq("t" -> "h", "th" -> "e")
+    val toks = df.select(Bpe.tokens(col("text"), chain).as("ts"))
+      .collect()(0).getSeq[String](0)
+    // the→[the]; theft→[the][f][t]; then→[the][n]
+    assert(toks == Seq("the", "the", "f", "t", "the", "n"))
+    val n = Bpe.tokenize(df, "id", "text", chain)
+      .collect()(0).getAs[Long]("n_bpe_tokens")
+    assert(n == toks.length)
+    assert(toks.mkString == "the theft then".toLowerCase.replace(" ", ""))
+  }
+
   test("learned merges are partition-invariant") {
     val one = Bpe.learnMerges(Bpe.wordCounts(corpus.repartition(1), "text"), 3)
     val many = Bpe.learnMerges(Bpe.wordCounts(corpus.repartition(7), "text"), 3)

@@ -35,6 +35,36 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(bq.getLong(1) == 2L) // 0b1011 xor 0b1101 = 0b0110
   }
 
+  test("text-analysis composites are callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  lang_id('the cat and the dog went to the house with the') AS lang,
+        |  token_count('one two  three') AS tc,
+        |  subword_count('hello') AS sc,
+        |  quality_score('The quick brown fox jumps over the lazy dog today') AS q,
+        |  simhash64('alpha beta gamma') AS sh,
+        |  doc_fingerprint('abcdefghij', 4) AS fp
+        |""".stripMargin).head()
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) >= 1L)
+    val q = r.getDouble(3)
+    assert(q >= 0.0 && q <= 1.0)
+    assert(r.getString(4).length == 16) // 64-bit hex fingerprint
+    assert(r.getString(5).length == 32) // md5 hex
+    // composites agree with their Column-API originals
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "El gato y el perro en la casa con los libros para")).toDF("id", "text")
+    df.createOrReplaceTempView("t_ext")
+    val sqlLang = spark.sql("SELECT lang_id(text) FROM t_ext").head().getString(0)
+    val colLang = df.select(
+      graft.functions.TextFunctions.langId(org.apache.spark.sql.functions.col("text")))
+      .head().getString(0)
+    assert(sqlLang == colLang)
+  }
+
   test("SQL queries over tables can rank by kernel distance") {
     GraftFunctions.register(spark)
     val s = spark

@@ -163,6 +163,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE: tokens concatenate back to the word; merges never increase count") {
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.mkString(" "))
+    forAllSamples(docGen, n = 8) { text =>
+      val s = spark
+      import s.implicits._
+      import graft.operators.Bpe
+      val df = Seq((0L, text)).toDF("id", "text")
+      val chains = Seq(Seq.empty[(String, String)], Seq("a" -> "b"),
+        Seq("a" -> "a"), Seq("a" -> "b", "ab" -> "c"))
+      val counts = chains.map { chain =>
+        val toks = df.select(Bpe.tokens(col("text"), chain)).head.getSeq[String](0)
+        // lossless: concatenated tokens == the whitespace-stripped text
+        assert(toks.mkString == text.replaceAll("\\s+", ""),
+          s"chain $chain lost characters on '$text'")
+        toks.length
+      }
+      // the empty chain yields character count; each merge chain can
+      // only reduce (or keep) the token count
+      val charCount = text.replaceAll("\\s+", "").length
+      assert(counts.head == charCount)
+      counts.tail.foreach(c => assert(c <= charCount))
+      // deeper chain (superset of merges) never exceeds its prefix chain
+      assert(counts(3) <= counts(1))
+    }
+  }
+
   test("upsert: updates win, inserts append, ids stay unique") {
     val kvGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.alphaStr))
     forAllSamples(Gen.zip(kvGen, kvGen), n = 6) { case (base, updates) =>
