@@ -239,6 +239,38 @@ class StreamingSpec extends SparkSpec {
     assert(hits.head.getAs[Double]("dist") < 1e-6)
   }
 
+  test("streaming quality gate: classifier logit filters each micro-batch before upsert") {
+    // the curation-at-ingest shape: the fastText-style scorer is a pure
+    // per-row expression, so it gates the stream BEFORE the upsert sink
+    // — no model join, no extra shuffle, per-batch cost linear in the
+    // batch. Weights here key on a marker token so the gate is
+    // deterministic: docs containing "spam" score negative and never
+    // reach the published corpus
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = Files.createTempDirectory("streamgate").toString
+    val dim = 64
+    val spamBucket = s.range(1).select(
+      (graft.operators.Sketch.hash32(lit("spam")) % dim).cast("int"))
+      .head.getInt(0)
+    val weights = (0 until dim).map(i => if (i == spamBucket) -10.0 else 0.01)
+
+    val source = MemoryStream[(Long, String)]
+    source.addData(
+      (0L, "useful prose about distributed query engines"),
+      (1L, "spam spam buy now"),
+      (2L, "another genuine document body"))
+    val gated = source.toDF().toDF("id", "text")
+      .filter(graft.functions.TextFunctions.hashedLinearLogit(
+        col("text"), dim, weights, bias = 0.0) > 0)
+    StreamingIngest.upsertStream(gated, "id", s"$tmp/corpus", s"$tmp/ckpt",
+      flushThreshold = Long.MaxValue, onFlush = _ => ()).awaitTermination()
+    val ids = s.read.parquet(s"$tmp/corpus").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 2L), s"spam doc must be gated out, got $ids")
+  }
+
   test("flush → incremental dedup: each batch screens against the corpus, not itself") {
     // the ingest-time dedup shape: on every flush the NEW batch is
     // LSH-screened against the existing snapshot only (cross-side
