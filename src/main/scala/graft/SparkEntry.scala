@@ -270,6 +270,26 @@ object SparkEntry {
         .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_distinct")))
     }),
 
+    // ---- Grouped KMV: per-group distinct estimates from ONE pass —
+    // the sketch at its real use-site shape (GROUP BY + mergeable
+    // bounded state per group); exact answer rides alongside so the
+    // estimator's error is visible in the result itself
+    "sketch_kmv_grouped" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val k = 64
+      val est = ev.select(col("event_type"),
+          graft.operators.Sketch.hash32(col("user_id")).as("__h")).as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.operators.Sketch.KmvAgg(k).toColumn.name("sketch"))
+        .toDF("event_type", "sketch")
+        .select(col("event_type"),
+          graft.operators.Sketch.estimateColumn(col("sketch"), k).as("est_users"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "event_type").orderBy("event_type")
+    }),
+
     // ---- KMV set operations (Beyer et al. SIGMOD'07): distinct-union /
     // Jaccard / distinct-intersection estimates from two mergeable
     // sketches — the cross-shard set-overlap question count(DISTINCT)
@@ -2232,6 +2252,30 @@ object SparkEntry {
            |    AS est_distinct,
            |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
            |FROM ag CROSS JOIN ex""".stripMargin,
+
+      // grouped KMV: per-group k-th-minimum estimate replayed per group
+      "sketch_kmv_grouped" ->
+        s"""WITH h AS (
+           |  SELECT event_type, ($mdValue) AS hv FROM (
+           |    SELECT DISTINCT event_type, user_id,
+           |      md5(CAST(user_id AS VARCHAR)) AS m
+           |    FROM events WHERE user_id IS NOT NULL) t),
+           |km AS (SELECT event_type, hv,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+           |  FROM (SELECT DISTINCT event_type, hv FROM h) d),
+           |ag AS (SELECT event_type, max(hv) AS hk, count(*) AS n
+           |  FROM km WHERE rn <= 64 GROUP BY event_type),
+           |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+           |    AS exact_users
+           |  FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+           |SELECT a.event_type,
+           |  CASE WHEN a.n < 64 THEN CAST(a.n AS DOUBLE)
+           |    ELSE CAST(63 AS DOUBLE) /
+           |      (CAST(a.hk AS DOUBLE) / CAST(4294967296 AS DOUBLE)) END
+           |    AS est_users,
+           |  ex.exact_users
+           |FROM ag a JOIN ex ON a.event_type = ex.event_type
+           |ORDER BY a.event_type""".stripMargin,
 
       // KMV set ops: union sketch = k smallest of the two k-truncated
       // sketches' union (exactly the engine's mergeSketches), ρ̂ =

@@ -231,22 +231,29 @@ object Dedup {
     val h = hashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"), col(hashCol).cast("long").as("__h"))
     val keys = keyMasks.map(m => col("__h").bitwiseAND(lit(m)))
+    // the hash RIDES the bucket as struct payload, so the (possibly
+    // expensive — image decode, md5 simhash) hash lineage is evaluated
+    // exactly once; the id→hash hydration joins this replaces evaluated
+    // it three times (measured 3× the fingerprint cost per query).
+    // The degenerate-bucket guard still counts DISTINCT ids — an id
+    // re-ingested with a different payload is two (id, h) entries but
+    // one document.
     val buckets = h
-      .select(col("__id"), posexplode(array(keys: _*)).as(Seq("__band", "__bits")))
-      .groupBy("__band", "__bits").agg(collect_set(col("__id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-    val cand = intraBucketPairs(buckets, "ids", "a", "b")
-      .select(col("a"), col("b")).distinct()
-    // exact-gate hydration: id→hash lookups, unhinted — AQE broadcasts
-    // them when the hash table is small, shuffle-joins at corpus scale
-    cand
-      .join(h.select(col("__id").as("a"), col("__h").as("__ha")), "a")
-      .join(h.select(col("__id").as("b"), col("__h").as("__hb")), "b")
-      .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxDist)
-      .select(col("a"), col("b"),
-        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .select(struct(col("__id"), col("__h")).as("__e"),
+        posexplode(array(keys: _*)).as(Seq("__band", "__bits")))
+      .groupBy("__band", "__bits").agg(collect_set(col("__e")).as("ids"))
+      .withColumn("__ndocs",
+        size(array_distinct(transform(col("ids"), e => e("__id")))))
+      .filter(col("__ndocs") > 1 && col("__ndocs") <= maxBucket)
+    intraBucketPairs(buckets, "ids", "x", "y")
+      // same-id pairs are re-ingested payload variants, not duplicates
+      .filter(col("x.__id") =!= col("y.__id"))
+      .select(least(col("x.__id"), col("y.__id")).as("a"),
+        greatest(col("x.__id"), col("y.__id")).as("b"),
+        bit_count(col("x.__h").bitwiseXOR(col("y.__h"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
       // min, not raw rows: an id ingested twice with different payloads
-      // joins both payload hashes and would emit the same (a, b) pair
+      // pairs through both hashes and would emit the same (a, b) pair
       // at two distances
       .groupBy("a", "b").agg(min(col("hamming")).as("hamming"))
   }
