@@ -1269,6 +1269,22 @@ object SparkEntry {
       Bpe.learnMergeTable(Tables.documents(s, dir), "text", nMerges = 6)
         .orderBy("rank")),
 
+    // ---- The learned subword vocabulary with corpus frequencies: the
+    // merges come from learnMerges (6 rounds) and are then applied to
+    // the word table — so the oracle replays LEARNING and APPLICATION
+    // in one statement. Top-50 by weighted count, ties by subword.
+    "t_bpe_vocab" -> ((s, dir) => {
+      val words = Bpe.wordCounts(Tables.documents(s, dir), "text")
+      val merges = Bpe.learnMerges(words, nMerges = 6).map(m => (m.left, m.right))
+      words.select(
+          explode(Bpe.symbolArray(
+            Bpe.applyMergesToWord(col("word"), merges))).as("subword"),
+          col("cnt"))
+        .groupBy("subword").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("subword").asc)
+        .limit(50)
+    }),
+
     // ---- BPE tokenization under a fixed merge chain: pure per-row
     // expression (no shuffle) — the "apply the learned tokenizer at
     // 100 TB" pass; rank order matters (later merges consume earlier
@@ -2857,6 +2873,8 @@ object SparkEntry {
 
       "t_bpe_learn" -> bpeLearnSql(6),
 
+      "t_bpe_vocab" -> bpeVocabSql(6, 50),
+
       "t_bpe_apply" -> bpeApplySql(FixedBpeMerges),
 
       "pipeline_tokenize_pack" -> bpeWindowsSql(FixedBpeMerges, 1024L),
@@ -3522,7 +3540,7 @@ object SparkEntry {
     * (count desc, left asc, right asc) argmax — each round is one CTE
     * block, the PageRank unrolled-iteration pattern applied to a learned
     * tokenizer. */
-  private def bpeLearnSql(n: Int): String = {
+  private def bpeLearnCtes(n: Int): String = {
     val so = "chr(2)"; val sc = "chr(3)"
     val base =
       s"""words AS (
@@ -3545,11 +3563,27 @@ object SparkEntry {
          |  (SELECT $so || l || r || $sc FROM m$i)) AS syms, cnt FROM s${i - 1})"""
         .stripMargin
     }
+    (base +: steps).mkString(",\n")
+  }
+
+  private def bpeLearnSql(n: Int): String = {
     val ranks = (1 to n).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym, " +
         s"pc AS pair_count FROM m$i").mkString(" UNION ALL ")
-    s"WITH ${(base +: steps).mkString(",\n")}\n$ranks ORDER BY rank"
+    s"WITH ${bpeLearnCtes(n)}\n$ranks ORDER BY rank"
   }
+
+  /** Learned-vocabulary oracle: explode the post-merge symbol strings of
+    * round n's vocab (s_n in the learn chain) weighted by word count —
+    * learning AND application replayed in one statement. */
+  private def bpeVocabSql(n: Int, limit: Int): String =
+    s"""WITH ${bpeLearnCtes(n)},
+       |sv AS (SELECT
+       |    unnest(string_split(trim(syms, chr(2) || chr(3)), chr(3) || chr(2)))
+       |      AS subword,
+       |    cnt FROM s$n)
+       |SELECT subword, CAST(sum(cnt) AS BIGINT) AS n FROM sv
+       |GROUP BY subword ORDER BY n DESC, subword ASC LIMIT $limit""".stripMargin
 
   /** Shared CTE chain for BPE-apply oracles: per-doc space-joined token
     * stream `t` under the given merge chain (wrap → iterated literal
