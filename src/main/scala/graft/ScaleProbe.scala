@@ -279,9 +279,19 @@ object ScaleProbe {
       // round then runs over the distinct-word vocab (bounded by the
       // 5 000-token synthetic vocabulary here — and by maxVocab-style
       // caps at 100 TB), so learn cost is rounds × vocab, not corpus
-      t("bpe_learn_8_merges")(
-        graft.operators.Bpe.learnMerges(
+      t("bpe_learn_8_merges_dist")(
+        graft.operators.Bpe.learnMergesDistributed(
           graft.operators.Bpe.wordCounts(docs, "text"), nMerges = 8).size.toLong)
+
+      // real-tokenizer merge depth: when the minCount-bounded vocab fits
+      // on the driver the merge loop runs in-process (inverted pair
+      // index + lazy-deletion heap, bit-identical to the distributed
+      // loop) — merge count stops being a per-round Spark-job cost, so
+      // 1024 rounds land in seconds where the distributed loop pays
+      // 1024 sequential jobs
+      t("bpe_learn_1024_local")(
+        graft.operators.Bpe.learnMerges(
+          graft.operators.Bpe.wordCounts(docs, "text"), nMerges = 1024).size.toLong)
 
       // BPE apply: fixed 6-merge chain as a pure per-row expression —
       // the no-shuffle tokenizer pass over all n docs

@@ -3539,14 +3539,19 @@ object SparkEntry {
     * same literal left-to-right replace per merge, and the same
     * (count desc, left asc, right asc) argmax — each round is one CTE
     * block, the PageRank unrolled-iteration pattern applied to a learned
-    * tokenizer. */
+    * tokenizer. Words strip the chr(2)/chr(3) delimiters exactly as
+    * `Bpe.wordCounts` does; `m_i` carries the engine's minPairCount=2
+    * floor and the `coalesce(..., chr(1))` fallback makes an exhausted
+    * round a literal no-op (replace of chr(1) with itself), so the
+    * replay stays correct when the engine early-stops below n merges. */
   private def bpeLearnCtes(n: Int): String = {
     val so = "chr(2)"; val sc = "chr(3)"
     val base =
       s"""words AS (
          |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
-         |    FROM documents) t
+         |    SELECT replace(replace(w0, $so, ''), $sc, '') AS w FROM (
+         |      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w0
+         |      FROM documents) t0) t
          |  WHERE w <> '' GROUP BY w),
          |s0 AS (SELECT list_aggregate(list_transform(string_split(word, ''),
          |  c -> $so || c || $sc), 'string_agg', '') AS syms, cnt FROM words)"""
@@ -3557,10 +3562,12 @@ object SparkEntry {
          |  FROM (SELECT string_split(trim(syms, $so || $sc), $sc || $so) AS ls,
          |        cnt FROM s${i - 1}) v, unnest(range(1, len(ls))) AS u(i)
          |  GROUP BY 1, 2),
-         |m$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+         |m$i AS (SELECT l, r, pc FROM p$i WHERE pc >= 2
+         |  ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
          |s$i AS (SELECT replace(syms,
-         |  (SELECT $so || l || $sc || $so || r || $sc FROM m$i),
-         |  (SELECT $so || l || r || $sc FROM m$i)) AS syms, cnt FROM s${i - 1})"""
+         |  coalesce((SELECT $so || l || $sc || $so || r || $sc FROM m$i), chr(1)),
+         |  coalesce((SELECT $so || l || r || $sc FROM m$i), chr(1))) AS syms,
+         |  cnt FROM s${i - 1})"""
         .stripMargin
     }
     (base +: steps).mkString(",\n")
@@ -3598,7 +3605,9 @@ object SparkEntry {
       s"replace($acc, $so || '$l' || $sc || $so || '$r' || $sc, $so || '$l$r' || $sc)"
     }
     s"""bpe_w AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex(lower(text), '\\s+'),
+       |    w -> replace(replace(w, $so, ''), $sc, '')),
        |    w -> w <> '') AS ws FROM documents),
        |bpe_t AS (
        |  SELECT doc_id, coalesce(list_aggregate(list_transform(ws,

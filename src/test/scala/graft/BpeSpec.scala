@@ -90,5 +90,54 @@ class BpeSpec extends SparkSpec {
     // after (a,b) there is no adjacent pair left with count >= 2
     val merges = Bpe.learnMerges(Bpe.wordCounts(df, "text"), nMerges = 5)
     assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+    // and identically on the forced-distributed path
+    val dist = Bpe.learnMergesDistributed(Bpe.wordCounts(df, "text"), nMerges = 5)
+    assert(dist == merges)
+  }
+
+  test("local and distributed merge loops are bit-identical (incl. ties)") {
+    val s = spark
+    import s.implicits._
+    // overlaps ("abab" + (a,b)), exact count ties ((c,c) vs (d,d)),
+    // shared subwords across words — the argmax-order stress corpus
+    val rows = Seq.fill(4)("abab") ++ Seq.fill(3)("abba") ++
+      Seq.fill(2)("baba cc") ++ Seq("cc dd", "ccdd dd", "aabb")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val words = Bpe.wordCounts(df, "text")
+    val dist = Bpe.learnMergesDistributed(words, nMerges = 12)
+    val local = Bpe.learnMergesLocal(
+      words.collect().map(r => (r.getString(0), r.getLong(1))), nMerges = 12)
+    assert(local == dist)
+    // dispatch: local under the threshold, distributed when forced under 0
+    assert(Bpe.learnMerges(words, 12) == dist)
+    assert(Bpe.learnMerges(words, 12, localVocabThreshold = 0) == dist)
+    // both run to exhaustion identically when asked for more than exists
+    assert(Bpe.learnMergesLocal(
+      words.collect().map(r => (r.getString(0), r.getLong(1))), 50) ==
+      Bpe.learnMergesDistributed(words, 50))
+  }
+
+  test("deep local learning fuses the toy corpus to whole-word tokens") {
+    // enough rounds to exhaust all pc>=2 pairs: every frequent word
+    // collapses to a single symbol; the local heap/index bookkeeping
+    // must stay consistent across the full cascade
+    val merges = Bpe.learnMerges(Bpe.wordCounts(corpus, "text"), nMerges = 100)
+    val fused = merges.map(m => m.left + m.right).toSet
+    assert(Set("low", "newest", "widest").subsetOf(fused))
+    assert(merges.map(_.rank) == (1 to merges.length))
+  }
+
+  test("symbol delimiter control chars are stripped from word text") {
+    val s = spark
+    import s.implicits._
+    // \u0002/\u0003 inside scraped text would corrupt symbol boundaries
+    val df = Seq((0L, "ab\u0002cd a\u0003b"), (1L, "\u0002\u0003")).toDF("id", "text")
+    val words = Bpe.wordCounts(df, "text").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(words == Seq("ab", "abcd"))
+    val out = Bpe.tokenize(df, "id", "text", Seq("a" -> "b")).orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_bpe_tokens") == 4L) // [ab] + [ab][c][d]
+    assert(out(1).getAs[Long]("n_bpe_tokens") == 0L) // all-delimiter word drops
   }
 }
