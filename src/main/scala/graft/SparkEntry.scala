@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bpe, Bq, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1292,6 +1292,24 @@ object SparkEntry {
     "t_bpe_apply" -> ((s, dir) =>
       Bpe.tokenize(Tables.documents(s, dir), "doc_id", "text", FixedBpeMerges)
         .orderBy("doc_id")),
+
+    // ---- Byte-level BPE (GPT-2 family): regex pre-tokenizer (leading
+    // space attaches to the following word; lookahead-free so the
+    // oracle's RE2-class regex agrees), UTF-8 bytes as hex-pair
+    // symbols, merges never cross pre-token boundaries, case
+    // preserved. Learning replayed in unrolled SQL over the identical
+    // construction — the same delimited-symbol argmax/replace chain as
+    // t_bpe_learn, one alphabet lower.
+    "t_bpe_bytes_learn" -> ((s, dir) =>
+      ByteBpe.learnMergeTable(Tables.documents(s, dir), "text", nMerges = 6)
+        .orderBy("rank")),
+
+    // ---- Byte-level tokenization under a fixed byte-merge chain
+    // (th, the, " the", in, er as byte pairs): pure per-row expression,
+    // token count + hex-stream md5 per document
+    "t_bpe_bytes_apply" -> ((s, dir) =>
+      ByteBpe.tokenize(Tables.documents(s, dir), "doc_id", "text",
+        FixedByteBpeMerges).orderBy("doc_id")),
 
     // ---- Text analysis: TF-IDF top terms per document (ln is bitwise-
     // identical across libm/DuckDB on these values — verified). Per-doc
@@ -2877,6 +2895,10 @@ object SparkEntry {
 
       "t_bpe_apply" -> bpeApplySql(FixedBpeMerges),
 
+      "t_bpe_bytes_learn" -> byteBpeLearnSql(6),
+
+      "t_bpe_bytes_apply" -> byteBpeApplySql(FixedByteBpeMerges),
+
       "pipeline_tokenize_pack" -> bpeWindowsSql(FixedBpeMerges, 1024L),
 
       "b10_stream_hourly" ->
@@ -3534,6 +3556,12 @@ object SparkEntry {
   private val FixedBpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "an" -> "d")
 
+  /** Fixed byte-level merge chain (hex-pair symbols): t+h, th+e,
+    * space+the (leading space attaches to pre-tokens in byte-level
+    * BPE, so " the" is a real fused token), i+n, e+r. */
+  private val FixedByteBpeMerges: Seq[(String, String)] = Seq(
+    "74" -> "68", "7468" -> "65", "20" -> "746865", "69" -> "6E", "65" -> "72")
+
   /** Unrolled-SQL replay of `Bpe.learnMergeTable(nMerges = n)`: the same
     * delimited-symbol representation (chr(2)sym-chr(3) wrapping), the
     * same literal left-to-right replace per merge, and the same
@@ -3544,19 +3572,11 @@ object SparkEntry {
     * floor and the `coalesce(..., chr(1))` fallback makes an exhausted
     * round a literal no-op (replace of chr(1) with itself), so the
     * replay stays correct when the engine early-stops below n merges. */
-  private def bpeLearnCtes(n: Int): String = {
+  /** Per-round CTE blocks shared by the char- and byte-level learn
+    * replays — only the `words`/`s0` base differs between the two. */
+  private def bpeStepCtes(n: Int): Seq[String] = {
     val so = "chr(2)"; val sc = "chr(3)"
-    val base =
-      s"""words AS (
-         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT replace(replace(w0, $so, ''), $sc, '') AS w FROM (
-         |      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w0
-         |      FROM documents) t0) t
-         |  WHERE w <> '' GROUP BY w),
-         |s0 AS (SELECT list_aggregate(list_transform(string_split(word, ''),
-         |  c -> $so || c || $sc), 'string_agg', '') AS syms, cnt FROM words)"""
-        .stripMargin
-    val steps = (1 to n).map { i =>
+    (1 to n).map { i =>
       s"""p$i AS (
          |  SELECT ls[i] AS l, ls[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS pc
          |  FROM (SELECT string_split(trim(syms, $so || $sc), $sc || $so) AS ls,
@@ -3570,15 +3590,56 @@ object SparkEntry {
          |  cnt FROM s${i - 1})"""
         .stripMargin
     }
-    (base +: steps).mkString(",\n")
   }
 
-  private def bpeLearnSql(n: Int): String = {
-    val ranks = (1 to n).map(i =>
+  private def bpeLearnCtes(n: Int): String = {
+    val so = "chr(2)"; val sc = "chr(3)"
+    val base =
+      s"""words AS (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT replace(replace(w0, $so, ''), $sc, '') AS w FROM (
+         |      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w0
+         |      FROM documents) t0) t
+         |  WHERE w <> '' GROUP BY w),
+         |s0 AS (SELECT list_aggregate(list_transform(string_split(word, ''),
+         |  c -> $so || c || $sc), 'string_agg', '') AS syms, cnt FROM words)"""
+        .stripMargin
+    (base +: bpeStepCtes(n)).mkString(",\n")
+  }
+
+  /** Byte-level base: regex pre-tokens (the engine's lookahead-free
+    * `ByteBpe.PreTokenPattern`, injected verbatim so both regexes are
+    * the same string), UTF-8 bytes as uppercase hex-pair symbols. Case
+    * preserved, no delimiter strip (symbols are hex chars). The merge
+    * rounds are byte-for-byte the char-level step CTEs. */
+  private def byteBpeLearnCtes(n: Int): String = {
+    val so = "chr(2)"; val sc = "chr(3)"
+    val base =
+      s"""words AS (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(text,
+         |      '${graft.operators.ByteBpe.PreTokenPattern}')) AS w
+         |    FROM documents) t
+         |  GROUP BY w),
+         |s0 AS (SELECT list_aggregate(list_transform(
+         |  regexp_extract_all(hex(encode(word)), '..'),
+         |  c -> $so || c || $sc), 'string_agg', '') AS syms, cnt FROM words)"""
+        .stripMargin
+    (base +: bpeStepCtes(n)).mkString(",\n")
+  }
+
+  private def bpeMergeRanksSelect(n: Int): String =
+    (1 to n).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym, " +
         s"pc AS pair_count FROM m$i").mkString(" UNION ALL ")
-    s"WITH ${bpeLearnCtes(n)}\n$ranks ORDER BY rank"
-  }
+
+  private def bpeLearnSql(n: Int): String =
+    s"WITH ${bpeLearnCtes(n)}\n${bpeMergeRanksSelect(n)} ORDER BY rank"
+
+  /** Replay of `ByteBpe.learnMergeTable(nMerges = n)` — the byte-level
+    * base under the shared merge-round CTEs. */
+  private def byteBpeLearnSql(n: Int): String =
+    s"WITH ${byteBpeLearnCtes(n)}\n${bpeMergeRanksSelect(n)} ORDER BY rank"
 
   /** Learned-vocabulary oracle: explode the post-merge symbol strings of
     * round n's vocab (s_n in the learn chain) weighted by word count —
@@ -3624,6 +3685,31 @@ object SparkEntry {
        |       ELSE CAST(len(string_split(t, ' ')) AS BIGINT) END AS n_bpe_tokens,
        |  md5(t) AS tokens_md5
        |FROM bpe_t ORDER BY doc_id""".stripMargin
+
+  /** Replay of `ByteBpe.tokenize`: pre-token list → hex-pair symbol
+    * wrap → identical replace chain → unwrap to the space-joined hex
+    * token stream, counted and md5'd exactly like the char-level apply. */
+  private def byteBpeApplySql(merges: Seq[(String, String)]): String = {
+    val so = "chr(2)"; val sc = "chr(3)"
+    val syms0 =
+      s"list_aggregate(list_transform(regexp_extract_all(hex(encode(w)), '..'), " +
+        s"c -> $so || c || $sc), 'string_agg', '')"
+    val chain = merges.foldLeft(syms0) { case (acc, (l, r)) =>
+      s"replace($acc, $so || '$l' || $sc || $so || '$r' || $sc, $so || '$l$r' || $sc)"
+    }
+    s"""WITH bpe_w AS (
+       |  SELECT doc_id, regexp_extract_all(text,
+       |    '${graft.operators.ByteBpe.PreTokenPattern}') AS ws FROM documents),
+       |bpe_t AS (
+       |  SELECT doc_id, coalesce(list_aggregate(list_transform(ws,
+       |    w -> trim(replace($chain, $sc || $so, ' '), $so || $sc)),
+       |    'string_agg', ' '), '') AS t FROM bpe_w)
+       |SELECT doc_id,
+       |  CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(len(string_split(t, ' ')) AS BIGINT) END AS n_bpe_tokens,
+       |  md5(t) AS tokens_md5
+       |FROM bpe_t ORDER BY doc_id""".stripMargin
+  }
 
   /** Tokenizer-aware packing oracle: the BPE token count feeds the same
     * window-tiling replay `pack_windows` uses. */

@@ -112,7 +112,9 @@ object Bpe {
     * Above the threshold the distributed loop is retained unchanged. */
   def learnMerges(words: DataFrame, nMerges: Int,
                   minPairCount: Long = 2L,
-                  localVocabThreshold: Int = 4000000): Seq[Merge] = {
+                  localVocabThreshold: Int = 4000000,
+                  symbolizeLocal: String => Array[String] = codePointSymbols,
+                  symbolizeDist: Column => Column = initSymbols): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     // one probe collect: if the vocab fits, we already hold all of it
     // and the corpus is never touched again
@@ -121,8 +123,9 @@ object Bpe {
       val probe = w.limit(localVocabThreshold + 1).collect()
       if (probe.length <= localVocabThreshold)
         learnMergesLocal(
-          probe.map(r => (r.getString(0), r.getLong(1))), nMerges, minPairCount)
-      else learnMergesDistributed(w, nMerges, minPairCount)
+          probe.map(r => (r.getString(0), r.getLong(1))), nMerges, minPairCount,
+          symbolizeLocal)
+      else learnMergesDistributed(w, nMerges, minPairCount, symbolizeDist)
     } finally w.unpersist()
   }
 
@@ -133,14 +136,15 @@ object Bpe {
     * table. Corpus-size independent, merge-count bound — the path for
     * vocabularies too large to collect. */
   def learnMergesDistributed(words: DataFrame, nMerges: Int,
-                             minPairCount: Long = 2L): Seq[Merge] = {
+                             minPairCount: Long = 2L,
+                             symbolize: Column => Column = initSymbols): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     // each round's argmax action materializes the CURRENT vocab's cache,
     // so the previous round's cache is only dropped after its successor
     // is safely materialized — one job per round (the argmax), no
     // separate count() materialization pass
-    var cur = words.select(initSymbols(col("word")).as("syms"), col("cnt"))
+    var cur = words.select(symbolize(col("word")).as("syms"), col("cnt"))
       .persist()
     var prev: DataFrame = null
     var rank = 1
@@ -222,7 +226,8 @@ object Bpe {
     * Bit-identical to [[learnMergesDistributed]]: see the dispatch
     * scaladoc; the raw-equality spec in BpeSpec pins it. */
   def learnMergesLocal(vocab: Array[(String, Long)], nMerges: Int,
-                       minPairCount: Long = 2L): Seq[Merge] = {
+                       minPairCount: Long = 2L,
+                       symbolize: String => Array[String] = codePointSymbols): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     import scala.collection.mutable
     val n = vocab.length
@@ -232,7 +237,7 @@ object Bpe {
     val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
     var i = 0
     while (i < n) {
-      syms(i) = codePointSymbols(vocab(i)._1)
+      syms(i) = symbolize(vocab(i)._1)
       cnts(i) = vocab(i)._2
       val a = syms(i)
       var j = 0

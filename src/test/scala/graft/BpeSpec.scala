@@ -128,6 +128,59 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(_.rank) == (1 to merges.length))
   }
 
+  test("byte-level BPE mirrors char-level learning on an ASCII corpus") {
+    import graft.operators.ByteBpe
+    // same toy corpus, one alphabet lower: (e,s) is ("65","73") at 9
+    val merges = ByteBpe.learnMerges(ByteBpe.preTokenCounts(corpus, "text"), 3)
+    assert(merges.head.left == "65" && merges.head.right == "73")
+    assert(merges.head.pairCount == 9L)
+    assert(merges(1).left == "6573" && merges(1).right == "74")
+  }
+
+  test("byte-level pre-tokens attach leading space and partition the text") {
+    import graft.operators.ByteBpe
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "The cat,  the d0g!")).toDF("doc_id", "text")
+    val pts = df.select(ByteBpe.preTokens(col("text"))).head.getSeq[String](0)
+    assert(pts == Seq("The", " cat", ",", "  ", "the", " d", "0", "g", "!"))
+    assert(pts.mkString == "The cat,  the d0g!")
+  }
+
+  test("byte-level local and distributed merge loops are bit-identical") {
+    import graft.operators.ByteBpe
+    val s = spark
+    import s.implicits._
+    val rows = Seq.fill(4)("the cat") ++ Seq.fill(3)("Thé cat, the dog!") ++
+      Seq.fill(2)("aéb aéb") ++ Seq("the THE thé")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val words = ByteBpe.preTokenCounts(df, "text")
+    val dist = Bpe.learnMergesDistributed(words, 10,
+      symbolize = ByteBpe.hexSymbols)
+    val local = Bpe.learnMergesLocal(
+      words.collect().map(r => (r.getString(0), r.getLong(1))), 10,
+      symbolize = ByteBpe.hexPairSymbols)
+    assert(local == dist)
+    assert(ByteBpe.learnMerges(words, 10) == dist)
+  }
+
+  test("byte tokenize conserves bytes incl. multi-byte UTF-8 and case") {
+    import graft.operators.ByteBpe
+    val s = spark
+    import s.implicits._
+    val text = "héllo Wörld! 中"
+    val df = Seq((0L, text), (1L, "")).toDF("id", "text")
+    val chain = Seq("68" -> "C3", "6C" -> "6C") // h+0xC3 crosses a codepoint: fine at byte level
+    val toks = df.filter(col("id") === 0)
+      .select(ByteBpe.tokens(col("text"), chain)).head.getSeq[String](0)
+    val expectedHex = text.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    assert(toks.mkString == expectedHex)
+    val out = ByteBpe.tokenize(df, "id", "text", chain).orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_bpe_tokens") == toks.length.toLong)
+    assert(out(1).getAs[Long]("n_bpe_tokens") == 0L)
+  }
+
   test("symbol delimiter control chars are stripped from word text") {
     val s = spark
     import s.implicits._

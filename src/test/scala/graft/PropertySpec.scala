@@ -190,6 +190,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("byte-level BPE: hex tokens concatenate back to the UTF-8 bytes") {
+    // mixed alphabet incl. multi-byte codepoints, a surrogate pair,
+    // punctuation and double spaces — byte-level must represent ALL of
+    // it with no out-of-vocabulary loss, under any merge chain
+    val pieceGen = Gen.oneOf("a", "b", "th", " ", ".", "!", "1", "42",
+      "é", "ß", "中", "😀", "  ", "'")
+    val docGen = Gen.nonEmptyListOf(pieceGen).map(_.mkString)
+    forAllSamples(docGen, n = 8) { text =>
+      val s = spark
+      import s.implicits._
+      import graft.operators.ByteBpe
+      val df = Seq((0L, text)).toDF("id", "text")
+      val expectedHex =
+        text.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+      val chains = Seq(Seq.empty[(String, String)], Seq("74" -> "68"),
+        Seq("74" -> "68", "7468" -> "65"), Seq("20" -> "61"),
+        Seq("C3" -> "A9"), Seq("F0" -> "9F"))
+      chains.foreach { chain =>
+        val toks = df.select(ByteBpe.tokens(col("text"), chain))
+          .head.getSeq[String](0)
+        assert(toks.mkString == expectedHex,
+          s"chain $chain lost bytes on '$text'")
+        // pre-tokens partition the input exactly
+        val pts = df.select(ByteBpe.preTokens(col("text")))
+          .head.getSeq[String](0)
+        assert(pts.mkString == text)
+      }
+    }
+  }
+
   test("upsert: updates win, inserts append, ids stay unique") {
     val kvGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.alphaStr))
     forAllSamples(Gen.zip(kvGen, kvGen), n = 6) { case (base, updates) =>
