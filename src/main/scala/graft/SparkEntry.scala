@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -320,6 +320,35 @@ object SparkEntry {
             classifierWeights, bias = 0.1).as("logit"))
         .withColumn("pred_keep", col("logit") > 0)
         .orderBy("doc_id")),
+
+    // ---- Classifier TRAINING (the fastText fit, not just the apply):
+    // full-batch hard-sigmoid GD over the hashed uni+bigram features,
+    // labels = (lang = 'en') — fitting a language classifier from the
+    // corpus's own labels. Every step is +,×,min,max doubles with
+    // DECIMAL(38,18)-routed sums, so the oracle replays the ENTIRE
+    // optimization unrolled (the graph_pagerank discipline applied to
+    // model fitting). Output = learned weight table, bias at idx=dim.
+    "t_classifier_train" -> ((s, dir) =>
+      Classifier.train(Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en", ClassifierDim,
+          ClassifierTrainIters, ClassifierTrainLr)
+        .toDF(s).orderBy("idx")),
+
+    // ---- Train → score composition: the learned weights feed the
+    // same hashedLinearLogit the fixed-weight query uses — fit and
+    // apply are one pipeline, and the oracle replays both (training
+    // CTEs produce the weight list the scoring fold indexes into)
+    "t_classifier_train_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = Classifier.train(docs, "doc_id", "text",
+        col("lang") === "en", ClassifierDim,
+        ClassifierTrainIters, ClassifierTrainLr)
+      docs.select(col("doc_id"),
+          TextFunctions.hashedLinearLogit(col("text"), ClassifierDim,
+            m.weights.toSeq, m.bias).as("logit"))
+        .withColumn("pred_keep", col("logit") > 0)
+        .orderBy("doc_id")
+    }),
 
     // ---- Heavy hitters: single-pass Misra-Gries candidate sweep
     // (bounded <=k counters, mergeable) + exact verification of the
@@ -2345,6 +2374,13 @@ object SparkEntry {
       "t_classifier_score" ->
         classifierSql(ClassifierDim, classifierWeights, bias = 0.1),
 
+      "t_classifier_train" ->
+        classifierTrainSql(ClassifierDim, ClassifierTrainIters, ClassifierTrainLr),
+
+      "t_classifier_train_score" ->
+        classifierTrainScoreSql(ClassifierDim, ClassifierTrainIters,
+          ClassifierTrainLr),
+
       // exact heavy hitters: the engine's MG-candidates + exact-verify
       // composition provably equals this plain HAVING query (the MG
       // membership guarantee), so the sketch pipeline is oracle-exact
@@ -3514,6 +3550,8 @@ object SparkEntry {
     * closed-form weight vector (stand-in for offline-trained weights —
     * the engine contract is the scoring pass, not training). */
   private val ClassifierDim = 64
+  private val ClassifierTrainIters = 4
+  private val ClassifierTrainLr = 0.5
   private lazy val classifierWeights: Seq[Double] =
     (0 until ClassifierDim).map(i =>
       ((i * 2654435761L + 12345L) % 1000003L).toDouble / 1000003.0 - 0.5)
@@ -3524,23 +3562,32 @@ object SparkEntry {
     * same 0.0-seeded left fold; weights/bias as strtod string casts
     * (bare decimal literals parse as DECIMAL and DuckDB's
     * decimal→double conversion is off by 1 ulp). */
-  private def classifierSql(dim: Int, weights: Seq[Double], bias: Double): String = {
+  /** hash32 replay over an md5 hex string bound to `m` (first 8 hex
+    * nibbles as a big-endian value — `Sketch.hash32`'s conv(...,16,10)). */
+  private def hash32Sql: String = {
     def nib(j: Int) =
       s"CAST(strpos('0123456789abcdef', substr(m, $j, 1)) - 1 AS BIGINT)"
-    val hv = (1 to 8).map(j => s"${nib(j)} * ${1L << (4 * (8 - j))}")
-      .mkString(" + ")
-    val wl = weights.map(w => s"CAST('$w' AS DOUBLE)").mkString("[", ", ", "]")
-    s"""WITH toks AS (
+    (1 to 8).map(j => s"${nib(j)} * ${1L << (4 * (8 - j))}").mkString(" + ")
+  }
+
+  /** Shared gram CTEs (`toks`, `grams`) — `hashedLinearLogit`'s and
+    * `Classifier.gramBuckets`'s lowercase unigram+bigram construction. */
+  private def classifierGramCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |    w -> w <> '') AS ws FROM documents),
        |grams AS (
        |  SELECT doc_id, list_concat(ws,
        |    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
        |      i -> concat(ws[i], ' ', ws[i+1]))
-       |    ELSE CAST([] AS VARCHAR[]) END) AS gs FROM toks),
+       |    ELSE CAST([] AS VARCHAR[]) END) AS gs FROM toks)""".stripMargin
+
+  private def classifierSql(dim: Int, weights: Seq[Double], bias: Double): String = {
+    val wl = weights.map(w => s"CAST('$w' AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH $classifierGramCtes,
        |hashed AS (
        |  SELECT doc_id, list_transform(list_transform(gs, g -> md5(g)),
-       |    m -> ($hv) % $dim) AS bs FROM grams),
+       |    m -> ($hash32Sql) % $dim) AS bs FROM grams),
        |scored AS (
        |  SELECT doc_id, CAST('$bias' AS DOUBLE) + list_reduce(
        |    list_prepend(CAST('0.0' AS DOUBLE),
@@ -3549,6 +3596,92 @@ object SparkEntry {
        |SELECT doc_id, logit, logit > 0 AS pred_keep FROM scored
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Unrolled replay of `Classifier.train(dim, iters, lr)` with labels
+    * lang='en': the (doc, bucket, count) table + the bias feature at
+    * bucket dim, then per iteration the DECIMAL(38,18)-routed per-doc z
+    * sum, the hard-sigmoid error, the decimal-routed per-bucket
+    * gradient, and the `w − lr·(g/n)` double update — each as one CTE
+    * block, arithmetic-identical to the engine's expression trees. */
+  /** Double → DECIMAL(38,18) with Spark's semantics: Spark casts via
+    * BigDecimal(Double.toString(d)) (shortest decimal string, HALF_UP
+    * to scale 18) while DuckDB's direct cast rounds the BINARY
+    * expansion — they disagree in the 18th digit for values like
+    * 0.36022124999999994 (...940 vs ...936). Routing through VARCHAR
+    * makes DuckDB take the same shortest-string path. */
+  private def sparkDecCast(expr: String): String =
+    s"CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,18))"
+
+  /** DECIMAL(38,18) sum → double with Spark's semantics: DuckDB's
+    * direct decimal→double cast is not correctly rounded (int128 and
+    * 10^-18 scale each round separately: 0.021276595744680850 →
+    * ...847 where the nearest double is ...85), but its decimal→varchar
+    * →double path parses the exact digit string with correct rounding —
+    * which is what Spark's Decimal.toDouble (BigDecimal.doubleValue)
+    * does. */
+  private def sparkDecSumToDouble(expr: String): String =
+    s"CAST(CAST(SUM(${sparkDecCast(expr)}) AS VARCHAR) AS DOUBLE)"
+
+  private def classifierTrainCtes(dim: Int, iters: Int, lr: Double): String = {
+    val lrS = s"CAST('$lr' AS DOUBLE)"
+    val base =
+      s"""$classifierGramCtes,
+         |ct_b AS (
+         |  SELECT doc_id, unnest(list_transform(list_transform(gs, g -> md5(g)),
+         |    m -> ($hash32Sql) % $dim)) AS b FROM grams),
+         |ct_g AS (
+         |  SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM ct_b
+         |  GROUP BY doc_id, b
+         |  UNION ALL
+         |  SELECT doc_id, $dim AS b, CAST(1.0 AS DOUBLE) AS c FROM documents),
+         |ct_y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+         |  ELSE CAST(0.0 AS DOUBLE) END AS y FROM documents),
+         |ct_n AS (SELECT count(*) AS n FROM documents),
+         |ct_w0 AS (SELECT unnest(range(0, ${dim + 1})) AS b,
+         |  CAST(0.0 AS DOUBLE) AS w)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""ct_z$k AS (
+         |  SELECT g.doc_id,
+         |    ${sparkDecSumToDouble("g.c * w.w")} AS z
+         |  FROM ct_g g JOIN ct_w${k - 1} w ON g.b = w.b GROUP BY g.doc_id),
+         |ct_e$k AS (
+         |  SELECT y.doc_id,
+         |    greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      CAST('0.5' AS DOUBLE) + z.z * CAST('0.25' AS DOUBLE))) - y.y AS e
+         |  FROM ct_y y JOIN ct_z$k z ON y.doc_id = z.doc_id),
+         |ct_gr$k AS (
+         |  SELECT g.b, ${sparkDecSumToDouble("e.e * g.c")} AS gr
+         |  FROM ct_e$k e JOIN ct_g g ON e.doc_id = g.doc_id GROUP BY g.b),
+         |ct_w$k AS (
+         |  SELECT w.b, w.w - $lrS * (coalesce(gr.gr, CAST(0.0 AS DOUBLE))
+         |    / CAST(n.n AS DOUBLE)) AS w
+         |  FROM ct_w${k - 1} w LEFT JOIN ct_gr$k gr ON w.b = gr.b
+         |  CROSS JOIN ct_n n)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  private def classifierTrainSql(dim: Int, iters: Int, lr: Double): String =
+    s"""WITH ${classifierTrainCtes(dim, iters, lr)}
+       |SELECT CAST(b AS BIGINT) AS idx, w FROM ct_w$iters ORDER BY idx""".stripMargin
+
+  /** Train → score replay: the learned weight list and bias index into
+    * the same ordered gram fold `classifierSql` uses. */
+  private def classifierTrainScoreSql(dim: Int, iters: Int, lr: Double): String =
+    s"""WITH ${classifierTrainCtes(dim, iters, lr)},
+       |sc_w AS (SELECT list(w ORDER BY b) AS wl FROM ct_w$iters WHERE b < $dim),
+       |sc_b AS (SELECT w AS bias FROM ct_w$iters WHERE b = $dim),
+       |sc_hashed AS (
+       |  SELECT doc_id, list_transform(list_transform(gs, g -> md5(g)),
+       |    m -> ($hash32Sql) % $dim) AS bs FROM grams),
+       |sc_scored AS (
+       |  SELECT doc_id, bias + list_reduce(
+       |    list_prepend(CAST('0.0' AS DOUBLE),
+       |      list_transform(bs, b -> wl[b + 1])),
+       |    (x, y) -> x + y) AS logit
+       |  FROM sc_hashed CROSS JOIN sc_w CROSS JOIN sc_b)
+       |SELECT doc_id, logit, logit > 0 AS pred_keep FROM sc_scored
+       |ORDER BY doc_id""".stripMargin
 
   /** Fixed merge chain for the BPE-apply query (rank order matters:
     * later merges consume symbols fused by earlier ones — `th`+`e` only
@@ -3840,8 +3973,7 @@ object SparkEntry {
       val prev = s"r${k - 1}"
       s"""s$k AS (
          |  SELECT e.dst AS id,
-         |    CAST(SUM(CAST($prev.r / CAST(dg.deg AS DOUBLE) AS DECIMAL(38,18)))
-         |      AS DOUBLE) AS s
+         |    ${sparkDecSumToDouble(s"$prev.r / CAST(dg.deg AS DOUBLE)")} AS s
          |  FROM edges e JOIN dg ON e.src = dg.src JOIN $prev ON $prev.id = e.src
          |  GROUP BY 1),
          |r$k AS (

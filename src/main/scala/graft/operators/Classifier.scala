@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.functions.ColumnOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed training for the fastText-shape hashed linear text
+  * classifier that [[graft.functions.TextFunctions.hashedLinearLogit]]
+  * scores with (Joulin et al. 2016, arXiv:1607.01759): bag of word
+  * unigrams + bigrams, each hashed into one of `dim` weight buckets,
+  * trained by full-batch gradient descent. This closes the one learned
+  * artifact the reference consumes but never produces (its pretrained
+  * embedding/classifier boundary,
+  * `/root/reference/src/vector_db/services/inference/embedding.py:38-52`):
+  * a curation pipeline needs to FIT its quality/language/domain
+  * classifiers on labeled docs, not just apply them.
+  *
+  * Link function: the HARD sigmoid σ̂(z) = clamp(0.5 + z/4, 0, 1)
+  * (the piecewise-linear sigmoid of Courbariaux et al. 2015), not
+  * exp-based logistic — deliberately. The delta-rule gradient
+  * (σ̂(z)−y)·x needs only +, ×, min, max in IEEE double, so every
+  * training step is bit-reproducible across engines and the DuckDB
+  * oracle replays the whole optimization unrolled (the
+  * `graph_pagerank` / `t_bpe_learn` discipline). exp() bit-parity
+  * across libms is NOT guaranteed; clamp parity is.
+  *
+  * Determinism: all cross-row sums (per-doc z, per-bucket gradient)
+  * are routed through DECIMAL(38,18) — exact, order-independent under
+  * any partitioning — then cast back to double; per-row arithmetic is
+  * a fixed expression tree. The bias is bucket `dim`: a constant
+  * feature 1.0 appended per doc, so one gradient aggregation updates
+  * weights AND bias, and every doc (even gram-less ones) has a z row.
+  *
+  * Scale shape: the corpus is touched once to build the (doc, bucket,
+  * count) table, persisted partitioned by doc id. Each iteration is
+  * one job: a partition-local per-doc z sum (no exchange — the persist
+  * partitioning serves the groupBy and the error join), then a
+  * map-side-combined dim+1-group gradient sum; only dim+1 doubles
+  * reach the driver per iteration. Iteration count is fixed and small
+  * — at 1000 executors the loop cost is iters × one corpus-pass job.
+  */
+object Classifier {
+
+  final case class Model(weights: Array[Double], bias: Double, dim: Int) {
+    /** Weight table (idx 0..dim-1 = bucket weights, idx dim = bias) —
+      * the oracle-checked shape. */
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      (weights.zipWithIndex.map { case (w, i) => (i.toLong, w) } :+
+        (dim.toLong, bias)).toSeq.toDF("idx", "w")
+    }
+  }
+
+  /** Hashed gram-bucket array of a text column — EXACTLY the gram and
+    * bucket construction of `hashedLinearLogit` (lowercase whitespace
+    * unigrams left→right, then bigrams left→right, md5-derived hash32
+    * mod dim), so trained weights score consistently. */
+  def gramBuckets(text: Column, dim: Int): Column =
+    ColumnOps.bindOnce(filter(split(lower(text), "\\s+"), w => w =!= lit(""))) {
+      toks =>
+        val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2), i =>
+            concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        transform(concat(toks, bigrams),
+          g => (Sketch.hash32(g) % dim).cast("int"))
+    }
+
+  /** Full-batch hard-sigmoid GD from zero-initialized weights.
+    *
+    * @param label 0/1 double column (evaluated against `df`'s columns)
+    * @param lr    learning rate η; update is w −= η·(g/n) per step
+    */
+  def train(df: DataFrame, idCol: String, textCol: String, label: Column,
+            dim: Int, iters: Int, lr: Double): Model = {
+    require(dim >= 1 && iters >= 1 && lr > 0,
+      s"bad hyperparameters: dim=$dim iters=$iters lr=$lr")
+    val dec = DecimalType(38, 18)
+    val base = df.select(col(idCol).as("__id"),
+      label.cast("double").as("__y"),
+      gramBuckets(col(textCol), dim).as("__bs"))
+    // (doc, bucket, count) + the constant bias feature at bucket `dim`;
+    // partitioned by doc so the per-iteration z groupBy and error join
+    // run exchange-free over the cached table
+    val bucketed = base
+      .select(col("__id"), explode(col("__bs")).as("__b"))
+      .groupBy("__id", "__b").agg(count(lit(1)).cast("double").as("__c"))
+      .unionByName(base.select(col("__id"), lit(dim).as("__b"),
+        lit(1.0).as("__c")))
+      .repartition(col("__id"))
+      .persist()
+    val labels = base.select(col("__id"), col("__y"))
+      .repartition(col("__id")).persist()
+    val nD = labels.count().toDouble
+
+    val w = Array.fill(dim + 1)(0.0) // w(dim) = bias
+    for (_ <- 1 to iters) {
+      val wl = lit(w)
+      val zs = bucketed
+        .select(col("__id"),
+          (col("__c") * element_at(wl, col("__b") + 1)).as("__zc"))
+        .groupBy("__id").agg(sum(col("__zc").cast(dec)).cast("double").as("__z"))
+      val es = labels.join(zs, "__id")
+        .select(col("__id"),
+          (greatest(lit(0.0), least(lit(1.0),
+            lit(0.5) + col("__z") * lit(0.25))) - col("__y")).as("__e"))
+      val grad = es.join(bucketed, "__id")
+        .select(col("__b"), (col("__e") * col("__c")).as("__g"))
+        .groupBy("__b").agg(sum(col("__g").cast(dec)).cast("double").as("__g"))
+        .collect()
+      grad.foreach { r =>
+        val k = r.getInt(0)
+        w(k) = w(k) - lr * (r.getDouble(1) / nD)
+      }
+    }
+    bucketed.unpersist()
+    labels.unpersist()
+    Model(w.take(dim), w(dim), dim)
+  }
+}
