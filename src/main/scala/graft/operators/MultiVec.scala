@@ -84,15 +84,21 @@ object MultiVec {
     * cosine, deterministic (score desc, id asc) cut. Query segments are
     * embedded driver-side with the identical md5-count fold.
     *
-    * Scoring runs entirely on the SPARSE counts: per (id, k) one
-    * aggregate computes the norm² and Q dot products (each an O(1)
-    * array lookup into the broadcast query counts — all builtin
-    * codegen aggregates, map-side combined), then one doc-level max
-    * aggregate and a TakeOrdered cut. Dense 64-float vectors are never
-    * materialized, which measured ~20× faster at 1M windows than the
-    * dense-vector fold. The `+ 0.0` on each dot normalizes IEEE −0.0
-    * (an all-negative-zero term sum) to +0.0 — the oracle applies the
-    * identical normalization so zero-overlap windows agree bitwise. */
+    * Scoring is per-ROW: a window's tokens live in its own row, so the
+    * norm² and all Q dot products are per-row folds over the (bucket,
+    * sign) pairs — dot_q = Σ_tok sign·qv[bucket] (the bucket-count dot
+    * is linear in tokens) and norm² = Σ_p sign_p · (Σ_q [b_q = b_p]
+    * sign_q) (a T² pairwise fold, T ≤ width tokens). The former
+    * (id, window, bucket) count aggregation — the corpus-dominating
+    * shuffle, 8 tokens × n rows — disappears entirely: the ONLY
+    * exchange left is the doc-level max aggregate (map-side combined),
+    * then a TakeOrdered cut. All window-side arithmetic is
+    * integer-valued doubles (signs and counts), so the fold order
+    * doesn't matter and the result is bit-identical to the grouped
+    * formulation the oracle replays. Dense vectors are never
+    * materialized. The `+ 0.0` on each dot keeps the historical IEEE
+    * −0.0 normalization (the fold's +0.0 seed already prevents −0.0;
+    * the term is kept so the expression mirrors the oracle's). */
   def maxsimSearch(df: DataFrame, idCol: String, textCol: String,
                    querySegments: Seq[String], k: Int,
                    width: Int = 64, dim: Int = 64): DataFrame = {
@@ -101,13 +107,29 @@ object MultiVec {
     qvecs.zip(querySegments).foreach { case (qv, seg) =>
       require(qv.exists(_ != 0.0), s"query segment '$seg' has no tokens")
     }
-    val counts = sparseCounts(df, idCol, textCol, width, dim)
-    val dotAggs = qvecs.zipWithIndex.map { case (qv, i) =>
-      (sum(col("__c") * element_at(lit(qv), col("__b") + 1)) + lit(0.0))
-        .as(s"__dot$i")
+    import graft.functions.ColumnOps.bindOnce
+    val scored = bindOnce(
+      filter(split(lower(col("wtext")), "\\s+"), t => t =!= lit(""))) { toks =>
+      bindOnce(transform(toks, t => {
+        val (b, s) = HashingEmbedder.md5BucketSignCols(t, dim)
+        struct(b.as("b"), s.as("s"))
+      })) { ps =>
+        val nsq = aggregate(ps, lit(0.0), (acc, p) =>
+          acc + p.getField("s") * aggregate(ps, lit(0.0), (a2, q) =>
+            a2 + when(q.getField("b") === p.getField("b"), q.getField("s"))
+              .otherwise(lit(0.0))))
+        val dots = qvecs.zipWithIndex.map { case (qv, i) =>
+          (aggregate(ps, lit(0.0), (acc, p) =>
+            acc + p.getField("s") * element_at(lit(qv), p.getField("b") + 1))
+            + lit(0.0)).as(s"d$i")
+        }
+        struct(nsq.as("nsq") +: dots: _*)
+      }
     }
-    val perWin = counts.groupBy(col(idCol), col("k"))
-      .agg(sum(col("__c") * col("__c")).as("__nsq"), dotAggs: _*)
+    val perWin = windows(df, idCol, textCol, width)
+      .select(col(idCol), scored.as("__sc"))
+      .select(col(idCol) +: col("__sc.nsq").as("__nsq") +:
+        qvecs.indices.map(i => col(s"__sc.d$i").as(s"__dot$i")): _*)
       .filter(col("__nsq") > 0)
     val maxAggs = qvecs.zipWithIndex.map { case (qv, i) =>
       val qnorm = lit(math.sqrt(qv.map(c => c * c).sum))

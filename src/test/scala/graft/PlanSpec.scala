@@ -280,6 +280,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("maxsim scores per-row: only the doc-level max exchange remains") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "alpha beta gamma"), (1L, "beta beta delta"))
+      .toDF("id", "text")
+    val plan = graft.operators.MultiVec.maxsimSearch(df, "id", "text",
+        Seq("alpha", "beta delta"), k = 2)
+      .queryExecution.executedPlan.toString
+    // the former (id, window, bucket) count aggregation was a second
+    // corpus-sized shuffle; per-row folds must leave exactly one
+    // Exchange (the doc-level max agg) before the TakeOrdered cut
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one hash exchange in maxsim plan:\n$plan")
+  }
+
   test("t_tfidf per-doc top-3 aggregates map-side (partial TopTerms before the shuffle)") {
     val plan = SparkEntry.queries("t_tfidf")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
