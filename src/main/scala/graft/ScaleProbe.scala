@@ -89,6 +89,14 @@ object ScaleProbe {
       t("knn_join_100q_top10")(
         Search.knnJoin(df, "id", "embedding", queries, "qid", "qemb", 10).count())
 
+      // IVF-bucketed kNN join — the scale path the exact crossJoin
+      // baseline needs: each query scans only its nProbe nearest
+      // clusters (model reused from ivf_build_k64 above), so candidate
+      // volume is |q| x n x (nProbe/k) instead of |q| x n
+      t("knn_join_ivf_100q_p4")(
+        Search.knnJoinIvf(Ivf.assign(df, model), model, "id",
+          queries, "qid", "qemb", k = 10, nProbe = 4).count())
+
       // SQ8 tier: exact min/max train (one explode + 64-group agg), encode
       // persisted, ADC over stored codes (scan-only)
       var sqm: graft.operators.Sq.Model = null
