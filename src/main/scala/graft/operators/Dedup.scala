@@ -678,6 +678,30 @@ object Dedup {
         col(Ivf.ClusterCol), col("cos_centroid"))
   }
 
+  /** [[semDedup]] with the paper's cluster sizing: k ≈ n/docsPerCluster
+    * (Abbas et al. 2023 run k ≈ n/1000), floored at `minK`, capped at n.
+    * Sizing k WITH n is the operator's scale contract — within-cluster
+    * pair work is ~n²/(2k), so a constant k turns semantic dedup
+    * quadratic at 100× while k ∝ n keeps expected cluster size (and the
+    * per-cluster pair fan-out) constant. The short Lloyd budget is the
+    * ANN-practice norm: centroids only need to partition, not converge
+    * (measured round 6: maxIter=100 spends ~150 s in the driver sample
+    * fit for no downstream gain at k=1024). Returns the built model so
+    * a streaming maintenance loop can hand it to [[Ivf.maintain]] and
+    * re-run dedup against the refreshed assignment (StreamingSpec
+    * composes exactly that). */
+  def semDedupAuto(df: DataFrame, idCol: String, embCol: String,
+                   threshold: Double, docsPerCluster: Long = 1000L,
+                   minK: Int = 16, seed: Long = 42L,
+                   maxIter: Int = 20): (DataFrame, Ivf.Model) = {
+    require(docsPerCluster >= 1, s"docsPerCluster must be >= 1, got $docsPerCluster")
+    val n = df.count()
+    require(n > 0, "semDedupAuto over an empty corpus")
+    val k = math.min(math.max(minK.toLong, n / docsPerCluster), n).toInt
+    val (_, model) = Ivf.build(df, embCol, k, seed, maxIter = maxIter)
+    (semDedup(df, idCol, embCol, model, threshold), model)
+  }
+
   /** Connected components over an undirected near-dup pair graph:
     * (id, comp) for every node that appears in a pair, where comp is
     * the smallest id in the node's component. Pair-based keep-first

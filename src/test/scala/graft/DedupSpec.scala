@@ -312,6 +312,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.semDedup(df, "id", "embedding", model, 0.9).count() == 0L)
   }
 
+  test("semDedupAuto sizes k from the corpus and matches a manual build") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // 40 spread vectors + one planted near-dup pair; n=42 → k floors at 16
+    val spread = (0 until 40).map { i =>
+      val a = i * 0.157
+      (100L + i, v(math.cos(a), math.sin(a), (i % 7) * 0.1, 1.0))
+    }
+    val df = (spread ++ Seq((1L, v(1, 0.01, 0, 0)), (2L, v(1, 0.012, 0, 0))))
+      .toDF("id", "embedding")
+    val (removed, model) = Dedup.semDedupAuto(df, "id", "embedding",
+      threshold = 0.999, minK = 16)
+    assert(model.centroids.length == 16) // floor: max(16, 42/1000)
+    // result ≡ plain semDedup under the returned model (auto-k is
+    // sizing + build only, not a different operator)
+    val manual = Dedup.semDedup(df, "id", "embedding", model, 0.999)
+    assert(removed.collect().toSet == manual.collect().toSet)
+    // the planted pair is caught iff co-clustered — with near-identical
+    // vectors the assignment argmin agrees, so exactly one is removed
+    val rem = removed.collect().map(_.getLong(0)).toSet
+    assert(rem.size == 1 && (rem == Set(1L) || rem == Set(2L)))
+    // paper sizing engages above the floor: 32k docs/1k → k = 32
+    val big = (0 until 32000).map(i =>
+      (i.toLong, v((i % 61) * 0.03, (i % 53) * 0.04, 1.0, 0.5)))
+      .toDF("id", "embedding")
+    val (_, bigModel) = Dedup.semDedupAuto(big, "id", "embedding",
+      threshold = 0.9999999, maxIter = 2)
+    assert(bigModel.centroids.length == 32)
+  }
+
   test("connected components: chains close transitively, min id is canonical") {
     val s = spark
     import s.implicits._

@@ -422,4 +422,62 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(rows.toSet == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 3.0)))
   }
+
+  test("streaming semantic dedup: flush → Ivf.maintain → semDedup on the snapshot") {
+    // the SemDeDup maintenance loop: first flush sizes k from the corpus
+    // (semDedupAuto) and keeps the model; later flushes drift-check it
+    // (Ivf.maintain) and re-run dedup over the refreshed assignment —
+    // streaming ingestion composed with semantic dedup end to end
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = Files.createTempDirectory("streamsem").toString
+    def vec(i: Int): Seq[Float] =
+      (0 until 16).map(j => (math.sin(i * 16 + j) * 10).toFloat)
+    var model: graft.operators.Ivf.Model = null
+    var lastDupes: Array[(Long, Long)] = Array.empty
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    def drain(): Unit = StreamingIngest.upsertStream(
+      source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
+      flushThreshold = 1, onFlush = { _ =>
+        val snap = s.read.parquet(s"$tmp/snap")
+        val dupes =
+          if (model == null) {
+            val (d, m) = graft.operators.Dedup.semDedupAuto(snap, "id",
+              "embedding", threshold = 0.999, docsPerCluster = 10L, minK = 4)
+            model = m
+            d
+          } else {
+            val (_, m2, _) = graft.operators.Ivf.maintain(
+              snap, model, k = model.centroids.length, driftThreshold = 0.5)
+            model = m2
+            graft.operators.Dedup.semDedup(snap, "id", "embedding", model,
+              threshold = 0.999)
+          }
+        lastDupes = dupes.select("id", "keep_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }).awaitTermination()
+
+    // batch 1: 30 distinct vectors — builds the model (k = max(4, 30/10)),
+    // flags nothing
+    source.addData((0L until 30L).map(i => (i, vec(i.toInt))): _*)
+    drain()
+    assert(model != null && model.centroids.length == 4)
+    assert(lastDupes.isEmpty, s"distinct batch flagged ${lastDupes.toSeq}")
+
+    // batch 2: 5 more distinct + a semantic near-dup of id 7 — the
+    // maintained model must co-cluster the pair and dedup must flag
+    // exactly one of them, keeping the other
+    val nd = vec(7).zipWithIndex.map { case (v, j) =>
+      if (j == 0) v + 1e-4f else v }
+    source.addData((30L until 35L).map(i => (i, vec(i.toInt))) :+
+      (99L, nd): _*)
+    drain()
+    assert(lastDupes.length == 1,
+      s"expected exactly the planted pair, got ${lastDupes.toSeq}")
+    val (removed, kept) = lastDupes.head
+    assert(Set(removed, kept) == Set(7L, 99L))
+  }
 }
