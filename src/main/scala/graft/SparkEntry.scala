@@ -1203,47 +1203,18 @@ object SparkEntry {
     // the PERSISTED edges exactly as the last flush left them. Rows-only
     // (HNSW is approximate by contract); the recall + incremental-insert
     // contracts are gated in StreamingSpec/HnswSpec.
-    "b10_stream_index" -> ((s, dir) => {
-      // fixed scratch root, wiped on entry: repeated bench/verify runs
-      // reuse the one directory instead of accumulating corpus copies
-      // (the checkpoint MUST go too — a stale AvailableNow checkpoint
-      // would mark the replay files already-processed and skip them)
-      val tmp = {
-        val p = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_b10idx")
-        if (java.nio.file.Files.exists(p)) {
-          val walk = java.nio.file.Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-          finally walk.close()
-        }
-        java.nio.file.Files.createDirectories(p).toString
-      }
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      emb.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
-      val stream = s.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-      val params = Hnsw.Params(m = 8, efConstruction = 50)
-      val q = graft.streaming.StreamingIngest.upsertStream(
-        stream, "vec_id", s"$tmp/snap", s"$tmp/ckpt", flushThreshold = 1,
-        onFlush = { _ =>
-          Hnsw.refreshEdges(s.read.parquet(s"$tmp/snap"), s"$tmp/edges",
-            "vec_id", "embedding", numPartitions = 4, params)
-          ()
-        })
-      q.awaitTermination()
-      val snap = s.read.parquet(s"$tmp/snap")
-      val edges = graft.core.SnapshotIO.read(s, s"$tmp/edges")
-        .getOrElse(sys.error("no edges snapshot published by the stream"))
-      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 3)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-      Hnsw.searchEdges(edges, snap, "vec_id", "embedding", queries,
-          k = 5, ef = 100, numPartitions = 4, params)
-        .select(col("query_id"), col("id").as("neighbor_id"), col("dist"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
-    }),
+    "b10_stream_index" -> ((s, dir) =>
+      streamIndexPipeline(s, dir, ef = 100, tmpName = "graft_b10idx")),
+
+    // ---- B10 exhaustive twin: the identical flush → refreshEdges →
+    // searchEdges loop, searched with ef far above every shard size —
+    // the o3_hnsw_exhaustive construction applied to the STREAM-
+    // MAINTAINED index. The beam then visits every reachable node per
+    // shard graph (built incrementally across flushes), so the whole
+    // streaming-maintenance loop is pinned to the exact-kNN SQL oracle
+    // instead of rows-only.
+    "b10_stream_index_exh" -> ((s, dir) =>
+      streamIndexPipeline(s, dir, ef = 5000, tmpName = "graft_b10idx_exh")),
 
     // ---- Multimodal: binary payload + batch feature extraction (stub
     // codec, real plumbing). One row per (doc, bucket) scalar feature —
@@ -2899,6 +2870,24 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, dist, rank FROM r
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+      // the stream-maintained HNSW index searched with exhaustive ef
+      // equals exact kNN (the o3_hnsw_exhaustive construction) — same
+      // query set and contract as o2_knn_join
+      "b10_stream_index_exh" ->
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+           |cand AS (
+           |  SELECT q.query_id, e.vec_id AS neighbor_id,
+           |  ${OracleSql.l2("e.embedding", "q.qe")} AS dist
+           |  FROM embeddings e CROSS JOIN q),
+           |r AS (
+           |  SELECT query_id, neighbor_id, dist,
+           |  CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY dist ASC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM cand)
+           |SELECT query_id, neighbor_id, dist, rank FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
       "o2_knn_join" ->
         s"""WITH q AS (
            |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
@@ -3549,6 +3538,54 @@ object SparkEntry {
   /** Hashed-classifier demo model: bucket count + a deterministic
     * closed-form weight vector (stand-in for offline-trained weights —
     * the engine contract is the scoring pass, not training). */
+  /** Shared body of `b10_stream_index` / `b10_stream_index_exh`: replay
+    * the embeddings corpus as micro-batches (one file per trigger),
+    * maintain the persisted HNSW shard graphs on every flush (first
+    * flush builds, later flushes insert only unseen ids), then search
+    * the PERSISTED edges exactly as the last flush left them. Scratch
+    * root is fixed and wiped on entry: repeated bench/verify runs reuse
+    * one directory instead of accumulating corpus copies (the
+    * checkpoint MUST go too — a stale AvailableNow checkpoint would
+    * mark the replay files already-processed and skip them). */
+  private def streamIndexPipeline(s: SparkSession, dir: String, ef: Int,
+                                  tmpName: String): DataFrame = {
+    val tmp = {
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), tmpName)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      }
+      java.nio.file.Files.createDirectories(p).toString
+    }
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    emb.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val params = Hnsw.Params(m = 8, efConstruction = 50)
+    val q = graft.streaming.StreamingIngest.upsertStream(
+      stream, "vec_id", s"$tmp/snap", s"$tmp/ckpt", flushThreshold = 1,
+      onFlush = { _ =>
+        Hnsw.refreshEdges(s.read.parquet(s"$tmp/snap"), s"$tmp/edges",
+          "vec_id", "embedding", numPartitions = 4, params)
+        ()
+      })
+    q.awaitTermination()
+    val snap = s.read.parquet(s"$tmp/snap")
+    val edges = graft.core.SnapshotIO.read(s, s"$tmp/edges")
+      .getOrElse(sys.error("no edges snapshot published by the stream"))
+    val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    Hnsw.searchEdges(edges, snap, "vec_id", "embedding", queries,
+        k = 5, ef = ef, numPartitions = 4, params)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("dist"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private val ClassifierDim = 64
   private val ClassifierTrainIters = 4
   private val ClassifierTrainLr = 0.5
