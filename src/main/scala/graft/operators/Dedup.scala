@@ -869,46 +869,50 @@ object Dedup {
     * everything was boilerplate), n_kept, n_removed. Every input row
     * appears exactly once.
     *
-    * Scale shape: one segment-key shuffle to count document frequency
-    * (map-side partial via the two-level groupBy), then an anti-join of
-    * segments against the boilerplate set — which is *small by
-    * construction* (only segments repeated across ≥ minDocFreq docs), so
-    * AQE converts it to a broadcast join at runtime — then one shuffle
-    * back to idCol to reassemble. Never all-pairs, no global sort; the
-    * per-doc sort is an in-memory array_sort over that doc's own
-    * segments. */
+    * Scale shape: the corpus-wide work is ONE segment-key aggregation
+    * over per-row-DEDUPED segments — `array_distinct` makes (doc, seg)
+    * pairs distinct before the explode, so document frequency is a
+    * plain count with full map-side combining and no (seg, doc)
+    * pre-shuffle. Only the HOT pairs (doc × boilerplate segment — small
+    * by construction, empty on clean corpora) regroup by doc into
+    * per-doc hot lists, and each document is rebuilt PER ROW by
+    * filtering its own segment array against its hot list. The corpus
+    * text itself never shuffles; when no segment crosses minDocFreq the
+    * whole operator degrades to one vocab-sized aggregation plus
+    * broadcast-empty joins. Never all-pairs, no global sort. */
   def boilerplateRemove(df: DataFrame, idCol: String, textCol: String,
                         delim: String, minDocFreq: Long): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
-    val segs = df
-      .select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
-      .toDF(idCol, "__pos", "__seg")
-      .filter(col("__seg") =!= "")
+    def segArr(c: Column) =
+      filter(split(c, java.util.regex.Pattern.quote(delim)), s => s =!= lit(""))
     // df(seg) counts *distinct docs*, not occurrences: a phrase repeated
     // inside one document is repetition (TextFunctions.repetitionSignals),
-    // not boilerplate. Two-level agg keeps the partial map-side.
-    val boiler = segs.groupBy("__seg", idCol).agg(count(lit(1)).as("__c"))
-      .groupBy("__seg").agg(count(lit(1)).as("__df"))
+    // not boilerplate — array_distinct enforces that per row
+    val pairs = df.select(col(idCol),
+      explode(array_distinct(segArr(col(textCol)))).as("__seg"))
+    val boiler = pairs.groupBy("__seg").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocFreq)
       .select("__seg")
-    val marked = segs.join(boiler.withColumn("__b", lit(1)), Seq("__seg"), "left")
-    val rebuilt = marked.groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__pos"), col("__seg"),
-        col("__b").isNotNull.as("__is_b")))).as("__all"))
+    // per-doc hot-segment lists: only boilerplate occurrences shuffle
+    // (AQE broadcasts `boiler` when it is small, which it is unless the
+    // corpus is mostly boilerplate — in which case the join degrades
+    // gracefully to a shuffle instead of an OOM broadcast)
+    val hot = pairs.join(boiler, Seq("__seg"))
+      .groupBy(col(idCol)).agg(collect_list(col("__seg")).as("__hot"))
+    import graft.functions.ColumnOps.bindOnce
+    df.join(hot, Seq(idCol), "left")
+      .select(col(idCol), bindOnce(segArr(col(textCol))) { segs =>
+        bindOnce(coalesce(col("__hot"), array().cast("array<string>"))) { h =>
+          bindOnce(filter(segs, s => !array_contains(h, s))) { kept =>
+            struct(array_join(kept, delim).as("tc"),
+              size(kept).cast("long").as("nk"),
+              (size(segs) - size(kept)).cast("long").as("nr"))
+          }
+        }
+      }.as("__r"))
       .select(col(idCol),
-        filter(col("__all"), x => !x("__is_b")).as("__kept"),
-        size(col("__all")).cast("long").as("__n_all"))
-      .select(col(idCol),
-        array_join(transform(col("__kept"), x => x("__seg")), delim).as("text_clean"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        (col("__n_all") - size(col("__kept"))).cast("long").as("n_removed"))
-    // null/empty-text rows have no segments and fall out of `segs`;
-    // restore them so every input row appears exactly once
-    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        coalesce(col("__r.tc"), lit("")).as("text_clean"),
+        coalesce(col("__r.nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__r.nr"), lit(0L)).as("n_removed"))
   }
 }

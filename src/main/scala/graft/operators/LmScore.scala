@@ -34,11 +34,15 @@ object LmScore {
     filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")
 
   /** (doc) → exploded (id, pos, w1, w2) bigram rows. pos is the 0-based
-    * bigram index within the document. */
+    * bigram index within the document. OUTER explode: a document with
+    * < 2 tokens keeps one all-null row, so downstream per-doc
+    * aggregation covers every document without a corpus-sized restore
+    * join (null keys match nothing in the model joins and are dropped
+    * from the per-doc fold). */
   private def bigramRows(df: DataFrame, idCol: String, textCol: String) = {
     val arr = toksArr(textCol)
     df.select(col(idCol), arr.as("__toks"))
-      .select(col(idCol), posexplode(
+      .select(col(idCol), posexplode_outer(
         zip_with(
           slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
           slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
@@ -52,6 +56,7 @@ object LmScore {
   def bigramCounts(df: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 1L): DataFrame =
     bigramRows(df, idCol, textCol)
+      .filter(col("w1").isNotNull) // drop the outer-explode sentinel rows
       .groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
       .filter(col("cbg") >= minCount)
 
@@ -67,31 +72,49 @@ object LmScore {
     * negative log-prob; perplexity = exp(lm_score)). Documents with < 2
     * tokens have n_bigrams = 0 and null scores. */
   def score(df: DataFrame, idCol: String, textCol: String,
-            bigrams: DataFrame, unigrams: DataFrame): DataFrame = {
+            bigrams: DataFrame, unigrams: DataFrame): DataFrame =
+    scoreRows(bigramRows(df, idCol, textCol), idCol, bigrams, unigrams)
+
+  /** Scoring over pre-exploded outer bigram rows. The sentinel rows of
+    * bigram-less documents ride through the model joins (null keys match
+    * nothing) and are dropped from the per-doc fold by the collect_list
+    * null-skip, so the aggregation covers EVERY document and the former
+    * corpus-sized restore join is gone; such documents keep their null
+    * sum/score contract. */
+  private def scoreRows(rows: DataFrame, idCol: String,
+                        bigrams: DataFrame, unigrams: DataFrame): DataFrame = {
     val v = unigrams.agg(count(lit(1)).as("__v"))
     val lp = graft.expressions.FloatKernels.ln(
       (coalesce(col("cbg"), lit(0L)) + lit(1L)).cast("double") /
         (coalesce(col("cw"), lit(0L)) + col("__v")).cast("double"))
-    val scored = bigramRows(df, idCol, textCol)
-      .join(bigrams, Seq("w1", "w2"), "left")
-      .join(unigrams, Seq("w1"), "left")
+    // shuffle-hash hint on the model sides: the hash tables are the
+    // minCount-bounded model partitions, while the stream side is the
+    // full corpus bigram stream — a sort-merge join would sort the
+    // corpus, the dominant cost of the whole operator
+    val scored = rows
+      .join(bigrams.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(unigrams.hint("shuffle_hash"), Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .select(col(idCol), col("pos"), lp.as("__lp"))
-    val agg = scored.groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("__lp")))).as("__l"))
+    scored.groupBy(col(idCol))
+      // collect_list skips nulls: the sentinel's null struct vanishes,
+      // leaving an empty list for bigram-less docs
+      .agg(array_sort(collect_list(when(col("pos").isNotNull,
+        struct(col("pos"), col("__lp"))))).as("__l"))
       .select(col(idCol),
         size(col("__l")).cast("long").as("n_bigrams"),
-        aggregate(transform(col("__l"), x => x("__lp")), lit(0.0d),
-          (acc, x) => acc + x).as("sum_logprob"))
-    df.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("sum_logprob"),
+        when(size(col("__l")) > 0,
+          aggregate(transform(col("__l"), x => x("__lp")), lit(0.0d),
+            (acc, x) => acc + x)).as("sum_logprob"))
+      .select(col(idCol), col("n_bigrams"), col("sum_logprob"),
         (-col("sum_logprob") / col("n_bigrams").cast("double")).as("lm_score"))
   }
 
   /** Train on the corpus itself and score it — the self-perplexity shape
-    * used for corpus-internal outlier filtering. */
+    * used for corpus-internal outlier filtering. (Measured: caching the
+    * exploded bigram table to share it between model build and scoring
+    * costs more than the re-parse it saves — the explode is cheap
+    * codegen; the shuffles dominate.) */
   def selfScore(df: DataFrame, idCol: String, textCol: String,
                 minCount: Long = 1L): DataFrame =
     score(df, idCol, textCol,
