@@ -244,7 +244,13 @@ object Dedup {
       .groupBy("__band", "__bits").agg(collect_set(col("__e")).as("ids"))
       .withColumn("__ndocs",
         size(array_distinct(transform(col("ids"), e => e("__id")))))
-      .filter(col("__ndocs") > 1 && col("__ndocs") <= maxBucket)
+      // guard BOTH axes: distinct docs (the dup-cluster size) and total
+      // (id, hash) entries — an id re-ingested with many distinct
+      // payloads inflates entries (and the O(entries²) pair fan-out)
+      // while __ndocs stays small. Entries == docs on single-payload
+      // corpora, so the second cap only fires on payload blowup.
+      .filter(col("__ndocs") > 1 && col("__ndocs") <= maxBucket &&
+        size(col("ids")) <= maxBucket)
     intraBucketPairs(buckets, "ids", "x", "y")
       // same-id pairs are re-ingested payload variants, not duplicates
       .filter(col("x.__id") =!= col("y.__id"))
@@ -318,9 +324,13 @@ object Dedup {
           .as("old_hs"))
       .filter(size(col("new_hs")) > 0 && size(col("old_hs")) > 0 &&
         // DISTINCT ids across both sides (a re-ingested id counts once),
-        // matching minhashLshPairsAgainst's bucket contract
+        // matching minhashLshPairsAgainst's bucket contract; total
+        // entries capped too so many-payload ids can't inflate the
+        // cross-side pair fan-out past the guard (see the symmetric
+        // variant)
         size(array_union(transform(col("new_hs"), s => s("__id")),
-          transform(col("old_hs"), s => s("__id")))) <= maxBucket)
+          transform(col("old_hs"), s => s("__id")))) <= maxBucket &&
+        size(col("new_hs")) + size(col("old_hs")) <= maxBucket)
       .select(explode(col("new_hs")).as("n"), col("old_hs"))
       .select(col("n"), explode(col("old_hs")).as("o"))
       .filter(col("n.__id") =!= col("o.__id"))
@@ -394,18 +404,22 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     }
-    // Guarded path. The ultra-common gram set is tiny — broadcast
-    // anti-join — and DISTINCT docs per gram (as documented), not rows:
-    // a re-ingested identical row must not push a gram over the cutoff.
-    // Two-phase screen: a plain per-gram ROW count (map-side partial
-    // longs — no distinct state) upper-bounds the distinct-doc count,
-    // so only grams whose row count crosses the cutoff pay the exact
-    // distinct count; when none do (the normal corpus) AQE sees the
-    // empty broadcast side and collapses the second pass to an empty
-    // relation without scanning.
+    // Guarded path. The ultra-common gram set is usually tiny, and
+    // DISTINCT docs per gram (as documented), not rows: a re-ingested
+    // identical row must not push a gram over the cutoff. Two-phase
+    // screen: a plain per-gram ROW count (map-side partial longs — no
+    // distinct state) upper-bounds the distinct-doc count, so only
+    // grams whose row count crosses the cutoff pay the exact distinct
+    // count; when none do (the normal corpus) AQE sees the empty side
+    // and collapses the second pass to an empty relation without
+    // scanning. The hot/common joins are deliberately UNHINTED: AQE
+    // broadcasts them when they are actually small (the normal case)
+    // but degrades to a shuffle join on a boilerplate-dominated corpus
+    // where the hot set itself is corpus-sized — a forced broadcast
+    // there would BE the failure mode the guard exists to prevent.
     val hot = grams0.groupBy("gram").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxDocFreq).select("gram")
-    val common = grams0.join(broadcast(hot), Seq("gram"), "left_semi")
+    val common = grams0.join(hot, Seq("gram"), "left_semi")
       .groupBy("gram").agg(count_distinct(col("__id")).as("__df"))
       .filter(col("__df") > maxDocFreq).select("gram")
     // no pre-bucketing distinct: collect_set below dedups (gram, id)
@@ -413,7 +427,7 @@ object Dedup {
     // twice cannot double intersections or its recomputed set size —
     // the explicit distinct() this replaces paid a second full shuffle
     // of the corpus-sized gram table for the same guarantee
-    val kept = grams0.drop("sz").join(broadcast(common), Seq("gram"), "left_anti")
+    val kept = grams0.drop("sz").join(common, Seq("gram"), "left_anti")
     // one aggregation produces the buckets; the per-doc sizes over the
     // filtered universe fall out of the buckets themselves (explode
     // back + count — the bucket table is maxDocFreq-bounded), so the
