@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Dedup, Hnsw, Ivf, IvfPq, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Dedup, Dsir, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -348,6 +348,56 @@ object SparkEntry {
             m.weights.toSeq, m.bias).as("logit"))
         .withColumn("pred_keep", col("logit") > 0)
         .orderBy("doc_id")
+    }),
+
+    // ---- DSIR importance weights (Xie et al. 2023): hashed-n-gram
+    // bag-of-words log-ratio model λ learned in ONE corpus pass
+    // (target = lang 'en' docs, raw = whole corpus; a conditional
+    // count inside the same aggregation — no second scan), scored as
+    // the same gram-ordered per-row fold the classifier uses. The
+    // oracle recomputes the counts, the four-ln λ, and the fold.
+    "t_dsir_weight" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = Dsir.learn(docs, "text", col("lang") === "en", DsirDim)
+      docs.select(col("doc_id"),
+          Dsir.logWeight(col("text"), m).as("dsir_logw"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- DSIR selection: Gumbel-top-k importance resampling over the
+    // learned log-weights — the full select-like-the-target pipeline
+    // (fit model → score → resample without replacement), deterministic
+    // in the salt, one TakeOrderedAndProject. Oracle replays the
+    // Gumbel perturbation from the same md5 uniforms. The emitted
+    // columns are the SELECTION plus its bit-exact log-weight, not the
+    // raw Gumbel key: Math.log and libm ln disagree by 1 ulp on some
+    // inputs (e.g. ln(0x1.affd60b8p-1)), which ORDER-BY selection
+    // absorbs (a flip needs two independent keys within 1 ulp at the
+    // cut) but a value-hash compare would not.
+    "sample_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = Dsir.learn(docs, "text", col("lang") === "en", DsirDim)
+      Dsir.resample(
+          docs.select(col("doc_id"),
+            Dsir.logWeight(col("text"), m).as("dsir_logw")),
+          "doc_id", col("dsir_logw"), k = 100, salt = "dsir")
+        .select("doc_id", "dsir_logw")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Z-order layout (Morton curve): the write-time clustering
+    // that makes parquet zone-map skipping work on TWO predicate
+    // columns at once (customer × order-date box scans). Exact BIGINT
+    // bucket + bit-interleave arithmetic — the full layout (including
+    // the range shuffle that becomes the write) runs, and the oracle
+    // replays the z-values in closed form.
+    "layout_zorder" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val dims = Seq(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")))
+      Layout.zorderBy(o, dims, bits = 16, numFiles = 8)
+        .select(col("o_orderkey"), col("zval"))
+        .orderBy("o_orderkey")
     }),
 
     // ---- Heavy hitters: single-pass Misra-Gries candidate sweep
@@ -2352,6 +2402,40 @@ object SparkEntry {
         classifierTrainScoreSql(ClassifierDim, ClassifierTrainIters,
           ClassifierTrainLr),
 
+      "layout_zorder" -> {
+        val interleave = (0 until 16).flatMap(j => Seq(
+          s"(((b0 >> $j) & 1) << ${2 * j})",
+          s"(((b1 >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
+        s"""WITH mm AS (SELECT
+           |  min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+           |  min(date_diff('day', DATE '1970-01-01', o_orderdate)) AS mn1,
+           |  max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS mx1
+           |  FROM orders),
+           |b AS (SELECT o_orderkey,
+           |  ((o_custkey - mn0) * 65536) // (mx0 - mn0 + 1) AS b0,
+           |  ((date_diff('day', DATE '1970-01-01', o_orderdate) - mn1) * 65536)
+           |    // (mx1 - mn1 + 1) AS b1
+           |  FROM orders CROSS JOIN mm)
+           |SELECT o_orderkey, $interleave AS zval FROM b
+           |ORDER BY o_orderkey""".stripMargin
+      },
+
+      "t_dsir_weight" ->
+        s"""WITH ${dsirCtes(DsirDim)}
+           |SELECT doc_id, dsir_logw FROM ds_scored ORDER BY doc_id""".stripMargin,
+
+      "sample_dsir" ->
+        s"""WITH ${dsirCtes(DsirDim)},
+           |ds_u AS (
+           |  SELECT doc_id, dsir_logw,
+           |    CAST(concat('0x', left(md5(concat('dsir', CAST(doc_id AS VARCHAR))), 8))
+           |      AS UBIGINT) / 4294967296.0 AS u
+           |  FROM ds_scored)
+           |SELECT doc_id, dsir_logw FROM (
+           |  SELECT doc_id, dsir_logw, dsir_logw + (-ln(-ln(u))) AS dsir_key
+           |  FROM ds_u ORDER BY dsir_key DESC, doc_id ASC LIMIT 100)
+           |ORDER BY doc_id""".stripMargin,
+
       // exact heavy hitters: the engine's MG-candidates + exact-verify
       // composition provably equals this plain HAVING query (the MG
       // membership guarantee), so the sketch pipeline is oracle-exact
@@ -3587,6 +3671,7 @@ object SparkEntry {
   }
 
   private val ClassifierDim = 64
+  private val DsirDim = 64
   private val ClassifierTrainIters = 4
   private val ClassifierTrainLr = 0.5
   private lazy val classifierWeights: Seq[Double] =
@@ -3719,6 +3804,40 @@ object SparkEntry {
        |  FROM sc_hashed CROSS JOIN sc_w CROSS JOIN sc_b)
        |SELECT doc_id, logit, logit > 0 AS pred_keep FROM sc_scored
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replay of `Dsir.learn` + `Dsir.logWeight`: the grouped
+    * raw/target bucket counts (one pass, target as a FILTER over the
+    * same rows), the four-ln smoothed log-ratio λ (libm `ln` matches
+    * `Math.log` bitwise — LnDouble), and the gram-ordered weight fold
+    * of `hashedLinearLogit` — arithmetic-identical to the engine. */
+  private def dsirCtes(dim: Int): String =
+    s"""$classifierGramCtes,
+       |ds_b AS (
+       |  SELECT doc_id, unnest(list_transform(list_transform(gs, g -> md5(g)),
+       |    m -> ($hash32Sql) % $dim)) AS b FROM grams),
+       |ds_c AS (
+       |  SELECT b, count(*) AS cr,
+       |    count(*) FILTER (WHERE d.lang = 'en') AS ct
+       |  FROM ds_b JOIN documents d USING (doc_id) GROUP BY b),
+       |ds_tot AS (SELECT coalesce(sum(cr), 0) AS totr,
+       |  coalesce(sum(ct), 0) AS tott FROM ds_c),
+       |ds_lam AS (
+       |  SELECT r.b,
+       |    (ln(coalesce(c.ct, 0) + CAST('1.0' AS DOUBLE))
+       |      - ln(CAST(t.tott AS DOUBLE) + CAST('${dim}.0' AS DOUBLE)))
+       |    - (ln(coalesce(c.cr, 0) + CAST('1.0' AS DOUBLE))
+       |      - ln(CAST(t.totr AS DOUBLE) + CAST('${dim}.0' AS DOUBLE))) AS lam
+       |  FROM (SELECT unnest(range(0, $dim)) AS b) r
+       |  LEFT JOIN ds_c c ON r.b = c.b CROSS JOIN ds_tot t),
+       |ds_wl AS (SELECT list(lam ORDER BY b) AS wl FROM ds_lam),
+       |ds_scored AS (
+       |  SELECT h.doc_id, CAST('0.0' AS DOUBLE) + list_reduce(
+       |    list_prepend(CAST('0.0' AS DOUBLE),
+       |      list_transform(bs, b -> wl[b + 1])),
+       |    (x, y) -> x + y) AS dsir_logw
+       |  FROM (SELECT doc_id, list_transform(list_transform(gs, g -> md5(g)),
+       |      m -> ($hash32Sql) % $dim) AS bs FROM grams) h
+       |  CROSS JOIN ds_wl)""".stripMargin
 
   /** Fixed merge chain for the BPE-apply query (rank order matters:
     * later merges consume symbols fused by earlier ones — `th`+`e` only

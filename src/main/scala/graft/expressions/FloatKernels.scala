@@ -237,8 +237,14 @@ case class HyperplaneSigsFloat(child: Expression,
 
 /** Natural log via `java.lang.Math.log`. Spark's built-in `log` uses
   * StrictMath (fdlibm), which differs from the platform libm — and thus
-  * from the DuckDB oracle — by 1 ulp on some inputs; Math.log matches
-  * libm bitwise (verified against DuckDB's ln). Null-in → null-out. */
+  * from the DuckDB oracle — far more often; Math.log agrees with libm
+  * on almost all inputs but NOT bitwise universally (counterexample:
+  * ln(0x1.affd60b8p-1) differs in the last ulp). Queries that emit a
+  * raw ln output for a hash-exact oracle compare are betting on their
+  * specific inputs; compositions should emit ln-free columns and use
+  * the ln only for ORDERING (a top-k flip needs two independent keys
+  * within 1 ulp of each other at the cut — vanishing, vs per-value
+  * ulp divergence which is merely rare). Null-in → null-out. */
 case class LnDouble(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = DoubleType
