@@ -15,9 +15,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val group = args.lift(1).getOrElse("all")
-    require(Set("all", "vectors", "text")(group), s"unknown group $group")
+    require(Set("all", "vectors", "text", "layout")(group), s"unknown group $group")
     val vectors = group == "all" || group == "vectors"
     val text = group == "all" || group == "text"
+    val layout = group == "all" || group == "layout"
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -163,6 +164,47 @@ object ScaleProbe {
             ords.withColumn("rt", timestamp_micros(col("rus"))), "k", col("rt"),
             windowMicros = 3600L * 1000000L, payload = Seq("oid"))
           .groupBy("eid").agg(count(lit(1))).count())
+    }
+
+    if (layout) {
+      // Z-order vs single-column sort vs unsorted: the same n rows with
+      // two independent 20-bit dims + a fat payload, written 64 files
+      // each way, then a 2-D box scan (1/16 of each dim ⇒ 1/256
+      // selectivity). File/row-group min-max pruning can only serve the
+      // box on BOTH dims under the z layout — x-sort prunes the x
+      // predicate and scans every y, unsorted prunes nothing.
+      val dim = 1 << 20
+      val base = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id")), lit(dim)).as("x"),
+        pmod(xxhash64(col("id") + 7), lit(dim)).as("y"),
+        md5(col("id").cast("string")).as("payload"))
+      val plainDir = s"/tmp/graft_layout_plain_$n"
+      val xDir = s"/tmp/graft_layout_xsort_$n"
+      val zDir = s"/tmp/graft_layout_z_$n"
+      t("layout_write_unsorted") {
+        base.repartition(64).write.mode("overwrite").parquet(plainDir); n
+      }
+      t("layout_write_xsorted") {
+        base.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+          .write.mode("overwrite").parquet(xDir); n
+      }
+      t("layout_write_zorder") {
+        graft.operators.Layout.zorderBy(base, Seq(col("x"), col("y")),
+          bits = 10, numFiles = 64).write.mode("overwrite").parquet(zDir); n
+      }
+      def boxScan(dir: String): Long = {
+        val lo = dim / 2
+        val hi = lo + dim / 16 - 1
+        spark.read.parquet(dir)
+          .filter(col("x").between(lo, hi) && col("y").between(lo, hi))
+          .agg(count(lit(1)), sum(length(col("payload")))).head()
+        spark.read.parquet(dir)
+          .filter(col("x").between(lo, hi) && col("y").between(lo, hi))
+          .count()
+      }
+      t("layout_box_unsorted")(boxScan(plainDir))
+      t("layout_box_xsorted")(boxScan(xDir))
+      t("layout_box_zorder")(boxScan(zDir))
     }
 
     if (text) {
