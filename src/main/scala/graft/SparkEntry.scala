@@ -307,6 +307,41 @@ object SparkEntry {
       a.crossJoin(b).select(Sketch.setOpEstimates(col("ska"), col("skb"), k): _*)
     }),
 
+    // ---- HyperLogLog (Flajolet et al. 2007): fixed 2^p-register
+    // distinct sketch — KMV's sibling with constant state and exact
+    // elementwise-max merge. Registers are integer-exact (comparison-
+    // sum ρ, order-independent max), the estimate a fixed IEEE
+    // expression over an exact scaled-BIGINT Σ2^−r — all replayed by
+    // the oracle.
+    "sketch_hll" -> ((s, dir) =>
+      Sketch.hllEstimate(
+        Sketch.hllSketch(Tables.events(s, dir), col("user_id"), p = 6),
+        p = 6)),
+
+    // ---- Grouped HLL: one sketch per event type in a single pass —
+    // the sketch at its GROUP BY use-site (per-segment distinct users)
+    "sketch_hll_grouped" -> ((s, dir) =>
+      Sketch.hllEstimateGrouped(
+          Sketch.hllSketchGrouped(Tables.events(s, dir), col("event_type"),
+            col("user_id"), p = 6),
+          p = 6)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")),
+
+    // ---- HLL merge ≡ union (exactly, not approximately): two disjoint
+    // shards sketched independently, merged by register max — the
+    // estimate is BIT-IDENTICAL to sketching the union, which is what
+    // the oracle computes. Per-shard sketches + lossless union is the
+    // incremental-maintenance contract at 1000 executors.
+    "sketch_hll_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = Sketch.hllSketch(ev.filter(col("event_id") % 2 === 0),
+        col("user_id"), p = 6)
+      val b = Sketch.hllSketch(ev.filter(col("event_id") % 2 === 1),
+        col("user_id"), p = 6)
+      Sketch.hllEstimate(Sketch.hllMerge(a, b), p = 6)
+    }),
+
     // ---- fastText-style hashed linear classifier scoring (Joulin et
     // al. 2016): hashed uni+bigram bag → weight-sum logit, pure per-row
     // expression riding the scan — the quality/toxicity/domain
@@ -1084,6 +1119,39 @@ object SparkEntry {
       // analysis is eager, so the result plan holds the sink data and the
       // catalog entry can be dropped (repeated bench runs don't leak views)
       val out = s.table(name).orderBy("h", "event_type")
+      s.catalog.dropTempView(name)
+      out
+    }),
+
+    // ---- Stream-stream watermarked interval join: click-to-view
+    // attribution (click within 1 h of the same user's view), both
+    // sides live streams. Inner pairs emit as both sides arrive; the
+    // watermark + time bound give Spark a state-eviction horizon
+    // (steady-state store = rate x (delay + window), not stream
+    // length). The replay is a single AvailableNow batch, so the
+    // result equals the batch interval join the oracle runs.
+    "b10_stream_join" -> ((s, dir) => {
+      val views = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("view_ts"))
+      val clicks = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("click_ts"))
+      val joined = graft.streaming.StreamJoin.intervalJoin(
+          views, "v_user", "view_ts", clicks, "c_user", "click_ts",
+          windowSec = 3600L, watermark = "35 days")
+        .select(col("view_id"), col("click_id"), col("v_user").as("user_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+            .as("lag_us"))
+      val name = s"b10_join_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(name).orderBy("view_id", "click_id")
       s.catalog.dropTempView(name)
       out
     }),
@@ -2392,6 +2460,21 @@ object SparkEntry {
            |SELECT est_union, jaccard, jaccard * est_union AS est_intersection
            |FROM es""".stripMargin,
 
+      "sketch_hll" ->
+        s"""WITH ${hllSql("events", "user_id", None)}
+           |SELECT est_distinct, v_empty, s_scaled FROM hll""".stripMargin,
+
+      "sketch_hll_grouped" ->
+        s"""WITH ${hllSql("events", "user_id", Some("event_type"))}
+           |SELECT event_type, est_distinct, v_empty, s_scaled FROM hll
+           |ORDER BY event_type""".stripMargin,
+
+      // merge ≡ union is exact (register max is associative/idempotent),
+      // so the two-shard merged sketch replays as one sketch of all rows
+      "sketch_hll_union" ->
+        s"""WITH ${hllSql("events", "user_id", None)}
+           |SELECT est_distinct, v_empty, s_scaled FROM hll""".stripMargin,
+
       "t_classifier_score" ->
         classifierSql(ClassifierDim, classifierWeights, bias = 0.1),
 
@@ -3014,6 +3097,15 @@ object SparkEntry {
         s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
            |event_type, count(*) AS n, ${decSum("value")} AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+      "b10_stream_join" ->
+        """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+          |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+          |FROM events v JOIN events c
+          |  ON v.user_id = c.user_id
+          |  AND v.event_type = 'view' AND c.event_type = 'click'
+          |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 3600 SECONDS
+          |ORDER BY view_id, click_id""".stripMargin,
 
       "q_asof_enrich" ->
         """WITH o AS (
@@ -3838,6 +3930,44 @@ object SparkEntry {
        |  FROM (SELECT doc_id, list_transform(list_transform(gs, g -> md5(g)),
        |      m -> ($hash32Sql) % $dim) AS bs FROM grams) h
        |  CROSS JOIN ds_wl)""".stripMargin
+
+  /** DuckDB replay of the HLL sketch + estimate (p = 6): the md5
+    * nibble-parse hash, bucket/suffix bit split, comparison-sum ρ,
+    * register max, exact scaled-BIGINT Σ2^−r, and the fixed IEEE
+    * estimate expression — arithmetic-identical to
+    * `Sketch.hllSketchGrouped`/`hllEstimateGrouped`. `groupSel` /
+    * `groupBy` thread an optional group column through every stage. */
+  private def hllSql(src: String, valueExpr: String,
+                     group: Option[String]): String = {
+    val p = 6; val width = 32 - p; val m = 1 << p
+    val alphaM2 = 0.709 * (m.toLong * m).toDouble
+    val gSel = group.map(g => s"$g, ").getOrElse("")
+    val gCol = gSel
+    val gBy = group.map(g => s"GROUP BY $g").getOrElse("")
+    val gByWith = group.map(g => s"$g,").getOrElse("")
+    val bitlen = (0 until width).map(k =>
+      s"(CASE WHEN w >= ${1L << k} THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""hv AS (SELECT ${gSel}md5(CAST($valueExpr AS VARCHAR)) AS m FROM $src),
+       |hb AS (SELECT $gCol($hash32Sql) AS h FROM hv),
+       |reg AS (SELECT $gCol h >> $width AS bucket,
+       |  h & ${(1L << width) - 1L} AS w FROM hb),
+       |rr AS (SELECT $gCol bucket, max(${width + 1} - ($bitlen)) AS r
+       |  FROM reg GROUP BY $gByWith bucket),
+       |ag AS (SELECT $gCol count(*) AS nonempty,
+       |  CAST(sum(CAST(1 AS BIGINT) << (32 - r)) AS BIGINT) AS s_ne
+       |  FROM rr $gBy),
+       |st AS (SELECT $gCol($m - nonempty) AS v_empty,
+       |  ($m - nonempty) * ${1L << 32} + s_ne AS s_scaled FROM ag),
+       |es AS (SELECT $gCol v_empty, s_scaled,
+       |  CAST('$alphaM2' AS DOUBLE)
+       |    / (CAST(s_scaled AS DOUBLE) / CAST('${(1L << 32).toDouble}' AS DOUBLE))
+       |    AS raw FROM st),
+       |hll AS (SELECT $gCol
+       |  CASE WHEN raw <= CAST('${2.5 * m}' AS DOUBLE) AND v_empty > 0
+       |    THEN CAST('${m.toDouble}' AS DOUBLE)
+       |      * ln(CAST('${m.toDouble}' AS DOUBLE) / CAST(v_empty AS DOUBLE))
+       |    ELSE raw END AS est_distinct, v_empty, s_scaled FROM es)""".stripMargin
+  }
 
   /** Fixed merge chain for the BPE-apply query (rank order matters:
     * later merges consume symbols fused by earlier ones — `th`+`e` only

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.StreamingIngest
+import graft.streaming.{StreamingIngest, StreamJoin}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -479,5 +479,60 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the planted pair, got ${lastDupes.toSeq}")
     val (removed, kept) = lastDupes.head
     assert(Set(removed, kept) == Set(7L, 99L))
+  }
+
+  test("stream-stream interval join: cross-batch pairs, window cut, late drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // NOT epoch-0-based: the initial global watermark is 0, and rows at
+    // or before the watermark are dropped as late — an event at the
+    // epoch itself would be born late
+    def ts(min: Long) =
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, 0, 0).plusMinutes(min))
+
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamJoin.intervalJoin(
+      views.toDF().toDF("view_id", "v_user", "view_ts"), "v_user", "view_ts",
+      clicks.toDF().toDF("click_id", "c_user", "click_ts"), "c_user", "click_ts",
+      windowSec = 600L, watermark = "5 minutes")
+    val sink = s"sj_${System.nanoTime()}"
+    val q = joined.select("view_id", "click_id").writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
+    def pairs() = s.table(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    try {
+      // batch 1: views only — no pairs yet, view state retained
+      views.addData((1L, 10L, ts(0)), (2L, 10L, ts(30)), (3L, 20L, ts(0)))
+      q.processAllAvailable()
+      assert(pairs().isEmpty)
+
+      // batch 2: clicks — u10@min5 joins view 1 (in window), not
+      // view 2 (future); u10@min12 is past view 1's 10-min window;
+      // u20@min8 joins view 3. Cross-batch = the join really holds
+      // left state, not just intra-batch matches.
+      clicks.addData((101L, 10L, ts(5)), (102L, 10L, ts(12)), (103L, 20L, ts(8)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 101L), (3L, 103L)), s"got ${pairs()}")
+
+      // batch 3: advance both watermarks far past min 30 + delay (the
+      // pair joins itself — same user, same instant)
+      views.addData((4L, 30L, ts(600)))
+      clicks.addData((104L, 30L, ts(600)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 101L), (3L, 103L), (4L, 104L)), s"got ${pairs()}")
+      // a click this late for user 10 is behind the click watermark →
+      // dropped, NOT joined to view 2 (whose state is also evictable:
+      // watermark 595 min > view_ts 30 + window 10 + delay 5)
+      clicks.addData((105L, 10L, ts(35)))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 101L), (3L, 103L), (4L, 104L)),
+        s"late click must be dropped, got ${pairs()}")
+    } finally {
+      q.stop(); s.catalog.dropTempView(sink); ()
+    }
   }
 }
