@@ -325,4 +325,104 @@ object Sketch {
         ()
       }
       .start()
+
+  // ---------------------------------------------------------------
+  // HyperLogLog distinct sketch
+  // ---------------------------------------------------------------
+
+  /** HyperLogLog registers (Flajolet et al. 2007) over [[hash32]]:
+    * bucket = top p hash bits, register = max ρ (leading-zero count of
+    * the 32−p-bit suffix, +1) over the bucket's values. Fixed m = 2^p
+    * longs of state vs KMV's k hashes; registers merge by elementwise
+    * MAX, so sketch(A ∪ B) ≡ merge(sketch A, sketch B) EXACTLY — the
+    * per-shard / per-partition maintenance story. Returns the sparse
+    * (bucket, r) table (absent bucket ⇔ register 0); all arithmetic is
+    * integer-exact and order-independent, so the registers — and the
+    * estimate below — are oracle-replayable.
+    *
+    * ρ is evaluated as width+1 − Σ_k [w ≥ 2^k] — the same closed
+    * comparison-sum the DuckDB oracle spells, rather than a
+    * numberOfLeadingZeros intrinsic, so both engines share one
+    * formula. The fold is codegen'd and rides the scan; the only
+    * shuffle is the ≤ m-group register aggregation (map-side
+    * combined). */
+  def hllSketch(df: DataFrame, valueCol: Column, p: Int): DataFrame = {
+    val grouped = hllSketchGrouped(df, lit(0), valueCol, p)
+    grouped.select(col("bucket"), col("r"))
+  }
+
+  /** Per-group HLL registers: one m-register sketch per `groupCol`
+    * value in a single pass (the GROUP-BY-site shape, like
+    * [[kmvSketch]]'s grouped twin). */
+  def hllSketchGrouped(df: DataFrame, groupCol: Column, valueCol: Column,
+                       p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val width = 32 - p
+    val h = hash32(valueCol)
+    val w = h.bitwiseAND(lit((1L << width) - 1L))
+    val rho = lit(width + 1) -
+      (0 until width).map(k =>
+        when(w >= lit(1L << k), 1).otherwise(0)).reduce(_ + _)
+    df.select(groupCol.as("g"), shiftright(h, width).cast("int").as("bucket"),
+        rho.as("__rho"))
+      .groupBy("g", "bucket").agg(max(col("__rho")).as("r"))
+  }
+
+  /** Elementwise-max merge of two sparse register tables — exact union
+    * semantics (max is associative/commutative/idempotent). */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max(col("r")).as("r"))
+
+  /** HLL estimate from a sparse register table. Small-range correction
+    * (linear counting m·ln(m/V) when raw ≤ 2.5m and V > 0) included;
+    * the 32-bit large-range correction is omitted — at the
+    * cardinalities where it triggers (> 2^32/30) the 32-bit hash
+    * itself is saturated and a KMV/64-bit sketch is the right tool.
+    * Estimate arithmetic: S = Σ 2^−r is computed as an exact scaled
+    * BIGINT sum (2^(K−r), K = 32; ≤ m·2^32 ≪ 2^53, so the double cast
+    * is exact and the sum order-independent), then a fixed IEEE
+    * expression both engines evaluate identically. The ln in the
+    * linear-counting branch carries the cross-libm 1-ulp caveat
+    * documented on [[graft.expressions.LnDouble]].
+    *
+    * Output: (est_distinct, v_empty, s_scaled) — the integer state
+    * rides along so the estimate is auditable. */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    hllEstimateGrouped(registers.withColumn("g", lit(0)), p).drop("g")
+
+  /** Per-group estimates from [[hllSketchGrouped]] output. */
+  def hllEstimateGrouped(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val K = 32
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val alphaM2 = alpha * (m.toLong * m).toDouble
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    // 2^(K−r) with a COLUMN shift amount (functions.shiftright only
+    // takes a literal Int) — bridge to the catalyst ShiftRight
+    val term = column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+      expression(lit(1L << K)), expression(col("r").cast("int"))))
+    registers
+      .groupBy("g")
+      .agg(count(lit(1)).as("nonempty"), sum(term).as("s_ne"))
+      .select(col("g"),
+        (lit(m.toLong) - col("nonempty")).as("v_empty"),
+        ((lit(m.toLong) - col("nonempty")) * lit(1L << K) + col("s_ne"))
+          .as("s_scaled"))
+      .select(col("g"), col("v_empty"), col("s_scaled"),
+        (lit(alphaM2) /
+          (col("s_scaled").cast("double") / lit((1L << K).toDouble)))
+          .as("__raw"))
+      .select(col("g"),
+        when(col("__raw") <= lit(2.5 * m) && col("v_empty") > 0,
+          lit(m.toDouble) * graft.expressions.FloatKernels.ln(
+            lit(m.toDouble) / col("v_empty").cast("double")))
+          .otherwise(col("__raw")).as("est_distinct"),
+        col("v_empty"), col("s_scaled"))
+  }
 }

@@ -220,4 +220,65 @@ class SketchSpec extends SparkSpec {
     // under-count only, never over-count
     assert(items("hot") <= 800L, s"over-counted: ${items("hot")}")
   }
+
+  test("HLL estimate lands within the expected error of the truth") {
+    val s = spark
+    import s.implicits._
+    // 20k distinct values, p=6 → m=64 registers, σ ≈ 1.04/√64 = 13%;
+    // assert within 4σ
+    val df = (1 to 20000).map(i => s"val_$i").toDF("v")
+    val est = Sketch.hllEstimate(
+        Sketch.hllSketch(df, col("v"), p = 6), p = 6)
+      .head.getDouble(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.52,
+      s"estimate $est too far from 20000")
+    // duplicates must not move the registers at all
+    val est2 = Sketch.hllEstimate(
+        Sketch.hllSketch(df.union(df).union(df), col("v"), p = 6), p = 6)
+      .head.getDouble(0)
+    assert(est2 == est, "HLL must be insensitive to multiplicity")
+  }
+
+  test("HLL linear-counting branch engages at small cardinality") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 10).map(i => s"u$i").toDF("v")
+    val row = Sketch.hllEstimate(
+      Sketch.hllSketch(df, col("v"), p = 6), p = 6).head
+    val (est, v) = (row.getDouble(0), row.getLong(1))
+    assert(v >= 54, s"expected ≥54 empty registers, got $v")
+    // m·ln(m/V) for the actual V
+    val expected = 64.0 * java.lang.Math.log(64.0 / v.toDouble)
+    assert(est == expected, s"linear counting: got $est want $expected")
+    assert(math.abs(est - 10.0) < 3.0, s"estimate $est far from 10")
+  }
+
+  test("HLL merge of disjoint shards equals the sketch of the union, register-exact") {
+    val s = spark
+    import s.implicits._
+    val all = (1 to 5000).map(i => s"x$i").toDF("v")
+    val a = Sketch.hllSketch(all.filter(length(col("v")) % 2 === 0), col("v"), p = 8)
+    val b = Sketch.hllSketch(all.filter(length(col("v")) % 2 === 1), col("v"), p = 8)
+    val merged = Sketch.hllMerge(a, b).orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val direct = Sketch.hllSketch(all, col("v"), p = 8).orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(merged == direct, "merged registers must equal the union sketch")
+  }
+
+  test("grouped HLL matches per-group single sketches") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 500).map(i => ("a", s"g1_$i")) ++
+      (1 to 300).map(i => ("b", s"g2_$i"))).toDF("g", "v")
+    val grouped = Sketch.hllEstimateGrouped(
+        Sketch.hllSketchGrouped(df, col("g"), col("v"), p = 6), p = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq("a", "b").foreach { g =>
+      val single = Sketch.hllEstimate(
+        Sketch.hllSketch(df.filter(col("g") === g), col("v"), p = 6), p = 6)
+        .head.getDouble(0)
+      assert(grouped(g) == single, s"group $g: ${grouped(g)} != $single")
+    }
+  }
 }
