@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Dedup, Dsir, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -720,6 +720,47 @@ object SparkEntry {
         sig("top_bigram_frac").as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
+
+    // ---- Curation: Gopher quality rules (Rae et al. 2021 §A1.1) —
+    // per-row signal block + verdict, no shuffle. Word bounds sit
+    // inside the corpus's 10-99-word range and the required-stopword
+    // floor is 1 (this corpus carries only "the"/"a"-class function
+    // words), so both verdicts appear; every other knob is the paper's
+    // published threshold.
+    "t_gopher_rules" -> ((s, dir) => {
+      val sig = Curation.gopherSignals(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"), sig("n_words").as("n_words"),
+        sig("mean_word_len").as("mean_word_len"),
+        sig("symbol_word_ratio").as("symbol_word_ratio"),
+        sig("bullet_line_frac").as("bullet_line_frac"),
+        sig("ellipsis_line_frac").as("ellipsis_line_frac"),
+        sig("alpha_word_frac").as("alpha_word_frac"),
+        sig("stop_hits").as("stop_hits"),
+        Curation.gopherPass(col("text"), minWords = 30L, maxWords = 90L,
+          minStopHits = 1L).as("gopher_pass"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Curation: C4 line rules (Raffel et al. 2020 §2.2) over
+    // 8-word windows (the line proxy for a newline-less corpus — most
+    // docs' tail window falls under the 5-word floor, so both line
+    // verdicts fire); terminal punctuation waived (corpus has none),
+    // doc-level lorem-ipsum/brace drops active. Pure per-row scan.
+    "t_c4_clean" -> ((s, dir) =>
+      Curation.c4CleanLines(Tables.documents(s, dir), "doc_id",
+        Curation.wordWindows(col("text"), 8), minWords = 5,
+        requirePunct = false).orderBy("doc_id")),
+
+    // ---- Curation: corpus-global exact line dedup (C4 §2.2 span
+    // dedup / RefinedWeb §3.3) over 4-word windows — the ~40-word
+    // vocabulary makes cross-document window collisions the common
+    // case, so most of the corpus dedups away. One content-keyed
+    // map-side-combinable aggregation shuffle + winner semi-join +
+    // per-doc reassembly; no corpus-wide window sort.
+    "dedup_lines_global" -> ((s, dir) =>
+      Curation.globalLineDedup(Tables.documents(s, dir), "doc_id",
+        Curation.wordWindows(col("text"), 4)).orderBy("doc_id")),
 
     // ---- Sampling: fixed-size per-stratum deterministic sample (the
     // quota shape — exactly n per lang; WindowGroupLimit partial)
@@ -2990,6 +3031,102 @@ object SparkEntry {
           |    b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
           |    / CAST(len(bg) AS DOUBLE) ELSE 0.0 END AS top_bigram_frac
           |FROM g ORDER BY doc_id""".stripMargin,
+
+      // Gopher signal twins: every ratio is one division of two exact
+      // integers (the list_sum word-length total included), so doubles
+      // agree bitwise; threshold literals route through VARCHAR casts
+      // (the OracleSql decimal-literal rule)
+      "t_gopher_rules" ->
+        """WITH w AS (
+          |  SELECT doc_id, text,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws,
+          |    string_split(text, chr(10)) AS ls
+          |  FROM documents),
+          |sig AS (SELECT doc_id,
+          |  CAST(len(ws) AS BIGINT) AS n_words,
+          |  CASE WHEN len(ws) > 0 THEN
+          |    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+          |      / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+          |  (CAST(length(regexp_replace(text, '[^#…]', '', 'g')) AS DOUBLE)
+          |    + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE)
+          |      / CAST(3 AS DOUBLE))
+          |    / CAST(greatest(len(ws), 1) AS DOUBLE) AS symbol_word_ratio,
+          |  CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+          |    / CAST(greatest(len(ls), 1) AS DOUBLE) AS bullet_line_frac,
+          |  CAST(len(list_filter(ls, l -> regexp_matches(l, '(…|\.\.\.)$'))) AS DOUBLE)
+          |    / CAST(greatest(len(ls), 1) AS DOUBLE) AS ellipsis_line_frac,
+          |  CASE WHEN len(ws) > 0 THEN
+          |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          |      / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+          |  CAST(len(list_intersect(list_distinct(ws),
+          |    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+          |  FROM w)
+          |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+          |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+          |  (n_words BETWEEN 30 AND 90)
+          |    AND (mean_word_len BETWEEN CAST(3 AS DOUBLE) AND CAST(10 AS DOUBLE))
+          |    AND symbol_word_ratio <= CAST('0.1' AS DOUBLE)
+          |    AND bullet_line_frac <= CAST('0.9' AS DOUBLE)
+          |    AND ellipsis_line_frac <= CAST('0.3' AS DOUBLE)
+          |    AND alpha_word_frac >= CAST('0.8' AS DOUBLE)
+          |    AND stop_hits >= 1 AS gopher_pass
+          |FROM sig ORDER BY doc_id""".stripMargin,
+
+      // C4 line-rule twin over the same 8-word windows (list_slice
+      // clamps at the tail exactly as Spark's slice does)
+      "t_c4_clean" ->
+        """WITH w AS (
+          |  SELECT doc_id, text,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |ln AS (
+          |  SELECT doc_id, text,
+          |    CASE WHEN len(ws) > 0 THEN list_transform(
+          |      generate_series(0, (len(ws)-1)//8),
+          |      i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' '))
+          |    ELSE CAST([] AS VARCHAR[]) END AS ls
+          |  FROM w),
+          |k AS (
+          |  SELECT doc_id, ls,
+          |    (contains(lower(text), 'lorem ipsum')
+          |      OR contains(lower(text), '{')) AS doc_dropped,
+          |    CASE WHEN contains(lower(text), 'lorem ipsum')
+          |        OR contains(lower(text), '{') THEN CAST([] AS VARCHAR[])
+          |    ELSE list_filter(ls, l ->
+          |      len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 5
+          |      AND NOT contains(lower(l), 'javascript')) END AS kept
+          |  FROM ln)
+          |SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+          |  CAST(len(kept) AS BIGINT) AS n_kept,
+          |  CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped, doc_dropped
+          |FROM k ORDER BY doc_id""".stripMargin,
+
+      // global line dedup twin: row_number over (doc_id, pos) ≡ the
+      // engine's min(struct(id, pos)) winner — lexicographic first
+      // occurrence either way
+      "dedup_lines_global" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |ln0 AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(ws) > 0 THEN list_transform(
+          |      generate_series(0, (len(ws)-1)//4),
+          |      i -> array_to_string(list_slice(ws, i*4+1, i*4+4), ' '))
+          |    ELSE CAST([] AS VARCHAR[]) END AS ls
+          |  FROM w),
+          |l AS (SELECT doc_id, unnest(ls) AS line,
+          |    generate_subscripts(ls, 1) AS pos FROM ln0),
+          |r AS (SELECT doc_id, line, pos,
+          |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+          |  FROM l),
+          |k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+          |    count(*) AS n_kept FROM r WHERE rn = 1 GROUP BY doc_id)
+          |SELECT ln0.doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+          |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+          |  CAST(len(ln0.ls) - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
+          |FROM ln0 LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       "t_fingerprint" ->
         """SELECT doc_id, list_min(list_transform(

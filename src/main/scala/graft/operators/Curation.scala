@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.functions.ColumnOps.bindOnce
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation document filters from the published LLM-data
+  * pipelines: Gopher quality rules (Rae et al. 2021, arXiv:2112.11446
+  * §A1.1) and C4-style line cleaning (Raffel et al. 2020,
+  * arXiv:1910.10683 §2.2), plus corpus-global exact line deduplication
+  * (C4's "discard all but one of any three-sentence span occurring more
+  * than once", at line granularity — also Penedo et al. 2023 RefinedWeb
+  * §3.3). The reference engine ingests pre-curated text
+  * (`/root/reference/src/vector_db/services/embedding_service.py`
+  * embeds whatever it is handed); a 100 TB training-data pipeline must
+  * also produce that curated text, which is exactly these operators.
+  *
+  * Scale shape: the Gopher and C4 rules are pure per-row column
+  * expressions (codegen'd scans, no shuffle, embarrassingly parallel).
+  * Global line dedup is the one corpus-wide operator here: a single
+  * aggregation shuffle keyed on the line content (map-side combinable
+  * `min(struct(id, pos))` — never a window sort over the corpus) plus
+  * one join back and one per-doc regroup.
+  */
+object Curation {
+
+  /** Gopher's "required word" list (Rae et al. 2021 §A1.1: documents
+    * must contain ≥ 2 of these English function words). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher quality signals over a raw text column.
+    * `lineDelim` is the literal line separator (the paper's rules are
+    * line-based for the bullet/ellipsis fractions).
+    *
+    *  - n_words: non-empty whitespace fragments,
+    *  - mean_word_len: Σ word length / n_words (exact-int ratio),
+    *  - symbol_word_ratio: ('#' chars + '…' chars + non-overlapping
+    *    "..." runs) / n_words — the paper's symbol-to-word screen,
+    *  - bullet_line_frac: lines starting with -, *, or • (after
+    *    leading spaces),
+    *  - ellipsis_line_frac: lines ending in '…' or "...",
+    *  - alpha_word_frac: words containing ≥ 1 ASCII letter,
+    *  - stop_hits: DISTINCT members of `stopwords` present.
+    *
+    * Every ratio is one division of two exact integers — no
+    * float-sum-order hazard, so the whole signal block is
+    * oracle-replayable bit for bit. */
+  def gopherSignals(text: Column, lineDelim: String = "\n",
+                    stopwords: Seq[String] = GopherStopwords): Map[String, Column] = {
+    val words = array_remove(split(lower(text), "\\s+"), "")
+    val lines = split(text, java.util.regex.Pattern.quote(lineDelim))
+    Map(
+      "n_words" -> size(words).cast("long"),
+      "mean_word_len" -> bindOnce(words) { w =>
+        when(size(w) > 0,
+          aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+            size(w).cast("double"))
+          .otherwise(lit(0.0))
+      },
+      "symbol_word_ratio" -> bindOnce(words) { w =>
+        (length(regexp_replace(text, "[^#…]", "")) +
+          ((length(text) - length(replace(text, lit("..."), lit("")))) / 3))
+          .cast("double") / greatest(size(w), lit(1)).cast("double")
+      },
+      "bullet_line_frac" -> bindOnce(lines) { ls =>
+        size(filter(ls, l => ltrim(l).rlike("^[-*•]"))).cast("double") /
+          greatest(size(ls), lit(1)).cast("double")
+      },
+      "ellipsis_line_frac" -> bindOnce(lines) { ls =>
+        size(filter(ls, l => l.rlike("(…|\\.\\.\\.)$"))).cast("double") /
+          greatest(size(ls), lit(1)).cast("double")
+      },
+      "alpha_word_frac" -> bindOnce(words) { w =>
+        when(size(w) > 0,
+          size(filter(w, x => x.rlike("[a-z]"))).cast("double") /
+            size(w).cast("double"))
+          .otherwise(lit(0.0))
+      },
+      "stop_hits" -> size(array_intersect(array_distinct(words),
+        array(stopwords.map(lit): _*))).cast("long"))
+  }
+
+  /** Gopher pass/fail verdict — the paper's thresholds as defaults
+    * (50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10, symbol ratio ≤ 0.1, bullet
+    * lines ≤ 90%, ellipsis lines ≤ 30%, ≥ 80% alphabetic words, ≥ 2
+    * required stopwords), every knob caller-tunable. */
+  def gopherPass(text: Column,
+                 minWords: Long = 50L, maxWords: Long = 100000L,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                 minAlphaFrac: Double = 0.8, minStopHits: Long = 2L,
+                 lineDelim: String = "\n",
+                 stopwords: Seq[String] = GopherStopwords): Column = {
+    val s = gopherSignals(text, lineDelim, stopwords)
+    s("n_words").between(minWords, maxWords) &&
+      s("mean_word_len").between(minMeanLen, maxMeanLen) &&
+      (s("symbol_word_ratio") <= maxSymbolRatio) &&
+      (s("bullet_line_frac") <= maxBulletFrac) &&
+      (s("ellipsis_line_frac") <= maxEllipsisFrac) &&
+      (s("alpha_word_frac") >= minAlphaFrac) &&
+      (s("stop_hits") >= minStopHits)
+  }
+
+  /** Fixed-width word windows of a text column — `k`-word lines in
+    * document order, the line proxy for corpora without newline
+    * structure (the same tiling discipline as
+    * [[MultiVec]]'s character windows and [[Chunker]]'s token
+    * windows). */
+  def wordWindows(text: Column, k: Int): Column = {
+    require(k >= 1, s"window width must be >= 1, got $k")
+    bindOnce(array_remove(split(lower(text), "\\s+"), "")) { w =>
+      when(size(w) > 0,
+        // integer window count: Column./ is double division, so route
+        // the ceil through a truncating cast (operands non-negative)
+        transform(sequence(lit(0), ((size(w) - 1) / k).cast("int")),
+          i => array_join(slice(w, i * k + 1, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** C4-style line cleaning over an array-of-lines column (pass
+    * `split(text, "\n")` for real corpora, [[wordWindows]] for line-less
+    * ones). Line keep rules (Raffel et al. 2020 §2.2): ≥ `minWords`
+    * words, terminal punctuation when `requirePunct` (. ! ? " '), and no
+    * occurrence of any `lineDropPatterns` member (C4 drops lines with
+    * "javascript"). Document drop rules: any `docDropPatterns` member in
+    * the lowercased full text ("lorem ipsum", "{") kills the whole doc.
+    *
+    * Output (one row per input doc — dropped docs keep their row with
+    * doc_dropped=true and zero kept lines): idCol, text_clean (kept
+    * lines re-joined with `joinDelim`), n_kept, n_dropped, doc_dropped.
+    * Pure per-row scan: no shuffle at any corpus size. */
+  def c4CleanLines(df: DataFrame, idCol: String, lines: Column,
+                   minWords: Int = 5, requirePunct: Boolean = true,
+                   lineDropPatterns: Seq[String] = Seq("javascript"),
+                   docDropPatterns: Seq[String] = Seq("lorem ipsum", "{"),
+                   textCol: String = "text",
+                   joinDelim: String = "\n"): DataFrame = {
+    val docDrop = docDropPatterns
+      .map(p => lower(col(textCol)).contains(p))
+      .foldLeft(lit(false))(_ || _)
+    def lineKeep(l: Column): Column = {
+      val enoughWords = size(array_remove(split(l, "\\s+"), "")) >= minWords
+      val punctOk =
+        if (requirePunct) l.rlike("[.!?\"']\\s*$") else lit(true)
+      val noDrop = lineDropPatterns
+        .map(p => lower(l).contains(p))
+        .foldLeft(lit(false))(_ || _)
+      enoughWords && punctOk && !noDrop
+    }
+    df.select(col(idCol), docDrop.as("doc_dropped"), lines.as("__lines"))
+      .select(col(idCol), col("doc_dropped"),
+        when(col("doc_dropped"), array().cast("array<string>"))
+          .otherwise(filter(col("__lines"), lineKeep(_))).as("__kept"),
+        size(col("__lines")).as("__n_lines"))
+      .select(col(idCol),
+        array_join(col("__kept"), joinDelim).as("text_clean"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n_lines") - size(col("__kept"))).cast("long").as("n_dropped"),
+        col("doc_dropped"))
+  }
+
+  /** Corpus-global exact line deduplication: every line occurrence
+    * after the FIRST (document order: lowest id, then lowest line
+    * position) is removed, and each document is reassembled from its
+    * surviving lines in original order — C4's cross-document span
+    * dedup / RefinedWeb's exact-substring pass at line granularity.
+    *
+    * Scale shape: lines shuffle ONCE, keyed on their content, into a
+    * map-side-combinable `min(struct(id, pos))` aggregation (never a
+    * corpus-wide window sort); the winner set joins back onto the line
+    * table, and one per-doc regroup rebuilds the text. State per
+    * distinct line is one (id, pos) pair — no driver collection
+    * anywhere. Duplicate-heavy corpora SHRINK the aggregation output
+    * (distinct lines), so the operator gets cheaper exactly when it
+    * matters.
+    *
+    * Output: idCol, text_dedup (kept lines joined by `joinDelim`; ""
+    * when every line was a repeat), n_kept, n_dropped. */
+  def globalLineDedup(df: DataFrame, idCol: String, lines: Column,
+                      joinDelim: String = "\n"): DataFrame = {
+    val ln = df.select(col(idCol).as("__id"), posexplode(lines).as(Seq("pos", "line")))
+    val first = ln.groupBy(col("line"))
+      .agg(min(struct(col("__id"), col("pos"))).as("w"))
+      .select(col("line"), col("w.__id").as("__wid"), col("w.pos").as("__wpos"))
+    val kept = ln.join(first,
+      ln("line") === first("line") && ln("__id") === first("__wid") &&
+        ln("pos") === first("__wpos"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("ks"))
+      .select(col("__id"),
+        array_join(transform(col("ks"), k => k("line")), joinDelim).as("text_dedup"),
+        size(col("ks")).cast("long").as("n_kept"))
+    df.select(col(idCol).as("__id"), size(lines).cast("long").as("__n_lines"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Gopher quality rules, C4 line cleaning, and corpus-global line
+  * dedup — the published-pipeline document filters. */
+class CurationSpec extends SparkSpec {
+
+  test("gopherSignals: word/line stats on structured text") {
+    val s = spark
+    import s.implicits._
+    val text =
+      "The quick brown fox jumps over the lazy dog today.\n" +
+        "- bullet item one\n" +
+        "* bullet item two\n" +
+        "trailing thought...\n" +
+        "# # # hash noise …"
+    val df = Seq((1L, text)).toDF("id", "text")
+    val sig = Curation.gopherSignals(col("text"))
+    val r = df.select(sig("n_words").as("nw"), sig("mean_word_len").as("ml"),
+      sig("symbol_word_ratio").as("sr"), sig("bullet_line_frac").as("bf"),
+      sig("ellipsis_line_frac").as("ef"), sig("alpha_word_frac").as("af"),
+      sig("stop_hits").as("sh")).head()
+    assert(r.getAs[Long]("nw") == 26)
+    // 3 '#' + 1 '…' + 1 "..." = 5 symbols over 26 words
+    assert(math.abs(r.getAs[Double]("sr") - 5.0 / 26.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("bf") - 2.0 / 5.0) < 1e-12)
+    // both "trailing thought..." and the final '…' line end in ellipsis
+    assert(math.abs(r.getAs[Double]("ef") - 2.0 / 5.0) < 1e-12)
+    // "-", "*", 3× "#", and "…" carry no ASCII letter: 20 of 26 alphabetic
+    assert(math.abs(r.getAs[Double]("af") - 20.0 / 26.0) < 1e-12)
+    assert(r.getAs[Long]("sh") == 1) // only "the" from the required list
+  }
+
+  test("gopherPass: paper thresholds accept clean prose, reject noise") {
+    val s = spark
+    import s.implicits._
+    val good = (1 to 10).map(i =>
+      s"The data of run $i and the batch that we have with it arrived fine.")
+      .mkString(" ")
+    val short = "too short to pass."
+    val symbols = Seq.fill(60)("#tag").mkString(" ")
+    val df = Seq((1L, good), (2L, short), (3L, symbols)).toDF("id", "text")
+    val got = df.select(col("id"), Curation.gopherPass(col("text")).as("p"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("c4CleanLines: word-count, punctuation, and pattern rules per line; doc drops") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "This is a fine sentence with many words.\nshort line\nEnable javascript to view this content now.\nAnother good long sentence ends properly here!"),
+      (2L, "lorem ipsum dolor sit amet and then some more words here."),
+      (3L, "A sentence that is long enough to stay.")).toDF("doc_id", "text")
+    val out = Curation.c4CleanLines(df, "doc_id", split(col("text"), "\n"),
+      minWords = 5, requirePunct = true, textCol = "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_clean") ==
+      "This is a fine sentence with many words.\nAnother good long sentence ends properly here!")
+    assert(out(0).getAs[Long]("n_kept") == 2 && out(0).getAs[Long]("n_dropped") == 2)
+    assert(!out(0).getAs[Boolean]("doc_dropped"))
+    assert(out(1).getAs[Boolean]("doc_dropped") && out(1).getAs[Long]("n_kept") == 0)
+    assert(out(2).getAs[Long]("n_kept") == 1 && out(2).getAs[Long]("n_dropped") == 0)
+  }
+
+  test("wordWindows: tiling, tail window, empty text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "  ")).toDF("id", "text")
+    val r = df.select(col("id"), Curation.wordWindows(col("text"), 3).as("w"))
+      .orderBy("id").collect()
+    assert(r(0).getSeq[String](1) == Seq("a b c", "d e f", "g"))
+    assert(r(1).getSeq[String](1).isEmpty && r(2).getSeq[String](1).isEmpty)
+  }
+
+  test("globalLineDedup: first occurrence wins in (id, pos) order; docs reassemble") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (10L, Array("alpha beta", "gamma delta", "alpha beta")), // self-repeat
+      (20L, Array("gamma delta", "unique here")), // cross-doc repeat
+      (30L, Array("alpha beta")), // fully duplicated doc
+      (40L, Array.empty[String])).toDF("doc_id", "lines")
+    val out = Curation.globalLineDedup(df, "doc_id", col("lines"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_dedup") == "alpha beta\ngamma delta")
+    assert(out(0).getAs[Long]("n_kept") == 2 && out(0).getAs[Long]("n_dropped") == 1)
+    assert(out(1).getAs[String]("text_dedup") == "unique here")
+    assert(out(1).getAs[Long]("n_dropped") == 1)
+    assert(out(2).getAs[String]("text_dedup") == "" && out(2).getAs[Long]("n_kept") == 0)
+    assert(out(3).getAs[String]("text_dedup") == "" && out(3).getAs[Long]("n_dropped") == 0)
+  }
+}
