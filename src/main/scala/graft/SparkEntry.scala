@@ -342,6 +342,46 @@ object SparkEntry {
       Sketch.hllEstimate(Sketch.hllMerge(a, b), p = 6)
     }),
 
+    // ---- CountMin frequency sketch (Cormode & Muthukrishnan 2005):
+    // the frequency-side complement of KMV/HLL (distinct) and
+    // Misra-Gries (membership) — "how often did THIS key occur" for
+    // arbitrary post-hoc keys from fixed depth×width state. Registers
+    // are md5-hash deterministic sums, fully oracle-replayed.
+    "sketch_cms" -> ((s, dir) =>
+      Sketch.cmsSketch(Tables.events(s, dir), col("user_id"),
+        depth = 4, width = 256).orderBy("row", "bucket")),
+
+    // ---- CMS point estimates vs exact counts: est ≥ exact always
+    // (collisions only add) — estimator error visible in-result, the
+    // sketch_kmv discipline
+    "sketch_cms_estimate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val keys = (0L until 8L).map(_.toString)
+      val est = Sketch.cmsEstimate(
+        Sketch.cmsSketch(ev, col("user_id"), depth = 4, width = 256),
+        keys, depth = 4, width = 256)
+      val exact = ev.filter(col("user_id").cast("string").isin(keys: _*))
+        .groupBy(col("user_id").cast("string").as("item"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("item"), "left")
+        .select(col("item"), col("est_cnt"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+        .orderBy("item")
+    }),
+
+    // ---- CMS merge ≡ union EXACTLY (registers are sums): two disjoint
+    // shards sketched independently and merged by elementwise addition
+    // replay as one whole-corpus sketch — the per-shard maintenance
+    // contract, same shape as sketch_hll_union
+    "sketch_cms_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = Sketch.cmsSketch(ev.filter(col("event_id") % 2 === 0),
+        col("user_id"), depth = 4, width = 256)
+      val b = Sketch.cmsSketch(ev.filter(col("event_id") % 2 === 1),
+        col("user_id"), depth = 4, width = 256)
+      Sketch.cmsMerge(a, b).orderBy("row", "bucket")
+    }),
+
     // ---- fastText-style hashed linear classifier scoring (Joulin et
     // al. 2016): hashed uni+bigram bag → weight-sum logit, pure per-row
     // expression riding the scan — the quality/toxicity/domain
@@ -2516,6 +2556,37 @@ object SparkEntry {
         s"""WITH ${hllSql("events", "user_id", None)}
            |SELECT est_distinct, v_empty, s_scaled FROM hll""".stripMargin,
 
+      "sketch_cms" ->
+        s"""WITH ${cmsSql("events", "user_id")}
+           |SELECT CAST(row AS INT) AS row, CAST(bucket AS INT) AS bucket, c
+           |FROM cms_reg ORDER BY row, bucket""".stripMargin,
+
+      "sketch_cms_estimate" ->
+        s"""WITH ${cmsSql("events", "user_id")},
+           |keys AS (SELECT CAST(unnest(range(0, 8)) AS VARCHAR) AS item),
+           |kb AS (SELECT item, row, ($hash32Sql) % 256 AS bucket FROM (
+           |  SELECT k.item AS item, r.row AS row,
+           |    md5(concat(CAST(r.row AS VARCHAR), '|', k.item)) AS m
+           |  FROM keys k CROSS JOIN cms_rows r) t),
+           |est AS (SELECT kb.item AS item,
+           |    CAST(min(coalesce(cms_reg.c, 0)) AS BIGINT) AS est_cnt
+           |  FROM kb LEFT JOIN cms_reg
+           |    ON kb.row = cms_reg.row AND kb.bucket = cms_reg.bucket
+           |  GROUP BY 1),
+           |exact AS (SELECT CAST(user_id AS VARCHAR) AS item,
+           |    CAST(count(*) AS BIGINT) AS exact_cnt
+           |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+           |SELECT e.item, e.est_cnt,
+           |  coalesce(x.exact_cnt, CAST(0 AS BIGINT)) AS exact_cnt
+           |FROM est e LEFT JOIN exact x USING (item) ORDER BY item""".stripMargin,
+
+      // merge ≡ union is exact (registers are sums), so the two-shard
+      // merged sketch replays as one sketch of all rows
+      "sketch_cms_union" ->
+        s"""WITH ${cmsSql("events", "user_id")}
+           |SELECT CAST(row AS INT) AS row, CAST(bucket AS INT) AS bucket, c
+           |FROM cms_reg ORDER BY row, bucket""".stripMargin,
+
       "t_classifier_score" ->
         classifierSql(ClassifierDim, classifierWeights, bias = 0.1),
 
@@ -4067,6 +4138,20 @@ object SparkEntry {
        |  FROM (SELECT doc_id, list_transform(list_transform(gs, g -> md5(g)),
        |      m -> ($hash32Sql) % $dim) AS bs FROM grams) h
        |  CROSS JOIN ds_wl)""".stripMargin
+
+  /** DuckDB replay of the CountMin registers (depth 4 × width 256):
+    * row-salted md5 nibble-parse buckets, grouped occurrence sums —
+    * arithmetic-identical to `Sketch.cmsSketch`. Defines CTEs
+    * `cms_rows` and `cms_reg`. */
+  private def cmsSql(src: String, valueExpr: String): String = {
+    val d = 4; val w = 256
+    s"""cms_rows AS (SELECT unnest(range(0, $d)) AS row),
+       |cms_h AS (SELECT r.row AS row,
+       |  md5(concat(CAST(r.row AS VARCHAR), '|', CAST(e.$valueExpr AS VARCHAR))) AS m
+       |  FROM $src e CROSS JOIN cms_rows r WHERE e.$valueExpr IS NOT NULL),
+       |cms_reg AS (SELECT row, ($hash32Sql) % $w AS bucket,
+       |  CAST(count(*) AS BIGINT) AS c FROM cms_h GROUP BY 1, 2)""".stripMargin
+  }
 
   /** DuckDB replay of the HLL sketch + estimate (p = 6): the md5
     * nibble-parse hash, bucket/suffix bit split, comparison-sum ρ,

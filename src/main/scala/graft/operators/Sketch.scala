@@ -327,6 +327,71 @@ object Sketch {
       .start()
 
   // ---------------------------------------------------------------
+  // CountMin frequency sketch
+  // ---------------------------------------------------------------
+
+  /** CountMin sketch (Cormode & Muthukrishnan, J. Algorithms 2005):
+    * a depth × width counter matrix; row i hashes a value to bucket
+    * [[hash32]](i ∥ value) mod width and adds its occurrence count, and
+    * a point estimate is the MIN over the depth rows — always an
+    * overestimate (collisions only add), within εN with probability
+    * 1−δ at width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉. The frequency-side
+    * complement of the distinct sketches above: Misra–Gries answers
+    * "which items are frequent", CMS answers "how frequent is THIS
+    * item" for arbitrary post-hoc keys with fixed d·w state.
+    *
+    * Registers are plain sums, so shard sketches merge by elementwise
+    * ADDITION with exact union semantics ([[cmsMerge]]) — the
+    * per-partition / per-day maintenance story. The md5-derived hash
+    * makes registers and estimates oracle-replayable bit for bit.
+    *
+    * Scale: the depth-way explode is collapsed by map-side partial
+    * aggregation to ≤ d·w rows per partition before the one shuffle;
+    * register state is ≤ d·w longs total. Returns the sparse
+    * (row, bucket, c) table — absent (row, bucket) ⇔ 0. */
+  def cmsSketch(df: DataFrame, valueCol: Column, depth: Int,
+                width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.filter(valueCol.isNotNull)
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), cmsBucket(i, valueCol, width).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Row-i bucket of a value: [[hash32]] of "i|value" mod width (the
+    * same salt-prefix construction as the sampling hashes). */
+  def cmsBucket(row: Int, valueCol: Column, width: Int): Column =
+    (hash32(concat_ws("|", lit(row), valueCol.cast("string"))) % width).cast("int")
+
+  /** Elementwise register addition — exact merge of disjoint-shard
+    * sketches: merge(sketch A, sketch B) ≡ sketch(A ⊎ B) identically,
+    * register for register. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row", "bucket").agg(sum(col("c")).as("c"))
+
+  /** Point estimates for a driver-supplied key list against a register
+    * table: min over rows of the key's register, absent registers = 0.
+    * The keys explode to depth probes and join the ≤ d·w-row register
+    * table (broadcast-sized by construction). */
+  def cmsEstimate(registers: DataFrame, keys: Seq[String], depth: Int,
+                  width: Int): DataFrame = {
+    require(keys.nonEmpty, "need at least one key")
+    val spark = registers.sparkSession
+    import spark.implicits._
+    keys.toDF("item")
+      .select(col("item"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), cmsBucket(i, col("item"), width).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("item"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(registers, Seq("row", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
+  }
+
+  // ---------------------------------------------------------------
   // HyperLogLog distinct sketch
   // ---------------------------------------------------------------
 

@@ -266,6 +266,48 @@ class SketchSpec extends SparkSpec {
     assert(merged == direct, "merged registers must equal the union sketch")
   }
 
+  test("CMS: estimates are exact-or-over, exact at generous width, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    // skewed stream: value i occurs i times, i in 1..40 (820 rows)
+    val rows = (1 to 40).flatMap(i => Seq.fill(i)(i.toString))
+    val df = rows.toDF("v")
+    val keys = (1 to 40).map(_.toString)
+    def estimates(width: Int, parts: Int): Map[String, Long] = {
+      val sk = Sketch.cmsSketch(df.repartition(parts), col("v"), depth = 4, width = width)
+      Sketch.cmsEstimate(sk, keys, depth = 4, width = width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val wide = estimates(width = 1024, parts = 3)
+    keys.foreach(k => assert(wide(k) == k.toInt.toLong,
+      s"width 1024 should be collision-free here: $k -> ${wide(k)}"))
+    val narrow = estimates(width = 16, parts = 3)
+    keys.foreach(k => assert(narrow(k) >= k.toInt.toLong,
+      s"CMS must never underestimate: $k -> ${narrow(k)}"))
+    assert(estimates(width = 16, parts = 7) == narrow,
+      "registers are order-independent sums: partitioning must not matter")
+    // absent key estimates are >= 0 and bounded by the total stream length
+    val absent = Sketch.cmsEstimate(
+      Sketch.cmsSketch(df, col("v"), 4, 16), Seq("no-such-key"), 4, 16)
+      .head.getLong(1)
+    assert(absent >= 0L && absent <= rows.length.toLong)
+  }
+
+  test("CMS merge of disjoint shards equals the sketch of the union, register-exact") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 500).map(i => (i, s"v${i % 37}")).toDF("id", "v")
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsSketch(d, col("v"), depth = 4, width = 64)
+    val merged = Sketch.cmsMerge(
+        regs(df.filter(col("id") % 2 === 0)), regs(df.filter(col("id") % 2 === 1)))
+      .orderBy("row", "bucket")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val direct = regs(df).orderBy("row", "bucket")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(merged == direct, "summed shard registers must equal the union sketch")
+  }
+
   test("grouped HLL matches per-group single sketches") {
     val s = spark
     import s.implicits._
