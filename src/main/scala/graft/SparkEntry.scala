@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Export, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1491,6 +1491,38 @@ object SparkEntry {
     "t_bpe_apply" -> ((s, dir) =>
       Bpe.tokenize(Tables.documents(s, dir), "doc_id", "text", FixedBpeMerges)
         .orderBy("doc_id")),
+
+    // ---- Tokenizer fertility: per-language tokens/word and
+    // chars/token under the fixed merge chain — the "is this tokenizer
+    // fair to each language" audit every multilingual pipeline runs
+    // (Rust et al. 2021, arXiv:2012.15613). Per-row token counts ride
+    // the scan; one ≤|langs|-group aggregation; every ratio is one
+    // division of two exact BIGINT sums.
+    "t_bpe_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("lang"),
+          size(Bpe.tokens(col("text"), FixedBpeMerges)).cast("long").as("__t"),
+          size(array_remove(split(lower(col("text")), "\\s+"), ""))
+            .cast("long").as("__w"),
+          length(col("text")).cast("long").as("__c"))
+        .groupBy("lang")
+        .agg(sum("__t").as("n_tokens"), sum("__w").as("n_words"),
+          sum("__c").as("n_chars"))
+        .select(col("lang"), col("n_tokens"), col("n_words"),
+          when(col("n_words") > 0,
+            col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .otherwise(lit(0.0)).as("fertility"),
+          when(col("n_tokens") > 0,
+            col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .otherwise(lit(0.0)).as("chars_per_token"))
+        .orderBy("lang")),
+
+    // ---- Shard-export manifest: deterministic hash shards + per-shard
+    // row/byte totals, id ranges, and an order-independent exact-sum
+    // content checksum — the trainer-facing integrity record of an
+    // export. One bounded aggregation, nothing driver-side.
+    "export_shards" -> ((s, dir) =>
+      Export.manifest(Tables.documents(s, dir), "doc_id", "text",
+        col("n_chars"), nShards = 8).orderBy("shard")),
 
     // ---- Byte-level BPE (GPT-2 family): regex pre-tokenizer (leading
     // space attaches to the following word; lookahead-free so the
@@ -3294,6 +3326,40 @@ object SparkEntry {
       "t_bpe_vocab" -> bpeVocabSql(6, 50),
 
       "t_bpe_apply" -> bpeApplySql(FixedBpeMerges),
+
+      // fertility twin: same replace-chain token counts as t_bpe_apply,
+      // aggregated per language — exact-BIGINT sums under one division
+      "t_bpe_fertility" ->
+        s"""WITH ${bpeStreamCtes(FixedBpeMerges)},
+           |per AS (SELECT d.lang AS lang,
+           |  CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_tok,
+           |  len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+           |    x -> x <> '')) AS n_w,
+           |  length(d.text) AS n_c
+           |  FROM documents d JOIN bpe_t USING (doc_id))
+           |SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  CAST(sum(n_w) AS BIGINT) AS n_words,
+           |  CASE WHEN sum(n_w) > 0 THEN CAST(sum(n_tok) AS DOUBLE)
+           |    / CAST(sum(n_w) AS DOUBLE) ELSE 0.0 END AS fertility,
+           |  CASE WHEN sum(n_tok) > 0 THEN CAST(sum(n_c) AS DOUBLE)
+           |    / CAST(sum(n_tok) AS DOUBLE) ELSE 0.0 END AS chars_per_token
+           |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // manifest twin: salted-hash shard, order-independent exact-sum
+      // checksum — both spelled with the shared md5 nibble parse
+      "export_shards" ->
+        s"""WITH h AS (SELECT doc_id, n_chars,
+           |  md5(concat('', '|', CAST(doc_id AS VARCHAR))) AS m FROM documents),
+           |sh AS (SELECT doc_id, n_chars,
+           |  CAST(($hash32Sql) % 8 AS INT) AS shard FROM h),
+           |rh AS (SELECT s.shard, s.doc_id, s.n_chars,
+           |  md5(concat(CAST(s.doc_id AS VARCHAR), '|', md5(d.text))) AS m
+           |  FROM sh s JOIN documents d USING (doc_id))
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+           |  CAST(sum($hash32Sql) AS BIGINT) AS content_sum
+           |FROM rh GROUP BY shard ORDER BY shard""".stripMargin,
 
       "t_bpe_bytes_learn" -> byteBpeLearnSql(6),
 
