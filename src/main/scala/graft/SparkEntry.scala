@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Export, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Export, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pca, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1037,6 +1037,18 @@ object SparkEntry {
     }),
 
     // ---- E2 + O2: text-query search over hashed embeddings, end-to-end
+    // ---- Embedding PCA by power iteration (the common-direction
+    // analysis behind All-but-the-Top, Mu & Viswanath ICLR'18): the
+    // corpus pays ONE decimal-routed second-moment aggregation (map-
+    // side combined to ≤ dim² rows per partition), the 6-round power
+    // method runs driver-local on the 64×64 matrix with list_reduce
+    // fold order — loadings AND eigenvalue hash-exact vs the oracle's
+    // unrolled matvec replay (the pagerank/classifier-train pattern on
+    // a dense matrix)
+    "e_pca_power" -> ((s, dir) =>
+      Pca.topComponent(Tables.embeddings(s, dir), col("embedding"),
+        dim = 64, iters = 6).orderBy("i")),
+
     // oracle-exact: the md5-variant count embedder runs for corpus AND
     // query, and cosine over raw signed counts (exact integers) is
     // bitwise-reproducible in SQL — embed → knnCosine → top-10 is the
@@ -3470,6 +3482,8 @@ object SparkEntry {
            |FROM s GROUP BY user_id, session_id
            |ORDER BY user_id, session_id""".stripMargin,
 
+      "e_pca_power" -> pcaPowerSql(64, 6),
+
       "e1_embed_oracle" -> embedOracleSql,
 
       "e2_embed_search" -> embedSearchSql,
@@ -4091,6 +4105,46 @@ object SparkEntry {
     * sum, the hard-sigmoid error, the decimal-routed per-bucket
     * gradient, and the `w − lr·(g/n)` double update — each as one CTE
     * block, arithmetic-identical to the engine's expression trees. */
+  /** Replay of `Pca.topComponent(dim, iters)`: float-product pairs
+    * (exact in double) through the decimal-routed exact sum into the
+    * dim×dim matrix, then each power-iteration round as one CTE block —
+    * matvec row sums and the norm-square via `list_reduce` (fold-left
+    * from the first element, exactly the engine's driver loop), unit
+    * scaling by the correctly rounded sqrt. */
+  private def pcaPowerSql(dim: Int, iters: Int): String = {
+    val base =
+      s"""pc_pairs AS (
+         |  SELECT ii.i AS i, jj.j AS j,
+         |    CAST(e.embedding[ii.i + 1] AS DOUBLE)
+         |      * CAST(e.embedding[jj.j + 1] AS DOUBLE) AS p
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) ii
+         |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS j) jj),
+         |pc_m AS (SELECT i, j, ${sparkDecSumToDouble("p")} AS mv
+         |  FROM pc_pairs GROUP BY i, j),
+         |pc_rows AS (SELECT i, list(mv ORDER BY j) AS rw FROM pc_m GROUP BY i),
+         |pc_mat AS (SELECT list(rw ORDER BY i) AS M FROM pc_rows),
+         |pc_v0 AS (SELECT M,
+         |  list_transform(range(0, $dim), x -> CAST(1.0 AS DOUBLE)) AS v,
+         |  CAST(0.0 AS DOUBLE) AS nsq FROM pc_mat)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""pc_w$k AS (SELECT M, list_transform(range(1, ${dim + 1}), i ->
+         |    list_reduce(list_transform(range(1, ${dim + 1}), j -> M[i][j] * v[j]),
+         |      (a, b) -> a + b)) AS w
+         |  FROM pc_v${k - 1}),
+         |pc_n$k AS (SELECT M, w,
+         |  list_reduce(list_transform(w, x -> x * x), (a, b) -> a + b) AS nsq
+         |  FROM pc_w$k),
+         |pc_v$k AS (SELECT M, list_transform(w, x -> x / sqrt(nsq)) AS v, nsq
+         |  FROM pc_n$k)""".stripMargin
+    }
+    s"""WITH ${(base +: steps).mkString(",\n")}
+       |SELECT CAST(ii.i AS INT) AS i, v[ii.i + 1] AS loading,
+       |  sqrt(nsq) AS lambda
+       |FROM pc_v$iters CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) ii
+       |ORDER BY i""".stripMargin
+  }
+
   /** Double → DECIMAL(38,18) with Spark's semantics: Spark casts via
     * BigDecimal(Double.toString(d)) (shortest decimal string, HALF_UP
     * to scale 18) while DuckDB's direct cast rounds the BINARY
