@@ -79,6 +79,14 @@ object ScaleProbe {
         graft.operators.Bq.rerankSearch(bqCodes, "id", "bq_code", "embedding",
           q, 10, 300).count())
 
+      // PCA second moment at dim 64: the dim²-per-row expansion is the
+      // cost model's worst term (64² = 4096 products/row) — measured
+      // here so the "sample rows, don't shrink dim" scaladoc guidance
+      // carries a number; the power iteration after it is driver-local
+      // on 32 KB and free
+      t("pca_second_moment_d64")(
+        graft.operators.Pca.secondMoment(df, col("embedding"), 64).count())
+
       // KMV sketch: bounded-state distinct estimate over all n ids
       t("kmv_sketch_k256")(
         graft.operators.Sketch.distinctEstimate(df, col("id"), 256).count())
@@ -374,6 +382,49 @@ object ScaleProbe {
             col("ska"), col("skb"), 256): _*)
           .count()
       }
+
+      // Gopher rule block + verdict: pure per-row signal arithmetic,
+      // embarrassingly parallel — the published-pipeline quality gate
+      t("gopher_rules_scan") {
+        val sig = graft.operators.Curation.gopherSignals(col("text"))
+        docs.select(sig("n_words").as("nw"),
+            graft.operators.Curation.gopherPass(col("text")).as("p"))
+          .agg(sum(col("nw"))).head.getLong(0)
+      }
+
+      // C4 line rules over 3-word windows: per-row line filter +
+      // reassembly, no shuffle at any n
+      t("c4_clean_scan") {
+        graft.operators.Curation.c4CleanLines(docs, "id",
+            graft.operators.Curation.wordWindows(col("text"), 3),
+            minWords = 3, requirePunct = false)
+          .agg(sum(col("n_kept"))).head.getLong(0)
+      }
+
+      // corpus-global exact line dedup over 2-word windows (5k-token
+      // vocabulary → heavy cross-document collisions at 10M: most lines
+      // repeat). THE shuffle probe of the family: one content-keyed
+      // min(struct) aggregation + winner semi-join + per-doc regroup;
+      // duplicate-heavy corpora SHRINK the aggregation output
+      t("global_line_dedup_w2") {
+        graft.operators.Curation.globalLineDedup(docs, "id",
+            graft.operators.Curation.wordWindows(col("text"), 2))
+          .agg(sum(col("n_kept"))).head.getLong(0)
+      }
+
+      // CountMin registers over the ~8n-token stream: depth-4 explode
+      // collapses map-side to ≤ 4·1024 rows per partition — frequency
+      // estimates for post-hoc keys at fixed state
+      t("cms_tokens_d4_w1k")(
+        graft.operators.Sketch.cmsSketch(
+          docs.select(explode(split(col("text"), " ")).as("w")),
+          col("w"), depth = 4, width = 1024).count())
+
+      // shard-export manifest: per-row hash assignment + one 64-group
+      // aggregation with the order-independent content checksum
+      t("export_manifest_64shards")(
+        graft.operators.Export.manifest(docs, "id", "text",
+          length(col("text")), nShards = 64).count())
 
       // image-dHash Hamming near-dup pairs over n 56-bit hashes with
       // planted near-dup groups of 4 (members ≤ 2 bits apart). The

@@ -1049,6 +1049,22 @@ object SparkEntry {
       Pca.topComponent(Tables.embeddings(s, dir), col("embedding"),
         dim = 64, iters = 6).orderBy("i")),
 
+    // ---- All-but-the-Top at its use site: project the learned common
+    // direction out of every embedding (per-row codegen residual — the
+    // 100 TB-shaped application of a driver-computed 32 KB component)
+    // and rank by residual energy; dot, residual, and norm folds all
+    // mirror the oracle's list_reduce order
+    "e_pca_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val comp = Pca.topComponent(emb, col("embedding"), dim = 64, iters = 6)
+        .orderBy("i").collect().map(_.getDouble(1))
+      emb.select(col("vec_id"),
+          Pca.normSq(Pca.projectOut(col("embedding"), comp), 64)
+            .as("res_norm_sq"))
+        .orderBy(col("res_norm_sq").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // oracle-exact: the md5-variant count embedder runs for corpus AND
     // query, and cosine over raw signed counts (exact integers) is
     // bitwise-reproducible in SQL — embed → knnCosine → top-10 is the
@@ -1871,6 +1887,28 @@ object SparkEntry {
     // plan, so window boundaries fall on REAL subword counts instead of
     // whitespace proxies. Oracle composes the BPE replace-chain count
     // with the window-tiling replay; still one prefix-sum shuffle total.
+    // ---- Fourth flagship: the published-pipeline line-level curation
+    // chain — Gopher gate (Rae'21) → C4 line rules (Raffel'20) →
+    // corpus-global line dedup (RefinedWeb) → sharded export manifest.
+    // The per-row gates ride the scan; corpus-wide work is ONE
+    // line-content aggregation plus the bounded manifest rollup — and
+    // every stage's oracle composes into one statement.
+    "pipeline_line_curate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gated = docs.filter(Curation.gopherPass(col("text"),
+        minWords = 30L, maxWords = 90L, minStopHits = 1L))
+      val cleaned = Curation.c4CleanLines(gated, "doc_id",
+          Curation.wordWindows(col("text"), 8), minWords = 5,
+          requirePunct = false)
+        .filter(!col("doc_dropped") && col("n_kept") > 0)
+        .select(col("doc_id"), col("text_clean"))
+      val deduped = Curation.globalLineDedup(cleaned, "doc_id",
+          split(col("text_clean"), "\n"))
+        .filter(col("n_kept") > 0)
+      Export.manifest(deduped, "doc_id", "text_dedup",
+        length(col("text_dedup")), nShards = 4).orderBy("shard")
+    }),
+
     "pipeline_tokenize_pack" -> ((s, dir) => {
       val counted = Bpe.tokenize(Tables.documents(s, dir), "doc_id", "text",
           FixedBpeMerges)
@@ -3151,97 +3189,18 @@ object SparkEntry {
       // integers (the list_sum word-length total included), so doubles
       // agree bitwise; threshold literals route through VARCHAR casts
       // (the OracleSql decimal-literal rule)
-      "t_gopher_rules" ->
-        """WITH w AS (
-          |  SELECT doc_id, text,
-          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws,
-          |    string_split(text, chr(10)) AS ls
-          |  FROM documents),
-          |sig AS (SELECT doc_id,
-          |  CAST(len(ws) AS BIGINT) AS n_words,
-          |  CASE WHEN len(ws) > 0 THEN
-          |    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-          |      / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
-          |  (CAST(length(regexp_replace(text, '[^#…]', '', 'g')) AS DOUBLE)
-          |    + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE)
-          |      / CAST(3 AS DOUBLE))
-          |    / CAST(greatest(len(ws), 1) AS DOUBLE) AS symbol_word_ratio,
-          |  CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
-          |    / CAST(greatest(len(ls), 1) AS DOUBLE) AS bullet_line_frac,
-          |  CAST(len(list_filter(ls, l -> regexp_matches(l, '(…|\.\.\.)$'))) AS DOUBLE)
-          |    / CAST(greatest(len(ls), 1) AS DOUBLE) AS ellipsis_line_frac,
-          |  CASE WHEN len(ws) > 0 THEN
-          |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-          |      / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
-          |  CAST(len(list_intersect(list_distinct(ws),
-          |    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
-          |  FROM w)
-          |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
-          |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
-          |  (n_words BETWEEN 30 AND 90)
-          |    AND (mean_word_len BETWEEN CAST(3 AS DOUBLE) AND CAST(10 AS DOUBLE))
-          |    AND symbol_word_ratio <= CAST('0.1' AS DOUBLE)
-          |    AND bullet_line_frac <= CAST('0.9' AS DOUBLE)
-          |    AND ellipsis_line_frac <= CAST('0.3' AS DOUBLE)
-          |    AND alpha_word_frac >= CAST('0.8' AS DOUBLE)
-          |    AND stop_hits >= 1 AS gopher_pass
-          |FROM sig ORDER BY doc_id""".stripMargin,
+      "t_gopher_rules" -> s"${gopherRulesSql("documents")} ORDER BY doc_id",
 
       // C4 line-rule twin over the same 8-word windows (list_slice
       // clamps at the tail exactly as Spark's slice does)
-      "t_c4_clean" ->
-        """WITH w AS (
-          |  SELECT doc_id, text,
-          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
-          |  FROM documents),
-          |ln AS (
-          |  SELECT doc_id, text,
-          |    CASE WHEN len(ws) > 0 THEN list_transform(
-          |      generate_series(0, (len(ws)-1)//8),
-          |      i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' '))
-          |    ELSE CAST([] AS VARCHAR[]) END AS ls
-          |  FROM w),
-          |k AS (
-          |  SELECT doc_id, ls,
-          |    (contains(lower(text), 'lorem ipsum')
-          |      OR contains(lower(text), '{')) AS doc_dropped,
-          |    CASE WHEN contains(lower(text), 'lorem ipsum')
-          |        OR contains(lower(text), '{') THEN CAST([] AS VARCHAR[])
-          |    ELSE list_filter(ls, l ->
-          |      len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 5
-          |      AND NOT contains(lower(l), 'javascript')) END AS kept
-          |  FROM ln)
-          |SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
-          |  CAST(len(kept) AS BIGINT) AS n_kept,
-          |  CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped, doc_dropped
-          |FROM k ORDER BY doc_id""".stripMargin,
+      "t_c4_clean" -> s"${c4CleanSql("documents")} ORDER BY doc_id",
 
       // global line dedup twin: row_number over (doc_id, pos) ≡ the
       // engine's min(struct(id, pos)) winner — lexicographic first
       // occurrence either way
       "dedup_lines_global" ->
-        """WITH w AS (
-          |  SELECT doc_id,
-          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
-          |  FROM documents),
-          |ln0 AS (
-          |  SELECT doc_id,
-          |    CASE WHEN len(ws) > 0 THEN list_transform(
-          |      generate_series(0, (len(ws)-1)//4),
-          |      i -> array_to_string(list_slice(ws, i*4+1, i*4+4), ' '))
-          |    ELSE CAST([] AS VARCHAR[]) END AS ls
-          |  FROM w),
-          |l AS (SELECT doc_id, unnest(ls) AS line,
-          |    generate_subscripts(ls, 1) AS pos FROM ln0),
-          |r AS (SELECT doc_id, line, pos,
-          |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
-          |  FROM l),
-          |k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
-          |    count(*) AS n_kept FROM r WHERE rn = 1 GROUP BY doc_id)
-          |SELECT ln0.doc_id, coalesce(k.text_dedup, '') AS text_dedup,
-          |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-          |  CAST(len(ln0.ls) - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
-          |FROM ln0 LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+        s"""WITH ld_src AS (${wordWindowLinesSql("documents", 4)})
+           |${lineDedupCoreSql("ld_src")} ORDER BY doc_id""".stripMargin,
 
       "t_fingerprint" ->
         """SELECT doc_id, list_min(list_transform(
@@ -3377,6 +3336,35 @@ object SparkEntry {
 
       "t_bpe_bytes_apply" -> byteBpeApplySql(FixedByteBpeMerges),
 
+      // four-stage composition: each stage's parameterized oracle
+      // feeds the next as a CTE — gate → line rules → global line
+      // dedup → manifest, one statement
+      "pipeline_line_curate" ->
+        s"""WITH plc_gate AS (
+           |  SELECT d.doc_id, d.text FROM documents d
+           |  JOIN (${gopherRulesSql("documents")}) g USING (doc_id)
+           |  WHERE g.gopher_pass),
+           |plc_c4 AS (${c4CleanSql("plc_gate")}),
+           |plc_docs AS (SELECT doc_id, text_clean FROM plc_c4
+           |  WHERE NOT doc_dropped AND n_kept > 0),
+           |plc_ln AS (SELECT doc_id, string_split(text_clean, chr(10)) AS ls
+           |  FROM plc_docs),
+           |plc_dd AS (${lineDedupCoreSql("plc_ln")}),
+           |plc_out AS (SELECT doc_id, text_dedup FROM plc_dd WHERE n_kept > 0),
+           |plc_sh AS (SELECT doc_id, text_dedup,
+           |  CAST(($hash32Sql) % 4 AS INT) AS shard FROM (
+           |    SELECT doc_id, text_dedup,
+           |      md5(concat('', '|', CAST(doc_id AS VARCHAR))) AS m
+           |    FROM plc_out) h),
+           |plc_rh AS (SELECT shard, doc_id, length(text_dedup) AS nb,
+           |  md5(concat(CAST(doc_id AS VARCHAR), '|', md5(text_dedup))) AS m
+           |  FROM plc_sh)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(nb) AS BIGINT) AS total_bytes,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+           |  CAST(sum($hash32Sql) AS BIGINT) AS content_sum
+           |FROM plc_rh GROUP BY shard ORDER BY shard""".stripMargin,
+
       "pipeline_tokenize_pack" -> bpeWindowsSql(FixedBpeMerges, 1024L),
 
       "b10_stream_hourly" ->
@@ -3483,6 +3471,8 @@ object SparkEntry {
            |ORDER BY user_id, session_id""".stripMargin,
 
       "e_pca_power" -> pcaPowerSql(64, 6),
+
+      "e_pca_residual" -> pcaResidualSql(64, 6, 10),
 
       "e1_embed_oracle" -> embedOracleSql,
 
@@ -4111,7 +4101,7 @@ object SparkEntry {
     * matvec row sums and the norm-square via `list_reduce` (fold-left
     * from the first element, exactly the engine's driver loop), unit
     * scaling by the correctly rounded sqrt. */
-  private def pcaPowerSql(dim: Int, iters: Int): String = {
+  private def pcaPowerCtes(dim: Int, iters: Int): String = {
     val base =
       s"""pc_pairs AS (
          |  SELECT ii.i AS i, jj.j AS j,
@@ -4138,12 +4128,32 @@ object SparkEntry {
          |pc_v$k AS (SELECT M, list_transform(w, x -> x / sqrt(nsq)) AS v, nsq
          |  FROM pc_n$k)""".stripMargin
     }
-    s"""WITH ${(base +: steps).mkString(",\n")}
+    (base +: steps).mkString(",\n")
+  }
+
+  private def pcaPowerSql(dim: Int, iters: Int): String =
+    s"""WITH ${pcaPowerCtes(dim, iters)}
        |SELECT CAST(ii.i AS INT) AS i, v[ii.i + 1] AS loading,
        |  sqrt(nsq) AS lambda
        |FROM pc_v$iters CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) ii
        |ORDER BY i""".stripMargin
-  }
+
+  /** Replay of the All-but-the-Top residual ranking: the power-method
+    * component from [[pcaPowerCtes]], then per row the left-fold dot,
+    * the elementwise residual, and the left-fold residual norm² —
+    * operand-for-operand the `Pca.projectOut` + `Pca.normSq` expression
+    * trees. */
+  private def pcaResidualSql(dim: Int, iters: Int, k: Int): String =
+    s"""WITH ${pcaPowerCtes(dim, iters)},
+       |pr_d AS (SELECT e.vec_id AS vec_id, e.embedding AS emb, c.v AS v,
+       |    list_reduce(list_transform(range(1, ${dim + 1}),
+       |      j -> CAST(e.embedding[j] AS DOUBLE) * c.v[j]), (a, b) -> a + b) AS d
+       |  FROM embeddings e CROSS JOIN pc_v$iters c),
+       |pr_r AS (SELECT vec_id, list_transform(range(1, ${dim + 1}),
+       |    i -> CAST(emb[i] AS DOUBLE) - d * v[i]) AS r FROM pr_d)
+       |SELECT vec_id,
+       |  list_reduce(list_transform(r, x -> x * x), (a, b) -> a + b) AS res_norm_sq
+       |FROM pr_r ORDER BY res_norm_sq DESC, vec_id LIMIT $k""".stripMargin
 
   /** Double → DECIMAL(38,18) with Spark's semantics: Spark casts via
     * BigDecimal(Double.toString(d)) (shortest decimal string, HALF_UP
@@ -4258,6 +4268,97 @@ object SparkEntry {
        |  FROM (SELECT doc_id, list_transform(list_transform(gs, g -> md5(g)),
        |      m -> ($hash32Sql) % $dim) AS bs FROM grams) h
        |  CROSS JOIN ds_wl)""".stripMargin
+
+  /** Replay of `Curation.gopherSignals` + `gopherPass(minWords = 30,
+    * maxWords = 90, minStopHits = 1)` over `$src` (doc_id, text):
+    * complete SELECT, no trailing ORDER BY so it composes as a
+    * subquery. */
+  private def gopherRulesSql(src: String): String =
+    s"""SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+       |  (n_words BETWEEN 30 AND 90)
+       |    AND (mean_word_len BETWEEN CAST(3 AS DOUBLE) AND CAST(10 AS DOUBLE))
+       |    AND symbol_word_ratio <= CAST('0.1' AS DOUBLE)
+       |    AND bullet_line_frac <= CAST('0.9' AS DOUBLE)
+       |    AND ellipsis_line_frac <= CAST('0.3' AS DOUBLE)
+       |    AND alpha_word_frac >= CAST('0.8' AS DOUBLE)
+       |    AND stop_hits >= 1 AS gopher_pass
+       |FROM (SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CASE WHEN len(ws) > 0 THEN
+       |    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+       |      / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+       |  (CAST(length(regexp_replace(text, '[^#…]', '', 'g')) AS DOUBLE)
+       |    + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE)
+       |      / CAST(3 AS DOUBLE))
+       |    / CAST(greatest(len(ws), 1) AS DOUBLE) AS symbol_word_ratio,
+       |  CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+       |    / CAST(greatest(len(ls), 1) AS DOUBLE) AS bullet_line_frac,
+       |  CAST(len(list_filter(ls, l -> regexp_matches(l, '(…|\\.\\.\\.)$$'))) AS DOUBLE)
+       |    / CAST(greatest(len(ls), 1) AS DOUBLE) AS ellipsis_line_frac,
+       |  CASE WHEN len(ws) > 0 THEN
+       |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |      / CAST(len(ws) AS DOUBLE) ELSE 0.0 END AS alpha_word_frac,
+       |  CAST(len(list_intersect(list_distinct(ws),
+       |    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+       |FROM (SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws,
+       |    string_split(text, chr(10)) AS ls
+       |  FROM $src) w) sig""".stripMargin
+
+  /** (doc_id, ls) word-window line table of `$src` (doc_id, text) at
+    * `width` words per line — the SQL twin of `Curation.wordWindows`. */
+  private def wordWindowLinesSql(src: String, width: Int): String =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(ws) > 0 THEN list_transform(
+       |    generate_series(0, (len(ws)-1)//$width),
+       |    i -> array_to_string(list_slice(ws, i*$width+1, i*$width+$width), ' '))
+       |  ELSE CAST([] AS VARCHAR[]) END AS ls
+       |FROM (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM $src) w""".stripMargin
+
+  /** Replay of `Curation.c4CleanLines(minWords = 5, requirePunct =
+    * false)` over 8-word windows of `$src` (doc_id, text). Complete
+    * SELECT, composable. */
+  private def c4CleanSql(src: String): String =
+    s"""SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped, doc_dropped
+       |FROM (
+       |  SELECT doc_id, ls,
+       |    (contains(lower(text), 'lorem ipsum')
+       |      OR contains(lower(text), '{')) AS doc_dropped,
+       |    CASE WHEN contains(lower(text), 'lorem ipsum')
+       |        OR contains(lower(text), '{') THEN CAST([] AS VARCHAR[])
+       |    ELSE list_filter(ls, l ->
+       |      len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5
+       |      AND NOT contains(lower(l), 'javascript')) END AS kept
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CASE WHEN len(ws) > 0 THEN list_transform(
+       |        generate_series(0, (len(ws)-1)//8),
+       |        i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' '))
+       |      ELSE CAST([] AS VARCHAR[]) END AS ls
+       |    FROM (SELECT doc_id, text,
+       |        list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+       |      FROM $src) w) ln) k""".stripMargin
+
+  /** Replay of `Curation.globalLineDedup` over `$lnSrc` (doc_id, ls):
+    * row_number over (doc_id, pos) ≡ the engine's min(struct) winner.
+    * Complete SELECT, composable. */
+  private def lineDedupCoreSql(lnSrc: String): String =
+    s"""SELECT $lnSrc.doc_id AS doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len($lnSrc.ls) - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
+       |FROM $lnSrc LEFT JOIN (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+       |    count(*) AS n_kept
+       |  FROM (SELECT doc_id, line, pos,
+       |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+       |    FROM (SELECT doc_id, unnest(ls) AS line,
+       |        generate_subscripts(ls, 1) AS pos FROM $lnSrc) l) r
+       |  WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)""".stripMargin
 
   /** DuckDB replay of the CountMin registers (depth 4 × width 256):
     * row-salted md5 nibble-parse buckets, grouped occurrence sums —

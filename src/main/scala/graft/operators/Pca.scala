@@ -33,18 +33,34 @@ import org.apache.spark.sql.types.DecimalType
 object Pca {
 
   /** Second-moment (uncentered Gram) matrix as a (i, j, m) table,
-    * i, j ∈ [0, dim). Decimal-routed exact sums → double. */
+    * i, j ∈ [0, dim). Decimal-routed exact sums → double.
+    *
+    * Only the upper triangle (i ≤ j) is aggregated — M is symmetric and
+    * the decimal sum is order-independent, so mirroring M_ij into M_ji
+    * afterward is bit-identical to aggregating both (same products,
+    * same exact sum) at half the explode fan-out. */
   def secondMoment(df: DataFrame, vecCol: Column, dim: Int): DataFrame = {
     require(dim >= 2, s"dim must be >= 2, got $dim")
-    df.select(vecCol.as("__v"))
+    val upper = df.select(vecCol.as("__v"))
       .select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-        transform(sequence(lit(0), lit(dim - 1)), j =>
+        transform(sequence(i, lit(dim - 1)), j =>
           struct(i.as("i"), j.as("j"),
             (element_at(col("__v"), i + 1).cast("double") *
               element_at(col("__v"), j + 1).cast("double")).as("p"))))))
         .as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum(col("e.p").cast(DecimalType(38, 18))).cast("double").as("m"))
+    // mirror AFTER the aggregation (a generate over ≤ dim² rows) — a
+    // union of two references to `upper` would re-plan the whole
+    // corpus aggregation twice
+    upper.select(explode(
+        when(col("i") === col("j"),
+          array(struct(col("i").as("i"), col("j").as("j"), col("m").as("m"))))
+          .otherwise(array(
+            struct(col("i").as("i"), col("j").as("j"), col("m").as("m")),
+            struct(col("j").as("i"), col("i").as("j"), col("m").as("m")))))
+        .as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.m").as("m"))
   }
 
   /** Dominant eigen-direction of the second-moment matrix by `iters`
@@ -88,6 +104,20 @@ object Pca {
     }
     v.zipWithIndex.map { case (l, i) => (i, l, lambda) }
       .toSeq.toDF("i", "loading", "lambda")
+  }
+
+  /** Squared L2 norm of an array<double> column: left-to-right fold
+    * from the first squared element (SQL `list_reduce` order, the
+    * [[topComponent]] contract), with the array bound once so a derived
+    * input (e.g. a [[projectOut]] residual) is not re-evaluated per
+    * term. */
+  def normSq(arr: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    graft.functions.ColumnOps.bindOnce(arr) { a =>
+      (2 to dim).foldLeft(element_at(a, 1) * element_at(a, 1)) { (acc, k) =>
+        acc + element_at(a, k) * element_at(a, k)
+      }
+    }
   }
 
   /** All-but-the-top residual: x − (x·v)·v as a per-row array<double>

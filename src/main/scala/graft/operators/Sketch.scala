@@ -391,6 +391,34 @@ object Sketch {
       .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
   }
 
+  /** Driver-side CMS register union — the same elementwise addition as
+    * [[cmsMerge]], on collected sparse registers (≤ d·w entries), for
+    * streaming state folds. */
+  def mergeCmsRegisters(a: Map[(Int, Int), Long],
+                        b: Map[(Int, Int), Long]): Map[(Int, Int), Long] =
+    b.foldLeft(a) { case (acc, (k, c)) => acc.updated(k, acc.getOrElse(k, 0L) + c) }
+
+  /** Streaming maintenance: fold each micro-batch's CMS registers into
+    * the running state — per-key frequency estimates over an unbounded
+    * stream with fixed d·w state, exact-merge semantics (registers are
+    * sums), same contract as [[streamingDistinct]]. */
+  def streamingCms(stream: DataFrame, valueCol: Column, depth: Int, width: Int,
+                   checkpoint: String,
+                   state: java.util.concurrent.atomic.AtomicReference[Map[(Int, Int), Long]],
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val regs = cmsSketch(batch, valueCol, depth, width).collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        state.updateAndGet(cur => mergeCmsRegisters(cur, regs))
+        ()
+      }
+      .start()
+
   // ---------------------------------------------------------------
   // HyperLogLog distinct sketch
   // ---------------------------------------------------------------

@@ -307,6 +307,63 @@ class PlanSpec extends SparkSpec {
       s"rank window resurfaced in t_tfidf plan:\n$plan")
   }
 
+  test("Gopher rules and C4 line cleaning are per-row scans: no Exchange") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20L).map(i => (i, "the quick brown fox runs fast today"))
+      .toDF("id", "text")
+    val sig = graft.operators.Curation.gopherSignals(col("text"))
+    val gopher = df.select(col("id"), sig("n_words"), sig("stop_hits"),
+        graft.operators.Curation.gopherPass(col("text")).as("p"))
+      .queryExecution.executedPlan.toString
+    assert(!gopher.contains("Exchange"),
+      s"unexpected shuffle in gopher plan:\n$gopher")
+    val c4 = graft.operators.Curation.c4CleanLines(df, "id",
+        graft.operators.Curation.wordWindows(col("text"), 3), minWords = 2,
+        requirePunct = false)
+      .queryExecution.executedPlan.toString
+    assert(!c4.contains("Exchange"), s"unexpected shuffle in c4 plan:\n$c4")
+  }
+
+  test("globalLineDedup: aggregation-based winner, no corpus-wide window sort") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 30L).map(i => (i, Array(s"line ${i % 7}", s"line ${i % 5}")))
+      .toDF("id", "lines")
+    val plan = graft.operators.Curation.globalLineDedup(df, "id", col("lines"))
+      .queryExecution.executedPlan.toString
+    // the first-occurrence winner must come from a map-side-combinable
+    // min(struct) aggregation, never a row_number window over all lines
+    assert(!plan.contains("Window"),
+      s"corpus-wide window sort in line-dedup plan:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).nonEmpty, s"expected agg:\n$plan")
+  }
+
+  test("CMS registers reduce through one exchange with map-side partials") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 500L).toDF("v")
+    val plan = graft.operators.Sketch.cmsSketch(df, col("v"), 4, 64)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"CMS should reduce through one exchange, plan:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final register aggregates, plan:\n$plan")
+  }
+
+  test("PCA second moment: one exchange, map-side partial decimal sums") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 50L).map(i =>
+      (i, Array(i.toFloat, (i % 3).toFloat, 1.0f))).toDF("id", "vec")
+    val plan = graft.operators.Pca.secondMoment(df, col("vec"), 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"second moment should reduce through one exchange, plan:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final sum aggregates, plan:\n$plan")
+  }
+
   test("KMV sketch aggregates map-side: bounded partial sketch before one exchange") {
     val s = spark
     import s.implicits._

@@ -308,6 +308,28 @@ class SketchSpec extends SparkSpec {
     assert(merged == direct, "summed shard registers must equal the union sketch")
   }
 
+  test("streaming CMS across micro-batches equals the batch sketch of all data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("cmsstream").toString
+    val state = new java.util.concurrent.atomic.AtomicReference[Map[(Int, Int), Long]](Map.empty)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+
+    source.addData(0L until 800L: _*)
+    Sketch.streamingCms(source.toDF().toDF("v"), col("v"), 4, 64,
+      s"$tmp/ckpt", state).awaitTermination()
+    source.addData(400L until 1200L: _*) // overlapping second batch
+    Sketch.streamingCms(source.toDF().toDF("v"), col("v"), 4, 64,
+      s"$tmp/ckpt", state).awaitTermination()
+
+    val batchAll = Sketch.cmsSketch(
+        ((0L until 800L) ++ (400L until 1200L)).toDF("v"), col("v"), 4, 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(state.get() == batchAll,
+      "streamed register fold diverged from the batch sketch")
+  }
+
   test("grouped HLL matches per-group single sketches") {
     val s = spark
     import s.implicits._
