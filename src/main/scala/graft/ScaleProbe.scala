@@ -412,6 +412,15 @@ object ScaleProbe {
           .agg(sum(col("n_kept"))).head.getLong(0)
       }
 
+      // ExactSubstr span dedup at 4-word resolution: one row per word
+      // position through a content-keyed count+min(struct) aggregation,
+      // covered-index fan-out, per-doc regroup — linear in corpus
+      // tokens, never all-pairs (a gram repeated k times costs k rows)
+      t("span_dedup_l4") {
+        graft.operators.Curation.exactSpanDedup(docs, "id", "text", 4)
+          .agg(sum(col("n_removed"))).head.getLong(0)
+      }
+
       // CountMin registers over the ~8n-token stream: depth-4 explode
       // collapses map-side to ≤ 4·1024 rows per partition — frequency
       // estimates for post-hoc keys at fixed state

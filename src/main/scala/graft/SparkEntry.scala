@@ -802,6 +802,15 @@ object SparkEntry {
       Curation.globalLineDedup(Tables.documents(s, dir), "doc_id",
         Curation.wordWindows(col("text"), 4)).orderBy("doc_id")),
 
+    // ---- Curation: exact duplicated-span removal (Lee et al. 2021
+    // ExactSubstr at 5-word resolution, the gram-cover construction) —
+    // every ≥5-word span occurring more than once in the corpus
+    // survives only at its global (doc, position) first occurrence;
+    // overlapping covered grams merge into maximal removed intervals.
+    "dedup_span_exact" -> ((s, dir) =>
+      Curation.exactSpanDedup(Tables.documents(s, dir), "doc_id", "text", 5)
+        .orderBy("doc_id")),
+
     // ---- Sampling: fixed-size per-stratum deterministic sample (the
     // quota shape — exactly n per lang; WindowGroupLimit partial)
     "sample_stratified" -> ((s, dir) =>
@@ -1048,6 +1057,17 @@ object SparkEntry {
     "e_pca_power" -> ((s, dir) =>
       Pca.topComponent(Tables.embeddings(s, dir), col("embedding"),
         dim = 64, iters = 6).orderBy("i")),
+
+    // ---- The documented 100 TB play for exact PCA: the component is
+    // statistical, so the second moment runs over a DETERMINISTIC
+    // md5-hash row sample (Sampling.hashFraction — stable across runs,
+    // engines, partitionings) at 1/4 the explode cost, and the oracle
+    // replays the identical sample filter — still hash-exact, because
+    // the sample is a function of the data, not of an RNG
+    "e_pca_power_sampled" -> ((s, dir) =>
+      Pca.topComponent(
+        Sampling.hashFraction(Tables.embeddings(s, dir), "vec_id", 0.25, "pca"),
+        col("embedding"), dim = 64, iters = 6).orderBy("i")),
 
     // ---- All-but-the-Top at its use site: project the learned common
     // direction out of every embedding (per-row codegen residual — the
@@ -1679,6 +1699,23 @@ object SparkEntry {
           (id, MediaCodec.encodeWav(t.getBytes("UTF-8"), sampleRate = 8000))
         }.toDF("doc_id", "media")
       Multimodal.audioFeatures(wavs, "doc_id", "media").orderBy("doc_id")
+    }),
+
+    // ---- Multimodal VAD: frame-level energy + silence trimming over
+    // the same text→PCM fixture (32-sample frames, mean-square
+    // threshold 2000 — the corpus's frame mean-squares span 49..5088,
+    // so voiced and silent frames both occur) — the exact-integer
+    // Σs² > thr·n verdict, first/last-voiced trim window, and kept-range
+    // stats all replay in the oracle from ord(char)−128
+    "mm_audio_vad" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (id, MediaCodec.encodeWav(t.getBytes("UTF-8"), sampleRate = 8000))
+        }.toDF("doc_id", "media")
+      Multimodal.audioVad(wavs, "doc_id", "media",
+        frameLen = 32, meanSqThreshold = 2000L).orderBy("doc_id")
     }),
 
     // ---- Multimodal REAL JPEG decode: per-doc block-constant grayscale
@@ -3202,6 +3239,11 @@ object SparkEntry {
         s"""WITH ld_src AS (${wordWindowLinesSql("documents", 4)})
            |${lineDedupCoreSql("ld_src")} ORDER BY doc_id""".stripMargin,
 
+      // ExactSubstr twin: row_number first occurrence ≡ the engine's
+      // min(struct(id, start)); interval islands counted by lag-gap
+      "dedup_span_exact" ->
+        s"${spanDedupSql("documents", 5)} ORDER BY doc_id",
+
       "t_fingerprint" ->
         """SELECT doc_id, list_min(list_transform(
           |  generate_series(1, greatest(length(lower(text))-7, 1)),
@@ -3472,6 +3514,13 @@ object SparkEntry {
 
       "e_pca_power" -> pcaPowerSql(64, 6),
 
+      // sampled twin: the hashUniform('pca' ‖ vec_id) < 0.25 filter is
+      // the same UBIGINT md5-prefix expression the sampling oracles use
+      "e_pca_power_sampled" -> pcaPowerSql(64, 6,
+        """(SELECT * FROM embeddings
+          |  WHERE CAST(concat('0x', left(md5(concat('pca', CAST(vec_id AS VARCHAR))), 8)) AS UBIGINT)
+          |    / 4294967296.0 < 0.25)""".stripMargin),
+
       "e_pca_residual" -> pcaResidualSql(64, 6, 10),
 
       "e1_embed_oracle" -> embedOracleSql,
@@ -3598,6 +3647,42 @@ object SparkEntry {
           |  END AS rms
           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      // VAD twin: frames of 32 samples from ord(char)−128, integer
+      // Σs² > thr·n verdict, trim window = [first, last] voiced frames
+      "mm_audio_vad" ->
+        """WITH av_ch AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+          |    (CAST(i AS BIGINT) - 1) // 32 AS f,
+          |    CAST(ord(substr(text, CAST(i AS INT), 1)) - 128 AS BIGINT) AS c
+          |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+          |av_fr AS (
+          |  SELECT doc_id, f, sum(c * c) AS ss, count(*) AS n
+          |  FROM av_ch GROUP BY doc_id, f),
+          |av_v AS (
+          |  SELECT doc_id,
+          |    min(f) FILTER (WHERE ss > 2000 * n) AS fv,
+          |    max(f) FILTER (WHERE ss > 2000 * n) AS lv,
+          |    CAST(count(*) FILTER (WHERE ss > 2000 * n) AS BIGINT) AS n_voiced,
+          |    CAST(count(*) AS BIGINT) AS n_frames
+          |  FROM av_fr GROUP BY doc_id),
+          |av_k AS (
+          |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS kept_samples,
+          |    CAST(sum(c.c * c.c) AS BIGINT) AS kept_sum_sq
+          |  FROM av_ch c JOIN av_v v ON c.doc_id = v.doc_id
+          |  WHERE v.fv IS NOT NULL AND c.f BETWEEN v.fv AND v.lv
+          |  GROUP BY c.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(v.n_frames, 0) AS BIGINT) AS n_frames,
+          |  CAST(coalesce(v.n_voiced, 0) AS BIGINT) AS n_voiced,
+          |  CAST(coalesce(v.fv, -1) AS BIGINT) AS first_voiced,
+          |  CAST(coalesce(v.lv, -1) AS BIGINT) AS last_voiced,
+          |  CAST(coalesce(k.kept_samples, 0) AS BIGINT) AS kept_samples,
+          |  CAST(coalesce(k.kept_sum_sq, 0) AS BIGINT) AS kept_sum_sq,
+          |  CAST(coalesce(k.kept_samples, 0) * 1000 // 8000 AS BIGINT) AS kept_ms
+          |FROM documents d LEFT JOIN av_v v USING (doc_id)
+          |LEFT JOIN av_k k USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       // closed-form recomputation of the block-constant grayscale
       // fixture: pixel (x, y) of doc d holds gray value
@@ -4101,13 +4186,14 @@ object SparkEntry {
     * matvec row sums and the norm-square via `list_reduce` (fold-left
     * from the first element, exactly the engine's driver loop), unit
     * scaling by the correctly rounded sqrt. */
-  private def pcaPowerCtes(dim: Int, iters: Int): String = {
+  private def pcaPowerCtes(dim: Int, iters: Int,
+                           src: String = "embeddings"): String = {
     val base =
       s"""pc_pairs AS (
          |  SELECT ii.i AS i, jj.j AS j,
          |    CAST(e.embedding[ii.i + 1] AS DOUBLE)
          |      * CAST(e.embedding[jj.j + 1] AS DOUBLE) AS p
-         |  FROM embeddings e
+         |  FROM $src e
          |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) ii
          |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS j) jj),
          |pc_m AS (SELECT i, j, ${sparkDecSumToDouble("p")} AS mv
@@ -4131,8 +4217,9 @@ object SparkEntry {
     (base +: steps).mkString(",\n")
   }
 
-  private def pcaPowerSql(dim: Int, iters: Int): String =
-    s"""WITH ${pcaPowerCtes(dim, iters)}
+  private def pcaPowerSql(dim: Int, iters: Int,
+                          src: String = "embeddings"): String =
+    s"""WITH ${pcaPowerCtes(dim, iters, src)}
        |SELECT CAST(ii.i AS INT) AS i, v[ii.i + 1] AS loading,
        |  sqrt(nsq) AS lambda
        |FROM pc_v$iters CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) ii
@@ -4347,6 +4434,51 @@ object SparkEntry {
   /** Replay of `Curation.globalLineDedup` over `$lnSrc` (doc_id, ls):
     * row_number over (doc_id, pos) ≡ the engine's min(struct) winner.
     * Complete SELECT, composable. */
+  /** DuckDB replay of [[Curation.exactSpanDedup]]: md5 l-gram
+    * occurrence table, row_number first occurrence per gram (≡ the
+    * engine's `min(struct(id, start))` — lexicographic either way),
+    * covered-index fan-out, span count by lag-gap islands, per-doc
+    * rebuild by covered-index anti-join. */
+  private def spanDedupSql(src: String, l: Int): String =
+    s"""WITH sd_toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |    x -> x <> '') AS w FROM $src),
+       |sd_occ AS (
+       |  SELECT doc_id, i AS s,
+       |    md5(array_to_string(w[i:i+${l - 1}], ' ')) AS h
+       |  FROM sd_toks, unnest(generate_series(1, len(w) - ${l - 1})) AS u(i)
+       |  WHERE len(w) >= $l),
+       |sd_mark AS (
+       |  SELECT doc_id, s,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt FROM sd_occ),
+       |sd_cov AS (
+       |  SELECT DISTINCT doc_id, s + j AS ci
+       |  FROM sd_mark, unnest(generate_series(0, ${l - 1})) AS v(j)
+       |  WHERE cnt >= 2 AND rn > 1),
+       |sd_covw AS (
+       |  SELECT doc_id, ci,
+       |    CASE WHEN lag(ci) OVER (PARTITION BY doc_id ORDER BY ci) = ci - 1
+       |      THEN 0 ELSE 1 END AS isstart FROM sd_cov),
+       |sd_covagg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+       |    CAST(sum(isstart) AS BIGINT) AS n_spans
+       |  FROM sd_covw GROUP BY doc_id),
+       |sd_words AS (
+       |  SELECT doc_id, j AS wi, w[j] AS word
+       |  FROM sd_toks, unnest(generate_series(1, len(w))) AS g(j)),
+       |sd_kept AS (
+       |  SELECT wo.doc_id, string_agg(wo.word, ' ' ORDER BY wo.wi) AS text_dedup
+       |  FROM sd_words wo LEFT JOIN sd_cov c
+       |    ON wo.doc_id = c.doc_id AND wo.wi = c.ci
+       |  WHERE c.ci IS NULL GROUP BY wo.doc_id)
+       |SELECT t.doc_id AS doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+       |  coalesce(ca.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+       |  coalesce(ca.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  coalesce(k.text_dedup, '') AS text_dedup
+       |FROM sd_toks t LEFT JOIN sd_covagg ca USING (doc_id)
+       |LEFT JOIN sd_kept k USING (doc_id)""".stripMargin
+
   private def lineDedupCoreSql(lnSrc: String): String =
     s"""SELECT $lnSrc.doc_id AS doc_id, coalesce(k.text_dedup, '') AS text_dedup,
        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,

@@ -200,4 +200,76 @@ object Curation {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  /** Exact duplicated-span removal (Lee et al. 2021, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): any word span of length ≥ `l` that occurs more than
+    * once in the corpus is removed everywhere EXCEPT its first
+    * occurrence in (doc id, word position) order. The paper builds a
+    * corpus suffix array; the distributed equivalent used here is the
+    * gram-cover construction: a duplicated span of length ≥ l contains
+    * a duplicated l-gram at every start offset, so marking every
+    * non-first occurrence of every duplicated l-gram and merging the
+    * [start, start+l) intervals per document recovers exactly the
+    * duplicated-span set at l-word resolution. The same construction
+    * (hash l-grams, keep global firsts) is what the BFF / Dolma
+    * paragraph dedupers run at production scale.
+    *
+    * Scale shape: one row per word position (linear in corpus tokens,
+    * ~50 B each with the md5 key) through ONE content-keyed aggregation
+    * shuffle — map-side-combinable count + `min(struct(id, start))`,
+    * never all-pairs and never a corpus-wide window sort. Duplicated
+    * occurrences then join back (hash-co-partitioned with the
+    * aggregation output), fan out l covered indices each, and regroup
+    * per doc (`collect_set` bounded by document length). No driver
+    * state. Degenerate-gram safety: a gram repeated k times costs k
+    * rows — linear, unlike pair-based dedup fan-outs, so no bucket
+    * guard is needed.
+    *
+    * Per-doc rebuild is O(words × covered) array scans — fine for
+    * documents; chunk pathological multi-MB docs upstream (the
+    * [[graft.functions.TextFunctions.repetitionSignals]] caveat).
+    *
+    * Output: idCol, n_words, n_removed (covered word positions),
+    * n_spans (maximal removed intervals), text_dedup (surviving words
+    * joined by single spaces — whitespace is normalized, the same
+    * contract as [[globalLineDedup]]'s delimiter rejoin). */
+  def exactSpanDedup(df: DataFrame, idCol: String, textCol: String,
+                     l: Int): DataFrame = {
+    require(l >= 2, s"span length must be >= 2, got $l")
+    val toks = df.select(col(idCol).as("__id"),
+      array_remove(split(col(textCol), "\\s+"), "").as("w"))
+    // (doc, start, gram-hash) — start is the 1-based word index
+    val occ = toks.select(col("__id"),
+        when(size(col("w")) >= l,
+          transform(sequence(lit(1), size(col("w")) - (l - 1)),
+            i => struct(i.as("start"),
+              md5(concat_ws(" ", slice(col("w"), i, lit(l)))).as("h"))))
+          .otherwise(array().cast("array<struct<start:int,h:string>>"))
+          .as("gs"))
+      .select(col("__id"), explode(col("gs")).as("g"))
+      .select(col("__id"), col("g.start").as("start"), col("g.h").as("h"))
+    val byGram = occ.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("__id"), col("start"))).as("w1"))
+      .where(col("cnt") >= 2)
+      .select(col("h"), col("w1.__id").as("__fid"), col("w1.start").as("__fstart"))
+    val cov = occ.join(byGram, Seq("h"))
+      .where(!(col("__id") === col("__fid") && col("start") === col("__fstart")))
+      .select(col("__id"),
+        explode(sequence(col("start"), col("start") + (l - 1))).as("ci"))
+      .groupBy("__id")
+      .agg(sort_array(collect_set(col("ci"))).as("cov"))
+    toks.join(cov, Seq("__id"), "left")
+      .select(col("__id"), col("w"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cv"))
+      .select(col("__id").as(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("cv")).cast("long").as("n_removed"),
+        size(filter(col("cv"), c => !array_contains(col("cv"), c - 1)))
+          .cast("long").as("n_spans"),
+        array_join(
+          filter(col("w"), (_, i0) => !array_contains(col("cv"), i0 + 1)),
+          " ").as("text_dedup"))
+  }
 }

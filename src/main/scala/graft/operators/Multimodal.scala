@@ -135,6 +135,75 @@ object Multimodal {
     }.toDF(idCol, "sample_rate", "n_samples", "duration_ms", "sum_sq", "rms")
   }
 
+  /** Frame-level audio energy + voice-activity trimming: the
+    * VAD/segmentation pre-pass every speech-data pipeline runs before
+    * transcription (trim leading/trailing silence, quantify voiced
+    * content). Each clip's PCM samples tile into `frameLen`-sample
+    * frames (tail partial frame included); a frame is VOICED when its
+    * mean square exceeds `meanSqThreshold` — compared as the exact
+    * integer inequality Σs² > thr·n, no float division, so the verdict
+    * is oracle-replayable bit for bit.
+    *
+    * Output per clip: n_frames, n_voiced, first_voiced / last_voiced
+    * (frame indices, −1 when silent), kept_samples and kept_sum_sq over
+    * the trimmed [first, last] frame range, kept_ms (truncating integer
+    * division by the sample rate). Decoder errors quarantine as null
+    * rows ([[audioFeatures]] contract). Per-partition sequential decode
+    * — one pass, no shuffle at any corpus size. */
+  def audioVad(df: DataFrame, idCol: String, binCol: String,
+               frameLen: Int, meanSqThreshold: Long): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        try {
+          val (meta, samples) = MediaCodec.decodeWav(bytes)
+          val nFrames = (samples.length + frameLen - 1) / frameLen
+          var first = -1L
+          var last = -1L
+          var nVoiced = 0L
+          var f = 0
+          while (f < nFrames) {
+            val lo = f * frameLen
+            val hi = math.min(lo + frameLen, samples.length)
+            var ss = 0L
+            var i = lo
+            while (i < hi) { ss += samples(i).toLong * samples(i); i += 1 }
+            if (ss > meanSqThreshold * (hi - lo)) {
+              if (first < 0) first = f
+              last = f
+              nVoiced += 1
+            }
+            f += 1
+          }
+          var keptSamples = 0L
+          var keptSumSq = 0L
+          if (first >= 0) {
+            val lo = first.toInt * frameLen
+            val hi = math.min((last.toInt + 1) * frameLen, samples.length)
+            keptSamples = (hi - lo).toLong
+            var i = lo
+            while (i < hi) { keptSumSq += samples(i).toLong * samples(i); i += 1 }
+          }
+          val keptMs = keptSamples * 1000L / meta.sampleRate
+          (id, Some(nFrames.toLong), Some(nVoiced), Some(first), Some(last),
+            Some(keptSamples), Some(keptSumSq), Some(keptMs))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (id, None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long])
+        }
+      }
+    }.toDF(idCol, "n_frames", "n_voiced", "first_voiced", "last_voiced",
+      "kept_samples", "kept_sum_sq", "kept_ms")
+  }
+
   /** REAL image decode: parse each row's image payload — 24-bit BMP,
     * baseline JPEG, or PNG, sniffed by magic
     * ([[MediaCodec.decodeImage]]) — and

@@ -92,4 +92,65 @@ class CurationSpec extends SparkSpec {
     assert(out(2).getAs[String]("text_dedup") == "" && out(2).getAs[Long]("n_kept") == 0)
     assert(out(3).getAs[String]("text_dedup") == "" && out(3).getAs[Long]("n_dropped") == 0)
   }
+
+  test("exactSpanDedup: shared passage survives only at its first occurrence") {
+    val s = spark
+    import s.implicits._
+    val passage = "one two three four five six" // 6 words, covers two 5-grams
+    val df = Seq(
+      (10L, s"intro words here $passage and a tail"),
+      (20L, s"other start then $passage closing words"),
+      (30L, "totally unrelated text with enough words present")).toDF("doc_id", "text")
+    val out = Curation.exactSpanDedup(df, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    // doc 10 is the (id, pos) first occurrence: untouched
+    assert(out(0).getAs[Long]("n_removed") == 0)
+    assert(out(0).getAs[String]("text_dedup") ==
+      s"intro words here $passage and a tail")
+    // doc 20 loses exactly the passage — two overlapping covered 5-grams
+    // merged into ONE maximal 6-word span
+    assert(out(1).getAs[Long]("n_removed") == 6)
+    assert(out(1).getAs[Long]("n_spans") == 1)
+    assert(out(1).getAs[String]("text_dedup") == "other start then closing words")
+    assert(out(2).getAs[Long]("n_removed") == 0)
+  }
+
+  test("exactSpanDedup: within-doc repeat, full-doc duplicate, short docs") {
+    val s = spark
+    import s.implicits._
+    val rep = "a b c d e"
+    val df = Seq(
+      (1L, s"$rep x y $rep"),          // self-repeat: second copy removed
+      (2L, "p q r s t u v w"),         // first occurrence of doc 3's text
+      (3L, "p q r s t u v w"),         // full duplicate: empties
+      (4L, "just four words"),         // shorter than l: untouched
+      (5L, "")).toDF("doc_id", "text") // empty: untouched
+    val out = Curation.exactSpanDedup(df, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_dedup") == s"$rep x y")
+    assert(out(0).getAs[Long]("n_removed") == 5 && out(0).getAs[Long]("n_spans") == 1)
+    assert(out(1).getAs[Long]("n_removed") == 0)
+    assert(out(2).getAs[String]("text_dedup") == "" &&
+      out(2).getAs[Long]("n_removed") == 8 && out(2).getAs[Long]("n_spans") == 1)
+    assert(out(3).getAs[Long]("n_removed") == 0 &&
+      out(3).getAs[String]("text_dedup") == "just four words")
+    assert(out(4).getAs[Long]("n_words") == 0 &&
+      out(4).getAs[String]("text_dedup") == "")
+  }
+
+  test("exactSpanDedup: disjoint duplicated spans count separately") {
+    val s = spark
+    import s.implicits._
+    val p1 = "m n o p q"
+    val p2 = "f g h i j"
+    val df = Seq(
+      (1L, s"$p1 gap words $p2"),
+      (2L, s"$p1 other middle piece $p2 end")).toDF("doc_id", "text")
+    val out = Curation.exactSpanDedup(df, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed") == 0)
+    assert(out(1).getAs[Long]("n_removed") == 10 &&
+      out(1).getAs[Long]("n_spans") == 2)
+    assert(out(1).getAs[String]("text_dedup") == "other middle piece end")
+  }
 }

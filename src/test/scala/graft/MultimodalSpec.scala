@@ -304,4 +304,33 @@ class MultimodalSpec extends SparkSpec {
     assert(st(2L).getLong(3) == jpgRgb.map(_ & 0xff).sum.toLong) // exact: block-constant q=1.0
     assert(st(3L).isNullAt(1) && st(3L).isNullAt(4))
   }
+
+  test("audioVad: silence trim window, integer threshold verdict, quarantine") {
+    import graft.operators.MediaCodec
+    val s = spark
+    import s.implicits._
+    // 4-sample frames: [silence][loud][loud][tail-silence(2)] — 8-bit
+    // PCM stores sample+128, so 128 encodes 0 and 128±a encodes ±a
+    def pcm(vals: Int*): Array[Byte] = vals.map(v => (v + 128).toByte).toArray
+    val clip = pcm(0, 0, 0, 0, 50, 50, 50, 50, -60, 60, -60, 60, 1, 1)
+    val silent = pcm(1, -1, 1, -1)
+    val wavs = Seq(
+      (1L, MediaCodec.encodeWav(clip, 8000)),
+      (2L, MediaCodec.encodeWav(silent, 8000)),
+      (3L, "noise".getBytes)).toDF("id", "media")
+    val out = Multimodal.audioVad(wavs, "id", "media",
+      frameLen = 4, meanSqThreshold = 100L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 4L) // 14 samples → 4 frames (tail of 2)
+    assert(r1.getLong(2) == 2L) // frames 1, 2 voiced (2500, 3600 > 100)
+    assert(r1.getLong(3) == 1L && r1.getLong(4) == 2L)
+    assert(r1.getLong(5) == 8L) // trimmed to frames 1..2
+    assert(r1.getLong(6) == 4L * 2500L + 4L * 3600L)
+    assert(r1.getLong(7) == 8L * 1000L / 8000L)
+    val r2 = out(2L) // wholly silent: mean sq 1 ≤ 100
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 0L)
+    assert(r2.getLong(3) == -1L && r2.getLong(4) == -1L && r2.getLong(5) == 0L)
+    assert(out(3L).isNullAt(1)) // malformed payload quarantined
+  }
 }
