@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Export, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pca, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Export, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pca, Phrases, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1589,6 +1589,27 @@ object SparkEntry {
     "t_bpe_bytes_apply" -> ((s, dir) =>
       ByteBpe.tokenize(Tables.documents(s, dir), "doc_id", "text",
         FixedByteBpeMerges).orderBy("doc_id")),
+
+    // ---- Collocation mining (Mikolov et al. 2013 §4): δ-discounted
+    // phrase scores over exact adjacent-pair and unigram counts — the
+    // score is one IEEE division of exact integers, so the full ranked
+    // table replays bit-for-bit
+    "t_phrases" -> ((s, dir) =>
+      Phrases.collocations(Tables.documents(s, dir), "text",
+          delta = 5L, minCount = 10L)
+        .orderBy(col("score").desc, col("a").asc, col("b").asc)
+        .limit(50)),
+
+    // ---- Phrase rewrite: the top-8 learned phrases join their
+    // occurrences with '_' via the delimited replace chain (rank
+    // order, whole words as symbols — the Bpe apply discipline); the
+    // oracle re-learns the ranking AND replays the 8-round chain
+    "t_phrases_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val phr = Phrases.topPhrases(docs, "text", k = 8,
+        delta = 5L, minCount = 10L)
+      Phrases.applyPhrases(docs, "doc_id", "text", phr).orderBy("doc_id")
+    }),
 
     // ---- Text analysis: TF-IDF top terms per document (ln is bitwise-
     // identical across libm/DuckDB on these values — verified). Per-doc
@@ -3378,6 +3399,15 @@ object SparkEntry {
 
       "t_bpe_bytes_apply" -> byteBpeApplySql(FixedByteBpeMerges),
 
+      // collocation twins: exact-count score division; rank LIMIT is a
+      // total order on distinct (a, b) so the cut is unambiguous
+      "t_phrases" ->
+        s"""WITH ${phrasesScoreCtes("documents", 5, 10)}
+           |SELECT a, b, pair_cnt, cnt_a, cnt_b, score FROM ph_sc
+           |ORDER BY score DESC, a, b LIMIT 50""".stripMargin,
+
+      "t_phrases_apply" -> phrasesApplySql(8, 5, 10),
+
       // four-stage composition: each stage's parameterized oracle
       // feeds the next as a CTE — gate → line rules → global line
       // dedup → manifest, one statement
@@ -4672,6 +4702,57 @@ object SparkEntry {
 
   /** Replay of `Bpe.tokenize` under [[FixedBpeMerges]]: identical
     * replace chain per word, identical token-stream join + md5. */
+  /** Shared collocation CTEs (`ph_tok`/`ph_uni`/`ph_bi`/`ph_sc`):
+    * cleaned tokens, exact unigram/adjacent-pair counts, and the
+    * δ-discounted score — one IEEE division of exact BIGINTs,
+    * arithmetic-identical to [[graft.operators.Phrases.collocations]]. */
+  private def phrasesScoreCtes(src: String, delta: Int, minCount: Int): String =
+    s"""ph_tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(
+       |    replace(replace(lower(text), chr(2), ''), chr(3), ''), '\\s+'),
+       |    x -> x <> '') AS t FROM $src),
+       |ph_uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(t) AS w FROM ph_tok) GROUP BY w),
+       |ph_bi AS (SELECT t[i] AS a, t[i + 1] AS b,
+       |    CAST(count(*) AS BIGINT) AS pair_cnt
+       |  FROM ph_tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 2 GROUP BY 1, 2),
+       |ph_sc AS (SELECT a, b, pair_cnt, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+       |    CAST(pair_cnt - $delta AS DOUBLE)
+       |      / CAST(ua.cnt * ub.cnt AS DOUBLE) AS score
+       |  FROM ph_bi JOIN ph_uni ua ON a = ua.w JOIN ph_uni ub ON b = ub.w
+       |  WHERE pair_cnt >= $minCount)""".stripMargin
+
+  /** Replay of topPhrases + applyPhrases: rank CTE, then one replace
+    * round per CTE (scalar subqueries pull phrase k's words; a missing
+    * rank NULLs the pattern and the coalesce makes the round a no-op),
+    * then the delimiter unwrap and token accounting. */
+  private def phrasesApplySql(k: Int, delta: Int, minCount: Int): String = {
+    def sub(c: String, i: Int) = s"(SELECT $c FROM ph_rank WHERE rn = $i)"
+    val rounds = (1 to k).map { i =>
+      s"""ph_m$i AS (SELECT doc_id, t, coalesce(replace(s,
+         |  chr(2) || ${sub("a", i)} || chr(3) || chr(2) || ${sub("b", i)} || chr(3),
+         |  chr(2) || ${sub("a", i)} || '_' || ${sub("b", i)} || chr(3)), s) AS s
+         |  FROM ph_m${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${phrasesScoreCtes("documents", delta, minCount)},
+       |ph_rank AS (SELECT a, b,
+       |    row_number() OVER (ORDER BY score DESC, a, b) AS rn
+       |  FROM ph_sc QUALIFY rn <= $k),
+       |ph_m0 AS (SELECT doc_id, t,
+       |    coalesce(list_aggregate(list_transform(t,
+       |      x -> chr(2) || x || chr(3)), 'string_agg', ''), '') AS s
+       |  FROM ph_tok),
+       |$rounds,
+       |ph_f AS (SELECT doc_id, t,
+       |    trim(replace(s, chr(3) || chr(2), ' '), chr(2) || chr(3)) AS text_phr
+       |  FROM ph_m$k)
+       |SELECT doc_id, text_phr, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(t) - (CASE WHEN text_phr = '' THEN 0
+       |    ELSE len(string_split(text_phr, ' ')) END) AS BIGINT) AS n_merges
+       |FROM ph_f ORDER BY doc_id""".stripMargin
+  }
+
   private def bpeApplySql(merges: Seq[(String, String)]): String =
     s"""WITH ${bpeStreamCtes(merges)}
        |SELECT doc_id,
