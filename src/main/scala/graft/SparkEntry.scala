@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Export, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pca, Phrases, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Export, Funnel, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pca, Phrases, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -556,6 +556,28 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), dSum(col("value")).as("sum_value"))
         .orderBy("h", "event_type")),
+
+    // ---- Product analytics: ordered first-completion funnel
+    // (view → click → purchase, 24 h attribution window) — one
+    // filtered user-keyed min aggregation per step, step joins share
+    // the user-hash partitioning; timestamps compare as epoch micros
+    "events_funnel" -> ((s, dir) =>
+      Funnel.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSeconds = Some(86400L))
+        .select(col("user_id"),
+          unix_micros(col("t1")).as("t1_us"),
+          unix_micros(col("t2")).as("t2_us"),
+          unix_micros(col("t3")).as("t3_us"),
+          col("steps_completed"))
+        .orderBy("user_id")),
+
+    // ---- Product analytics: day-cohort retention matrix — first-seen
+    // cohort per user, distinct active users per (cohort, day offset)
+    "events_retention" -> ((s, dir) =>
+      Funnel.retention(Tables.events(s, dir), "user_id", "ts")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort", "day_offset")),
 
     // ---- metadata_json analog: JSON extraction (storage.py:213,245)
     "events_json_extract" -> ((s, dir) =>
@@ -2826,6 +2848,46 @@ object SparkEntry {
         s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
            |event_type, count(*) AS n, ${decSum("value")} AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+      // funnel twin: per-step filtered min chained through the
+      // previous step's completion set; epoch-micros comparison
+      "events_funnel" ->
+        """WITH f1 AS (
+          |  SELECT user_id, min(ts) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |f2 AS (
+          |  SELECT e.user_id, min(f1.t1) AS t1, min(e.ts) AS t2
+          |  FROM events e JOIN f1 ON e.user_id = f1.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > f1.t1
+          |    AND e.ts <= f1.t1 + INTERVAL 86400 SECOND
+          |  GROUP BY e.user_id),
+          |f3 AS (
+          |  SELECT e.user_id, min(f2.t1) AS t1, min(e.ts) AS t3
+          |  FROM events e JOIN f2 ON e.user_id = f2.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > f2.t2
+          |    AND e.ts <= f2.t1 + INTERVAL 86400 SECOND
+          |  GROUP BY e.user_id)
+          |SELECT f1.user_id, epoch_us(f1.t1) AS t1_us,
+          |  epoch_us(f2.t2) AS t2_us, epoch_us(f3.t3) AS t3_us,
+          |  CAST(1 + (CASE WHEN f2.t2 IS NULL THEN 0 ELSE 1 END)
+          |    + (CASE WHEN f3.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          |    AS steps_completed
+          |FROM f1
+          |LEFT JOIN f2 ON f1.user_id = f2.user_id
+          |LEFT JOIN f3 ON f1.user_id = f3.user_id
+          |ORDER BY f1.user_id""".stripMargin,
+
+      // retention twin: first-seen day cohort × day offset, exact
+      // distinct-user counts
+      "events_retention" ->
+        """WITH fs AS (
+          |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+          |  FROM events GROUP BY user_id)
+          |SELECT strftime(fs.cohort, '%Y-%m-%d') AS cohort,
+          |  CAST(CAST(e.ts AS DATE) - fs.cohort AS INT) AS day_offset,
+          |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+          |FROM events e JOIN fs ON e.user_id = fs.user_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "events_gapfill" ->
         s"""WITH hh AS (

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort-retention analytics — the
+  * product-analytics pair every event pipeline serves alongside
+  * sessionization ([[Sessionize]]) and hourly rollups. The reference
+  * engine stores and retrieves event-shaped metadata
+  * (`/root/reference/src/vector_db/storage/store.py` persists arbitrary
+  * per-id metadata); an analytics engine over the same data answers the
+  * canonical questions asked OF that metadata, which are exactly these
+  * two operators.
+  *
+  * Scale shape: every aggregation is user-keyed and map-side
+  * combinable (per-user state = one timestamp per funnel step / one
+  * first-seen date); step k's event scan filters to one event type
+  * BEFORE joining the (much smaller) step-k−1 completion set, and all
+  * step joins/aggregations share the user-hash partitioning, so AQE
+  * reuses one exchange per step. No windows over the event stream, no
+  * driver state.
+  */
+object Funnel {
+
+  /** Ordered first-completion funnel: step k's time is the EARLIEST
+    * event of type `steps(k)` STRICTLY after step k−1's time — and
+    * within `withinSeconds` of step 1 when set (the "converted inside
+    * the attribution window" form). A user appears iff they completed
+    * step 1; steps_completed counts the contiguous prefix reached.
+    *
+    * First-completion semantics (min per step, conditioned on the
+    * previous step's min) is deterministic and exactly replayable —
+    * no per-user event-order scan, just one filtered min aggregation
+    * per step. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             withinSeconds: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"steps must be distinct: $steps")
+    withinSeconds.foreach(w => require(w > 0, s"window must be positive, got $w"))
+    val ev = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+      col(typeCol).as("__t"))
+    // stage k: (__u, t1, tk) — t1 rides along for the window predicate
+    val stage1 = ev.where(col("__t") === steps.head)
+      .groupBy("__u").agg(min(col("__ts")).as("t1"))
+    val stages = (2 to steps.size).scanLeft(
+      stage1.select(col("__u"), col("t1"), col("t1").as("tk"))) { (prev, k) =>
+      val windowOk = withinSeconds
+        .map(w => col("__ts") <= col("t1") + expr(s"INTERVAL $w SECONDS"))
+        .getOrElse(lit(true))
+      ev.where(col("__t") === steps(k - 1))
+        .join(prev, Seq("__u"))
+        .where(col("__ts") > col("tk") && windowOk)
+        .groupBy("__u")
+        .agg(min(col("t1")).as("t1"), min(col("__ts")).as("tk"))
+    }.toList
+    val out = stages.zipWithIndex.tail.foldLeft(
+      stage1.select(col("__u"), col("t1"))) { case (acc, (st, i)) =>
+      acc.join(st.select(col("__u"), col("tk").as(s"t${i + 1}")), Seq("__u"), "left")
+    }
+    val stepCols = (1 to steps.size).map(k => col(s"t$k"))
+    // contiguous-prefix count: step k only exists when k−1 did (the
+    // join chain guarantees it), so counting non-nulls is the prefix
+    out.select((col("__u").as(userCol) +: stepCols) :+
+      stepCols.map(c => when(c.isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _).as("steps_completed"): _*)
+  }
+
+  /** Day-cohort retention matrix: users cohort by their first-seen
+    * day; each (cohort, day_offset) cell counts DISTINCT users from
+    * that cohort active that day. The product-analytics retention
+    * curve, exactly: n_users at offset 0 is the cohort size. */
+  def retention(events: DataFrame, userCol: String,
+                tsCol: String): DataFrame = {
+    val ev = events.select(col(userCol).as("__u"),
+      to_date(col(tsCol)).as("__d"))
+    val first = ev.groupBy("__u").agg(min(col("__d")).as("cohort"))
+    ev.join(first, Seq("__u"))
+      .groupBy(col("cohort"), datediff(col("__d"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+  }
+}
