@@ -87,6 +87,14 @@ object ScaleProbe {
       t("pca_second_moment_d64")(
         graft.operators.Pca.secondMoment(df, col("embedding"), 64).count())
 
+      // the documented scale play measured: the same exact aggregation
+      // over the deterministic md5 quarter-sample — statistically the
+      // same component at 1/4 the explode cost, still oracle-replayable
+      t("pca_second_moment_d64_sampled")(
+        graft.operators.Pca.secondMoment(
+          graft.operators.Sampling.hashFraction(df, "id", 0.25, "pca"),
+          col("embedding"), 64).count())
+
       // KMV sketch: bounded-state distinct estimate over all n ids
       t("kmv_sketch_k256")(
         graft.operators.Sketch.distinctEstimate(df, col("id"), 256).count())

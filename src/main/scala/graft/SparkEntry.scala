@@ -1098,7 +1098,14 @@ object SparkEntry {
     // mirror the oracle's list_reduce order
     "e_pca_residual" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val comp = Pca.topComponent(emb, col("embedding"), dim = 64, iters = 6)
+      // the component comes from the deterministic md5 quarter-sample
+      // (the scale play at its use site — the component is statistical;
+      // the oracle replays the same sample filter, so the residual
+      // ranking stays hash-exact); the residual scan covers the FULL
+      // corpus
+      val comp = Pca.topComponent(
+        Sampling.hashFraction(emb, "vec_id", 0.25, "pca"),
+        col("embedding"), dim = 64, iters = 6)
         .orderBy("i").collect().map(_.getDouble(1))
       emb.select(col("vec_id"),
           Pca.normSq(Pca.projectOut(col("embedding"), comp), 64)
@@ -3613,7 +3620,12 @@ object SparkEntry {
           |  WHERE CAST(concat('0x', left(md5(concat('pca', CAST(vec_id AS VARCHAR))), 8)) AS UBIGINT)
           |    / 4294967296.0 < 0.25)""".stripMargin),
 
-      "e_pca_residual" -> pcaResidualSql(64, 6, 10),
+      // the component CTEs run over the same md5 quarter-sample the
+      // engine uses; the residual scan stays full-corpus
+      "e_pca_residual" -> pcaResidualSql(64, 6, 10,
+        """(SELECT * FROM embeddings
+          |  WHERE CAST(concat('0x', left(md5(concat('pca', CAST(vec_id AS VARCHAR))), 8)) AS UBIGINT)
+          |    / 4294967296.0 < 0.25)""".stripMargin),
 
       "e1_embed_oracle" -> embedOracleSql,
 
@@ -4322,8 +4334,9 @@ object SparkEntry {
     * the elementwise residual, and the left-fold residual norm² —
     * operand-for-operand the `Pca.projectOut` + `Pca.normSq` expression
     * trees. */
-  private def pcaResidualSql(dim: Int, iters: Int, k: Int): String =
-    s"""WITH ${pcaPowerCtes(dim, iters)},
+  private def pcaResidualSql(dim: Int, iters: Int, k: Int,
+                             src: String = "embeddings"): String =
+    s"""WITH ${pcaPowerCtes(dim, iters, src)},
        |pr_d AS (SELECT e.vec_id AS vec_id, e.embedding AS emb, c.v AS v,
        |    list_reduce(list_transform(range(1, ${dim + 1}),
        |      j -> CAST(e.embedding[j] AS DOUBLE) * c.v[j]), (a, b) -> a + b) AS d
