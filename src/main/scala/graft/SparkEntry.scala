@@ -1697,6 +1697,14 @@ object SparkEntry {
       LmScore.selfScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ---- Stupid Backoff trigram self-score (Brants et al. 2007 — the
+    // smoothing designed for distributed web-scale LMs): singleton
+    // trigrams pruned so all three tiers fire; every tier one exact-int
+    // division, libm-exact ln, token-order fold
+    "t_lm_backoff" -> ((s, dir) =>
+      LmScore.backoffSelfScore(Tables.documents(s, dir), "doc_id", "text",
+        trigramMinCount = 2L).orderBy("doc_id")),
+
     // ---- Text analysis: exact quarter-quantiles of doc length per lang
     // (quarter fractions over ints interpolate exactly in both engines)
     "t_quantiles" -> ((s, dir) =>
@@ -3693,6 +3701,60 @@ object SparkEntry {
       // bigram-LM self-score: per-doc sequential fold over bigram
       // positions (list_reduce ≡ the engine's in-order aggregate fold);
       // DuckDB ln and the engine's LnDouble are both libm-exact
+      // Stupid Backoff twin: three-tier CASE (trigram / α·bigram /
+      // α²·add-one-unigram), every tier exact-count casts + one
+      // division; same token-order list_reduce fold as t_lm_score
+      "t_lm_backoff" ->
+        """WITH sb_toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+          |  FROM documents),
+          |sb_tok AS (
+          |  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+          |  FROM sb_toks),
+          |sb_tg AS (
+          |  SELECT a.doc_id, a.pos AS tpos, a.w AS w1, b.w AS w2, c.w AS w3
+          |  FROM sb_tok a
+          |  JOIN sb_tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          |  JOIN sb_tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+          |sb_c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM sb_tg
+          |  GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+          |sb_c2 AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c2
+          |  FROM sb_tok a JOIN sb_tok b
+          |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          |  GROUP BY 1, 2),
+          |sb_c1 AS (SELECT w, count(*) AS c1 FROM sb_tok GROUP BY 1),
+          |sb_nv AS (SELECT CAST(sum(c1) AS BIGINT) AS n,
+          |  CAST(count(*) AS BIGINT) AS v FROM sb_c1),
+          |sb_sc AS (
+          |  SELECT g.doc_id, g.tpos,
+          |    ln(CASE
+          |      WHEN coalesce(t.c3, 0) > 0
+          |        THEN CAST(t.c3 AS DOUBLE) / CAST(p.c2 AS DOUBLE)
+          |      WHEN coalesce(b23.c2, 0) > 0
+          |        THEN CAST('0.4' AS DOUBLE)
+          |          * (CAST(b23.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+          |      ELSE CAST('0.4' AS DOUBLE) * CAST('0.4' AS DOUBLE)
+          |          * (CAST(coalesce(u3.c1, 0) + 1 AS DOUBLE)
+          |             / CAST(nv.n + nv.v AS DOUBLE)) END) AS lp
+          |  FROM sb_tg g
+          |  LEFT JOIN sb_c3 t ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+          |  LEFT JOIN sb_c2 p ON g.w1 = p.w1 AND g.w2 = p.w2
+          |  LEFT JOIN sb_c2 b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+          |  LEFT JOIN sb_c1 u2 ON g.w2 = u2.w
+          |  LEFT JOIN sb_c1 u3 ON g.w3 = u3.w
+          |  CROSS JOIN sb_nv nv),
+          |sb_agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+          |    list_reduce(list_prepend(0.0, list(lp ORDER BY tpos)),
+          |                (x, y) -> x + y) AS sum_logscore
+          |  FROM sb_sc GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams,
+          |  a.sum_logscore,
+          |  (-a.sum_logscore) / CAST(a.n_trigrams AS DOUBLE) AS lm_backoff
+          |FROM documents d LEFT JOIN sb_agg a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
       "t_lm_score" ->
         """WITH toks AS (
           |  SELECT doc_id,

@@ -120,4 +120,108 @@ object LmScore {
     score(df, idCol, textCol,
       bigramCounts(df, idCol, textCol, minCount),
       unigramCounts(df, idCol, textCol))
+
+  // ---------------------------------------------------------------
+  // Stupid Backoff trigram scoring (Brants et al. 2007)
+  // ---------------------------------------------------------------
+
+  /** (doc) → exploded (id, pos, w1, w2, w3) trigram rows, OUTER like
+    * [[bigramRows]] so < 3-token docs keep a sentinel row. */
+  private def trigramRows(df: DataFrame, idCol: String, textCol: String) = {
+    val arr = toksArr(textCol)
+    df.select(col(idCol), arr.as("__toks"))
+      .select(col(idCol), posexplode_outer(
+        when(size(col("__toks")) >= 3,
+          transform(sequence(lit(1), size(col("__toks")) - 2), i =>
+            struct(element_at(col("__toks"), i).as("w1"),
+              element_at(col("__toks"), i + 1).as("w2"),
+              element_at(col("__toks"), i + 2).as("w3"))))
+          .otherwise(array()
+            .cast("array<struct<w1:string,w2:string,w3:string>>"))))
+      .select(col(idCol), col("pos"), col("col.w1").as("w1"),
+        col("col.w2").as("w2"), col("col.w3").as("w3"))
+  }
+
+  /** Trigram model: (w1, w2, w3, c3), `minCount`-pruned — pruned
+    * trigrams back off at scoring, which is exactly the Stupid Backoff
+    * contract for count cutoffs (Brants §4: count cutoffs are how the
+    * web-scale tables stay bounded). */
+  def trigramCounts(df: DataFrame, idCol: String, textCol: String,
+                    minCount: Long = 1L): DataFrame =
+    trigramRows(df, idCol, textCol)
+      .filter(col("w1").isNotNull)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minCount)
+
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, EMNLP "Large
+    * Language Models in Machine Translation" §4) — the smoothing
+    * DESIGNED for distributed web-scale LMs: no normalization pass,
+    * every tier one division of exact counts, fixed α = 0.4:
+    *
+    *   S(w3|w1w2) = C(w1w2w3)/C(w1w2)        trigram seen
+    *              = α · C(w2w3)/C(w2)        else, bigram seen
+    *              = α² · (C(w3)+1)/(N+V)     else (add-one terminal
+    *                                          tier keeps unseen tokens
+    *                                          finite — the one
+    *                                          departure from the paper,
+    *                                          which assumes a closed
+    *                                          vocabulary)
+    *
+    * Determinism: each tier is exact-integer casts, one IEEE division,
+    * and constant multiplies — plus the libm-exact ln and the
+    * token-order fold of [[score]] — so the result is bit-identical
+    * under any partitioning and replayable in SQL. Scale shape: the
+    * corpus trigram stream takes five shuffle-hash joins against
+    * minCount-bounded model tables (never sorted), then the one per-doc
+    * aggregation. Output: idCol, n_trigrams, sum_logscore,
+    * lm_backoff = −sum/n (null for < 3-token docs). */
+  def backoffScore(df: DataFrame, idCol: String, textCol: String,
+                   trigrams: DataFrame, bigrams: DataFrame,
+                   unigrams: DataFrame): DataFrame = {
+    val totals = unigrams.agg(sum(col("cw")).as("__n"),
+      count(lit(1)).as("__v"))
+    val alpha = lit(0.4d)
+    val joined = trigramRows(df, idCol, textCol)
+      .join(trigrams.hint("shuffle_hash"), Seq("w1", "w2", "w3"), "left")
+      .join(bigrams.select(col("w1"), col("w2"), col("cbg").as("__c12"))
+        .hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(bigrams.select(col("w1").as("w2"), col("w2").as("w3"),
+          col("cbg").as("__c23")).hint("shuffle_hash"), Seq("w2", "w3"), "left")
+      .join(unigrams.select(col("w1").as("w2"), col("cw").as("__cw2"))
+        .hint("shuffle_hash"), Seq("w2"), "left")
+      .join(unigrams.select(col("w1").as("w3"), col("cw").as("__cw3"))
+        .hint("shuffle_hash"), Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+    val s = when(coalesce(col("c3"), lit(0L)) > 0,
+        col("c3").cast("double") / col("__c12").cast("double"))
+      .otherwise(when(coalesce(col("__c23"), lit(0L)) > 0,
+        alpha * (col("__c23").cast("double") / col("__cw2").cast("double")))
+        .otherwise(alpha * alpha *
+          ((coalesce(col("__cw3"), lit(0L)) + lit(1L)).cast("double") /
+            (col("__n") + col("__v")).cast("double"))))
+    val scored = joined.select(col(idCol), col("pos"),
+      graft.expressions.FloatKernels.ln(s).as("__lp"))
+    scored.groupBy(col(idCol))
+      .agg(array_sort(collect_list(when(col("pos").isNotNull,
+        struct(col("pos"), col("__lp"))))).as("__l"))
+      .select(col(idCol),
+        size(col("__l")).cast("long").as("n_trigrams"),
+        when(size(col("__l")) > 0,
+          aggregate(transform(col("__l"), x => x("__lp")), lit(0.0d),
+            (acc, x) => acc + x)).as("sum_logscore"))
+      .select(col(idCol), col("n_trigrams"), col("sum_logscore"),
+        (-col("sum_logscore") / col("n_trigrams").cast("double"))
+          .as("lm_backoff"))
+  }
+
+  /** Self-scoring Stupid Backoff: train the three count tables on the
+    * corpus, prune trigrams below `trigramMinCount` (singleton trigrams
+    * back off — the count-cutoff shape of the web-scale tables), score
+    * the corpus. */
+  def backoffSelfScore(df: DataFrame, idCol: String, textCol: String,
+                       trigramMinCount: Long = 2L): DataFrame =
+    backoffScore(df, idCol, textCol,
+      trigramCounts(df, idCol, textCol, trigramMinCount),
+      bigramCounts(df, idCol, textCol),
+      unigramCounts(df, idCol, textCol))
 }

@@ -62,4 +62,39 @@ class LmScoreSpec extends SparkSpec {
     // doc 3 loses all its model bigrams under pruning → score strictly worse
     assert(pruned(3L).get.asInstanceOf[Double] > full(3L).get.asInstanceOf[Double])
   }
+
+  test("stupid backoff: tier arithmetic exact on a hand corpus") {
+    val s = spark
+    import s.implicits._
+    // trigrams of "a b c a b c": abc, bca, cab, abc — only abc survives
+    // the minCount=2 prune; bca/cab back off to the bigram tier
+    val df = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val out = LmScore.backoffSelfScore(df, "doc_id", "text",
+      trigramMinCount = 2L).collect()
+    val r = out(0)
+    assert(r.getAs[Long]("n_trigrams") == 4L)
+    // tier1: 2/C2(ab)=2 → 1.0 (×2); tier2: 0.4·C2(ca)/C1(c)=0.4·1/2,
+    // 0.4·C2(ab)/C1(a)=0.4·2/2
+    val expected = math.log(1.0) + math.log(0.4 * (1.0 / 2.0)) +
+      math.log(0.4 * (2.0 / 2.0)) + math.log(1.0)
+    assert(math.abs(r.getAs[Double]("sum_logscore") - expected) < 1e-12)
+  }
+
+  test("stupid backoff: terminal tier fires for unseen tokens, stays finite") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val test_ = Seq((9L, "x y z"), (10L, "a b")).toDF("doc_id", "text")
+    val out = LmScore.backoffScore(test_, "doc_id", "text",
+        LmScore.trigramCounts(train, "doc_id", "text"),
+        LmScore.bigramCounts(train, "doc_id", "text"),
+        LmScore.unigramCounts(train, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // xyz: trigram and bigram unseen → α²·(0+1)/(N=6+V=3)
+    val lp = math.log(0.4 * 0.4 * (1.0 / 9.0))
+    assert(math.abs(out(9L).getAs[Double]("sum_logscore") - lp) < 1e-12)
+    // < 3 tokens: null score contract
+    assert(out(10L).getAs[Long]("n_trigrams") == 0L)
+    assert(out(10L).isNullAt(out(10L).fieldIndex("lm_backoff")))
+  }
 }
