@@ -375,4 +375,52 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length == 1,
       s"sketch should reduce through one exchange, plan:\n$plan")
   }
+
+  test("exactSpanDedup: aggregation-based firsts, no corpus-wide window sort") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 30L).map(i => (i, s"w${i % 3} a b c d w${i % 5}"))
+      .toDF("id", "text")
+    val plan = graft.operators.Curation.exactSpanDedup(df, "id", "text", 5)
+      .queryExecution.executedPlan.toString
+    // first occurrence comes from min(struct), never row_number
+    assert(!plan.contains("Window"),
+      s"corpus-wide window sort in span-dedup plan:\n$plan")
+  }
+
+  test("applyPhrases rides the scan: no Exchange, no shuffle") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20L).map(i => (i, "a b c d")).toDF("id", "text")
+    val plan = graft.operators.Phrases
+      .applyPhrases(df, "id", "text", Seq(("a", "b"), ("c", "d")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"phrase rewrite should be a pure per-row scan:\n$plan")
+  }
+
+  test("funnel: no window functions — per-step filtered min aggregations") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 40L).map(i =>
+      (i % 8, new java.sql.Timestamp(1700000000000L + i * 60000),
+        Seq("view", "click", "purchase")(i.toInt % 3)))
+      .toDF("user_id", "ts", "event_type")
+    val plan = graft.operators.Funnel.funnel(df, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"funnel must not window-sort the event stream:\n$plan")
+  }
+
+  test("backoffScore: model joins hash the stream side, never sort it") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 40L).map(i => (i, s"a b c d e f g h w${i % 9}"))
+      .toDF("id", "text")
+    val plan = graft.operators.LmScore.backoffSelfScore(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"backoff model joins must be hash joins (stream side unsorted):\n$plan")
+  }
 }
