@@ -1629,6 +1629,15 @@ object SparkEntry {
         .orderBy(col("score").desc, col("a").asc, col("b").asc)
         .limit(50)),
 
+    // ---- GloVe windowed co-occurrence (Pennington et al. 2014 §3):
+    // 1/distance-weighted pair counts over ±5 windows, the embedding-
+    // training prestep; harmonic-weight sums routed through
+    // DECIMAL(38,18) so the matrix is exact and order-independent
+    "t_cooc" -> ((s, dir) =>
+      Phrases.cooccurrence(Tables.documents(s, dir), "text", window = 5)
+        .orderBy(col("x").desc, col("a").asc, col("b").asc)
+        .limit(100)),
+
     // ---- Phrase rewrite: the top-8 learned phrases join their
     // occurrences with '_' via the delimited replace chain (rank
     // order, whole words as symbols — the Bpe apply discipline); the
@@ -3484,6 +3493,27 @@ object SparkEntry {
            |ORDER BY score DESC, a, b LIMIT 50""".stripMargin,
 
       "t_phrases_apply" -> phrasesApplySql(8, 5, 10),
+
+      // GloVe co-occurrence twin: both directed entries per position
+      // pair, VARCHAR-routed decimal sums (the Spark cast-parity rule)
+      "t_cooc" ->
+        s"""WITH co_tok AS (
+           |  SELECT list_filter(string_split_regex(
+           |    replace(replace(lower(text), chr(2), ''), chr(3), ''), '\\s+'),
+           |    x -> x <> '') AS t FROM documents),
+           |co_p AS (
+           |  SELECT t[i] AS a, t[i + d] AS b,
+           |    CAST(1 AS DOUBLE) / CAST(d AS DOUBLE) AS w
+           |  FROM co_tok,
+           |    unnest(generate_series(1, len(t) - 1)) AS u(i),
+           |    unnest(generate_series(1, least(5, len(t) - i))) AS v(d)
+           |  WHERE len(t) >= 2),
+           |co_b AS (
+           |  SELECT a, b, w FROM co_p
+           |  UNION ALL SELECT b AS a, a AS b, w FROM co_p)
+           |SELECT a, b, ${sparkDecSumToDouble("w")} AS x
+           |FROM co_b GROUP BY a, b
+           |ORDER BY x DESC, a, b LIMIT 100""".stripMargin,
 
       // four-stage composition: each stage's parameterized oracle
       // feeds the next as a CTE — gate → line rules → global line

@@ -76,6 +76,45 @@ object Phrases {
       .map(r => (r.getString(0), r.getString(1))).toSeq
   }
 
+  /** GloVe-style windowed co-occurrence counts (Pennington et al. 2014,
+    * EMNLP "GloVe" §3): X(a, b) = Σ over occurrences of context word b
+    * within `window` positions of center word a, weighted 1/distance —
+    * the sparse matrix the embedding objective trains on. Symmetric:
+    * each position pair contributes to BOTH directed entries.
+    *
+    * Determinism: each weight is the exact IEEE division 1/d, but the
+    * per-pair SUM of such doubles is order-dependent — so the sum
+    * routes through DECIMAL(38,18) (the [[Pca]] discipline): exact,
+    * order-independent, bit-identical under any partitioning, and
+    * replayable by the oracle's VARCHAR-routed decimal casts.
+    *
+    * Scale shape: the explode is `window` rows per token (linear); ONE
+    * pair-keyed map-side-combinable aggregation shuffle; the output is
+    * vocabulary², which for real corpora is the bounded model artifact
+    * (prune with `minX` downstream). */
+  def cooccurrence(df: DataFrame, textCol: String,
+                   window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.types.DecimalType
+    val toks = df.select(cleanTokens(col(textCol)).as("t"))
+    // Spark's sequence(1, stop) DESCENDS when stop < 1 — guard short docs
+    toks.select(explode(flatten(
+        when(size(col("t")) >= 2, transform(sequence(lit(1), size(col("t")) - 1),
+          i => transform(
+            sequence(lit(1), least(lit(window), size(col("t")) - i)),
+            d => struct(element_at(col("t"), i).as("a"),
+              element_at(col("t"), i + d).as("b"),
+              (lit(1.0d) / d.cast("double")).as("w")))))
+          .otherwise(array().cast(
+            "array<array<struct<a:string,b:string,w:double>>>")))).as("p"))
+      .select(explode(array(
+        struct(col("p.a").as("a"), col("p.b").as("b"), col("p.w").as("w")),
+        struct(col("p.b").as("a"), col("p.a").as("b"), col("p.w").as("w"))))
+        .as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(sum(col("e.w").cast(DecimalType(38, 18))).cast("double").as("x"))
+  }
+
   /** Corpus rewrite: each phrase (in rank order) joins its adjacent
     * occurrences with '_' via the delimited replace chain. Output:
     * idCol, text_phr (space-joined rewritten tokens), n_tokens

@@ -60,6 +60,26 @@ class PhrasesSpec extends SparkSpec {
     assert(out(1).getAs[String]("text_phr") == "new_york cold_cat")
   }
 
+  test("cooccurrence: harmonic weights, symmetry, decimal-exact sums") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val x = Phrases.cooccurrence(df, "text", window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // (a,b): pos1-2 d=1 → 1.0; pos3-? b after second a? tokens a b c a:
+    // pairs within 2: (a,b,1) (a,c,1/2) (b,c,1) (b,a,1/2) (c,a,1)
+    assert(x(("a", "b")) == 1.0 + 0.5) // directed a→b 1.0 plus b→a mirror 0.5
+    assert(x(("b", "a")) == x(("a", "b"))) // symmetric by construction
+    assert(x(("a", "c")) == 0.5 + 1.0)
+    assert(x(("b", "c")) == 1.0)
+    // partitioning invariance bit for bit (the decimal-routed sum)
+    val many = Phrases.cooccurrence(
+      df.union(df).union(df).repartition(7), "text", 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(java.lang.Double.doubleToRawLongBits(many(("a", "b"))) ==
+      java.lang.Double.doubleToRawLongBits(3 * 1.5))
+  }
+
   test("delimiter control chars in input are stripped, not corrupting") {
     val s = spark
     import s.implicits._
