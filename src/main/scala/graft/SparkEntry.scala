@@ -718,6 +718,13 @@ object SparkEntry {
       Dedup.simhashMd5Hex(Tables.documents(s, dir), "text")
         .select("doc_id", "simhash").orderBy("doc_id")),
 
+    // ---- tf-weighted SimHash (the Manku'07 production form): same bit
+    // build over the token MULTISET — every occurrence adds ±1, exact
+    // integer term-frequency weights
+    "dedup_simhash_weighted" -> ((s, dir) =>
+      Dedup.simhashWeightedMd5Hex(Tables.documents(s, dir), "text")
+        .select("doc_id", "simhash").orderBy("doc_id")),
+
     // ---- SimHash near-dup pairs: 56 bits of the oracle-exact md5
     // fingerprint (first 14 hex chars, parsed identically by both
     // engines) fed through the SAME blocked Hamming screen as image
@@ -2278,9 +2285,16 @@ object SparkEntry {
     * (i div 4) of md5(token)), as a DuckDB CTE chain ending in
     * `fp(doc_id, simhash)` — shared by the `dedup_simhash` and
     * `dedup_simhash_neardup` oracles. */
-  private val simhashOracleCtes: String =
-    """t AS (
-      |  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS w
+  private val simhashOracleCtes: String = simhashCtes(distinct = true)
+
+  /** tf-weighted twin: the token multiset instead of the set. */
+  private val simhashWeightedOracleCtes: String = simhashCtes(distinct = false)
+
+  private def simhashCtes(distinct: Boolean): String = {
+    val w = if (distinct) "list_distinct(string_split_regex(lower(text), '\\s+'))"
+            else "string_split_regex(lower(text), '\\s+')"
+    s"""t AS (
+      |  SELECT doc_id, $w AS w
       |  FROM documents),
       |h AS (SELECT doc_id, list_transform(w, x -> md5(x)) AS hs FROM t),
       |c AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
@@ -2294,6 +2308,7 @@ object SparkEntry {
       |  + (CASE WHEN cnt[4*j+4] > 0 THEN 8 ELSE 0 END)) AS nibs FROM c),
       |fp AS (SELECT doc_id, array_to_string(list_transform(nibs,
       |  nb -> substr('0123456789abcdef', nb + 1, 1)), '') AS simhash FROM n)""".stripMargin
+  }
 
   /** Oracle-side twin of [[dhashFixture]] + the 9×7 resample + the
     * gradient hash, as a DuckDB CTE chain ending in
@@ -3191,6 +3206,10 @@ object SparkEntry {
 
       "dedup_simhash" ->
         s"""WITH $simhashOracleCtes
+          |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+
+      "dedup_simhash_weighted" ->
+        s"""WITH $simhashWeightedOracleCtes
           |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
 
       // fingerprint CTE shared with dedup_simhash; first 14 hex chars

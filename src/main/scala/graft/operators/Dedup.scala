@@ -357,6 +357,18 @@ object Dedup {
     df.withColumn("simhash",
       graft.expressions.TextKernels.simhashMd5(wordSet(col(textCol))))
 
+  /** Term-frequency-weighted SimHash — Charikar's construction as
+    * actually deployed (Manku et al. WWW'07 §2 weight each feature):
+    * the identical bit build but over the token MULTISET, so every
+    * occurrence adds ±1 and the per-bit tally carries exact integer tf
+    * weights. A word repeated 50× dominates the fingerprint the way it
+    * dominates the document — the set variant treats it like a
+    * hapax. Same md5 path, same oracle replay, weights exact. */
+  def simhashWeightedMd5Hex(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash",
+      graft.expressions.TextKernels.simhashMd5(
+        split(lower(col(textCol)), "\\s+")))
+
   /** Word n-gram Jaccard similarity pairs ≥ threshold. Candidate pairs
     * share at least one n-gram (inverted-index join), so the all-pairs
     * product is never materialized.

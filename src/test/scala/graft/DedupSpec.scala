@@ -190,6 +190,32 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
   }
 
+  test("simhashWeighted: tf weighting makes a repeated token dominate") {
+    val s = spark
+    import s.implicits._
+    // doc 1: 'alpha' ×50 + 8 distinct others; doc 2: 'alpha' ×1 + the
+    // same 8 others; doc 3: pure 'alpha'
+    val others = (1 to 8).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, (Seq.fill(50)("alpha") :+ others).mkString(" ")),
+      (2L, s"alpha $others"),
+      (3L, "alpha")).toDF("doc_id", "text")
+    def hx(m: Map[Long, String], a: Long, b: Long): Int =
+      m(a).zip(m(b)).map { case (x, y) =>
+        java.lang.Integer.bitCount(Integer.parseInt(x.toString, 16) ^
+          Integer.parseInt(y.toString, 16)) }.sum
+    val w = Dedup.simhashWeightedMd5Hex(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    val u = Dedup.simhashMd5Hex(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    // under the SET variant docs 1 and 2 are identical (same vocab)
+    assert(u(1L) == u(2L))
+    // under tf weighting, doc 1 collapses onto pure-'alpha' doc 3
+    // (50 votes drown the 8 singletons) while doc 2 stays apart
+    assert(w(1L) == w(3L))
+    assert(hx(w, 1L, 2L) > 0)
+  }
+
   test("ngram jaccard finds overlapping pairs above threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
