@@ -579,6 +579,16 @@ object SparkEntry {
           col("day_offset"), col("n_users"))
         .orderBy("cohort", "day_offset")),
 
+    // ---- Product analytics: DAU + trailing 7-day WAU — the trailing
+    // distinct fans each (user, day) pair out to the window-end days it
+    // supports (bounded explode on the deduped pair table), never a
+    // window sort over the event stream
+    "events_active_users" -> ((s, dir) =>
+      Funnel.activeUsers(Tables.events(s, dir), "user_id", "ts", 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"))
+        .orderBy("day")),
+
     // ---- metadata_json analog: JSON extraction (storage.py:213,245)
     "events_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -2915,6 +2925,19 @@ object SparkEntry {
           |LEFT JOIN f2 ON f1.user_id = f2.user_id
           |LEFT JOIN f3 ON f1.user_id = f3.user_id
           |ORDER BY f1.user_id""".stripMargin,
+
+      // DAU/WAU twin: deduped (user, day) pairs fan to window-end days
+      "events_active_users" ->
+        """WITH ud AS (
+          |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+          |dau AS (SELECT d AS day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+          |  FROM ud GROUP BY 1),
+          |wau AS (SELECT d + CAST(k AS INT) AS day,
+          |    CAST(count(DISTINCT u) AS BIGINT) AS wau
+          |  FROM ud, unnest(generate_series(0, 6)) AS t(k) GROUP BY 1)
+          |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+          |FROM dau JOIN wau ON dau.day = wau.day
+          |ORDER BY day""".stripMargin,
 
       // retention twin: first-seen day cohort × day offset, exact
       // distinct-user counts

@@ -66,6 +66,33 @@ object Funnel {
         .reduce(_ + _).as("steps_completed"): _*)
   }
 
+  /** Daily + trailing-window active users (DAU/WAU): for every
+    * observed day, the count of distinct users active that day and
+    * within the `windowDays`-day window ENDING that day. The trailing
+    * distinct is NOT derivable from daily distincts (users repeat
+    * across days), so each distinct (user, day) pair fans out to the
+    * `windowDays` window-end days it supports — a bounded explode on
+    * the (user, day) table (already ≪ the event count after the first
+    * dedup), then one distinct-count aggregation per day. No window
+    * functions, no event-stream sort.
+    *
+    * Output: day (date), dau, wau — observed days only (a day with no
+    * events reports nothing, trailing ghosts are cut by the join). */
+  def activeUsers(events: DataFrame, userCol: String, tsCol: String,
+                  windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = events.select(col(userCol).as("__u"),
+      to_date(col(tsCol)).as("__d")).distinct()
+    val dau = ud.groupBy(col("__d").as("day"))
+      .agg(countDistinct(col("__u")).as("dau"))
+    val wau = ud
+      .select(col("__u"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__k"), col("__d"))
+      .select(col("__u"), date_add(col("__d"), col("__k")).as("day"))
+      .groupBy("day").agg(countDistinct(col("__u")).as("wau"))
+    dau.join(wau, Seq("day"))
+  }
+
   /** Day-cohort retention matrix: users cohort by their first-seen
     * day; each (cohort, day_offset) cell counts DISTINCT users from
     * that cohort active that day. The product-analytics retention

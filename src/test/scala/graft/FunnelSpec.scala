@@ -59,6 +59,24 @@ class FunnelSpec extends SparkSpec {
     assert(out(0).getAs[Long]("steps_completed") == 2L)
   }
 
+  test("activeUsers: DAU vs trailing-window distinct, observed days only") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 12:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+      (3L, ts("2024-01-08 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Funnel.activeUsers(ev, "user_id", "ts", windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L, 2L), // u1+u2; window 12-30..01-01 adds nothing
+      ("2024-01-03", 1L, 2L), // dau u1 only; window 01..03 still holds u2
+      ("2024-01-08", 1L, 1L))) // u3; u1's 01-03 fell out of [06..08]
+  }
+
   test("retention: cohort by first-seen day, distinct users per offset") {
     val s = spark
     import s.implicits._
