@@ -2030,6 +2030,27 @@ object SparkEntry {
         length(col("text_dedup")), nShards = 4).orderBy("shard")
     }),
 
+    // ---- Fifth flagship: the round's new operators composed — Gopher
+    // gate → ExactSubstr span dedup (global-first-occurrence spans
+    // removed) → phrase mining learned ON the deduped survivors and
+    // applied as the '_'-joining rewrite → sharded export manifest.
+    // Every stage oracle is parameterized and composed into one
+    // statement; corpus-wide work = the span-dedup gram aggregation,
+    // two phrase-count aggregations, and the bounded manifest rollup.
+    "pipeline_span_curate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gated = docs.filter(Curation.gopherPass(col("text"),
+        minWords = 30L, maxWords = 90L, minStopHits = 1L))
+      val deduped = Curation.exactSpanDedup(gated, "doc_id", "text", 5)
+        .filter(col("text_dedup") =!= "")
+        .select(col("doc_id"), col("text_dedup").as("text"))
+      val phr = Phrases.topPhrases(deduped, "text", k = 5,
+        delta = 5L, minCount = 10L)
+      val rewritten = Phrases.applyPhrases(deduped, "doc_id", "text", phr)
+      Export.manifest(rewritten, "doc_id", "text_phr",
+        length(col("text_phr")), nShards = 4).orderBy("shard")
+    }),
+
     "pipeline_tokenize_pack" -> ((s, dir) => {
       val counted = Bpe.tokenize(Tables.documents(s, dir), "doc_id", "text",
           FixedBpeMerges)
@@ -3588,6 +3609,32 @@ object SparkEntry {
 
       "pipeline_tokenize_pack" -> bpeWindowsSql(FixedBpeMerges, 1024L),
 
+      // fifth-flagship twin: gate → span dedup (nested WITH wrapped as
+      // a CTE body) → phrase learn+apply over the survivors → the same
+      // manifest rollup as export_shards
+      "pipeline_span_curate" ->
+        s"""WITH psc_gate AS (
+           |  SELECT d.doc_id, d.text FROM documents d
+           |  JOIN (${gopherRulesSql("documents")}) g USING (doc_id)
+           |  WHERE g.gopher_pass),
+           |psc_dd AS (${spanDedupSql("psc_gate", 5)}),
+           |psc_docs AS (SELECT doc_id, text_dedup AS text FROM psc_dd
+           |  WHERE text_dedup <> ''),
+           |${phrasesApplyCtes(5, 5, 10, "psc_docs")},
+           |psc_sh AS (SELECT doc_id, text_phr,
+           |  CAST(($hash32Sql) % 4 AS INT) AS shard FROM (
+           |    SELECT doc_id, text_phr,
+           |      md5(concat('', '|', CAST(doc_id AS VARCHAR))) AS m
+           |    FROM ph_f) h),
+           |psc_rh AS (SELECT shard, doc_id, length(text_phr) AS nb,
+           |  md5(concat(CAST(doc_id AS VARCHAR), '|', md5(text_phr))) AS m
+           |  FROM psc_sh)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(nb) AS BIGINT) AS total_bytes,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+           |  CAST(sum($hash32Sql) AS BIGINT) AS content_sum
+           |FROM psc_rh GROUP BY shard ORDER BY shard""".stripMargin,
+
       "b10_stream_hourly" ->
         s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
            |event_type, count(*) AS n, ${decSum("value")} AS sum_value
@@ -4936,7 +4983,11 @@ object SparkEntry {
     * round per CTE (scalar subqueries pull phrase k's words; a missing
     * rank NULLs the pattern and the coalesce makes the round a no-op),
     * then the delimiter unwrap and token accounting. */
-  private def phrasesApplySql(k: Int, delta: Int, minCount: Int): String = {
+  /** The learn + rewrite CTE chain (`ph_tok` … `ph_f`), parameterized
+    * over the (doc_id, text) source relation so flagships can feed a
+    * curated intermediate through it. */
+  private def phrasesApplyCtes(k: Int, delta: Int, minCount: Int,
+                               src: String): String = {
     def sub(c: String, i: Int) = s"(SELECT $c FROM ph_rank WHERE rn = $i)"
     val rounds = (1 to k).map { i =>
       s"""ph_m$i AS (SELECT doc_id, t, coalesce(replace(s,
@@ -4944,7 +4995,7 @@ object SparkEntry {
          |  chr(2) || ${sub("a", i)} || '_' || ${sub("b", i)} || chr(3)), s) AS s
          |  FROM ph_m${i - 1})""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${phrasesScoreCtes("documents", delta, minCount)},
+    s"""${phrasesScoreCtes(src, delta, minCount)},
        |ph_rank AS (SELECT a, b,
        |    row_number() OVER (ORDER BY score DESC, a, b) AS rn
        |  FROM ph_sc QUALIFY rn <= $k),
@@ -4955,12 +5006,15 @@ object SparkEntry {
        |$rounds,
        |ph_f AS (SELECT doc_id, t,
        |    trim(replace(s, chr(3) || chr(2), ' '), chr(2) || chr(3)) AS text_phr
-       |  FROM ph_m$k)
+       |  FROM ph_m$k)""".stripMargin
+  }
+
+  private def phrasesApplySql(k: Int, delta: Int, minCount: Int): String =
+    s"""WITH ${phrasesApplyCtes(k, delta, minCount, "documents")}
        |SELECT doc_id, text_phr, CAST(len(t) AS BIGINT) AS n_tokens,
        |  CAST(len(t) - (CASE WHEN text_phr = '' THEN 0
        |    ELSE len(string_split(text_phr, ' ')) END) AS BIGINT) AS n_merges
        |FROM ph_f ORDER BY doc_id""".stripMargin
-  }
 
   private def bpeApplySql(merges: Seq[(String, String)]): String =
     s"""WITH ${bpeStreamCtes(merges)}
