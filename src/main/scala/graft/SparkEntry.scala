@@ -1655,6 +1655,14 @@ object SparkEntry {
         .orderBy(col("x").desc, col("a").asc, col("b").asc)
         .limit(100)),
 
+    // ---- PPMI matrix (Levy & Goldberg 2014 — what SGNS implicitly
+    // factorizes): clamp-at-0 log-ratio of the decimal-exact
+    // co-occurrence mass against its marginals
+    "t_cooc_ppmi" -> ((s, dir) =>
+      Phrases.cooccurrencePpmi(Tables.documents(s, dir), "text", window = 5)
+        .orderBy(col("ppmi").desc, col("a").asc, col("b").asc)
+        .limit(100)),
+
     // ---- Phrase rewrite: the top-8 learned phrases join their
     // occurrences with '_' via the delimited replace chain (rank
     // order, whole words as symbols — the Bpe apply discipline); the
@@ -3560,23 +3568,26 @@ object SparkEntry {
       // GloVe co-occurrence twin: both directed entries per position
       // pair, VARCHAR-routed decimal sums (the Spark cast-parity rule)
       "t_cooc" ->
-        s"""WITH co_tok AS (
-           |  SELECT list_filter(string_split_regex(
-           |    replace(replace(lower(text), chr(2), ''), chr(3), ''), '\\s+'),
-           |    x -> x <> '') AS t FROM documents),
-           |co_p AS (
-           |  SELECT t[i] AS a, t[i + d] AS b,
-           |    CAST(1 AS DOUBLE) / CAST(d AS DOUBLE) AS w
-           |  FROM co_tok,
-           |    unnest(generate_series(1, len(t) - 1)) AS u(i),
-           |    unnest(generate_series(1, least(5, len(t) - i))) AS v(d)
-           |  WHERE len(t) >= 2),
-           |co_b AS (
-           |  SELECT a, b, w FROM co_p
-           |  UNION ALL SELECT b AS a, a AS b, w FROM co_p)
-           |SELECT a, b, ${sparkDecSumToDouble("w")} AS x
-           |FROM co_b GROUP BY a, b
+        s"""WITH ${coocCtes("documents", 5)}
+           |SELECT a, b, x FROM co_x
            |ORDER BY x DESC, a, b LIMIT 100""".stripMargin,
+
+      // PPMI twin (Levy & Goldberg 2014): marginals and the total are
+      // the same decimal-routed sums; the score is single IEEE
+      // multiply/divide steps into the libm-exact ln, clamped at 0
+      "t_cooc_ppmi" ->
+        s"""WITH ${coocCtes("documents", 5)},
+           |co_ma AS (SELECT a, ${sparkDecSumToDouble("x")} AS xa
+           |  FROM co_x GROUP BY a),
+           |co_n AS (SELECT ${sparkDecSumToDouble("x")} AS n FROM co_x)
+           |SELECT cx.a, cx.b, cx.x,
+           |  greatest(CAST(0 AS DOUBLE),
+           |    ln((cx.x * co_n.n) / (ma.xa * mb.xa))) AS ppmi
+           |FROM co_x cx
+           |JOIN co_ma ma ON cx.a = ma.a
+           |JOIN co_ma mb ON cx.b = mb.a
+           |CROSS JOIN co_n
+           |ORDER BY ppmi DESC, cx.a, cx.b LIMIT 100""".stripMargin,
 
       // four-stage composition: each stage's parameterized oracle
       // feeds the next as a CTE — gate → line rules → global line
@@ -4958,6 +4969,27 @@ object SparkEntry {
 
   /** Replay of `Bpe.tokenize` under [[FixedBpeMerges]]: identical
     * replace chain per word, identical token-stream join + md5. */
+  /** Windowed co-occurrence CTEs ending in `co_x(a, b, x)` — the
+    * [[graft.operators.Phrases.cooccurrence]] replay: harmonic
+    * 1/distance weights, both directed entries, decimal-routed sums. */
+  private def coocCtes(src: String, window: Int): String =
+    s"""co_tok AS (
+       |  SELECT list_filter(string_split_regex(
+       |    replace(replace(lower(text), chr(2), ''), chr(3), ''), '\\s+'),
+       |    x -> x <> '') AS t FROM $src),
+       |co_p AS (
+       |  SELECT t[i] AS a, t[i + d] AS b,
+       |    CAST(1 AS DOUBLE) / CAST(d AS DOUBLE) AS w
+       |  FROM co_tok,
+       |    unnest(generate_series(1, len(t) - 1)) AS u(i),
+       |    unnest(generate_series(1, least($window, len(t) - i))) AS v(d)
+       |  WHERE len(t) >= 2),
+       |co_b AS (
+       |  SELECT a, b, w FROM co_p
+       |  UNION ALL SELECT b AS a, a AS b, w FROM co_p),
+       |co_x AS (SELECT a, b, ${sparkDecSumToDouble("w")} AS x
+       |  FROM co_b GROUP BY a, b)""".stripMargin
+
   /** Shared collocation CTEs (`ph_tok`/`ph_uni`/`ph_bi`/`ph_sc`):
     * cleaned tokens, exact unigram/adjacent-pair counts, and the
     * δ-discounted score — one IEEE division of exact BIGINTs,

@@ -115,6 +115,33 @@ object Phrases {
       .agg(sum(col("e.w").cast(DecimalType(38, 18))).cast("double").as("x"))
   }
 
+  /** Positive PMI over the windowed co-occurrence matrix (Levy &
+    * Goldberg 2014, NeurIPS "Neural Word Embedding as Implicit Matrix
+    * Factorization" — the count-based embedding SGNS implicitly
+    * factorizes): ppmi(a, b) = max(0, ln(X_ab·N / (X_a·X_b))).
+    * Marginals and the total are the same decimal-routed exact sums as
+    * [[cooccurrence]]; the score is then single IEEE multiply/divide
+    * steps into the libm-exact ln, clamped at 0 — bit-identical under
+    * any partitioning, replayable in SQL.
+    *
+    * The co-occurrence aggregation re-plans once per use (pair table,
+    * marginals, total); at production scale persist [[cooccurrence]]'s
+    * output once and feed all three from it. */
+  def cooccurrencePpmi(df: DataFrame, textCol: String,
+                       window: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = cooccurrence(df, textCol, window)
+    def decSum(c: Column) = sum(c.cast(DecimalType(38, 18))).cast("double")
+    val xa = x.groupBy("a").agg(decSum(col("x")).as("xa"))
+    val n = x.agg(decSum(col("x")).as("n"))
+    x.join(xa, Seq("a"))
+      .join(xa.select(col("a").as("b"), col("xa").as("xb")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("x"),
+        greatest(lit(0.0d), graft.expressions.FloatKernels.ln(
+          (col("x") * col("n")) / (col("xa") * col("xb")))).as("ppmi"))
+  }
+
   /** Corpus rewrite: each phrase (in rank order) joins its adjacent
     * occurrences with '_' via the delimited replace chain. Output:
     * idCol, text_phr (space-joined rewritten tokens), n_tokens
