@@ -2049,9 +2049,13 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val gated = docs.filter(Curation.gopherPass(col("text"),
         minWords = 30L, maxWords = 90L, minStopHits = 1L))
+      // persist the curated intermediate: phrase learning reads it
+      // twice (unigram + pair counts) and the rewrite + manifest again
+      // — without this the multi-shuffle span-dedup DAG re-plans 4×
       val deduped = Curation.exactSpanDedup(gated, "doc_id", "text", 5)
         .filter(col("text_dedup") =!= "")
         .select(col("doc_id"), col("text_dedup").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val phr = Phrases.topPhrases(deduped, "text", k = 5,
         delta = 5L, minCount = 10L)
       val rewritten = Phrases.applyPhrases(deduped, "doc_id", "text", phr)

@@ -124,13 +124,16 @@ object Phrases {
     * steps into the libm-exact ln, clamped at 0 — bit-identical under
     * any partitioning, replayable in SQL.
     *
-    * The co-occurrence aggregation re-plans once per use (pair table,
-    * marginals, total); at production scale persist [[cooccurrence]]'s
-    * output once and feed all three from it. */
+    * The pair table persists (MEMORY_AND_DISK) so the corpus-sized
+    * explode+aggregation runs once and the marginals/total read the
+    * vocabulary²-bounded result. */
   def cooccurrencePpmi(df: DataFrame, textCol: String,
                        window: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // the pair table is vocabulary²-bounded — persisting it means the
+    // corpus-sized explode+aggregation runs ONCE, not once per marginal
     val x = cooccurrence(df, textCol, window)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def decSum(c: Column) = sum(c.cast(DecimalType(38, 18))).cast("double")
     val xa = x.groupBy("a").agg(decSum(col("x")).as("xa"))
     val n = x.agg(decSum(col("x")).as("n"))

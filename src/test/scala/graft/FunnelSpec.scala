@@ -59,6 +59,32 @@ class FunnelSpec extends SparkSpec {
     assert(out(0).getAs[Long]("steps_completed") == 2L)
   }
 
+  test("funnel: step times strictly increase and prefix is contiguous (sf0.001)") {
+    val s = spark
+    val ev = graft.core.Tables.events(s, "/root/testdata/sf0.001")
+    val out = graft.operators.Funnel.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), withinSeconds = Some(86400L)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t1 = r.getAs[Timestamp]("t1")
+      val t2 = r.getAs[Timestamp]("t2")
+      val t3 = r.getAs[Timestamp]("t3")
+      val n = r.getAs[Long]("steps_completed")
+      assert(t1 != null)
+      // contiguous prefix: t3 implies t2
+      assert(t3 == null || t2 != null)
+      assert(n == Seq(t1, t2, t3).count(_ != null))
+      if (t2 != null) {
+        assert(t2.after(t1))
+        assert(t2.getTime <= t1.getTime + 86400000L)
+      }
+      if (t3 != null) {
+        assert(t3.after(t2))
+        assert(t3.getTime <= t1.getTime + 86400000L)
+      }
+    }
+  }
+
   test("activeUsers: DAU vs trailing-window distinct, observed days only") {
     val s = spark
     import s.implicits._
