@@ -465,6 +465,24 @@ object ScaleProbe {
         Dedup.hammingNearDupPairs(hashes, "id", "h",
           maxDist = 3, hashBits = 56, nBlocks = 8).count()
       }
+
+      // the knob's middle point: nBlocks=6 → C(6,3)=20 tables keyed on
+      // 3 blocks ≈ 28 bits — sparse to ~10⁸ hashes at 2.8× fewer
+      // tables than the 8-block setting (same pigeonhole completeness;
+      // DedupSpec pins nBlocks-invariance)
+      t("dhash_pairs_blocks6") {
+        val grouped = floor(col("id") / 4) % 10 === 0
+        val hashes = spark.range(n).select(col("id"),
+          when(grouped, xxhash64(floor(col("id") / 4)))
+            .otherwise(xxhash64(col("id") + lit(3000000000L)))
+            .bitwiseAND(lit((1L << 56) - 1))
+            .bitwiseXOR(
+              expr("CASE WHEN id % 4 = 0 THEN 0L " +
+                "ELSE shiftleft(1L, CAST((id % 4) * 7 AS INT)) END"))
+            .as("h"))
+        Dedup.hammingNearDupPairs(hashes, "id", "h",
+          maxDist = 3, hashBits = 56, nBlocks = 6).count()
+      }
     }
     spark.stop()
   }
