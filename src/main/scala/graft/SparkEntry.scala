@@ -1499,6 +1499,13 @@ object SparkEntry {
     "b10_stream_index" -> ((s, dir) =>
       streamIndexPipeline(s, dir, ef = 100, tmpName = "graft_b10idx")),
 
+    // ---- Streaming funnel: the batch funnel's semantics as live
+    // flatMapGroupsWithState state (|steps| longs per active user),
+    // replayed as two time-ordered micro-batches and hash-checked
+    // against the SAME batch oracle — stream ≡ batch under
+    // time-ordered arrival
+    "b10_stream_funnel" -> ((s, dir) => streamFunnelPipeline(s, dir)),
+
     // ---- B10 exhaustive twin: the identical flush → refreshEdges →
     // searchEdges loop, searched with ef far above every shard size —
     // the o3_hnsw_exhaustive construction applied to the STREAM-
@@ -2933,31 +2940,9 @@ object SparkEntry {
 
       // funnel twin: per-step filtered min chained through the
       // previous step's completion set; epoch-micros comparison
-      "events_funnel" ->
-        """WITH f1 AS (
-          |  SELECT user_id, min(ts) AS t1 FROM events
-          |  WHERE event_type = 'view' GROUP BY user_id),
-          |f2 AS (
-          |  SELECT e.user_id, min(f1.t1) AS t1, min(e.ts) AS t2
-          |  FROM events e JOIN f1 ON e.user_id = f1.user_id
-          |  WHERE e.event_type = 'click' AND e.ts > f1.t1
-          |    AND e.ts <= f1.t1 + INTERVAL 86400 SECOND
-          |  GROUP BY e.user_id),
-          |f3 AS (
-          |  SELECT e.user_id, min(f2.t1) AS t1, min(e.ts) AS t3
-          |  FROM events e JOIN f2 ON e.user_id = f2.user_id
-          |  WHERE e.event_type = 'purchase' AND e.ts > f2.t2
-          |    AND e.ts <= f2.t1 + INTERVAL 86400 SECOND
-          |  GROUP BY e.user_id)
-          |SELECT f1.user_id, epoch_us(f1.t1) AS t1_us,
-          |  epoch_us(f2.t2) AS t2_us, epoch_us(f3.t3) AS t3_us,
-          |  CAST(1 + (CASE WHEN f2.t2 IS NULL THEN 0 ELSE 1 END)
-          |    + (CASE WHEN f3.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-          |    AS steps_completed
-          |FROM f1
-          |LEFT JOIN f2 ON f1.user_id = f2.user_id
-          |LEFT JOIN f3 ON f1.user_id = f3.user_id
-          |ORDER BY f1.user_id""".stripMargin,
+      "events_funnel" -> funnelOracleSql,
+
+      "b10_stream_funnel" -> funnelOracleSql,
 
       // DAU/WAU twin: deduped (user, day) pairs fan to window-end days
       "events_active_users" ->
@@ -4377,6 +4362,103 @@ object SparkEntry {
   /** Hashed-classifier demo model: bucket count + a deterministic
     * closed-form weight vector (stand-in for offline-trained weights —
     * the engine contract is the scoring pass, not training). */
+  /** The ordered-funnel oracle — shared verbatim by `events_funnel`
+    * (batch) and `b10_stream_funnel` (streaming), which must agree. */
+  private val funnelOracleSql: String =
+    """WITH f1 AS (
+          |  SELECT user_id, min(ts) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |f2 AS (
+          |  SELECT e.user_id, min(f1.t1) AS t1, min(e.ts) AS t2
+          |  FROM events e JOIN f1 ON e.user_id = f1.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > f1.t1
+          |    AND e.ts <= f1.t1 + INTERVAL 86400 SECOND
+          |  GROUP BY e.user_id),
+          |f3 AS (
+          |  SELECT e.user_id, min(f2.t1) AS t1, min(e.ts) AS t3
+          |  FROM events e JOIN f2 ON e.user_id = f2.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > f2.t2
+          |    AND e.ts <= f2.t1 + INTERVAL 86400 SECOND
+          |  GROUP BY e.user_id)
+          |SELECT f1.user_id, epoch_us(f1.t1) AS t1_us,
+          |  epoch_us(f2.t2) AS t2_us, epoch_us(f3.t3) AS t3_us,
+          |  CAST(1 + (CASE WHEN f2.t2 IS NULL THEN 0 ELSE 1 END)
+          |    + (CASE WHEN f3.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          |    AS steps_completed
+          |FROM f1
+          |LEFT JOIN f2 ON f1.user_id = f2.user_id
+          |LEFT JOIN f3 ON f1.user_id = f3.user_id
+          |ORDER BY f1.user_id""".stripMargin
+
+  /** Replays the events table as TWO time-ordered micro-batches (split
+    * at the timestamp midpoint, explicit file mtimes so the file source
+    * triggers them in order) through the stateful streaming funnel,
+    * then keeps the last per-user snapshot — hash-checked against the
+    * SAME batch-funnel oracle as `events_funnel`, because the stream is
+    * batch-identical under time-ordered arrival (completion times never
+    * regress; each step's first qualifying event ≡ the batch filtered
+    * min). */
+  private def streamFunnelPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = {
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_b10funnel")
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      }
+      java.nio.file.Files.createDirectories(p).toString
+    }
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
+    val mid = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/in"))
+    Seq(ev.filter(col("ts_us") <= mid) -> 0,
+        ev.filter(col("ts_us") > mid) -> 1).foreach { case (half, i) =>
+      half.coalesce(1).write.mode("overwrite").parquet(s"$tmp/h$i")
+      val part = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$tmp/h$i"))
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = java.nio.file.Paths.get(s"$tmp/in/batch$i.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      .select(col("user_id").as("userId"), col("ts_us").as("tsMicros"),
+        col("event_type").as("eventType"))
+      .as[Funnel.FunnelEvent]
+    val name = s"b10_funnel_sink_${System.nanoTime()}"
+    val q = Funnel.funnelStream(stream,
+        Seq("view", "click", "purchase"), withinMicros = Some(86400000000L))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // completion times never regress, so the lexicographic max snapshot
+    // per user IS the final state
+    val last = s.table(name)
+      .groupBy(col("userId"))
+      .agg(max(struct(col("stepsCompleted"), col("times"))).as("f"))
+    s.catalog.dropTempView(name)
+    def tAt(k: Int) = {
+      val v = element_at(col("f.times"), k)
+      when(v >= 0, v).otherwise(lit(null).cast("long"))
+    }
+    last.select(col("userId").as("user_id"),
+      tAt(1).as("t1_us"), tAt(2).as("t2_us"), tAt(3).as("t3_us"),
+      col("f.stepsCompleted").as("steps_completed"))
+      .orderBy("user_id")
+  }
+
   /** Shared body of `b10_stream_index` / `b10_stream_index_exh`: replay
     * the embeddings corpus as micro-batches (one file per trigger),
     * maintain the persisted HNSW shard graphs on every flush (first

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Ordered-funnel and cohort-retention analytics — the
   * product-analytics pair every event pipeline serves alongside
@@ -64,6 +65,57 @@ object Funnel {
     out.select((col("__u").as(userCol) +: stepCols) :+
       stepCols.map(c => when(c.isNotNull, 1L).otherwise(0L))
         .reduce(_ + _).as("steps_completed"): _*)
+  }
+
+  /** One event in the typed streaming-funnel path (ts in micros). */
+  case class FunnelEvent(userId: Long, tsMicros: Long, eventType: String)
+  /** Per-user funnel state: completion time per step in micros, −1
+    * unset — bounded at |steps| longs per active user regardless of
+    * stream length. */
+  case class FunnelProgress(times: Seq[Long])
+  /** Per-user snapshot emitted each batch the user appears in (Update
+    * mode): the LAST row per user is the funnel answer. */
+  case class FunnelRow(userId: Long, times: Seq[Long], stepsCompleted: Long)
+
+  /** Streaming funnel: the [[funnel]] semantics maintained as live
+    * per-user state. Each step k completes at the first event of its
+    * type STRICTLY after step k−1's time (and within `withinMicros` of
+    * step 1) — processing events in ascending time order makes that
+    * first qualifying event exactly the batch path's filtered min, so
+    * the stream result is IDENTICAL to batch when events arrive in
+    * time order across micro-batches (the watermark assumption; within
+    * a batch the group sorts, so only cross-batch disorder can
+    * diverge). Completion times never regress once set; states of
+    * users who never complete step 1 are dropped, not stored. */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+                   withinMicros: Option[Long] = None): Dataset[FunnelRow] = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelProgress, FunnelRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent],
+         state: GroupState[FunnelProgress]) =>
+          val t = state.getOption.map(_.times.toArray)
+            .getOrElse(Array.fill(steps.size)(-1L))
+          batch.toSeq.filter(e => stepIdx.contains(e.eventType))
+            .sortBy(_.tsMicros)
+            .foreach { e =>
+              val k = stepIdx(e.eventType)
+              val prevOk = k == 0 || (t(k - 1) >= 0 && e.tsMicros > t(k - 1))
+              val windowOk = k == 0 ||
+                withinMicros.forall(w => e.tsMicros <= t(0) + w)
+              if (t(k) < 0 && prevOk && windowOk) t(k) = e.tsMicros
+            }
+          if (t(0) < 0) Iterator.empty // never completed step 1: no state
+          else {
+            state.update(FunnelProgress(t.toSeq))
+            Iterator.single(
+              FunnelRow(uid, t.toSeq, t.count(_ >= 0).toLong))
+          }
+      }
   }
 
   /** Daily + trailing-window active users (DAU/WAU): for every

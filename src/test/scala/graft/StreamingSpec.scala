@@ -535,4 +535,65 @@ class StreamingSpec extends SparkSpec {
       q.stop(); s.catalog.dropTempView(sink); ()
     }
   }
+
+  test("streaming funnel: state carries steps across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[graft.operators.Funnel.FunnelEvent]
+    import graft.operators.Funnel.FunnelEvent
+    val sink = s"funnel_sink_${System.nanoTime()}"
+    val q = graft.operators.Funnel.funnelStream(source.toDS(),
+        Seq("view", "click", "purchase"), withinMicros = Some(3600000000L))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .start()
+    // batch 1: user 1 views and clicks; user 2 only clicks (no state)
+    source.addData(
+      FunnelEvent(1L, 1000L, "view"), FunnelEvent(1L, 2000L, "click"),
+      FunnelEvent(2L, 1000L, "click"))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (step 3 completes CROSS-batch from
+    // carried state); user 2 views then clicks — but the batch-1 click
+    // is gone for good (time-ordered arrival contract: only the new
+    // click at 3000 qualifies)
+    source.addData(
+      FunnelEvent(1L, 5000L, "purchase"),
+      FunnelEvent(2L, 2500L, "view"), FunnelEvent(2L, 3000L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val last = s.table(sink).groupBy("userId")
+      .agg(max(struct(col("stepsCompleted"), col("times"))).as("f"))
+      .select(col("userId"), col("f.stepsCompleted"), col("f.times"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(last(1L) == ((3L, Seq(1000L, 2000L, 5000L))))
+    assert(last(2L) == ((2L, Seq(2500L, 3000L, -1L))))
+    s.catalog.dropTempView(sink)
+  }
+
+  test("streaming funnel: attribution window and strictly-after hold in-stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val source = MemoryStream[graft.operators.Funnel.FunnelEvent]
+    import graft.operators.Funnel.FunnelEvent
+    val sink = s"funnel_sink2_${System.nanoTime()}"
+    source.addData(
+      FunnelEvent(1L, 1000L, "view"),
+      FunnelEvent(1L, 1000L, "click"),      // same instant: strict > fails
+      FunnelEvent(1L, 2000000000L, "click"), // beyond the 1 s window
+      FunnelEvent(3L, 500L, "purchase"))     // never views: no row
+    val q = graft.operators.Funnel.funnelStream(source.toDS(),
+        Seq("view", "click"), withinMicros = Some(1000000L))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.table(sink).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("stepsCompleted")).toMap
+    assert(rows == Map(1L -> 1L)) // view only; user 3 absent
+    s.catalog.dropTempView(sink)
+  }
 }
