@@ -1848,6 +1848,35 @@ object SparkEntry {
       Multimodal.imageStats(jpegs, "doc_id", "media").orderBy("doc_id")
     }),
 
+    // ---- Image quality metrics over the same bit-exact JPEG fixture:
+    // exact-integer contrast sums + 4-neighbor Laplacian magnitude (the
+    // variance-of-Laplacian blur detector's core) — nonzero exactly at
+    // the 8×8 block boundaries of the fixture, so the oracle's
+    // closed-form replay checks the real decoded pixel NEIGHBORHOODS,
+    // not just totals
+    "mm_image_quality" -> ((s, dir) => {
+      import s.implicits._
+      val jpegs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (24 + id % 41).toInt
+          val h = (16 + id % 29).toInt
+          val rgb = new Array[Byte](3 * w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 31 + (x / 8) * 7 + (y / 8) * 13) % 256).toByte
+              val p = 3 * (y * w + x)
+              rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, MediaCodec.encodeJpeg(w, h, rgb, quality = 1.0f))
+        }.toDF("doc_id", "media")
+      Multimodal.imageQuality(jpegs, "doc_id", "media").orderBy("doc_id")
+    }),
+
     // ---- Multimodal REAL PNG decode: full-color per-pixel pattern.
     // PNG is lossless, so unlike the JPEG query the fixture needs no
     // structural constraint — three independent channel formulas prove
@@ -3974,6 +4003,41 @@ object SparkEntry {
       // (d·31 + (x÷8)·7 + (y÷8)·13) mod 256, and the q=1.0 JPEG
       // round-trip is bit-exact (MultimodalSpec), so lum_sum = 3·Σv and
       // mean_channel = lum_sum / (3·w·h) match the decoded stats exactly
+      // quality-metric twin: closed-form luminance field of the
+      // block-gray fixture; the Laplacian term re-evaluates the formula
+      // at the four neighbors, so decoded neighborhoods are checked
+      "mm_image_quality" -> {
+        def f(a: String, b: String) =
+          s"3 * ((doc_id * 31 + (($a) // 8) * 7 + (($b) // 8) * 13) % 256)"
+        s"""WITH iq_dims AS (
+           |  SELECT doc_id, 24 + doc_id % 41 AS w, 16 + doc_id % 29 AS h
+           |  FROM documents),
+           |iq_sum AS (
+           |  SELECT doc_id, CAST(sum(${f("x", "y")}) AS BIGINT) AS lum_sum,
+           |    CAST(sum((${f("x", "y")}) * (${f("x", "y")})) AS BIGINT)
+           |      AS lum_sq_sum,
+           |    CAST(count(*) AS BIGINT) AS n_px
+           |  FROM iq_dims,
+           |    unnest(generate_series(0, w - 1)) AS tx(x),
+           |    unnest(generate_series(0, h - 1)) AS ty(y)
+           |  GROUP BY doc_id),
+           |iq_lap AS (
+           |  SELECT doc_id,
+           |    CAST(sum(abs(4 * (${f("x", "y")}) - (${f("x - 1", "y")})
+           |      - (${f("x + 1", "y")}) - (${f("x", "y - 1")})
+           |      - (${f("x", "y + 1")}))) AS BIGINT) AS lap_sum,
+           |    CAST(count(*) AS BIGINT) AS n_interior
+           |  FROM iq_dims,
+           |    unnest(generate_series(1, w - 2)) AS tx(x),
+           |    unnest(generate_series(1, h - 2)) AS ty(y)
+           |  GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(d.w AS BIGINT) AS w, CAST(d.h AS BIGINT) AS h,
+           |  s.n_px, s.lum_sum, s.lum_sq_sum, l.lap_sum, l.n_interior
+           |FROM iq_dims d JOIN iq_sum s USING (doc_id)
+           |JOIN iq_lap l USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      },
+
       "mm_jpeg_decode" ->
         """WITH dims AS (
           |  SELECT doc_id, 24 + doc_id % 41 AS w, 16 + doc_id % 29 AS h

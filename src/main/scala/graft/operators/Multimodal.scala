@@ -210,6 +210,75 @@ object Multimodal {
     * emit dimensions + exact integer luminance sum (Σ r+g+b —
     * order-free) and mean channel value. Malformed payloads yield
     * nulls, as in [[audioFeatures]]. */
+  /** Image quality metrics for corpus filtering — the blur/contrast
+    * screen an image-curation pipeline runs before training (the
+    * LAION-style quality gate): per-pixel luminance lum = r+g+b (the
+    * [[imageStats]] convention, exact 0..765 ints), and
+    *
+    *  - lum_sum, lum_sq_sum: exact BIGINT Σlum, Σlum² — contrast =
+    *    variance derives as (n·Σx² − (Σx)²)/n², all-integer until one
+    *    final division,
+    *  - lap_sum: Σ over INTERIOR pixels |4·p − left − right − up −
+    *    down| — the 4-neighbor Laplacian magnitude, the standard
+    *    variance-of-Laplacian blur detector's exact-integer core (a
+    *    blurred image has small |∇²|),
+    *  - n_px, n_interior: the denominators, so any normalization is
+    *    caller-side and exact.
+    *
+    * All outputs are order-free exact integer sums — oracle-replayable
+    * bit for bit from a closed-form pixel fixture. Malformed payloads
+    * quarantine as null rows. */
+  def imageQuality(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        try {
+          val (w, h, rgb) = MediaCodec.decodeImage(bytes)
+          val lum = new Array[Int](w * h)
+          var i = 0
+          while (i < lum.length) {
+            val p = 3 * i
+            lum(i) = (rgb(p) & 0xff) + (rgb(p + 1) & 0xff) + (rgb(p + 2) & 0xff)
+            i += 1
+          }
+          var s = 0L
+          var sq = 0L
+          i = 0
+          while (i < lum.length) {
+            s += lum(i); sq += lum(i).toLong * lum(i); i += 1
+          }
+          var lap = 0L
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val c = y * w + x
+              val d = 4L * lum(c) - lum(c - 1) - lum(c + 1) -
+                lum(c - w) - lum(c + w)
+              lap += math.abs(d)
+              x += 1
+            }
+            y += 1
+          }
+          val nInt = if (w >= 3 && h >= 3) (w - 2).toLong * (h - 2) else 0L
+          (id, Some(w.toLong), Some(h.toLong), Some((w.toLong * h)),
+            Some(s), Some(sq), Some(lap), Some(nInt))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (id, None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long])
+        }
+      }
+    }.toDF(idCol, "w", "h", "n_px", "lum_sum", "lum_sq_sum", "lap_sum",
+      "n_interior")
+  }
+
   def imageStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -305,6 +305,40 @@ class MultimodalSpec extends SparkSpec {
     assert(st(3L).isNullAt(1) && st(3L).isNullAt(4))
   }
 
+  test("imageQuality: exact contrast sums, Laplacian on a hand image, flat = 0") {
+    import graft.operators.MediaCodec
+    val s = spark
+    import s.implicits._
+    // 3×3 grayscale ramp: gray g(x,y) = 10·(y·3+x) → lum = 3·g
+    val ramp = Array.tabulate(27) { i =>
+      val px = i / 3
+      (10 * px).toByte
+    }
+    val flat = Array.fill(27)(50.toByte)
+    val imgs = Seq(
+      (1L, MediaCodec.encodeBmp(3, 3, ramp)),
+      (2L, MediaCodec.encodeBmp(3, 3, flat)),
+      (3L, "junk".getBytes)).toDF("id", "media")
+    val out = Multimodal.imageQuality(imgs, "id", "media").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    val lums = (0 until 9).map(i => 3 * 10 * i)
+    assert(r1.getAs[Long]("n_px") == 9L)
+    assert(r1.getAs[Long]("lum_sum") == lums.sum.toLong)
+    assert(r1.getAs[Long]("lum_sq_sum") == lums.map(v => v.toLong * v).sum)
+    // single interior pixel (1,1): |4·c − l − r − u − d| with
+    // c=lum(4)=120, l=90, r=150, u=30, d=210 → |480−480| = 0 for the
+    // linear ramp — so use the exact value the formula gives
+    assert(r1.getAs[Long]("n_interior") == 1L)
+    assert(r1.getAs[Long]("lap_sum") ==
+      math.abs(4L * lums(4) - lums(3) - lums(5) - lums(1) - lums(7)))
+    val r2 = out(2L) // constant image: zero Laplacian, zero variance
+    assert(r2.getAs[Long]("lap_sum") == 0L)
+    assert(9L * r2.getAs[Long]("lum_sq_sum") ==
+      r2.getAs[Long]("lum_sum") * r2.getAs[Long]("lum_sum"))
+    assert(out(3L).isNullAt(1)) // quarantine
+  }
+
   test("audioVad: silence trim window, integer threshold verdict, quarantine") {
     import graft.operators.MediaCodec
     val s = spark
