@@ -1347,6 +1347,33 @@ object SparkEntry {
         .agg(dSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // ---- Exact per-group mode with a deterministic tie-break (highest
+    // count, then lowest value) — two map-side-combinable aggregations,
+    // no window over the fact table
+    "q_mode" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("cnt"), (-col("l_quantity")).as("nv"))).as("m"))
+        .select(col("l_returnflag"), (-col("m.nv")).as("mode_qty"),
+          col("m.cnt").as("mode_cnt"))
+        .orderBy("l_returnflag")),
+
+    // ---- Equal-width histogram (20 bins over the observed range):
+    // bounds from one aggregation, the bin expression evaluated with
+    // the identical IEEE op order in both engines, top bin clamped
+    "events_histogram" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val b = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(b))
+        .select(least(lit(19.0d),
+          floor((col("value") - col("lo")) * lit(20.0d) /
+            (col("hi") - col("lo")))).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
     // ---- Grouping sets: CUBE (all 4 grouping combinations)
     "q_cube" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -3299,6 +3326,28 @@ object SparkEntry {
       "q_salted_agg" ->
         s"""SELECT user_id, count(*) AS n_events, ${decSum("value")} AS sum_value
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // mode twin: row_number rank ≡ the engine's max(struct(cnt, −v))
+      "q_mode" ->
+        """WITH mc AS (
+          |  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
+          |FROM (SELECT l_returnflag, l_quantity, cnt,
+          |    row_number() OVER (PARTITION BY l_returnflag
+          |      ORDER BY cnt DESC, l_quantity ASC) AS rn
+          |  FROM mc) r
+          |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+      // histogram twin: identical IEEE bin expression, clamped top bin
+      "events_histogram" ->
+        """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+          |SELECT CAST(least(CAST(19 AS DOUBLE),
+          |    floor((e.value - b.lo) * CAST(20 AS DOUBLE) / (b.hi - b.lo)))
+          |    AS BIGINT) AS bin,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM events e CROSS JOIN b
+          |GROUP BY 1 ORDER BY bin""".stripMargin,
 
       "q_moving_sum" ->
         """SELECT o_custkey, o_orderkey,
