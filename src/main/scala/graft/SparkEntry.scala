@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Export, Funnel, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pca, Phrases, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Export, Funnel, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pca, Phrases, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch, Triangles}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -695,6 +695,18 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
         "text", n = 3, threshold = 0.5, maxDocFreq = DedupMaxDocFreq)
       Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
+    // ---- Graph structure of the near-dup pair graph: triangles +
+    // local clustering coefficients (degree-oriented wedge join — the
+    // Suri-Vassilvitskii skew killer; triangle-rich components are true
+    // duplicate families, triangle-free stars are hub false-matches)
+    "graph_triangles" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+        "text", n = 3, threshold = 0.5, maxDocFreq = DedupMaxDocFreq)
+      Triangles.perVertex(pairs, "a", "b")
+        .select(col("id").as("doc_id"), col("deg"), col("n_tri"), col("coeff"))
+        .orderBy("doc_id")
     }),
 
     // ---- Dedup (cluster representative by quality): survivors are all
@@ -3101,6 +3113,31 @@ object SparkEntry {
            |    AND x.is_new AND NOT y.is_new AND x.doc_id <> y.doc_id
            |  JOIN keepb k ON x.band_id = k.band_id AND x.bh = k.bh)
            |SELECT new_id, old_id FROM pairs ORDER BY new_id, old_id""".stripMargin,
+
+      // triangle twin: id-ordered 3-way join counts each triangle once,
+      // ≡ the engine's degree-oriented wedge construction
+      "graph_triangles" ->
+        s"""WITH $jaccardCtes,
+           |tg_e AS (SELECT a, b FROM jpairs),
+           |tg_tri AS (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM tg_e e1
+           |  JOIN tg_e e2 ON e2.a = e1.a AND e2.b > e1.b
+           |  JOIN tg_e e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |tg_deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT a AS id FROM tg_e UNION ALL SELECT b AS id FROM tg_e) u
+           |  GROUP BY id),
+           |tg_cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+           |  SELECT x AS id FROM tg_tri UNION ALL SELECT y AS id FROM tg_tri
+           |  UNION ALL SELECT z AS id FROM tg_tri) c GROUP BY id)
+           |SELECT d.id AS doc_id, d.deg,
+           |  CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_tri,
+           |  CASE WHEN d.deg >= 2 THEN
+           |    CAST(2 * coalesce(c.n_tri, 0) AS DOUBLE)
+           |      / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+           |  ELSE CAST(0 AS DOUBLE) END AS coeff
+           |FROM tg_deg d LEFT JOIN tg_cnt c ON d.id = c.id
+           |ORDER BY doc_id""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH $jaccardCtes
