@@ -25,10 +25,14 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"SCALE $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$r)")
-    }
+    // optional third arg: substring filter on probe names (local
+    // iteration aid — rerun one entry without paying the whole group)
+    val only = args.lift(2)
+    def t(name: String)(f: => Long): Unit =
+      if (only.forall(name.contains(_))) {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SCALE $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$r)")
+      }
 
     if (vectors) {
       val dir = s"/tmp/graft_scale_$n"
@@ -466,11 +470,12 @@ object ScaleProbe {
           maxDist = 3, hashBits = 56, nBlocks = 8).count()
       }
 
-      // the knob's middle point: nBlocks=6 → C(6,3)=20 tables keyed on
-      // 3 blocks ≈ 28 bits — sparse to ~10⁸ hashes at 2.8× fewer
-      // tables than the 8-block setting (same pigeonhole completeness;
-      // DedupSpec pins nBlocks-invariance)
-      t("dhash_pairs_blocks6") {
+      // the knob's middle notch (nBlocks must divide the 56 hash bits,
+      // so 7 is the only option between 4 and 8): C(7,4)=35 tables
+      // keyed on 4 blocks = 32 bits — sparse to ~10⁹ hashes at 1.6×
+      // fewer tables than the 8-block setting (same pigeonhole
+      // completeness; DedupSpec pins nBlocks-invariance)
+      t("dhash_pairs_blocks7") {
         val grouped = floor(col("id") / 4) % 10 === 0
         val hashes = spark.range(n).select(col("id"),
           when(grouped, xxhash64(floor(col("id") / 4)))
@@ -481,7 +486,7 @@ object ScaleProbe {
                 "ELSE shiftleft(1L, CAST((id % 4) * 7 AS INT)) END"))
             .as("h"))
         Dedup.hammingNearDupPairs(hashes, "id", "h",
-          maxDist = 3, hashBits = 56, nBlocks = 6).count()
+          maxDist = 3, hashBits = 56, nBlocks = 7).count()
       }
     }
     spark.stop()
