@@ -1359,6 +1359,28 @@ object SparkEntry {
         .agg(dSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // ---- Pearson correlation per group: the five sufficient sums are
+    // decimal-routed exact (order-independent under any partitioning),
+    // then one fixed IEEE expression — second-order statistics with the
+    // same bit-replayable discipline as the first-order aggregates
+    "q_corr" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def ds(c: Column) = sum(c.cast(DecimalType(38, 18))).cast("double")
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("nn"),
+          ds(col("l_quantity")).as("sx"),
+          ds(col("l_extendedprice")).as("sy"),
+          ds(col("l_quantity") * col("l_quantity")).as("sxx"),
+          ds(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+          ds(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+        .select(col("l_returnflag"),
+          ((col("nn") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("nn") * col("sxx") - col("sx") * col("sx")) *
+              (col("nn") * col("syy") - col("sy") * col("sy")))).as("corr"),
+          col("nn").cast("long").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- Exact per-group mode with a deterministic tie-break (highest
     // count, then lowest value) — two map-side-combinable aggregations,
     // no window over the fact table
@@ -3363,6 +3385,24 @@ object SparkEntry {
       "q_salted_agg" ->
         s"""SELECT user_id, count(*) AS n_events, ${decSum("value")} AS sum_value
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // correlation twin: identical VARCHAR-routed decimal sufficient
+      // sums, identical IEEE expression
+      "q_corr" ->
+        s"""WITH cc AS (
+           |  SELECT l_returnflag,
+           |    CAST(count(*) AS DOUBLE) AS nn,
+           |    ${sparkDecSumToDouble("l_quantity")} AS sx,
+           |    ${sparkDecSumToDouble("l_extendedprice")} AS sy,
+           |    ${sparkDecSumToDouble("l_quantity * l_quantity")} AS sxx,
+           |    ${sparkDecSumToDouble("l_extendedprice * l_extendedprice")} AS syy,
+           |    ${sparkDecSumToDouble("l_quantity * l_extendedprice")} AS sxy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag,
+           |  (nn * sxy - sx * sy)
+           |    / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)) AS corr,
+           |  CAST(nn AS BIGINT) AS n
+           |FROM cc ORDER BY l_returnflag""".stripMargin,
 
       // mode twin: row_number rank ≡ the engine's max(struct(cnt, −v))
       "q_mode" ->
