@@ -204,6 +204,27 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- TPC-H Q10: returned-item revenue per customer — the classic
+    // who-returned-the-most report. Orders joins UNHINTED (fact-sized
+    // at 100×, AQE picks); customer/nation stay broadcast dims;
+    // deterministic (revenue desc, custkey) cut
+    "q10_returned" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-04-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // ---- Extension: TPC-H Q5-style local-supplier revenue — six-way
     // join (fact lineitem; orders joins UNHINTED — at 100× orders is
     // itself fact-sized and must shuffle-join, so the plan lets
@@ -3385,6 +3406,20 @@ object SparkEntry {
       "q_salted_agg" ->
         s"""SELECT user_id, count(*) AS n_events, ${decSum("value")} AS sum_value
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q10_returned" ->
+        s"""SELECT c.c_custkey, c.c_name, n.n_name,
+           |  ${decSum("l.l_extendedprice * (1 - l.l_discount)", 6)} AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n_items
+           |FROM lineitem l
+           |JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |WHERE l.l_returnflag = 'R'
+           |  AND o.o_orderdate >= TIMESTAMP '1996-04-01'
+           |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20""".stripMargin,
 
       // correlation twin: identical VARCHAR-routed decimal sufficient
       // sums, identical IEEE expression
