@@ -1763,6 +1763,25 @@ object SparkEntry {
       Phrases.applyPhrases(docs, "doc_id", "text", phr).orderBy("doc_id")
     }),
 
+    // ---- word2vec's multi-pass phrase learning (Mikolov'13 §4 "we ran
+    // 2-4 passes"): the second learn runs over the FIRST pass's
+    // rewritten corpus, so fused bigrams become atoms and (a_b, c)
+    // trigram phrases can emerge on corpora with recurring trigram
+    // collocations (this synthetic corpus yields fresh pass-2 bigrams
+    // only — 325 merges across 226 docs at sf0.01); the oracle replays
+    // both passes with prefix-disjoint CTE chains
+    "t_phrases_trigram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val p1 = Phrases.topPhrases(docs, "text", k = 8,
+        delta = 5L, minCount = 10L)
+      val r1 = Phrases.applyPhrases(docs, "doc_id", "text", p1)
+        .select(col("doc_id"), col("text_phr").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p2 = Phrases.topPhrases(r1, "text", k = 8,
+        delta = 5L, minCount = 10L)
+      Phrases.applyPhrases(r1, "doc_id", "text", p2).orderBy("doc_id")
+    }),
+
     // ---- Text analysis: TF-IDF top terms per document (ln is bitwise-
     // identical across libm/DuckDB on these values — verified). Per-doc
     // top-3 via the bounded-heap TopTerms aggregator: map-side partial
@@ -3744,6 +3763,19 @@ object SparkEntry {
 
       "t_phrases_apply" -> phrasesApplySql(8, 5, 10),
 
+      // two-pass twin: pass 2's CTE chain (p2_*) reads pass 1's ph_f
+      // through a MATERIALIZED cut — without it the 24 pass-2 scalar
+      // subqueries each re-expand the whole pass-1 chain (itself 24
+      // subqueries deep) and DuckDB OOMs on the plan
+      "t_phrases_trigram" ->
+        s"""WITH ${phrasesApplyCtes(8, 5, 10, "documents", "ph")},
+           |pp_src AS MATERIALIZED (SELECT doc_id, text_phr AS text FROM ph_f),
+           |${phrasesApplyCtes(8, 5, 10, "pp_src", "p2")}
+           |SELECT doc_id, text_phr, CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(len(t) - (CASE WHEN text_phr = '' THEN 0
+           |    ELSE len(string_split(text_phr, ' ')) END) AS BIGINT) AS n_merges
+           |FROM p2_f ORDER BY doc_id""".stripMargin,
+
       // GloVe co-occurrence twin: both directed entries per position
       // pair, VARCHAR-routed decimal sums (the Spark cast-parity rule)
       "t_cooc" ->
@@ -5305,21 +5337,23 @@ object SparkEntry {
     * cleaned tokens, exact unigram/adjacent-pair counts, and the
     * δ-discounted score — one IEEE division of exact BIGINTs,
     * arithmetic-identical to [[graft.operators.Phrases.collocations]]. */
-  private def phrasesScoreCtes(src: String, delta: Int, minCount: Int): String =
-    s"""ph_tok AS (
+  private def phrasesScoreCtes(src: String, delta: Int, minCount: Int,
+                               pfx: String = "ph"): String =
+    s"""${pfx}_tok AS (
        |  SELECT doc_id, list_filter(string_split_regex(
        |    replace(replace(lower(text), chr(2), ''), chr(3), ''), '\\s+'),
        |    x -> x <> '') AS t FROM $src),
-       |ph_uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(t) AS w FROM ph_tok) GROUP BY w),
-       |ph_bi AS (SELECT t[i] AS a, t[i + 1] AS b,
+       |${pfx}_uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(t) AS w FROM ${pfx}_tok) GROUP BY w),
+       |${pfx}_bi AS (SELECT t[i] AS a, t[i + 1] AS b,
        |    CAST(count(*) AS BIGINT) AS pair_cnt
-       |  FROM ph_tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       |  FROM ${pfx}_tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
        |  WHERE len(t) >= 2 GROUP BY 1, 2),
-       |ph_sc AS (SELECT a, b, pair_cnt, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+       |${pfx}_sc AS (SELECT a, b, pair_cnt, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
        |    CAST(pair_cnt - $delta AS DOUBLE)
        |      / CAST(ua.cnt * ub.cnt AS DOUBLE) AS score
-       |  FROM ph_bi JOIN ph_uni ua ON a = ua.w JOIN ph_uni ub ON b = ub.w
+       |  FROM ${pfx}_bi JOIN ${pfx}_uni ua ON a = ua.w
+       |  JOIN ${pfx}_uni ub ON b = ub.w
        |  WHERE pair_cnt >= $minCount)""".stripMargin
 
   /** Replay of topPhrases + applyPhrases: rank CTE, then one replace
@@ -5330,26 +5364,26 @@ object SparkEntry {
     * over the (doc_id, text) source relation so flagships can feed a
     * curated intermediate through it. */
   private def phrasesApplyCtes(k: Int, delta: Int, minCount: Int,
-                               src: String): String = {
-    def sub(c: String, i: Int) = s"(SELECT $c FROM ph_rank WHERE rn = $i)"
+                               src: String, pfx: String = "ph"): String = {
+    def sub(c: String, i: Int) = s"(SELECT $c FROM ${pfx}_rank WHERE rn = $i)"
     val rounds = (1 to k).map { i =>
-      s"""ph_m$i AS (SELECT doc_id, t, coalesce(replace(s,
+      s"""${pfx}_m$i AS (SELECT doc_id, t, coalesce(replace(s,
          |  chr(2) || ${sub("a", i)} || chr(3) || chr(2) || ${sub("b", i)} || chr(3),
          |  chr(2) || ${sub("a", i)} || '_' || ${sub("b", i)} || chr(3)), s) AS s
-         |  FROM ph_m${i - 1})""".stripMargin
+         |  FROM ${pfx}_m${i - 1})""".stripMargin
     }.mkString(",\n")
-    s"""${phrasesScoreCtes(src, delta, minCount)},
-       |ph_rank AS (SELECT a, b,
+    s"""${phrasesScoreCtes(src, delta, minCount, pfx)},
+       |${pfx}_rank AS (SELECT a, b,
        |    row_number() OVER (ORDER BY score DESC, a, b) AS rn
-       |  FROM ph_sc QUALIFY rn <= $k),
-       |ph_m0 AS (SELECT doc_id, t,
+       |  FROM ${pfx}_sc QUALIFY rn <= $k),
+       |${pfx}_m0 AS (SELECT doc_id, t,
        |    coalesce(list_aggregate(list_transform(t,
        |      x -> chr(2) || x || chr(3)), 'string_agg', ''), '') AS s
-       |  FROM ph_tok),
+       |  FROM ${pfx}_tok),
        |$rounds,
-       |ph_f AS (SELECT doc_id, t,
+       |${pfx}_f AS (SELECT doc_id, t,
        |    trim(replace(s, chr(3) || chr(2), ' '), chr(2) || chr(3)) AS text_phr
-       |  FROM ph_m$k)""".stripMargin
+       |  FROM ${pfx}_m$k)""".stripMargin
   }
 
   private def phrasesApplySql(k: Int, delta: Int, minCount: Int): String =
