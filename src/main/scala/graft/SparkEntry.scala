@@ -1858,6 +1858,21 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("lang")),
 
+    // ---- Robust statistics: per-group median absolute deviation —
+    // the outlier-resistant spread a curation pipeline uses where a
+    // stddev would chase heavy tails. Two exact interpolated medians
+    // (percentile ≡ quantile_cont, the t_quantiles pairing); the
+    // per-group median broadcasts back as a dim join
+    "q_mad" -> ((s, dir) => {
+      val med = Tables.documents(s, dir).groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      Tables.documents(s, dir).join(broadcast(med), Seq("lang"))
+        .groupBy("lang")
+        .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
     // ---- Flagship curation pipeline: the training-data path end-to-end
     // — language ID + quality gate + exact-dup keep-first + MinHash-LSH
     // near-dup removal, composed with semi/anti joins. Oracle = the same
@@ -4134,6 +4149,17 @@ object SparkEntry {
           |quantile_cont(n_chars, 0.75) AS p75,
           |count(*) AS n
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // MAD twin: the same two-phase exact interpolated medians
+      "q_mad" ->
+        """WITH md AS (
+          |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+          |  FROM documents GROUP BY lang)
+          |SELECT d.lang,
+          |  quantile_cont(abs(d.n_chars - md.med), 0.5) AS mad,
+          |  count(*) AS n
+          |FROM documents d JOIN md ON d.lang = md.lang
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
       // PCM8 samples are text bytes (ASCII ⇒ ord = byte) centered at
       // 128; duration floors twice like WavMeta.durationMs
