@@ -1588,6 +1588,35 @@ object SparkEntry {
     // time-ordered arrival
     "b10_stream_funnel" -> ((s, dir) => streamFunnelPipeline(s, dir)),
 
+    // ---- Streaming HLL maintenance: micro-batch register folding by
+    // elementwise MAX — idempotent exact-union merge, so the folded
+    // state is register-identical to the batch sketch under ANY split
+    // and the final estimate hash-matches the batch sketch_hll oracle
+    "b10_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_b10hll")
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+          finally walk.close()
+        }
+        java.nio.file.Files.createDirectories(p).toString
+      }
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      ev.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        Map.empty[Int, Int])
+      val q = Sketch.streamingHll(stream, col("user_id"), p = 6,
+        s"$tmp/ckpt", state)
+      q.awaitTermination()
+      Sketch.hllEstimate(state.get().toSeq.toDF("bucket", "r"), p = 6)
+    }),
+
     // ---- B10 exhaustive twin: the identical flush → refreshEdges →
     // searchEdges loop, searched with ef far above every shard size —
     // the o3_hnsw_exhaustive construction applied to the STREAM-
@@ -2938,6 +2967,12 @@ object SparkEntry {
            |FROM es""".stripMargin,
 
       "sketch_hll" ->
+        s"""WITH ${hllSql("events", "user_id", None)}
+           |SELECT est_distinct, v_empty, s_scaled FROM hll""".stripMargin,
+
+      // streaming twin: register-max folding is idempotent exact union,
+      // so the stream-maintained state ≡ the batch sketch verbatim
+      "b10_stream_hll" ->
         s"""WITH ${hllSql("events", "user_id", None)}
            |SELECT est_distinct, v_empty, s_scaled FROM hll""".stripMargin,
 

@@ -419,6 +419,38 @@ object Sketch {
       }
       .start()
 
+  /** Elementwise register MAX — HLL's exact-union merge (associative,
+    * commutative, idempotent), so folding micro-batch sketches in ANY
+    * order or split is register-identical to sketching the whole
+    * stream. */
+  def mergeHllRegisters(a: Map[Int, Int], b: Map[Int, Int]): Map[Int, Int] =
+    b.foldLeft(a) { case (acc, (k, r)) =>
+      acc.updated(k, math.max(acc.getOrElse(k, 0), r))
+    }
+
+  /** Streaming maintenance: fold each micro-batch's HLL registers into
+    * the running state — distinct-count estimates over an unbounded
+    * stream with fixed 2^p state. Unlike CMS (whose registers ADD),
+    * HLL registers MAX, which is idempotent — so replayed batches
+    * cannot double-count, and the folded state is bit-identical to the
+    * batch sketch under any batch split. */
+  def streamingHll(stream: DataFrame, valueCol: Column, p: Int,
+                   checkpoint: String,
+                   state: java.util.concurrent.atomic.AtomicReference[Map[Int, Int]],
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val regs = hllSketch(batch, valueCol, p).collect()
+          .map(r => r.getInt(0) -> r.getInt(1)).toMap
+        state.updateAndGet(cur => mergeHllRegisters(cur, regs))
+        ()
+      }
+      .start()
+
   // ---------------------------------------------------------------
   // HyperLogLog distinct sketch
   // ---------------------------------------------------------------

@@ -330,6 +330,30 @@ class SketchSpec extends SparkSpec {
       "streamed register fold diverged from the batch sketch")
   }
 
+  test("streaming HLL register fold equals the batch sketch; replays are idempotent") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("hllstream").toString
+    val state = new java.util.concurrent.atomic.AtomicReference[Map[Int, Int]](Map.empty)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+
+    source.addData(0L until 900L: _*)
+    Sketch.streamingHll(source.toDF().toDF("v"), col("v"), 6,
+      s"$tmp/ckpt", state).awaitTermination()
+    source.addData(500L until 1500L: _*) // overlapping second batch
+    Sketch.streamingHll(source.toDF().toDF("v"), col("v"), 6,
+      s"$tmp/ckpt", state).awaitTermination()
+
+    val batchAll = Sketch.hllSketch((0L until 1500L).toDF("v"), col("v"), 6)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(state.get() == batchAll,
+      "streamed register fold diverged from the batch sketch")
+    // idempotence: re-folding the same registers changes nothing (MAX,
+    // unlike CMS's ADD, cannot double-count a replayed batch)
+    assert(Sketch.mergeHllRegisters(state.get(), batchAll) == batchAll)
+  }
+
   test("grouped HLL matches per-group single sketches") {
     val s = spark
     import s.implicits._
