@@ -191,13 +191,16 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // ---- Extension: TPC-H Q3-style join (broadcast dims, shuffle fact)
+    // ---- Extension: TPC-H Q3-style join. Orders and customer both
+    // scale with SF, so neither carries a broadcast hint — AQE picks
+    // broadcast at bench scale and shuffle-join past the threshold
+    // (a forced broadcast of either side OOMs at 100×).
     "q3_top_revenue" -> ((s, dir) => {
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
       val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey")
         .agg(dSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -205,9 +208,9 @@ object SparkEntry {
     }),
 
     // ---- TPC-H Q10: returned-item revenue per customer — the classic
-    // who-returned-the-most report. Orders joins UNHINTED (fact-sized
-    // at 100×, AQE picks); customer/nation stay broadcast dims;
-    // deterministic (revenue desc, custkey) cut
+    // who-returned-the-most report. Orders AND customer join UNHINTED
+    // (both scale with SF; AQE picks); only fixed-size nation stays a
+    // broadcast dim; deterministic (revenue desc, custkey) cut
     "q10_returned" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
@@ -216,7 +219,7 @@ object SparkEntry {
           col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
       Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
@@ -226,12 +229,12 @@ object SparkEntry {
     }),
 
     // ---- Extension: TPC-H Q5-style local-supplier revenue — six-way
-    // join (fact lineitem; orders joins UNHINTED — at 100× orders is
-    // itself fact-sized and must shuffle-join, so the plan lets
-    // Catalyst/AQE pick by measured size instead of forcing a broadcast
-    // that would OOM past the threshold; customer/supplier/nation/region
-    // stay broadcast dims; the c_nationkey = s_nationkey locality
-    // predicate rides the supplier join) + one group-by
+    // join (fact lineitem; orders/customer/supplier all join UNHINTED —
+    // each scales with SF, so the plan lets Catalyst/AQE pick by
+    // measured size instead of forcing a broadcast that would OOM past
+    // the threshold; only fixed-size nation/region stay broadcast dims;
+    // the c_nationkey = s_nationkey locality predicate rides the
+    // supplier join) + one group-by
     "q5_local_supplier" -> ((s, dir) => {
       val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
       val nat = Tables.nation(s, dir)
@@ -244,8 +247,8 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")

@@ -263,18 +263,29 @@ class PlanSpec extends SparkSpec {
       s"pivot aggregation not map-side combined, plan:\n$plan")
   }
 
-  test("q5 fact-to-orders edge carries no broadcast hint: with broadcasting off it shuffle-joins") {
+  test("q3/q5/q10 SF-scaled join sides (orders/customer/supplier) carry no broadcast hint") {
     val s = spark
     // -1 disables stats-based broadcast; explicit broadcast() HINTS
-    // still win — so a surviving shuffle join on l_orderkey proves the
-    // orders edge is unhinted and Catalyst/AQE picks by measured size
-    // (at 100× orders is fact-sized and a forced broadcast would OOM)
+    // still win — so with the threshold off, any surviving
+    // BroadcastHashJoin proves a hint. Only the fixed-size dims
+    // (nation/region) are allowed to keep hints; every SF-scaled side
+    // (orders, customer, supplier) must degrade to a shuffle join,
+    // because at 100× a forced broadcast of those sides OOMs.
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val plan = SparkEntry.queries("q5_local_supplier")(s, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan.toString
-      assert("(SortMergeJoin|ShuffledHashJoin) \\[l_orderkey".r.findFirstIn(plan).isDefined,
-        s"lineitem-orders join did not degrade to a shuffle join (lurking hint?):\n$plan")
+      for (q <- Seq("q3_top_revenue", "q5_local_supplier", "q10_returned")) {
+        val plan = SparkEntry.queries(q)(s, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        val offending = plan.linesIterator
+          .filter(_.contains("BroadcastHashJoin"))
+          .filterNot(l => l.contains("n_nationkey") || l.contains("n_regionkey") ||
+            l.contains("r_regionkey"))
+          .toList
+        assert(offending.isEmpty,
+          s"$q still broadcasts an SF-scaled side:\n${offending.mkString("\n")}")
+        assert("(SortMergeJoin|ShuffledHashJoin) \\[(l_orderkey|o_orderkey)".r.findFirstIn(plan).isDefined,
+          s"$q fact-orders join did not degrade to a shuffle join (lurking hint?):\n$plan")
+      }
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
     }
