@@ -148,6 +148,27 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // ---- O7 fidelity: conjunctive filter over the raw metadata_json
+    // column — int, list-element, and string values in one JSON payload
+    // (the shapes a string map can't hold; the reference stores int and
+    // list metadata, tests/integration/test_embed_api.py:153-160). The
+    // JSON text is constructed deterministically, then *parsed* by the
+    // codegen'd get_json_object path, so the filter rides the scan at
+    // 100 TB like any other predicate.
+    "o7_metadata_json_filter" -> ((s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(
+        col("vec_id").as("id"),
+        concat(lit("{\"label\":"), col("label").cast("string"),
+          lit(",\"lens\":["), (col("vec_id") % 5).cast("string"),
+          lit(","), ((col("vec_id") + 2) % 5).cast("string"),
+          lit("],\"src\":\"s"), (col("vec_id") % 3).cast("string"),
+          lit("\"}")).as("metadata_json"))
+      nodes.filter(Search.metadataJsonFilter(col("metadata_json"),
+          Map("label" -> "3", "lens[1]" -> "2", "src" -> "s1")))
+        .select("id", "metadata_json")
+        .orderBy("id")
+    }),
+
     // ---- O8: empty-filter short-circuit (api/app.py:186-192)
     "o8_filter_empty" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -2852,6 +2873,17 @@ object SparkEntry {
       "o7_metadata_filter" ->
         """SELECT doc_id, lang, source FROM documents
           |WHERE lang = 'en' AND source = 'src3' ORDER BY doc_id""".stripMargin,
+
+      "o7_metadata_json_filter" ->
+        """WITH nodes AS (SELECT vec_id AS id,
+          |'{"label":' || label || ',"lens":[' || (vec_id % 5) || ',' ||
+          |((vec_id + 2) % 5) || '],"src":"s' || (vec_id % 3) || '"}' AS metadata_json
+          |FROM embeddings)
+          |SELECT id, metadata_json FROM nodes
+          |WHERE json_extract_string(metadata_json, '$.label') = '3'
+          |AND json_extract_string(metadata_json, '$.lens[1]') = '2'
+          |AND json_extract_string(metadata_json, '$.src') = 's1'
+          |ORDER BY id""".stripMargin,
 
       "o8_filter_empty" ->
         "SELECT doc_id, lang FROM documents WHERE lang = 'xx' ORDER BY doc_id",

@@ -23,11 +23,17 @@ class VectorStore private (val spark: SparkSession, val path: String,
   private def ivfDataPath = s"$path/vectors_by_cluster"
 
   /** Current snapshot (empty on a fresh store). SnapshotIO recovers
-    * torn publishes; only a never-written store reads as empty. */
-  def snapshot(): DataFrame =
-    graft.core.SnapshotIO.read(spark, dataPath).getOrElse(
+    * torn publishes; only a never-written store reads as empty.
+    * Stores persisted before the `metadata_json` fidelity column are
+    * padded with nulls so old and new snapshots union cleanly. */
+  def snapshot(): DataFrame = {
+    val df = graft.core.SnapshotIO.read(spark, dataPath).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Tables.nodeSchema))
+    if (df.columns.contains("metadata_json")) df
+    else df.withColumn("metadata_json", lit(null).cast("string"))
+      .select("id", "embedding", "content", "metadata", "metadata_json", "is_deleted")
+  }
 
   /** S6 write path: validate dims, assign ids from next_id, upsert,
     * persist (mmap_vector_store.py:83-125). Rows: (embedding, content?,
@@ -40,8 +46,15 @@ class VectorStore private (val spark: SparkSession, val path: String,
       .withColumn("content", coalesce(tryCol(validated, "content"), lit(null).cast("string")))
       .withColumn("metadata", coalesce(tryCol(validated, "metadata"),
         lit(null).cast("map<string,string>")))
+      // raw-fidelity JSON: keep the caller's verbatim when present
+      // (arbitrary value types survive), else derive from the string
+      // map so both representations stay consistent
+      .withColumn("metadata_json", coalesce(
+        tryCol(validated, "metadata_json").cast("string"),
+        to_json(coalesce(tryCol(validated, "metadata"),
+          lit(null).cast("map<string,string>")))))
       .withColumn("is_deleted", lit(false))
-      .select("id", "embedding", "content", "metadata", "is_deleted")
+      .select("id", "embedding", "content", "metadata", "metadata_json", "is_deleted")
     val merged = Crud.upsert(cur, withIds, "id")
     graft.core.SnapshotIO.publish(merged, dataPath)
     start
@@ -56,6 +69,19 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val live = snapshot().filter(!col("is_deleted"))
     val pred = if (metadataFilter.isEmpty) None
       else Some(Search.metadataFilter(col("metadata"), metadataFilter))
+    Search.knnExact(live, "id", "embedding", query, k, pred)
+  }
+
+  /** O7 over the raw-fidelity JSON column: conjunctive equality on JSON
+    * paths (int/list/nested values — the payload shapes the string map
+    * can't hold, `tests/integration/test_embed_api.py:153-160`). Keys
+    * are paths (`label`, `tags[0]`, `a.b`); values are
+    * `get_json_object`-rendered strings. */
+  def searchJsonFiltered(query: Seq[Float], k: Int,
+                         jsonFilter: Map[String, String]): DataFrame = {
+    val live = snapshot().filter(!col("is_deleted"))
+    val pred = if (jsonFilter.isEmpty) None
+      else Some(Search.metadataJsonFilter(col("metadata_json"), jsonFilter))
     Search.knnExact(live, "id", "embedding", query, k, pred)
   }
 

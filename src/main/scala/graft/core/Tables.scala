@@ -15,12 +15,22 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  /** Canonical vector-store schema (the engine's one logical table). */
+  /** Canonical vector-store schema (the engine's one logical table).
+    *
+    * `metadata` is the fast, filterable string map; `metadata_json` is
+    * the raw-fidelity column (SURVEY §1.2): the reference's metadata is
+    * schemaless JSON whose values can be ints/lists/nested objects
+    * (`tests/integration/test_embed_api.py:153-160`; storage serializes
+    * arbitrary JSON, `storage.py:213,221-222`), which a string map can't
+    * represent. Non-string and nested values live verbatim in
+    * `metadata_json` and are filterable via `get_json_object`
+    * ([[graft.operators.Search.metadataJsonFilter]]). */
   val nodeSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
     StructField("content", StringType, nullable = true),
     StructField("metadata", MapType(StringType, StringType), nullable = true),
+    StructField("metadata_json", StringType, nullable = true),
     StructField("is_deleted", BooleanType, nullable = false)))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -79,6 +89,7 @@ object Tables {
       col("embedding"),
       lit(null).cast(StringType).as("content"),
       map(lit("label"), col("label").cast(StringType)).as("metadata"),
+      to_json(map(lit("label"), col("label").cast(StringType))).as("metadata_json"),
       lit(false).as("is_deleted"))
 
   /** Ingest validation, mirroring the reference's hard dim-check at write

@@ -97,6 +97,23 @@ object Search {
       acc && metadataCol.getItem(k) <=> lit(v)
     }
 
+  /** Conjunctive equality filter over the raw-fidelity `metadata_json`
+    * column (SURVEY §1.2): keys are JSON paths (`label`, `tags[0]`,
+    * `a.b` — a leading `$.` is added when absent), values compare
+    * against `get_json_object`'s string rendering, so an int value
+    * matches `"3"`, a list element `tags[1]` matches its scalar, and a
+    * whole list matches its compact JSON text. Missing path ⇒ null ⇒
+    * no match — the reference's filter semantics
+    * (`storage_service.py:118-128`) extended to non-string values
+    * (`tests/integration/test_embed_api.py:153-160` stores int + list).
+    * Codegen'd (`GetJsonObject` is a native expression); at 100 TB the
+    * filter rides the scan like any other predicate. */
+  def metadataJsonFilter(jsonCol: Column, preds: Map[String, String]): Column =
+    preds.foldLeft(lit(true)) { case (acc, (path, v)) =>
+      val p = if (path.startsWith("$")) path else "$." + path
+      acc && get_json_object(jsonCol, p) <=> lit(v)
+    }
+
   /** Batch kNN: for every query row, the top-k nearest base rows.
     * queries is expected small relative to base (broadcast side).
     * Result: one row per (query_id, neighbor) with rank 1..k.

@@ -138,4 +138,54 @@ class VectorStoreSpec extends SparkSpec {
     assert(api.count() == 3)
     assert(api.collect().head.getAs[Double]("dist") < 1e-6)
   }
+
+  test("metadata_json fidelity: int/list values round-trip and filter (test_embed_api.py:153-160)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("store").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(20, 8)
+    // reference-shaped payloads: int and list metadata values, which the
+    // string map cannot represent — they ride the raw JSON column
+    val rows = data.map { case (i, v) =>
+      (v, s"doc $i", s"""{"rank":${i % 4},"tags":[${i % 3},${(i + 1) % 3}],"name":"n$i"}""")
+    }.toDF("embedding", "content", "metadata_json")
+    store.ingest(rows)
+
+    // verbatim round-trip through the persisted snapshot (ids are
+    // sparse under assignIdsFast — address the row by content)
+    val back = store.snapshot().filter(col("content") === "doc 7").collect().head
+    assert(back.getAs[String]("metadata_json") ==
+      """{"rank":3,"tags":[1,2],"name":"n7"}""")
+
+    // filter on an int value, a list element, and a string — conjunctive
+    val hits = store.searchJsonFiltered(data(7)._2.toSeq, 5,
+      Map("rank" -> "3", "tags[0]" -> "1", "name" -> "n7")).collect()
+    assert(hits.length == 1 && hits.head.getAs[Double]("dist") < 1e-6)
+
+    // missing path ⇒ no match (reference filter semantics)
+    assert(store.searchJsonFiltered(data(7)._2.toSeq, 5,
+      Map("absent" -> "1")).count() == 0L)
+
+    // string-map ingest still derives a consistent JSON rendering
+    val store2 = VectorStore.open(s, Files.createTempDirectory("store").toString, 8)
+    store2.ingest(data.take(3).map { case (i, v) =>
+      (v, Map("parity" -> (i % 2).toString)) }.toDF("embedding", "metadata"))
+    val derived = store2.snapshot().select("metadata_json").collect()
+      .map(_.getString(0)).sorted
+    assert(derived.toSeq == Seq("""{"parity":"0"}""", """{"parity":"0"}""",
+      """{"parity":"1"}"""))
+
+    // pre-fidelity stores (no metadata_json column on disk) pad null and
+    // keep ingesting cleanly
+    val legacyDir = Files.createTempDirectory("store").toString
+    data.take(2).map { case (i, v) => (i, v, s"doc $i",
+        Map("k" -> "v"), false) }
+      .toDF("id", "embedding", "content", "metadata", "is_deleted")
+      .write.mode("overwrite").parquet(s"$legacyDir/vectors")
+    val legacy = VectorStore.open(s, legacyDir, 8)
+    assert(legacy.snapshot().filter(col("metadata_json").isNull).count() == 2L)
+    legacy.ingest(data.drop(2).take(2).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    assert(legacy.size() == 4L)
+  }
 }
