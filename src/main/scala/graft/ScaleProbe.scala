@@ -433,6 +433,14 @@ object ScaleProbe {
           .agg(sum(col("n_removed"))).head.getLong(0)
       }
 
+      // char-level ExactSubstr at 20-char grams: the same linear
+      // content-keyed aggregation at character resolution — one row per
+      // CHAR position, ~mean-word-length× the word version's stream
+      t("span_dedup_chars_l20") {
+        graft.operators.Curation.exactSpanDedupChars(docs, "id", "text", 20)
+          .agg(sum(col("n_removed"))).head.getLong(0)
+      }
+
       // CountMin registers over the ~8n-token stream: depth-4 explode
       // collapses map-side to ≤ 4·1024 rows per partition — frequency
       // estimates for post-hoc keys at fixed state

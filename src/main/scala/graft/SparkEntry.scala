@@ -562,6 +562,23 @@ object SparkEntry {
         .crossJoin(o.agg(expr("percentile(o_totalprice, 0.5)").as("exact_p50")))
     }),
 
+    // ---- Mergeable bounded-state quantile sketch — the KLL/GK slot,
+    // md5-determinized: per-language length thresholds from ONE pass
+    // with ≤ k rows of state per group (the per-group quality-cutoff
+    // shape a 100 TB curation pipeline needs). The retained set (the k
+    // hash-smallest rows per lang) is a pure function of the input
+    // multiset — order/partitioning-independent — so the oracle replays
+    // the sketch AND the estimate bit-for-bit; merge ≡ union and
+    // idempotent-replay are gated in SketchSpec.
+    "sketch_kll" -> ((s, dir) => {
+      val sk = Sketch.quantileSketchGrouped(Tables.documents(s, dir),
+        col("lang"), col("n_chars"), col("doc_id"), k = 256)
+      Sketch.quantileEstimateGrouped(sk, Seq(0.5, 0.9, 0.99))
+        .select(col("g").as("lang"), col("n_sample"),
+          col("q0").as("p50"), col("q1").as("p90"), col("q2").as("p99"))
+        .orderBy("lang")
+    }),
+
     // ---- Data profiling: one-pass per-column statistics as tidy
     // (col_name, metric, value) rows — decimal-exact means, exact
     // distincts; the ingestion-time data-quality snapshot
@@ -905,6 +922,15 @@ object SparkEntry {
     // overlapping covered grams merge into maximal removed intervals.
     "dedup_span_exact" -> ((s, dir) =>
       Curation.exactSpanDedup(Tables.documents(s, dir), "doc_id", "text", 5)
+        .orderBy("doc_id")),
+
+    // ---- Char-level ExactSubstr (Lee'21 §4.1 operates on raw bytes,
+    // not word arrays): the gram-cover span dedup at character
+    // granularity — catches duplicated passages word tokenization
+    // splits differently. 30-char grams ≈ the word version's 5-gram
+    // span scale.
+    "dedup_span_chars" -> ((s, dir) =>
+      Curation.exactSpanDedupChars(Tables.documents(s, dir), "doc_id", "text", 30)
         .orderBy("doc_id")),
 
     // ---- Sampling: fixed-size per-stratum deterministic sample (the
@@ -1639,6 +1665,40 @@ object SparkEntry {
         s"$tmp/ckpt", state)
       q.awaitTermination()
       Sketch.hllEstimate(state.get().toSeq.toDF("bucket", "r"), p = 6)
+    }),
+
+    // ---- Streaming quantile-sketch maintenance: fold each micro-
+    // batch's per-group bottom-k-by-hash samples into the running state
+    // — idempotent exact-union merge (replayed rows dedup by hash), so
+    // the folded state is bit-identical to the batch sketch under ANY
+    // split and the estimates hash-match the batch sketch_kll oracle
+    "b10_stream_kll" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_b10kll")
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+          finally walk.close()
+        }
+        java.nio.file.Files.createDirectories(p).toString
+      }
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      docs.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        Map.empty[String, Seq[Sketch.QItem]])
+      val q = Sketch.streamingQuantile(stream, col("lang"), col("n_chars"),
+        col("doc_id"), k = 256, s"$tmp/ckpt", state)
+      q.awaitTermination()
+      val sk = state.get().toSeq.toDF("g", "sketch")
+      Sketch.quantileEstimateGrouped(sk, Seq(0.5, 0.9, 0.99))
+        .select(col("g").as("lang"), col("n_sample"),
+          col("q0").as("p50"), col("q1").as("p90"), col("q2").as("p99"))
+        .orderBy("lang")
     }),
 
     // ---- B10 exhaustive twin: the identical flush → refreshEdges →
@@ -3294,6 +3354,33 @@ object SparkEntry {
 
       "t_profile" -> profileSql,
 
+      // the quantile sketch is a pure function of the input multiset —
+      // the oracle rebuilds it (k hash-smallest rows per group) and
+      // takes the identical interpolated quantiles over the sample
+      "sketch_kll" ->
+        """WITH ranked AS (
+          |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(n_chars AS DOUBLE)) AS rn
+          |  FROM documents)
+          |SELECT g AS lang, count(*) AS n_sample,
+          |  quantile_cont(v, 0.5) AS p50, quantile_cont(v, 0.9) AS p90,
+          |  quantile_cont(v, 0.99) AS p99
+          |FROM ranked WHERE rn <= 256 GROUP BY g ORDER BY lang""".stripMargin,
+
+      // streaming fold ≡ batch sketch (idempotent union merge): same
+      // oracle as sketch_kll
+      "b10_stream_kll" ->
+        """WITH ranked AS (
+          |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(n_chars AS DOUBLE)) AS rn
+          |  FROM documents)
+          |SELECT g AS lang, count(*) AS n_sample,
+          |  quantile_cont(v, 0.5) AS p50, quantile_cont(v, 0.9) AS p90,
+          |  quantile_cont(v, 0.99) AS p99
+          |FROM ranked WHERE rn <= 256 GROUP BY g ORDER BY lang""".stripMargin,
+
       "sketch_quantile" ->
         """WITH smp AS (
           |  SELECT o_totalprice FROM orders
@@ -3704,6 +3791,9 @@ object SparkEntry {
       // min(struct(id, start)); interval islands counted by lag-gap
       "dedup_span_exact" ->
         s"${spanDedupSql("documents", 5)} ORDER BY doc_id",
+
+      "dedup_span_chars" ->
+        s"${spanDedupCharsSql("documents", 30)} ORDER BY doc_id",
 
       "t_fingerprint" ->
         """SELECT doc_id, list_min(list_transform(
@@ -5214,6 +5304,46 @@ object SparkEntry {
        |  coalesce(k.text_dedup, '') AS text_dedup
        |FROM sd_toks t LEFT JOIN sd_covagg ca USING (doc_id)
        |LEFT JOIN sd_kept k USING (doc_id)""".stripMargin
+
+  /** Char-granularity twin of [[spanDedupSql]]: md5 per char-l-gram
+    * position, global firsts by (doc_id, start), covered-index fan-out,
+    * island span count, per-char rebuild. */
+  private def spanDedupCharsSql(src: String, l: Int): String =
+    s"""WITH sc_docs AS (SELECT doc_id, text AS t FROM $src),
+       |sc_occ AS (
+       |  SELECT doc_id, i AS s, md5(substr(t, i, $l)) AS h
+       |  FROM sc_docs, unnest(generate_series(1, length(t) - ${l - 1})) AS u(i)
+       |  WHERE length(t) >= $l),
+       |sc_mark AS (
+       |  SELECT doc_id, s,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt FROM sc_occ),
+       |sc_cov AS (
+       |  SELECT DISTINCT doc_id, s + j AS ci
+       |  FROM sc_mark, unnest(generate_series(0, ${l - 1})) AS v(j)
+       |  WHERE cnt >= 2 AND rn > 1),
+       |sc_covw AS (
+       |  SELECT doc_id, ci,
+       |    CASE WHEN lag(ci) OVER (PARTITION BY doc_id ORDER BY ci) = ci - 1
+       |      THEN 0 ELSE 1 END AS isstart FROM sc_cov),
+       |sc_covagg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+       |    CAST(sum(isstart) AS BIGINT) AS n_spans
+       |  FROM sc_covw GROUP BY doc_id),
+       |sc_chars AS (
+       |  SELECT doc_id, j AS wi, substr(t, j, 1) AS ch
+       |  FROM sc_docs, unnest(generate_series(1, length(t))) AS g(j)),
+       |sc_kept AS (
+       |  SELECT ch0.doc_id, string_agg(ch0.ch, '' ORDER BY ch0.wi) AS text_dedup
+       |  FROM sc_chars ch0 LEFT JOIN sc_cov c
+       |    ON ch0.doc_id = c.doc_id AND ch0.wi = c.ci
+       |  WHERE c.ci IS NULL GROUP BY ch0.doc_id)
+       |SELECT d.doc_id AS doc_id, CAST(length(d.t) AS BIGINT) AS n_chars,
+       |  coalesce(ca.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+       |  coalesce(ca.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  coalesce(k.text_dedup, '') AS text_dedup
+       |FROM sc_docs d LEFT JOIN sc_covagg ca USING (doc_id)
+       |LEFT JOIN sc_kept k USING (doc_id)""".stripMargin
 
   private def lineDedupCoreSql(lnSrc: String): String =
     s"""SELECT $lnSrc.doc_id AS doc_id, coalesce(k.text_dedup, '') AS text_dedup,

@@ -272,4 +272,66 @@ object Curation {
           filter(col("w"), (_, i0) => !array_contains(col("cv"), i0 + 1)),
           " ").as("text_dedup"))
   }
+
+  /** Character-level ExactSubstr — [[exactSpanDedup]]'s gram-cover
+    * construction at CHARACTER granularity (Lee et al. 2021 §4.1
+    * deduplicates 50-token spans over raw bytes, not word arrays): any
+    * char span of length ≥ `l` that occurs more than once in the corpus
+    * is removed everywhere except its first occurrence in (doc id, char
+    * position) order, catching duplicated passages that word
+    * tokenization splits differently (whitespace/punctuation variants).
+    *
+    * Scale shape is the word version's, at char resolution: one row per
+    * character position (linear in corpus BYTES) through the same ONE
+    * content-keyed aggregation — map-side-combinable count +
+    * `min(struct(id, start))`, never all-pairs, no driver state; the
+    * md5-per-gram position hashing is the [[graft.expressions.WinnowFingerprints]]
+    * discipline, replayable as `md5(substr(text, i, l))`. Costs ~word
+    * version × mean word length; size `l` ≥ ~20 so incidental short
+    * repeats don't cover the corpus. Same per-GRAM first-occurrence
+    * guarantee as the word version (chars inside a kept first copy can
+    * still be covered by an earlier occurrence of a constituent gram
+    * elsewhere), and the same O(chars × covered) per-doc rebuild caveat
+    * — chunk pathological multi-MB docs upstream.
+    *
+    * Output: idCol, n_chars, n_removed (covered char positions),
+    * n_spans (maximal removed intervals), text_dedup (surviving chars
+    * concatenated — char-exact, nothing normalized). */
+  def exactSpanDedupChars(df: DataFrame, idCol: String, textCol: String,
+                          l: Int): DataFrame = {
+    require(l >= 2, s"span length must be >= 2, got $l")
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val occ = base.select(col("__id"),
+        when(length(col("__t")) >= l,
+          transform(sequence(lit(1), length(col("__t")) - (l - 1)),
+            i => struct(i.as("start"),
+              md5(col("__t").substr(i, lit(l))).as("h"))))
+          .otherwise(array().cast("array<struct<start:int,h:string>>"))
+          .as("gs"))
+      .select(col("__id"), explode(col("gs")).as("g"))
+      .select(col("__id"), col("g.start").as("start"), col("g.h").as("h"))
+    val byGram = occ.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("__id"), col("start"))).as("w1"))
+      .where(col("cnt") >= 2)
+      .select(col("h"), col("w1.__id").as("__fid"), col("w1.start").as("__fstart"))
+    val cov = occ.join(byGram, Seq("h"))
+      .where(!(col("__id") === col("__fid") && col("start") === col("__fstart")))
+      .select(col("__id"),
+        explode(sequence(col("start"), col("start") + (l - 1))).as("ci"))
+      .groupBy("__id")
+      .agg(sort_array(collect_set(col("ci"))).as("cov"))
+    base.join(cov, Seq("__id"), "left")
+      .select(col("__id"), col("__t"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cv"))
+      .select(col("__id").as(idCol),
+        length(col("__t")).cast("long").as("n_chars"),
+        size(col("cv")).cast("long").as("n_removed"),
+        size(filter(col("cv"), c => !array_contains(col("cv"), c - 1)))
+          .cast("long").as("n_spans"),
+        array_join(
+          filter(split(col("__t"), ""),
+            (_, i0) => !array_contains(col("cv"), i0 + 1)),
+          "").as("text_dedup"))
+  }
 }

@@ -550,4 +550,145 @@ object Sketch {
           .otherwise(col("__raw")).as("est_distinct"),
         col("v_empty"), col("s_scaled"))
   }
+
+  // ---------------------------------------------------------------
+  // Mergeable bounded-state quantile sketch (bottom-k by hash)
+  // ---------------------------------------------------------------
+
+  /** Quantile-sketch item: (h, v) — h is the row's md5 hex hash (the
+    * deterministic "coin"), v the sketched value. */
+  type QItem = (String, Double)
+
+  private val qOrd: Ordering[QItem] =
+    Ordering.Tuple2(Ordering.String, Ordering.Double.TotalOrdering)
+
+  /** Bounded-state mergeable quantile summary: keep the ≤ k rows whose
+    * md5 row-hash is smallest; estimate quantiles from their values.
+    *
+    * This fills the KLL/GK slot in the sketch family (per-group quantile
+    * thresholds from ONE mergeable bounded pass — e.g. per-language
+    * quality cutoffs at 100 TB), but replaces rank-coupled random
+    * compaction with the md5-driven determinism discipline of the
+    * HLL/CMS sketches in this file: the retained set is a pure function
+    * of the input MULTISET (the k hash-smallest rows), so the sketch is
+    * order- and partitioning-independent, replayable by the DuckDB
+    * oracle (`row_number() OVER (ORDER BY md5(id))`), and its merge is
+    * EXACTLY union (k smallest of the concatenation — associative,
+    * commutative, and idempotent, since replayed rows dedup by hash).
+    * KLL (Karnin, Lau & Liberty, FOCS 2016) gets ε ≈ 1/k rank error
+    * from rank-aware compaction at the cost of randomized, order-
+    * dependent state; the hash-bottom-k sample is a uniform k-row
+    * sample — rank error O(1/√k) w.h.p. — which a deterministic oracle
+    * CAN check bit-for-bit. k = 4096 pins every percentile to ±1.6%
+    * rank at ANY corpus size, in 4096·(32+8) bytes of state.
+    *
+    * Contract: `idCol` must be row-unique (the hash is the sampling
+    * coin; duplicate ids would sample together). State is ≤ k items per
+    * group, map-side combined — the shuffle carries ≤ k per (group,
+    * partition), never the corpus. */
+  final class QuantileSketchAgg(k: Int)
+      extends Aggregator[QItem, Seq[QItem], Seq[QItem]] {
+    require(k >= 2, s"quantile sketch needs k >= 2, got $k")
+    override def zero: Seq[QItem] = Vector.empty
+    override def reduce(b: Seq[QItem], c: QItem): Seq[QItem] =
+      if (b.length >= k && qOrd.gteq(c, b.last)) b
+      else ((b :+ c).sorted(qOrd)).take(k)
+    override def merge(x: Seq[QItem], y: Seq[QItem]): Seq[QItem] =
+      (x ++ y).distinct.sorted(qOrd).take(k)
+    override def finish(b: Seq[QItem]): Seq[QItem] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[QItem]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[QItem]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[QItem]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[QItem]]()
+  }
+
+  /** One-row quantile sketch (`sketch` array<struct<h,v>> ascending by
+    * (h, v)) of `valueCol` over `df`. */
+  def quantileSketch(df: DataFrame, valueCol: Column, idCol: Column,
+                     k: Int): DataFrame =
+    quantileSketchGrouped(df, lit(0), valueCol, idCol, k).select("sketch")
+
+  /** Per-group quantile sketches: (g, sketch), one bounded sample per
+    * `groupCol` value in a single pass (the GROUP-BY-site shape of
+    * [[hllSketchGrouped]]). Null values are skipped like every
+    * percentile aggregate. */
+  def quantileSketchGrouped(df: DataFrame, groupCol: Column, valueCol: Column,
+                            idCol: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(groupCol.cast("string").as("g"),
+        md5(idCol.cast("string")).as("h"), valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new QuantileSketchAgg(k).toColumn.name("sketch"))
+      .toDF("g", "sketch")
+  }
+
+  /** Per-group quantile estimates from [[quantileSketchGrouped]] output:
+    * explode the bounded sample and take exact interpolated percentiles
+    * over it — the `percentile` ≡ `quantile_cont` pairing the oracle
+    * replays over its own bottom-k rows. Output: (g, n_sample,
+    * q0..q{n-1}). */
+  def quantileEstimateGrouped(sketches: DataFrame,
+                              probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0,1], got $probs")
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      percentile(col("__v"), lit(p)).as(s"q$i")
+    }
+    sketches
+      .select(col("g"), explode(col("sketch")).as("__it"))
+      .select(col("g"), col("__it._2").as("__v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_sample"), aggs: _*)
+  }
+
+  /** Exact sketch union (column form): k hash-smallest of the
+    * concatenation. `array_distinct` makes the merge idempotent under
+    * replayed shards (same rows ⇒ same (h,v) pairs). Struct sort order
+    * (h, then v) matches the aggregator's ordering — hex hashes are
+    * ASCII, so UTF-8 binary order ≡ JVM string order. */
+  def quantileSketchMergeCol(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Driver-side sketch union — same semantics as
+    * [[quantileSketchMergeCol]], for streaming state folds. */
+  def mergeQuantileSketches(a: Seq[QItem], b: Seq[QItem], k: Int): Seq[QItem] =
+    (a ++ b).distinct.sorted(qOrd).take(k)
+
+  /** Streaming maintenance: fold each micro-batch's per-group quantile
+    * sketches into the running state — per-group quantile thresholds
+    * over an unbounded stream with ≤ k items of state per group. Like
+    * HLL (and unlike CMS), the fold is IDEMPOTENT — a replayed batch
+    * contributes the identical (h, v) pairs, which dedup — so the folded
+    * state is bit-identical to the batch sketch under any split.
+    * The `state` reference must start fresh with a fresh checkpoint
+    * (the [[streamingHll]] contract). */
+  def streamingQuantile(stream: DataFrame, groupCol: Column, valueCol: Column,
+                        idCol: Column, k: Int, checkpoint: String,
+                        state: java.util.concurrent.atomic.AtomicReference[Map[String, Seq[QItem]]],
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sk = quantileSketchGrouped(batch, groupCol, valueCol, idCol, k)
+          .collect()
+          .map(r => r.getString(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1)
+              .map(x => (x.getString(0), x.getDouble(1))).toSeq)
+          .toMap
+        state.updateAndGet { cur =>
+          (cur.keySet ++ sk.keySet).iterator.map { g =>
+            g -> mergeQuantileSketches(
+              cur.getOrElse(g, Nil), sk.getOrElse(g, Nil), k)
+          }.toMap
+        }
+        ()
+      }
+      .start()
 }

@@ -354,6 +354,79 @@ class SketchSpec extends SparkSpec {
     assert(Sketch.mergeHllRegisters(state.get(), batchAll) == batchAll)
   }
 
+  test("quantile sketch: bounded, partitioning-invariant, merge ≡ union, idempotent") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 5000L).map(i => (i, (i * 7919L % 1000003L).toDouble))
+      .toDF("id", "v")
+    def sk(d: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+      Sketch.quantileSketch(d, col("v"), col("id"), 256).head
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getDouble(1)))
+
+    val full = sk(df)
+    assert(full.length == 256)
+    assert(full == full.distinct.sortBy(x => x), "sketch not ascending-distinct")
+    // order/partitioning independence: pure function of the multiset
+    assert(sk(df.repartition(13)) == full)
+
+    // merge of disjoint halves ≡ sketch of the union, item-exact
+    val a = sk(df.filter(col("id") % 2 === 0))
+    val b = sk(df.filter(col("id") % 2 === 1))
+    assert(Sketch.mergeQuantileSketches(a, b, 256) == full)
+    // idempotent: replayed shard folds to the same state
+    assert(Sketch.mergeQuantileSketches(full, full, 256) == full)
+    assert(Sketch.mergeQuantileSketches(full, b, 256) == full)
+
+    // column merge matches the driver merge
+    val merged = Seq((a, b)).toDF("a", "b")
+      .select(Sketch.quantileSketchMergeCol(col("a"), col("b"), 256).as("m"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(merged == full)
+
+    // below k the sample is the whole input: estimates are EXACT
+    val small = df.limit(100)
+    val est = Sketch.quantileEstimateGrouped(
+      Sketch.quantileSketchGrouped(small, lit(0), col("v"), col("id"), 256),
+      Seq(0.5)).head
+    val exact = small.agg(expr("percentile(v, 0.5)")).head.getDouble(0)
+    assert(est.getLong(1) == 100L && est.getDouble(2) == exact)
+
+    // at k ≪ n the p50 estimate lands within sampling error of truth
+    val p50 = Sketch.quantileEstimateGrouped(
+      Sketch.quantileSketchGrouped(df, lit(0), col("v"), col("id"), 256),
+      Seq(0.5)).head.getDouble(2)
+    val truth = df.agg(expr("percentile(v, 0.5)")).head.getDouble(0)
+    // rank error O(1/√k): |F(p̂50) − 0.5| well under 3/√256 ≈ 0.19
+    val rank = df.filter(col("v") <= p50).count().toDouble / 5000.0
+    assert(math.abs(rank - 0.5) < 0.19, s"p50=$p50 truth=$truth rank=$rank")
+  }
+
+  test("streaming quantile fold equals the batch sketch; replays are idempotent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qsk").toString
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      (i * 7919L % 1000003L).toDouble)).toDF("id", "g", "v")
+    df.repartition(3).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, Seq[Sketch.QItem]])
+    Sketch.streamingQuantile(stream, col("g"), col("v"), col("id"), 64,
+      s"$dir/ckpt", state).awaitTermination()
+    val batch = Sketch.quantileSketchGrouped(df, col("g"), col("v"),
+        col("id"), 64).collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getString(0), x.getDouble(1))).toSeq).toMap
+    assert(state.get() == batch)
+    // replaying a batch's sketch into the state changes nothing
+    val replayed = state.get().map { case (g, items) =>
+      g -> Sketch.mergeQuantileSketches(items, batch(g), 64) }
+    assert(replayed == batch)
+  }
+
   test("grouped HLL matches per-group single sketches") {
     val s = spark
     import s.implicits._
