@@ -52,8 +52,31 @@ object ScaleProbe {
       t("exact_knn_top10")(Search.knnExact(df, "id", "embedding", q, 10).count())
       var model: Ivf.Model = null
       t("ivf_build_k64") { val (a, m) = Ivf.build(df, "embedding", 64); model = m; a.count() }
-      val assigned = Ivf.assign(df, model)
+      // lazy: with a name filter the build above may not have run
+      lazy val assigned = Ivf.assign(df, model)
       t("ivf_search_probe4")(Ivf.search(assigned, model, "id", q, 4, 10).count())
+
+      // skew hardening: 90% of rows in one tight blob — buildBalanced
+      // recursively splits the hot list below the fraction cap, so
+      // partition pruning keeps pruning and the knnJoinIvf shuffle
+      // stays balanced. Reported rows = post-split max cluster size.
+      t("ivf_build_balanced_skew") {
+        val skew = spark.range(n).select(col("id"),
+          when(col("id") % 10 < 9,
+            transform(sequence(lit(0), lit(63)), i =>
+              (lit(0.5) + pmod(xxhash64(col("id") * 64 + i), lit(100)) / 2000.0)
+                .cast("float")))
+            .otherwise(transform(sequence(lit(0), lit(63)), i =>
+              (pmod(xxhash64(col("id") * 64 + i), lit(10000)) / 1000.0)
+                .cast("float")))
+            .as("embedding"))
+        val (a, m) = Ivf.buildBalanced(skew, "embedding", 64,
+          maxClusterFraction = 0.01)
+        val mx = a.groupBy(Ivf.ClusterCol).count()
+          .agg(max("count")).head.getLong(0)
+        println(s"        balanced skew: k=${m.k} max_cluster=$mx")
+        mx
+      }
       var cb: Pq.Codebook = null
       t("pq_train_8x256") { cb = Pq.train(df, "embedding", 64, 8, 256); cb.k.toLong }
       // full encode persisted once (the pipeline shape: encode is a build

@@ -241,7 +241,17 @@ class VectorStore private (val spark: SparkSession, val path: String,
       case "ivf" =>
         searchIvf(query, params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe),
           k, metadataFilter)
-      case "pq" => searchAdc(query, k, metadataFilter)
+      case "pq" =>
+        // `pq_chunks` (api/models.py:18) is a train-time property of the
+        // persisted codebook here — when the request names it, validate
+        // it against the store instead of silently serving a codebook
+        // of a different geometry
+        params.get("pq_chunks").map(_.toInt).foreach { c =>
+          val cb = Pq.load(spark, pqModelPath)
+          require(c == cb.chunks,
+            s"pq_chunks ($c) does not match the trained codebook (${cb.chunks})")
+        }
+        searchAdc(query, k, metadataFilter)
       case "sq8" => searchSq(query, k, metadataFilter)
       case "bq" =>
         // default to a 3k rerank window so the facade's output schema

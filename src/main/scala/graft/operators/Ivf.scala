@@ -76,6 +76,95 @@ object Ivf {
     (assign(df, model), model)
   }
 
+  /** Skew-hardened build: [[build]] followed by recursive hot-cluster
+    * splitting. A cluster holding a large corpus fraction defeats IVF
+    * twice at scale — partition pruning stops pruning (every probe near
+    * the hot region scans the giant list) and `knnJoinIvf`'s shuffle
+    * skews onto one key. After the initial build, any cluster above
+    * `maxClusterFraction` of the corpus is split into
+    * ceil(size/cap) sub-centroids trained on ITS OWN rows (seeded,
+    * sample-bounded); its rows re-assign among the sub-centroids in the
+    * same codegen'd scan style as [[assign]] — the split cluster's slot
+    * keeps the first sub-centroid and the rest append, so every other
+    * cluster id (and any persisted partition layout for them) is
+    * untouched. Repeats up to `maxRounds` (sub-clusters of a pathological
+    * blob can still exceed the cap). Returns ids contiguous in
+    * [0, model.k) as [[search]]/[[probeClusters]] require.
+    *
+    * Scale: per round, TWO corpus passes total regardless of how many
+    * clusters are hot — one k-row size aggregation and one Bernoulli
+    * sampling pass that draws every hot cluster's bounded sub-training
+    * sample at once (rate sized per cluster from the counts) — plus an
+    * expression-only reassignment (lazy, rides the next scan). No extra
+    * corpus shuffle, no per-cluster rescans. Identical-vector blobs
+    * cannot be split (k-means cannot separate equal points);
+    * `maxRounds` bounds the attempt. */
+  def buildBalanced(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
+                    maxIter: Int = 100, sampleSize: Int = DefaultSampleSize,
+                    maxClusterFraction: Double = 0.2,
+                    maxRounds: Int = 4): (DataFrame, Model) = {
+    require(maxClusterFraction > 0 && maxClusterFraction <= 1,
+      s"maxClusterFraction must be in (0,1], got $maxClusterFraction")
+    var (assigned, model) = build(df, embCol, k, seed, maxIter, sampleSize)
+    val n = df.count()
+    val cap = math.max(1L, (maxClusterFraction * n).toLong)
+    // splitting a list into ≤ 64 parts saturates well below the full
+    // build sample — keeps the one-pass multi-cluster collect bounded
+    val splitSample = math.min(sampleSize, 10000)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val sizes = assigned.groupBy(ClusterCol).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val hot = sizes.filter { case (_, s) => s > cap }.keys.toSeq.sorted
+      if (hot.isEmpty) done = true
+      else {
+        // one pass draws every hot cluster's sample: seeded Bernoulli
+        // at a per-cluster rate, truncated driver-side to the bound
+        val rate = hot.foldLeft(lit(0.0)) { (acc, c) =>
+          when(col(ClusterCol) === c,
+            lit(math.min(1.0, splitSample * 1.2 / sizes(c)))).otherwise(acc)
+        }
+        val byCluster = assigned
+          .filter(col(ClusterCol).isin(hot: _*))
+          .filter(rand(seed ^ (round + 1).toLong) < rate)
+          .select(col(ClusterCol), col(model.embCol))
+          .collect()
+          .groupBy(_.getInt(0))
+        val cents = scala.collection.mutable.ArrayBuffer(model.centroids: _*)
+        var reassign: Column = col(ClusterCol)
+        var split = false
+        hot.foreach { c =>
+          val sample = byCluster.getOrElse(c, Array.empty).iterator
+            .take(splitSample).map(_.getSeq[Float](1).toArray).toArray
+          val m = math.min(64,
+            math.max(2, math.ceil(sizes(c).toDouble / cap).toInt))
+          if (sample.length >= 2) {
+            val sub = graft.core.LocalKMeans.fit(sample,
+              math.min(m, sample.length), maxIter, seed ^ (c + 1).toLong)
+            if (sub.length >= 2) {
+              split = true
+              val offset = cents.length
+              cents(c) = sub(0)
+              sub.iterator.drop(1).foreach(cents += _)
+              val subIdx = FloatKernels.nearestCentroid(col(model.embCol), sub)
+              reassign = when(col(ClusterCol) === c,
+                when(subIdx === 0, lit(c))
+                  .otherwise(subIdx + lit(offset - 1))).otherwise(reassign)
+            }
+          }
+        }
+        if (!split) done = true // unsplittable hot blobs: stop trying
+        else {
+          model = Model(cents.toArray, model.embCol)
+          assigned = assigned.withColumn(ClusterCol, reassign)
+        }
+      }
+      round += 1
+    }
+    (assigned, model)
+  }
+
   /** B5: assign rows to their nearest centroid (also the incremental-add
     * path — new rows are assigned to possibly-stale centroids, matching
     * ivf.py:108-113; build() again is the explicit re-train). One

@@ -78,6 +78,62 @@ class IvfSpec extends SparkSpec {
     assert(hits >= 7, s"only $hits/10 queries hit recall >= 0.6 at nProbe=k/2")
   }
 
+  test("buildBalanced: a 90%-mass cluster splits below the cap; search stays exact at full probe") {
+    // 90% of rows in one tight jittered blob, 10% spread wide: plain
+    // k-means parks the blob in one giant list that defeats partition
+    // pruning and skews the knnJoinIvf shuffle
+    val rnd = new scala.util.Random(7L)
+    // 90% in a blob so tight that splitting it gains k-means almost no
+    // SSE, next to three wide orthogonal satellites each worth a
+    // centroid — the blob lands in exactly one giant list
+    val blob = (0L until 900L).map(i =>
+      (i, Array.fill(8)(0.5f + rnd.nextFloat() * 0.05f)))
+    val sats = (900L until 1000L).map { i =>
+      val axis = (i % 3).toInt
+      val v = Array.fill(8)(rnd.nextFloat() * 2f)
+      v(axis) += 50f
+      (i, v)
+    }
+    val df = toDF(blob ++ sats)
+
+    val (plain, _) = Ivf.build(df, "embedding", k = 4, seed = 7L)
+    val plainMax = plain.groupBy(Ivf.ClusterCol).count().collect()
+      .map(_.getAs[Long]("count")).max
+    assert(plainMax >= 850L, s"expected a hot cluster, max=$plainMax")
+
+    val (assigned, model) = Ivf.buildBalanced(df, "embedding", k = 4,
+      seed = 7L, maxClusterFraction = 0.25)
+    val sizes = assigned.groupBy(Ivf.ClusterCol).count().collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("count")).toMap
+    // conservation + contiguous ids within the grown model
+    assert(sizes.values.sum == 1000L)
+    assert(sizes.keys.forall(c => c >= 0 && c < model.k))
+    // the hot cluster actually split below the cap (jittered blob IS
+    // separable); allow slack for k-means imbalance within the blob
+    val maxFrac = sizes.values.max.toDouble / 1000.0
+    assert(maxFrac <= 0.5, s"post-split max cluster fraction $maxFrac")
+    assert(model.k > 4, "model did not grow sub-centroids")
+
+    // exhaustive probe over the balanced index ≡ exact kNN (same
+    // contract as the unbalanced index: splitting must not lose rows)
+    val q = blob(3)._2.toSeq
+    val ivfTop = Ivf.search(assigned, model, "id", q, nProbe = model.k, topK = 5)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val exactTop = Search.knnExact(df, "id", "embedding", q, 5)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(ivfTop == exactTop)
+
+    // an unsplittable blob (identical vectors) terminates without
+    // spinning: ids stay contiguous, conservation holds
+    val same = toDF((0L until 200L).map(i => (i, Array.fill(8)(1f))) ++
+      (200L until 220L).map(i => (i, Array.fill(8)(i.toFloat))))
+    val (a2, m2) = Ivf.buildBalanced(same, "embedding", k = 3, seed = 7L,
+      maxClusterFraction = 0.1, maxRounds = 3)
+    assert(a2.count() == 220L)
+    assert(a2.groupBy(Ivf.ClusterCol).count().collect()
+      .forall(r => r.getInt(0) >= 0 && r.getInt(0) < m2.k))
+  }
+
   test("drift: near zero on stationary data, large after a shift, maintain() fires") {
     val data = corpus(200, 8)
     val df = toDF(data)
