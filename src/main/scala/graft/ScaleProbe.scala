@@ -52,8 +52,13 @@ object ScaleProbe {
       t("exact_knn_top10")(Search.knnExact(df, "id", "embedding", q, 10).count())
       var model: Ivf.Model = null
       t("ivf_build_k64") { val (a, m) = Ivf.build(df, "embedding", 64); model = m; a.count() }
-      // lazy: with a name filter the build above may not have run
-      lazy val assigned = Ivf.assign(df, model)
+      // with a name filter the timed build above may not have run —
+      // later probes that need the model build it on demand (untimed)
+      def ivfModel(): Ivf.Model = {
+        if (model == null) model = Ivf.build(df, "embedding", 64)._2
+        model
+      }
+      lazy val assigned = Ivf.assign(df, ivfModel())
       t("ivf_search_probe4")(Ivf.search(assigned, model, "id", q, 4, 10).count())
 
       // skew hardening: 90% of rows in one tight blob — buildBalanced
@@ -138,7 +143,7 @@ object ScaleProbe {
       // clusters (model reused from ivf_build_k64 above), so candidate
       // volume is |q| x n x (nProbe/k) instead of |q| x n
       t("knn_join_ivf_100q_p4")(
-        Search.knnJoinIvf(Ivf.assign(df, model), model, "id",
+        Search.knnJoinIvf(assigned, ivfModel(), "id",
           queries, "qid", "qemb", k = 10, nProbe = 4).count())
 
       // SQ8 tier: exact min/max train (one explode + 64-group agg), encode
@@ -461,6 +466,26 @@ object ScaleProbe {
       // CHAR position, ~mean-word-length× the word version's stream
       t("span_dedup_chars_l20") {
         graft.operators.Curation.exactSpanDedupChars(docs, "id", "text", 20)
+          .agg(sum(col("n_removed"))).head.getLong(0)
+      }
+
+      // planted-duplication ExactSubstr: 10% of docs carry a shared
+      // multi-kB passage (the boilerplate-heavy web-corpus shape the
+      // operator exists for), so the covered-rebuild runs with
+      // |cov| ≈ doc length on every tenth doc — the duplication-heavy
+      // path the interval rebuild makes O(n + spans) (pre-round-9 it
+      // was quadratic per doc and the no-dup probes above never hit it)
+      val plantedPassage = (1 to 400).map(j => s"dup$j").mkString(" ")
+      val planted = docs.select(col("id"),
+        when(col("id") % 10 === 0,
+          concat(col("text"), lit(" " + plantedPassage)))
+          .otherwise(col("text")).as("text"))
+      t("span_dedup_planted_l4") {
+        graft.operators.Curation.exactSpanDedup(planted, "id", "text", 4)
+          .agg(sum(col("n_removed"))).head.getLong(0)
+      }
+      t("span_dedup_chars_planted_l20") {
+        graft.operators.Curation.exactSpanDedupChars(planted, "id", "text", 20)
           .agg(sum(col("n_removed"))).head.getLong(0)
       }
 

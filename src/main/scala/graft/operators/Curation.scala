@@ -162,6 +162,25 @@ object Curation {
         col("doc_dropped"))
   }
 
+  /** Maximal covered intervals from the SORTED distinct array of
+    * duplicated-gram START positions, each start s covering
+    * [s, s+l-1]: consecutive starts s', s chain into one interval iff
+    * s ≤ s' + l (their covers touch or overlap), so an element opens a
+    * span iff its predecessor fails that test and closes one iff its
+    * successor does — one O(1) `element_at` neighbour probe each,
+    * O(|starts|) total. Feeding this from starts (not exploded covered
+    * indices) also shrinks the per-doc aggregation to ONE row per
+    * duplicated gram occurrence instead of l.
+    * Returns array<struct<s:int,e:int>> of closed covered intervals. */
+  private def spansFromStarts(ss: Column, l: Int): Column = bindOnce(ss) { s =>
+    zip_with(
+      filter(s, (x, i) => when(i === 0, lit(true))
+        .otherwise(element_at(s, i) + lit(l) < x)),
+      filter(s, (x, i) => when(i === size(s) - 1, lit(true))
+        .otherwise(element_at(s, i + 2) > x + lit(l))),
+      (a, b) => struct(a.as("s"), (b + lit(l) - 1).as("e")))
+  }
+
   /** Corpus-global exact line deduplication: every line occurrence
     * after the FIRST (document order: lowest id, then lowest line
     * position) is removed, and each document is reassembled from its
@@ -220,15 +239,18 @@ object Curation {
     * shuffle — map-side-combinable count + `min(struct(id, start))`,
     * never all-pairs and never a corpus-wide window sort. Duplicated
     * occurrences then join back (hash-co-partitioned with the
-    * aggregation output), fan out l covered indices each, and regroup
-    * per doc (`collect_set` bounded by document length). No driver
-    * state. Degenerate-gram safety: a gram repeated k times costs k
-    * rows — linear, unlike pair-based dedup fan-outs, so no bucket
-    * guard is needed.
+    * aggregation output) and regroup per doc as ONE row per duplicated
+    * occurrence — gram START positions only, never an exploded
+    * covered-index fan-out, with `collect_set` bounded by document
+    * length; covered intervals are derived from the sorted starts
+    * ([[spansFromStarts]]). No driver state. Degenerate-gram safety: a
+    * gram repeated k times costs k rows — linear, unlike pair-based
+    * dedup fan-outs, so no bucket guard is needed.
     *
-    * Per-doc rebuild is O(words × covered) array scans — fine for
-    * documents; chunk pathological multi-MB docs upstream (the
-    * [[graft.functions.TextFunctions.repetitionSignals]] caveat).
+    * Per-doc rebuild is O(words + covered): the sorted covered set
+    * collapses to maximal intervals (one neighbour probe per element,
+    * [[coveredSpans]]) and the survivors are the slices between them —
+    * a fully-duplicated document costs one pass, not words × covered.
     *
     * Output: idCol, n_words, n_removed (covered word positions),
     * n_spans (maximal removed intervals), text_dedup (surviving words
@@ -256,21 +278,26 @@ object Curation {
       .select(col("h"), col("w1.__id").as("__fid"), col("w1.start").as("__fstart"))
     val cov = occ.join(byGram, Seq("h"))
       .where(!(col("__id") === col("__fid") && col("start") === col("__fstart")))
-      .select(col("__id"),
-        explode(sequence(col("start"), col("start") + (l - 1))).as("ci"))
       .groupBy("__id")
-      .agg(sort_array(collect_set(col("ci"))).as("cov"))
+      .agg(sort_array(collect_set(col("start"))).as("ss"))
     toks.join(cov, Seq("__id"), "left")
       .select(col("__id"), col("w"),
-        coalesce(col("cov"), array().cast("array<int>")).as("cv"))
+        spansFromStarts(
+          coalesce(col("ss"), array().cast("array<int>")), l).as("sp"))
       .select(col("__id").as(idCol),
         size(col("w")).cast("long").as("n_words"),
-        size(col("cv")).cast("long").as("n_removed"),
-        size(filter(col("cv"), c => !array_contains(col("cv"), c - 1)))
-          .cast("long").as("n_spans"),
-        array_join(
-          filter(col("w"), (_, i0) => !array_contains(col("cv"), i0 + 1)),
-          " ").as("text_dedup"))
+        aggregate(col("sp"), lit(0L),
+          (a, x) => a + x("e") - x("s") + 1).as("n_removed"),
+        size(col("sp")).cast("long").as("n_spans"),
+        aggregate(col("sp"),
+          struct(lit(1).as("p"), array().cast("array<string>").as("acc")),
+          (acc, s) => struct((s("e") + 1).as("p"),
+            concat(acc("acc"),
+              slice(col("w"), acc("p"), s("s") - acc("p"))).as("acc")),
+          acc => array_join(
+            concat(acc("acc"),
+              slice(col("w"), acc("p"), size(col("w")) - acc("p") + 1)),
+            " ")).as("text_dedup"))
   }
 
   /** Character-level ExactSubstr — [[exactSpanDedup]]'s gram-cover
@@ -291,8 +318,9 @@ object Curation {
     * repeats don't cover the corpus. Same per-GRAM first-occurrence
     * guarantee as the word version (chars inside a kept first copy can
     * still be covered by an earlier occurrence of a constituent gram
-    * elsewhere), and the same O(chars × covered) per-doc rebuild caveat
-    * — chunk pathological multi-MB docs upstream.
+    * elsewhere), and the same O(chars + covered) interval-based per-doc
+    * rebuild ([[coveredSpans]] + substring gaps — linear even when the
+    * whole document is covered).
     *
     * Output: idCol, n_chars, n_removed (covered char positions),
     * n_spans (maximal removed intervals), text_dedup (surviving chars
@@ -317,21 +345,24 @@ object Curation {
       .select(col("h"), col("w1.__id").as("__fid"), col("w1.start").as("__fstart"))
     val cov = occ.join(byGram, Seq("h"))
       .where(!(col("__id") === col("__fid") && col("start") === col("__fstart")))
-      .select(col("__id"),
-        explode(sequence(col("start"), col("start") + (l - 1))).as("ci"))
       .groupBy("__id")
-      .agg(sort_array(collect_set(col("ci"))).as("cov"))
+      .agg(sort_array(collect_set(col("start"))).as("ss"))
     base.join(cov, Seq("__id"), "left")
       .select(col("__id"), col("__t"),
-        coalesce(col("cov"), array().cast("array<int>")).as("cv"))
+        spansFromStarts(
+          coalesce(col("ss"), array().cast("array<int>")), l).as("sp"))
       .select(col("__id").as(idCol),
         length(col("__t")).cast("long").as("n_chars"),
-        size(col("cv")).cast("long").as("n_removed"),
-        size(filter(col("cv"), c => !array_contains(col("cv"), c - 1)))
-          .cast("long").as("n_spans"),
-        array_join(
-          filter(split(col("__t"), ""),
-            (_, i0) => !array_contains(col("cv"), i0 + 1)),
-          "").as("text_dedup"))
+        aggregate(col("sp"), lit(0L),
+          (a, x) => a + x("e") - x("s") + 1).as("n_removed"),
+        size(col("sp")).cast("long").as("n_spans"),
+        aggregate(col("sp"),
+          struct(lit(1).as("p"), lit("").as("acc")),
+          (acc, s) => struct((s("e") + 1).as("p"),
+            concat(acc("acc"),
+              col("__t").substr(acc("p"), s("s") - acc("p"))).as("acc")),
+          acc => concat(acc("acc"),
+            col("__t").substr(acc("p"),
+              length(col("__t")) - acc("p") + 1))).as("text_dedup"))
   }
 }

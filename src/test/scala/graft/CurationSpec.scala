@@ -153,4 +153,79 @@ class CurationSpec extends SparkSpec {
       out(1).getAs[Long]("n_spans") == 2)
     assert(out(1).getAs[String]("text_dedup") == "other middle piece end")
   }
+
+  test("exactSpanDedup: fully-covered long document empties cleanly") {
+    val s = spark
+    import s.implicits._
+    // 5000-word doc fully duplicated: the interval rebuild must collapse
+    // the whole cover to ONE span and an empty survivor — the case the
+    // old per-position array_contains scan made quadratic
+    val long = (1 to 5000).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+    val out = Curation.exactSpanDedup(df, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed") == 0)
+    assert(out(1).getAs[Long]("n_removed") == 5000 &&
+      out(1).getAs[Long]("n_spans") == 1 &&
+      out(1).getAs[String]("text_dedup") == "")
+  }
+
+  test("exactSpanDedupChars: first occurrence kept, span merged, edges") {
+    val s = spark
+    import s.implicits._
+    val passage = "shared-passage!" // 15 chars -> six 10-grams, cover 1..15
+    val df = Seq(
+      (10L, s"AB${passage}CD"),          // first occurrence: untouched
+      (20L, s"${passage}-mid-$passage"), // spans at doc start AND doc end
+      (30L, "completely different")).toDF("doc_id", "text")
+    val out = Curation.exactSpanDedupChars(df, "doc_id", "text", 10)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed") == 0 &&
+      out(0).getAs[String]("text_dedup") == s"AB${passage}CD")
+    // doc 20: both copies follow doc 10's -> both removed; the survivor
+    // is the middle, exercising zero-length head and tail gaps
+    assert(out(1).getAs[Long]("n_removed") == 30 &&
+      out(1).getAs[Long]("n_spans") == 2 &&
+      out(1).getAs[String]("text_dedup") == "-mid-")
+    assert(out(2).getAs[Long]("n_removed") == 0)
+  }
+
+  test("exactSpanDedupChars: code-point semantics over non-BMP text") {
+    val s = spark
+    import s.implicits._
+    // 10 code points, 12 UTF-16 units: pins that length/substr/grams all
+    // count CODE POINTS (an emoji is one char), matching DuckDB's
+    // character semantics for the oracle replay
+    val passage = "😀😀abcdefgh"
+    val df = Seq(
+      (1L, s"XX$passage"),
+      (2L, s"YY${passage}Z")).toDF("doc_id", "text")
+    val out = Curation.exactSpanDedupChars(df, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_chars") == 12) // 2 + 10 code points
+    assert(out(0).getAs[Long]("n_removed") == 0)
+    assert(out(1).getAs[Long]("n_chars") == 13)
+    assert(out(1).getAs[Long]("n_removed") == 10 &&
+      out(1).getAs[Long]("n_spans") == 1 &&
+      out(1).getAs[String]("text_dedup") == "YYZ")
+  }
+
+  test("exactSpanDedupChars: fully-covered doc and sub-l docs") {
+    val s = spark
+    import s.implicits._
+    val long = ("x" * 7 + "y") * 300 // 2400 chars, repetitive but doc-unique
+    val df = Seq(
+      (1L, long), (2L, long),   // full duplicate: doc 2 empties
+      (3L, "tiny"), (4L, "")).toDF("doc_id", "text")
+    val out = Curation.exactSpanDedupChars(df, "doc_id", "text", 20)
+      .orderBy("doc_id").collect()
+    // doc 1 self-covers too (the 8-char period repeats internally), but
+    // its very first gram occurrence survives by the per-gram guarantee
+    assert(out(0).getAs[Long]("n_chars") == 2400)
+    assert(out(1).getAs[Long]("n_removed") == 2400 &&
+      out(1).getAs[String]("text_dedup") == "")
+    assert(out(2).getAs[Long]("n_removed") == 0 &&
+      out(2).getAs[String]("text_dedup") == "tiny")
+    assert(out(3).getAs[Long]("n_chars") == 0)
+  }
 }
