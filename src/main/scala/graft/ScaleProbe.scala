@@ -544,6 +544,26 @@ object ScaleProbe {
         Dedup.hammingNearDupPairs(hashes, "id", "h",
           maxDist = 3, hashBits = 56, nBlocks = 7).count()
       }
+
+      // the 10⁹-hash story as code: same corpus through the sharded
+      // screen — 4 bucket-key-range passes, each shuffling ~1/4 of the
+      // 56-table explode, eagerly materialized then min-unioned. Total
+      // work ≈ unsharded + 3 extra 16 B/row cache scans; peak shuffle
+      // state per job is the thing that drops
+      t("dhash_pairs_blocks8_shard4") {
+        val grouped = floor(col("id") / 4) % 10 === 0
+        val hashes = spark.range(n).select(col("id"),
+          when(grouped, xxhash64(floor(col("id") / 4)))
+            .otherwise(xxhash64(col("id") + lit(3000000000L)))
+            .bitwiseAND(lit((1L << 56) - 1))
+            .bitwiseXOR(
+              expr("CASE WHEN id % 4 = 0 THEN 0L " +
+                "ELSE shiftleft(1L, CAST((id % 4) * 7 AS INT)) END"))
+            .as("h"))
+        Dedup.hammingNearDupPairsSharded(hashes, "id", "h",
+          maxDist = 3, hashBits = 56, shards = 4,
+          spillDir = s"/tmp/graft_hshard_$n", nBlocks = 8).count()
+      }
     }
     spark.stop()
   }

@@ -57,6 +57,21 @@ object SparkEntry {
   private def dSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. Streaming state is
+    * partitioned by this number, and every stateful micro-batch pays
+    * per-partition state-store open + checkpoint-delta-file costs — at
+    * bench scale (sf0.1, one host) 32 state stores per operator are
+    * pure fixed overhead. Results are partitioning-invariant by the
+    * same contract the oracle replay pins (StreamingSpec), so this is
+    * a sizing knob, not semantics; a real cluster sizes it UP. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Filtered exact kNN + hydration join (the reference's /search path:
     * embed → filter → top-k → hydrate, api/app.py:165-233). */
@@ -1363,7 +1378,7 @@ object SparkEntry {
 
     // ---- B10: streaming ingest — watermark-free complete-mode hourly
     // rollup over the events stream; must equal the batch oracle exactly
-    "b10_stream_hourly" -> ((s, dir) => {
+    "b10_stream_hourly" -> ((s, dir) => withShufflePartitions(s, 8) {
       val stream = Tables.eventsStream(s, dir)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
           col("event_type"))
@@ -1379,7 +1394,7 @@ object SparkEntry {
       val out = s.table(name).orderBy("h", "event_type")
       s.catalog.dropTempView(name)
       out
-    }),
+    }: DataFrame),
 
     // ---- Stream-stream watermarked interval join: click-to-view
     // attribution (click within 1 h of the same user's view), both
@@ -1388,7 +1403,7 @@ object SparkEntry {
     // (steady-state store = rate x (delay + window), not stream
     // length). The replay is a single AvailableNow batch, so the
     // result equals the batch interval join the oracle runs.
-    "b10_stream_join" -> ((s, dir) => {
+    "b10_stream_join" -> ((s, dir) => withShufflePartitions(s, 8) {
       val views = Tables.eventsStream(s, dir)
         .filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
@@ -1412,7 +1427,7 @@ object SparkEntry {
       val out = s.table(name).orderBy("view_id", "click_id")
       s.catalog.dropTempView(name)
       out
-    }),
+    }: DataFrame),
 
     // ---- As-of join: latest order at-or-before each event (temporal
     // enrichment; union + last-ignoreNulls window composition)
@@ -1602,7 +1617,7 @@ object SparkEntry {
     // ---- Streaming stateful dedup: dropDuplicates state over the event
     // stream (at scale the state is bounded with a watermark; the finite
     // replay here needs none), then a batch count over the sink
-    "b10_stream_dedup" -> ((s, dir) => {
+    "b10_stream_dedup" -> ((s, dir) => withShufflePartitions(s, 8) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
@@ -1617,7 +1632,7 @@ object SparkEntry {
       val out = s.table(name).agg(count(lit(1)).as("n_users"))
       s.catalog.dropTempView(name)
       out
-    }),
+    }: DataFrame),
 
     // ---- B10 → B1/B5: live index maintenance on flush — the reference's
     // indexing_service loop (save the index on every threshold flush) as
@@ -1642,7 +1657,7 @@ object SparkEntry {
     // elementwise MAX — idempotent exact-union merge, so the folded
     // state is register-identical to the batch sketch under ANY split
     // and the final estimate hash-matches the batch sketch_hll oracle
-    "b10_stream_hll" -> ((s, dir) => {
+    "b10_stream_hll" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       val tmp = {
         val p = java.nio.file.Paths.get(
@@ -1665,14 +1680,14 @@ object SparkEntry {
         s"$tmp/ckpt", state)
       q.awaitTermination()
       Sketch.hllEstimate(state.get().toSeq.toDF("bucket", "r"), p = 6)
-    }),
+    }: DataFrame),
 
     // ---- Streaming quantile-sketch maintenance: fold each micro-
     // batch's per-group bottom-k-by-hash samples into the running state
     // — idempotent exact-union merge (replayed rows dedup by hash), so
     // the folded state is bit-identical to the batch sketch under ANY
     // split and the estimates hash-match the batch sketch_kll oracle
-    "b10_stream_kll" -> ((s, dir) => {
+    "b10_stream_kll" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       val tmp = {
         val p = java.nio.file.Paths.get(
@@ -1699,7 +1714,7 @@ object SparkEntry {
         .select(col("g").as("lang"), col("n_sample"),
           col("q0").as("p50"), col("q1").as("p90"), col("q2").as("p99"))
         .orderBy("lang")
-    }),
+    }: DataFrame),
 
     // ---- B10 exhaustive twin: the identical flush → refreshEdges →
     // searchEdges loop, searched with ef far above every shard size —
@@ -4878,14 +4893,16 @@ object SparkEntry {
         col("event_type").as("eventType"))
       .as[Funnel.FunnelEvent]
     val name = s"b10_funnel_sink_${System.nanoTime()}"
-    val q = Funnel.funnelStream(stream,
-        Seq("view", "click", "purchase"), withinMicros = Some(86400000000L))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("update")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(s, 8) {
+      val q = Funnel.funnelStream(stream,
+          Seq("view", "click", "purchase"), withinMicros = Some(86400000000L))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // completion times never regress, so the lexicographic max snapshot
     // per user IS the final state
     val last = s.table(name)
@@ -4929,14 +4946,16 @@ object SparkEntry {
     val stream = s.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
     val params = Hnsw.Params(m = 8, efConstruction = 50)
-    val q = graft.streaming.StreamingIngest.upsertStream(
-      stream, "vec_id", s"$tmp/snap", s"$tmp/ckpt", flushThreshold = 1,
-      onFlush = { _ =>
-        Hnsw.refreshEdges(s.read.parquet(s"$tmp/snap"), s"$tmp/edges",
-          "vec_id", "embedding", numPartitions = 4, params)
-        ()
-      })
-    q.awaitTermination()
+    withShufflePartitions(s, 8) {
+      val q = graft.streaming.StreamingIngest.upsertStream(
+        stream, "vec_id", s"$tmp/snap", s"$tmp/ckpt", flushThreshold = 1,
+        onFlush = { _ =>
+          Hnsw.refreshEdges(s.read.parquet(s"$tmp/snap"), s"$tmp/edges",
+            "vec_id", "embedding", numPartitions = 4, params)
+          ()
+        })
+      q.awaitTermination()
+    }
     val snap = s.read.parquet(s"$tmp/snap")
     val edges = graft.core.SnapshotIO.read(s, s"$tmp/edges")
       .getOrElse(sys.error("no edges snapshot published by the stream"))

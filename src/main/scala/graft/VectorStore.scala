@@ -103,10 +103,24 @@ class VectorStore private (val spark: SparkSession, val path: String,
     else base.filter(Search.metadataFilter(col("metadata"), metadataFilter))
   }
 
-  /** B4: build the IVF index; persists model + cluster-partitioned data. */
-  def buildIvf(k: Int, seed: Long = 42L): Ivf.Model = {
-    val (assigned, model) = Ivf.build(snapshot().filter(!col("is_deleted")),
-      "embedding", k, seed)
+  /** B4: build the IVF index; persists model + cluster-partitioned data.
+    * Defaults to the skew-hardened [[Ivf.buildBalanced]] path with a
+    * self-scaling cap: clusters above 4× the fair 1/k corpus share are
+    * recursively split, so partition pruning keeps pruning and
+    * `knnJoinIvf`'s shuffle stays balanced at any k — while small-k
+    * builds (where even a perfectly fair share exceeds a flat cap)
+    * never micro-split. Pass an explicit `maxClusterFraction` to
+    * override, or ≥ 1.0 to disable splitting (plain [[Ivf.build]]). */
+  def buildIvf(k: Int, seed: Long = 42L,
+               maxClusterFraction: Double = Double.NaN): Ivf.Model = {
+    val frac =
+      if (maxClusterFraction.isNaN) math.min(1.0, 4.0 / k)
+      else maxClusterFraction
+    val live = snapshot().filter(!col("is_deleted"))
+    val (assigned, model) =
+      if (frac >= 1.0) Ivf.build(live, "embedding", k, seed)
+      else Ivf.buildBalanced(live, "embedding", k, seed,
+        maxClusterFraction = frac)
     Ivf.save(model, ivfModelPath)
     Ivf.writePartitioned(assigned, ivfDataPath)
     model

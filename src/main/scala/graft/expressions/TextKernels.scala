@@ -254,6 +254,96 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
+/** Positional gram-hash helper invoked from generated code — the
+  * ExactSubstr char-gram stream ([[graft.operators.Curation]]
+  * `exactSpanDedupChars`): h_i = md5(substr(t, i, gramLen)) for every
+  * start i, computed in ONE linear pass over the UTF-8 bytes (the
+  * [[WinnowUtil]] byte-offset index — each gram's bytes are digested
+  * straight from the backing array, never via a char-indexed substring,
+  * whose interpreted HOF form costs an O(i) scan PER POSITION and turns
+  * multi-kB documents O(chars²)). Hex output is byte-identical to the
+  * declarative md5(substr(...)) and to the DuckDB oracle's replay. */
+object GramHashUtil {
+  private val HexChars = "0123456789abcdef".getBytes
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** array<struct<start:int (1-based char index), h:string (md5 hex)>>,
+    * one row per gram start; empty when the text is shorter than
+    * `gramLen` characters. */
+  def gramHashes(text: UTF8String, gramLen: Int): ArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    var chars = 0
+    var i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    if (chars < gramLen) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < nBytes) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(chars) = nBytes
+    val count = chars - gramLen + 1
+    val md = mdLocal.get()
+    val out = new Array[Any](count)
+    var p = 0
+    while (p < count) {
+      md.reset()
+      md.update(bytes, starts(p), starts(p + gramLen) - starts(p))
+      val digest = md.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexChars((digest(b) >> 4) & 0xF)
+        hex(2 * b + 1) = HexChars(digest(b) & 0xF)
+        b += 1
+      }
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      row.update(0, p + 1)
+      row.update(1, UTF8String.fromBytes(hex))
+      out(p) = row
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** text → array<struct<start,h>> of positional char-gram md5 hashes. */
+case class GramMd5Starts(child: Expression, gramLen: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("start",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h", StringType,
+        nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GramHashUtil.gramHashes(v.asInstanceOf[UTF8String], gramLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.GramHashUtil.gramHashes($t, $gramLen);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "gram_md5_starts"
+}
+
 /** SimHash helper invoked from generated code: one md5 + tight bit loop
   * per token, one static call per row. Bit semantics identical to the
   * declarative md5-nibble form (and the DuckDB oracle): bit i of a token
@@ -385,6 +475,12 @@ object TextKernels {
   def winnowFingerprints(lowered: Column, gramLen: Int, window: Int): Column =
     ColumnBridge.column(
       WinnowFingerprints(ColumnBridge.expression(lowered), gramLen, window))
+
+  /** Positional char-gram md5 hashes (start, h) of a text column —
+    * the linear-time ExactSubstr gram stream. */
+  def gramMd5Starts(text: Column, gramLen: Int): Column =
+    ColumnBridge.column(
+      GramMd5Starts(ColumnBridge.expression(text), gramLen))
 
   /** md5-bit simhash hex fingerprint of a token-array column. */
   def simhashMd5(tokens: Column): Column =

@@ -218,7 +218,10 @@ object Dedup {
     * roughly 2^(hashBits/(maxDist+1)) docs (~10^4 for 56-bit/d=3); a
     * web-scale corpus raises nBlocks instead (e.g. 8 blocks at d=3 →
     * C(8,5) = 56 tables keyed on 35 bits, sparse to ~10^9 docs) —
-    * linear explode cost, exponentially sparser buckets.
+    * linear explode cost, exponentially sparser buckets. When the one
+    * table-explode shuffle itself outgrows the cluster (~10⁹ hashes),
+    * [[hammingNearDupPairsSharded]] splits it into bucket-key-range
+    * passes with identical output.
     *
     * `hashBits` must be ≤ 63 (non-negative long hashes) and divisible
     * by `nBlocks` so blocks are equal-width. Null hashes are ignored.
@@ -230,6 +233,16 @@ object Dedup {
     val keyMasks = hammingKeyMasks(maxDist, hashBits, nBlocks, maxBucket)
     val h = hashes.filter(col(hashCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"), col(hashCol).cast("long").as("__h"))
+    hammingPairsScreen(h, keyMasks, maxDist, maxBucket, shard = None)
+  }
+
+  /** One blocked-screen pass over pre-projected (__id, __h) rows,
+    * optionally restricted to the `shard`-th of `of` bucket-key shards
+    * (every (band, bits) bucket lands in exactly one shard, so the
+    * union over shards is pair-for-pair the unsharded screen). */
+  private def hammingPairsScreen(h: DataFrame, keyMasks: Seq[Long],
+                                 maxDist: Int, maxBucket: Int,
+                                 shard: Option[(Int, Int)]): DataFrame = {
     val keys = keyMasks.map(m => col("__h").bitwiseAND(lit(m)))
     // the hash RIDES the bucket as struct payload, so the (possibly
     // expensive — image decode, md5 simhash) hash lineage is evaluated
@@ -238,9 +251,17 @@ object Dedup {
     // The degenerate-bucket guard still counts DISTINCT ids — an id
     // re-ingested with a different payload is two (id, h) entries but
     // one document.
-    val buckets = h
+    val keyed = h
       .select(struct(col("__id"), col("__h")).as("__e"),
         posexplode(array(keys: _*)).as(Seq("__band", "__bits")))
+    // shard filter sits BELOW the aggregation, so a sharded pass maps,
+    // shuffles, and holds only its slice of the bucket entries
+    val mine = shard match {
+      case Some((s, of)) =>
+        keyed.filter(pmod(xxhash64(col("__band"), col("__bits")), lit(of)) === s)
+      case None => keyed
+    }
+    val buckets = mine
       .groupBy("__band", "__bits").agg(collect_set(col("__e")).as("ids"))
       .withColumn("__ndocs",
         size(array_distinct(transform(col("ids"), e => e("__id")))))
@@ -261,6 +282,45 @@ object Dedup {
       // min, not raw rows: an id ingested twice with different payloads
       // pairs through both hashes and would emit the same (a, b) pair
       // at two distances
+      .groupBy("a", "b").agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Sharded [[hammingNearDupPairs]] — the 10⁹-hash path. The blocked
+    * screen's one shuffle carries C(B, B−d) × n bucket entries (560M at
+    * 10M hashes / 8 blocks, measured 587.7 s); past ~10⁷ hashes that
+    * single exchange is the bottleneck (spill, one giant stage). This
+    * variant hash-partitions the BUCKET-KEY space into `shards` slices
+    * and runs one screen pass per slice as its own eagerly-materialized
+    * job (results land under `spillDir`), so peak shuffle state per job
+    * is ~1/shards of the unsharded exchange while total work stays the
+    * same — the classic out-of-core band scan. Every (band, bits)
+    * bucket lands in exactly one shard, so the unioned pair set is
+    * pair-for-pair the unsharded screen's (DedupSpec pins equality);
+    * the final min-groupBy dedups pairs that surface in several shards
+    * via different bands. The (id, hash) projection is persisted
+    * MEMORY_AND_DISK across passes — each shard re-reads 16 B/row, not
+    * the upstream (image-decode) lineage. */
+  def hammingNearDupPairsSharded(hashes: DataFrame, idCol: String,
+                                 hashCol: String, maxDist: Int, hashBits: Int,
+                                 shards: Int, spillDir: String,
+                                 nBlocks: Int = 0,
+                                 maxBucket: Int = 10000): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val keyMasks = hammingKeyMasks(maxDist, hashBits, nBlocks, maxBucket)
+    val spark = hashes.sparkSession
+    val h = hashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(hashCol).cast("long").as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until shards).foreach { s =>
+        hammingPairsScreen(h, keyMasks, maxDist, maxBucket,
+            shard = Some((s, shards)))
+          .write.mode("overwrite").parquet(s"$spillDir/shard=$s")
+      }
+    } finally h.unpersist()
+    spark.read
+      .parquet((0 until shards).map(s => s"$spillDir/shard=$s"): _*)
       .groupBy("a", "b").agg(min(col("hamming")).as("hamming"))
   }
 

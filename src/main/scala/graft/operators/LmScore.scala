@@ -34,12 +34,22 @@ object LmScore {
     * exchanges (measured: 0.14 → 0.61 s at sf0.1); above it the model
     * sides must hash-join so the corpus n-gram stream is never sorted
     * (measured: 69 → 59.6 s at 10M docs). Self-scoring entry points
-    * pick the plan by corpus count — the `learnMergesLocal` /
-    * `localThreshold` two-regime discipline. */
+    * pick the plan with a bounded `limit`-probe (or take it from the
+    * caller) — the `learnMergesLocal` / `localThreshold` two-regime
+    * discipline without its full corpus count. */
   val ShuffleHashThreshold: Long = 1000000L
 
   private def hinted(model: DataFrame, big: Boolean): DataFrame =
     if (big) model.hint("shuffle_hash") else model
+
+  /** Bounded regime probe: does the corpus hold at least `n` rows? A
+    * constant-column `limit(n)` count early-terminates every partition
+    * at n rows (work ≤ n × partitions narrow rows) instead of the full
+    * corpus pass an eager `df.count()` costs on an uncached input — the
+    * `Bpe.learnMerges` `limit(threshold+1)` probe discipline. Callers
+    * that already know the regime pass it via `bigCorpus`. */
+  private def atLeast(df: DataFrame, n: Long): Boolean =
+    df.select(lit(1).as("one")).limit(n.toInt).count() >= n
 
   /** Lowercased whitespace tokens as an array column (empties removed). */
   private def toksArr(textCol: String) =
@@ -135,11 +145,12 @@ object LmScore {
     * costs more than the re-parse it saves — the explode is cheap
     * codegen; the shuffles dominate.) */
   def selfScore(df: DataFrame, idCol: String, textCol: String,
-                minCount: Long = 1L): DataFrame =
+                minCount: Long = 1L,
+                bigCorpus: Option[Boolean] = None): DataFrame =
     score(df, idCol, textCol,
       bigramCounts(df, idCol, textCol, minCount),
       unigramCounts(df, idCol, textCol),
-      bigCorpus = df.count() >= ShuffleHashThreshold)
+      bigCorpus = bigCorpus.getOrElse(atLeast(df, ShuffleHashThreshold)))
 
   // ---------------------------------------------------------------
   // Stupid Backoff trigram scoring (Brants et al. 2007)
@@ -239,10 +250,11 @@ object LmScore {
     * back off — the count-cutoff shape of the web-scale tables), score
     * the corpus. */
   def backoffSelfScore(df: DataFrame, idCol: String, textCol: String,
-                       trigramMinCount: Long = 2L): DataFrame =
+                       trigramMinCount: Long = 2L,
+                       bigCorpus: Option[Boolean] = None): DataFrame =
     backoffScore(df, idCol, textCol,
       trigramCounts(df, idCol, textCol, trigramMinCount),
       bigramCounts(df, idCol, textCol),
       unigramCounts(df, idCol, textCol),
-      bigCorpus = df.count() >= ShuffleHashThreshold)
+      bigCorpus = bigCorpus.getOrElse(atLeast(df, ShuffleHashThreshold)))
 }

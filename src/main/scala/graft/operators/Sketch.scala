@@ -592,6 +592,10 @@ object Sketch {
     override def zero: Seq[QItem] = Vector.empty
     override def reduce(b: Seq[QItem], c: QItem): Seq[QItem] =
       if (b.length >= k && qOrd.gteq(c, b.last)) b
+      // dedup like merge() does, so a violated row-unique-id contract
+      // degrades to the same (partitioning-independent) sketch on the
+      // map-side and merge-side paths instead of silently diverging
+      else if (b.contains(c)) b
       else ((b :+ c).sorted(qOrd)).take(k)
     override def merge(x: Seq[QItem], y: Seq[QItem]): Seq[QItem] =
       (x ++ y).distinct.sorted(qOrd).take(k)

