@@ -270,6 +270,50 @@ object GramHashUtil {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Word-gram variant for `exactSpanDedup`: h_i =
+    * md5(concat_ws(" ", slice(words, i, gramLen))) for every start i,
+    * the md5 fed token bytes + 0x20 separators incrementally (never a
+    * per-gram joined string); token bytes are materialized once per row
+    * and reused across the gramLen grams that contain them. Empty when
+    * fewer than `gramLen` words. Output shape is [[gramHashes]]'s. */
+  def wordGramHashes(words: ArrayData, gramLen: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < gramLen) return new GenericArrayData(Array.empty[Any])
+    val tok = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tok(i) = words.getUTF8String(i).getBytes
+      i += 1
+    }
+    val count = n - gramLen + 1
+    val md = mdLocal.get()
+    val out = new Array[Any](count)
+    var p = 0
+    while (p < count) {
+      md.reset()
+      var j = 0
+      while (j < gramLen) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tok(p + j))
+        j += 1
+      }
+      val digest = md.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexChars((digest(b) >> 4) & 0xF)
+        hex(2 * b + 1) = HexChars(digest(b) & 0xF)
+        b += 1
+      }
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      row.update(0, p + 1)
+      row.update(1, UTF8String.fromBytes(hex))
+      out(p) = row
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** array<struct<start:int (1-based char index), h:string (md5 hex)>>,
     * one row per gram start; empty when the text is shorter than
     * `gramLen` characters. */
@@ -316,16 +360,20 @@ object GramHashUtil {
   }
 }
 
-/** text → array<struct<start,h>> of positional char-gram md5 hashes. */
-case class GramMd5Starts(child: Expression, gramLen: Int)
-    extends UnaryExpression {
-  override def dataType: DataType = ArrayType(
+private[expressions] object GramStartsType {
+  val dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("start",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("h", StringType,
         nullable = false))),
     containsNull = false)
+}
+
+/** text → array<struct<start,h>> of positional char-gram md5 hashes. */
+case class GramMd5Starts(child: Expression, gramLen: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = GramStartsType.dataType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -342,6 +390,29 @@ case class GramMd5Starts(child: Expression, gramLen: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "gram_md5_starts"
+}
+
+/** array<string> of words → array<struct<start,h>> of positional
+  * word-gram md5 hashes (≡ md5(concat_ws(" ", slice(w, i, l)))). */
+case class WordGramMd5Starts(child: Expression, gramLen: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = GramStartsType.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GramHashUtil.wordGramHashes(v.asInstanceOf[ArrayData], gramLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.GramHashUtil.wordGramHashes($t, $gramLen);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_gram_md5_starts"
 }
 
 /** SimHash helper invoked from generated code: one md5 + tight bit loop
@@ -481,6 +552,12 @@ object TextKernels {
   def gramMd5Starts(text: Column, gramLen: Int): Column =
     ColumnBridge.column(
       GramMd5Starts(ColumnBridge.expression(text), gramLen))
+
+  /** Positional word-gram md5 hashes (start, h) of a word-array
+    * column — the ExactSubstr word-gram stream. */
+  def wordGramMd5Starts(words: Column, gramLen: Int): Column =
+    ColumnBridge.column(
+      WordGramMd5Starts(ColumnBridge.expression(words), gramLen))
 
   /** md5-bit simhash hex fingerprint of a token-array column. */
   def simhashMd5(tokens: Column): Column =
