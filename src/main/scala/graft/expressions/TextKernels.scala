@@ -261,10 +261,12 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   * [[WinnowUtil]] byte-offset index — each gram's bytes are digested
   * straight from the backing array, never via a char-indexed substring,
   * whose interpreted HOF form costs an O(i) scan PER POSITION and turns
-  * multi-kB documents O(chars²)). Hex output is byte-identical to the
-  * declarative md5(substr(...)) and to the DuckDB oracle's replay. */
+  * multi-kB documents O(chars²)). The hash is the RAW 16-byte digest —
+  * the hex form is a bijection of it, so every grouping/join keyed on
+  * it is unchanged while the gram shuffle (the operator's dominant
+  * cost: one keyed row PER CHARACTER of the corpus) carries half the
+  * key bytes; ≡ unhex(md5(substr(...))) for the oracle's replay. */
 object GramHashUtil {
-  private val HexChars = "0123456789abcdef".getBytes
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -297,26 +299,18 @@ object GramHashUtil {
         md.update(tok(p + j))
         j += 1
       }
-      val digest = md.digest()
-      val hex = new Array[Byte](32)
-      var b = 0
-      while (b < 16) {
-        hex(2 * b) = HexChars((digest(b) >> 4) & 0xF)
-        hex(2 * b + 1) = HexChars(digest(b) & 0xF)
-        b += 1
-      }
       val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
       row.update(0, p + 1)
-      row.update(1, UTF8String.fromBytes(hex))
+      row.update(1, md.digest())
       out(p) = row
       p += 1
     }
     new GenericArrayData(out)
   }
 
-  /** array<struct<start:int (1-based char index), h:string (md5 hex)>>,
-    * one row per gram start; empty when the text is shorter than
-    * `gramLen` characters. */
+  /** array<struct<start:int (1-based char index), h:binary (16-byte
+    * md5)>> — one row per gram start; empty when the text is shorter
+    * than `gramLen` characters. */
   def gramHashes(text: UTF8String, gramLen: Int): ArrayData = {
     val bytes = text.getBytes
     val nBytes = bytes.length
@@ -342,17 +336,9 @@ object GramHashUtil {
     while (p < count) {
       md.reset()
       md.update(bytes, starts(p), starts(p + gramLen) - starts(p))
-      val digest = md.digest()
-      val hex = new Array[Byte](32)
-      var b = 0
-      while (b < 16) {
-        hex(2 * b) = HexChars((digest(b) >> 4) & 0xF)
-        hex(2 * b + 1) = HexChars(digest(b) & 0xF)
-        b += 1
-      }
       val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
       row.update(0, p + 1)
-      row.update(1, UTF8String.fromBytes(hex))
+      row.update(1, md.digest())
       out(p) = row
       p += 1
     }
@@ -365,12 +351,12 @@ private[expressions] object GramStartsType {
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("start",
         org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("h", StringType,
-        nullable = false))),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.BinaryType, nullable = false))),
     containsNull = false)
 }
 
-/** text → array<struct<start,h>> of positional char-gram md5 hashes. */
+/** text → array<struct<start,h>> of positional char-gram raw-md5 hashes. */
 case class GramMd5Starts(child: Expression, gramLen: Int)
     extends UnaryExpression {
   override def dataType: DataType = GramStartsType.dataType
@@ -393,7 +379,8 @@ case class GramMd5Starts(child: Expression, gramLen: Int)
 }
 
 /** array<string> of words → array<struct<start,h>> of positional
-  * word-gram md5 hashes (≡ md5(concat_ws(" ", slice(w, i, l)))). */
+  * word-gram raw-md5 hashes (≡ unhex(md5(concat_ws(" ", slice(w, i,
+  * l))))). */
 case class WordGramMd5Starts(child: Expression, gramLen: Int)
     extends UnaryExpression {
   override def dataType: DataType = GramStartsType.dataType
