@@ -25,11 +25,12 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // optional third arg: substring filter on probe names (local
-    // iteration aid — rerun one entry without paying the whole group)
-    val only = args.lift(2)
+    // optional third arg: comma-separated substring filters on probe
+    // names (local iteration aid — rerun chosen entries without paying
+    // the whole group)
+    val only = args.lift(2).map(_.split(",").toSeq)
     def t(name: String)(f: => Long): Unit =
-      if (only.forall(name.contains(_))) {
+      if (only.forall(_.exists(name.contains(_)))) {
         val t0 = System.nanoTime(); val r = f
         println(f"SCALE $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$r)")
       }
