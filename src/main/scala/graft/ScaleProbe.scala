@@ -490,6 +490,15 @@ object ScaleProbe {
           .agg(sum(col("n_removed"))).head.getLong(0)
       }
 
+      // exact quantiles by distributed selection: six bounded radix
+      // passes over the cached 8-byte key column — the exact-cutoff
+      // path; compare with the one-pass bounded sketch above
+      t("exact_quantiles_5p") {
+        graft.operators.Sketch.exactQuantilesDisc(
+          docs.select((pmod(xxhash64(col("id")), lit(1000000L)) / 7.0).as("v")),
+          col("v"), Seq(0.01, 0.25, 0.5, 0.9, 0.99)).head.getLong(0)
+      }
+
       // CountMin registers over the ~8n-token stream: depth-4 explode
       // collapses map-side to ≤ 4·1024 rows per partition — frequency
       // estimates for post-hoc keys at fixed state

@@ -594,6 +594,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- EXACT quantiles by distributed selection: the max(1,⌈p·n⌉)-th
+    // smallest value (quantile_disc order statistic) per p, via six
+    // bounded radix-bisection passes over the order-preserving double
+    // bit image — no sort, O(|probs|·4096) state, deterministic and
+    // partitioning-independent. The exact complement of sketch_kll's
+    // one-pass O(1/√k) sample: the answer IS an input element, so the
+    // oracle replays it with a row_number() order-statistic query.
+    "sketch_quantile_exact" -> ((s, dir) =>
+      Sketch.exactQuantilesDisc(Tables.documents(s, dir), col("n_chars"),
+        Seq(0.01, 0.25, 0.5, 0.9, 0.99))),
+
     // ---- Data profiling: one-pass per-column statistics as tidy
     // (col_name, metric, value) rows — decimal-exact means, exact
     // distincts; the ingestion-time data-quality snapshot
@@ -3409,6 +3420,25 @@ object SparkEntry {
           |  ex.exact_p50 AS exact_p50
           |FROM smp CROSS JOIN ex
           |GROUP BY ex.exact_p50""".stripMargin,
+
+      // exact-selection twin: the engine's radix bisection returns the
+      // max(1, ceil(p*n))-th smallest element — an actual input value,
+      // so a row_number order-statistic replay is bit-exact with no
+      // interpolation semantics to match. ceil(p*n) computed in DOUBLE
+      // on both sides (same IEEE product, same ceil).
+      "sketch_quantile_exact" ->
+        """WITH r AS (
+          |  SELECT CAST(n_chars AS DOUBLE) AS v,
+          |    row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
+          |    count(*) OVER () AS n
+          |  FROM documents)
+          |SELECT max(n) AS n_rows,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.01' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q0,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.25' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q1,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.5' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q2,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.9' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q3,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.99' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q4
+          |FROM r""".stripMargin,
 
       "dedup_editdist" ->
         """WITH grams0 AS (

@@ -264,6 +264,42 @@ case class LnDouble(child: Expression)
   override def prettyName: String = "ln_libm"
 }
 
+/** IEEE-754 double → order-preserving UNSIGNED-comparable long (as a
+  * signed long whose UNSIGNED order matches double order): flip all
+  * non-sign bits for negatives, then flip the sign bit — the classic
+  * radix-sort key transform. -Inf < … < -0.0 < +0.0 < … < +Inf < NaN
+  * (NaN's payload bits sort above +Inf, matching "NaN greatest" in
+  * both Spark and DuckDB orderings). Exactly invertible
+  * ([[graft.operators.Sketch]] `orderedBitsToDouble`); the distributed
+  * exact-selection quantiles radix-bisect on this key. Null-in →
+  * null-out. */
+case class DoubleOrderedBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires double, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+    (b ^ ((b >> 63) & 0x7fffffffffffffffL)) ^ java.lang.Long.MIN_VALUE
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val b = ctx.freshName("bits")
+      s"""long $b = Double.doubleToLongBits($x);
+         |${ev.value} = ($b ^ (($b >> 63) & 0x7fffffffffffffffL)) ^ Long.MIN_VALUE;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "double_ordered_bits"
+}
+
 /** ADC lookup fold: Σ_c table(c)(code(c)) over an `array<int>` PQ code —
   * the per-row cost of ADC search drops to `chunks` array reads. The
   * distance table (chunks×k query-to-centroid partials) rides along as a
@@ -456,6 +492,10 @@ object FloatKernels {
 
   /** Natural log matching platform libm (and the DuckDB oracle) bitwise. */
   def ln(x: Column): Column = c(LnDouble(e(x.cast("double"))))
+
+  /** Order-preserving unsigned-comparable bit image of a double column
+    * (radix-selection key; invert with `Sketch.orderedBitsToDouble`). */
+  def orderedBits(x: Column): Column = c(DoubleOrderedBits(e(x.cast("double"))))
 
   /** Sign-bit pack an array<float> into array<long> words (1-bit BQ). */
   def signPack(vec: Column, wordBits: Int): Column =

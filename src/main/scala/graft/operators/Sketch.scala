@@ -670,6 +670,128 @@ object Sketch {
     * state is bit-identical to the batch sketch under any split.
     * The `state` reference must start fresh with a fresh checkpoint
     * (the [[streamingHll]] contract). */
+  // ---------------------------------------------------------------
+  // Exact quantiles by distributed selection (radix bisection)
+  // ---------------------------------------------------------------
+
+  /** Inverse of the [[graft.expressions.DoubleOrderedBits]] key
+    * transform: unsigned-ordered long → the original double. */
+  private[operators] def orderedBitsToDouble(u: Long): Double = {
+    val x = u ^ java.lang.Long.MIN_VALUE
+    val b = if (x < 0) x ^ 0x7fffffffffffffffL else x
+    java.lang.Double.longBitsToDouble(b)
+  }
+
+  /** EXACT quantiles by distributed selection: for each p, the
+    * max(1, ⌈p·n⌉)-th smallest value (the `quantile_disc` / lower
+    * order statistic), found by radix-bisecting the order-preserving
+    * bit image of the doubles ([[graft.expressions.DoubleOrderedBits]]):
+    * six bounded histogram passes (12+12+12+12+12+4 key bits), each ONE
+    * map-side-combined aggregation of ≤ |probs| × 4096 cells, O(that)
+    * driver state, no sort anywhere. Deterministic and
+    * partitioning-independent by construction; the answer IS an input
+    * element, so the DuckDB oracle replays it bit-for-bit with a
+    * row_number() order-statistic query — no interpolation arithmetic
+    * to match across engines.
+    *
+    * This is the EXACT complement of the one-pass bounded
+    * [[quantileSketchGrouped]] sample (O(1/√k) rank error): when a
+    * cutoff must be exact — dataset cards, contractual SLO percentiles
+    * — spend the six scans (they pipeline over the same cached
+    * projection); when one pass must do, keep the sketch. At 100 TB
+    * each pass is an embarrassingly parallel scan of an 8-byte
+    * column with a ≤ |probs|·4096-row shuffle.
+    *
+    * Nulls and NaNs are excluded (the `percentile` null convention;
+    * NaN would otherwise sort greatest in both engines — exclusion is
+    * the stated contract). Output: one row (n_rows, q0..q{T−1});
+    * q_i null when n_rows = 0. */
+  def exactQuantilesDisc(df: DataFrame, valueCol: Column,
+                         probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0,1], got $probs")
+    val spark = df.sparkSession
+    val T = probs.length
+    val u = df
+      .select(valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .select(graft.expressions.FloatKernels.orderedBits(col("__v")).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val widths = Seq(12, 12, 12, 12, 12, 4)
+      // shift of the CURRENT pass's bucket field within the key
+      val shifts = widths.scanLeft(64)(_ - _).tail // 52,40,28,16,4,0
+      // pass 1: a single shared histogram (no prefix yet) — also yields n
+      val h0 = u.groupBy(shiftrightunsigned(col("u"), shifts.head).cast("int")
+          .as("b"))
+        .count().collect().map(r => r.getInt(0) -> r.getLong(1))
+        .sortBy(_._1).toSeq
+      val n = h0.map(_._2).sum
+      if (n == 0L) {
+        return oneRowResult(spark, 0L, Seq.fill(T)(None))
+      }
+      val ranks = probs.map(p => math.max(1L, math.ceil(p * n).toLong))
+      val prefix = new Array[Long](T) // value of key bits above `shift`
+      val need = new Array[Long](T)   // rank still needed inside prefix group
+      var t = 0
+      while (t < T) {
+        val (b, rem) = pickBucket(h0, ranks(t))
+        prefix(t) = b.toLong
+        need(t) = rem
+        t += 1
+      }
+      // passes 2..6: per-target prefixed histograms, all targets in one
+      // aggregation (posexplode over a T-wide array of conditional buckets)
+      widths.zip(shifts).drop(1).foreach { case (w, shift) =>
+        val mask = (1L << w) - 1L
+        val buckets = (0 until T).map { i =>
+          when(shiftrightunsigned(col("u"), shift + w) === lit(prefix(i)),
+            shiftrightunsigned(col("u"), shift).bitwiseAND(lit(mask))
+              .cast("int"))
+            .otherwise(lit(null).cast("int"))
+        }
+        val hist = u
+          .select(posexplode(array(buckets: _*)).as(Seq("t", "b")))
+          .filter(col("b").isNotNull)
+          .groupBy("t", "b").count().collect()
+          .groupBy(_.getInt(0))
+          .map { case (ti, rows) =>
+            ti -> rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1).toSeq
+          }
+        var i = 0
+        while (i < T) {
+          val (b, rem) = pickBucket(hist(i), need(i))
+          prefix(i) = (prefix(i) << w) | b.toLong
+          need(i) = rem
+          i += 1
+        }
+      }
+      oneRowResult(spark, n, prefix.toSeq.map(k => Some(orderedBitsToDouble(k))))
+    } finally u.unpersist()
+  }
+
+  /** Smallest bucket whose cumulative count reaches `rank`; returns
+    * (bucket, rank remaining within it). `hist` is ascending by bucket. */
+  private def pickBucket(hist: Seq[(Int, Long)], rank: Long): (Int, Long) = {
+    var rem = rank
+    hist.foreach { case (b, c) => if (rem <= c) return (b, rem) else rem -= c }
+    throw new IllegalStateException(
+      s"rank $rank exceeds histogram mass ${hist.map(_._2).sum}")
+  }
+
+  private def oneRowResult(spark: org.apache.spark.sql.SparkSession, n: Long,
+                           qs: Seq[Option[Double]]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      qs.indices.map(i => org.apache.spark.sql.types.StructField(s"q$i",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val row = org.apache.spark.sql.Row.fromSeq(
+      n +: qs.map(_.map(java.lang.Double.valueOf).orNull))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+
   def streamingQuantile(stream: DataFrame, groupCol: Column, valueCol: Column,
                         idCol: Column, k: Int, checkpoint: String,
                         state: java.util.concurrent.atomic.AtomicReference[Map[String, Seq[QItem]]],

@@ -434,6 +434,56 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesDisc: order statistics match a local sort exactly") {
+    val s = spark
+    import s.implicits._
+    // adversarial values for the bit-image ordering: negatives,
+    // ±0.0, subnormals, extremes, duplicates
+    val rnd = new scala.util.Random(99L)
+    val vals = Seq(-0.0, 0.0, Double.MinValue, Double.MaxValue,
+      java.lang.Double.MIN_VALUE, -1e300, 42.0, 42.0, 42.0, -7.25) ++
+      (1 to 2000).map(_ => (rnd.nextDouble() - 0.5) * 1e9)
+    val df = vals.toDF("v").repartition(13)
+    val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val row = graft.operators.Sketch
+      .exactQuantilesDisc(df, col("v"), probs).head
+    assert(row.getLong(0) == vals.length.toLong)
+    val sorted = vals.sorted
+    probs.zipWithIndex.foreach { case (p, i) =>
+      val r = math.max(1L, math.ceil(p * vals.length).toLong)
+      val expect = sorted((r - 1).toInt)
+      val got = row.getDouble(1 + i)
+      assert(java.lang.Double.doubleToRawLongBits(got) ==
+        java.lang.Double.doubleToRawLongBits(expect),
+        s"p=$p rank=$r got=$got want=$expect")
+    }
+    // p=0 is the min, p=1 the max — bit-exact including sign of zero
+    assert(row.getDouble(1) == Double.MinValue)
+    assert(row.getDouble(1 + probs.length - 1) == Double.MaxValue)
+  }
+
+  test("exactQuantilesDisc: partition invariance, null/NaN exclusion, empty input") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 500).map(i => ((i * 7919 % 503).toDouble, i))
+      .toDF("v", "id")
+    val probs = Seq(0.5, 0.9)
+    val a = graft.operators.Sketch.exactQuantilesDisc(base, col("v"), probs).head
+    val b = graft.operators.Sketch
+      .exactQuantilesDisc(base.repartition(17), col("v"), probs).head
+    assert(a == b, "selection depends on partitioning")
+    // nulls and NaNs drop from n and from the ranks
+    val dirty = base.select(col("v"), col("id"))
+      .union(Seq((Double.NaN, 0), (Double.NaN, 0)).toDF("v", "id"))
+      .select(when(col("id") % 100 === 1, lit(null).cast("double"))
+        .otherwise(col("v")).as("v"))
+    val d = graft.operators.Sketch.exactQuantilesDisc(dirty, col("v"), probs).head
+    assert(d.getLong(0) == 495L) // 500 - 5 nulls; NaNs excluded
+    val e = graft.operators.Sketch
+      .exactQuantilesDisc(base.filter(col("v") < -1), col("v"), probs).head
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+  }
+
   test("streaming quantile fold equals the batch sketch; replays are idempotent") {
     val s = spark
     import s.implicits._
