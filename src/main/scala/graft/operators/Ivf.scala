@@ -96,13 +96,21 @@ object Ivf {
     * sampling pass that draws every hot cluster's bounded sub-training
     * sample at once (rate sized per cluster from the counts) — plus an
     * expression-only reassignment (lazy, rides the next scan). No extra
-    * corpus shuffle, no per-cluster rescans. Identical-vector blobs
-    * cannot be split (k-means cannot separate equal points);
-    * `maxRounds` bounds the attempt. */
+    * corpus shuffle, no per-cluster rescans; the loop's measurement
+    * passes run over a per-round MEMORY_AND_DISK projection of
+    * (embedding, cluster), so round r reads a flattened cache instead
+    * of recomputing r stacked reassignment chains (measured 402.8 →
+    * see COVERAGE at the 10M 90%-blob probe). Split fits use
+    * `splitMaxIter` (default 25) — centroids only need to PARTITION a
+    * hot list, not converge, the same short-Lloyd budget the SemDeDup
+    * probe pinned — while the initial build keeps `maxIter`.
+    * Identical-vector blobs cannot be split (k-means cannot separate
+    * equal points); `maxRounds` bounds the attempt. */
   def buildBalanced(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
                     maxIter: Int = 100, sampleSize: Int = DefaultSampleSize,
                     maxClusterFraction: Double = 0.2,
-                    maxRounds: Int = 4): (DataFrame, Model) = {
+                    maxRounds: Int = 4,
+                    splitMaxIter: Int = 25): (DataFrame, Model) = {
     require(maxClusterFraction > 0 && maxClusterFraction <= 1,
       s"maxClusterFraction must be in (0,1], got $maxClusterFraction")
     var (assigned, model) = build(df, embCol, k, seed, maxIter, sampleSize)
@@ -113,8 +121,12 @@ object Ivf {
     val splitSample = math.min(sampleSize, 10000)
     var round = 0
     var done = false
+    // flattened measurement cache for the current assignment (embedding
+    // + cluster only) — re-persisted after each reassignment round
+    var probe = assigned.select(col(model.embCol), col(ClusterCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     while (!done && round < maxRounds) {
-      val sizes = assigned.groupBy(ClusterCol).count().collect()
+      val sizes = probe.groupBy(ClusterCol).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val hot = sizes.filter { case (_, s) => s > cap }.keys.toSeq.sorted
       if (hot.isEmpty) done = true
@@ -125,7 +137,7 @@ object Ivf {
           when(col(ClusterCol) === c,
             lit(math.min(1.0, splitSample * 1.2 / sizes(c)))).otherwise(acc)
         }
-        val byCluster = assigned
+        val byCluster = probe
           .filter(col(ClusterCol).isin(hot: _*))
           .filter(rand(seed ^ (round + 1).toLong) < rate)
           .select(col(ClusterCol), col(model.embCol))
@@ -141,7 +153,7 @@ object Ivf {
             math.max(2, math.ceil(sizes(c).toDouble / cap).toInt))
           if (sample.length >= 2) {
             val sub = graft.core.LocalKMeans.fit(sample,
-              math.min(m, sample.length), maxIter, seed ^ (c + 1).toLong)
+              math.min(m, sample.length), splitMaxIter, seed ^ (c + 1).toLong)
             if (sub.length >= 2) {
               split = true
               val offset = cents.length
@@ -158,10 +170,16 @@ object Ivf {
         else {
           model = Model(cents.toArray, model.embCol)
           assigned = assigned.withColumn(ClusterCol, reassign)
+          val next = probe.withColumn(ClusterCol, reassign)
+            .select(col(model.embCol), col(ClusterCol))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          probe.unpersist()
+          probe = next
         }
       }
       round += 1
     }
+    probe.unpersist()
     (assigned, model)
   }
 
