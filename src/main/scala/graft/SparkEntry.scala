@@ -605,6 +605,18 @@ object SparkEntry {
       Sketch.exactQuantilesDisc(Tables.documents(s, dir), col("n_chars"),
         Seq(0.01, 0.25, 0.5, 0.9, 0.99))),
 
+    // ---- Grouped exact selection — sketch_kll's per-language cutoffs
+    // with EXACT ranks: one selection state per (lang, p), six corpus
+    // scans total for all groups and probs, group prefixes on a
+    // broadcast join (driver state G×|probs|×4096, never expression
+    // size). Direct exact-vs-sketch comparison with sketch_kll.
+    "sketch_quantile_exact_grouped" -> ((s, dir) =>
+      Sketch.exactQuantilesDiscGrouped(Tables.documents(s, dir),
+          col("lang"), col("n_chars"), Seq(0.5, 0.9, 0.99))
+        .select(col("g").as("lang"), col("n_rows"),
+          col("q0").as("p50"), col("q1").as("p90"), col("q2").as("p99"))
+        .orderBy("lang")),
+
     // ---- Data profiling: one-pass per-column statistics as tidy
     // (col_name, metric, value) rows — decimal-exact means, exact
     // distincts; the ingestion-time data-quality snapshot
@@ -3439,6 +3451,18 @@ object SparkEntry {
           |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.9' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q3,
           |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.99' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q4
           |FROM r""".stripMargin,
+
+      "sketch_quantile_exact_grouped" ->
+        """WITH r AS (
+          |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+          |    row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
+          |    count(*) OVER (PARTITION BY lang) AS n
+          |  FROM documents)
+          |SELECT lang, max(n) AS n_rows,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.5' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p50,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.9' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p90,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.99' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p99
+          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
       "dedup_editdist" ->
         """WITH grams0 AS (

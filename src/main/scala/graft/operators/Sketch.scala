@@ -770,6 +770,93 @@ object Sketch {
     } finally u.unpersist()
   }
 
+  /** Per-group [[exactQuantilesDisc]]: the per-language exact-cutoff
+    * shape — one selection state per (group, prob), group prefixes
+    * riding a BROADCAST (g, t, prefix) join each pass, so group
+    * cardinality is bounded by driver memory (G × T × 4096 counts),
+    * never by expression size, and the corpus still pays exactly six
+    * scans total for ALL groups and probs. Same determinism and
+    * bit-exact row_number oracle replay (PARTITION BY g). Output:
+    * (g, n_rows, q0..q{T−1}) — one row per non-empty group; empty
+    * groups are absent, like any GROUP BY. */
+  def exactQuantilesDiscGrouped(df: DataFrame, groupCol: Column,
+                                valueCol: Column,
+                                probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be in [0,1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val T = probs.length
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType, nullable = true) +:
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      probs.indices.map(i => org.apache.spark.sql.types.StructField(s"q$i",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val keyed = df
+      .select(groupCol.cast("string").as("g"), valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .select(col("g"),
+        graft.expressions.FloatKernels.orderedBits(col("__v")).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val widths = Seq(12, 12, 12, 12, 12, 4)
+      val shifts = widths.scanLeft(64)(_ - _).tail
+      val h0 = keyed
+        .groupBy(col("g"),
+          shiftrightunsigned(col("u"), shifts.head).cast("int").as("b"))
+        .count().collect()
+        .groupBy(_.getString(0))
+        .map { case (g, rows) =>
+          g -> rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1).toSeq
+        }
+      if (h0.isEmpty) {
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      }
+      val groups = h0.keys.toSeq.sorted
+      val nOf = groups.map(g => g -> h0(g).map(_._2).sum).toMap
+      val prefix = scala.collection.mutable.Map.empty[(String, Int), Long]
+      val need = scala.collection.mutable.Map.empty[(String, Int), Long]
+      for (g <- groups; t <- 0 until T) {
+        val r = math.max(1L, math.ceil(probs(t) * nOf(g)).toLong)
+        val (b, rem) = pickBucket(h0(g), r)
+        prefix((g, t)) = b.toLong
+        need((g, t)) = rem
+      }
+      widths.zip(shifts).drop(1).foreach { case (w, shift) =>
+        val mask = (1L << w) - 1L
+        val states = groups
+          .flatMap(g => (0 until T).map(t => (g, t, prefix((g, t)))))
+          .toDF("g", "t", "p")
+        val hist = keyed.join(broadcast(states), "g")
+          .filter(shiftrightunsigned(col("u"), shift + w) === col("p"))
+          .groupBy(col("g"), col("t"),
+            shiftrightunsigned(col("u"), shift).bitwiseAND(lit(mask))
+              .cast("int").as("b"))
+          .count().collect()
+          .groupBy(r => (r.getString(0), r.getInt(1)))
+          .map { case (k, rows) =>
+            k -> rows.map(r => r.getInt(2) -> r.getLong(3)).sortBy(_._1).toSeq
+          }
+        for (g <- groups; t <- 0 until T) {
+          val (b, rem) = pickBucket(hist((g, t)), need((g, t)))
+          prefix((g, t)) = (prefix((g, t)) << w) | b.toLong
+          need((g, t)) = rem
+        }
+      }
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList(groups.length)
+      groups.foreach { g =>
+        rows.add(org.apache.spark.sql.Row.fromSeq(
+          g +: nOf(g) +:
+            (0 until T).map(t => orderedBitsToDouble(prefix((g, t))))))
+      }
+      spark.createDataFrame(rows, schema)
+    } finally keyed.unpersist()
+  }
+
   /** Smallest bucket whose cumulative count reaches `rank`; returns
     * (bucket, rank remaining within it). `hist` is ascending by bucket. */
   private def pickBucket(hist: Seq[(Int, Long)], rank: Long): (Int, Long) = {

@@ -484,6 +484,39 @@ class SketchSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
   }
 
+  test("exactQuantilesDiscGrouped: per-group order statistics, empty groups absent") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5L)
+    val data = (1 to 900).map { i =>
+      val g = Seq("en", "fr", "de")(i % 3)
+      (g, (rnd.nextDouble() - 0.5) * 1e6)
+    } ++ Seq(("solo", 42.0)) // 1-row group: every rank is that row
+    val df = data.toDF("lang", "v").repartition(11)
+    val probs = Seq(0.25, 0.5, 0.99)
+    val out = graft.operators.Sketch
+      .exactQuantilesDiscGrouped(df, col("lang"), col("v"), probs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("en", "fr", "de", "solo"))
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      assert(out(g).getLong(1) == rows.length.toLong)
+      probs.zipWithIndex.foreach { case (p, i) =>
+        val r = math.max(1L, math.ceil(p * rows.length).toLong)
+        assert(out(g).getDouble(2 + i) == sorted((r - 1).toInt),
+          s"group $g p=$p")
+      }
+    }
+    // grouped ≡ global when restricted to one group
+    val en = graft.operators.Sketch.exactQuantilesDisc(
+      df.filter(col("lang") === "en"), col("v"), probs).head
+    assert((0 until probs.length).forall(i =>
+      en.getDouble(1 + i) == out("en").getDouble(2 + i)))
+    // empty input: zero rows, not a null row
+    assert(graft.operators.Sketch.exactQuantilesDiscGrouped(
+      df.filter(col("v") > 1e12), col("lang"), col("v"), probs).count() == 0L)
+  }
+
   test("streaming quantile fold equals the batch sketch; replays are idempotent") {
     val s = spark
     import s.implicits._
