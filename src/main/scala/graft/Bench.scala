@@ -34,7 +34,16 @@ object Bench {
     // A failing query is reported as null (excluded from the total), not
     // as a fast fake timing; fatal errors (OOM etc.) propagate and kill
     // the bench rather than being misreported as coverage.
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional arg: comma-separated name substrings — run only matching
+    // queries (same contract as ScaleProbe's filter; default = all)
+    val nameFilter: String => Boolean = args.headOption match {
+      case Some(pats) =>
+        val ps = pats.split(',').map(_.trim).filter(_.nonEmpty)
+        name => ps.exists(name.contains)
+      case None => _ => true
+    }
+    val named = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
+      .sortBy(_._1)
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
       val t0 = System.nanoTime()

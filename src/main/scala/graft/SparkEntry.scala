@@ -535,6 +535,27 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- Bucketed co-located join: write both fact tables bucketed
+    // AND bucket-sorted on the join key (one file per bucket via the
+    // aligned repartition), then join — zero Exchange, zero Sort below
+    // the join (PlanSpec pins the shape). The shuffle is paid once at
+    // write time; at 100 TB every recurring orders⋈lineitem join
+    // becomes a per-bucket local merge instead of the pipeline's
+    // dominant shuffle. Results are layout-independent, so the oracle
+    // replays the plain join.
+    "layout_bucketed_join" -> ((s, dir) => {
+      val o = Layout.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "graft_bk_orders", "o_orderkey", nBuckets = 16)
+      val l = Layout.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        "graft_bk_lineitem", "l_orderkey", nBuckets = 16)
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- Heavy hitters: single-pass Misra-Gries candidate sweep
     // (bounded <=k counters, mergeable) + exact verification of the
     // <=k candidates. The MG membership guarantee (every item with
@@ -3178,6 +3199,12 @@ object SparkEntry {
            |SELECT o_orderkey, $interleave AS zval FROM b
            |ORDER BY o_orderkey""".stripMargin
       },
+
+      "layout_bucketed_join" ->
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |${decSum("l_quantity")} AS sum_qty
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
       "t_dsir_weight" ->
         s"""WITH ${dsirCtes(DsirDim)}

@@ -94,4 +94,54 @@ object Layout {
       .repartitionByRange(numFiles, col(zCol))
       .sortWithinPartitions(zCol)
   }
+
+  /** Write `df` as a bucketed, bucket-sorted managed parquet table —
+    * the layout that makes every LATER equi-join/aggregation on
+    * `bucketCol` shuffle-free AND sort-free: two tables bucketed with
+    * the same `nBuckets` on their join keys sort-merge join with zero
+    * Exchange and zero Sort in the plan (Spark trusts the bucket
+    * hash-partitioning and, when each bucket is exactly one file, the
+    * within-bucket sort). At 100 TB this turns the recurring fact⋈fact
+    * join from the pipeline's dominant shuffle into a per-bucket local
+    * merge — the one shuffle is paid HERE, once, at write time.
+    *
+    * The `repartition(nBuckets, bucketCol)` before the write is what
+    * guarantees one file per bucket: `repartition` and `bucketBy` use
+    * the same Murmur3 `pmod` hash, so every task holds exactly the rows
+    * of its own bucket id — without it each task writes a file per
+    * bucket it touches (task × bucket file explosion) and multi-file
+    * buckets make the reader distrust the sort order (Sort nodes come
+    * back, Exchange stays gone).
+    *
+    * Sort elision additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` — off by
+    * default since 3.0 (SPARK-28595) because verifying the one-file
+    * precondition costs a file listing at planning time; this writer
+    * guarantees the precondition, so readers of its tables can enable
+    * the flag safely. Without it the join still runs shuffle-free and
+    * pays only a per-bucket local sort.
+    *
+    * Returns the table reader. Overwrites any existing table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val sorted = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
+    val s = df.sparkSession
+    // clear BOTH the catalog entry and any orphaned warehouse directory:
+    // with the default in-memory catalog the table metadata dies with the
+    // session but its managed location survives, and a later session's
+    // overwrite then fails with LOCATION_ALREADY_EXISTS
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.repartition(nBuckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .saveAsTable(table)
+    s.table(table)
+  }
 }

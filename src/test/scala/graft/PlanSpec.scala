@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ivf, Search}
+import graft.operators.{Ivf, Layout, Search}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -88,22 +88,33 @@ class PlanSpec extends SparkSpec {
       s"expected partial WindowGroupLimit before the shuffle:\n$plan")
   }
 
-  test("bucketed tables co-locate the join: no Exchange on either side") {
+  test("bucketed tables co-locate the join: no Exchange, no Sort on either side") {
     val s = spark
     import s.implicits._
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle question
+    // off by default since 3.0 (SPARK-28595: listing files to check
+    // one-file-per-bucket costs planning time); writeBucketed's aligned
+    // repartition guarantees the one-file precondition, making it safe
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try {
-      corpus(200, 4).map { case (i, v) => (i, v) }.toDF("id", "embedding")
-        .write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bk_vectors")
-      (0L until 200L).map(i => (i, s"doc $i")).toDF("id", "content")
-        .write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("bk_docs")
-      val joined = s.table("bk_vectors").join(s.table("bk_docs"), "id")
+      val vecs = Layout.writeBucketed(
+        corpus(200, 4).map { case (i, v) => (i, v) }.toDF("id", "embedding"),
+        "bk_vectors", "id", nBuckets = 8)
+      val docs = Layout.writeBucketed(
+        (0L until 200L).map(i => (i, s"doc $i")).toDF("id", "content"),
+        "bk_docs", "id", nBuckets = 8)
+      val joined = vecs.join(docs, "id")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join still shuffles:\n$plan")
+      // writeBucketed's aligned repartition leaves ONE file per bucket,
+      // so the reader trusts the within-bucket sort: merge, no re-sort
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Sort "),
+        s"bucketed join re-sorts (multi-file buckets?):\n$plan")
       assert(joined.count() == 200)
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      s.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
       s.sql("DROP TABLE IF EXISTS bk_vectors")
       s.sql("DROP TABLE IF EXISTS bk_docs")
     }
