@@ -254,6 +254,52 @@ object ScaleProbe {
       t("layout_box_unsorted")(boxScan(plainDir))
       t("layout_box_xsorted")(boxScan(xDir))
       t("layout_box_zorder")(boxScan(zDir))
+
+      // Bucketed co-located join vs shuffle join: two n-row facts
+      // joined 1:1 on id. The plain join shuffles + sorts BOTH sides
+      // every time it runs; writeBucketed pays one aligned shuffle at
+      // write time and every later join is a per-bucket local merge
+      // (zero Exchange, zero Sort — broadcast disabled so the probe
+      // answers the 100 TB question, where neither side broadcasts).
+      val factA = spark.range(n).select(col("id"),
+        md5(col("id").cast("string")).as("payload"))
+      val factB = spark.range(n).select(col("id"),
+        pmod(xxhash64(col("id") + 3), lit(1000)).as("v"))
+      val plainA = s"/tmp/graft_bkt_a_$n"
+      val plainB = s"/tmp/graft_bkt_b_$n"
+      t("bktjoin_write_plain") {
+        factA.repartition(64).write.mode("overwrite").parquet(plainA)
+        factB.repartition(64).write.mode("overwrite").parquet(plainB); n
+      }
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        t("bktjoin_shuffle_join") {
+          spark.read.parquet(plainA).join(spark.read.parquet(plainB), "id")
+            .agg(count(lit(1)), sum(col("v"))).head(); n
+        }
+        var bktA: org.apache.spark.sql.DataFrame = null
+        var bktB: org.apache.spark.sql.DataFrame = null
+        t("bktjoin_write_bucketed") {
+          bktA = graft.operators.Layout.writeBucketed(factA, "probe_bkt_a", "id", 64)
+          bktB = graft.operators.Layout.writeBucketed(factB, "probe_bkt_b", "id", 64)
+          n
+        }
+        // on-demand when a name filter skipped the timed write
+        def bA() = { if (bktA == null) bktA =
+          graft.operators.Layout.writeBucketed(factA, "probe_bkt_a", "id", 64); bktA }
+        def bB() = { if (bktB == null) bktB =
+          graft.operators.Layout.writeBucketed(factB, "probe_bkt_b", "id", 64); bktB }
+        t("bktjoin_colocated_join") {
+          bA().join(bB(), "id").agg(count(lit(1)), sum(col("v"))).head(); n
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS probe_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS probe_bkt_b")
+      }
     }
 
     if (text) {
