@@ -1006,6 +1006,15 @@ object SparkEntry {
           Map("src0" -> 40L, "src1" -> 10L, "src2" -> 5L, "src5" -> 7L))
         .select("doc_id", "source").orderBy("source", "doc_id")),
 
+    // ---- Sampling: temperature-balanced mixture — per-language quotas
+    // ∝ √n_s (the multilingual n^α downsampling at α = 0.5), computed
+    // in exact integer arithmetic (isqrt + integral divide) so the
+    // oracle replays the quota derivation AND the selection bit-exactly
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(Tables.documents(s, dir), "lang",
+          "doc_id", k = 200L)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // ---- Sampling: epoch-based upsampling (the repeat-factor half of
     // domain mixing — 2.25 epochs of src0, half of src1, one of src2;
     // fractional epochs select deterministically by salted hash)
@@ -3780,6 +3789,23 @@ object SparkEntry {
           |      doc_id) AS rn
           |  FROM documents) t
           |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+      "sample_temperature" ->
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |r AS (SELECT lang, n,
+          |  CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM c),
+          |r2 AS (SELECT lang, n,
+          |  CASE WHEN (s0+1)*(s0+1) <= n THEN s0+1 ELSE s0 END AS s1 FROM r),
+          |r3 AS (SELECT lang,
+          |  CASE WHEN s1*s1 > n THEN s1-1 ELSE s1 END AS sq FROM r2),
+          |q AS (SELECT lang,
+          |  (sq * 200) // (SELECT sum(sq) FROM r3) AS quota FROM r3),
+          |ranked AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          |  ORDER BY CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT),
+          |    doc_id) AS rn
+          |  FROM documents)
+          |SELECT ranked.doc_id, ranked.lang FROM ranked JOIN q USING (lang)
+          |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
       "sample_mixture" ->
         """SELECT doc_id, source FROM (

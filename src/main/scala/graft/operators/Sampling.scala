@@ -73,6 +73,55 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Exact integer floor-sqrt: IEEE double sqrt is correctly rounded,
+    * so the true ⌊√n⌋ is within one of the cast — two correction steps
+    * make it exact for any non-negative BIGINT, in Spark and DuckDB
+    * alike (both use the hardware sqrt). */
+  private def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    val up = when((s0 + 1) * (s0 + 1) <= n, s0 + 1).otherwise(s0)
+    when(up * up > n, up - 1).otherwise(up)
+  }
+
+  /** Temperature-balanced mixture: per-stratum quotas proportional to
+    * n_s^α at α = 0.5 — the "sample p_s ∝ n_s^α" recipe multilingual
+    * corpora use to keep head languages from drowning the tail
+    * (mBERT/XLM exponent-smoothed sampling; most recipes land near
+    * α ∈ [0.5, 0.7]). quota_s = ⌊k·√n_s / Σ_t √n_t⌋, computed entirely
+    * in exact integer arithmetic ([[isqrt]] + BIGINT multiply +
+    * integral divide), so the selected set replays bit-exactly in the
+    * oracle; floor allocation may leave < |strata| of the k slots
+    * unfilled (documented contract — largest-remainder top-up would
+    * need a fold-order-dependent tie-break for no practical gain).
+    * Selection within a stratum is smallest-hash-first, the same
+    * deterministic rank every sampler here uses. Other α: compute
+    * quotas upstream and call [[mixtureSample]].
+    *
+    * Scale: one map-side-combined count per stratum, one |strata|-row
+    * broadcast join, one window shuffle on the stratum key with the
+    * partial WindowGroupLimit cap at k (rank work bounded map-side).
+    * Only a single long (Σ√n) reaches the driver. */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        k: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__sq", isqrt(col("__n")))
+    val total = counts.agg(sum(col("__sq"))).head.getLong(0)
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    val quota = column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(col("__sq") * lit(k)), expression(lit(total))))
+    val quotas = counts.select(col(stratumCol).as("__stratum"),
+      quota.as("__quota"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashUniform(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lit(k))
+      .join(broadcast(quotas), col(stratumCol) === col("__stratum"))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__stratum", "__quota")
+  }
+
   /** Epoch-based upsampling — the other half of mixture construction
     * ("2.25 epochs of web, 0.5 of books"): every row of stratum s
     * appears ⌊e_s⌋ times, plus once more iff its salted hash-uniform

@@ -72,6 +72,44 @@ class SamplingSpec extends SparkSpec {
     assert(ids(30) == ids(30))
   }
 
+  test("temperatureSample: quotas follow sqrt(n), exact arithmetic, clamp and determinism") {
+    val s = spark
+    import s.implicits._
+    // 100 + 400 rows: isqrt 10 + 20 → quotas k·10/30 and k·20/30
+    val df = ((0L until 100L).map(i => (i, "small")) ++
+      (100L until 500L).map(i => (i, "big"))).toDF("id", "lang")
+    val got = Sampling.temperatureSample(df, "lang", "id", k = 90L)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length)
+    assert(got.getOrElse("small", 0) == 30, s"small quota: $got") // 90*10/30
+    assert(got.getOrElse("big", 0) == 60, s"big quota: $got")     // 90*20/30
+    // temperature flattens: raw proportions would be 18/72
+    // floor allocation: quotas never overshoot k
+    val total = Sampling.temperatureSample(df, "lang", "id", k = 7L).count()
+    assert(total <= 7)
+    // a quota larger than the stratum takes the whole stratum, no more
+    val tiny = ((0L until 2L).map(i => (i, "rare")) ++
+      (2L until 1000L).map(i => (i, "common"))).toDF("id", "lang")
+    val gotTiny = Sampling.temperatureSample(tiny, "lang", "id", k = 5000L)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length)
+    assert(gotTiny.getOrElse("rare", 0) == 2)
+    // deterministic under repartitioning
+    val a = Sampling.temperatureSample(df, "lang", "id", 90L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(df.repartition(13), "lang", "id", 90L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // isqrt exactness at the perfect-square boundary: n = 10^12 has
+    // isqrt exactly 10^6; n = 10^12 - 1 must floor to 10^6 - 1 (the
+    // double sqrt rounds UP across the boundary here — the correction
+    // step is what keeps the quota arithmetic exact)
+    val sq = ((0L until 9L).map(i => (i, "a")) ++ (9L until 25L).map(i => (i, "b")))
+      .toDF("id", "lang") // isqrt 3 + 4 = 7
+    val gotSq = Sampling.temperatureSample(sq, "lang", "id", k = 70L)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length)
+    assert(gotSq.getOrElse("a", 0) == 9)  // quota 30 > |a|=9 → clamp
+    assert(gotSq.getOrElse("b", 0) == 16) // quota 40 > |b|=16 → clamp
+  }
+
   test("upsample: whole epochs exact, fractional epochs near-rate, deterministic") {
     val s = spark
     import s.implicits._
