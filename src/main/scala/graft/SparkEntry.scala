@@ -1038,6 +1038,14 @@ object SparkEntry {
           "n_chars", k = 100)
         .select("doc_id", "es_key")),
 
+    // ---- Sampling: per-stratum weighted sample (A-ES ranked inside
+    // each language — the per-domain weighted selection a mixture
+    // pipeline runs after setting quotas)
+    "sample_weighted_grouped" -> ((s, dir) =>
+      Sampling.weightedSampleGrouped(Tables.documents(s, dir), "lang",
+          "doc_id", "n_chars", k = 20)
+        .select("doc_id", "lang", "es_key").orderBy("doc_id")),
+
     // ---- Sampling: deterministic train/val/test split (weights chosen
     // binary-exact so the cumulative cuts are bit-identical in SQL)
     "sample_hash_split" -> ((s, dir) =>
@@ -3852,6 +3860,18 @@ object SparkEntry {
           |      / 4294967296.0 AS u
           |  FROM documents)
           |ORDER BY es_key ASC, doc_id ASC LIMIT 100""".stripMargin,
+
+      "sample_weighted_grouped" ->
+        """SELECT doc_id, lang, es_key FROM (
+          |  SELECT doc_id, lang, (-ln(u)) / CAST(n_chars AS DOUBLE) AS es_key,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY (-ln(u)) / CAST(n_chars AS DOUBLE) ASC, doc_id ASC) AS rn
+          |  FROM (
+          |    SELECT doc_id, lang, n_chars,
+          |      CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT)
+          |        / 4294967296.0 AS u
+          |    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0))
+          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
       "sample_hash_split" ->
         """SELECT split, count(*) AS n FROM (

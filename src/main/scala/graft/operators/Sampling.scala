@@ -182,6 +182,32 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-stratum weighted sample without replacement — [[weightedSample]]
+    * with the A-ES priority key ranked INSIDE each stratum (domain,
+    * language): the k smallest keys per stratum are that stratum's
+    * weight-proportional sample. Same exclusion contract (null/
+    * non-positive/NaN weights never selected) and size contract
+    * (min(k, stratum positive-weight rows) per stratum). Scale: one
+    * window shuffle on the stratum key; the literal-k rank filter is
+    * the WindowGroupLimit form, so each map task keeps at most k rows
+    * per stratum before the exchange — the shuffle never carries the
+    * corpus. */
+  def weightedSampleGrouped(df: DataFrame, stratumCol: String, idCol: String,
+                            weightCol: String, k: Int,
+                            salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = negate(graft.expressions.FloatKernels.ln(
+      hashUniform(col(idCol), salt))) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        !isnan(col(weightCol).cast("double")))
+      .withColumn("es_key", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lit(k))
+      .drop("__rn")
+  }
+
   /** Deterministic dataset split (train/val/test …): labels each row by
     * where its hash uniform falls among the cumulative `weights`
     * (normalized; last split absorbs the remainder, so every row gets a

@@ -177,6 +177,36 @@ class SamplingSpec extends SparkSpec {
       s"only positive-weight rows are sampleable, got $picked")
   }
 
+  test("weightedSampleGrouped: per-stratum A-ES, grouped ≡ per-group global, partial group limit") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 400L)
+      .map(i => (i, s"d${i % 4}", 1.0 + (i % 17))).toDF("id", "dom", "w")
+    val grouped = Sampling.weightedSampleGrouped(df, "dom", "id", "w", k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // grouped result = union of per-stratum global weightedSample calls
+    val perGroup = (0 until 4).flatMap { d =>
+      Sampling.weightedSample(df.filter(col("dom") === s"d$d"), "id", "w", 10)
+        .collect().map(r => (s"d$d", r.getLong(0)))
+    }.toSet
+    assert(grouped == perGroup)
+    assert(grouped.groupBy(_._1).forall(_._2.size == 10))
+    // excluded weights never selected, short strata never padded
+    val mixed = ((0L until 5L).map(i => (i, "a", 2.0)) ++
+      (5L until 10L).map(i => (i, "a", -1.0)) ++
+      (10L until 12L).map(i => (i, "b", 1.0))).toDF("id", "dom", "w")
+    val got = Sampling.weightedSampleGrouped(mixed, "dom", "id", "w", 4)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(got.count(_._1 == "a") == 4 && got.filter(_._1 == "a").forall(_._2 < 5))
+    assert(got.count(_._1 == "b") == 2)
+    // the rank filter compiles to a partial WindowGroupLimit (the
+    // shuffle carries at most k rows per stratum per map task)
+    val plan = Sampling.weightedSampleGrouped(df, "dom", "id", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial WindowGroupLimit:\n$plan")
+  }
+
   test("epochShuffle: a reproducible permutation, independent across epochs") {
     val s = spark
     import s.implicits._
