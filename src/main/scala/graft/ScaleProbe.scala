@@ -300,6 +300,45 @@ object ScaleProbe {
         spark.sql("DROP TABLE IF EXISTS probe_bkt_a")
         spark.sql("DROP TABLE IF EXISTS probe_bkt_b")
       }
+
+      // AQE skew-join: half of fact A lands on ONE join key, so one
+      // shuffle partition holds n/2 rows while the rest hold n/32 —
+      // the straggler that serializes a 1000-executor join. AQE's
+      // skew-join rule splits the hot partition into advisory-sized
+      // chunks (duplicating the matching B rows per chunk) at runtime.
+      // The byte thresholds are scaled DOWN to probe size (defaults
+      // trigger at 256 MB — real at 100 TB, not at 10M rows); the
+      // toggle isolates exactly the split's effect.
+      val skewA = spark.range(n).select(
+        when(col("id") % 2 === 0, lit(7L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val uniB = spark.range(n).select(col("id").as("k"),
+        pmod(xxhash64(col("id") + 5), lit(1000)).as("v"))
+      val skewDirA = s"/tmp/graft_skew_a_$n"
+      val skewDirB = s"/tmp/graft_skew_b_$n"
+      skewA.write.mode("overwrite").parquet(skewDirA)
+      uniB.write.mode("overwrite").parquet(skewDirB)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      try {
+        def skewJoin(): Long = {
+          spark.read.parquet(skewDirA)
+            .join(spark.read.parquet(skewDirB), "k")
+            .agg(count(lit(1)), sum(col("v"))).head(); n
+        }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t("skewjoin_aqe_off")(skewJoin())
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        t("skewjoin_aqe_on")(skewJoin())
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+        spark.conf.unset(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
     }
 
     if (text) {
