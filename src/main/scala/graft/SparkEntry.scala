@@ -2069,6 +2069,26 @@ object SparkEntry {
     // guard stays ON (mirrored in the oracle's bucket-size cutoff), so
     // the showcase pipeline runs the same bounded-fan-out configuration
     // it would at 100×.
+    // ---- Mixture flagship: the multilingual rebalancing recipe end to
+    // end — temperature-balance the languages (quotas ∝ √n_s flatten
+    // the head), fractionally epoch-upsample the tail (1.5 epochs of
+    // everything but en, the deterministic salted-hash half-copy), then
+    // the per-language mixture manifest a training-data pipeline logs
+    // (rows with copies, distinct docs, char mass). Every stage is the
+    // already-oracle'd operator, so the whole composition replays
+    // bit-exactly.
+    "pipeline_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val selected = Sampling.temperatureSample(docs, "lang", "doc_id", 300L)
+      val mixed = Sampling.upsample(selected, "lang", "doc_id",
+        Map("en" -> 1.0, "zh" -> 1.5, "es" -> 1.5, "de" -> 1.5, "fr" -> 1.5))
+      mixed.groupBy("lang").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    }),
+
     "pipeline_curate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val keepers = docs.groupBy(md5(col("text")))
@@ -4302,6 +4322,36 @@ object SparkEntry {
       "mv_maxsim" -> maxsimSql,
 
       "mm_extract_features" -> mmFeaturesSql,
+
+      "pipeline_mixture" ->
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |r AS (SELECT lang, n,
+          |  CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM c),
+          |r2 AS (SELECT lang, n,
+          |  CASE WHEN (s0+1)*(s0+1) <= n THEN s0+1 ELSE s0 END AS s1 FROM r),
+          |r3 AS (SELECT lang,
+          |  CASE WHEN s1*s1 > n THEN s1-1 ELSE s1 END AS sq FROM r2),
+          |q AS (SELECT lang,
+          |  (sq * 300) // (SELECT sum(sq) FROM r3) AS quota FROM r3),
+          |ranked AS (SELECT doc_id, lang, n_chars,
+          |  row_number() OVER (PARTITION BY lang
+          |    ORDER BY CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT),
+          |      doc_id) AS rn
+          |  FROM documents),
+          |sel AS (SELECT doc_id, lang, n_chars
+          |  FROM ranked JOIN q USING (lang) WHERE rn <= quota),
+          |h AS (SELECT doc_id, lang, n_chars,
+          |  CAST(concat('0x', left(md5(concat('up', CAST(doc_id AS VARCHAR))), 8))
+          |    AS UBIGINT) / 4294967296.0 AS u
+          |  FROM sel),
+          |cp AS (SELECT doc_id, lang, n_chars,
+          |  1 + (CASE WHEN u < (CASE lang WHEN 'en' THEN 0.0 ELSE 0.5 END)
+          |    THEN 1 ELSE 0 END) AS copies
+          |  FROM h)
+          |SELECT lang, CAST(sum(copies) AS BIGINT) AS n_rows,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars * copies) AS BIGINT) AS total_chars
+          |FROM cp GROUP BY lang ORDER BY lang""".stripMargin,
 
       "pipeline_curate" -> curateSql,
 
