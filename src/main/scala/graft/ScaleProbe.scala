@@ -584,6 +584,23 @@ object ScaleProbe {
           col("v"), Seq(0.01, 0.25, 0.5, 0.9, 0.99)).head.getLong(0)
       }
 
+      // temperature-balanced mixture at a planted head: one stratum
+      // holds half the corpus, 15 tail strata share the rest — the
+      // √-quota computation (count agg + single long to the driver) and
+      // the WindowGroupLimit-capped selection are the whole cost
+      val strat = docs.withColumn("dom",
+          when(col("id") % 2 === 0, lit("head"))
+            .otherwise(concat(lit("t"), pmod(col("id"), lit(15)))))
+        .withColumn("w", length(col("text")).cast("double"))
+      t("temperature_sample_k1m")(
+        graft.operators.Sampling.temperatureSample(strat, "dom", "id",
+          1000000L).count())
+      // per-stratum A-ES: the rank filter's partial group limit keeps
+      // the stratum shuffle at ≤ k rows per map task
+      t("weighted_grouped_k1000")(
+        graft.operators.Sampling.weightedSampleGrouped(strat, "dom", "id",
+          "w", 1000).count())
+
       // CountMin registers over the ~8n-token stream: depth-4 explode
       // collapses map-side to ≤ 4·1024 rows per partition — frequency
       // estimates for post-hoc keys at fixed state
