@@ -107,7 +107,9 @@ object Sampling {
     val counts = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__sq", isqrt(col("__n")))
-    val total = counts.agg(sum(col("__sq"))).head.getLong(0)
+    val totalRow = counts.agg(sum(col("__sq"))).head
+    if (totalRow.isNullAt(0)) return df.limit(0) // empty corpus: empty sample
+    val total = totalRow.getLong(0)
     import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
     val quota = column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       expression(col("__sq") * lit(k)), expression(lit(total))))

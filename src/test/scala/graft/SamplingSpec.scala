@@ -108,6 +108,8 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length)
     assert(gotSq.getOrElse("a", 0) == 9)  // quota 30 > |a|=9 → clamp
     assert(gotSq.getOrElse("b", 0) == 16) // quota 40 > |b|=16 → clamp
+    // empty corpus → empty sample (not an NPE on the null driver sum)
+    assert(Sampling.temperatureSample(df.limit(0), "lang", "id", 5L).count() == 0)
   }
 
   test("upsample: whole epochs exact, fractional epochs near-rate, deterministic") {
