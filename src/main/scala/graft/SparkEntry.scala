@@ -2080,8 +2080,14 @@ object SparkEntry {
     "pipeline_mixture" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val selected = Sampling.temperatureSample(docs, "lang", "doc_id", 300L)
-      val mixed = Sampling.upsample(selected, "lang", "doc_id",
-        Map("en" -> 1.0, "zh" -> 1.5, "es" -> 1.5, "de" -> 1.5, "fr" -> 1.5))
+      // epochs: 1.0 for the head language, 1.5 for every tail language —
+      // derived from the corpus (bounded: one distinct over the lang
+      // column) so a regenerated testdata with extra languages keeps
+      // matching the oracle's CASE lang WHEN 'en' … ELSE … semantics
+      val langs = docs.select("lang").distinct().collect()
+        .map(_.getString(0)).filter(_ != null)
+      val epochs = langs.map(l => l -> (if (l == "en") 1.0 else 1.5)).toMap
+      val mixed = Sampling.upsample(selected, "lang", "doc_id", epochs)
       mixed.groupBy("lang").agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("doc_id")).as("n_docs"),
