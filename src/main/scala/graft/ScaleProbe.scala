@@ -15,10 +15,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val group = args.lift(1).getOrElse("all")
-    require(Set("all", "vectors", "text", "layout")(group), s"unknown group $group")
+    require(Set("all", "vectors", "text", "layout", "stream")(group),
+      s"unknown group $group")
     val vectors = group == "all" || group == "vectors"
     val text = group == "all" || group == "text"
     val layout = group == "all" || group == "layout"
+    val stream = group == "all" || group == "stream"
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -338,6 +340,72 @@ object ScaleProbe {
         spark.conf.unset(
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+    }
+
+    if (stream) {
+      // Streaming state-machinery throughput at corpus scale: n synthetic
+      // events (n/100 users, 30 days, view/click) replayed through the
+      // REAL stateful operators — the bench-tier streaming queries run at
+      // sf0.1 (~100k events); this measures the same plans at n. State is
+      // watermark-bounded (windowed agg: 2h horizon; interval join:
+      // rate × (delay + window)), so the claim under test is that
+      // micro-batch cost tracks the BATCH volume, not the stream length.
+      val sdir = s"/tmp/graft_stream_$n"
+      val p = java.nio.file.Paths.get(sdir)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      }
+      val users = math.max(n / 100L, 1L)
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        pmod(xxhash64(col("id")), lit(users)).as("user_id"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(xxhash64(col("id") + 1), lit(30L * 86400L))).as("ts"),
+        when(pmod(col("id"), lit(2)) === 0, lit("view"))
+          .otherwise(lit("click")).as("event_type"))
+      ev.repartition(4).write.mode("overwrite").parquet(s"$sdir/in")
+      val schema = spark.read.parquet(s"$sdir/in").schema
+      def readIn() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$sdir/in")
+
+      t("stream_windowed_counts") {
+        val name = s"probe_wc_$n"
+        val q = graft.streaming.StreamingIngest.windowedCounts(
+            readIn().withColumn("value", lit(1L)), "ts", "event_type")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val r = spark.table(name).count()
+        spark.catalog.dropTempView(name)
+        r
+      }
+
+      t("stream_interval_join") {
+        val views = readIn().filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ts").as("view_ts"))
+        val clicks = readIn().filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("click_ts"))
+        val name = s"probe_sj_$n"
+        val q = graft.streaming.StreamJoin.intervalJoin(
+            views, "v_user", "view_ts", clicks, "c_user", "click_ts",
+            windowSec = 3600L, watermark = "35 days")
+          .select(col("view_id"), col("click_id"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val r = spark.table(name).count()
+        spark.catalog.dropTempView(name)
+        r
       }
     }
 
