@@ -239,6 +239,13 @@ class VectorStore private (val spark: SparkSession, val path: String,
     graft.core.SnapshotIO.publish(
       Crud.compact(snapshot()).withColumn("is_deleted", lit(false)), dataPath)
 
+  /** File compaction: merge the snapshot's accumulated small parquet
+    * files toward `targetBytes` each (the post-streaming-ingest
+    * OPTIMIZE pass; content unchanged, no shuffle). Returns the target
+    * file count. */
+  def compactFiles(targetBytes: Long = 128L * 1024 * 1024): Long =
+    graft.core.SnapshotIO.compactFiles(spark, dataPath, targetBytes)
+
   /** §2.5 `/search` analog: one entry point with the reference's request
     * shape — `top_k`/`ef`/`n_probe` defaults from `GraftConfig`
     * (api/models.py:16-20), index selection via `params("index")`, and

@@ -58,6 +58,44 @@ object SnapshotIO {
     f.delete(bakP, true)
   }
 
+  /** Coalesce the published snapshot's files toward `targetBytes` each —
+    * the OPTIMIZE/compaction pass every incremental-upsert store needs:
+    * micro-batch upserts each republish the snapshot, and at cluster
+    * scale a high-frequency stream leaves thousands of small parquet
+    * files whose per-file open/footer cost comes to dominate every
+    * scan. One `coalesce` (a read-and-rewrite with NO shuffle — file
+    * merging needs no row movement across keys) into
+    * ⌈currentBytes / targetBytes⌉ files, republished through the same
+    * crash-safe rename protocol as every other write (the plan lazily
+    * reads dst while writing dst.tmp — dst is untouched until the tmp
+    * commit, exactly the upsert path's contract).
+    *
+    * MERGE-ONLY by contract: coalesce cannot split, so when the
+    * snapshot already has at-or-fewer files than the byte target asks
+    * for, this is a no-op (returns the current count, no rewrite) —
+    * splitting an oversized file back up is a shuffle
+    * (`repartition`/[[graft.operators.Layout.zorderBy]]) and a layout
+    * decision, not compaction. Returns the resulting file count
+    * (0 = no snapshot published yet). Content is bit-identical by
+    * construction. */
+  def compactFiles(spark: SparkSession, dst: String,
+                   targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    read(spark, dst) match {
+      case None => 0L
+      case Some(cur) =>
+        val p = new Path(dst)
+        val f = fs(spark, p)
+        val bytes = f.getContentSummary(p).getLength
+        val curFiles = f.listStatus(p)
+          .count(_.getPath.getName.endsWith(".parquet")).toLong
+        val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+          .min(Int.MaxValue.toLong)
+        if (files >= curFiles) curFiles
+        else { publish(cur.coalesce(files.toInt), dst); files }
+    }
+  }
+
   /** Read the current snapshot, running crash recovery first.
     * None only when no snapshot was ever published. A recovery rename
     * that loses a race to a concurrent reader is fine — dst exists

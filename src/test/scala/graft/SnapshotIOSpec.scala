@@ -31,6 +31,40 @@ class SnapshotIOSpec extends SparkSpec {
     assert(!fs.exists(new Path(dst + ".tmp")) && !fs.exists(new Path(dst + ".bak")))
   }
 
+  test("compactFiles: many small files merge to few, content identical, crash-safe") {
+    val s = spark
+    import s.implicits._
+    val dst = Files.createTempDirectory("snapc").toString + "/t"
+    // fresh store: nothing to compact
+    assert(SnapshotIO.compactFiles(spark, dst) == 0L)
+    // publish 32 tiny files (the post-streaming-ingest shape)
+    SnapshotIO.publish(
+      (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(32), dst)
+    val before = fs.listStatus(new Path(dst))
+      .count(f => f.getPath.getName.endsWith(".parquet"))
+    assert(before == 32, s"expected 32 small files, got $before")
+    val want = SnapshotIO.read(spark, dst).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // a generous target ⇒ one file
+    assert(SnapshotIO.compactFiles(spark, dst) == 1L)
+    val after = fs.listStatus(new Path(dst))
+      .count(f => f.getPath.getName.endsWith(".parquet"))
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    val got = SnapshotIO.read(spark, dst).get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    // clean rename protocol: no stray tmp/bak
+    assert(!fs.exists(new Path(dst + ".tmp")) && !fs.exists(new Path(dst + ".bak")))
+    // merge-only contract: a tiny target on an already-single-file
+    // snapshot is a no-op (coalesce cannot split; splitting is a
+    // shuffle and a layout decision)
+    assert(SnapshotIO.compactFiles(spark, dst, targetBytes = 4096L) == 1L)
+    val still = fs.listStatus(new Path(dst))
+      .count(f => f.getPath.getName.endsWith(".parquet"))
+    assert(still == 1)
+    assert(SnapshotIO.read(spark, dst).get.count() == 1000L)
+  }
+
   test("crash after rename-aside (dst missing, tmp complete) promotes tmp") {
     val dst = Files.createTempDirectory("snap").toString + "/t"
     write(dst, Seq(1L -> "old"))
