@@ -678,6 +678,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dSum(col("value")).as("sum_value"))
         .orderBy("h", "event_type")),
 
+    // ---- Anomaly detection over the hourly event series: per-type
+    // z-scores from EXACT integer sufficient sums (Σn, Σn² both fit
+    // BIGINT; μ, σ, z are then a fixed IEEE double op sequence both
+    // engines execute identically) — the monitoring query a pipeline
+    // runs over its own ingest rates. Two small aggs (hours × types,
+    // then types), one broadcast join back; the corpus is touched once.
+    "events_anomaly" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type").as("t")).agg(
+        count(lit(1)).as("hours"),
+        sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      val mu = col("s1").cast("double") / col("hours").cast("double")
+      val sigma = sqrt(col("s2").cast("double") / col("hours").cast("double")
+        - mu * mu)
+      val z = (col("n").cast("double") - mu) / sigma
+      hourly.join(broadcast(stats), col("event_type") === col("t"))
+        // zero-variance guard in EXACT integer arithmetic (σ=0 ⟺
+        // Σn²·hours = (Σn)²): keeps NaN/Inf z-scores out of the result
+        // on degenerate all-equal series, identically in both engines
+        .filter(col("s2") * col("hours") =!= col("s1") * col("s1"))
+        .select(col("h"), col("event_type"), col("n"), z.as("z"))
+        .filter(abs(col("z")) > 2.0)
+        .orderBy("h", "event_type")
+    }),
+
     // ---- Product analytics: ordered first-completion funnel
     // (view → click → purchase, 24 h attribution window) — one
     // filtered user-keyed min aggregation per step, step joins share
@@ -3320,6 +3349,28 @@ object SparkEntry {
         s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
            |event_type, count(*) AS n, ${decSum("value")} AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+      "events_anomaly" ->
+        """WITH hourly AS (
+          |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+          |    event_type, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |st AS (
+          |  SELECT event_type AS t, count(*) AS hours,
+          |    sum(n) AS s1, sum(n * n) AS s2
+          |  FROM hourly GROUP BY event_type)
+          |SELECT h, event_type, n,
+          |  (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(hours AS DOUBLE))
+          |    / sqrt(CAST(s2 AS DOUBLE) / CAST(hours AS DOUBLE)
+          |      - (CAST(s1 AS DOUBLE) / CAST(hours AS DOUBLE))
+          |        * (CAST(s1 AS DOUBLE) / CAST(hours AS DOUBLE))) AS z
+          |FROM hourly JOIN st ON event_type = t
+          |WHERE s2 * hours <> s1 * s1
+          |  AND abs((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(hours AS DOUBLE))
+          |    / sqrt(CAST(s2 AS DOUBLE) / CAST(hours AS DOUBLE)
+          |      - (CAST(s1 AS DOUBLE) / CAST(hours AS DOUBLE))
+          |        * (CAST(s1 AS DOUBLE) / CAST(hours AS DOUBLE)))) > 2.0
+          |ORDER BY h, event_type""".stripMargin,
 
       // funnel twin: per-step filtered min chained through the
       // previous step's completion set; epoch-micros comparison
