@@ -39,7 +39,9 @@ object Bench {
     val nameFilter: String => Boolean = args.headOption match {
       case Some(pats) =>
         val ps = pats.split(',').map(_.trim).filter(_.nonEmpty)
-        name => ps.exists(name.contains)
+        // empty/whitespace pattern arg = no filter (ScaleProbe's
+        // contract) — never a silent 0-query "all green" run
+        if (ps.isEmpty) _ => true else name => ps.exists(name.contains)
       case None => _ => true
     }
     val named = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))

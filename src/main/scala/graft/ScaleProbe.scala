@@ -31,11 +31,16 @@ object ScaleProbe {
     // names (local iteration aid — rerun chosen entries without paying
     // the whole group)
     val only = args.lift(2).map(_.split(",").toSeq)
+    def sel(name: String): Boolean = only.forall(_.exists(name.contains(_)))
     def t(name: String)(f: => Long): Unit =
-      if (only.forall(_.exists(name.contains(_)))) {
+      if (sel(name)) {
         val t0 = System.nanoTime(); val r = f
         println(f"SCALE $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$r)")
       }
+    // untimed on-demand setup for probes whose input a name filter's
+    // skipped write probe would otherwise have produced
+    def ensure(dirs: String*)(write: => Unit): Unit =
+      if (!dirs.forall(d => new java.io.File(d, "_SUCCESS").exists())) write
 
     if (vectors) {
       val dir = s"/tmp/graft_scale_$n"
@@ -232,17 +237,20 @@ object ScaleProbe {
       val plainDir = s"/tmp/graft_layout_plain_$n"
       val xDir = s"/tmp/graft_layout_xsort_$n"
       val zDir = s"/tmp/graft_layout_z_$n"
-      t("layout_write_unsorted") {
+      def writePlain(): Long = {
         base.repartition(64).write.mode("overwrite").parquet(plainDir); n
       }
-      t("layout_write_xsorted") {
+      def writeXsorted(): Long = {
         base.repartitionByRange(64, col("x")).sortWithinPartitions("x")
           .write.mode("overwrite").parquet(xDir); n
       }
-      t("layout_write_zorder") {
+      def writeZorder(): Long = {
         graft.operators.Layout.zorderBy(base, Seq(col("x"), col("y")),
           bits = 10, numFiles = 64).write.mode("overwrite").parquet(zDir); n
       }
+      t("layout_write_unsorted")(writePlain())
+      t("layout_write_xsorted")(writeXsorted())
+      t("layout_write_zorder")(writeZorder())
       def boxScan(dir: String): Long = {
         val lo = dim / 2
         val hi = lo + dim / 16 - 1
@@ -253,6 +261,9 @@ object ScaleProbe {
           .filter(col("x").between(lo, hi) && col("y").between(lo, hi))
           .count()
       }
+      if (sel("layout_box_unsorted")) ensure(plainDir)(writePlain())
+      if (sel("layout_box_xsorted")) ensure(xDir)(writeXsorted())
+      if (sel("layout_box_zorder")) ensure(zDir)(writeZorder())
       t("layout_box_unsorted")(boxScan(plainDir))
       t("layout_box_xsorted")(boxScan(xDir))
       t("layout_box_zorder")(boxScan(zDir))
@@ -269,10 +280,12 @@ object ScaleProbe {
         pmod(xxhash64(col("id") + 3), lit(1000)).as("v"))
       val plainA = s"/tmp/graft_bkt_a_$n"
       val plainB = s"/tmp/graft_bkt_b_$n"
-      t("bktjoin_write_plain") {
+      def writePlainFacts(): Long = {
         factA.repartition(64).write.mode("overwrite").parquet(plainA)
         factB.repartition(64).write.mode("overwrite").parquet(plainB); n
       }
+      t("bktjoin_write_plain")(writePlainFacts())
+      if (sel("bktjoin_shuffle_join")) ensure(plainA, plainB)(writePlainFacts())
       val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
@@ -689,12 +702,13 @@ object ScaleProbe {
       // on 35 bits, so buckets stay sparse at ANY realistic n — the
       // default 4-block screen keys on 14 bits and would quadratically
       // explode its buckets beyond ~10^5 hashes (see scaladoc)
-      t("dhash_pairs_blocks8") {
-        // 10% of docs sit in planted near-dup groups of 4 (members ≤ 2
-        // bits apart — realistic re-encode/thumbnail dup density); the
-        // rest are unique random hashes
+      // 10% of docs sit in planted near-dup groups of 4 (members ≤ 2
+      // bits apart — realistic re-encode/thumbnail dup density); the
+      // rest are unique random hashes. ONE definition shared by all
+      // three screen probes so they measure the same corpus.
+      def dhashCorpus = {
         val grouped = floor(col("id") / 4) % 10 === 0
-        val hashes = spark.range(n).select(col("id"),
+        spark.range(n).select(col("id"),
           when(grouped, xxhash64(floor(col("id") / 4)))
             .otherwise(xxhash64(col("id") + lit(3000000000L)))
             .bitwiseAND(lit((1L << 56) - 1))
@@ -702,7 +716,9 @@ object ScaleProbe {
               expr("CASE WHEN id % 4 = 0 THEN 0L " +
                 "ELSE shiftleft(1L, CAST((id % 4) * 7 AS INT)) END"))
             .as("h"))
-        Dedup.hammingNearDupPairs(hashes, "id", "h",
+      }
+      t("dhash_pairs_blocks8") {
+        Dedup.hammingNearDupPairs(dhashCorpus, "id", "h",
           maxDist = 3, hashBits = 56, nBlocks = 8).count()
       }
 
@@ -712,16 +728,7 @@ object ScaleProbe {
       // fewer tables than the 8-block setting (same pigeonhole
       // completeness; DedupSpec pins nBlocks-invariance)
       t("dhash_pairs_blocks7") {
-        val grouped = floor(col("id") / 4) % 10 === 0
-        val hashes = spark.range(n).select(col("id"),
-          when(grouped, xxhash64(floor(col("id") / 4)))
-            .otherwise(xxhash64(col("id") + lit(3000000000L)))
-            .bitwiseAND(lit((1L << 56) - 1))
-            .bitwiseXOR(
-              expr("CASE WHEN id % 4 = 0 THEN 0L " +
-                "ELSE shiftleft(1L, CAST((id % 4) * 7 AS INT)) END"))
-            .as("h"))
-        Dedup.hammingNearDupPairs(hashes, "id", "h",
+        Dedup.hammingNearDupPairs(dhashCorpus, "id", "h",
           maxDist = 3, hashBits = 56, nBlocks = 7).count()
       }
 
@@ -731,16 +738,7 @@ object ScaleProbe {
       // work ≈ unsharded + 3 extra 16 B/row cache scans; peak shuffle
       // state per job is the thing that drops
       t("dhash_pairs_blocks8_shard4") {
-        val grouped = floor(col("id") / 4) % 10 === 0
-        val hashes = spark.range(n).select(col("id"),
-          when(grouped, xxhash64(floor(col("id") / 4)))
-            .otherwise(xxhash64(col("id") + lit(3000000000L)))
-            .bitwiseAND(lit((1L << 56) - 1))
-            .bitwiseXOR(
-              expr("CASE WHEN id % 4 = 0 THEN 0L " +
-                "ELSE shiftleft(1L, CAST((id % 4) * 7 AS INT)) END"))
-            .as("h"))
-        Dedup.hammingNearDupPairsSharded(hashes, "id", "h",
+        Dedup.hammingNearDupPairsSharded(dhashCorpus, "id", "h",
           maxDist = 3, hashBits = 56, shards = 4,
           spillDir = s"/tmp/graft_hshard_$n", nBlocks = 8).count()
       }

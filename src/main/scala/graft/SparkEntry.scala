@@ -3564,7 +3564,7 @@ object SparkEntry {
           |  SELECT CAST(n_chars AS DOUBLE) AS v,
           |    row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
           |    count(*) OVER () AS n
-          |  FROM documents)
+          |  FROM documents WHERE n_chars IS NOT NULL)
           |SELECT max(n) AS n_rows,
           |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.01' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q0,
           |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.25' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q1,
@@ -3578,7 +3578,7 @@ object SparkEntry {
           |  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
           |    row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
           |    count(*) OVER (PARTITION BY lang) AS n
-          |  FROM documents)
+          |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
           |SELECT lang, max(n) AS n_rows,
           |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.5' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p50,
           |  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.9' AS DOUBLE) * n) AS BIGINT)) THEN v END) AS p90,
@@ -3876,7 +3876,8 @@ object SparkEntry {
           |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
 
       "sample_temperature" ->
-        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents
+          |  WHERE lang IS NOT NULL GROUP BY lang),
           |r AS (SELECT lang, n,
           |  CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM c),
           |r2 AS (SELECT lang, n,
@@ -3888,7 +3889,7 @@ object SparkEntry {
           |ranked AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
           |  ORDER BY CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT),
           |    doc_id) AS rn
-          |  FROM documents)
+          |  FROM documents WHERE lang IS NOT NULL)
           |SELECT ranked.doc_id, ranked.lang FROM ranked JOIN q USING (lang)
           |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
@@ -4381,7 +4382,8 @@ object SparkEntry {
       "mm_extract_features" -> mmFeaturesSql,
 
       "pipeline_mixture" ->
-        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents
+          |  WHERE lang IS NOT NULL GROUP BY lang),
           |r AS (SELECT lang, n,
           |  CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM c),
           |r2 AS (SELECT lang, n,
@@ -4394,7 +4396,7 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY lang
           |    ORDER BY CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT),
           |      doc_id) AS rn
-          |  FROM documents),
+          |  FROM documents WHERE lang IS NOT NULL),
           |sel AS (SELECT doc_id, lang, n_chars
           |  FROM ranked JOIN q USING (lang) WHERE rn <= quota),
           |h AS (SELECT doc_id, lang, n_chars,

@@ -92,7 +92,14 @@ object SnapshotIO {
         val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
           .min(Int.MaxValue.toLong)
         if (files >= curFiles) curFiles
-        else { publish(cur.coalesce(files.toInt), dst); files }
+        else {
+          publish(cur.coalesce(files.toInt), dst)
+          // coalesce caps at the scan's partition count — file
+          // bin-packing (maxPartitionBytes/openCostInBytes) can pack
+          // the small files into FEWER partitions than the byte
+          // target asks for, so report what was actually written
+          f.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
+        }
     }
   }
 

@@ -173,6 +173,11 @@ object Ivf {
           val next = probe.withColumn(ClusterCol, reassign)
             .select(col(model.embCol), col(ClusterCol))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // materialize the replacement BEFORE dropping its parent's
+          // blocks — unpersisting first would force next's first
+          // action to recompute the whole stacked reassignment lineage
+          // from the source instead of one cached-projection pass
+          next.count()
           probe.unpersist()
           probe = next
         }

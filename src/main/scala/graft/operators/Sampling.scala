@@ -95,7 +95,9 @@ object Sampling {
     * need a fold-order-dependent tie-break for no practical gain).
     * Selection within a stratum is smallest-hash-first, the same
     * deterministic rank every sampler here uses. Other α: compute
-    * quotas upstream and call [[mixtureSample]].
+    * quotas upstream and call [[mixtureSample]]. NULL-stratum rows are
+    * excluded entirely — never selected AND never counted into the
+    * quota mass.
     *
     * Scale: one map-side-combined count per stratum, one |strata|-row
     * broadcast join, one window shuffle on the stratum key with the
@@ -104,7 +106,11 @@ object Sampling {
   def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
                         k: Long): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val counts = df.groupBy(col(stratumCol))
+    // null-stratum rows are excluded OUTRIGHT: the equi-join below can
+    // never select them, so counting them into the quota mass would
+    // silently shrink every real stratum's share of k
+    val base = df.filter(col(stratumCol).isNotNull)
+    val counts = base.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__sq", isqrt(col("__n")))
     val totalRow = counts.agg(sum(col("__sq"))).head
@@ -117,7 +123,7 @@ object Sampling {
       quota.as("__quota"))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(hashUniform(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
+    base.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= lit(k))
       .join(broadcast(quotas), col(stratumCol) === col("__stratum"))
       .filter(col("__rn") <= col("__quota"))

@@ -778,7 +778,8 @@ object Sketch {
     * scans total for ALL groups and probs. Same determinism and
     * bit-exact row_number oracle replay (PARTITION BY g). Output:
     * (g, n_rows, q0..q{T−1}) — one row per non-empty group; empty
-    * groups are absent, like any GROUP BY. */
+    * groups are absent, like any GROUP BY, and NULL group keys are
+    * excluded (same contract as NULL/NaN values). */
   def exactQuantilesDiscGrouped(df: DataFrame, groupCol: Column,
                                 valueCol: Column,
                                 probs: Seq[Double]): DataFrame = {
@@ -796,7 +797,10 @@ object Sketch {
         org.apache.spark.sql.types.DoubleType, nullable = false)))
     val keyed = df
       .select(groupCol.cast("string").as("g"), valueCol.cast("double").as("__v"))
-      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      // null groups excluded (same contract as null values): a null
+      // key would NPE the driver-side group sort, and "the quantile of
+      // the absent-key partition" has no defensible answer
+      .filter(col("g").isNotNull && col("__v").isNotNull && !isnan(col("__v")))
       .select(col("g"),
         graft.expressions.FloatKernels.orderedBits(col("__v")).as("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

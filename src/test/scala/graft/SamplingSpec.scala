@@ -110,6 +110,14 @@ class SamplingSpec extends SparkSpec {
     assert(gotSq.getOrElse("b", 0) == 16) // quota 40 > |b|=16 → clamp
     // empty corpus → empty sample (not an NPE on the null driver sum)
     assert(Sampling.temperatureSample(df.limit(0), "lang", "id", 5L).count() == 0)
+    // NULL strata are excluded from BOTH selection and the quota mass:
+    // a huge null stratum must not shrink the real strata's shares
+    val withNull = (df.select(col("id"), col("lang")) union
+      (1000L until 3000L).map(i => (i, null: String)).toDF("id", "lang"))
+    val gotNull = Sampling.temperatureSample(withNull, "lang", "id", k = 90L)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length)
+    assert(gotNull.getOrElse("small", 0) == 30 &&
+      gotNull.getOrElse("big", 0) == 60, s"null stratum leaked: $gotNull")
   }
 
   test("upsample: whole epochs exact, fractional epochs near-rate, deterministic") {

@@ -515,6 +515,15 @@ class SketchSpec extends SparkSpec {
     // empty input: zero rows, not a null row
     assert(graft.operators.Sketch.exactQuantilesDiscGrouped(
       df.filter(col("v") > 1e12), col("lang"), col("v"), probs).count() == 0L)
+    // NULL group keys are excluded (not an NPE in the driver group
+    // sort), and the real groups' answers are untouched
+    val withNull = df union
+      Seq((null: String, 1.0), (null: String, 2.0)).toDF("lang", "v")
+    val outN = graft.operators.Sketch
+      .exactQuantilesDiscGrouped(withNull, col("lang"), col("v"), probs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(outN.keySet == Set("en", "fr", "de", "solo"))
+    assert(outN("en").getDouble(2) == out("en").getDouble(2))
   }
 
   test("streaming quantile fold equals the batch sketch; replays are idempotent") {
