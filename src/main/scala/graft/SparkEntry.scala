@@ -1083,6 +1083,22 @@ object SparkEntry {
           Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
 
+    // ---- Sampling: leakage-safe split — every near-dup cluster
+    // (connected component of the Jaccard pair graph) lands wholly on
+    // one side, keyed by the cluster's canonical min-id member;
+    // unclustered docs split by their own id, identical to
+    // sample_hash_split. The contamination guard an eval pipeline needs:
+    // a doc and its near-twin can never straddle train/test.
+    "sample_split_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = DedupMaxDocFreq)
+      Sampling.splitByCluster(docs, "doc_id",
+          Dedup.connectedComponents(pairs),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
+
     // ---- Deterministic epoch shuffle: per-epoch pseudorandom corpus
     // order (the key IS the order — distributed range sort, no global
     // row index); reproducible and engine-exact via md5
@@ -3959,6 +3975,23 @@ object SparkEntry {
           |  FROM (SELECT CAST(concat('0x', left(md5(CAST(doc_id AS VARCHAR)), 8)) AS UBIGINT)
           |    / 4294967296.0 AS u FROM documents) h) s
           |GROUP BY split ORDER BY split""".stripMargin,
+
+      // same clusters CTE as dedup_clusters, then the hash-split CASE
+      // over the canonical (min-id) cluster member; unclustered docs
+      // key on their own id — bitwise the sample_hash_split label
+      "sample_split_cluster" ->
+        s"""$clustersCtes,
+           |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+           |keyed AS (
+           |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS k
+           |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id),
+           |h AS (SELECT doc_id,
+           |  CAST(concat('0x', left(md5(CAST(k AS VARCHAR)), 8)) AS UBIGINT)
+           |    / 4294967296.0 AS u FROM keyed)
+           |SELECT doc_id, CASE WHEN u < 0.75 THEN 'train'
+           |                    WHEN u < 0.875 THEN 'val'
+           |                    ELSE 'test' END AS split
+           |FROM h ORDER BY doc_id""".stripMargin,
 
       "sample_epoch_shuffle" ->
         """SELECT doc_id,

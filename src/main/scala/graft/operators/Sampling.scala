@@ -233,6 +233,34 @@ object Sampling {
     }
   }
 
+  /** Leakage-safe split: every near-dup CLUSTER lands wholly on one
+    * side of the train/val/test cut. Splitting by row id leaks — two
+    * near-identical documents hash independently, one trains while its
+    * twin tests, and the eval overstates generalization. Here the split
+    * key is the cluster's canonical (min-id) member from a
+    * connected-components pass over the near-dup pair graph
+    * (`Dedup.connectedComponents` output: (id, comp)); unclustered
+    * documents fall back to their own id, which [[splitColumn]]'s
+    * append-stability carries over unchanged: rows never in a cluster
+    * split exactly as a plain hash split would.
+    *
+    * Scale: one id-equi left join against the components table — only
+    * documents that appear in a near-dup pair are in it, a small
+    * fraction of the corpus on curated data (AQE broadcasts it when it
+    * fits); the label itself is pure per-row hash arithmetic, no
+    * shuffle of the corpus. Deterministic in (cluster key, salt) — the
+    * same contract every sampler here has. */
+  def splitByCluster(df: DataFrame, idCol: String, components: DataFrame,
+                     weights: Seq[(String, Double)],
+                     salt: String = ""): DataFrame = {
+    val comp = components.select(col("id").as("__cc_id"),
+      col("comp").as("__cc_comp"))
+    df.join(comp, col(idCol) === col("__cc_id"), "left")
+      .withColumn("split",
+        splitColumn(coalesce(col("__cc_comp"), col(idCol)), weights, salt))
+      .drop("__cc_id", "__cc_comp")
+  }
+
   /** Deterministic per-epoch corpus shuffle: every epoch visits the
     * corpus in a fresh pseudorandom order, reproducibly. The order IS
     * the md5 key `shuffle_key` = md5(epoch | id) — writing the rows

@@ -54,6 +54,31 @@ class SamplingSpec extends SparkSpec {
     labeled.unpersist()
   }
 
+  test("splitByCluster: clusters never straddle the cut; singletons split by id") {
+    val s = spark
+    import s.implicits._
+    val weights = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    // components: {0,1,2} -> comp 0, {10,11} -> comp 10; the rest singleton
+    val comps = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val out = Sampling.splitByCluster(corpus, "id", comps, weights)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.size == 400) // every row labeled exactly once
+    // every cluster member carries the canonical member's label
+    assert(Set(out(0L), out(1L), out(2L)).size == 1)
+    assert(out(10L) == out(11L))
+    // singletons are bitwise the plain hash split — append-stability
+    // carries over for rows never in a cluster
+    val plain = corpus.select(col("id"),
+        Sampling.splitColumn(col("id"), weights).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(0L, 1L, 2L, 10L, 11L)
+    assert(out.filterNot(kv => clustered(kv._1)) ==
+      plain.filterNot(kv => clustered(kv._1)))
+    // the cluster label IS the canonical member's plain label
+    assert(out(1L) == plain(0L) && out(11L) == plain(10L))
+  }
+
   test("mixtureSample: per-stratum quotas, clamped to stratum size, unlisted drop") {
     val s = spark
     import s.implicits._
