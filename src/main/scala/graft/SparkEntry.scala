@@ -3,7 +3,7 @@ package graft
 import graft.core.{OracleSql, Tables}
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
-import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Dsir, Export, Funnel, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pca, Phrases, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch, Triangles}
+import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Diversity, Dsir, Export, Funnel, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pca, Phrases, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch, Triangles}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1098,6 +1098,16 @@ object SparkEntry {
           Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
         .select("doc_id", "split").orderBy("doc_id")
     }),
+
+    // ---- Diversity selection: greedy k-center (farthest-point) over
+    // the embedding corpus — the coreset pick that COVERS the space
+    // with a budget (the opposite pole from SemDeDup's redundancy
+    // pruning). Deterministic trajectory (min-id seed, id tie-break,
+    // sequential double fold), so the oracle replays all 8 rounds
+    // exactly as unrolled SQL.
+    "sample_kcenter" -> ((s, dir) =>
+      Diversity.kCenter(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8)),
 
     // ---- Deterministic epoch shuffle: per-epoch pseudorandom corpus
     // order (the key IS the order — distributed range sort, no global
@@ -3993,6 +4003,8 @@ object SparkEntry {
            |                    ELSE 'test' END AS split
            |FROM h ORDER BY doc_id""".stripMargin,
 
+      "sample_kcenter" -> kcenterSql(8),
+
       "sample_epoch_shuffle" ->
         """SELECT doc_id,
           |  md5(concat('3', '|', CAST(doc_id AS VARCHAR))) AS shuffle_key
@@ -6090,6 +6102,29 @@ object SparkEntry {
        |       FROM nodes CROSS JOIN nn),
        |$iterCtes
        |SELECT id AS doc_id, r FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unrolled greedy k-center oracle: round i's argmax CTE (c_i) feeds
+    * round i's least-update CTE (d_i); every distance is the same
+    * left-associative double fold the engine's codegen kernel executes
+    * ([[graft.core.OracleSql.l2]]), min-id seed and ascending-id
+    * tie-break mirror `Diversity.kCenter` — so the whole 8-round
+    * trajectory replays bit-exactly. */
+  private def kcenterSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH s AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),\n"
+    sb ++= s"d1 AS (SELECT e.vec_id AS id, e.embedding AS emb, ${OracleSql.l2("e.embedding", "s.embedding")} AS md FROM embeddings e CROSS JOIN s)"
+    for (i <- 2 to k) {
+      sb ++= s",\nc$i AS (SELECT id, emb, md FROM d${i - 1} WHERE md > 0 ORDER BY md DESC, id ASC LIMIT 1)"
+      if (i < k)
+        sb ++= s",\nd$i AS (SELECT d${i - 1}.id, d${i - 1}.emb, least(d${i - 1}.md, ${OracleSql.l2(s"d${i - 1}.emb", s"c$i.emb")}) AS md FROM d${i - 1} CROSS JOIN c$i)"
+    }
+    sb ++= "\nSELECT sel_rank, vec_id, dist FROM (\n"
+    sb ++= "SELECT CAST(1 AS BIGINT) AS sel_rank, (SELECT vec_id FROM s) AS vec_id, CAST(0 AS DOUBLE) AS dist"
+    for (i <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT CAST($i AS BIGINT), id, md FROM c$i"
+    sb ++= ") ORDER BY sel_rank"
+    sb.toString
   }
 
   private def clustersCtes: String =

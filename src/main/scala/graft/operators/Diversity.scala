@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.expressions.FloatKernels
+
+/** Diversity selection over an embedding column — the coreset
+  * primitive of training-data curation, complementing the dedup
+  * families: where SemDeDup ([[Dedup.semanticDedup]]) prunes redundancy
+  * inside clusters, k-center selection picks a budgeted subset that
+  * COVERS the embedding space (cap over-represented modes, seed
+  * active-learning batches, choose k diverse exemplars per domain).
+  *
+  * Greedy farthest-point traversal (Gonzalez '85 — a 2-approximation
+  * of the optimal k-center radius, the standard coreset selector in
+  * Sener & Savarese ICLR'18): seed with the smallest id, then k−1
+  * times select the point whose distance to the nearest
+  * already-selected center is largest.
+  */
+object Diversity {
+
+  /** Greedy k-center selection. Output: one row per selected center,
+    * `(sel_rank, vec_id, dist)` in selection order — `dist` is the
+    * selection-time farthest distance (the non-increasing radius
+    * trajectory; the seed's is 0.0). Rows whose embedding exactly
+    * duplicates an already-selected center are never picked (they add
+    * zero coverage), so corpora with fewer than k distinct embeddings
+    * return fewer than k rows.
+    *
+    * Determinism: seed = min id; each round's argmax breaks distance
+    * ties on ascending id; distances are the sequential double fold
+    * ([[FloatKernels.l2Sq]]) every ANN operator here uses — the whole
+    * trajectory, hence the selected set, replays bit-exactly in the
+    * oracle's unrolled SQL.
+    *
+    * Scale: k driver rounds, each ONE map pass over a persisted
+    * (id, emb, md) projection — the update is
+    * `md ← least(md, d(x, c_new))`, one distance per row per round —
+    * plus a TakeOrderedAndProject(1) argmax. Never a shuffle of the
+    * corpus, never a pairwise product; driver state is k × dim floats.
+    * Each round's replacement cache is materialized BEFORE its parent
+    * is dropped (the [[Ivf.buildBalanced]] discipline), so lineage
+    * never re-stacks. Greedy k-center is inherently k sequential
+    * passes; for large k at petabyte scale, run it per-IVF-cell
+    * (compose with [[Ivf.assign]]) and union the per-cell selections. */
+  def kCenter(df: DataFrame, idCol: String, embCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(embCol).as("emb"))
+      .filter(col("id").isNotNull && col("emb").isNotNull)
+    val seed = base.orderBy(col("id").asc).limit(1).collect()
+    if (seed.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("sel_rank", "vec_id", "dist")
+
+    var selected = Vector[(Long, Long, Double)](
+      (1L, seed(0).getLong(0), 0.0))
+    var center: Seq[Float] = seed(0).getSeq[Float](1)
+    var cur = base
+      .withColumn("md", FloatKernels.l2(col("emb"), typedLit(center)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    var i = 2L
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      // md > 0 excludes selected centers AND their exact duplicates
+      val next = cur.filter(col("md") > 0)
+        .orderBy(col("md").desc, col("id").asc).limit(1).collect()
+      if (next.isEmpty) exhausted = true
+      else {
+        selected :+= ((i, next(0).getLong(0), next(0).getDouble(2)))
+        center = next(0).getSeq[Float](1)
+        if (i < k) {
+          val upd = cur.withColumn("md", least(col("md"),
+              FloatKernels.l2(col("emb"), typedLit(center))))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          upd.count() // materialize before dropping the parent's blocks
+          cur.unpersist()
+          cur = upd
+        }
+        i += 1
+      }
+    }
+    cur.unpersist()
+    selected.toDF("sel_rank", "vec_id", "dist")
+  }
+
+  /** Nearest-selected-center assignment: every row labeled with the
+    * `vec_id` of its closest center from `centers` (a small collected
+    * list, e.g. [[kCenter]] output joined back to embeddings) and the
+    * distance — the cover structure for diversity-balanced downstream
+    * sampling (stratify on `center_id`). Ties → first center in
+    * selection order (argmin first-match, the numpy/NearestCentroid
+    * convention). One map pass, centers ride along as a codegen
+    * constant — no join, no shuffle. */
+  def assignToCenters(df: DataFrame, idCol: String, embCol: String,
+                      centers: Array[(Long, Array[Float])]): DataFrame = {
+    require(centers.nonEmpty, "assignToCenters: empty center set")
+    val idx = FloatKernels.nearestCentroid(col(embCol), centers.map(_._2))
+    val ids = centers.map(_._1)
+    df.select(col(idCol), col(embCol),
+        idx.as("__ci"))
+      .withColumn("center_id",
+        element_at(typedLit(ids.toSeq), col("__ci") + 1))
+      .withColumn("center_dist",
+        FloatKernels.l2(col(embCol),
+          element_at(typedLit(centers.map(_._2.toSeq).toSeq), col("__ci") + 1)))
+      .drop("__ci", embCol)
+  }
+}
