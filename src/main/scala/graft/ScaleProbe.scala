@@ -119,6 +119,13 @@ object ScaleProbe {
         graft.operators.Bq.rerankSearch(bqCodes, "id", "bq_code", "embedding",
           q, 10, 300).count())
 
+      // greedy k-center: k sequential passes over the persisted
+      // (id, emb, md) projection — the probe pins the per-round cost as
+      // linear-in-n (one distance per row per round + an argmax top-1)
+      t("kcenter_k8") {
+        graft.operators.Diversity.kCenter(df, "id", "embedding", 8).count()
+      }
+
       // PCA second moment at dim 64: the dim²-per-row expansion is the
       // cost model's worst term (64² = 4096 products/row) — measured
       // here so the "sample rows, don't shrink dim" scaladoc guidance

@@ -1109,6 +1109,21 @@ object SparkEntry {
       Diversity.kCenter(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = 8)),
 
+    // ---- Diversity cover: every row labeled with its nearest selected
+    // center (first-match squared-distance argmin, the NearestCentroid
+    // kernel) — the cover structure for diversity-stratified sampling
+    "sample_kcenter_cover" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val sel = Diversity.kCenter(emb, "vec_id", "embedding", k = 8)
+        .orderBy("sel_rank").collect().map(_.getLong(1))
+      val embById = emb.filter(col("vec_id").isin(sel.map(Long.box): _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      Diversity.assignToCenters(emb, "vec_id", "embedding",
+          sel.map(i => (i, embById(i))))
+        .orderBy("vec_id")
+    }),
+
     // ---- Deterministic epoch shuffle: per-epoch pseudorandom corpus
     // order (the key IS the order — distributed range sort, no global
     // row index); reproducible and engine-exact via md5
@@ -4005,6 +4020,8 @@ object SparkEntry {
 
       "sample_kcenter" -> kcenterSql(8),
 
+      "sample_kcenter_cover" -> kcenterCoverSql(8),
+
       "sample_epoch_shuffle" ->
         """SELECT doc_id,
           |  md5(concat('3', '|', CAST(doc_id AS VARCHAR))) AS shuffle_key
@@ -6110,7 +6127,7 @@ object SparkEntry {
     * ([[graft.core.OracleSql.l2]]), min-id seed and ascending-id
     * tie-break mirror `Diversity.kCenter` — so the whole 8-round
     * trajectory replays bit-exactly. */
-  private def kcenterSql(k: Int): String = {
+  private def kcenterCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH s AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),\n"
     sb ++= s"d1 AS (SELECT e.vec_id AS id, e.embedding AS emb, ${OracleSql.l2("e.embedding", "s.embedding")} AS md FROM embeddings e CROSS JOIN s)"
@@ -6119,12 +6136,38 @@ object SparkEntry {
       if (i < k)
         sb ++= s",\nd$i AS (SELECT d${i - 1}.id, d${i - 1}.emb, least(d${i - 1}.md, ${OracleSql.l2(s"d${i - 1}.emb", s"c$i.emb")}) AS md FROM d${i - 1} CROSS JOIN c$i)"
     }
+    sb.toString
+  }
+
+  private def kcenterSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= kcenterCtes(k)
     sb ++= "\nSELECT sel_rank, vec_id, dist FROM (\n"
     sb ++= "SELECT CAST(1 AS BIGINT) AS sel_rank, (SELECT vec_id FROM s) AS vec_id, CAST(0 AS DOUBLE) AS dist"
     for (i <- 2 to k)
       sb ++= s"\nUNION ALL SELECT CAST($i AS BIGINT), id, md FROM c$i"
     sb ++= ") ORDER BY sel_rank"
     sb.toString
+  }
+
+  /** Nearest-selected-center cover oracle: the k-center CTE chain, then
+    * every row's squared distance to each center in a list —
+    * `list_position(lv, list_min(lv))` is the same first-match argmin
+    * as the codegen NearestCentroid kernel (both compare SQUARED
+    * distances; the reported distance takes sqrt after). */
+  private def kcenterCoverSql(k: Int): String = {
+    val centers = ("s.embedding", "s.vec_id") +:
+      (2 to k).map(i => (s"c$i.emb", s"c$i.id"))
+    val lv = centers.map(c => OracleSql.l2Sq("e.embedding", c._1))
+      .mkString("list_value(", ", ", ")")
+    val cids = centers.map(_._2).mkString("[", ", ", "]")
+    val joins = "embeddings e CROSS JOIN s" +
+      (2 to k).map(i => s" CROSS JOIN c$i").mkString
+    s"""${kcenterCtes(k)},
+       |sel AS (SELECT e.vec_id, $lv AS lv, $cids AS cids FROM $joins)
+       |SELECT vec_id, cids[list_position(lv, list_min(lv))] AS center_id,
+       |  sqrt(lv[list_position(lv, list_min(lv))]) AS center_dist
+       |FROM sel ORDER BY vec_id""".stripMargin
   }
 
   private def clustersCtes: String =
