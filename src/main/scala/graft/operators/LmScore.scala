@@ -257,4 +257,66 @@ object LmScore {
       bigramCounts(df, idCol, textCol),
       unigramCounts(df, idCol, textCol),
       bigCorpus = bigCorpus.getOrElse(atLeast(df, ShuffleHashThreshold)))
+
+  // ---------------------------------------------------------------
+  // CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020 §4.3)
+  // ---------------------------------------------------------------
+
+  /** CCNet's head/middle/tail split: bucket every document by where its
+    * LM score falls among the PER-LANGUAGE score distribution — CCNet
+    * (Wenzek et al. 2020, arXiv:1911.00359 §4.3) cuts each language at
+    * perplexity terciles so "well-written" is judged against the
+    * language's own distribution, not a global scale an under-resourced
+    * language would always lose on. Cutoffs here are EXACT per-language
+    * order statistics ([[Sketch.exactQuantilesDiscGrouped]] — six
+    * bounded radix passes, driver state langs × 2 × 4096, no sort), so
+    * the whole composition replays bit-exactly in the oracle.
+    *
+    * Scale shape: [[selfScore]]'s bounded-model scoring (one corpus
+    * bigram stream through two hash joins, never sorted), an id-equi
+    * join to re-attach the language (reuses the groupBy(id) hash
+    * partitioning), six scans of the (lang, score) pair for the exact
+    * cutoffs, then a |langs|-row broadcast join for the labels — the
+    * corpus is never shuffled for the bucketing itself. The scored
+    * projection is deliberately NOT cached here: the cutoff phase
+    * persists its own (g, bits) image internally, so scoring runs twice
+    * end to end (cutoffs + final labels); a pipeline that already holds
+    * scores persists them and calls [[bucketScored]] directly, paying
+    * one.
+    *
+    * Bucket contract: `lm_score <= c0` → head, `<= c1` → middle, else
+    * tail; documents with no score (< 2 tokens), a NULL language, or a
+    * language whose every document is unscored get `unscored` — never a
+    * silent drop, never a fabricated tail label. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String,
+                        probs: (Double, Double) = (1.0 / 3, 2.0 / 3),
+                        minCount: Long = 1L,
+                        bigCorpus: Option[Boolean] = None): DataFrame = {
+    val scored = selfScore(df, idCol, textCol, minCount, bigCorpus)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    bucketScored(scored, idCol, langCol, probs)
+  }
+
+  /** Label pre-scored rows (idCol, langCol, n_bigrams, lm_score) with
+    * their per-language head/middle/tail bucket — the one-pass half of
+    * [[perplexityBuckets]] for pipelines that persist the scored
+    * projection. Cutoffs are exact per-language order statistics at
+    * `probs`; NULL scores / NULL languages / cutoff-less languages
+    * label `unscored`. */
+  def bucketScored(scored: DataFrame, idCol: String, langCol: String,
+                   probs: (Double, Double) = (1.0 / 3, 2.0 / 3)): DataFrame = {
+    require(0 < probs._1 && probs._1 < probs._2 && probs._2 < 1,
+      s"need 0 < p1 < p2 < 1, got $probs")
+    val cuts = Sketch.exactQuantilesDiscGrouped(
+        scored, col(langCol), col("lm_score"), Seq(probs._1, probs._2))
+      .select(col("g").as(langCol), col("q0").as("__c0"),
+        col("q1").as("__c1"))
+    scored.join(broadcast(cuts), Seq(langCol), "left")
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("lm_score"),
+        when(col("lm_score").isNull || col("__c0").isNull, lit("unscored"))
+          .when(col("lm_score") <= col("__c0"), lit("head"))
+          .when(col("lm_score") <= col("__c1"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
 }

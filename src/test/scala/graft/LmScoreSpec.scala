@@ -97,4 +97,82 @@ class LmScoreSpec extends SparkSpec {
     assert(out(10L).getAs[Long]("n_trigrams") == 0L)
     assert(out(10L).isNullAt(out(10L).fieldIndex("lm_backoff")))
   }
+
+  private def bucketCorpus = {
+    val s = spark
+    import s.implicits._
+    // two languages with deliberately different phrasing mixes, plus the
+    // edge docs: no bigrams (12), empty (13), null lang (14), and a
+    // language whose every doc is unscorable (15)
+    Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the cat sat on the rug", "en"),
+      (2L, "the dog sat on the mat", "en"),
+      (3L, "zx qv zx qv zx", "en"),
+      (4L, "the cat ate the mat", "en"),
+      (5L, "dog cat rug mat zzz", "en"),
+      (6L, "le chat dort ici", "fr"),
+      (7L, "le chat dort la bas", "fr"),
+      (8L, "le chien dort ici", "fr"),
+      (9L, "un mot rare ici", "fr"),
+      (10L, "le chat mange ici", "fr"),
+      (11L, "chien chat rare bas qq", "fr"),
+      (12L, "single", "en"),
+      (13L, "", "en"),
+      (14L, "the cat sat on the mat", null),
+      (15L, "alone", "xx"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("perplexityBuckets: labels match per-language exact tercile ranks") {
+    val out = LmScore.perplexityBuckets(bucketCorpus, "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("ppl_bucket")).toMap
+    assert(out.size == 16)
+    // independent expectation: score the corpus, then per lang sort the
+    // non-null scores and cut at rank max(1, ceil(p*n))
+    val scored = LmScore.selfScore(bucketCorpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    val langOf = bucketCorpus.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    val expected = langOf.map { case (id, lg) =>
+      val want = (lg, scored(id)) match {
+        case (None, _) | (_, None) => "unscored"
+        case (Some(l), Some(sc)) =>
+          val ss = langOf.collect {
+            case (i, Some(`l`)) if scored(i).isDefined => scored(i).get
+          }.toSeq.sorted
+          if (ss.isEmpty) "unscored"
+          else {
+            def cut(p: Double) =
+              ss(math.max(1L, math.ceil(p * ss.size).toLong).toInt - 1)
+            if (sc <= cut(1.0 / 3)) "head"
+            else if (sc <= cut(2.0 / 3)) "middle"
+            else "tail"
+          }
+      }
+      id -> want
+    }
+    assert(out == expected)
+    // the cut is per-language: both languages produce all three buckets
+    for (l <- Seq("en", "fr")) {
+      val bs = langOf.collect { case (id, Some(`l`)) => out(id) }.toSet
+      assert(Set("head", "middle", "tail").subsetOf(bs), s"$l got $bs")
+    }
+    // edge contracts
+    assert(out(12L) == "unscored" && out(13L) == "unscored")
+    assert(out(14L) == "unscored") // null lang
+    assert(out(15L) == "unscored") // lang with zero scored docs
+  }
+
+  test("perplexityBuckets is partitioning-invariant") {
+    val one = LmScore.perplexityBuckets(
+        bucketCorpus.coalesce(1), "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("ppl_bucket")).toMap
+    val many = LmScore.perplexityBuckets(
+        bucketCorpus.repartition(7), "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("ppl_bucket")).toMap
+    assert(one == many)
+  }
 }
