@@ -2106,6 +2106,14 @@ object SparkEntry {
       LmScore.backoffSelfScore(Tables.documents(s, dir), "doc_id", "text",
         trigramMinCount = 2L).orderBy("doc_id")),
 
+    // ---- CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    // per-LANGUAGE exact tercile cutoffs over the bigram-LM self-score —
+    // six bounded radix passes for the cutoffs, a |langs|-row broadcast
+    // join for the labels; docs with no score label 'unscored'
+    "t_ccnet_buckets" -> ((s, dir) =>
+      LmScore.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text",
+        "lang").orderBy("doc_id")),
+
     // ---- Text analysis: exact quarter-quantiles of doc length per lang
     // (quarter fractions over ints interpolate exactly in both engines)
     "t_quantiles" -> ((s, dir) =>
@@ -2498,6 +2506,35 @@ object SparkEntry {
       val rewritten = Phrases.applyPhrases(deduped, "doc_id", "text", phr)
       Export.manifest(rewritten, "doc_id", "text_phr",
         length(col("text_phr")), nShards = 4).orderBy("shard")
+    }),
+
+    // ---- RAG retrieval flagship — the reference's CORE serving shape
+    // (embed + store + /search, api/app.py) composed at passage level,
+    // end to end in ONE plan: context-window chunking (64-token windows,
+    // 16 overlap) → md5-count hashing embedder per chunk → exact cosine
+    // top-k over the chunk vectors (TakeOrderedAndProject — per-partition
+    // heap, no corpus shuffle) → hydrate the hits with chunk text + doc
+    // metadata through two 10-row broadcast joins. Integer-exact count
+    // embeddings make the entire path oracle-checkable (the
+    // e1_embed_oracle / e2_embed_search construction); the chunk id
+    // tie-break is the doc:chunk string, compared identically (binary
+    // collation) in both engines.
+    "pipeline_rag" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val chunks = Chunker.chunk(docs, "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .filter(col("n_chunk_tokens") > 0)
+        .select(col("doc_id"), col("chunk_id"),
+          concat_ws(":", col("doc_id"), col("chunk_id")).as("cid"),
+          col("chunk_text"))
+      val emb = HashingEmbedder.embedMd5Counts(chunks, "cid", "chunk_text",
+        dim = 64)
+      val q = HashingEmbedder.md5CountsLocal(EmbedQueryText, 64).map(_.toFloat)
+      Search.knnCosine(emb, "cid", "embedding", q.toSeq, 10)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("chunk_id"), col("source"),
+          md5(col("chunk_text")).as("chunk_md5"), col("dist"))
+        .orderBy(col("dist").asc, col("doc_id").asc, col("chunk_id").asc)
     }),
 
     "pipeline_tokenize_pack" -> ((s, dir) => {
@@ -4436,6 +4473,7 @@ object SparkEntry {
       "e1_embed_oracle" -> embedOracleSql,
 
       "e2_embed_search" -> embedSearchSql,
+      "pipeline_rag" -> ragSql,
 
       "e2_embed_search_norm" -> embedSearchNormSql,
 
@@ -4614,6 +4652,58 @@ object SparkEntry {
           |  (-a.sum_logprob) / CAST(a.n_bigrams AS DOUBLE) AS lm_score
           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      // Same bigram-LM CTE chain as t_lm_score, then per-language EXACT
+      // tercile cutoffs by row_number order statistic (the value at rank
+      // max(1, ceil(p*n)) IS an input element — no interpolation to
+      // match) and the head/middle/tail CASE; terciles as CAST(k AS
+      // DOUBLE)/3 so both engines bucket on the identical IEEE double
+      "t_ccnet_buckets" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS l
+          |  FROM documents),
+          |tok AS (
+          |  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+          |  FROM toks),
+          |bg AS (
+          |  SELECT a.doc_id, a.pos AS bpos, a.w AS w1, b.w AS w2
+          |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+          |bgc AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+          |ugc AS (SELECT w AS w1, count(*) AS cw FROM tok GROUP BY 1),
+          |v AS (SELECT count(*) AS vocab FROM ugc),
+          |lp AS (
+          |  SELECT g.doc_id, g.bpos,
+          |    ln(CAST(coalesce(c.cbg, 0) + 1 AS DOUBLE) /
+          |       CAST(coalesce(u.cw, 0) + v.vocab AS DOUBLE)) AS lp
+          |  FROM bg g LEFT JOIN bgc c ON g.w1 = c.w1 AND g.w2 = c.w2
+          |  LEFT JOIN ugc u ON g.w1 = u.w1 CROSS JOIN v),
+          |agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |    list_reduce(list_prepend(0.0, list(lp ORDER BY bpos)),
+          |                (x, y) -> x + y) AS sum_logprob
+          |  FROM lp GROUP BY doc_id),
+          |sc AS (
+          |  SELECT d.doc_id, d.lang, coalesce(a.n_bigrams, 0) AS n_bigrams,
+          |    (-a.sum_logprob) / CAST(a.n_bigrams AS DOUBLE) AS lm_score
+          |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+          |r AS (
+          |  SELECT lang, lm_score,
+          |    row_number() OVER (PARTITION BY lang ORDER BY lm_score) AS rn,
+          |    count(*) OVER (PARTITION BY lang) AS n
+          |  FROM sc WHERE lm_score IS NOT NULL AND lang IS NOT NULL),
+          |cuts AS (
+          |  SELECT lang,
+          |    max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(1 AS DOUBLE) / 3 * n) AS BIGINT)) THEN lm_score END) AS c0,
+          |    max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(2 AS DOUBLE) / 3 * n) AS BIGINT)) THEN lm_score END) AS c1
+          |  FROM r GROUP BY lang)
+          |SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.lm_score,
+          |  CASE WHEN sc.lm_score IS NULL OR c.c0 IS NULL THEN 'unscored'
+          |       WHEN sc.lm_score <= c.c0 THEN 'head'
+          |       WHEN sc.lm_score <= c.c1 THEN 'middle'
+          |       ELSE 'tail' END AS ppl_bucket
+          |FROM sc LEFT JOIN cuts c ON sc.lang = c.lang
+          |ORDER BY sc.doc_id""".stripMargin,
 
       "t_quantiles" ->
         """SELECT lang,
@@ -6350,6 +6440,60 @@ object SparkEntry {
        |LEFT JOIN nd ON d.doc_id = nd.doc_id
        |LEFT JOIN dp ON d.doc_id = dp.doc_id
        |ORDER BY dist ASC, d.doc_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** RAG flagship oracle: the chunk_docs window replay feeding the
+    * e2_embed_search md5-count cosine replay at (doc_id, chunk_id)
+    * granularity, top-10 with the engine's (dist, doc:chunk string)
+    * tie-break, hydrated with the doc's source. All counts are exact
+    * integers so dot/norm sums are order-independent; the final
+    * 1 − dot/(√nsq·√qnsq) rounds identically in both engines. */
+  private def ragSql: String = {
+    val qc = HashingEmbedder.md5CountsLocal(EmbedQueryText, 64)
+    val qNormSq = qc.map(c => c * c).sum
+    val qVals = qc.zipWithIndex.collect {
+      case (c, b) if c != 0.0 => s"($b, $c)"
+    }.mkString(", ")
+    s"""WITH dtoks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |    x -> x <> '') AS ts FROM documents),
+       |nch AS (SELECT doc_id, ts,
+       |  greatest(1, CAST(ceil((len(ts) - 16) / 48.0) AS BIGINT)) AS n FROM dtoks),
+       |chn AS (SELECT doc_id, ts,
+       |  unnest(generate_series(1, n)) - 1 AS chunk_id FROM nch),
+       |chunk AS (
+       |  SELECT doc_id, chunk_id,
+       |    array_to_string(list_slice(ts, chunk_id*48 + 1, chunk_id*48 + 64), ' ') AS chunk_text
+       |  FROM chn
+       |  WHERE len(list_slice(ts, chunk_id*48 + 1, chunk_id*48 + 64)) > 0),
+       |tok AS (
+       |  SELECT doc_id, chunk_id,
+       |    unnest(string_split_regex(lower(chunk_text), '\\s+')) AS t
+       |  FROM chunk),
+       |h AS (SELECT doc_id, chunk_id, md5(t) AS m FROM tok WHERE t <> ''),
+       |bs AS (SELECT doc_id, chunk_id, ($mdValue) % 64 AS bucket,
+       |  CASE WHEN (${mdNib(9)}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign FROM h),
+       |c AS (SELECT doc_id, chunk_id, bucket, sum(sign) AS c
+       |  FROM bs GROUP BY 1, 2, 3),
+       |nd AS (SELECT doc_id, chunk_id, sum(c*c) AS nsq FROM c GROUP BY 1, 2),
+       |qv AS (SELECT * FROM (VALUES $qVals) AS t(bucket, qc)),
+       |dp AS (SELECT c.doc_id, c.chunk_id, sum(c.c * qv.qc) AS dotv
+       |  FROM c JOIN qv ON c.bucket = qv.bucket GROUP BY 1, 2),
+       |top AS (
+       |  SELECT nd.doc_id, nd.chunk_id,
+       |    1.0 - coalesce(dp.dotv, 0.0) /
+       |      (sqrt(nd.nsq) * sqrt($qNormSq)) AS dist
+       |  FROM nd LEFT JOIN dp
+       |    ON nd.doc_id = dp.doc_id AND nd.chunk_id = dp.chunk_id
+       |  ORDER BY dist ASC,
+       |    (CAST(nd.doc_id AS VARCHAR) || ':' || CAST(nd.chunk_id AS VARCHAR)) ASC
+       |  LIMIT 10)
+       |SELECT t.doc_id, t.chunk_id, d.source,
+       |  md5(ck.chunk_text) AS chunk_md5, t.dist
+       |FROM top t
+       |JOIN chunk ck ON t.doc_id = ck.doc_id AND t.chunk_id = ck.chunk_id
+       |JOIN documents d ON t.doc_id = d.doc_id
+       |ORDER BY t.dist ASC, t.doc_id ASC, t.chunk_id ASC""".stripMargin
   }
 
   /** Normalized-embedding search oracle: dense 64-dim float vectors

@@ -445,4 +445,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"backoff model joins must be hash joins (stream side unsorted):\n$plan")
   }
+
+  test("pipeline_rag: top-k is TakeOrdered, hydration joins broadcast the 10-row side") {
+    val plan = SparkEntry.queries("pipeline_rag")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the chunk-corpus cosine top-k must be a per-partition heap cut,
+    // never a global Sort of the chunk stream
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"chunk top-k should plan as TakeOrderedAndProject:\n$plan")
+    // hydration (source lookup) joins a 10-row side against the corpus —
+    // a sort-merge join there would shuffle + sort the corpus for 10 rows
+    assert(!plan.contains("SortMergeJoin"),
+      s"hydration must broadcast the bounded top-k side:\n$plan")
+  }
 }
