@@ -569,6 +569,19 @@ object SparkEntry {
           .filter(col("word") =!= ""),
         col("word"), k = 40)),
 
+    // ---- Per-LANGUAGE heavy hitters (the per-domain top-terms report
+    // beside a mixture manifest): the same MG-candidates + exact-verify
+    // composition at GROUP BY granularity — membership guarantee per
+    // group, so the sketch pipeline still equals the exact HAVING query
+    "sketch_heavy_hitters_grouped" -> ((s, dir) =>
+      Sketch.heavyHittersGrouped(
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            explode(split(lower(col("text")), "\\s+")).as("word"))
+          .filter(col("word") =!= ""),
+        col("lang"), col("word"), k = 40)
+        .withColumnRenamed("g", "lang")),
+
     // ---- Window-function family: offset (lag/lead), distribution
     // (percent_rank/cume_dist), bucketing (ntile), frame-edge
     // (first_value) — one pass, one window sort, deterministic
@@ -3386,6 +3399,20 @@ object SparkEntry {
           |GROUP BY word, n.n
           |HAVING count(*) > CAST(n.n AS DOUBLE) / 41
           |ORDER BY cnt DESC, item ASC""".stripMargin,
+
+      // per-group twin: the grouped MG composition equals the per-group
+      // HAVING query by the same membership guarantee, applied per lang
+      "sketch_heavy_hitters_grouped" ->
+        """WITH w AS (
+          |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+          |  FROM documents WHERE lang IS NOT NULL),
+          |v AS (SELECT lang, word FROM w WHERE word <> ''),
+          |ng AS (SELECT lang, count(*) AS n FROM v GROUP BY lang)
+          |SELECT v.lang, word AS item, count(*) AS cnt
+          |FROM v JOIN ng ON v.lang = ng.lang
+          |GROUP BY v.lang, word, ng.n
+          |HAVING count(*) > CAST(ng.n AS DOUBLE) / 41
+          |ORDER BY v.lang ASC, cnt DESC, item ASC""".stripMargin,
 
       "q5_local_supplier" ->
         s"""SELECT n_name,

@@ -305,6 +305,43 @@ object Sketch {
       .orderBy(col("cnt").desc, col("item").asc)
   }
 
+  /** Per-group [[heavyHitters]] — the per-domain / per-language top
+    * terms a curation pipeline reports alongside its mixture manifest:
+    * for every group, the items with cnt > N_g/(k+1), via the same
+    * two-pass MG-candidates + exact-verify composition run at GROUP BY
+    * granularity. The membership guarantee holds per group (each
+    * group's MG state folds only that group's rows), so the verified
+    * result equals the exact per-group HAVING query regardless of fold
+    * order — grouped sketch, exact oracle.
+    *
+    * Scale: pass 1 is one groupBy carrying ≤ k counters per (group,
+    * partition) map-side; the candidate table is ≤ |G|·k rows joined
+    * back semi-style on (g, v) — hash-partitioned, never a window over
+    * the full (g, v) domain; group totals are a |G|-row join AQE
+    * broadcasts. NULL groups and NULL values are excluded (the
+    * [[exactQuantilesDiscGrouped]] contract). Output: (g, item, cnt)
+    * sorted (g asc, cnt desc, item asc). */
+  def heavyHittersGrouped(df: DataFrame, groupCol: Column, valueCol: Column,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"Misra-Gries needs k >= 1, got $k")
+    val vals = df.select(groupCol.cast("string").as("g"),
+        valueCol.cast("string").as("__v"))
+      .filter(col("g").isNotNull && col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mg = udaf(new MisraGriesAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val cands = vals.groupBy("g").agg(mg(col("__v")).as("items"))
+      .select(col("g"), explode(map_keys(col("items"))).as("__v"))
+    val ng = vals.groupBy("g").agg(count(lit(1)).as("__n"))
+    vals.join(cands, Seq("g", "__v"), "left_semi")
+      .groupBy(col("g"), col("__v"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(ng, Seq("g"))
+      .filter(col("cnt") > col("__n").cast("double") / (k + 1))
+      .select(col("g"), col("__v").as("item"), col("cnt"))
+      .orderBy(col("g").asc, col("cnt").desc, col("item").asc)
+  }
+
   /** Streaming maintenance: fold each micro-batch's sketch into the
     * running one in `state` — the mergeability a count(DISTINCT) can
     * never stream. State is a ≤ k-long array; callers wanting crash

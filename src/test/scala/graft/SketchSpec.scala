@@ -157,6 +157,35 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersGrouped == per-group global heavyHitters; null group/value excluded") {
+    val s = spark
+    import s.implicits._
+    // two groups with DIFFERENT sizes and skews: a heavy item in the
+    // small group must clear its own N_g/(k+1) bar, not the global one
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(("big", s"item$i"))) ++
+      (1 to 2000).map(i => ("big", s"noise$i")) ++
+      (1 to 30).flatMap(i => Seq.fill(60 / i)(("small", s"s$i"))) ++
+      Seq((null: String, "item1"), ("big", null: String))
+    val df = rows.toDF("g", "v")
+    val k = 25
+    for (parts <- Seq(1, 7, 31)) {
+      val grouped = Sketch.heavyHittersGrouped(
+          df.repartition(parts), col("g"), col("v"), k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val expected = Seq("big", "small").flatMap { g =>
+        Sketch.heavyHitters(df.filter(col("g") === g), col("v"), k)
+          .collect().map(r => (g, r.getString(0), r.getLong(1)))
+      }
+      assert(grouped.toSeq == expected,
+        s"parts=$parts: grouped heavy hitters diverged from per-group exact")
+    }
+    // each group's threshold is its own: the small group surfaces items
+    // a global N/(k+1) bar would have suppressed
+    val out = Sketch.heavyHittersGrouped(df, col("g"), col("v"), k)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.exists(_._1 == "small"), "small group produced no hitters")
+  }
+
   test("setOpEstimates: union/Jaccard/intersection near truth; exact below k") {
     val s = spark
     import s.implicits._
