@@ -2521,6 +2521,35 @@ object SparkEntry {
         length(col("text_phr")), nShards = 4).orderBy("shard")
     }),
 
+    // ---- Dataset-card flagship: the per-language statistics block a
+    // corpus release ships (HF dataset card / Dolma-style datasheet) in
+    // ONE composed statement — doc/char/token mass, exact-dup count,
+    // Gopher pass count, distinct sources, PII email mass, and EXACT
+    // length percentiles. Two bounded aggregations over one corpus scan
+    // each (the distinct pairs expand map-side), six radix passes for
+    // the exact cutoffs, a |langs|-row join to stitch — nothing
+    // corpus-shuffled beyond the lang groupBy.
+    "pipeline_datacard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pass = Curation.gopherPass(col("text"), minWords = 30L,
+        maxWords = 90L, minStopHits = 1L)
+      val base = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(TextFunctions.tokenCount(col("text"))).as("sum_tokens"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"),
+        sum(when(pass, 1L).otherwise(0L)).as("n_gopher_pass"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(regexp_count(col("text"),
+          lit(graft.functions.PiiFunctions.EmailRe)).cast("long"))
+          .as("n_pii_emails"))
+      val cuts = Sketch.exactQuantilesDiscGrouped(docs, col("lang"),
+          col("n_chars"), Seq(0.5, 0.9))
+        .select(col("g").as("lang"), col("q0").as("p50_chars"),
+          col("q1").as("p90_chars"))
+      base.join(cuts, Seq("lang")).orderBy("lang")
+    }),
+
     // ---- RAG retrieval flagship — the reference's CORE serving shape
     // (embed + store + /search, api/app.py) composed at passage level,
     // end to end in ONE plan: context-window chunking (64-token windows,
@@ -4501,6 +4530,43 @@ object SparkEntry {
 
       "e2_embed_search" -> embedSearchSql,
       "pipeline_rag" -> ragSql,
+
+      // per-lang aggregates + the gopher per-doc replay + exact
+      // order-statistic length cutoffs, stitched on lang
+      "pipeline_datacard" -> {
+        import graft.functions.PiiFunctions.EmailRe
+        s"""WITH gop AS (${gopherRulesSql("documents")}),
+           |base AS (
+           |  SELECT d.lang,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           |    CAST(sum(len(string_split_regex(d.text, '\\s+'))) AS BIGINT) AS sum_tokens,
+           |    CAST(count(*) - count(DISTINCT md5(d.text)) AS BIGINT) AS n_dup_docs,
+           |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           |    CAST(sum(len(regexp_extract_all(d.text, '$EmailRe'))) AS BIGINT) AS n_pii_emails
+           |  FROM documents d GROUP BY d.lang),
+           |gp AS (
+           |  SELECT d.lang,
+           |    CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+           |  FROM documents d JOIN gop g ON d.doc_id = g.doc_id
+           |  GROUP BY d.lang),
+           |r AS (
+           |  SELECT lang, n_chars,
+           |    row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+           |cuts AS (
+           |  SELECT lang,
+           |    max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.5' AS DOUBLE) * n) AS BIGINT)) THEN CAST(n_chars AS DOUBLE) END) AS p50_chars,
+           |    max(CASE WHEN rn = greatest(1, CAST(ceil(CAST('0.9' AS DOUBLE) * n) AS BIGINT)) THEN CAST(n_chars AS DOUBLE) END) AS p90_chars
+           |  FROM r GROUP BY lang)
+           |SELECT b.lang, b.n_docs, b.sum_chars, b.sum_tokens, b.n_dup_docs,
+           |  gp.n_gopher_pass, b.n_sources, b.n_pii_emails,
+           |  c.p50_chars, c.p90_chars
+           |FROM base b JOIN gp ON b.lang = gp.lang
+           |JOIN cuts c ON b.lang = c.lang
+           |ORDER BY b.lang""".stripMargin
+      },
 
       "e2_embed_search_norm" -> embedSearchNormSql,
 
