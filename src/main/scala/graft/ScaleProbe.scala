@@ -492,6 +492,70 @@ object ScaleProbe {
           .agg(sum(col("lm_score"))).head.getDouble(0).toLong
       }
 
+      // CCNet bucketing over n docs in 4 synthetic languages, with the
+      // minCount-BOUNDED model (the 100 TB contract — minCount=1 keeps
+      // every singleton bigram and the model join rivals the corpus):
+      // the lm_selfscore pipeline twice (cutoffs + labels, by design —
+      // see LmScore.perplexityBuckets scaladoc) + six bounded radix
+      // passes + a 4-row broadcast label join
+      t("ccnet_buckets") {
+        val langed = docs.withColumn("lang",
+          concat(lit("l"), pmod(col("id"), lit(4))))
+        graft.operators.LmScore.perplexityBuckets(langed, "id", "text",
+            "lang", minCount = 2L, bigCorpus = Some(n >= 1000000L))
+          .groupBy("ppl_bucket").count().count()
+      }
+
+      // the pipeline-recommended path: persist the scored projection
+      // once, then bucketScored pays ONE scoring pass total (cutoffs
+      // read the cache, labels read the cache)
+      t("ccnet_buckets_scored") {
+        val langed = docs.withColumn("lang",
+          concat(lit("l"), pmod(col("id"), lit(4))))
+        val scored = graft.operators.LmScore.selfScore(langed, "id", "text",
+            minCount = 2L, bigCorpus = Some(n >= 1000000L))
+          .join(langed.select(col("id"), col("lang")), Seq("id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try
+          graft.operators.LmScore.bucketScored(scored, "id", "lang")
+            .groupBy("ppl_bucket").count().count()
+        finally { scored.unpersist(); () }
+      }
+
+      // RAG flagship shape at n/10 ~120-token docs (~3 chunks each):
+      // chunk explode -> per-chunk md5-count embed (token shuffle) ->
+      // cosine top-10 TakeOrdered over ~3n/10 chunk vectors
+      t("rag_chunk_embed_top10") {
+        val longDocs = spark.range(n / 10).select(col("id"),
+          concat_ws(" ", (0 until 120).map(j =>
+            pmod(xxhash64(col("id") * 120 + j), lit(5000)).cast("string")): _*)
+            .as("text"))
+        val chunks = graft.operators.Chunker.chunk(longDocs, "id", "text",
+            chunkTokens = 64, overlap = 16)
+          .select(concat_ws(":", col("id"), col("chunk_id")).as("cid"),
+            col("chunk_text"))
+        val emb = HashingEmbedder.embedMd5Counts(chunks, "cid", "chunk_text",
+          dim = 64)
+        val qv = HashingEmbedder.md5CountsLocal("17 4242 999", 64).map(_.toFloat)
+        Search.knnCosine(emb, "cid", "embedding", qv.toSeq, 10).count()
+      }
+
+      // per-group heavy hitters over the 8n-token stream in 4 groups,
+      // with a planted hot set (20% of tokens from 5 values -> ~4% each,
+      // above the N_g/41 bar) so the exact-verify semi-join carries real
+      // candidates: <=k MG counters per (group, partition) map-side
+      t("hh_grouped_k40") {
+        val toks = docs.select(
+            concat(lit("l"), pmod(col("id"), lit(4))).as("g"),
+            explode(split(col("text"), " ")).as("w"))
+          .select(col("g"),
+            when(pmod(xxhash64(col("w")), lit(5)) === 0,
+              concat(lit("hot"), pmod(xxhash64(col("w"), lit(7)), lit(5))))
+              .otherwise(col("w")).as("w"))
+        graft.operators.Sketch.heavyHittersGrouped(toks, col("g"), col("w"),
+          k = 40).count()
+      }
+
       // winnowing shared-passage pairs over n docs (codegen fingerprints,
       // ~2.len/window per doc; hot fingerprints cut by maxBucket)
       t("winnow_passage_pairs")(
