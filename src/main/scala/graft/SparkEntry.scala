@@ -1979,6 +1979,16 @@ object SparkEntry {
       Export.manifest(Tables.documents(s, dir), "doc_id", "text",
         col("n_chars"), nShards = 8).orderBy("shard")),
 
+    // ---- WebDataset tar-shard layout: per-document (shard, member
+    // name, byte size, ustar header offset) — the seek index a tar
+    // trainer uses; exact 512-byte block arithmetic over ONE per-shard
+    // window cumsum, and the byte layout writeTarShards then emits
+    // (ExportSpec round-trips the actual tars through an independent
+    // reader AND the system tar binary)
+    "export_tar" -> ((s, dir) =>
+      Export.tarShardPlan(Tables.documents(s, dir), "doc_id", "text",
+        nShards = 8).orderBy("shard", "doc_id")),
+
     // ---- Byte-level BPE (GPT-2 family): regex pre-tokenizer (leading
     // space attaches to the following word; lookahead-free so the
     // oracle's RE2-class regex agrees), UTF-8 bytes as hex-pair
@@ -4299,6 +4309,24 @@ object SparkEntry {
            |  min(doc_id) AS min_id, max(doc_id) AS max_id,
            |  CAST(sum($hash32Sql) AS BIGINT) AS content_sum
            |FROM rh GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // tar layout twin: same salted-hash shard, then pure 512-byte
+      // block arithmetic under a per-shard running sum (strlen = UTF-8
+      // octet length, matching Spark's octet_length)
+      "export_tar" ->
+        s"""WITH h AS (SELECT doc_id,
+           |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+           |  md5(concat('', '|', CAST(doc_id AS VARCHAR))) AS m FROM documents),
+           |e AS (SELECT doc_id, n_bytes,
+           |  CAST(($hash32Sql) % 8 AS INT) AS shard FROM h),
+           |b AS (SELECT shard, doc_id, n_bytes,
+           |  1 + (n_bytes + 511) // 512 AS blocks FROM e)
+           |SELECT shard, doc_id,
+           |  concat(CAST(doc_id AS VARCHAR), '.txt') AS name, n_bytes,
+           |  CAST(512 * coalesce(sum(blocks) OVER (PARTITION BY shard
+           |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND 1 PRECEDING), 0) AS BIGINT) AS offset
+           |FROM b ORDER BY shard, doc_id""".stripMargin,
 
       "t_bpe_bytes_learn" -> byteBpeLearnSql(6),
 

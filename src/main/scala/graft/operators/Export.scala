@@ -67,6 +67,129 @@ object Export {
     manifest(df, idCol, payloadCol, bytesCol, nShards, salt)
   }
 
+  /** WebDataset-style tar shard LAYOUT: for every document, the shard
+    * it lands in ([[shardOf]]), its member name, payload byte size, and
+    * the byte offset of its 512-byte ustar header inside the shard tar
+    * — the loader-facing index a WebDataset/tarfile trainer seeks by.
+    * Entries are laid out in ascending-id order per shard; each costs
+    * one header block plus ⌈bytes/512⌉ payload blocks. Pure column
+    * arithmetic (the ⌈/512⌉ is an exact `shiftright` — no double
+    * division) over ONE per-shard window cumsum; fully oracle-checkable,
+    * which pins the exact byte layout [[writeTarShards]] then emits.
+    *
+    * Scale: one shuffle (the per-shard window); at N shards the window
+    * partitions are corpus/N and a trainer-friendly shard is ≤ a few
+    * GB by construction — callers size nShards accordingly. */
+  def tarShardPlan(df: DataFrame, idCol: String, payloadCol: String,
+                   nShards: Int, salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(shardOf(col(idCol), nShards, salt).as("shard"),
+        col(idCol).as("__id"),
+        octet_length(col(payloadCol)).cast("long").as("n_bytes"))
+      .withColumn("__blocks",
+        lit(1L) + shiftright(col("n_bytes") + lit(511L), 9))
+      .select(col("shard"), col("__id").as(idCol),
+        concat(col("__id").cast("string"), lit(".txt")).as("name"),
+        col("n_bytes"),
+        (coalesce(sum(col("__blocks")).over(w), lit(0L)) * 512L).as("offset"))
+  }
+
+  /** Write the corpus as `nShards` POSIX-ustar tar files
+    * (`outDir/shard-NNNNN.tar`, one text member per document, names and
+    * offsets exactly as [[tarShardPlan]] lays out) and return the
+    * per-shard write manifest (shard, n_entries, tar_bytes, tar_md5).
+    * The WebDataset export shape: training loaders stream tar members
+    * sequentially, so the written bytes ARE the loader's input format —
+    * no parquet reader in the hot path.
+    *
+    * Determinism: entries are sorted by id within a shard, headers
+    * carry mtime/uid/gid = 0 and a fixed 0644 mode, so the tar bytes —
+    * and therefore `tar_md5` — are a pure function of the shard's
+    * (id, payload) multiset, independent of partitioning or task
+    * order (spec-pinned). Each shard is written by exactly one task
+    * (`repartition(nShards, shard)` hash-places whole shards; a task
+    * that receives several shards streams them sequentially), and the
+    * member stream is spilled through a sorted iterator, not
+    * collected. */
+  def writeTarShards(df: DataFrame, idCol: String, payloadCol: String,
+                     nShards: Int, outDir: String,
+                     salt: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    new java.io.File(outDir).mkdirs()
+    val rows = df.select(shardOf(col(idCol), nShards, salt).as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(payloadCol).cast("string").as("payload"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Int, Long, String)]
+    val out = rows.mapPartitions { it =>
+      val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
+      var shard = -1
+      var os: java.io.OutputStream = null
+      var md: java.security.MessageDigest = null
+      var bytes = 0L
+      var entries = 0L
+      def write(b: Array[Byte]): Unit = { os.write(b); md.update(b); bytes += b.length }
+      def close(): Unit = if (os != null) {
+        write(new Array[Byte](1024)) // two zero trailer blocks
+        os.close()
+        done += ((shard, entries, bytes,
+          md.digest().map("%02x".format(_)).mkString))
+        os = null
+      }
+      it.foreach { case (s, id, payload) =>
+        if (s != shard) {
+          close()
+          shard = s
+          os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+            new java.io.File(outDir, f"shard-$s%05d.tar")))
+          md = java.security.MessageDigest.getInstance("MD5")
+          bytes = 0L; entries = 0L
+        }
+        val data = (if (payload == null) "" else payload)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        write(ustarHeader(s"$id.txt", data.length.toLong))
+        write(data)
+        val pad = (512 - data.length % 512) % 512
+        if (pad > 0) write(new Array[Byte](pad))
+        entries += 1
+      }
+      close()
+      done.iterator
+    }.toDF("shard", "n_entries", "tar_bytes", "tar_md5")
+    out.orderBy("shard")
+  }
+
+  /** One 512-byte POSIX-ustar header: zero-padded octal numerics, NUL
+    * terminators, mtime/uid/gid 0, mode 0644, typeflag '0', magic
+    * "ustar\0" version "00", checksum over the header with the chksum
+    * field as spaces (the POSIX rule). */
+  private[operators] def ustarHeader(name: String, size: Long): Array[Byte] = {
+    require(name.getBytes("UTF-8").length <= 100, s"tar name too long: $name")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name)                       // name[100]
+    put(100, "0000644\u0000")          // mode[8]
+    put(108, "0000000\u0000")          // uid[8]
+    put(116, "0000000\u0000")          // gid[8]
+    put(124, f"$size%011o\u0000")      // size[12]
+    put(136, "00000000000\u0000")      // mtime[12] = epoch 0
+    put(148, "        ")               // chksum[8]: spaces while summing
+    h(156) = '0'                       // typeflag: regular file
+    put(257, "ustar\u000000")        // magic[6] = ustar+NUL, version[2] = 00
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(148, f"$sum%06o\u0000 ")       // chksum: 6 octal, NUL, space
+    h
+  }
+
   /** Integrity check of an exported directory against a manifest:
     * recompute [[manifest]] over the re-read shards and anti-join —
     * returns the shards whose (n_rows, total_bytes, content_sum)
