@@ -2454,6 +2454,21 @@ object SparkEntry {
           md5(col("chunk_text")).as("chunk_md5"), col("n_chunk_tokens"))
         .orderBy("doc_id", "chunk_id")),
 
+    // ---- Sentence-boundary chunking (the RAG chunker that never
+    // splits a sentence): the corpus text carries no punctuation, so
+    // the query first derives boundaries deterministically (the same
+    // non-regex replace in both engines) — then bins whole sentences
+    // by capacity-binned cumulative token count. Chunks may exceed
+    // capacity by at most one sentence, the boundary-respecting trade.
+    "chunk_sentences" -> ((s, dir) =>
+      Chunker.sentenceChunks(
+        Tables.documents(s, dir).withColumn("text",
+          expr("replace(text, ' merge ', ' merge. ')")),
+        "doc_id", "text", capacityTokens = 48)
+        .select(col("doc_id"), col("chunk_id"), col("n_sentences"),
+          col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
     // ---- Concat-and-slice sequence packing into 2048-token windows —
     // distributed prefix sum (no single-reducer global window); the
     // oracle is the equivalent SQL window cumsum.
@@ -5130,6 +5145,42 @@ object SparkEntry {
           |  md5(array_to_string(list_slice(ts, chunk_id*48 + 1, chunk_id*48 + 64), ' ')) AS chunk_md5,
           |  CAST(len(list_slice(ts, chunk_id*48 + 1, chunk_id*48 + 64)) AS BIGINT) AS n_chunk_tokens
           |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+      // sentence segmentation (RE2-class alternation, both engines),
+      // capacity-binned cumsum, dense_rank chunk ids, ordered rejoin
+      "chunk_sentences" ->
+        """WITH d AS (
+          |  SELECT doc_id, replace(text, ' merge ', ' merge. ') AS text
+          |  FROM documents),
+          |sents AS (
+          |  SELECT doc_id,
+          |    generate_subscripts(ss, 1) - 1 AS sidx, unnest(ss) AS sent
+          |  FROM (SELECT doc_id,
+          |    regexp_extract_all(text, '[^.!?]+[.!?]*\s*|[.!?]+\s*') AS ss
+          |  FROM d)),
+          |tk AS (
+          |  SELECT doc_id, sidx, sent,
+          |    CAST(len(list_filter(string_split_regex(sent, '\s+'),
+          |      x -> x <> '')) AS BIGINT) AS ntok
+          |  FROM sents),
+          |cm AS (
+          |  SELECT doc_id, sidx, sent, ntok,
+          |    coalesce(sum(ntok) OVER (PARTITION BY doc_id ORDER BY sidx
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          |  FROM tk),
+          |bn AS (
+          |  SELECT doc_id, sidx, sent, ntok, cum // 48 AS bin FROM cm),
+          |ck AS (
+          |  SELECT doc_id, sidx, sent, ntok,
+          |    CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY bin) - 1
+          |      AS BIGINT) AS chunk_id
+          |  FROM bn)
+          |SELECT doc_id, chunk_id,
+          |  CAST(count(*) AS BIGINT) AS n_sentences,
+          |  CAST(sum(ntok) AS BIGINT) AS n_chunk_tokens,
+          |  md5(string_agg(sent, '' ORDER BY sidx)) AS chunk_md5
+          |FROM ck GROUP BY doc_id, chunk_id
+          |ORDER BY doc_id, chunk_id""".stripMargin,
 
       "pack_offsets" ->
         """WITH toks AS (SELECT doc_id,

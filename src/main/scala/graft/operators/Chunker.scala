@@ -56,6 +56,60 @@ object Chunker {
         size(col("__chunk")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Sentence-boundary chunking — the RAG chunker that never splits a
+    * sentence: segment the text into sentences (a run of non-terminal
+    * characters, its closing `.!?` run, and trailing whitespace — one
+    * RE2-class alternation, so the oracle's regex engine agrees with
+    * the JVM's), then bin CONSECUTIVE sentences by capacity-binned
+    * cumulative token count: a sentence starts a new chunk when the
+    * tokens before it cross a `capacityTokens` boundary
+    * (bin = cum_before div capacity — the concat-and-slice discipline
+    * of [[packOffsets]] applied per document, shifted to sentence
+    * granularity). Chunks may exceed `capacityTokens` by at most one
+    * sentence — the standard trade for boundary-respecting packing
+    * (a sentence longer than the capacity stays whole).
+    *
+    * Scale: the sentence explode is a per-row generate; the only
+    * shuffle is the per-document window cumsum + the (doc, chunk)
+    * regroup, both keyed by id — never corpus-global. Deterministic
+    * and partitioning-independent: sentence order is positional, the
+    * rejoin is an ordered fold, token counts are exact ints.
+    *
+    * Output: idCol, chunk_id (0-based bin), n_sentences,
+    * n_chunk_tokens, chunk_text (raw segment concat — within a chunk
+    * the original text is reproduced verbatim, including its
+    * whitespace). Documents with no sentences (empty/null text) yield
+    * no rows. */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     capacityTokens: Int): DataFrame = {
+    require(capacityTokens > 0,
+      s"capacityTokens must be positive, got $capacityTokens")
+    val sentRe = "[^.!?]+[.!?]*\\s*|[.!?]+\\s*"
+    val sents = df.select(col(idCol),
+        posexplode(regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit(sentRe), lit(0))).as(Seq("sidx", "sent")))
+      .withColumn("__ntok",
+        size(array_remove(split(col("sent"), "\\s+"), "")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sidx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__bin"))
+    sents
+      .withColumn("__cum", coalesce(sum(col("__ntok")).over(w), lit(0L)))
+      .withColumn("__bin", expr(s"__cum div ${capacityTokens}L"))
+      // dense 0-based chunk ids: an over-capacity sentence can skip a
+      // bin; dense_rank closes the gap so chunk_id is always 0..n-1
+      .withColumn("chunk_id", (dense_rank().over(wb) - 1).cast("long"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("__ntok")).as("n_chunk_tokens"),
+        array_sort(collect_list(struct(col("sidx"), col("sent")))).as("__ss"))
+      .select(col(idCol), col("chunk_id"), col("n_sentences"),
+        col("n_chunk_tokens"),
+        array_join(transform(col("__ss"), s => s("sent")), "").as("chunk_text"))
+  }
+
   /** Concat-and-slice packing offsets (see object doc). Output: every
     * input column (idCol/tokCol cast to long in place) + pack_id +
     * pack_offset — deterministic in `idCol` order regardless of

@@ -73,6 +73,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(doc3.length == 2 && doc3(1).getLong(3) == 24)
   }
 
+  test("sentenceChunks: boundaries respected, capacity bins, lossless rejoin, edges") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // 4 sentences of 3/4/3/2 tokens; capacity 6 → bins at cum 0,3,7,10
+      // = chunks {s0,s1}, {s2,s3} (cum 7 div 6 = 1, 10 div 6 = 1)
+      (1L, "one two three. four five six seven! eight nine ten? end end"),
+      // a single giant sentence above capacity stays WHOLE
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ") + "."),
+      // unterminated tail sentence; punctuation-only segment
+      (3L, "alpha beta. gamma delta"),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = Chunker.sentenceChunks(df, "id", "text", capacityTokens = 6)
+      .orderBy("id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.length == 2)
+    assert(d1(0).getAs[String]("chunk_text") == "one two three. four five six seven! ")
+    assert(d1(0).getAs[Long]("n_sentences") == 2L &&
+      d1(0).getAs[Long]("n_chunk_tokens") == 7L)
+    assert(d1(1).getAs[String]("chunk_text") == "eight nine ten? end end")
+    // chunks concatenate back to the original text, nothing lost
+    assert(d1.map(_.getAs[String]("chunk_text")).mkString ==
+      "one two three. four five six seven! eight nine ten? end end")
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[Long]("n_chunk_tokens") == 20L,
+      "an over-capacity sentence must stay whole")
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.map(_.getAs[String]("chunk_text")).mkString == "alpha beta. gamma delta")
+    // empty and null docs yield no rows (documented contract)
+    assert(!out.exists(r => r.getLong(0) >= 4L))
+    // chunk ids dense from 0 per doc
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("chunk_id")).sorted.sameElements(
+        rs.indices.map(_.toLong)))
+    }
+    // partitioning invariance
+    val many = Chunker.sentenceChunks(df.repartition(7), "id", "text", 6)
+      .orderBy("id", "chunk_id").collect()
+    assert(out.map(_.toSeq).toSeq == many.map(_.toSeq).toSeq)
+  }
+
   test("packOffsets: matches a sequential scan, invariant to partition count") {
     val s = spark
     import s.implicits._
