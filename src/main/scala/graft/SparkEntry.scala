@@ -388,6 +388,31 @@ object SparkEntry {
         .withColumnRenamed("g", "event_type")
         .orderBy("event_type")),
 
+    // ---- Trailing-window distinct users (the sliding-uniques panel a
+    // product dashboard serves): hourly HLL register tables unioned by
+    // register max over each trailing 6-hour window — the MERGEABILITY
+    // use site: the corpus is sketched ONCE per hour, and every window
+    // estimate is a bounded (#hours × 64-register) join + max, never a
+    // re-scan; count(DISTINCT) would re-scan the corpus per window.
+    // Estimate arithmetic is the fixed IEEE sequence of sketch_hll, so
+    // the whole window composition replays exactly.
+    "events_sliding_uniques" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = Sketch.hllSketchGrouped(
+        ev.withColumn("hh",
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L).cast("long")),
+        col("hh"), col("user_id"), p = 6)
+      val hours = hourly.select(col("g").as("h")).distinct()
+      val trailing = hourly.join(hours,
+          col("g") <= col("h") && col("g") > col("h") - lit(6L))
+        .groupBy(col("h"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      Sketch.hllEstimateGrouped(trailing.withColumnRenamed("h", "g"), p = 6)
+        .select(col("g").as("hour_idx"), col("est_distinct"),
+          col("v_empty"), col("s_scaled"))
+        .orderBy("hour_idx")
+    }),
+
     // ---- HLL merge ≡ union (exactly, not approximately): two disjoint
     // shards sketched independently, merged by register max — the
     // estimate is BIT-IDENTICAL to sketching the union, which is what
@@ -3352,6 +3377,10 @@ object SparkEntry {
            |SELECT event_type, est_distinct, v_empty, s_scaled FROM hll
            |ORDER BY event_type""".stripMargin,
 
+      // trailing-window union: hourly registers + window max + the
+      // identical estimate chain — exact because register max is exact
+      "events_sliding_uniques" -> slidingHllSql(6),
+
       // merge ≡ union is exact (register max is associative/idempotent),
       // so the two-shard merged sketch replays as one sketch of all rows
       "sketch_hll_union" ->
@@ -5987,6 +6016,44 @@ object SparkEntry {
        |    THEN CAST('${m.toDouble}' AS DOUBLE)
        |      * ln(CAST('${m.toDouble}' AS DOUBLE) / CAST(v_empty AS DOUBLE))
        |    ELSE raw END AS est_distinct, v_empty, s_scaled FROM es)""".stripMargin
+  }
+
+  /** Trailing-window HLL oracle (events_sliding_uniques): hourly
+    * register tables (the hllSql construction keyed by epoch-hour),
+    * register-max union over each trailing `win`-hour window, then the
+    * identical estimate chain. */
+  private def slidingHllSql(win: Int): String = {
+    val p = 6; val width = 32 - p; val m = 1 << p
+    val alphaM2 = 0.709 * (m.toLong * m).toDouble
+    val bitlen = (0 until width).map(k =>
+      s"(CASE WHEN w >= ${1L << k} THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH hv AS (SELECT
+       |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hh,
+       |  md5(CAST(user_id AS VARCHAR)) AS m FROM events),
+       |hb AS (SELECT hh, ($hash32Sql) AS h FROM hv),
+       |reg AS (SELECT hh, h >> $width AS bucket,
+       |  h & ${(1L << width) - 1L} AS w FROM hb),
+       |rr AS (SELECT hh, bucket, max(${width + 1} - ($bitlen)) AS r
+       |  FROM reg GROUP BY hh, bucket),
+       |hrs AS (SELECT DISTINCT hh AS h FROM rr),
+       |tr AS (SELECT hrs.h AS g, rr.bucket AS bucket, max(rr.r) AS r
+       |  FROM rr JOIN hrs ON rr.hh <= hrs.h AND rr.hh > hrs.h - $win
+       |  GROUP BY hrs.h, rr.bucket),
+       |ag AS (SELECT g, count(*) AS nonempty,
+       |  CAST(sum(CAST(1 AS BIGINT) << (32 - r)) AS BIGINT) AS s_ne
+       |  FROM tr GROUP BY g),
+       |st AS (SELECT g, ($m - nonempty) AS v_empty,
+       |  ($m - nonempty) * ${1L << 32} + s_ne AS s_scaled FROM ag),
+       |es AS (SELECT g, v_empty, s_scaled,
+       |  CAST('$alphaM2' AS DOUBLE)
+       |    / (CAST(s_scaled AS DOUBLE) / CAST('${(1L << 32).toDouble}' AS DOUBLE))
+       |    AS raw FROM st)
+       |SELECT g AS hour_idx,
+       |  CASE WHEN raw <= CAST('${2.5 * m}' AS DOUBLE) AND v_empty > 0
+       |    THEN CAST('${m.toDouble}' AS DOUBLE)
+       |      * ln(CAST('${m.toDouble}' AS DOUBLE) / CAST(v_empty AS DOUBLE))
+       |    ELSE raw END AS est_distinct, v_empty, s_scaled
+       |FROM es ORDER BY hour_idx""".stripMargin
   }
 
   /** Fixed merge chain for the BPE-apply query (rank order matters:

@@ -463,6 +463,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("trailing-window HLL union ≡ direct sketch of the window's rows") {
+    val s = spark
+    import s.implicits._
+    // 8 hours × overlapping user sets; union-by-max over hours 2..5
+    // must equal one sketch of exactly those hours' rows — register max
+    // is EXACT union, which is the whole sliding-uniques construction
+    val ev = (0 until 8).flatMap(h =>
+      (0 until 40).map(u => (h.toLong, (u * (h + 1) % 97).toLong)))
+      .toDF("hh", "uid")
+    val hourly = Sketch.hllSketchGrouped(ev, col("hh"), col("uid"), p = 6)
+    val unioned = hourly.filter(col("g") >= 2 && col("g") <= 5)
+      .groupBy("bucket").agg(max(col("r")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val direct = Sketch.hllSketch(ev.filter(col("hh") >= 2 && col("hh") <= 5),
+        col("uid"), p = 6)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(unioned == direct,
+      "window register-max union must equal the direct window sketch")
+  }
+
   test("KLL: exact below capacity; weights ≈ n; grouped path; k guard") {
     val s = spark
     import s.implicits._
