@@ -115,16 +115,34 @@ object Export {
     * collected. */
   def writeTarShards(df: DataFrame, idCol: String, payloadCol: String,
                      nShards: Int, outDir: String,
-                     salt: String = ""): DataFrame = {
+                     salt: String = ""): DataFrame =
+    writeTarShardsMulti(df, idCol, Seq("txt" -> col(payloadCol)), nShards,
+      outDir, salt)
+
+  /** Multi-member WebDataset samples: each document key contributes one
+    * tar member per `(extension, column)` pair — `<id>.txt`,
+    * `<id>.json`, `<id>.cls`, … written ADJACENTLY in the given
+    * extension order, which is the WebDataset grouping contract (a
+    * loader assembles a sample from consecutive members sharing a
+    * basename). Same determinism and placement as [[writeTarShards]];
+    * `n_entries` counts members (docs × extensions). NULL member values
+    * write empty payloads — a sample never silently loses a field. */
+  def writeTarShardsMulti(df: DataFrame, idCol: String,
+                          members: Seq[(String, Column)], nShards: Int,
+                          outDir: String, salt: String = ""): DataFrame = {
+    require(members.nonEmpty, "need at least one (extension, column) member")
+    require(members.map(_._1).distinct.length == members.length,
+      s"duplicate member extensions in ${members.map(_._1)}")
     val spark = df.sparkSession
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
+    val exts = members.map(_._1)
     val rows = df.select(shardOf(col(idCol), nShards, salt).as("shard"),
         col(idCol).cast("long").as("id"),
-        col(payloadCol).cast("string").as("payload"))
+        array(members.map(_._2.cast("string")): _*).as("payloads"))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
-      .as[(Int, Long, String)]
+      .as[(Int, Long, Seq[String])]
     val out = rows.mapPartitions { it =>
       val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
       var shard = -1
@@ -140,7 +158,7 @@ object Export {
           md.digest().map("%02x".format(_)).mkString))
         os = null
       }
-      it.foreach { case (s, id, payload) =>
+      it.foreach { case (s, id, payloads) =>
         if (s != shard) {
           close()
           shard = s
@@ -149,13 +167,15 @@ object Export {
           md = java.security.MessageDigest.getInstance("MD5")
           bytes = 0L; entries = 0L
         }
-        val data = (if (payload == null) "" else payload)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        write(ustarHeader(s"$id.txt", data.length.toLong))
-        write(data)
-        val pad = (512 - data.length % 512) % 512
-        if (pad > 0) write(new Array[Byte](pad))
-        entries += 1
+        exts.zip(payloads).foreach { case (ext, payload) =>
+          val data = (if (payload == null) "" else payload)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          write(ustarHeader(s"$id.$ext", data.length.toLong))
+          write(data)
+          val pad = (512 - data.length % 512) % 512
+          if (pad > 0) write(new Array[Byte](pad))
+          entries += 1
+        }
       }
       close()
       done.iterator
