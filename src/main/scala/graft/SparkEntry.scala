@@ -2162,6 +2162,26 @@ object SparkEntry {
       LmScore.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text",
         "lang").orderBy("doc_id")),
 
+    // ---- Unicode NFC normalization (the mojibake/encoding-repair
+    // curation pass): the ASCII corpus is already normalized, so the
+    // query PLANTS decomposed sequences deterministically (e +
+    // combining acute U+0301) with the same non-regex replace in both
+    // engines — the codegen kernel (JDK Normalizer, no-alloc fast path
+    // for already-normal text) then has real composition work that the
+    // DuckDB nfc_normalize (utf8proc) oracle checks byte-for-byte;
+    // both implement the same normative Unicode algorithm
+    "t_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("t2", expr(
+          "replace(text, ' merge ', ' café ﬁle merge ')"))
+        .select(col("doc_id"),
+          length(col("t2")).cast("long").as("len_raw"),
+          length(graft.expressions.TextKernels.unicodeNormalize(col("t2"),
+            "NFC")).cast("long").as("len_nfc"),
+          md5(graft.expressions.TextKernels.unicodeNormalize(col("t2"),
+            "NFC")).as("nfc_md5"))
+        .orderBy("doc_id")),
+
     // ---- Text analysis: exact quarter-quantiles of doc length per lang
     // (quarter fractions over ints interpolate exactly in both engines)
     "t_quantiles" -> ((s, dir) =>
@@ -4869,6 +4889,18 @@ object SparkEntry {
           |       ELSE 'tail' END AS ppl_bucket
           |FROM sc LEFT JOIN cuts c ON sc.lang = c.lang
           |ORDER BY sc.doc_id""".stripMargin,
+
+      // identical planted decomposed literal; nfc_normalize is utf8proc's
+      // implementation of the same normative Unicode algorithm as the
+      // JDK kernel — byte-for-byte agreement is the check
+      "t_normalize" ->
+        """WITH d AS (
+          |  SELECT doc_id, replace(text, ' merge ', ' café ﬁle merge ') AS t2 FROM documents)
+          |SELECT doc_id,
+          |  CAST(length(t2) AS BIGINT) AS len_raw,
+          |  CAST(length(nfc_normalize(t2)) AS BIGINT) AS len_nfc,
+          |  md5(nfc_normalize(t2)) AS nfc_md5
+          |FROM d ORDER BY doc_id""".stripMargin,
 
       "t_quantiles" ->
         """SELECT lang,

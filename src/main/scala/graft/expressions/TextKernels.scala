@@ -190,6 +190,48 @@ object WinnowUtil {
   }
 }
 
+/** Unicode normalization helper invoked from generated code. The
+  * already-normalized fast path (the overwhelming case — ASCII and
+  * precomposed web text) returns the input UTF8String without
+  * allocating; only texts that actually change pay the String
+  * round-trip. JDK `java.text.Normalizer` implements the Unicode
+  * standard algorithm, the same normative tables utf8proc/ICU follow —
+  * which is what lets a DuckDB `nfc_normalize` oracle check the engine
+  * byte-for-byte. */
+object NormalizeUtil {
+  def normalize(text: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, form)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
+  }
+}
+
+/** text → Unicode-normalized text (NFC/NFD/NFKC/NFKD). */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"unknown normalization form $form")
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NormalizeUtil.normalize(v.asInstanceOf[UTF8String],
+      java.text.Normalizer.Form.valueOf(form))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = graft.expressions.NormalizeUtil.normalize($t,
+         |  java.text.Normalizer.Form.$form);""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "unicode_normalize"
+}
+
 /** lowered text → array<string> of distinct winnowing fingerprints. */
 case class WinnowFingerprints(child: Expression, gramLen: Int, window: Int)
     extends UnaryExpression {
@@ -549,6 +591,10 @@ object TextKernels {
   /** md5-bit simhash hex fingerprint of a token-array column. */
   def simhashMd5(tokens: Column): Column =
     ColumnBridge.column(SimhashMd5(ColumnBridge.expression(tokens)))
+
+  /** Unicode-normalize a text column (form ∈ NFC/NFD/NFKC/NFKD). */
+  def unicodeNormalize(text: Column, form: String): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
 
   /** 64-bit xxhash64 simhash of a token-array column. */
   def simhashXx(tokens: Column): Column =

@@ -175,4 +175,42 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(2L) == ((1L, 0.0, 0.0, 0.0)))
     assert(r(3L) == ((4L, 3.0 / 4, 1.0 / 2, 1.0)))
   }
+
+  test("unicodeNormalize: NFC composes, NFKC folds compat chars, NFD round-trips, edges") {
+    val s = spark
+    import s.implicits._
+    import graft.expressions.TextKernels.unicodeNormalize
+    import org.apache.spark.sql.functions.col
+    val decomposed = "café"          // e + combining acute
+    val composed = "café"             // precomposed é
+    val df = Seq(
+      (1L, decomposed),
+      (2L, composed),
+      (3L, "ﬁle AＡ 2²"),    // ﬁ ligature, fullwidth Ａ, superscript ²
+      (4L, "plain ascii"),
+      (5L, "emoji 😀 stays"),    // non-BMP surrogate pair
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    def run(form: String) = df
+      .select(col("id"), unicodeNormalize(col("t"), form).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val nfc = run("NFC")
+    assert(nfc(1L).get == composed && nfc(2L).get == composed)
+    assert(nfc(3L).get == "ﬁle AＡ 2²",
+      "NFC must NOT fold compatibility characters")
+    assert(nfc(4L).get == "plain ascii" && nfc(5L).get == "emoji 😀 stays")
+    assert(nfc(6L).isEmpty, "null passes through")
+    val nfkc = run("NFKC")
+    assert(nfkc(3L).get == "file AA 22", "NFKC folds ﬁ/fullwidth/superscript")
+    // NFD decomposes; NFC of the NFD form returns to the composed form
+    val nfd = run("NFD")
+    assert(nfd(2L).get == decomposed)
+    val roundTrip = df.select(col("id"),
+        unicodeNormalize(unicodeNormalize(col("t"), "NFD"), "NFC").as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(roundTrip(1L).get == composed && roundTrip(2L).get == composed)
+    intercept[IllegalArgumentException] {
+      graft.expressions.UnicodeNormalize(null, "NFX")
+    }
+  }
 }
