@@ -556,6 +556,40 @@ object ScaleProbe {
           k = 40).count()
       }
 
+      // sentence-boundary chunking over n ~33-sentence docs: per-row
+      // RE2 segmentation explode + per-doc window cumsum + (doc, chunk)
+      // regroup — the two id-keyed shuffles are the whole cost
+      t("sentence_chunks_cap48") {
+        val sentenced = docs.withColumn("text",
+          concat_ws(". ", (0 until 32).map(j =>
+            pmod(xxhash64(col("id") * 32 + j), lit(5000)).cast("string")): _*))
+        graft.operators.Chunker.sentenceChunks(sentenced, "id", "text", 48)
+          .agg(sum(col("n_chunk_tokens"))).head.getLong(0)
+      }
+
+      // WebDataset tar layout plan over n docs in 32 shards: one
+      // per-shard window cumsum over (shard, id, bytes) — the seek
+      // index for n tar members
+      t("tar_layout_plan") {
+        graft.operators.Export.tarShardPlan(docs, "id", "text", 32)
+          .agg(max(col("offset"))).head.getLong(0)
+      }
+
+      // real ustar bytes for n/10 docs in 8 single-task shard tars —
+      // IO-bound: headers + padding roughly double the ~50 B payloads
+      t("tar_write_shards") {
+        val dir = s"/tmp/graft_tar_$n"
+        val m = graft.operators.Export.writeTarShards(
+          docs.filter(col("id") % 10 === 0), "id", "text", 8, dir)
+          .agg(sum(col("n_entries"))).head.getLong(0)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+        m
+      }
+
       // winnowing shared-passage pairs over n docs (codegen fingerprints,
       // ~2.len/window per doc; hot fingerprints cut by maxBucket)
       t("winnow_passage_pairs")(

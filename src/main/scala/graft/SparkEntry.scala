@@ -210,6 +210,19 @@ object SparkEntry {
           avg(col("c")).as("avg_size"), sum(col("c")).as("total"))),
 
     // ---- Extension: TPC-H Q1-style pricing summary (scale-test agg)
+    // ---- TPC-H Q6 (forecasting revenue change): pure scan → filter →
+    // one-row agg. The pushdown showcase — every predicate lands in the
+    // parquet scan (PlanSpec asserts PushedFilters), no join, no
+    // shuffle beyond the final partial-agg reduce
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dSum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"))),
+
     "q1_pricing_summary" -> ((s, dir) => {
       val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
       val charge = disc * (lit(1) + col("l_tax"))
@@ -3280,6 +3293,14 @@ object SparkEntry {
         """SELECT min(c) AS min_size, max(c) AS max_size, avg(c) AS avg_size,
           |CAST(sum(c) AS BIGINT) AS total
           |FROM (SELECT count(*) AS c FROM embeddings GROUP BY label) t""".stripMargin,
+
+      "q6_forecast_revenue" ->
+        s"""SELECT ${decSum("l_extendedprice * l_discount", 4)} AS revenue
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01'
+           |  AND l_discount BETWEEN CAST('0.05' AS DOUBLE) AND CAST('0.07' AS DOUBLE)
+           |  AND l_quantity < 24""".stripMargin,
 
       "q1_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,

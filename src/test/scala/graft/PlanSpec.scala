@@ -446,6 +446,17 @@ class PlanSpec extends SparkSpec {
       s"backoff model joins must be hash joins (stream side unsorted):\n$plan")
   }
 
+  test("q6: every predicate reaches the parquet scan as a pushed filter") {
+    val plan = SparkEntry.queries("q6_forecast_revenue")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters: ["))
+      .getOrElse(fail(s"no PushedFilters in q6 plan:\n$plan"))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed to the scan: $pushed")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q6 should reduce through a partial agg, no hash exchange:\n$plan")
+  }
+
   test("pipeline_rag: top-k is TakeOrdered, hydration joins broadcast the 10-row side") {
     val plan = SparkEntry.queries("pipeline_rag")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
