@@ -523,6 +523,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Classifier calibration (reliability table): the eval-ops
+    // pass after training a quality classifier — score the corpus, cut
+    // EXACT score deciles (order statistics, not sketches — the
+    // radix-selection passes), and report per-decile mass and observed
+    // positive rate. A well-calibrated classifier shows frac_pos
+    // monotone in decile; bins are on the raw logit (no exp/sigmoid —
+    // monotone, so identical bins, and no cross-libm exp risk)
+    "t_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = Classifier.train(docs, "doc_id", "text",
+        col("lang") === "en", ClassifierDim,
+        ClassifierTrainIters, ClassifierTrainLr)
+      val scored = docs.select(col("doc_id"), col("lang"),
+        TextFunctions.hashedLinearLogit(col("text"), ClassifierDim,
+          m.weights.toSeq, m.bias).as("logit"))
+      val cutsRow = Sketch.exactQuantilesDisc(scored, col("logit"),
+        (1 to 9).map(_ / 10.0)).head
+      val cuts = (0 until 9).map(i => cutsRow.getDouble(1 + i))
+      val decile = cuts.zipWithIndex.foldRight(lit(9)) { case ((c, i), acc) =>
+        when(col("logit") <= c, i).otherwise(acc)
+      }
+      scored.groupBy(decile.cast("long").as("decile"))
+        .agg(count(lit(1)).as("n"),
+          (dSum(col("logit"), 12) / count(lit(1)).cast("double"))
+            .as("mean_logit"),
+          (sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("frac_pos"))
+        .orderBy("decile")
+    }),
+
     // ---- DSIR importance weights (Xie et al. 2023): hashed-n-gram
     // bag-of-words log-ratio model λ learned in ONE corpus pass
     // (target = lang 'en' docs, raw = whole corpus; a conditional
@@ -2504,6 +2534,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Snapshot diff (dataset versioning): the delta report between
+    // two corpus generations — the "new" side is derived from the old
+    // with deterministic churn (removals %13, edits %7, additions
+    // shifted past the id range), so both engines diff identical
+    // snapshots; payloads collapse to md5 map-side and ONE id-equi
+    // full-outer join carries ~50 B/row regardless of document size
+    "corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [edited]"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 31 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      Crud.snapshotDiff(docs, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- Context-window chunking: 64-token windows, 16-token overlap
     "chunk_docs" -> ((s, dir) =>
       Chunker.chunk(Tables.documents(s, dir), "doc_id", "text",
@@ -3469,6 +3516,10 @@ object SparkEntry {
         classifierTrainScoreSql(ClassifierDim, ClassifierTrainIters,
           ClassifierTrainLr),
 
+      "t_calibration" ->
+        calibrationSql(ClassifierDim, ClassifierTrainIters,
+          ClassifierTrainLr),
+
       "layout_zorder" -> {
         val interleave = (0 until 16).flatMap(j => Seq(
           s"(((b0 >> $j) & 1) << ${2 * j})",
@@ -4394,6 +4445,28 @@ object SparkEntry {
            |  min(doc_id) AS min_id, max(doc_id) AS max_id,
            |  CAST(sum($hash32Sql) AS BIGINT) AS content_sum
            |FROM rh GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // full-outer md5 diff against the deterministically-churned twin
+      "corpus_diff" ->
+        """WITH newsnap AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+          |         ELSE text END AS text
+          |  FROM documents WHERE doc_id % 13 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 10000000 AS doc_id, text
+          |  FROM documents WHERE doc_id % 31 = 0),
+          |o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+          |n AS (SELECT doc_id, md5(text) AS new_md5 FROM newsnap),
+          |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |    old_md5, new_md5,
+          |    CASE WHEN old_md5 IS NULL THEN 'added'
+          |         WHEN new_md5 IS NULL THEN 'removed'
+          |         WHEN old_md5 <> new_md5 THEN 'changed'
+          |         ELSE 'unchanged' END AS status
+          |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          |SELECT doc_id, status, old_md5, new_md5 FROM j
+          |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
 
       // tar layout twin: same salted-hash shard, then pure 512-byte
       // block arithmetic under a per-shard running sum (strlen = UTF-8
@@ -5808,6 +5881,45 @@ object SparkEntry {
        |  FROM sc_hashed CROSS JOIN sc_w CROSS JOIN sc_b)
        |SELECT doc_id, logit, logit > 0 AS pred_keep FROM sc_scored
        |ORDER BY doc_id""".stripMargin
+
+  /** Calibration oracle: the classifier train+score replay, exact
+    * decile cutoffs by row_number order statistic, the same chained
+    * CASE binning, and per-decile decimal-routed means. */
+  private def calibrationSql(dim: Int, iters: Int, lr: Double): String = {
+    val cutDefs = (1 to 9).map(i =>
+      s"""max(CASE WHEN rn = greatest(1, CAST(ceil(CAST($i AS DOUBLE) / 10 * n) AS BIGINT)) THEN logit END) AS c$i""")
+      .mkString(",\n")
+    val caseBins = (1 to 9).map(i => s"WHEN logit <= c$i THEN ${i - 1}")
+      .mkString(" ")
+    s"""WITH ${classifierTrainCtes(dim, iters, lr)},
+       |sc_w AS (SELECT list(w ORDER BY b) AS wl FROM ct_w$iters WHERE b < $dim),
+       |sc_b AS (SELECT w AS bias FROM ct_w$iters WHERE b = $dim),
+       |sc_hashed AS (
+       |  SELECT doc_id, list_transform(list_transform(gs, g -> md5(g)),
+       |    m -> ($hash32Sql) % $dim) AS bs FROM grams),
+       |sc_scored AS (
+       |  SELECT doc_id, bias + list_reduce(
+       |    list_prepend(CAST('0.0' AS DOUBLE),
+       |      list_transform(bs, b -> wl[b + 1])),
+       |    (x, y) -> x + y) AS logit
+       |  FROM sc_hashed CROSS JOIN sc_w CROSS JOIN sc_b),
+       |scr AS (SELECT s.doc_id, s.logit, d.lang
+       |  FROM sc_scored s JOIN documents d USING (doc_id)),
+       |r AS (SELECT logit, row_number() OVER (ORDER BY logit) AS rn,
+       |  count(*) OVER () AS n FROM scr),
+       |cuts AS (SELECT
+       |$cutDefs
+       |FROM r),
+       |b AS (SELECT scr.logit, scr.lang,
+       |  CASE $caseBins ELSE 9 END AS decile
+       |  FROM scr CROSS JOIN cuts)
+       |SELECT CAST(decile AS BIGINT) AS decile,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${OracleSql.decSum("logit", 12)} / CAST(count(*) AS DOUBLE) AS mean_logit,
+       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS frac_pos
+       |FROM b GROUP BY decile ORDER BY decile""".stripMargin
+  }
 
   /** DuckDB replay of `Dsir.learn` + `Dsir.logWeight`: the grouped
     * raw/target bucket counts (one pass, target as a FILTER over the

@@ -65,4 +65,29 @@ object Crud {
     df.write.mode("overwrite").parquet(path)
   def restore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Snapshot DIFF — the dataset-versioning delta report between two
+    * corpus generations: every id that was added, removed, or whose
+    * payload content changed (md5 compare), with both content hashes
+    * for audit. Unchanged rows are dropped — the report is the delta,
+    * sized by churn, not by the corpus. ONE id-equi full-outer shuffle
+    * join of (id, md5) projections: payloads collapse to 32-hex hashes
+    * map-side, so the shuffle carries ~50 B/row regardless of document
+    * size — the 100 TB shape for release-to-release corpus audits. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"),
+      md5(col(payloadCol).cast("string")).as("old_md5"))
+    val n = newDf.select(col(idCol).as("__id"),
+      md5(col(payloadCol).cast("string")).as("new_md5"))
+    o.join(n, Seq("__id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("__id").as(idCol), col("status"),
+        col("old_md5"), col("new_md5"))
+  }
 }

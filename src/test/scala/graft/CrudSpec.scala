@@ -60,4 +60,26 @@ class CrudSpec extends SparkSpec {
     val r = Crud.restore(spark, dir)
     assert(r.count() == 3 && r.columns.toSeq == Seq("id", "v"))
   }
+
+  test("snapshotDiff: added/removed/changed classified; unchanged dropped; self-diff empty") {
+    val s = spark
+    import s.implicits._
+    val old_ = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "t")
+    val new_ = Seq((2L, "b"), (3L, "C!"), (4L, "d"), (9L, "z")).toDF("id", "t")
+    val d = Crud.snapshotDiff(old_, new_, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2)).isDefined,
+          Option(r.getString(3)).isDefined))).toMap
+    assert(d.keySet == Set(1L, 3L, 9L), "2 and 4 are unchanged — dropped")
+    assert(d(1L) == (("removed", true, false)))
+    assert(d(3L) == (("changed", true, true)))
+    assert(d(9L) == (("added", false, true)))
+    assert(Crud.snapshotDiff(old_, old_, "id", "t").count() == 0L)
+    // partitioning invariance
+    val a = Crud.snapshotDiff(old_.repartition(5), new_.coalesce(1), "id", "t")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = Crud.snapshotDiff(old_, new_, "id", "t")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
