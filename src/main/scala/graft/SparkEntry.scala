@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.{OracleSql, Tables}
+import graft.expressions.TextKernels
 import graft.functions.{HashingEmbedder, TextFunctions}
 import graft.functions.VectorFunctions._
 import graft.operators.{AsofJoin, Bloom, Bpe, Bq, ByteBpe, Chunker, Classifier, Contamination, Crud, Curation, Dedup, Diversity, Dsir, Export, Funnel, Hnsw, Ivf, IvfPq, Layout, LmScore, Lsh, MediaCodec, Multimodal, MultiVec, PageRank, Pca, Phrases, Pq, Profile, RangeJoin, Sampling, Search, Sessionize, Sketch, Sq, TextSearch, Triangles}
@@ -221,6 +222,27 @@ object SparkEntry {
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
         .agg(dSum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"))),
+
+    // ---- TPC-H Q19 shape (adapted to the trimmed part schema): the
+    // disjunctive-pushdown showcase — revenue under an OR of three
+    // (brand, size-band, quantity-band) conjunct groups. Catalyst
+    // extracts the per-side residuals of the disjunction (the brand/size
+    // OR-chain reaches the part scan, the quantity OR-chain the lineitem
+    // scan) so both scans prune before the join; the join itself is a
+    // plain partkey equi-join AQE sizes at runtime (no hints — part is
+    // SF-scaled, the round-8 lesson).
+    "q19_promo_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
           .as("revenue"))),
 
     "q1_pricing_summary" -> ((s, dir) => {
@@ -1031,6 +1053,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Text analysis: character-level Shannon entropy (the
+    // gibberish / keyboard-mash / binary-spill quality signal — near 0
+    // for repeated chars, ~log|alphabet| for uniform noise, prose in a
+    // narrow band between). The codegen CharEntropy kernel computes the
+    // per-doc code-point histogram in a per-row TreeMap and folds
+    // Σ c·ln(c) in ascending code-point order — one linear pass riding
+    // the scan, where the SQL formulation shuffles ~n_chars (doc, char)
+    // rows; the oracle pays that shuffle to replay the identical IEEE
+    // sequence (see EntropyUtil's determinism contract).
+    "t_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_cp"),
+          TextKernels.charEntropy(col("text")).as("h_nats"))
+        .withColumn("h_bits", col("h_nats") / lit(0.6931471805599453))
+        .orderBy("doc_id")),
+
     // ---- Text analysis: Gopher-style repetition signals (word-level
     // dup fractions + top-bigram coverage; per-row scan, no shuffle)
     "t_repetition" -> ((s, dir) => {
@@ -1395,6 +1434,60 @@ object SparkEntry {
     }),
 
     // ---- E2 + O2: text-query search over hashed embeddings, end-to-end
+    // ---- Per-label centroids + inter-class margins (embedding-space
+    // diagnostics: how separable are the labels a classifier will be
+    // asked to learn): ONE posexplode pass → (label, dim) exact means
+    // (labels × 64 cells, map-side combined), then the labels² × 64
+    // pairwise-distance fold runs DRIVER-side on the bounded centroid
+    // table — the corpus is scanned once. Margin = L2 distance to the
+    // nearest OTHER label's centroid.
+    //
+    // Determinism: components are quantized to the 2^-20 grid
+    // (round(v·2^20) — a tie v·2^20 = k+.5 requires exactly 21
+    // fractional binary digits and both engines round it away from
+    // zero) and summed as exact BIGINTs, so the per-cell sum is
+    // order-independent with NO decimal cast anywhere. A raw
+    // double→DECIMAL route is a trap here: real float32 data contains
+    // values like 0.1983642578125 whose decimal expansion terminates
+    // in a 5 exactly at the rounding digit, and Spark rounds decimal
+    // casts HALF_UP while DuckDB rounds half-to-even — 1-ulp sum
+    // divergence. The 5e-7 quantization error is orders below any
+    // meaningful class margin. Mean = (S/2^20)/n as two IEEE divides
+    // both engines execute identically.
+    "e_label_margins" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val means = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(sum(round(col("v").cast("double") * lit(1048576.0))
+            .cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / 1048576.0 / r.getLong(3).toDouble)
+        }
+      val counts = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val labels = means.keys.toSeq.sorted
+      val out = labels.map { a =>
+        val best = labels.filter(_ != a).map { b =>
+          // ascending-dim left fold from 0.0 — the list_reduce order
+          var d2 = 0.0
+          val (ma, mb) = (means(a), means(b))
+          var i = 0
+          while (i < ma.length) {
+            val d = ma(i) - mb(i); d2 += d * d; i += 1
+          }
+          (d2, b)
+        }.min
+        (a, counts(a), best._2, math.sqrt(best._1))
+      }
+      import s.implicits._
+      out.toDF("label", "n_vecs", "nearest_label", "margin")
+        .orderBy("label")
+    }),
+
     // ---- Embedding PCA by power iteration (the common-direction
     // analysis behind All-but-the-Top, Mu & Viswanath ICLR'18): the
     // corpus pays ONE decimal-routed second-moment aggregation (map-
@@ -1779,6 +1872,48 @@ object SparkEntry {
       Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "event_id",
           "value", gapMicros = 8L * 3600 * 1000000)
         .orderBy("user_id", "session_id")),
+
+    // ---- SCD2 effective-dating: collapse each user's event stream to
+    // its event_type CHANGE POINTS and date each state
+    // [valid_from, valid_to) by the next change (open-ended current
+    // state flagged). The dimension-table versioning pattern a warehouse
+    // builds from a change log. Two windows, both partitioned by
+    // user_id — one shuffle on the user key, nothing corpus-global;
+    // (ts, event_id) ordering makes the trajectory deterministic under
+    // duplicate timestamps, and null-safe inequality keeps a null state
+    // from silently merging with its neighbours.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .filter(!(col("__prev") <=> col("event_type")))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy("user_id", "valid_from_us")
+    }),
+
+    // ---- k-anonymity suppression: publish per-(lang, source) corpus
+    // stats only for groups with ≥ k members; smaller groups roll up
+    // into one '__other__' bucket instead of leaking a re-identifiable
+    // small-population row. Two aggregations — the second over the
+    // already-bounded group table — all-integer, exact.
+    "q_kanon_suppress" -> ((s, dir) => {
+      val k = 10
+      val g = Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("char_mass"))
+      g.select(
+          when(col("n_docs") >= k, col("lang")).otherwise("__other__").as("lang"),
+          when(col("n_docs") >= k, col("source")).otherwise("__other__").as("source"),
+          col("n_docs"), col("char_mass"))
+        .groupBy("lang", "source")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("char_mass")).as("char_mass"),
+          count(lit(1)).cast("long").as("n_groups"))
+        .orderBy("lang", "source")
+    }),
 
     // ---- Skew-mitigation pattern: two-stage salted aggregation — a hot
     // key splits across 16 deterministic salt shards in stage 1 (map-side
@@ -3349,6 +3484,16 @@ object SparkEntry {
            |  AND l_discount BETWEEN CAST('0.05' AS DOUBLE) AND CAST('0.07' AS DOUBLE)
            |  AND l_quantity < 24""".stripMargin,
 
+      "q19_promo_revenue" ->
+        s"""SELECT ${decSum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           |       AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           |       AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
       "q1_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
            |${decSum("l_quantity")} AS sum_qty,
@@ -3519,6 +3664,37 @@ object SparkEntry {
       "t_calibration" ->
         calibrationSql(ClassifierDim, ClassifierTrainIters,
           ClassifierTrainLr),
+
+      // (label, dim) exact integer-grid means (2^-20 quantization — see
+      // the query comment for why decimal casts are a half-up-vs-half-
+      // even trap on float32 data), pairwise ascending-dim list_reduce
+      // distance folds, nearest by (d2, label)
+      "e_label_margins" ->
+        """WITH e AS (
+          |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+          |    unnest(embedding) AS v
+          |  FROM embeddings),
+          |m AS (
+          |  SELECT label, dim,
+          |    CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT))
+          |        AS DOUBLE) / 1048576.0
+          |      / CAST(count(*) AS DOUBLE) AS m
+          |  FROM e GROUP BY label, dim),
+          |nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+          |  FROM embeddings GROUP BY label),
+          |p AS (
+          |  SELECT a.label AS la, b.label AS lb,
+          |    list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+          |      list((a.m - b.m) * (a.m - b.m) ORDER BY a.dim)),
+          |      (x, y) -> x + y) AS d2
+          |  FROM m a JOIN m b ON a.dim = b.dim AND a.label <> b.label
+          |  GROUP BY a.label, b.label),
+          |sel AS (SELECT la, lb, d2,
+          |  row_number() OVER (PARTITION BY la ORDER BY d2, lb) AS rn FROM p)
+          |SELECT nv.label, nv.n_vecs, sel.lb AS nearest_label,
+          |  sqrt(sel.d2) AS margin
+          |FROM nv JOIN sel ON nv.label = sel.la AND sel.rn = 1
+          |ORDER BY nv.label""".stripMargin,
 
       "layout_zorder" -> {
         val interleave = (0 until 16).flatMap(j => Seq(
@@ -4269,6 +4445,29 @@ object SparkEntry {
       // word-level repetition twins of TextFunctions.repetitionSignals;
       // same tokenization as the jaccard grams (regex whitespace split on
       // lowered text), integer-count arithmetic cast to double at the end
+      // per-(doc, code point) exact counts, ascending-code-point
+      // list_reduce fold of c·ln(c) (binary collation ≡ code-point
+      // order), then the fixed ln(n) − acc/n IEEE chain
+      "t_entropy" ->
+        """WITH e AS (
+          |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+          |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          |c AS (
+          |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+          |  FROM e GROUP BY doc_id, ch),
+          |s AS (
+          |  SELECT doc_id,
+          |    list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+          |      list(c * ln(c) ORDER BY ch)), (x, y) -> x + y) AS acc,
+          |    CAST(sum(CAST(c AS BIGINT)) AS DOUBLE) AS n
+          |  FROM c GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_cp,
+          |  ln(s.n) - s.acc / s.n AS h_nats,
+          |  (ln(s.n) - s.acc / s.n) / CAST('0.6931471805599453' AS DOUBLE)
+          |    AS h_bits
+          |FROM documents d JOIN s ON d.doc_id = s.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
       "t_repetition" ->
         """WITH toks AS (
           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -4676,6 +4875,37 @@ object SparkEntry {
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
           |count(DISTINCT l_suppkey) AS n_supps
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      // change points via null-safe lag inequality, then the dating
+      // window over the filtered change stream only
+      "q_scd2" ->
+        """WITH m AS (
+          |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+          |  FROM events),
+          |c AS (
+          |  SELECT user_id, event_type, event_id, us FROM m
+          |  WHERE prev IS DISTINCT FROM event_type)
+          |SELECT user_id, event_type, CAST(us AS BIGINT) AS valid_from_us,
+          |  CAST(lead(us) OVER (PARTITION BY user_id
+          |    ORDER BY us ASC, event_id ASC) AS BIGINT) AS valid_to_us,
+          |  lead(us) OVER (PARTITION BY user_id
+          |    ORDER BY us ASC, event_id ASC) IS NULL AS is_current
+          |FROM c ORDER BY user_id, valid_from_us""".stripMargin,
+
+      "q_kanon_suppress" ->
+        """WITH g AS (
+          |  SELECT lang, source, count(*) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS char_mass
+          |  FROM documents GROUP BY lang, source)
+          |SELECT
+          |  CASE WHEN n_docs >= 10 THEN lang ELSE '__other__' END AS lang,
+          |  CASE WHEN n_docs >= 10 THEN source ELSE '__other__' END AS source,
+          |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          |  CAST(sum(char_mass) AS BIGINT) AS char_mass,
+          |  CAST(count(*) AS BIGINT) AS n_groups
+          |FROM g GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
       "events_sessionize" ->
         s"""WITH m AS (

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shingling helper invoked from generated code (one static call per row
@@ -230,6 +230,69 @@ case class UnicodeNormalize(child: Expression, form: String)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "unicode_normalize"
+}
+
+/** Character-level Shannon entropy helper (see [[CharEntropy]]).
+  *
+  * Determinism contract (what lets a DuckDB oracle replay the double
+  * bit-for-bit): counts are per UNICODE CODE POINT (surrogate pairs are
+  * one symbol — the same unit DuckDB's `string_split(text, '')`
+  * produces), the Σ c·ln(c) fold runs in ASCENDING code-point order
+  * (TreeMap iteration here ≡ SQL `ORDER BY ch` under binary collation,
+  * since UTF-8 byte order is code-point order), starts from 0.0, and
+  * every term is a pure function of an exact integer count — so the
+  * whole chain is a fixed IEEE sequence both engines execute
+  * identically (ln is the platform libm both engines call, the
+  * `sample_weighted` precedent). */
+object EntropyUtil {
+  /** H(text) in nats: ln(n) − (Σ_chars c·ln(c))/n over code-point
+    * counts c; 0.0 for empty text (callers filter, but never NaN). */
+  def charEntropyNats(text: UTF8String): Double = {
+    val s = text.toString
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0.0
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      acc += c * Math.log(c)
+    }
+    Math.log(n.toDouble) - acc / n.toDouble
+  }
+}
+
+/** text → character-level Shannon entropy in nats — the
+  * gibberish / keyboard-mash / binary-spill quality signal (near-zero
+  * for `aaaa…`, ≈ log|alphabet| for uniform noise; real prose sits in
+  * a narrow band between). One linear pass per row riding the scan —
+  * no explode, no shuffle: the (doc, char) histogram a SQL formulation
+  * would shuffle ~n_chars rows for stays in a per-row TreeMap. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    EntropyUtil.charEntropyNats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.EntropyUtil.charEntropyNats($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_entropy"
 }
 
 /** lowered text → array<string> of distinct winnowing fingerprints. */
@@ -595,6 +658,10 @@ object TextKernels {
   /** Unicode-normalize a text column (form ∈ NFC/NFD/NFKC/NFKD). */
   def unicodeNormalize(text: Column, form: String): Column =
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
+
+  /** Character-level Shannon entropy (nats) of a text column. */
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 
   /** 64-bit xxhash64 simhash of a token-array column. */
   def simhashXx(tokens: Column): Column =

@@ -213,4 +213,38 @@ class TextFunctionsSpec extends SparkSpec {
       graft.expressions.UnicodeNormalize(null, "NFX")
     }
   }
+
+  test("charEntropy: degenerate/uniform/known values, code-point units, null") {
+    val s = spark
+    import s.implicits._
+    import graft.expressions.TextKernels.charEntropy
+    val df = Seq(
+      (1L, "aaaaaaaa"),          // one symbol → H = 0 exactly
+      (2L, "abababab"),          // two equiprobable → H = ln 2 exactly
+      (3L, "abcd"),              // four distinct → H = ln 4
+      (4L, ""),                  // empty → 0.0 (never NaN)
+      (5L, "😀😀🎉🎉"),          // surrogate pairs: 4 code points, 2 symbols
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val h = df.select(col("id"), charEntropy(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(h(1L).get == 0.0)
+    // bit-exact against the kernel's own IEEE chain (≈ ln 2 within 1 ulp)
+    val ab = 4.0 * Math.log(4.0)
+    assert(h(2L).get == Math.log(8.0) - (0.0 + ab + ab) / 8.0)
+    assert(math.abs(h(2L).get - Math.log(2.0)) < 1e-15)
+    assert(math.abs(h(3L).get - Math.log(4.0)) < 1e-15)
+    assert(h(4L).get == 0.0)
+    // counted per CODE POINT: 4 symbols, 2 distinct, equiprobable → ln 2.
+    // A UTF-16 code-unit counter would see 8 units and 4 distinct halves.
+    val e2 = 2.0 * Math.log(2.0)
+    assert(h(5L).get == Math.log(4.0) - (0.0 + e2 + e2) / 4.0)
+    assert(math.abs(h(5L).get - Math.log(2.0)) < 1e-15)
+    assert(h(6L).isEmpty, "null passes through")
+    // prose sits strictly between the degenerate poles
+    val prose = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "t").select(charEntropy(col("t"))).head.getDouble(0)
+    assert(prose > 2.0 && prose < Math.log(44.0))
+  }
 }
