@@ -112,6 +112,40 @@ object SparkEntry {
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)),
 
+    // ---- O2 variant: MMR diversity rerank (Carbonell-Goldstein '98) —
+    // exact top-30 cosine candidates (TakeOrderedAndProject heap, no
+    // corpus shuffle), then the greedy λ·rel − (1−λ)·maxsim selection
+    // driver-side over the bounded candidate set. The rerank every
+    // near-duplicate-heavy RAG corpus needs: plain top-k returns ten
+    // copies of the best passage, MMR one plus nine complements.
+    "o2_knn_mmr" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir)
+        .filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toArray
+      Diversity.mmrRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
+        q, nCandidates = 30, k = 8, lambda = 0.5)
+    }),
+
+    // ---- O6 tier: Matryoshka funnel search (Kusupati '22 MRL) — stage
+    // 1 ranks by L2 over the FIRST 16 dims only (the nested-prefix
+    // property MRL training grants; 4× less arithmetic and memory
+    // traffic per row at scale), stage 2 reranks the 50 survivors with
+    // the full 64-dim distance. Both stages exact and deterministic —
+    // unlike the quantized tiers this one needs no recall twin; the
+    // oracle replays the whole funnel.
+    "o6_matryoshka_rerank" -> ((s, dir) => {
+      val pre = withQuery(s, dir)
+        .select(col("vec_id"), col("embedding"), col("qe"),
+          l2(slice(col("embedding"), 1, 16), slice(col("qe"), 1, 16))
+            .as("pdist"))
+        .orderBy(col("pdist").asc, col("vec_id").asc)
+        .limit(50)
+      pre.select(col("vec_id"), col("pdist"),
+          l2(col("embedding"), col("qe")).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // ---- O2 variant: maximum-inner-product search (MIPS) — top-k by
     // dot product descending, the retrieval metric of dual-encoder /
     // recommendation stacks where magnitude carries signal. Same
@@ -244,6 +278,78 @@ object SparkEntry {
             col("l_quantity").between(20, 30)))
         .agg(dSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
           .as("revenue"))),
+
+    // ---- TPC-H Q4 (order-priority checking, adapted to the trimmed
+    // lineitem schema: "late" = shipped > 90 days after the order date
+    // — the reference's commitdate/receiptdate pair isn't in the
+    // testdata). The EXISTS showcase: a LEFT SEMI join on the orderkey
+    // equi-pair with the lateness predicate as the join residual —
+    // orders rows dedup at the join (no post-join distinct), lineitem
+    // carries only (l_orderkey, l_shipdate) through the shuffle, and
+    // the 6-month o_orderdate window prunes the probe side at the scan.
+    // Both sides SF-scaled → no hints, AQE picks the physical join.
+    "q4_order_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '90' DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- TPC-H Q18 (large-volume customers): the HAVING-subquery
+    // showcase — aggregate lineitem per order (map-side-combinable
+    // decimal sum), keep the >300-quantity tail (at most a few rows per
+    // million orders survive, so the join back to orders/customer is a
+    // tiny probe side AQE broadcasts at runtime), hydrate the report,
+    // deterministic (o_totalprice DESC, o_orderkey) top-100.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir).groupBy("l_orderkey")
+        .agg(dSum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // ---- TPC-H Q21 (suppliers who kept orders waiting, adapted:
+    // "late" = shipped > 90 days after the order date). The combined
+    // EXISTS + NOT EXISTS showcase: late lines LEFT SEMI self-join
+    // against all lines (another supplier exists in the order) then
+    // LEFT ANTI against late lines (no OTHER supplier was late) — all
+    // three joins equi on l_orderkey, so a cluster co-partitions one
+    // shuffle and reuses it; projections carry 3 columns per row.
+    // Supplier hydration joins AFTER the per-supplier count collapses
+    // the fan-in to |suppliers| rows.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '90' DAY"))
+        .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+      val others = li.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+      val lateOthers = late.select(col("lo").as("lo3"), col("ls").as("ls3"))
+      late
+        .join(others, col("lo") === col("lo2") && col("ls") =!= col("ls2"),
+          "left_semi")
+        .join(lateOthers, col("lo") === col("lo3") && col("ls") =!= col("ls3"),
+          "left_anti")
+        .groupBy("ls").agg(count(lit(1)).as("numwait"))
+        .join(Tables.supplier(s, dir), col("ls") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
 
     "q1_pricing_summary" -> ((s, dir) => {
       val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -3405,6 +3511,19 @@ object SparkEntry {
         s"""$cte SELECT e.vec_id AS vec_id, ${cosineDistance("e.embedding", "q.qe")} AS dist
            |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
+      "o2_knn_mmr" -> mmrSql(30, 8),
+
+      // 16-dim prefix funnel, then the full-dim rerank of the 50
+      // survivors — both stages exact, ties (dist, vec_id)
+      "o6_matryoshka_rerank" ->
+        s"""$cte, pre AS (
+           |  SELECT e.vec_id AS vec_id, e.embedding AS embedding, q.qe AS qe,
+           |    ${l2("e.embedding", "q.qe", 16)} AS pdist
+           |  FROM embeddings e CROSS JOIN q
+           |  ORDER BY pdist ASC, vec_id ASC LIMIT 50)
+           |SELECT vec_id, pdist, ${l2("embedding", "qe")} AS dist
+           |FROM pre ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
       "o2_knn_dot" ->
         s"""$cte SELECT e.vec_id AS vec_id, ${dot("e.embedding", "q.qe")} AS score
            |FROM embeddings e CROSS JOIN q ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
@@ -3493,6 +3612,43 @@ object SparkEntry {
            |       AND l_quantity BETWEEN 10 AND 20)
            |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
            |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+      "q18_large_orders" ->
+        s"""WITH big AS (
+           |  SELECT l_orderkey, ${decSum("l_quantity")} AS total_qty
+           |  FROM lineitem GROUP BY l_orderkey
+           |  HAVING ${decSum("l_quantity")} > 300)
+           |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           |       total_qty
+           |FROM orders JOIN big ON o_orderkey = l_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+      "q21_waiting_supplier" ->
+        """WITH late AS (
+          |  SELECT l_orderkey AS lo, l_suppkey AS ls
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE o_orderstatus = 'F'
+          |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY),
+          |w AS (
+          |  SELECT lo, ls FROM late l1
+          |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+          |                WHERE l2.l_orderkey = l1.lo AND l2.l_suppkey <> l1.ls)
+          |    AND NOT EXISTS (SELECT 1 FROM late l3
+          |                    WHERE l3.lo = l1.lo AND l3.ls <> l1.ls))
+          |SELECT s_name, count(*) AS numwait
+          |FROM w JOIN supplier ON ls = s_suppkey
+          |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
 
       "q1_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -6851,6 +7007,45 @@ object SparkEntry {
     * ([[graft.core.OracleSql.l2]]), min-id seed and ascending-id
     * tie-break mirror `Diversity.kCenter` — so the whole 8-round
     * trajectory replays bit-exactly. */
+  /** MMR rerank oracle: exact top-`c` cosine candidates, then `k`
+    * unrolled greedy rounds — round i picks argmax(λ·rel − (1−λ)·ms)
+    * with (score DESC, id ASC) ties, and the next round's remaining
+    * set updates ms through `greatest` exactly as the driver's
+    * `Math.max` accumulation. λ = 0.5 as a string-cast double literal
+    * (the bare-decimal trap, OracleSql scaladoc). */
+  private def mmrSql(c: Int, k: Int): String = {
+    val L = "CAST('0.5' AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= OracleSql.queryCte(QueryVecId)
+    sb ++= s""",
+      |cand AS (
+      |  SELECT e.vec_id AS id, e.embedding AS emb,
+      |    ${OracleSql.cosineSim("e.embedding", "q.qe")} AS rel
+      |  FROM embeddings e CROSS JOIN q
+      |  ORDER BY rel DESC, id ASC LIMIT $c),
+      |m1 AS (SELECT id, emb, rel, $L * rel AS score FROM cand
+      |       ORDER BY rel DESC, id ASC LIMIT 1),
+      |r1 AS (SELECT c.id, c.emb, c.rel,
+      |    ${OracleSql.cosineSim("c.emb", "m1.emb")} AS ms
+      |  FROM cand c CROSS JOIN m1 WHERE c.id <> m1.id)""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s""",
+        |m$i AS (SELECT id, emb, rel, ms, $L * rel - $L * ms AS score
+        |  FROM r${i - 1} ORDER BY score DESC, id ASC LIMIT 1)""".stripMargin
+      if (i < k)
+        sb ++= s""",
+          |r$i AS (SELECT r.id, r.emb, r.rel,
+          |    greatest(r.ms, ${OracleSql.cosineSim("r.emb", s"m$i.emb")}) AS ms
+          |  FROM r${i - 1} r CROSS JOIN m$i WHERE r.id <> m$i.id)""".stripMargin
+    }
+    sb ++= "\nSELECT mmr_rank, id AS vec_id, rel, score FROM (\n"
+    sb ++= "SELECT CAST(1 AS BIGINT) AS mmr_rank, id, rel, score FROM m1"
+    for (i <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT CAST($i AS BIGINT), id, rel, score FROM m$i"
+    sb ++= ") ORDER BY mmr_rank"
+    sb.toString
+  }
+
   private def kcenterCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH s AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),\n"

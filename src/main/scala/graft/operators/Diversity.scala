@@ -110,4 +110,89 @@ object Diversity {
           element_at(typedLit(centers.map(_._2.toSeq).toSeq), col("__ci") + 1)))
       .drop("__ci", embCol)
   }
+
+  /** Driver mirror of [[FloatKernels.dot]]: acc ← acc + (double)aᵢ·(double)bᵢ
+    * sequentially from 0.0 — the bit-exactness of [[mmrRerank]]'s greedy
+    * trajectory against the distributed stage and the oracle rests on
+    * this being the SAME IEEE sequence. */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Driver mirror of `VectorFunctions.cosine`: dot/(‖a‖·‖b‖). */
+  private def cosD(a: Array[Float], b: Array[Float]): Double =
+    dotD(a, b) / (Math.sqrt(dotD(a, a)) * Math.sqrt(dotD(b, b)))
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    * SIGIR'98): from the exact top-`nCandidates` by cosine similarity
+    * to `query`, greedily select `k` results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — the relevance/diversity
+    * trade every RAG retriever and search-results page wants when the
+    * corpus is near-duplicate-heavy (plain top-k returns ten copies of
+    * the same passage; MMR returns one plus nine complements).
+    *
+    * Output: `(mmr_rank, vec_id, rel, score)` in selection order —
+    * `score` is the selection-time MMR objective (the seed's is λ·rel:
+    * max over the empty selected set is 0).
+    *
+    * Scale: the distributed stage is the exact top-C cosine cut — a
+    * TakeOrderedAndProject per-partition heap, no corpus shuffle, and
+    * at larger scale any ANN tier ([[Ivf]]/[[Lsh]]/[[Hnsw]]) can
+    * supply the candidates instead. The greedy loop runs DRIVER-side
+    * over the C collected candidates (C × dim floats, k·C cosines) —
+    * MMR is inherently sequential in k and C is a result-page-sized
+    * constant, not a corpus fraction.
+    *
+    * Determinism: candidate cut breaks ties (rel DESC, id ASC); each
+    * round's argmax breaks score ties on ascending id; all driver
+    * cosines replay [[FloatKernels.dot]]'s sequential fold bit-for-bit
+    * ([[dotD]]), and `ms` accumulates through `Math.max` exactly as the
+    * oracle's `greatest` chain — the whole trajectory replays in
+    * unrolled SQL. NaN rel (zero vectors) sorts first in both engines;
+    * callers with zero vectors filter upstream. */
+  def mmrRerank(df: DataFrame, idCol: String, embCol: String,
+                query: Array[Float], nCandidates: Int, k: Int,
+                lambda: Double = 0.5): DataFrame = {
+    require(nCandidates >= 1 && k >= 1 && k <= nCandidates,
+      s"need 1 <= k <= nCandidates, got k=$k nCandidates=$nCandidates")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qlit = typedLit(query.toSeq)
+    val rel = FloatKernels.dot(col("emb"), qlit) /
+      (sqrt(FloatKernels.dot(col("emb"), col("emb"))) *
+        sqrt(FloatKernels.dot(qlit, qlit)))
+    val cand = df.select(col(idCol).cast("long").as("id"),
+        col(embCol).as("emb"))
+      .filter(col("id").isNotNull && col("emb").isNotNull)
+      .select(col("id"), col("emb"), rel.as("rel"))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(nCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+
+    val lc = 1.0 - lambda
+    // remaining candidates with their running max-sim-to-selected
+    var rest = cand.toBuffer
+    val ms = scala.collection.mutable.Map.empty[Long, Double]
+    val out = Vector.newBuilder[(Long, Long, Double, Double)]
+    var rank = 1L
+    while (rank <= k && rest.nonEmpty) {
+      val scored = rest.map { case (id, emb, r) =>
+        val s = if (rank == 1L) lambda * r else lambda * r - lc * ms(id)
+        (id, emb, r, s)
+      }
+      val pick = scored.minBy { case (id, _, _, s) => (-s, id) }
+      out += ((rank, pick._1, pick._3, pick._4))
+      rest = rest.filterNot(_._1 == pick._1)
+      rest.foreach { case (id, emb, _) =>
+        val sim = cosD(emb, pick._2)
+        ms(id) = if (rank == 1L) sim else Math.max(ms(id), sim)
+      }
+      rank += 1L
+    }
+    out.result().toDF("mmr_rank", "vec_id", "rel", "score")
+  }
 }

@@ -84,6 +84,95 @@ class DiversitySpec extends SparkSpec {
       .count() == 0)
   }
 
+  /** Driver-local MMR reference: exact top-c cosine candidates, then
+    * the greedy λ·rel − (1−λ)·maxsim loop with (score DESC, id ASC)
+    * ties — same IEEE fold order as the operator. */
+  private def localMmr(rows: Seq[(Long, Array[Float])], q: Array[Float],
+                       c: Int, k: Int, lambda: Double): Seq[(Long, Long)] = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    var rest = rows.map { case (id, e) => (id, e, cos(e, q)) }
+      .sortBy(r => (-r._3, r._1)).take(c).toBuffer
+    val ms = scala.collection.mutable.Map.empty[Long, Double]
+    var out = Vector.empty[(Long, Long)]
+    var rank = 1L
+    while (rank <= k && rest.nonEmpty) {
+      val pick = rest.map { case (id, e, r) =>
+        val s = if (rank == 1L) lambda * r else lambda * r - (1 - lambda) * ms(id)
+        (id, e, s)
+      }.minBy(t => (-t._3, t._1))
+      out :+= ((rank, pick._1))
+      rest = rest.filterNot(_._1 == pick._1)
+      rest.foreach { case (id, e, _) =>
+        val sim = cos(e, pick._2)
+        ms(id) = if (rank == 1L) sim else math.max(ms(id), sim)
+      }
+      rank += 1L
+    }
+    out
+  }
+
+  test("mmrRerank: near-duplicate-heavy corpus — one copy of the best cluster plus complements") {
+    val s = spark
+    import s.implicits._
+    // 5 mutual near-copies (ids 0-4: rel≈0.9, pairwise sim≈1 — NOT
+    // aligned with q, so the redundancy penalty bites) and 5 mutually
+    // diverse complements (ids 10-14: rel=0.8, sim-to-copy≈0.72).
+    // Plain top-3 by relevance = three copies; MMR at λ=0.5 = one copy
+    // (0.5·0.9−0.5·1 = −0.05) then complements (0.5·0.8−0.5·0.72 = +0.04).
+    val q = Array.tabulate(8)(j => if (j == 0) 1f else 0f)
+    val copies = (0L until 5L).map(i =>
+      (i, Array.tabulate(8)(j =>
+        if (j == 0) 0.9f else if (j == 7) 0.436f + i * 0.0001f else 0f)))
+    val comps = (10L until 15L).map(i =>
+      (i, Array.tabulate(8)(j =>
+        if (j == 0) 0.8f else if (j == (i - 9).toInt) 0.6f else 0f)))
+    val out = Diversity.mmrRerank(toDF(copies ++ comps), "id", "embedding",
+        q, nCandidates = 10, k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(out.length == 3)
+    val picked = out.map(_.getLong(1)).toSeq
+    assert(picked.head < 5L, s"rank-1 must be a copy: $picked")
+    assert(picked.tail.forall(_ >= 10L),
+      s"ranks 2-3 must be complements, not more copies: $picked")
+    // rel column is the cosine to the query; score non-increasing is NOT
+    // guaranteed across rounds (ms grows), but rank-1 score = λ·rel
+    assert(out(0).getDouble(3) == 0.5 * out(0).getDouble(2))
+  }
+
+  test("mmrRerank: matches the driver-local greedy reference; λ=1 is plain top-k") {
+    val rows = corpus(300, 16)
+    val q = rows(7)._2
+    val got = Diversity.mmrRerank(toDF(rows), "id", "embedding", q, 40, 10, 0.5)
+      .orderBy("mmr_rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == localMmr(rows, q, 40, 10, 0.5))
+    // λ=1: diversity term vanishes → selection order is relevance order
+    val flat = Diversity.mmrRerank(toDF(rows), "id", "embedding", q, 40, 10, 1.0)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    val topk = localMmr(rows, q, 40, 10, 1.0).map(_._2)
+    assert(flat == topk)
+    // partition invariance of the candidate cut
+    val got5 = Diversity.mmrRerank(toDF(rows).repartition(5), "id", "embedding",
+      q, 40, 10, 0.5).orderBy("mmr_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got5 == got)
+  }
+
+  test("mmrRerank: k > candidate pool stops early; bad args rejected") {
+    val rows = corpus(6, 8)
+    val out = Diversity.mmrRerank(toDF(rows), "id", "embedding",
+      rows.head._2, nCandidates = 6, k = 6, lambda = 0.3)
+    assert(out.count() == 6)
+    intercept[IllegalArgumentException] {
+      Diversity.mmrRerank(toDF(rows), "id", "embedding", rows.head._2, 5, 9)
+    }
+  }
+
   test("assignToCenters: rows go to their true nearest center; centers cover themselves") {
     val rows = corpus(100, 8)
     val centersDf = Diversity.kCenter(toDF(rows), "id", "embedding", 4)
