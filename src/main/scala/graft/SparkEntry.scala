@@ -146,6 +146,68 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- Training-data op: hard-negative mining (the contrastive /
+    // dual-encoder training staple — for each anchor, the top-k
+    // HIGHEST-similarity wrong-label candidates; DPR/Karpukhin '20 §4.2
+    // "hard negatives"). Anchor batch broadcasts (rows × dim floats),
+    // the corpus is scanned ONCE with the label-mismatch filter riding
+    // the join residual, and the literal-k rank cut compiles to a
+    // partial WindowGroupLimit below the per-anchor exchange — each map
+    // task forwards ≤ k rows per anchor, so the shuffle carries
+    // O(anchors × k × tasks), not the corpus. At 100 TB the anchor
+    // batch is the training batch (thousands), still broadcast-sized.
+    "sample_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("ae"),
+          col("label").as("alabel"))
+      val w = Window.partitionBy("anchor_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      emb.join(broadcast(anchors), col("label") =!= col("alabel"))
+        .select(col("anchor_id"), col("vec_id"),
+          col("label").cast("long").as("label"),
+          cosine(col("embedding"), col("ae")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy("anchor_id", "rank")
+    }),
+
+    // ---- Eval-ops: retrieval-quality evaluation (recall@10 + MRR@10
+    // of one retriever against another's ground truth — the offline
+    // eval loop every retrieval stack runs before swapping rankers).
+    // Here: dot-product retrieval scored against exact-cosine truth,
+    // both exact and deterministic so the whole eval replays in SQL.
+    // ONE corpus scan computes both scores; two per-anchor literal-k
+    // rank cuts (partial WindowGroupLimit — map tasks forward ≤ k rows
+    // per anchor); the metric join runs on 2×|anchors|×k rows. At
+    // 100 TB the eval set is thousands of anchors — still bounded.
+    "e_retrieval_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("ae"))
+      val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("vec_id"),
+          cosine(col("embedding"), col("ae")).as("csim"),
+          dot(col("embedding"), col("ae")).as("dsim"))
+      val wT = Window.partitionBy("anchor_id")
+        .orderBy(col("csim").desc, col("vec_id").asc)
+      val wR = Window.partitionBy("anchor_id")
+        .orderBy(col("dsim").desc, col("vec_id").asc)
+      val truth = scored.withColumn("trank", row_number().over(wT))
+        .filter(col("trank") <= 10).select(col("anchor_id"), col("vec_id"),
+          lit(1).as("rel"))
+      val retr = scored.withColumn("rrank", row_number().over(wR))
+        .filter(col("rrank") <= 10)
+        .select(col("anchor_id"), col("vec_id"), col("rrank"))
+      retr.join(truth, Seq("anchor_id", "vec_id"), "left")
+        .groupBy("anchor_id")
+        .agg((sum(coalesce(col("rel"), lit(0))).cast("double") / lit(10))
+            .as("recall_at_10"),
+          coalesce(max(when(col("rel") === 1,
+              lit(1.0) / col("rrank"))), lit(0.0)).as("mrr_at_10"))
+        .orderBy("anchor_id")
+    }),
+
     // ---- O2 variant: maximum-inner-product search (MIPS) — top-k by
     // dot product descending, the retrieval metric of dual-encoder /
     // recommendation stacks where magnitude carries signal. Same
@@ -3512,6 +3574,49 @@ object SparkEntry {
            |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
       "o2_knn_mmr" -> mmrSql(30, 8),
+
+      "e_retrieval_eval" ->
+        s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS ae
+           |           FROM embeddings WHERE vec_id <= 2),
+           |sc AS (
+           |  SELECT a.anchor_id, e.vec_id AS vec_id,
+           |    ${OracleSql.cosineSim("e.embedding", "a.ae")} AS csim,
+           |    ${OracleSql.dot("e.embedding", "a.ae")} AS dsim
+           |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.anchor_id),
+           |tr AS (SELECT anchor_id, vec_id FROM (
+           |  SELECT anchor_id, vec_id, row_number() OVER
+           |    (PARTITION BY anchor_id ORDER BY csim DESC, vec_id ASC) AS rk
+           |  FROM sc) WHERE rk <= 10),
+           |re AS (SELECT anchor_id, vec_id, rk AS rrank FROM (
+           |  SELECT anchor_id, vec_id, row_number() OVER
+           |    (PARTITION BY anchor_id ORDER BY dsim DESC, vec_id ASC) AS rk
+           |  FROM sc) WHERE rk <= 10)
+           |SELECT re.anchor_id AS anchor_id,
+           |  CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / 10 AS recall_at_10,
+           |  COALESCE(MAX(CASE WHEN tr.vec_id IS NOT NULL
+           |    THEN CAST(1 AS DOUBLE) / rrank END),
+           |    CAST(0 AS DOUBLE)) AS mrr_at_10
+           |FROM re LEFT JOIN tr
+           |  ON re.anchor_id = tr.anchor_id AND re.vec_id = tr.vec_id
+           |GROUP BY re.anchor_id ORDER BY anchor_id""".stripMargin,
+
+      "sample_hard_negatives" ->
+        s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS ae,
+           |             label AS alabel
+           |           FROM embeddings WHERE vec_id <= 2),
+           |d AS (
+           |  SELECT a.anchor_id, e.vec_id AS vec_id,
+           |    CAST(e.label AS BIGINT) AS label,
+           |    ${OracleSql.cosineSim("e.embedding", "a.ae")} AS sim
+           |  FROM embeddings e CROSS JOIN a WHERE e.label <> a.alabel),
+           |r AS (
+           |  SELECT anchor_id, vec_id, label, sim, CAST(row_number() OVER
+           |    (PARTITION BY anchor_id ORDER BY sim DESC, vec_id ASC)
+           |    AS BIGINT) AS rank
+           |  FROM d)
+           |SELECT anchor_id, vec_id, label, sim, rank FROM r WHERE rank <= 5
+           |ORDER BY anchor_id, rank""".stripMargin,
 
       // 16-dim prefix funnel, then the full-dim rerank of the 50
       // survivors — both stages exact, ties (dist, vec_id)
