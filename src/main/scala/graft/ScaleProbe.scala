@@ -91,28 +91,35 @@ object ScaleProbe {
         mx
       }
       var cb: Pq.Codebook = null
-      t("pq_train_8x256") { cb = Pq.train(df, "embedding", 64, 8, 256); cb.k.toLong }
+      // name-filtered runs may skip the timed train — stored-code probes
+      // then build the codebook on demand (untimed), like ivfModel()
+      def pqCodebook(): Pq.Codebook = {
+        if (cb == null) cb = Pq.train(df, "embedding", 64, 8, 256)
+        cb
+      }
+      t("pq_train_8x256") { pqCodebook(); cb.k.toLong }
       // full encode persisted once (the pipeline shape: encode is a build
       // step; searches run over stored codes)
       val codesDir = s"$dir-codes"
-      t("pq_encode_persist") {
-        Pq.encode(df, "embedding", cb).select("id", "pq_code")
+      def writePqCodes(): Unit =
+        Pq.encode(df, "embedding", pqCodebook()).select("id", "pq_code")
           .write.mode("overwrite").parquet(codesDir)
-        n
-      }
-      val codes = spark.read.parquet(codesDir)
-      t("pq_adc_top10_stored")(Pq.adcSearch(codes, "id", "pq_code", cb, q, 10).count())
+      t("pq_encode_persist") { writePqCodes(); n }
+      // lazy: the parquet read resolves its schema eagerly, so an
+      // unconditional val fails a name-filtered run that never wrote it
+      lazy val codes = { ensure(codesDir)(writePqCodes()); spark.read.parquet(codesDir) }
+      t("pq_adc_top10_stored")(
+        Pq.adcSearch(codes, "id", "pq_code", pqCodebook(), q, 10).count())
 
       // BQ tier: train-free encode persisted once; Hamming screen and
       // screen+rerank run over stored 2-long codes (32x smaller scans)
       val bqDir = s"$dir-bqcodes"
-      t("bq_encode_persist") {
+      def writeBqCodes(): Unit =
         graft.operators.Bq.encode(df, "embedding")
           .select("id", "embedding", "bq_code")
           .write.mode("overwrite").parquet(bqDir)
-        n
-      }
-      val bqCodes = spark.read.parquet(bqDir)
+      t("bq_encode_persist") { writeBqCodes(); n }
+      lazy val bqCodes = { ensure(bqDir)(writeBqCodes()); spark.read.parquet(bqDir) }
       t("bq_hamming_top10_stored")(
         graft.operators.Bq.hammingSearch(bqCodes, "id", "bq_code", q, 10).count())
       t("bq_rerank_top10_w300")(
@@ -161,36 +168,75 @@ object ScaleProbe {
         Search.knnJoinIvf(assigned, ivfModel(), "id",
           queries, "qid", "qemb", k = 10, nProbe = 4).count())
 
+      // hard-negative mining: 3 anchors × n corpus, label-mismatch
+      // residual on the broadcast join, literal-k rank cut → partial
+      // WindowGroupLimit (each map task forwards ≤ k rows per anchor)
+      t("hard_negatives_3a_top5") {
+        val lab = df.withColumn("label", pmod(col("id"), lit(16)).cast("int"))
+        val anchors = lab.filter(col("id") < 3)
+          .select(col("id").as("anchor_id"), col("embedding").as("ae"),
+            col("label").as("alabel"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("anchor_id").orderBy(col("sim").desc, col("id").asc)
+        lab.join(broadcast(anchors), col("label") =!= col("alabel"))
+          .select(col("anchor_id"), col("id"),
+            graft.functions.VectorFunctions.cosine(col("embedding"), col("ae"))
+              .as("sim"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5).count()
+      }
+
+      // MMR rerank: the distributed stage is one exact top-100 cosine
+      // cut (TakeOrderedAndProject heap — no corpus shuffle); the
+      // greedy loop runs driver-side on the bounded candidate set
+      t("mmr_rerank_c100_k10")(
+        graft.operators.Diversity.mmrRerank(df, "id", "embedding", q.toArray,
+          nCandidates = 100, k = 10, lambda = 0.5).count())
+
       // SQ8 tier: exact min/max train (one explode + 64-group agg), encode
       // persisted, ADC over stored codes (scan-only)
       var sqm: graft.operators.Sq.Model = null
-      t("sq8_train_minmax") {
-        sqm = graft.operators.Sq.train(df, "embedding"); sqm.dim.toLong
+      def sqModel(): graft.operators.Sq.Model = {
+        if (sqm == null) sqm = graft.operators.Sq.train(df, "embedding")
+        sqm
       }
+      t("sq8_train_minmax") { sqModel().dim.toLong }
       val sqDir = s"$dir-sqcodes"
-      t("sq8_encode_persist") {
-        graft.operators.Sq.encode(df, "embedding", sqm).select("id", "sq_code")
-          .write.mode("overwrite").parquet(sqDir)
-        n
-      }
-      val sqCodes = spark.read.parquet(sqDir)
+      def writeSqCodes(): Unit =
+        graft.operators.Sq.encode(df, "embedding", sqModel())
+          .select("id", "sq_code").write.mode("overwrite").parquet(sqDir)
+      t("sq8_encode_persist") { writeSqCodes(); n }
+      lazy val sqCodes = { ensure(sqDir)(writeSqCodes()); spark.read.parquet(sqDir) }
       t("sq8_adc_top10_stored")(
-        graft.operators.Sq.adcSearch(sqCodes, "id", "sq_code", sqm, q, 10).count())
+        graft.operators.Sq.adcSearch(sqCodes, "id", "sq_code", sqModel(), q, 10).count())
 
       // IVF-PQ composite over the stored corpus: residual encode persisted
       // cluster-partitioned, then two-stage search over codes only
       val ivfpqDir = s"$dir-ivfpq"
       var ipModel: graft.operators.IvfPq.Model = null
+      def ipSetup(): Unit = if (ipModel == null) {
+        val (enc, m) = graft.operators.IvfPq.build(df, "embedding",
+          kClusters = 64, chunks = 8, kCodes = 256)
+        ipModel = m
+        // deterministic build → a dir persisted by a previous run holds
+        // the same codes; only write when missing
+        ensure(ivfpqDir)(
+          Ivf.writePartitioned(enc.select("id", Ivf.ClusterCol, "pq_code"),
+            ivfpqDir))
+      }
       t("ivfpq_build_encode_persist") {
         val (enc, m) = graft.operators.IvfPq.build(df, "embedding",
           kClusters = 64, chunks = 8, kCodes = 256)
         ipModel = m
-        Ivf.writePartitioned(enc.select("id", Ivf.ClusterCol, "pq_code"), ivfpqDir)
+        Ivf.writePartitioned(enc.select("id", Ivf.ClusterCol, "pq_code"),
+          ivfpqDir)
         n
       }
-      val ipCodes = spark.read.parquet(ivfpqDir)
-      t("ivfpq_adc_top10_probe4")(
-        graft.operators.IvfPq.search(ipCodes, ipModel, "id", q, 4, 10).count())
+      lazy val ipCodes = { ipSetup(); spark.read.parquet(ivfpqDir) }
+      t("ivfpq_adc_top10_probe4") {
+        ipSetup()
+        graft.operators.IvfPq.search(ipCodes, ipModel, "id", q, 4, 10).count()
+      }
 
       // SemDeDup over the 1M corpus: within-cluster pair work is
       // ~ n²/(2k), so k MUST scale with n — the paper sizes k ≈ n/1000
