@@ -1025,6 +1025,22 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
 
+    // ---- Text analysis: type-token ratio (lexical diversity — the
+    // template-spam / keyword-stuffing signal Gopher-class filters
+    // compose with repetition fractions; low TTR = a few words looped).
+    // Pure per-row array ops riding the scan, no shuffle; the space
+    // split is t_token_stats' token contract, so the two signals report
+    // over the identical token stream.
+    "t_ttr" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(w).cast("long").as("n_words"),
+          size(array_distinct(w)).cast("long").as("n_distinct"))
+        .withColumn("ttr",
+          col("n_distinct").cast("double") / col("n_words"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Dedup (exact): content-hash grouping, keep-first
     "dedup_exact" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -4148,6 +4164,15 @@ object SparkEntry {
       "t_token_stats" ->
         """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS len,
           |CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "t_ttr" ->
+        """SELECT doc_id,
+          |CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |CAST(array_length(list_distinct(string_split(text, ' ')))
+          |  AS BIGINT) AS n_distinct,
+          |CAST(array_length(list_distinct(string_split(text, ' ')))
+          |  AS DOUBLE) / array_length(string_split(text, ' ')) AS ttr
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "dedup_exact" ->
