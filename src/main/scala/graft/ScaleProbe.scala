@@ -32,11 +32,17 @@ object ScaleProbe {
     // the whole group)
     val only = args.lift(2).map(_.split(",").toSeq)
     def sel(name: String): Boolean = only.forall(_.exists(name.contains(_)))
-    def t(name: String)(f: => Long): Unit =
+    // tp = timed probe with untimed setup: `setup` (forcing lazy stored
+    // inputs / on-demand model builds a name filter may have skipped)
+    // runs BEFORE the clock starts, so a filtered run times the same
+    // search work an unfiltered run does
+    def tp(name: String)(setup: => Unit)(f: => Long): Unit =
       if (sel(name)) {
+        setup
         val t0 = System.nanoTime(); val r = f
         println(f"SCALE $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$r)")
       }
+    def t(name: String)(f: => Long): Unit = tp(name)(())(f)
     // untimed on-demand setup for probes whose input a name filter's
     // skipped write probe would otherwise have produced
     def ensure(dirs: String*)(write: => Unit): Unit =
@@ -67,7 +73,8 @@ object ScaleProbe {
         model
       }
       lazy val assigned = Ivf.assign(df, ivfModel())
-      t("ivf_search_probe4")(Ivf.search(assigned, model, "id", q, 4, 10).count())
+      tp("ivf_search_probe4") { assigned }(
+        Ivf.search(assigned, ivfModel(), "id", q, 4, 10).count())
 
       // skew hardening: 90% of rows in one tight blob — buildBalanced
       // recursively splits the hot list below the fraction cap, so
@@ -108,7 +115,7 @@ object ScaleProbe {
       // lazy: the parquet read resolves its schema eagerly, so an
       // unconditional val fails a name-filtered run that never wrote it
       lazy val codes = { ensure(codesDir)(writePqCodes()); spark.read.parquet(codesDir) }
-      t("pq_adc_top10_stored")(
+      tp("pq_adc_top10_stored") { codes; pqCodebook() }(
         Pq.adcSearch(codes, "id", "pq_code", pqCodebook(), q, 10).count())
 
       // BQ tier: train-free encode persisted once; Hamming screen and
@@ -120,9 +127,9 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(bqDir)
       t("bq_encode_persist") { writeBqCodes(); n }
       lazy val bqCodes = { ensure(bqDir)(writeBqCodes()); spark.read.parquet(bqDir) }
-      t("bq_hamming_top10_stored")(
+      tp("bq_hamming_top10_stored") { bqCodes }(
         graft.operators.Bq.hammingSearch(bqCodes, "id", "bq_code", q, 10).count())
-      t("bq_rerank_top10_w300")(
+      tp("bq_rerank_top10_w300") { bqCodes }(
         graft.operators.Bq.rerankSearch(bqCodes, "id", "bq_code", "embedding",
           q, 10, 300).count())
 
@@ -132,6 +139,14 @@ object ScaleProbe {
       t("kcenter_k8") {
         graft.operators.Diversity.kCenter(df, "id", "embedding", 8).count()
       }
+
+      // the large-k composition: one assignment pass + one cell shuffle,
+      // every cell's greedy runs in parallel under a mass-proportional
+      // budget — wall ~flat in k where the global greedy is k
+      // sequential driver rounds (k=512 would be ~75 min above)
+      tp("kcenter_cells_k512") { ivfModel() }(
+        graft.operators.Diversity.kCenterPerCell(df, "id", "embedding", 512,
+          ivfModel()).count())
 
       // PCA second moment at dim 64: the dim²-per-row expansion is the
       // cost model's worst term (64² = 4096 products/row) — measured
@@ -164,7 +179,7 @@ object ScaleProbe {
       // baseline needs: each query scans only its nProbe nearest
       // clusters (model reused from ivf_build_k64 above), so candidate
       // volume is |q| x n x (nProbe/k) instead of |q| x n
-      t("knn_join_ivf_100q_p4")(
+      tp("knn_join_ivf_100q_p4") { assigned }(
         Search.knnJoinIvf(assigned, ivfModel(), "id",
           queries, "qid", "qemb", k = 10, nProbe = 4).count())
 
@@ -207,7 +222,7 @@ object ScaleProbe {
           .select("id", "sq_code").write.mode("overwrite").parquet(sqDir)
       t("sq8_encode_persist") { writeSqCodes(); n }
       lazy val sqCodes = { ensure(sqDir)(writeSqCodes()); spark.read.parquet(sqDir) }
-      t("sq8_adc_top10_stored")(
+      tp("sq8_adc_top10_stored") { sqCodes; sqModel() }(
         graft.operators.Sq.adcSearch(sqCodes, "id", "sq_code", sqModel(), q, 10).count())
 
       // IVF-PQ composite over the stored corpus: residual encode persisted
@@ -233,10 +248,8 @@ object ScaleProbe {
         n
       }
       lazy val ipCodes = { ipSetup(); spark.read.parquet(ivfpqDir) }
-      t("ivfpq_adc_top10_probe4") {
-        ipSetup()
-        graft.operators.IvfPq.search(ipCodes, ipModel, "id", q, 4, 10).count()
-      }
+      tp("ivfpq_adc_top10_probe4") { ipCodes }(
+        graft.operators.IvfPq.search(ipCodes, ipModel, "id", q, 4, 10).count())
 
       // SemDeDup over the 1M corpus: within-cluster pair work is
       // ~ n²/(2k), so k MUST scale with n — the paper sizes k ≈ n/1000
@@ -804,6 +817,17 @@ object ScaleProbe {
       }
       t("span_dedup_chars_planted_l20") {
         graft.operators.Curation.exactSpanDedupChars(planted, "id", "text", 20)
+          .agg(sum(col("n_removed"))).head.getLong(0)
+      }
+
+      // sharded char pass over the same planted corpus: 4 hash-range
+      // passes over the gram key bound peak shuffle state at ~1/4 of
+      // the unsharded ~62 GB spill (identical output — CurationSpec
+      // pins row equality); the trade is 4 linear gram-kernel re-scans
+      // of the persisted (id, text) projection
+      t("span_chars_planted_sharded4") {
+        graft.operators.Curation.exactSpanDedupCharsSharded(planted, "id",
+            "text", 20, shards = 4, spillDir = s"/tmp/graft_span_shards_$n")
           .agg(sum(col("n_removed"))).head.getLong(0)
       }
 

@@ -1428,6 +1428,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- Per-IVF-cell k-center — the large-k scale composition
+    // (kCenter is k sequential driver rounds; this runs every cell's
+    // greedy in parallel under a mass-proportional budget). Fixed
+    // centroids make assignment + apportionment + every per-cell round
+    // oracle-exact as unrolled SQL.
+    "sample_kcenter_cells" -> ((s, dir) =>
+      Diversity.kCenterPerCell(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 16, Ivf.Model(fixedIvfCentroids, "embedding"))
+        .select(col("cell").cast("long").as("cell"), col("sel_rank"),
+          col("vec_id"), col("dist"))
+        .orderBy("cell", "sel_rank")),
+
     // ---- Deterministic epoch shuffle: per-epoch pseudorandom corpus
     // order (the key IS the order — distributed range sort, no global
     // row index); reproducible and engine-exact via md5
@@ -3169,6 +3181,51 @@ object SparkEntry {
         q, nProbe = 2, topK = 10, rerank = 30).select("vec_id", "dist")
     }),
 
+    // ---- O7 composition on the compressed tiers (the VectorStore
+    // dispatch semantics, VectorStore.searchAdc/searchSq/searchIvfPq:
+    // the metadata predicate composes BELOW the ADC ranking — excluded
+    // rows can never appear and the top-k window fills from the
+    // filtered subset). Fixed codebook/centroids make each path
+    // oracle-exact end to end.
+    "o7_pq_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      Pq.adcSearch(
+          Pq.encode(emb.filter(col("label") === 3), "embedding", fixedPqCodebook),
+          "vec_id", "pq_code", fixedPqCodebook, q, k = 10)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("dist"))
+    }),
+
+    // SQ8 grid trained on the FULL corpus (the persisted-model shape:
+    // the store's grid predates any request filter), filter applied to
+    // the scanned rows
+    "o7_sq8_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val m = Sq.train(emb, "embedding")
+      Sq.adcSearch(Sq.encode(emb.filter(col("label") === 3), "embedding", m),
+          "vec_id", "sq_code", m, q, k = 10)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("dist"))
+    }),
+
+    // IVF-PQ: the predicate rides WITH the partition-pruned scan
+    // (IvfPq.search composes it after probe pruning, before the ADC
+    // rank — same rows out as filtering the corpus up front)
+    "o7_ivfpq_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val model = IvfPq.Model(Ivf.Model(fixedIvfCentroids, "embedding"), fixedPqCodebook)
+      IvfPq.search(IvfPq.encode(emb, "embedding", model), model, "vec_id",
+          q, nProbe = 2, topK = 10, filter = Some(col("label") === 3))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("dist"))
+    }),
+
     // ---- Second flagship: the full training-export path end-to-end —
     // language/quality gate + exact-dup keep-first (pipeline_curate's
     // core) → benchmark decontamination → PII redaction → concat-and-
@@ -3431,8 +3488,14 @@ object SparkEntry {
     * everywhere, (dist, id) top-k; `rerank` > 0 adds the ADC-shortlist →
     * exact-L2 rerank stage. Centroid/codebook literals are exact double
     * strings of the float values. */
-  private def ivfPqFixedSql(rerank: Int): String = {
+  private def ivfPqFixedSql(rerank: Int, filterLabel: Option[Int] = None): String = {
     import OracleSql.{Dim, l2}
+    // filtered variant (o7_ivfpq_filtered): the engine composes the
+    // predicate after probe pruning; per-row encode/assign are
+    // unaffected by other rows, so filtering the corpus up front is
+    // row-for-row identical — and the label column rides through
+    val labelCol = filterLabel.map(_ => "label, ").getOrElse("")
+    val whereLabel = filterLabel.map(l => s" WHERE label = $l").getOrElse("")
     val cb = fixedPqCodebook
     def arr(xs: Seq[String]) = xs.mkString("[", ", ", "]")
     val il = arr(fixedIvfCentroids.toSeq.map(c =>
@@ -3471,8 +3534,9 @@ object SparkEntry {
     val adcDist = s"sqrt(${("0.0" +: cells).mkString(" + ")})"
     val tail =
       if (rerank == 0)
-        """SELECT vec_id, dist FROM scored
-          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+        s"""SELECT vec_id, ${filterLabel.map(_ =>
+             "CAST(label AS BIGINT) AS label, ").getOrElse("")}dist FROM scored
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
       else
         s""", short AS (SELECT vec_id FROM scored
            |  ORDER BY dist ASC, vec_id ASC LIMIT $rerank)
@@ -3481,11 +3545,12 @@ object SparkEntry {
            |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
     s"""${OracleSql.queryCte(QueryVecId)},
        |consts AS (SELECT $il AS il, $pl AS pl),
-       |enc AS (SELECT vec_id, embedding,
+       |enc AS (SELECT vec_id, ${labelCol}embedding,
        |  (list_position(lvv, list_min(lvv)) - 1) AS cid
-       |  FROM (SELECT vec_id, embedding, list_value($lv) AS lvv FROM embeddings)),
-       |res AS (SELECT vec_id, cid, $resElems AS r FROM enc, consts),
-       |coded AS (SELECT vec_id, cid,
+       |  FROM (SELECT vec_id, ${labelCol}embedding, list_value($lv) AS lvv
+       |        FROM embeddings$whereLabel)),
+       |res AS (SELECT vec_id, ${labelCol}cid, $resElems AS r FROM enc, consts),
+       |coded AS (SELECT vec_id, ${labelCol}cid,
        |    $chunkCols,
        |    $codeList AS code
        |  FROM res, consts),
@@ -3493,7 +3558,7 @@ object SparkEntry {
        |probe AS (SELECT j FROM cdist ORDER BY d ASC, j ASC LIMIT 2),
        |qrt AS (SELECT $qrs AS qrs FROM q, consts),
        |scored AS (
-       |  SELECT cd.vec_id, $adcDist AS dist
+       |  SELECT cd.vec_id, ${filterLabel.map(_ => "cd.label, ").getOrElse("")}$adcDist AS dist
        |  FROM coded cd, qrt, consts
        |  WHERE cd.cid IN (SELECT j FROM probe))
        |$tail""".stripMargin
@@ -3767,9 +3832,10 @@ object SparkEntry {
           |                WHERE l2.l_orderkey = l1.lo AND l2.l_suppkey <> l1.ls)
           |    AND NOT EXISTS (SELECT 1 FROM late l3
           |                    WHERE l3.lo = l1.lo AND l3.ls <> l1.ls))
-          |SELECT s_name, count(*) AS numwait
-          |FROM w JOIN supplier ON ls = s_suppkey
-          |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
+          |SELECT s_name, numwait FROM (
+          |  SELECT ls, count(*) AS numwait FROM w GROUP BY ls
+          |) JOIN supplier ON ls = s_suppkey
+          |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
 
       "q1_pricing_summary" ->
         s"""SELECT l_returnflag, l_linestatus,
@@ -4723,6 +4789,8 @@ object SparkEntry {
 
       "sample_kcenter_cover" -> kcenterCoverSql(8),
 
+      "sample_kcenter_cells" -> kcenterCellsSql(16),
+
       "sample_epoch_shuffle" ->
         """SELECT doc_id,
           |  md5(concat('3', '|', CAST(doc_id AS VARCHAR))) AS shuffle_key
@@ -4958,7 +5026,7 @@ object SparkEntry {
       // octet length, matching Spark's octet_length)
       "export_tar" ->
         s"""WITH h AS (SELECT doc_id,
-           |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+           |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
            |  md5(concat('', '|', CAST(doc_id AS VARCHAR))) AS m FROM documents),
            |e AS (SELECT doc_id, n_bytes,
            |  CAST(($hash32Sql) % 8 AS INT) AS shard FROM h),
@@ -6030,6 +6098,42 @@ object SparkEntry {
 
       "o6_ivfpq_rerank_fixed" -> ivfPqFixedSql(rerank = 30),
 
+      "o7_ivfpq_filtered" -> ivfPqFixedSql(rerank = 0, filterLabel = Some(3)),
+
+      // filtered PQ-ADC: same fixed-codebook encode/table chain as
+      // o6_pq_adc_fixed, predicate composed below the rank
+      "o7_pq_filtered" -> {
+        val encCols = (0 until 8).map(c => s"(${pqCodeSql(c)}) AS c$c").mkString(", ")
+        val terms = (0 until 8).map { c =>
+          s"""(CASE c$c WHEN 0 THEN (${adcTableSql(c, 0)})
+             |WHEN 1 THEN (${adcTableSql(c, 1)})
+             |WHEN 2 THEN (${adcTableSql(c, 2)})
+             |ELSE (${adcTableSql(c, 3)}) END)""".stripMargin
+        }
+        s"""${queryCte(QueryVecId)}, enc AS (
+           |  SELECT vec_id, CAST(label AS BIGINT) AS label, $encCols
+           |  FROM embeddings WHERE label = 3)
+           |SELECT vec_id, label, sqrt(${("0.0" +: terms).mkString(" + ")}) AS dist
+           |FROM enc CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+      },
+
+      // filtered SQ8-ADC: grid from the FULL corpus (sq_stats is
+      // unfiltered, matching the persisted-model shape), scan filtered
+      "o7_sq8_filtered" -> {
+        val terms = (1 to OracleSql.Dim).map { i =>
+          val dec = s"(mns[$i] + CAST(code[$i] AS DOUBLE) / 255.0 * dfs[$i])"
+          val d = s"(CAST(q.qe[$i] AS DOUBLE) - $dec)"
+          s"$d * $d"
+        }
+        s"""${queryCte(QueryVecId)},
+           |$sqOracleCtes
+           |SELECT vec_id, CAST(label AS BIGINT) AS label,
+           |  sqrt(${("0.0" +: terms).mkString(" + ")}) AS dist
+           |FROM sq_enc CROSS JOIN sq_arr CROSS JOIN q
+           |WHERE label = 3
+           |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+      },
+
       "o6_ivf_fixed" -> {
         val lv = (0 until 8).map(j => s"(${ivfAssignDistSql(j)})").mkString(", ")
         val cdist = (0 until 8)
@@ -7048,7 +7152,7 @@ object SparkEntry {
        |sq_arr AS (SELECT list(mn ORDER BY i) AS mns, list(df ORDER BY i) AS dfs
        |  FROM sq_stats),
        |sq_enc AS (
-       |  SELECT vec_id, list_transform(generate_series(1, $dim), i ->
+       |  SELECT vec_id, label, list_transform(generate_series(1, $dim), i ->
        |    CASE WHEN dfs[i] = 0.0 THEN 0
        |    ELSE CAST(greatest(0, least(255, floor(
        |      (CAST(embedding[i] AS DOUBLE) - mns[i]) / dfs[i] * 255.0 + 0.5)))
@@ -7185,6 +7289,60 @@ object SparkEntry {
       if (i < k)
         sb ++= s",\nd$i AS (SELECT d${i - 1}.id, d${i - 1}.emb, least(d${i - 1}.md, ${OracleSql.l2(s"d${i - 1}.emb", s"c$i.emb")}) AS md FROM d${i - 1} CROSS JOIN c$i)"
     }
+    sb.toString
+  }
+
+  /** Per-cell k-center oracle: fixed-centroid assignment argmin (the
+    * o6_ivf_fixed pattern), largest-remainder budget apportionment in
+    * exact integer arithmetic, then the greedy rounds unrolled with a
+    * PARTITION BY cell argmax — round i selects, per cell still under
+    * budget, the farthest survivor; the distance update left-joins so
+    * exhausted cells pass through. Mirrors
+    * [[graft.operators.Diversity.kCenterPerCell]] round for round. */
+  private def kcenterCellsSql(k: Int): String = {
+    val lv = fixedIvfCentroids.indices
+      .map(j => s"(${ivfAssignDistSql(j)})").mkString(", ")
+    // MATERIALIZED: c_i and d_i each reference d_{i-1}; inlined, the
+    // depth-16 chain duplicates 2^16-fold and DuckDB 1.0 never finishes
+    // even on 500 rows
+    val sb = new StringBuilder
+    sb ++= s"""WITH cells AS MATERIALIZED (SELECT vec_id AS id, embedding AS emb,
+      |  CAST(list_position(lvv, list_min(lvv)) - 1 AS BIGINT) AS cell
+      |  FROM (SELECT vec_id, embedding, list_value($lv) AS lvv FROM embeddings)),
+      |bm AS (SELECT cell, count(*) AS nc FROM cells GROUP BY cell),
+      |tot AS (SELECT sum(nc) AS n FROM bm),
+      |qt AS (SELECT cell, ($k * nc) // n AS fl, ($k * nc) % n AS rem FROM bm, tot),
+      |qr AS (SELECT cell, fl,
+      |  row_number() OVER (ORDER BY rem DESC, cell ASC) AS rk FROM qt),
+      |lo AS (SELECT $k - sum(fl) AS leftover FROM qt),
+      |bud AS MATERIALIZED (SELECT cell,
+      |  fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS b FROM qr, lo),
+      |s1 AS MATERIALIZED (SELECT c.cell, c.id, c.emb FROM cells c
+      |  JOIN (SELECT cell, min(id) AS mid FROM cells GROUP BY cell) m
+      |    ON c.cell = m.cell AND c.id = m.mid
+      |  JOIN bud ON bud.cell = c.cell AND bud.b >= 1),
+      |d1 AS MATERIALIZED (SELECT c.cell, c.id, c.emb, ${OracleSql.l2("c.emb", "s.emb")} AS md
+      |  FROM cells c JOIN s1 s ON c.cell = s.cell)""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s""",
+        |c$i AS MATERIALIZED (SELECT cell, id, emb, md FROM (
+        |  SELECT d.cell, d.id, d.emb, d.md,
+        |    row_number() OVER (PARTITION BY d.cell ORDER BY d.md DESC, d.id ASC) AS rn
+        |  FROM d${i - 1} d JOIN bud ON bud.cell = d.cell AND bud.b >= $i
+        |  WHERE d.md > 0) WHERE rn = 1)""".stripMargin
+      if (i < k)
+        sb ++= s""",
+          |d$i AS MATERIALIZED (SELECT d.cell, d.id, d.emb,
+          |  CASE WHEN c.id IS NULL THEN d.md
+          |  ELSE least(d.md, ${OracleSql.l2("d.emb", "c.emb")}) END AS md
+          |  FROM d${i - 1} d LEFT JOIN c$i c ON d.cell = c.cell)""".stripMargin
+    }
+    sb ++= "\nSELECT cell, sel_rank, vec_id, dist FROM (\n"
+    sb ++= "SELECT cell, CAST(1 AS BIGINT) AS sel_rank, id AS vec_id, " +
+      "CAST(0 AS DOUBLE) AS dist FROM s1"
+    for (i <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT cell, CAST($i AS BIGINT), id, md FROM c$i"
+    sb ++= ") ORDER BY cell, sel_rank"
     sb.toString
   }
 

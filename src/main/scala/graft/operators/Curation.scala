@@ -328,23 +328,87 @@ object Curation {
                           l: Int): DataFrame = {
     require(l >= 2, s"span length must be >= 2, got $l")
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val cov = charDupStarts(base, l, shard = None)
+      .groupBy("__id")
+      .agg(sort_array(collect_set(col("start"))).as("ss"))
+    rebuildCharsFromStarts(base, idCol, l, cov)
+  }
+
+  /** Non-first duplicated char-gram occurrences (__id, start),
+    * optionally restricted to the `shard`-th of `of` gram-key slices —
+    * every gram group lands in exactly one slice, and a (doc, start)
+    * carries exactly one gram, so the union over shards is row-for-row
+    * the unsharded output. The shard filter sits BELOW the aggregation
+    * shuffle: a sharded pass maps, shuffles, and joins only its slice
+    * of the gram stream. */
+  private def charDupStarts(base: DataFrame, l: Int,
+                            shard: Option[(Int, Int)]): DataFrame = {
     // codegen kernel: one linear byte pass per doc — the declarative
     // transform(sequence, i => md5(substr(t, i, l))) form evaluates
     // interpreted with an O(i) char-indexed substring scan per position
     // (O(chars²) per doc, judge-visible on multi-kB documents)
-    val occ = base.select(col("__id"),
+    val all = base.select(col("__id"),
         graft.expressions.TextKernels.gramMd5Starts(col("__t"), l).as("gs"))
       .select(col("__id"), explode(col("gs")).as("g"))
       .select(col("__id"), col("g.start").as("start"), col("g.h").as("h"))
+    val occ = shard match {
+      case Some((s, of)) =>
+        all.filter(pmod(xxhash64(col("h")), lit(of)) === s)
+      case None => all
+    }
     val byGram = occ.groupBy("h")
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("__id"), col("start"))).as("w1"))
       .where(col("cnt") >= 2)
       .select(col("h"), col("w1.__id").as("__fid"), col("w1.start").as("__fstart"))
-    val cov = occ.join(byGram, Seq("h"))
+    occ.join(byGram, Seq("h"))
       .where(!(col("__id") === col("__fid") && col("start") === col("__fstart")))
+      .select(col("__id"), col("start"))
+  }
+
+  /** Sharded [[exactSpanDedupChars]] — the corpus-bytes-scale path. The
+    * unsharded pass's one content-keyed exchange carries one ~50 B row
+    * per corpus CHARACTER (measured ~62 GB peak spill at the 10M
+    * planted-duplication probe); past that, the single exchange is the
+    * bottleneck. This variant hash-partitions the GRAM-KEY space into
+    * `shards` slices and runs one screen pass per slice as its own
+    * eagerly-materialized job (duplicated starts land under
+    * `spillDir`), so peak shuffle state per job is ~1/shards while
+    * total work stays the same — the [[Dedup.hammingNearDupPairsSharded]]
+    * discipline on the gram key. Each pass re-runs the linear gram
+    * kernel over the persisted (id, text) projection (CPU × shards,
+    * state ÷ shards — the knob's trade). Every gram group lands in
+    * exactly one shard and a (doc, start) has exactly one gram, so the
+    * unioned start set — hence every output row — is identical to the
+    * unsharded operator's (CurationSpec pins equality at shards ∈
+    * {1, 3}). */
+  def exactSpanDedupCharsSharded(df: DataFrame, idCol: String,
+                                 textCol: String, l: Int, shards: Int,
+                                 spillDir: String): DataFrame = {
+    require(l >= 2, s"span length must be >= 2, got $l")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until shards).foreach { s =>
+        charDupStarts(base, l, shard = Some((s, shards)))
+          .write.mode("overwrite").parquet(s"$spillDir/shard=$s")
+      }
+    } finally base.unpersist()
+    val cov = spark.read
+      .parquet((0 until shards).map(s => s"$spillDir/shard=$s"): _*)
       .groupBy("__id")
       .agg(sort_array(collect_set(col("start"))).as("ss"))
+    rebuildCharsFromStarts(
+      df.select(col(idCol).as("__id"), col(textCol).as("__t")), idCol, l, cov)
+  }
+
+  /** Shared per-doc rebuild: left-join the duplicated-start sets, derive
+    * maximal covered intervals ([[spansFromStarts]]), emit stats + the
+    * surviving-chars concatenation. */
+  private def rebuildCharsFromStarts(base: DataFrame, idCol: String, l: Int,
+                                     cov: DataFrame): DataFrame =
     base.join(cov, Seq("__id"), "left")
       .select(col("__id"), col("__t"),
         spansFromStarts(
@@ -362,5 +426,4 @@ object Curation {
           acc => concat(acc("acc"),
             col("__t").substr(acc("p"),
               length(col("__t")) - acc("p") + 1))).as("text_dedup"))
-  }
 }

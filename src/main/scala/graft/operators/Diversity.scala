@@ -88,6 +88,122 @@ object Diversity {
     selected.toDF("sel_rank", "vec_id", "dist")
   }
 
+  /** Driver/executor mirror of [[FloatKernels.l2]]: sqrt of the
+    * 0.0-seeded sequential double fold of (aᵢ−bᵢ)² — the same IEEE
+    * sequence the codegen kernel and the oracle's unrolled SQL run, so
+    * the per-cell greedy trajectory replays bit-exactly. */
+  private def l2D(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+    }
+    Math.sqrt(acc)
+  }
+
+  /** Largest-remainder apportionment of `k` over cell masses: cell c
+    * gets ⌊k·n_c/n⌋ plus one of the k−Σ⌊⌋ leftovers, awarded by
+    * descending remainder (ties → lower cell id). Σ budgets = k
+    * exactly; budget ∝ mass, so a cell's selection density matches its
+    * share of the corpus. */
+  private[graft] def apportion(counts: Seq[(Int, Long)],
+                               k: Int): Map[Int, Int] = {
+    val n = counts.map(_._2).sum
+    if (n == 0) return Map.empty
+    val fl = counts.map { case (c, nc) =>
+      (c, k.toLong * nc / n, k.toLong * nc % n)
+    }
+    val leftover = (k - fl.map(_._2).sum).toInt
+    fl.sortBy { case (c, _, rem) => (-rem, c) }.zipWithIndex.map {
+      case ((c, f, _), i) => c -> (f + (if (i < leftover) 1L else 0L)).toInt
+    }.toMap
+  }
+
+  /** Per-IVF-cell greedy k-center — the large-k scale path. [[kCenter]]
+    * is inherently k sequential driver rounds (one corpus pass each);
+    * this composes a coarse IVF partition ([[Ivf.assign]] under the
+    * caller's model — use [[Ivf.buildBalanced]] so no cell exceeds the
+    * size cap) with an INDEPENDENT local greedy inside each cell,
+    * budgeted by [[apportion]] (∝ cell mass). All cells run in
+    * parallel, so wall time is ~flat in k: one assignment map pass, one
+    * tiny count aggregation, ONE shuffle to co-locate each cell, then
+    * each task greedies over its in-memory cell members (cell size is
+    * the documented memory knob — the balanced build caps it).
+    *
+    * Output: `(cell, sel_rank, vec_id, dist)` — selection order within
+    * each cell, seed dist 0.0, same determinism contract as
+    * [[kCenter]] (min-id seed per cell, (dist DESC, id ASC) argmax,
+    * exact-duplicate exclusion via md > 0, [[l2D]] distances). With a
+    * fixed-centroid model the whole composition — assignment argmin,
+    * apportionment arithmetic, every per-cell round — replays in
+    * unrolled SQL (`sample_kcenter_cells`).
+    *
+    * Trade vs global greedy: each center covers only its own cell, so
+    * the cover radius can exceed the global 2-approximation when a
+    * sparse region shares a cell with a dense one — bounded in practice
+    * by the coarse partition's quality (DiversitySpec measures the
+    * radius ratio on a blob corpus). */
+  def kCenterPerCell(df: DataFrame, idCol: String, embCol: String, k: Int,
+                     model: Ivf.Model): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(embCol).as("emb"))
+      .filter(col("id").isNotNull && col("emb").isNotNull)
+    val assigned = Ivf.assign(base, Ivf.Model(model.centroids, "emb"))
+      .select(col(Ivf.ClusterCol).cast("int").as("cell"), col("id"),
+        col("emb"))
+    // bounded: one row per cell
+    val counts = assigned.groupBy("cell").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val budget = apportion(counts, k)
+    assigned.as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val b = budget.getOrElse(cell, 0)
+        if (b == 0) Iterator.empty
+        else {
+          val members = it.map(t => (t._2, t._3.toArray)).toArray
+          java.util.Arrays.sort(members,
+            Ordering.by((m: (Long, Array[Float])) => m._1))
+          val out = Vector.newBuilder[(Int, Long, Long, Double)]
+          out += ((cell, 1L, members(0)._1, 0.0))
+          var center = members(0)._2
+          val md = members.map(m => l2D(m._2, center))
+          var r = 2
+          var exhausted = false
+          while (r <= b && !exhausted) {
+            var best = -1
+            var bd = 0.0
+            var i = 0
+            while (i < members.length) {
+              // strict > keeps the FIRST (lowest-id) maximum — the
+              // (md DESC, id ASC) tie-break on the id-sorted array
+              if (md(i) > 0 && (best < 0 || md(i) > bd)) {
+                best = i; bd = md(i)
+              }
+              i += 1
+            }
+            if (best < 0) exhausted = true
+            else {
+              out += ((cell, r.toLong, members(best)._1, bd))
+              center = members(best)._2
+              var j = 0
+              while (j < members.length) {
+                val d = l2D(members(j)._2, center)
+                if (d < md(j)) md(j) = d
+                j += 1
+              }
+              r += 1
+            }
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("cell", "sel_rank", "vec_id", "dist")
+  }
+
   /** Nearest-selected-center assignment: every row labeled with the
     * `vec_id` of its closest center from `centers` (a small collected
     * list, e.g. [[kCenter]] output joined back to embeddings) and the

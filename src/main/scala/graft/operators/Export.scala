@@ -87,7 +87,12 @@ object Export {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.select(shardOf(col(idCol), nShards, salt).as("shard"),
         col(idCol).as("__id"),
-        octet_length(col(payloadCol)).cast("long").as("n_bytes"))
+        // NULL payload = empty member (writeTarShardsMulti's contract:
+        // a sample never silently loses a field), so it still costs one
+        // header block — octet_length(NULL) would drop it from the
+        // cumsum and shift every later offset short by 512 bytes.
+        octet_length(coalesce(col(payloadCol), lit(""))).cast("long")
+          .as("n_bytes"))
       .withColumn("__blocks",
         lit(1L) + shiftright(col("n_bytes") + lit(511L), 9))
       .select(col("shard"), col("__id").as(idCol),
@@ -189,6 +194,10 @@ object Export {
     * field as spaces (the POSIX rule). */
   private[operators] def ustarHeader(name: String, size: Long): Array[Byte] = {
     require(name.getBytes("UTF-8").length <= 100, s"tar name too long: $name")
+    // f"%011o" widens past 11 digits at 8 GiB and would silently
+    // overwrite the mtime field with a corrupt header.
+    require(size >= 0 && size < (1L << 33),
+      s"tar member too large for an 11-digit octal size field: $size")
     val h = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)

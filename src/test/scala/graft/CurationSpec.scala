@@ -228,4 +228,31 @@ class CurationSpec extends SparkSpec {
       out(2).getAs[String]("text_dedup") == "tiny")
     assert(out(3).getAs[Long]("n_chars") == 0)
   }
+
+  test("exactSpanDedupCharsSharded: row-for-row equal to the unsharded pass at shards 1 and 3") {
+    val s = spark
+    import s.implicits._
+    // shared passages + internal repetition + non-BMP + empty docs — the
+    // cases the unsharded tests pin, all in one corpus
+    val passage = "the-shared-duplicated-passage-0123456789"
+    val rows = (0L until 40L).map { i =>
+      val body =
+        if (i % 4 == 0) s"doc$i head $passage tail$i"
+        else if (i % 4 == 1) s"$passage-mid$i-$passage"
+        else if (i % 4 == 2) ("x" * 7 + "y") * 20 + s"#$i"
+        else s"unique😀${i}doc body with no repeats at all ${i * 37}"
+      (i, body)
+    } :+ ((40L, ""))
+    val df = rows.toDF("doc_id", "text")
+    val expect = Curation.exactSpanDedupChars(df, "doc_id", "text", 20)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    Seq(1, 3).foreach { k =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"span_shard_$k").toString
+      val got = Curation.exactSpanDedupCharsSharded(df, "doc_id", "text",
+          20, k, dir)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got == expect, s"shards=$k diverged from unsharded")
+    }
+  }
 }

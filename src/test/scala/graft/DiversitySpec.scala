@@ -173,6 +173,131 @@ class DiversitySpec extends SparkSpec {
     }
   }
 
+  private def l2d(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  test("apportion: largest-remainder — Σ budgets = k, ∝ mass, deterministic ties") {
+    import graft.operators.Diversity.apportion
+    // 16 over masses 50/30/20 → exact quotas 8/4.8/3.2 → floors 8/4/3,
+    // one leftover by largest remainder (.8) → 8/5/3
+    assert(apportion(Seq((0, 50L), (1, 30L), (2, 20L)), 16) ==
+      Map(0 -> 8, 1 -> 5, 2 -> 3))
+    // remainder tie (25/25/50, k=5 → quotas 1.25/1.25/2.5 → floors
+    // 1/1/2, leftovers 1: rem .5 beats .25 → cell 2 takes it)
+    assert(apportion(Seq((0, 25L), (1, 25L), (2, 50L)), 5) ==
+      Map(0 -> 1, 1 -> 1, 2 -> 3))
+    // equal-remainder tie breaks on LOWER cell id
+    assert(apportion(Seq((0, 1L), (1, 1L)), 1) == Map(0 -> 1, 1 -> 0))
+    // k smaller than cell count: tiny cells get 0
+    val b = apportion(Seq((0, 100L), (1, 1L), (2, 1L)), 2)
+    assert(b.values.sum == 2 && b(0) == 2)
+  }
+
+  test("kCenterPerCell: matches the per-cell local greedy composition bit-for-bit") {
+    val rows = corpus(300, 8)
+    // 4 fixed "centroids" = 4 corpus points spread by id
+    val cents = Array(0L, 75L, 150L, 225L).map(i => rows(i.toInt)._2)
+    val model = graft.operators.Ivf.Model(cents, "embedding")
+    val got = Diversity.kCenterPerCell(toDF(rows), "id", "embedding", 12, model)
+      .orderBy("cell", "sel_rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    // local reference: first-match squared-L2 argmin assignment,
+    // largest-remainder budgets, local greedy per cell
+    def sq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    val cellOf = rows.map { case (id, e) =>
+      id -> cents.zipWithIndex.minBy { case (c, j) => (sq(e, c), j) }._2
+    }.toMap
+    val counts = rows.groupBy(r => cellOf(r._1)).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val budget = graft.operators.Diversity.apportion(counts, 12)
+    val expect = counts.map(_._1).flatMap { cell =>
+      val members = rows.filter(r => cellOf(r._1) == cell)
+      if (budget(cell) == 0) Seq.empty
+      else localKCenter(members, budget(cell))
+        .map { case (rank, id, d) => (cell, rank, id, d) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expect)
+    assert(got.map(_._1).distinct.size == counts.size)
+    assert(got.size == 12) // Σ budgets = k, no cell exhausted here
+  }
+
+  test("kCenterPerCell: partition invariance; blob corpus covers every blob") {
+    val s = spark
+    import s.implicits._
+    def blob(axis: Int, ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        if (j == axis) 10f + (i % 5) * 0.01f else 0f))
+    }
+    val rows = blob(0, 0 until 40) ++ blob(1, 40 until 80) ++
+      blob(2, 80 until 100)
+    val cents = Array(
+      Array.tabulate(8)(j => if (j == 0) 10f else 0f),
+      Array.tabulate(8)(j => if (j == 1) 10f else 0f),
+      Array.tabulate(8)(j => if (j == 2) 10f else 0f))
+    val model = graft.operators.Ivf.Model(cents, "embedding")
+    val out = Diversity.kCenterPerCell(toDF(rows), "id", "embedding", 10, model)
+      .orderBy("cell", "sel_rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // mass 40/40/20 → budgets 4/4/2; every blob is covered ∝ its mass
+    assert(out.count(_._1 == 0) == 4)
+    assert(out.count(_._1 == 1) == 4)
+    assert(out.count(_._1 == 2) == 2)
+    val out13 = Diversity.kCenterPerCell(toDF(rows).repartition(13), "id",
+        "embedding", 10, model)
+      .orderBy("cell", "sel_rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out13 == out)
+  }
+
+  test("kCenterPerCell: cover radius within 2× of global greedy on blob corpus; duplicate cells stop early") {
+    val s = spark
+    import s.implicits._
+    def blob(axis: Int, ids: Range) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        if (j == axis) 10f + (i % 7) * 0.03f else (i % 3) * 0.02f))
+    }
+    val rows = blob(0, 0 until 50) ++ blob(1, 50 until 100) ++
+      blob(2, 100 until 150)
+    val df = toDF(rows)
+    val k = 9
+    def radius(centers: Seq[Long]): Double = {
+      val ce = centers.map(rows.toMap)
+      rows.map { case (_, e) => ce.map(c => l2d(e, c)).min }.max
+    }
+    val globalSel = Diversity.kCenter(df, "id", "embedding", k)
+      .collect().map(_.getLong(1)).toSeq
+    val cents = Array(
+      Array.tabulate(8)(j => if (j == 0) 10f else 0f),
+      Array.tabulate(8)(j => if (j == 1) 10f else 0f),
+      Array.tabulate(8)(j => if (j == 2) 10f else 0f))
+    val cellSel = Diversity.kCenterPerCell(df, "id", "embedding", k,
+        graft.operators.Ivf.Model(cents, "embedding"))
+      .collect().map(_.getLong(2)).toSeq
+    assert(cellSel.size == k)
+    // the per-cell composition pays a bounded coverage premium when the
+    // coarse partition respects the cluster structure
+    assert(radius(cellSel) <= 2.0 * radius(globalSel) + 1e-12,
+      s"per-cell radius ${radius(cellSel)} vs global ${radius(globalSel)}")
+    // duplicate-heavy cell exhausts: 30 rows, only 2 distinct embeddings
+    val dup = (0L until 30L).map(i =>
+      (i, Array.tabulate(4)(j => if (i % 2 == 0) 1f else if (j == 0) 5f else 0f)))
+    val dupOut = Diversity.kCenterPerCell(toDF(dup), "id", "embedding", 6,
+      graft.operators.Ivf.Model(Array(Array.fill(4)(0f)), "embedding"))
+    assert(dupOut.count() == 2)
+  }
+
   test("assignToCenters: rows go to their true nearest center; centers cover themselves") {
     val rows = corpus(100, 8)
     val centersDf = Diversity.kCenter(toDF(rows), "id", "embedding", 4)
