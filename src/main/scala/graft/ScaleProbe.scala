@@ -489,15 +489,22 @@ object ScaleProbe {
     }
 
     if (text) {
-      // hashing embedder over n synthetic ~8-token docs (dense-buffer agg)
+      // hashing embedder over n synthetic ~8-token docs (per-row codegen
+      // fold — zero exchange). Force via a component sum: the embedding
+      // is now a per-row expression, so a bare count() would prune it
       val docs = spark.range(n).select(col("id"),
         concat_ws(" ", (0 until 8).map(j =>
           pmod(xxhash64(col("id") * 8 + j), lit(5000)).cast("string")): _*).as("text"))
       // session warmup (see above) when the vectors group didn't run
       docs.agg(sum(length(col("text")))).count()
 
-      t("embed_docs_dim64")(
-        HashingEmbedder.embed(docs, "id", "text", dim = 64).count())
+      t("embed_docs_dim64") {
+        // .head on the sum, not .count(): a count over an ungrouped
+        // aggregate is constant-folded and would prune the embedding
+        val r = HashingEmbedder.embed(docs, "id", "text", dim = 64)
+          .agg(sum(element_at(col("embedding"), 1))).head.getDouble(0)
+        java.lang.Double.doubleToLongBits(r)
+      }
 
       // BM25 top-10 over the n docs: one corpus-stats pass + one
       // matched-token-only shuffle + TakeOrdered (no corpus join)

@@ -624,6 +624,137 @@ case class SimhashMd5(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash_md5"
 }
 
+/** Count-embedding helper invoked from generated code: ONE static call
+  * per row folds the whole token array into a dim-length signed-count
+  * vector — the feature-hashing embedder computed inside the scan, with
+  * zero exchange (it replaces an explode + typed-Aggregator shuffle;
+  * the exchange was `pipeline_rag`'s 10M variance source). Signed
+  * counts are exact small integers, so the sequential per-row fold is
+  * bit-identical to any aggregation order, and the md5 variant replays
+  * in SQL as the same per-token bucket/sign arithmetic
+  * ([[graft.functions.HashingEmbedder.md5BucketSign]]). */
+object CountEmbedUtil {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val SignPrefix = UTF8String.fromString("sign|")
+
+  private def finish(counts: Array[Double], normalize: Boolean): ArrayData = {
+    val dim = counts.length
+    val out = new Array[Any](dim)
+    var i = 0
+    if (!normalize) {
+      // raw signed counts — exact small integers, float-exact
+      while (i < dim) { out(i) = counts(i).toFloat; i += 1 }
+      return new GenericArrayData(out)
+    }
+    var s = 0.0
+    while (i < dim) { s += counts(i) * counts(i); i += 1 }
+    val n = if (s == 0.0) 1.0 else math.sqrt(s)
+    i = 0
+    while (i < dim) { out(i) = (counts(i) / n).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** md5 variant: bucket = (unsigned int of digest bytes 0–3) mod dim
+    * (≡ conv(substring(md5, 1, 8), 16, 10) % dim), sign = parity of the
+    * 9th hex nibble (high nibble of digest byte 4). Empty/null tokens
+    * contribute nothing (the old explode path filtered them). */
+  def embedMd5(tokens: ArrayData, dim: Int, normalize: Boolean): ArrayData = {
+    val counts = new Array[Double](dim)
+    val md = mdLocal.get()
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = tokens.getUTF8String(t)
+      if (tok != null && tok.numBytes() > 0) {
+        md.reset()
+        val digest = md.digest(tok.getBytes)
+        val v = ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
+          ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
+        val bucket = (v % dim).toInt
+        val sign = if ((((digest(4) >> 4) & 0xF) % 2) == 0) 1.0 else -1.0
+        counts(bucket) += sign
+      }
+      t += 1
+    }
+    finish(counts, normalize)
+  }
+
+  /** xxhash64 variant (Spark's seed-42 hash, the [[SimhashXxUtil]]
+    * discipline): bucket = pmod(xxhash64(tok), dim), sign from
+    * pmod(xxhash64("sign|" ∥ tok), 2) — bit-identical to the
+    * declarative pmod/when form it replaces. */
+  def embedXx(tokens: ArrayData, dim: Int, normalize: Boolean): ArrayData = {
+    val counts = new Array[Double](dim)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = tokens.getUTF8String(t)
+      if (tok != null && tok.numBytes() > 0) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(tok, StringType, 42L)
+        val bucket = (((h % dim) + dim) % dim).toInt
+        val hs = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(UTF8String.concat(SignPrefix, tok), StringType, 42L)
+        val sign = if ((((hs % 2) + 2) % 2) == 0L) 1.0 else -1.0
+        counts(bucket) += sign
+      }
+      t += 1
+    }
+    finish(counts, normalize)
+  }
+}
+
+/** array<string> of tokens → dim-length float count-embedding computed
+  * per row inside the scan (md5 bucket/sign; `normalize` = L2). */
+case class Md5CountEmbed(child: Expression, dim: Int, normalize: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CountEmbedUtil.embedMd5(v.asInstanceOf[ArrayData], dim, normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.CountEmbedUtil.embedMd5($t, $dim, $normalize);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "md5_count_embed"
+}
+
+/** array<string> of tokens → dim-length float count-embedding (Spark
+  * xxhash64 bucket/sign; `normalize` = L2). */
+case class XxCountEmbed(child: Expression, dim: Int, normalize: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CountEmbedUtil.embedXx(v.asInstanceOf[ArrayData], dim, normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.CountEmbedUtil.embedXx($t, $dim, $normalize);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "xx_count_embed"
+}
+
 object TextKernels {
   /** Distinct lowercase word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column =
@@ -654,6 +785,16 @@ object TextKernels {
   /** md5-bit simhash hex fingerprint of a token-array column. */
   def simhashMd5(tokens: Column): Column =
     ColumnBridge.column(SimhashMd5(ColumnBridge.expression(tokens)))
+
+  /** Per-row md5 count-embedding of a token-array column. */
+  def md5CountEmbed(tokens: Column, dim: Int, normalize: Boolean): Column =
+    ColumnBridge.column(
+      Md5CountEmbed(ColumnBridge.expression(tokens), dim, normalize))
+
+  /** Per-row xxhash64 count-embedding of a token-array column. */
+  def xxCountEmbed(tokens: Column, dim: Int, normalize: Boolean): Column =
+    ColumnBridge.column(
+      XxCountEmbed(ColumnBridge.expression(tokens), dim, normalize))
 
   /** Unicode-normalize a text column (form ∈ NFC/NFD/NFKC/NFKD). */
   def unicodeNormalize(text: Column, form: String): Column =

@@ -15,74 +15,39 @@ import org.apache.spark.sql.functions._
   * hashes to a bucket in [0, dim) with a ±1 sign from an independent
   * hash; the vector of signed counts is L2-normalized.
   *
-  * Scale: explode → two-key aggregate → dense-ify via map lookup. One
-  * shuffle on (id, bucket), map-side combined; no driver state, no UDFs.
-  */
+  * Scale: a per-row codegen fold ([[graft.expressions.CountEmbedUtil]])
+  * computes each row's vector INSIDE the scan — zero exchange at any
+  * corpus size. (The previous explode → typed-Aggregator formulation
+  * shuffled one (id, bucket) row per corpus token — measured as
+  * `pipeline_rag`'s 10M variance source, 94.9–128.9 s run to run, and
+  * dominated the chunk-embed path; the signed counts are exact
+  * integers, so the per-row fold is bit-identical to any aggregation
+  * order and every oracle replay is unchanged.) */
 object HashingEmbedder {
 
   val DefaultDim = 64
 
-  /** Dense signed-count buffer aggregator: one double slot per bucket,
-    * map-side combined, normalized in `finish`. Buffer entries are exact
-    * small integers (±1 sums), so partial-aggregation order cannot change
-    * a bit of the result; the only rounding happens once, in the final
-    * per-element division.
-    *
-    * (A previous formulation as `dim` separate `sum(when(bucket===i))`
-    * aggregate columns generated multi-MB whole-stage code — 7s+ per
-    * query even on one row, all codegen overhead. A single dense-buffer
-    * aggregator keeps the plan O(1) in `dim`.) */
-  private final class DenseVecAgg(dim: Int, normalize: Boolean = true)
-      extends org.apache.spark.sql.expressions.Aggregator[(Int, Double), Array[Double], Seq[Float]] {
-    override def zero: Array[Double] = new Array[Double](dim)
-    override def reduce(b: Array[Double], a: (Int, Double)): Array[Double] = {
-      b(a._1) += a._2; b
-    }
-    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
-      var i = 0; while (i < dim) { x(i) += y(i); i += 1 }; x
-    }
-    override def finish(b: Array[Double]): Seq[Float] = {
-      val out = new Array[Float](dim)
-      var i = 0
-      if (!normalize) {
-        // raw signed counts — exact small integers, float-exact
-        while (i < dim) { out(i) = b(i).toFloat; i += 1 }
-        return out.toSeq
-      }
-      var s = 0.0
-      while (i < dim) { s += b(i) * b(i); i += 1 }
-      val n = if (s == 0.0) 1.0 else math.sqrt(s)
-      i = 0
-      while (i < dim) { out(i) = (b(i) / n).toFloat; i += 1 }
-      out.toSeq
-    }
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Float]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+  /** Shared token prep: lowercase, whitespace-split. Empty tokens are
+    * skipped inside the kernels (the old explode path filtered them);
+    * null text rows fall to the zero-vector coalesce. */
+  private def toks(textCol: String): Column = split(lower(col(textCol)), "\\s+")
+
+  private def withEmbedding(df: DataFrame, vec: Column, dim: Int,
+                            outCol: String): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    // zero-vector fallback: null-text rows keep a well-defined embedding
+    df.withColumn(outCol, coalesce(vec, typedLit(Seq.fill(dim)(0.0f))))
   }
 
-  /** E2 batch path: adds `embedding` (array<float>, length dim).
-    * One explode + one dense-buffer hash-aggregate — map-side combined,
-    * shuffle carries one dim-length buffer per id per partition. Ids are
-    * grouped by their string form (injective within a column type), so
-    * any atomic id type works without lossy casts; the output keeps the
-    * input's id column untouched. (The udaf-over-groupBy form of this
-    * aggregator benched ~15x slower — ScalaAggregator pays per-row
-    * encoder round-trips; the typed path does not.) */
+  /** E2 batch path: adds `embedding` (array<float>, length dim) — the
+    * xxhash64 bucket/sign variant, L2-normalized. One codegen call per
+    * row; no explode, no shuffle, no driver state. `idCol` is unused
+    * (kept for source compatibility with the former join-back shape). */
   def embed(df: DataFrame, idCol: String, textCol: String,
-            dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame = {
-    require(dim > 0, s"dim must be positive, got $dim")
-    val tokens = df
-      .select(col(idCol).cast("string").as("__eid"),
-        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
-      .filter(col("__tok") =!= "")
-      .select(col("__eid"),
-        pmod(xxhash64(col("__tok")), lit(dim)).cast("int").as("__bucket"),
-        when(pmod(xxhash64(concat(lit("sign|"), col("__tok"))), lit(2)) === 0, lit(1.0))
-          .otherwise(lit(-1.0)).as("__sign"))
-    aggTokens(df, idCol, tokens, dim, outCol, normalize = true)
-  }
+            dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame =
+    withEmbedding(df,
+      graft.expressions.TextKernels.xxCountEmbed(toks(textCol), dim,
+        normalize = true), dim, outCol)
 
   /** md5-variant UNNORMALIZED signed-count embedding: bucket = (64-bit
     * int of the first 8 hex chars of md5(token)) mod dim, sign = parity
@@ -105,22 +70,9 @@ object HashingEmbedder {
 
   def embedMd5Counts(df: DataFrame, idCol: String, textCol: String,
                      dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame =
-    aggTokens(df, idCol, md5Tokens(df, idCol, textCol, dim), dim, outCol,
-      normalize = false)
-
-  /** Shared token prep for the md5-variant embedders: lowercase,
-    * whitespace-split, drop empties, hash each token to (bucket, sign).
-    * One definition so the normalized and raw-count embedders cannot
-    * desynchronize on tokenization. */
-  private def md5Tokens(df: DataFrame, idCol: String, textCol: String,
-                        dim: Int): DataFrame = {
-    require(dim > 0, s"dim must be positive, got $dim")
-    val (bucket, sign) = md5BucketSignCols(col("__tok"), dim)
-    df.select(col(idCol).cast("string").as("__eid"),
-        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
-      .filter(col("__tok") =!= "")
-      .select(col("__eid"), bucket.as("__bucket"), sign.as("__sign"))
-  }
+    withEmbedding(df,
+      graft.expressions.TextKernels.md5CountEmbed(toks(textCol), dim,
+        normalize = false), dim, outCol)
 
   /** md5-variant NORMALIZED embedding — the production [[embed]] shape
     * (signed counts, L2-normalized, float32 components) with the
@@ -130,8 +82,9 @@ object HashingEmbedder {
     * array order — is oracle-checkable bit-for-bit. */
   def embedMd5Normalized(df: DataFrame, idCol: String, textCol: String,
                          dim: Int = DefaultDim, outCol: String = "embedding"): DataFrame =
-    aggTokens(df, idCol, md5Tokens(df, idCol, textCol, dim), dim, outCol,
-      normalize = true)
+    withEmbedding(df,
+      graft.expressions.TextKernels.md5CountEmbed(toks(textCol), dim,
+        normalize = true), dim, outCol)
 
   /** Driver-side twin of [[embedMd5Normalized]] for a single text —
     * identical arithmetic to DenseVecAgg.finish (sqrt of the exact
@@ -142,25 +95,6 @@ object HashingEmbedder {
     c.foreach(v => s += v * v)
     val n = if (s == 0.0) 1.0 else math.sqrt(s)
     c.map(v => (v / n).toFloat)
-  }
-
-  private def aggTokens(df: DataFrame, idCol: String, tokens: DataFrame,
-                        dim: Int, outCol: String, normalize: Boolean): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val withVec = tokens.as[(String, Int, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(new DenseVecAgg(dim, normalize).toColumn.name("__emb"))
-      .toDF("__eid", "__emb")
-    // left join under an internal name, then surface as outCol — a
-    // pre-existing outCol column on df is replaced, not made ambiguous.
-    // Zero-vector fallback: token-less rows (empty text) keep a
-    // well-defined embedding instead of silently dropping out.
-    df.join(withVec, df(idCol).cast("string") === col("__eid"), "left")
-      .drop("__eid")
-      .withColumn(outCol, coalesce(col("__emb"), typedLit(Seq.fill(dim)(0.0f))))
-      .drop("__emb")
   }
 
   /** Driver-side twin of [[embedMd5Counts]]'s per-token hash — shared
