@@ -713,6 +713,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Persisted-model contract: train once, publish the dim+1-row
+    // weight table through the crash-safe snapshot protocol, score from
+    // the LOADED model (Classifier.save/load). Doubles round-trip
+    // parquet exactly, so the scores are bit-identical to the fresh
+    // model's — the oracle IS t_classifier_train_score's SQL. At 100 TB
+    // this is the shape that stops each report refitting the GD passes.
+    "t_classifier_stored_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = s"/tmp/graft_clf_model_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Classifier.save(s, Classifier.train(docs, "doc_id", "text",
+        col("lang") === "en", ClassifierDim,
+        ClassifierTrainIters, ClassifierTrainLr), path)
+      val m = Classifier.load(s, path)
+      docs.select(col("doc_id"),
+          TextFunctions.hashedLinearLogit(col("text"), ClassifierDim,
+            m.weights.toSeq, m.bias).as("logit"))
+        .withColumn("pred_keep", col("logit") > 0)
+        .orderBy("doc_id")
+    }),
+
     // ---- Classifier calibration (reliability table): the eval-ops
     // pass after training a quality classifier — score the corpus, cut
     // EXACT score deciles (order statistics, not sketches — the
@@ -4001,6 +4021,12 @@ object SparkEntry {
         classifierTrainSql(ClassifierDim, ClassifierTrainIters, ClassifierTrainLr),
 
       "t_classifier_train_score" ->
+        classifierTrainScoreSql(ClassifierDim, ClassifierTrainIters,
+          ClassifierTrainLr),
+
+      // stored-model scoring ≡ fresh-model scoring (exact double
+      // round-trip through parquet), so the oracle is the same replay
+      "t_classifier_stored_score" ->
         classifierTrainScoreSql(ClassifierDim, ClassifierTrainIters,
           ClassifierTrainLr),
 

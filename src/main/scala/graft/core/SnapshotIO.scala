@@ -103,6 +103,95 @@ object SnapshotIO {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Generation retention: publish variants that ARCHIVE the previous
+  // snapshot as `dst.gen-%06d` instead of dropping it, so time-travel
+  // consumers (corpus_diff against any kept generation, rollback,
+  // audits) can read history without a second store.
+  // ---------------------------------------------------------------
+
+  private val GenPattern = """\.gen-(\d{6})$""".r.unanchored
+
+  private def genPath(dst: String, g: Long): Path =
+    new Path(f"$dst.gen-$g%06d")
+
+  /** Sorted ascending generation numbers currently kept at `dst`. */
+  def generations(spark: SparkSession, dst: String): Seq[Long] = {
+    val dstP = new Path(dst)
+    val f = fs(spark, dstP)
+    val parent = dstP.getParent
+    if (parent == null || !f.exists(parent)) return Seq.empty
+    f.listStatus(parent).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith(dstP.getName + ".gen-") =>
+        GenPattern.findFirstMatchIn(n).map(_.group(1).toLong)
+    }.flatten.sorted
+  }
+
+  /** Read one archived generation (None when not kept / vacuumed). */
+  def readGeneration(spark: SparkSession, dst: String,
+                     gen: Long): Option[DataFrame] = {
+    val p = genPath(dst, gen)
+    val f = fs(spark, p)
+    if (complete(f, p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Delete all but the newest `retain` generations. Oldest-first, so a
+    * mid-vacuum crash leaves a contiguous NEWEST suffix — re-running is
+    * idempotent and never widens the loss. */
+  def vacuum(spark: SparkSession, dst: String, retain: Int): Unit = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val gens = generations(spark, dst)
+    val f = fs(spark, new Path(dst))
+    gens.dropRight(retain).foreach(g => f.delete(genPath(dst, g), true))
+  }
+
+  /** [[publish]] that archives the displaced snapshot as the next
+    * generation and retains the newest `retain` generations (0 keeps
+    * none — ≡ plain publish semantics with extra renames). Crash safety
+    * extends the plain protocol across generations via a DEDICATED
+    * `.arch` rename name — deliberately NOT `.bak`, which [[read]]'s
+    * recovery deletes after promoting a complete tmp (that path would
+    * silently lose the displaced generation). Crash points:
+    *
+    *  - after the tmp write: dst still live; next publish rewrites tmp.
+    *  - between dst→arch and tmp→dst: dst missing + tmp complete —
+    *    [[read]] promotes tmp exactly as for plain publish; the arch
+    *    survives (read ignores it) and the NEXT retained publish
+    *    archives it first, so the generation arrives one publish late,
+    *    never lost.
+    *  - between tmp→dst and the arch→gen archive: dst live + arch
+    *    present — same recovery, next retained publish archives first.
+    *  - mid-vacuum: oldest-first deletion, idempotent re-run.
+    *
+    * Archive numbering is monotonic (max kept + 1); vacuum runs last.
+    * Mixing plain [[publish]] into a retained store works (it just
+    * contributes no generation); a leftover `.arch` is then adopted by
+    * the next retained publish. */
+  def publishRetained(df: DataFrame, dst: String, retain: Int): Unit = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val spark = df.sparkSession
+    val dstP = new Path(dst)
+    val f = fs(spark, dstP)
+    val archP = new Path(dst + ".arch")
+    def archive(): Unit = if (f.exists(archP)) {
+      val next = generations(spark, dst).lastOption.getOrElse(-1L) + 1L
+      if (!f.rename(archP, genPath(dst, next)))
+        throw new java.io.IOException(
+          s"rename $archP -> ${genPath(dst, next)} failed")
+    }
+    archive() // adopt a crashed publish's leftover before making a new one
+    val tmpP = new Path(dst + ".tmp")
+    df.write.mode("overwrite").parquet(tmpP.toString)
+    if (f.exists(dstP)) {
+      if (!f.rename(dstP, archP))
+        throw new java.io.IOException(s"rename $dstP -> $archP failed")
+    }
+    if (!f.rename(tmpP, dstP) && !f.exists(dstP))
+      throw new java.io.IOException(s"rename $tmpP -> $dstP failed")
+    archive()
+    vacuum(spark, dst, retain)
+  }
+
   /** Read the current snapshot, running crash recovery first.
     * None only when no snapshot was ever published. A recovery rename
     * that loses a race to a concurrent reader is fine — dst exists

@@ -52,6 +52,32 @@ object Classifier {
     }
   }
 
+  /** B11 for the learned artifact: persist the (idx, w) weight table
+    * through the crash-safe snapshot protocol (the `bucketScored` /
+    * index-persistence precedent). Doubles round-trip parquet exactly,
+    * so a loaded model scores bit-identically to the fresh one — train
+    * once, let every downstream scoring/calibration report read the
+    * dim+1-row side table instead of replaying the GD passes (at 100 TB
+    * a refit per report is iters extra corpus passes). */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+           path: String): Unit =
+    graft.core.SnapshotIO.publish(model.toDF(spark), path)
+
+  /** Read a persisted model back; hard error when absent or malformed
+    * (a silently-zero classifier is worse than a crash). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = graft.core.SnapshotIO.read(spark, path)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no classifier model published at $path"))
+      .collect()
+    require(rows.length >= 2, s"classifier model at $path has ${rows.length} rows")
+    val byIdx = rows.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val dim = byIdx.length - 1
+    require(byIdx.map(_._1).toSeq == (0L to dim.toLong),
+      s"classifier model at $path has non-contiguous idx")
+    Model(byIdx.take(dim).map(_._2), byIdx(dim)._2, dim)
+  }
+
   /** Hashed gram-bucket array of a text column — EXACTLY the gram and
     * bucket construction of `hashedLinearLogit` (lowercase whitespace
     * unigrams left→right, then bigrams left→right, md5-derived hash32

@@ -779,6 +779,37 @@ object Sketch {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** Merge two flattened KLL sketches (weighted-item output of
+    * [[KllAgg]]): weights are exactly 2^level by construction, so the
+    * level hierarchy reconstructs from log₂(w), the buffers concatenate
+    * level-wise, and one recompaction restores the capacity invariant —
+    * the same machinery as `KllAgg.merge` over the flattened form (the
+    * alternating-offset parity is reset to 0 by flattening; parity only
+    * steers WHICH half survives the next compaction, so the rank-error
+    * bound is unchanged — same contract as the sketch's documented
+    * order dependence). Associative up to that order dependence;
+    * `mergeKllSketches(a, Nil) == compacted a`. The cross-batch /
+    * cross-shard combine for [[streamingQuantileKll]]. */
+  def mergeKllSketches(a: Seq[(Double, Long)], b: Seq[(Double, Long)],
+                       k: Int): Seq[(Double, Long)] = {
+    val agg = new KllAgg(k)
+    def toBuf(items: Seq[(Double, Long)]): KllBuf = {
+      val buf = new KllBuf
+      items.foreach { case (v, w) =>
+        require(w >= 1 && java.lang.Long.bitCount(w) == 1,
+          s"KLL item weight must be a power of two, got $w")
+        val level = java.lang.Long.numberOfTrailingZeros(w)
+        while (buf.levels.length <= level) {
+          buf.levels += new scala.collection.mutable.ArrayBuffer[Double]()
+          buf.parity += 0
+        }
+        buf.levels(level) += v
+      }
+      buf
+    }
+    agg.finish(agg.merge(toBuf(a), toBuf(b)))
+  }
+
   /** Per-group KLL sketches: (g, sketch array<struct<v,w>> ascending by
     * value). Null groups and null/NaN values excluded (the
     * [[exactQuantilesDiscGrouped]] contract). */
@@ -1096,6 +1127,42 @@ object Sketch {
     spark.createDataFrame(
       java.util.Collections.singletonList(row), schema)
   }
+
+  /** [[streamingQuantile]]'s KLL twin — the same foreachBatch
+    * maintenance shape over the O(1/k)-error compactor sketch instead
+    * of the O(1/√k) hash sample: each micro-batch folds into per-group
+    * [[kllSketchGrouped]] sketches, merged into the running state via
+    * [[mergeKllSketches]]. Pick THIS variant when k must stay small
+    * (tight executor/driver budgets) and exact oracle replay is not
+    * required; pick [[streamingQuantile]] when the maintained sketch
+    * itself must be hash-replayable (its md5 bottom-k sample is a pure
+    * function of the multiset). State per group is O(k) doubles; read
+    * estimates off the state with [[kllQuantilesLocal]]. */
+  def streamingQuantileKll(stream: DataFrame, groupCol: Column,
+                           valueCol: Column, k: Int, checkpoint: String,
+                           state: java.util.concurrent.atomic.AtomicReference[Map[String, Seq[(Double, Long)]]],
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sk = kllSketchGrouped(batch, groupCol, valueCol, k)
+          .collect()
+          .map(r => r.getString(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1)
+              .map(x => (x.getDouble(0), x.getLong(1))).toSeq)
+          .toMap
+        state.updateAndGet { cur =>
+          (cur.keySet ++ sk.keySet).iterator.map { g =>
+            g -> mergeKllSketches(
+              cur.getOrElse(g, Nil), sk.getOrElse(g, Nil), k)
+          }.toMap
+        }
+        ()
+      }
+      .start()
 
   def streamingQuantile(stream: DataFrame, groupCol: Column, valueCol: Column,
                         idCol: Column, k: Int, checkpoint: String,

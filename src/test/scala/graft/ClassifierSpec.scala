@@ -71,6 +71,33 @@ class ClassifierSpec extends SparkSpec {
     assert(rows.last.getDouble(1) == m.bias)
   }
 
+  test("save/load: exact round-trip; missing and malformed models hard-error") {
+    val s = spark
+    import s.implicits._
+    val m = Classifier.train(corpus, "id", "text", col("y"),
+      dim = 16, iters = 3, lr = 0.5)
+    val path = java.nio.file.Files.createTempDirectory("clf").toString + "/m"
+    Classifier.save(s, m, path)
+    val back = Classifier.load(s, path)
+    // bit-exact: doubles round-trip parquet unchanged, so stored-model
+    // scoring ≡ fresh-model scoring
+    assert(back.dim == m.dim)
+    assert(back.bias == m.bias)
+    assert(back.weights.toSeq == m.weights.toSeq)
+    // re-publish replaces (the snapshot protocol), never appends
+    Classifier.save(s, back, path)
+    assert(Classifier.load(s, path).weights.toSeq == m.weights.toSeq)
+    intercept[java.util.NoSuchElementException] {
+      Classifier.load(s, path + "_nowhere")
+    }
+    // malformed: non-contiguous idx
+    graft.core.SnapshotIO.publish(
+      Seq((0L, 0.1), (2L, 0.2)).toDF("idx", "w"), path + "_bad")
+    intercept[IllegalArgumentException] {
+      Classifier.load(s, path + "_bad")
+    }
+  }
+
   test("gram-less docs still train (bias-only contribution)") {
     val s = spark
     import s.implicits._

@@ -675,6 +675,50 @@ class SketchSpec extends SparkSpec {
     assert(replayed == batch)
   }
 
+  test("streaming KLL maintenance: cross-batch merge holds the rank-error bound") {
+    val s = spark
+    import s.implicits._
+    val k = 128
+    val n = 3000L
+    val dir = java.nio.file.Files.createTempDirectory("kllstream").toString
+    // skewed values (the KLL gate corpus shape), two groups
+    val df = (0L until n).map(i => (i, if (i % 2 == 0) "a" else "b",
+      (i * 7919L % 1000003L).toDouble)).toDF("id", "g", "v")
+    df.repartition(3).write.parquet(s"$dir/in")
+    val stream = s.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, Seq[(Double, Long)]])
+    Sketch.streamingQuantileKll(stream, col("g"), col("v"), k,
+      s"$dir/ckpt", state).awaitTermination()
+    assert(state.get().keySet == Set("a", "b"))
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    Seq("a", "b").foreach { g =>
+      val items = state.get()(g)
+      // weight mass conserved within the compaction perturbation bound
+      val mass = items.map(_._2).sum
+      assert(math.abs(mass - n / 2).toDouble / (n / 2) <= 0.02,
+        s"group $g mass $mass vs ${n / 2}")
+      // rank error of each estimate vs the exact sorted values ≤ 4/k
+      val exact = (0L until n).filter(i => (if (i % 2 == 0) "a" else "b") == g)
+        .map(i => (i * 7919L % 1000003L).toDouble).sorted
+      val est = Sketch.kllQuantilesLocal(items, probs)
+      probs.zip(est).foreach { case (p, v) =>
+        val rank = exact.count(_ <= v).toDouble / exact.size
+        assert(math.abs(rank - p) <= 4.0 / k,
+          s"group $g p=$p est=$v rank=$rank")
+      }
+    }
+    // merge with an empty sketch is just a recompaction: mass unchanged
+    val a = state.get()("a")
+    assert(Sketch.mergeKllSketches(a, Nil, k).map(_._2).sum ==
+      a.map(_._2).sum)
+    // non-power-of-two weights are rejected (they cannot be KLL output)
+    intercept[IllegalArgumentException] {
+      Sketch.mergeKllSketches(Seq((1.0, 3L)), Nil, k)
+    }
+  }
+
   test("grouped HLL matches per-group single sketches") {
     val s = spark
     import s.implicits._

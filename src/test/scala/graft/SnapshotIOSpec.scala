@@ -86,4 +86,70 @@ class SnapshotIOSpec extends SparkSpec {
     assert(fs.rename(new Path(dst), new Path(dst + ".bak")))
     assert(readIds(dst).contains(Seq(1L))) // previous snapshot restored
   }
+
+  private def writeRetained(dst: String, rows: Seq[(Long, String)],
+                            retain: Int): Unit = {
+    val s = spark
+    import s.implicits._
+    SnapshotIO.publishRetained(rows.toDF("id", "v"), dst, retain)
+  }
+
+  private def genVals(dst: String, g: Long): Seq[String] =
+    SnapshotIO.readGeneration(spark, dst, g).get
+      .select("v").collect().map(_.getString(0)).toSeq.sorted
+
+  test("publishRetained: retention window, generation content, monotone numbering") {
+    val dst = Files.createTempDirectory("snapg").toString + "/t"
+    (1 to 5).foreach(i => writeRetained(dst, Seq(i.toLong -> s"v$i"), retain = 2))
+    // live snapshot = v5; newest 2 displaced snapshots = v3 (gen 2), v4 (gen 3)
+    assert(readIds(dst).contains(Seq(5L)))
+    assert(SnapshotIO.generations(spark, dst) == Seq(2L, 3L))
+    assert(genVals(dst, 2L) == Seq("v3"))
+    assert(genVals(dst, 3L) == Seq("v4"))
+    assert(SnapshotIO.readGeneration(spark, dst, 0L).isEmpty) // vacuumed
+    // another publish slides the window; numbering keeps growing
+    writeRetained(dst, Seq(6L -> "v6"), retain = 2)
+    assert(SnapshotIO.generations(spark, dst) == Seq(3L, 4L))
+    assert(genVals(dst, 4L) == Seq("v5"))
+    // clean protocol: no stray tmp/arch
+    assert(!fs.exists(new Path(dst + ".tmp")) && !fs.exists(new Path(dst + ".arch")))
+  }
+
+  test("publishRetained: crash between swap and archive is adopted next publish") {
+    val dst = Files.createTempDirectory("snapg").toString + "/t"
+    writeRetained(dst, Seq(1L -> "g0"), retain = 3)
+    writeRetained(dst, Seq(2L -> "g1"), retain = 3)
+    assert(SnapshotIO.generations(spark, dst) == Seq(0L))
+    // simulate the crash: displaced snapshot stranded at .arch (renamed
+    // aside, archive never ran)
+    val s = spark
+    import s.implicits._
+    Seq(9L -> "stranded").toDF("id", "v").write.parquet(dst + ".arch")
+    // read() ignores .arch — the live snapshot is untouched
+    assert(readIds(dst).contains(Seq(2L)))
+    // next retained publish adopts the stranded generation FIRST, then
+    // archives its own displaced snapshot
+    writeRetained(dst, Seq(3L -> "g2"), retain = 3)
+    assert(SnapshotIO.generations(spark, dst) == Seq(0L, 1L, 2L))
+    assert(genVals(dst, 1L) == Seq("stranded"))
+    assert(genVals(dst, 2L) == Seq("g1"))
+  }
+
+  test("vacuum: mid-crash idempotence; retain 0 keeps nothing") {
+    val dst = Files.createTempDirectory("snapg").toString + "/t"
+    (1 to 4).foreach(i => writeRetained(dst, Seq(i.toLong -> s"v$i"), retain = 10))
+    assert(SnapshotIO.generations(spark, dst) == Seq(0L, 1L, 2L))
+    // simulate a mid-vacuum crash: the oldest generation already deleted
+    fs.delete(new Path(dst + ".gen-000000"), true)
+    assert(SnapshotIO.generations(spark, dst) == Seq(1L, 2L))
+    // re-running the same retention is idempotent and never widens loss
+    SnapshotIO.vacuum(spark, dst, 2)
+    assert(SnapshotIO.generations(spark, dst) == Seq(1L, 2L))
+    SnapshotIO.vacuum(spark, dst, 1)
+    assert(SnapshotIO.generations(spark, dst) == Seq(2L))
+    SnapshotIO.vacuum(spark, dst, 0)
+    assert(SnapshotIO.generations(spark, dst).isEmpty)
+    // live snapshot unaffected by any vacuum
+    assert(readIds(dst).contains(Seq(4L)))
+  }
 }
