@@ -2576,6 +2576,36 @@ object SparkEntry {
             "NFC")).as("nfc_md5"))
         .orderBy("doc_id")),
 
+    // ---- Curation: markup strip + HTML entity decode (the
+    // crawl-ingest extraction front that runs before any quality
+    // rule). The synthetic corpus is plain text, so the query
+    // manufactures the marked-up twin deterministically IN the query
+    // (the corpus_diff / t_normalize precedent): wrap in
+    // html/head/title/style/body, plant a comment and a script block
+    // keyed by lang/n_chars, and entity-encode three vocabulary
+    // words. The oracle replays the same construction and the same
+    // RE2∩Java regex chain in SQL; raw-text round-trip equality is
+    // CurationOpsSpec's job. Pure per-row codegen scan, no shuffle.
+    "t_html_strip" -> ((s, dir) => {
+      val enc = replace(replace(replace(col("text"),
+        lit(" a "), lit(" &amp; ")),
+        lit(" the "), lit(" &quot;the&quot; ")),
+        lit(" fast "), lit("&nbsp;fast&nbsp;"))
+      val html = concat(
+        lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit(" ("), col("source"),
+        lit(")</title><style type=\"text/css\">p{margin:0}</style>" +
+          "</head><body><h1 class=\"t\">"), col("source"),
+        lit("</h1><!-- lang="), col("lang"),
+        lit(" --><script>var n="), col("n_chars").cast("string"),
+        lit(";</script><p>"), enc, lit("</p></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Curation.htmlTitle(html).as("title"),
+          Curation.htmlStrip(html).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Text analysis: exact quarter-quantiles of doc length per lang
     // (quarter fractions over ints interpolate exactly in both engines)
     "t_quantiles" -> ((s, dir) =>
@@ -4678,9 +4708,9 @@ object SparkEntry {
 
       "q_moving_sum" ->
         """SELECT o_custkey, o_orderkey,
-          |CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+          |CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
           |  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS mov_sum
           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
       "q_range_join" ->
@@ -5605,6 +5635,24 @@ object SparkEntry {
           |  CAST(length(nfc_normalize(t2)) AS BIGINT) AS len_nfc,
           |  md5(nfc_normalize(t2)) AS nfc_md5
           |FROM d ORDER BY doc_id""".stripMargin,
+
+      // identical twin construction, identical RE2∩Java regex chain
+      // (the operator deliberately avoids backreferences and \s so
+      // this replay is verbatim)
+      "t_html_strip" ->
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || ' (' || source ||
+           |    ')</title><style type="text/css">p{margin:0}</style></head><body><h1 class="t">' || source ||
+           |    '</h1><!-- lang=' || lang || ' --><script>var n=' || CAST(n_chars AS VARCHAR) ||
+           |    ';</script><p>' ||
+           |    replace(replace(replace(text, ' a ', ' &amp; '), ' the ', ' &quot;the&quot; '), ' fast ', '&nbsp;fast&nbsp;') ||
+           |    '</p></body></html>' AS html
+           |  FROM documents)
+           |SELECT doc_id,
+           |  ${htmlStripSql("regexp_extract(html, '(?si)<title[^>]*>(.*?)</title>', 1)")} AS title,
+           |  ${htmlStripSql("html")} AS clean
+           |FROM h ORDER BY doc_id""".stripMargin,
 
       "t_quantiles" ->
         """SELECT lang,
@@ -6650,6 +6698,22 @@ object SparkEntry {
        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
        |  FROM $src) w""".stripMargin
 
+  /** Replay of `Curation.htmlStrip` over a SQL expression: the same
+    * comment → script/style-with-payload → tag → entity(&amp; last) →
+    * whitespace chain, in the RE2∩Java regex subset the operator
+    * restricts itself to. */
+  private def htmlStripSql(e: String): String =
+    s"""trim(regexp_replace(
+       |  replace(replace(replace(replace(replace(replace(
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      $e,
+       |      '(?s)<!--.*?-->', ' ', 'g'),
+       |      '(?si)<script\\b[^>]*>.*?</script[ \\t\\n\\r]*>', ' ', 'g'),
+       |      '(?si)<style\\b[^>]*>.*?</style[ \\t\\n\\r]*>', ' ', 'g'),
+       |      '<[^>]*>', ' ', 'g'),
+       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+       |  '[ \\t\\n\\r]+', ' ', 'g'))""".stripMargin
+
   /** Replay of `Curation.c4CleanLines(minWords = 5, requirePunct =
     * false)` over 8-word windows of `$src` (doc_id, text). Complete
     * SELECT, composable. */
@@ -7198,13 +7262,13 @@ object SparkEntry {
       "n_distinct" -> s"CAST(count(DISTINCT $c) AS DOUBLE)",
       "min" -> s"CAST(min($c) AS DOUBLE)",
       "max" -> s"CAST(max($c) AS DOUBLE)",
-      "avg" -> s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / count($c)")
+      "avg" -> s"CAST(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count($c)")
     def str(c: String) = Seq(
       "n_nonnull" -> s"CAST(count($c) AS DOUBLE)",
       "n_distinct" -> s"CAST(count(DISTINCT $c) AS DOUBLE)",
       "min_len" -> s"CAST(min(length($c)) AS DOUBLE)",
       "max_len" -> s"CAST(max(length($c)) AS DOUBLE)",
-      "avg_len" -> s"CAST(SUM(CAST(length($c) AS DECIMAL(38,6))) AS DOUBLE) / count($c)")
+      "avg_len" -> s"CAST(CAST(SUM(CAST(length($c) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count($c)")
     val cols: Seq[(String, Seq[(String, String)])] = Seq(
       "doc_id" -> num("doc_id"), "lang" -> str("lang"),
       "n_chars" -> num("n_chars"), "text" -> str("text"))

@@ -64,9 +64,19 @@ object OracleSql {
     s"WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid)"
 
   /** Order-independent exact SUM of a double expression: route through
-    * DECIMAL. `scale` must cover the true decimal precision of expr. */
+    * DECIMAL. `scale` must cover the true decimal precision of expr.
+    *
+    * The final decimal → double step goes through VARCHAR: DuckDB's
+    * direct `CAST(DECIMAL AS DOUBLE)` double-rounds (int128 → double,
+    * then × 10^-scale) and drifts from the correctly-rounded value
+    * once the scaled integer exceeds 2^53 — measured at the sf1
+    * spot-check tier (sum 114962.632068375 at scale 12 came back
+    * …37501). String → double is correctly-rounded strtod, which is
+    * exactly Spark's `BigDecimal.doubleValue` semantics, so the route
+    * is bit-exact at ANY magnitude. (Mirror of the double → decimal
+    * VARCHAR route used for Spark cast semantics elsewhere.) */
   def decSum(expr: String, scale: Int = 2, precision: Int = 28): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL($precision,$scale))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL($precision,$scale))) AS VARCHAR) AS DOUBLE)"
 
   /** BQ sign-bit word `w` (0-based) of a float list column: the
     * CASE-weight sum matching `SignPackFloat`'s MSB-first fold — bit for

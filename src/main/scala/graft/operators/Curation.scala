@@ -426,4 +426,45 @@ object Curation {
           acc => concat(acc("acc"),
             col("__t").substr(acc("p"),
               length(col("__t")) - acc("p") + 1))).as("text_dedup"))
+
+  /** Markup strip + HTML entity decode — the web-extraction front of a
+    * crawl-ingest pipeline (the trafilatura/jusText preprocessing step
+    * that every C4/RefinedWeb-style corpus runs before the quality
+    * rules above ever see the text). Pure per-row regexp chain — a
+    * codegen'd scan with no shuffle, embarrassingly parallel at any
+    * corpus size.
+    *
+    * Order is load-bearing and matches the standard extraction
+    * pipeline: (1) comments out first (a commented-out tag is not a
+    * tag), (2) script/style WITH their payload (their content is code,
+    * not prose — tag-only stripping would leak it into the text), (3)
+    * remaining tags → a space (block boundaries must not glue words),
+    * (4) entity decode with `&amp;` LAST (so `&amp;lt;` yields the
+    * literal string `&lt;`, not `<` — the single-pass decode
+    * contract), (5) whitespace collapse. Entity decode runs only
+    * after tag stripping, so text that decodes TO something
+    * tag-shaped (`&lt;b&gt;` → `<b>`) survives as literal text —
+    * that is the correct, injection-safe direction.
+    *
+    * Regex dialect is the RE2∩Java common subset (no backreferences —
+    * script and style get separate patterns; explicit `[ \t\n\r]`
+    * class, never `\s`, whose definition differs between engines), so
+    * an external SQL engine replays the chain verbatim. */
+  def htmlStrip(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?si)<script\\b[^>]*>.*?</script[ \t\n\r]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?si)<style\\b[^>]*>.*?</style[ \t\n\r]*>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
+  /** First <title> payload (entity-decoded, whitespace-collapsed), or
+    * empty string — the metadata companion to [[htmlStrip]]. */
+  def htmlTitle(html: Column): Column =
+    htmlStrip(regexp_extract(html, "(?si)<title[^>]*>(.*?)</title>", 1))
 }

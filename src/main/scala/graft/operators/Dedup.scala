@@ -510,10 +510,20 @@ object Dedup {
     val buckets = kept.groupBy("gram").agg(collect_set(col("__id")).as("ids"))
     val sizes = buckets.select(explode(col("ids")).as("__id"))
       .groupBy("__id").agg(count(lit(1)).as("sz"))
+    // shuffle_hash on the sizes side: the static planner estimates the
+    // candidate-pair aggregate below the broadcast threshold (aggregate
+    // stats shrink wildly) and builds THE PAIR SIDE — fine at gate SFs,
+    // an 8 GiB broadcast abort on a duplication-dense 10× corpus (found
+    // by the sf1 spot-check tier). Broadcasting sizes instead would be
+    // the opposite trap (sizes is corpus-sized: one row per surviving
+    // doc). A shuffled hash join building the per-doc sizes partition-
+    // wise is the only shape that is bounded on BOTH sides at any SF.
     intraBucketPairs(buckets.filter(size(col("ids")) > 1), "ids", "a", "b")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("__id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("__id").as("b"), col("sz").as("szb")), "b")
+      .join(sizes.select(col("__id").as("a"), col("sz").as("sza"))
+        .hint("shuffle_hash"), "a")
+      .join(sizes.select(col("__id").as("b"), col("sz").as("szb"))
+        .hint("shuffle_hash"), "b")
       .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")

@@ -259,4 +259,31 @@ class CurationOpsSpec extends SparkSpec {
       Chunker.packOffsets(empty, "id", "n_tok", 0)
     }
   }
+
+  test("htmlStrip: tags/comments/script/style/entities, word boundaries kept") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Curation
+    val df = Seq(
+      (1L, "<html><head><title> My  Page </title><style>p{x:1}</style></head>" +
+        "<body><h1>Hi</h1><!-- secret <b>note</b> -->a<p>b</p>" +
+        "<SCRIPT type=\"x\">var y = '<p>';</SCRIPT >tail</body></html>"),
+      // entity decode AFTER tag strip, &amp; decoded LAST: &amp;lt;
+      // yields the literal string "&lt;", never "<"
+      (2L, "<p>x &lt;b&gt; y &amp;lt; z &quot;q&quot; &#39;a&#39;&nbsp;end</p>"),
+      (3L, "plain   text\twith\nspace runs"), // no markup: collapse only
+      (4L, "")).toDF("id", "html")
+    val out = df.select(col("id"),
+        Curation.htmlStrip(col("html")).as("clean"),
+        Curation.htmlTitle(col("html")).as("title"))
+      .orderBy("id").collect()
+    // title text is prose and survives in the flow; only script/style
+    // carry their payloads away
+    assert(out(0).getString(1) == "My Page Hi a b tail")
+    assert(out(0).getString(2) == "My Page")
+    assert(out(1).getString(1) == "x <b> y &lt; z \"q\" 'a' end")
+    assert(out(1).getString(2) == "")
+    assert(out(2).getString(1) == "plain text with space runs")
+    assert(out(3).getString(1) == "")
+  }
 }

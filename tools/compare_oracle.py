@@ -1,81 +1,109 @@
 #!/usr/bin/env python3
 """Dev-time mirror of the driver's DuckDB oracle gate (NOT part of the
 engine): reads each Verify output parquet, runs the matching oracleSql in
-DuckDB over the same testdata, and compares schema + values exactly.
+DuckDB over the same testdata, and compares schema + values exactly —
+columns sorted by name, rows sorted by all values, the driver's compare
+semantics.
 
-Usage: compare_oracle.py [sf_dir] [verify_out]
+Also the sf1 spot-check comparator: pass the MakeSf1 output dir as sf_dir
+(directory-shaped parquet tables are handled) and a comma-separated name
+filter to check just the heavyweight set.
+
+Values compare at double precision: DECIMAL results normalize through
+float first, because one engine may surface DECIMAL where the other
+already cast to double, and the queries' contract is exactness of the
+double the user reads (see OracleSql.decSum's VARCHAR route for why the
+doubles themselves are bit-exact at any magnitude).
+
+Usage: compare_oracle.py [sf_dir] [verify_out] [name,name,...]
+Exit 0 iff every compared query matches rows + schema + values.
 """
-import sys, json, glob
+import sys, os, json, math
+from decimal import Decimal
+
 import duckdb
-import pandas as pd
-import numpy as np
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-oracle = json.load(open(f"{out}/oracle_sql.json"))
-fails = 0
-for name in sorted(oracle):
-    try:
-        files = glob.glob(f"{out}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
-            fails += 1
+def canon(v):
+    """Canonical value form shared by both engines' results."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, Decimal):
+        return canon(float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:  # collapse -0.0 / +0.0
+            return repr(0.0)
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    return str(v)
+
+
+def frame(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols_sorted = [cols[i] for i in order]
+    canon_rows = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return cols_sorted, canon_rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    failures = 0
+    names = [n for n in sorted(oracle) if only is None or n in only]
+    for name in names:
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            # a query that threw in Verify leaves no output — that is a
+            # failure of the gate, never a silent skip
+            print(f"FAIL  {name}: no spark output")
+            failures += 1
             continue
-        s = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
-        o = con.sql(oracle[name]).df()
-
-        # array-typed cells (numpy arrays / lists) are unhashable and break
-        # sort_values — canonicalize them to nested tuples first
-        def dearr(v):
-            if isinstance(v, (np.ndarray, list, tuple)):
-                return tuple(dearr(x) for x in v)
-            return v
-        def canon(df):
-            df = df[sorted(df.columns)].copy()
-            for c in df.columns:
-                if df[c].dtype == object:
-                    df[c] = df[c].map(dearr)
-            return df.sort_values(by=list(df.columns), key=lambda col:
-                col.map(repr) if col.dtype == object else col
-            ).reset_index(drop=True)
-        s, o = canon(s), canon(o)
-        if list(s.columns) != list(o.columns):
-            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
-            fails += 1
+        try:
+            scols, srows = frame(
+                con, f"SELECT * FROM '{spark_path}/*.parquet'")
+            ocols, orows = frame(con, oracle[name])
+        except Exception as e:
+            print(f"FAIL  {name}: error {e}")
+            failures += 1
             continue
-        if len(s) != len(o):
-            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
-            fails += 1
-            continue
-        schema_note = ""
-        if [str(d) for d in s.dtypes] != [str(d) for d in o.dtypes]:
-            schema_note = f" [dtype diff: {list(zip(s.columns, s.dtypes, o.dtypes))}]"
-        ok = True
-        for c in s.columns:
-            a, b = s[c].values, o[c].values
-            if np.issubdtype(s[c].dtype, np.floating):
-                eq = np.array_equal(a, b, equal_nan=True)  # bitwise-exact target
-                if not eq:
-                    md = np.nanmax(np.abs(a.astype(float) - b.astype(float))) if len(a) else 0
-                    print(f"FAIL {name}: col {c} float mismatch, maxdiff={md:.3e}")
-                    ok = False
-            else:
-                if not (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all():
-                    i = int(np.argmax(~(pd.Series(a).astype(str) == pd.Series(b).astype(str)).values))
-                    print(f"FAIL {name}: col {c} mismatch at row {i}: {a[i]!r} vs {b[i]!r}")
-                    ok = False
-        if ok:
-            print(f"PASS {name}: {len(s)} rows{schema_note}")
+        if scols != ocols:
+            print(f"FAIL  {name}: schema {scols} != {ocols}")
+            failures += 1
+        elif len(srows) != len(orows):
+            print(f"FAIL  {name}: rows {len(srows)} != {len(orows)}")
+            failures += 1
+        elif srows != orows:
+            bad = next(i for i, (a, b) in enumerate(zip(srows, orows))
+                       if a != b)
+            print(f"FAIL  {name}: value mismatch at sorted row {bad}:\n"
+                  f"  spark : {srows[bad]}\n  oracle: {orows[bad]}")
+            failures += 1
         else:
-            fails += 1
-    except Exception as e:
-        print(f"ERROR {name}: {e}")
-        fails += 1
-print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
-sys.exit(1 if fails else 0)
+            print(f"PASS  {name}  ({len(srows)} rows)")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}"
+          f" ({len(names) - failures}/{len(names)})")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
