@@ -1209,14 +1209,21 @@ object SparkEntry {
     // engines) fed through the SAME blocked Hamming screen as image
     // dHash (one screen, two modalities) — text near-dup detection the
     // Manku WWW'07 way, pairs + distances hash-checked against the
-    // oracle's all-pairs join over its own recomputed fingerprints
+    // oracle's all-pairs join over its own recomputed fingerprints.
+    // nBlocks = 8 (56 tables keyed on 35 bits), not the textbook-
+    // minimum 4: at the sf1 tier's duplication density the 14-bit band
+    // buckets of nBlocks = 4 blow past maxBucket, the guard drops them,
+    // and the screen under-reports vs the all-pairs oracle (25.6M of
+    // 29.2M pairs) — the scaladoc's own "raise nBlocks at corpus
+    // scale" knob, now exercised by the flagship query. Identical
+    // output at every SF where no bucket degenerates (all gate SFs).
     "dedup_simhash_neardup" -> ((s, dir) =>
       Dedup.hammingNearDupPairs(
         Dedup.simhashMd5Hex(Tables.documents(s, dir), "text")
           .select(col("doc_id"),
             conv(substring(col("simhash"), 1, 14), 16, 10).cast("long")
               .as("h56")),
-        "doc_id", "h56", maxDist = 3, hashBits = 56, nBlocks = 4)
+        "doc_id", "h56", maxDist = 3, hashBits = 56, nBlocks = 8)
         .orderBy("a", "b")),
 
     // ---- SemDeDup (Abbas et al. 2023): semantic dedup via embedding
@@ -2181,10 +2188,10 @@ object SparkEntry {
     // stream (at scale the state is bounded with a watermark; the finite
     // replay here needs none), then a batch count over the sink
     "b10_stream_dedup" -> ((s, dir) => withShufflePartitions(s, 8) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // Tables.eventsStream handles the file-vs-directory table layout
+      // (the bare glob read here returned an empty stream on a
+      // directory-shaped corpus — sf1 tier finding)
+      val stream = Tables.eventsStream(s, dir)
         .select("user_id").dropDuplicates("user_id")
       val name = s"b10_dedup_sink_${System.nanoTime()}"
       val q = stream.writeStream.format("memory").queryName(name)
@@ -4348,7 +4355,7 @@ object SparkEntry {
       // ≡ the engine's degree-oriented wedge construction
       "graph_triangles" ->
         s"""WITH $jaccardCtes,
-           |tg_e AS (SELECT a, b FROM jpairs),
+           |tg_e AS MATERIALIZED (SELECT a, b FROM jpairs),
            |tg_tri AS (
            |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
            |  FROM tg_e e1
@@ -7120,7 +7127,7 @@ object SparkEntry {
          |  FROM ${pfx}_m${i - 1})""".stripMargin
     }.mkString(",\n")
     s"""${phrasesScoreCtes(src, delta, minCount, pfx)},
-       |${pfx}_rank AS (SELECT a, b,
+       |${pfx}_rank AS MATERIALIZED (SELECT a, b,
        |    row_number() OVER (ORDER BY score DESC, a, b) AS rn
        |  FROM ${pfx}_sc QUALIFY rn <= $k),
        |${pfx}_m0 AS (SELECT doc_id, t,
@@ -7313,10 +7320,10 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH $jaccardCtes,
        |pairs AS (SELECT a, b FROM jpairs),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT a AS src, b AS dst FROM pairs
        |  UNION SELECT b AS src, a AS dst FROM pairs),
-       |dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS r
@@ -7493,14 +7500,14 @@ object SparkEntry {
        |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS g FROM toks),
        |keepg AS (SELECT g FROM grams0 GROUP BY g
        |          HAVING count(DISTINCT doc_id) <= $DedupMaxDocFreq),
-       |grams AS (SELECT grams0.doc_id, grams0.g
+       |grams AS MATERIALIZED (SELECT grams0.doc_id, grams0.g
        |          FROM grams0 JOIN keepg ON grams0.g = keepg.g),
        |sz AS (SELECT doc_id, count(*) AS s FROM grams GROUP BY doc_id),
        |inter AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2),
-       |jpairs AS (
+       |jpairs AS MATERIALIZED (
        |  SELECT a, b,
        |    CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) AS jaccard
        |  FROM inter JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id

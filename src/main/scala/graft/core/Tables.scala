@@ -60,12 +60,25 @@ object Tables {
   }
   /** Streaming variant of [[events]]: the same two-generation `ts`
     * dispatch over a file-source stream (schema comes from one batch
-    * footer read; the stream itself never touches the driver). */
+    * footer read; the stream itself never touches the driver).
+    *
+    * Layout dispatch: `events.parquet` ships as a single FILE in the
+    * driver's testdata but as a part-file DIRECTORY everywhere a real
+    * writer produced it (and that is the only shape that exists at
+    * cluster scale). The single-file case needs a glob filter because
+    * the stream source lists the PARENT dir; the directory case must
+    * NOT use that filter — it matches against part-file names, so the
+    * glob silently yields an empty stream (caught by the sf1 tier:
+    * three b10 queries read zero rows from a directory-shaped corpus). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = load(spark, dir, "events").schema
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val table = new java.io.File(s"$dir/events.parquet")
+    val raw =
+      if (table.isDirectory)
+        spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
     schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))

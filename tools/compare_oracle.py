@@ -63,6 +63,10 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     con = duckdb.connect()
+    # private spill dir: parallel comparator processes sharing the
+    # default .tmp corrupt each other's temp storage
+    tmp = f"/tmp/duckdb_spill_{os.getpid()}"
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
