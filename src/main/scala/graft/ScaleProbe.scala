@@ -542,6 +542,28 @@ object ScaleProbe {
           numHashes = 8, bands = 4, shingle = 3, maxBucket = 10000).count()
       }
 
+      // ngram-Jaccard pair screen under planted duplication: n/5 docs
+      // collapse onto n/1000 template texts (constant ~200-doc dup
+      // groups, so pair volume grows LINEARLY at ~20n while bucket
+      // sizes stay fixed), driving real volume through the screen's
+      // bucket → pair-aggregate → per-doc-sizes join. That join is
+      // hint-pinned shuffle_hash: the static planner under-estimates
+      // the pair aggregate and would otherwise BROADCAST the pair side
+      // (the 8 GiB abort the sf1 tier caught on a 10×-duplicated
+      // corpus)
+      t("ngram_jaccard_planted") {
+        // id div 5 densifies the stride-5 id stream before the group
+        // mod — pmod on the raw ids would fold onto gcd(5, n/1000)
+        // aliased groups (5× the intended group size, quadratically
+        // more pairs)
+        val dup = docs.filter(col("id") % 5 === 0).withColumn("text",
+          concat_ws(" ", (0 until 8).map(j =>
+            pmod(xxhash64(pmod(expr("id div 5"), lit(n / 1000)) * 8 + j),
+              lit(5000)).cast("string")): _*))
+        Dedup.ngramJaccardPairs(dup, "id", "text", n = 3, threshold = 0.5,
+          maxDocFreq = 10000).count()
+      }
+
       // boilerplate removal over n docs: df-count shuffle + anti-join +
       // per-doc reassembly (segments = words here). Forcing via .head on
       // the sum — count() over a global aggregate is optimized to a
