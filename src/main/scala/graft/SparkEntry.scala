@@ -1180,6 +1180,36 @@ object SparkEntry {
         .select("doc_id", "quality").orderBy("doc_id")
     }),
 
+    // ---- Dedup pipeline flagship: screen → components → cluster-best
+    // keep flag → leakage-safe split, ONE query. The three standalone
+    // queries above each pay the pair screen by contract; the pipeline
+    // shape computes pairs ONCE (they feed only connectedComponents,
+    // whose checkpointed labels all three products then share — the
+    // bench plan-audit note about the trio recomputing the screen,
+    // answered as a composition). Output: per-doc disposition record
+    // (comp, quality, keep, split) — what a curation run actually
+    // writes next to the corpus.
+    "pipeline_dedup_full" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = DedupMaxDocFreq)
+      val comps = Dedup.connectedComponents(pairs)
+      val kept = Dedup.keepBestInCluster(docs, "doc_id", "quality", comps)
+        .select(col("doc_id").as("__keep_id"))
+      Sampling.splitByCluster(docs, "doc_id", comps,
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .join(comps.select(col("id").as("__c_id"), col("comp")),
+          col("doc_id") === col("__c_id"), "left")
+        .join(kept, col("doc_id") === col("__keep_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"),
+          col("quality"),
+          col("__keep_id").isNotNull.as("keep"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Dedup (boilerplate): CCNet-style segment-level removal — drop
     // segments occurring in ≥ minDocFreq distinct docs, reassemble the
     // rest in order. Testdata docs are single-line, so the query
@@ -4532,6 +4562,32 @@ object SparkEntry {
            |JOIN quals q ON d.doc_id = q.doc_id
            |WHERE d.doc_id NOT IN (SELECT id FROM losers)
            |ORDER BY d.doc_id""".stripMargin,
+
+      // composition of the three oracles above over ONE shared
+      // clusters/quality replay: keep = NOT IN losers, split = the
+      // same md5-uniform over the coalesced cluster key
+      "pipeline_dedup_full" ->
+        s"""$clustersCtes,
+           |comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+           |quals AS (SELECT doc_id, quality FROM ($qualitySql)),
+           |ranked AS (
+           |  SELECT c.id, CAST(row_number() OVER (PARTITION BY c.comp
+           |    ORDER BY q.quality DESC, c.id ASC) AS BIGINT) AS rn
+           |  FROM comps c JOIN quals q ON c.id = q.doc_id),
+           |losers AS (SELECT id FROM ranked WHERE rn <> 1),
+           |keyed AS (
+           |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS k
+           |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id),
+           |h AS (SELECT doc_id, k,
+           |  CAST(concat('0x', left(md5(CAST(k AS VARCHAR)), 8)) AS UBIGINT)
+           |    / 4294967296.0 AS u FROM keyed)
+           |SELECT h.doc_id, CAST(h.k AS BIGINT) AS comp, q.quality,
+           |  h.doc_id NOT IN (SELECT id FROM losers) AS keep,
+           |  CASE WHEN u < 0.75 THEN 'train'
+           |       WHEN u < 0.875 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM h JOIN quals q ON h.doc_id = q.doc_id
+           |ORDER BY h.doc_id""".stripMargin,
 
       // segment doc-frequency ≥ 390 → boilerplate; survivors re-joined
       // in original position order (string_agg ORDER BY ≡ the engine's
