@@ -3069,6 +3069,38 @@ object SparkEntry {
         length(col("text_phr")), nShards = 4).orderBy("shard")
     }),
 
+    // ---- Dataset audit: cross-source passage-overlap matrix — for
+    // every source pair, the count of distinct 4-word windows present
+    // in BOTH plus the Jaccard of the two window vocabularies: the
+    // provenance/contamination report a multi-source corpus assembly
+    // reads before mixing (which crawls duplicate which, where one
+    // dump is another filtered). Scale shape: ONE (source, window)
+    // distinct aggregation over the corpus; per-window source sets are
+    // bounded by |sources|, so pair fan-out is ≤ C(|sources|, 2) per
+    // window — never doc-pair work — and the final joins touch
+    // |sources|-row tables only.
+    "corpus_overlap" -> ((s, dir) => {
+      val win = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(Curation.wordWindows(col("text"), 4)).as("w"))
+        .distinct()
+      val bySrc = win.groupBy("w")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) > 1)
+      val pairs = bySrc
+        .select(col("ss"), posexplode(col("ss")).as(Seq("i", "sa")))
+        .select(col("sa"),
+          explode(slice(col("ss"), col("i") + 2, size(col("ss")))).as("sb"))
+      val sizes = win.groupBy("source").agg(count(lit(1)).as("nw"))
+      pairs.groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select(col("source").as("sa"), col("nw").as("na")), "sa")
+        .join(sizes.select(col("source").as("sb"), col("nw").as("nb")), "sb")
+        .withColumn("jaccard",
+          col("n_shared") / (col("na") + col("nb") - col("n_shared")))
+        .select("sa", "sb", "n_shared", "na", "nb", "jaccard")
+        .orderBy("sa", "sb")
+    }),
+
     // ---- Dataset-card flagship: the per-language statistics block a
     // corpus release ships (HF dataset card / Dolma-style datasheet) in
     // ONE composed statement — doc/char/token mass, exact-dup count,
@@ -5422,6 +5454,26 @@ object SparkEntry {
 
       // per-lang aggregates + the gopher per-doc replay + exact
       // order-statistic length cutoffs, stitched on lang
+      // the same window construction as the c4/window replays; pair
+      // fan-out replayed as the window-keyed self-join
+      "corpus_overlap" ->
+        s"""WITH ww AS (${wordWindowLinesSql("documents", 4)}),
+           |co_w0 AS (SELECT d.source, unnest(ww.ls) AS win
+           |  FROM ww JOIN documents d USING (doc_id)),
+           |co_w AS (SELECT DISTINCT source, win FROM co_w0),
+           |co_p AS (SELECT a.source AS sa, b.source AS sb
+           |  FROM co_w a JOIN co_w b ON a.win = b.win AND a.source < b.source),
+           |co_c AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM co_p GROUP BY 1, 2),
+           |co_sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nw
+           |  FROM co_w GROUP BY source)
+           |SELECT c.sa, c.sb, c.n_shared, za.nw AS na, zb.nw AS nb,
+           |  CAST(c.n_shared AS DOUBLE)
+           |    / CAST(za.nw + zb.nw - c.n_shared AS DOUBLE) AS jaccard
+           |FROM co_c c JOIN co_sz za ON c.sa = za.source
+           |JOIN co_sz zb ON c.sb = zb.source
+           |ORDER BY sa, sb""".stripMargin,
+
       "pipeline_datacard" -> {
         import graft.functions.PiiFunctions.EmailRe
         s"""WITH gop AS (${gopherRulesSql("documents")}),
