@@ -31,8 +31,8 @@ object MakeSf1 {
 
   /** Union of `Replicas` copies with surrogate keys remapped k*10+r and
     * name columns disambiguated. Key remap preserves BIGINT type. */
-  private def replicate(df: DataFrame, keyCols: Seq[String],
-                        nameCols: Seq[String]): DataFrame =
+  private[graft] def replicate(df: DataFrame, keyCols: Seq[String],
+                               nameCols: Seq[String]): DataFrame =
     (0 until Replicas).map { r =>
       val keyed = keyCols.foldLeft(df) { (d, k) =>
         d.withColumn(k, (col(k) * Replicas + lit(r)).cast("long"))
