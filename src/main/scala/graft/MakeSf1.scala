@@ -50,6 +50,12 @@ object MakeSf1 {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Both shipped events.ts layouts must replicate: the INT64
+      // TIMESTAMP(NANOS) generation is rejected by the vectorized reader
+      // unless read as a nanos-long. The replica then carries a plain
+      // LongType column, which downstream Tables.events already
+      // dispatches on (nanos → timestamp_micros(ts div 1000)).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

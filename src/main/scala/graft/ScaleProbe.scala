@@ -555,10 +555,13 @@ object ScaleProbe {
         // id div 5 densifies the stride-5 id stream before the group
         // mod — pmod on the raw ids would fold onto gcd(5, n/1000)
         // aliased groups (5× the intended group size, quadratically
-        // more pairs)
+        // more pairs). Clamp the modulus to ≥1: below n=1000 a 0
+        // modulus makes pmod return null, silently degenerating every
+        // planted text instead of failing loudly.
+        val groups = math.max(n / 1000, 1L)
         val dup = docs.filter(col("id") % 5 === 0).withColumn("text",
           concat_ws(" ", (0 until 8).map(j =>
-            pmod(xxhash64(pmod(expr("id div 5"), lit(n / 1000)) * 8 + j),
+            pmod(xxhash64(pmod(expr("id div 5"), lit(groups)) * 8 + j),
               lit(5000)).cast("string")): _*))
         Dedup.ngramJaccardPairs(dup, "id", "text", n = 3, threshold = 0.5,
           maxDocFreq = 10000).count()

@@ -73,9 +73,15 @@ object Tables {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = load(spark, dir, "events").schema
-    val table = new java.io.File(s"$dir/events.parquet")
+    // Resolve layout through the Hadoop FileSystem API, not java.io.File:
+    // File.isDirectory is false for any non-local path (hdfs://, s3a://),
+    // which would silently re-take the glob branch — the empty-stream bug
+    // this dispatch exists to fix — on exactly the filesystems where the
+    // directory layout is the only one that exists.
+    val tablePath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val raw =
-      if (table.isDirectory)
+      if (fs.getFileStatus(tablePath).isDirectory)
         spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
       else spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -249,7 +249,7 @@ object Curation {
     *
     * Per-doc rebuild is O(words + covered): the sorted covered set
     * collapses to maximal intervals (one neighbour probe per element,
-    * [[coveredSpans]]) and the survivors are the slices between them —
+    * [[spansFromStarts]]) and the survivors are the slices between them —
     * a fully-duplicated document costs one pass, not words × covered.
     *
     * Output: idCol, n_words, n_removed (covered word positions),
@@ -318,7 +318,7 @@ object Curation {
     * guarantee as the word version (chars inside a kept first copy can
     * still be covered by an earlier occurrence of a constituent gram
     * elsewhere), and the same O(chars + covered) interval-based per-doc
-    * rebuild ([[coveredSpans]] + substring gaps — linear even when the
+    * rebuild ([[spansFromStarts]] + substring gaps — linear even when the
     * whole document is covered).
     *
     * Output: idCol, n_chars, n_removed (covered char positions),

@@ -142,9 +142,20 @@ object Diversity {
     * the cover radius can exceed the global 2-approximation when a
     * sparse region shares a cell with a dense one — bounded in practice
     * by the coarse partition's quality (DiversitySpec measures the
-    * radius ratio on a blob corpus). */
+    * radius ratio on a blob corpus).
+    *
+    * Memory guard: each cell is greedied IN ONE TASK'S MEMORY
+    * (`~(8 + 4·dim)` bytes per member plus array overhead), so an
+    * unbalanced caller model with a 90%-hot cell would be an executor
+    * OOM, not a wrong answer. The per-cell counts are already a bounded
+    * aggregation here, so the hot cell is detected BEFORE the shuffle:
+    * any cell above `maxCellSize` fails fast with the fix
+    * ([[Ivf.buildBalanced]] caps cell size by skew-splitting). The
+    * default (4M rows ≈ 1.1 GiB at dim 64) fits a standard executor;
+    * raise it only with the memory to match. */
   def kCenterPerCell(df: DataFrame, idCol: String, embCol: String, k: Int,
-                     model: Ivf.Model): DataFrame = {
+                     model: Ivf.Model,
+                     maxCellSize: Long = 4000000L): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val spark = df.sparkSession
     import spark.implicits._
@@ -157,6 +168,15 @@ object Diversity {
     // bounded: one row per cell
     val counts = assigned.groupBy("cell").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    counts.filter(_._2 > maxCellSize) match {
+      case Seq() =>
+      case hot => throw new IllegalArgumentException(
+        s"kCenterPerCell: ${hot.size} cell(s) exceed maxCellSize=$maxCellSize " +
+          s"(largest: cell ${hot.maxBy(_._2)._1} with ${hot.maxBy(_._2)._2} rows) " +
+          "— each cell is greedied in one task's memory. Rebuild the coarse " +
+          "model with Ivf.buildBalanced(cap) to split hot cells, or raise " +
+          "maxCellSize if the executors have the memory.")
+    }
     val budget = apportion(counts, k)
     assigned.as[(Int, Long, Seq[Float])]
       .groupByKey(_._1)

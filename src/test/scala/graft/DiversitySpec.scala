@@ -298,6 +298,23 @@ class DiversitySpec extends SparkSpec {
     assert(dupOut.count() == 2)
   }
 
+  test("kCenterPerCell: hot cell fails fast with the buildBalanced message, not an OOM") {
+    // one centroid → ALL 50 rows land in cell 0; with maxCellSize=20 the
+    // pre-shuffle count check must reject before any task materializes
+    // the cell in memory
+    val rows = corpus(50, 4)
+    val model = graft.operators.Ivf.Model(Array(Array.fill(4)(0f)), "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Diversity.kCenterPerCell(toDF(rows), "id", "embedding", 5, model,
+        maxCellSize = 20L).count()
+    }
+    assert(ex.getMessage.contains("buildBalanced"))
+    assert(ex.getMessage.contains("cell 0"))
+    // same data under the default cap still runs
+    assert(Diversity.kCenterPerCell(toDF(rows), "id", "embedding", 5, model)
+      .count() == 5)
+  }
+
   test("assignToCenters: rows go to their true nearest center; centers cover themselves") {
     val rows = corpus(100, 8)
     val centersDf = Diversity.kCenter(toDF(rows), "id", "embedding", 4)

@@ -43,7 +43,12 @@ def canon(v):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, bytes):
         return "0x" + v.hex()
-    return str(v)
+    # Tag remaining values with their Python type so cross-type
+    # coincidences (BIGINT 5 vs VARCHAR '5', bool True vs str 'True')
+    # cannot pass — an engine type regression with identical rendered
+    # values must still mismatch. Both sides come through DuckDB, so
+    # equal logical types yield equal Python types.
+    return f"{type(v).__name__}:{v}"
 
 
 def frame(con, sql):

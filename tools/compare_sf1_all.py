@@ -7,15 +7,23 @@ recursive-CTE graph replays are minutes each at sf1) cannot eat the
 session. Results stream to stdout and a summary prints at the end:
 PASS / FAIL / TIMEOUT counts with names.
 
-Usage: compare_sf1_all.py <sfDir> <outDir> [timeoutSec] [parallel]
+Usage: compare_sf1_all.py [--allow-timeout] <sfDir> <outDir> [timeoutSec] [parallel]
+
+Exit code is nonzero on any FAIL — and on any TIMEOUT too, unless
+--allow-timeout is given: a comparison that never completed is not a
+pass, and must not be indistinguishable from one at the exit-code level.
 """
 import sys, os, json, subprocess, time
 from concurrent.futures import ThreadPoolExecutor
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 900
-    workers = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    argv = list(sys.argv[1:])
+    allow_timeout = "--allow-timeout" in argv
+    if allow_timeout:
+        argv.remove("--allow-timeout")
+    sf_dir, out_dir = argv[0], argv[1]
+    timeout = int(argv[2]) if len(argv) > 2 else 900
+    workers = int(argv[3]) if len(argv) > 3 else 3
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         names = sorted(json.load(f))
     here = os.path.dirname(os.path.abspath(__file__))
@@ -49,7 +57,8 @@ def main():
         bad = sorted(n for n, v in results.items() if v == k)
         if bad:
             print(f"{k}: {', '.join(bad)}")
-    sys.exit(0 if counts["fail"] == 0 else 1)
+    bad = counts["fail"] + (0 if allow_timeout else counts["timeout"])
+    sys.exit(0 if bad == 0 else 1)
 
 if __name__ == "__main__":
     main()
