@@ -1382,6 +1382,18 @@ object SparkEntry {
       Curation.exactSpanDedupChars(Tables.documents(s, dir), "doc_id", "text", 30)
         .orderBy("doc_id")),
 
+    // Sharded twin of the char screen — the path users actually run at
+    // corpus-bytes scale (peak shuffle state ÷ shards): hash-range
+    // passes over the gram key, union ≡ unsharded row-for-row, so the
+    // SAME DuckDB oracle gates it every round (not only CurationSpec).
+    "dedup_span_chars_sharded" -> ((s, dir) => {
+      val spill = java.nio.file.Files
+        .createTempDirectory("graft_span_shards").toString
+      Curation.exactSpanDedupCharsSharded(Tables.documents(s, dir),
+        "doc_id", "text", 30, shards = 3, spillDir = spill)
+        .orderBy("doc_id")
+    }),
+
     // ---- Sampling: fixed-size per-stratum deterministic sample (the
     // quota shape — exactly n per lang; WindowGroupLimit partial)
     "sample_stratified" -> ((s, dir) =>
@@ -2325,6 +2337,21 @@ object SparkEntry {
     // instead of rows-only.
     "b10_stream_index_exh" -> ((s, dir) =>
       streamIndexPipeline(s, dir, ef = 5000, tmpName = "graft_b10idx_exh")),
+
+    // ---- Streaming near-dup maintenance: micro-batch ingest keeping a
+    // cross-batch near-duplicate PAIR table live — the streaming twin
+    // of pipeline_dedup_full's screen. Per flush: intra-batch LSH pairs
+    // + cross pairs against the ACCUMULATED corpus (cross-side only, so
+    // per-flush work scales with the batch's bucket overlap, never
+    // re-pairing the corpus against itself), then the batch joins the
+    // corpus. Every (a,b) pair has exactly one emitting flush (the
+    // later doc's), so the maintained table ≡ the one-shot batch screen
+    // — hence the SAME minhashLshSql oracle — provided no band bucket
+    // exceeds maxBucket at FINAL corpus size (the guard is applied to
+    // partial buckets per flush; a bucket degenerate only in aggregate
+    // would stream pairs batch excludes — same density condition the
+    // sf1 tier checks).
+    "b10_stream_neardup" -> ((s, dir) => streamNearDupPipeline(s, dir)),
 
     // ---- Multimodal: binary payload + batch feature extraction (stub
     // codec, real plumbing). One row per (doc, bucket) scalar feature —
@@ -4380,6 +4407,10 @@ object SparkEntry {
 
       "dedup_minhash_lsh" -> minhashLshSql,
 
+      // the stream-maintained pair table replays the one-shot batch
+      // screen exactly (each pair emitted by exactly one flush)
+      "b10_stream_neardup" -> minhashLshSql,
+
       // same signature/banding construction as minhashLshSql, split
       // into sides; a bucket is kept when it holds >= 1 doc of each
       // side and <= maxBucket docs total (the engine's cross-side
@@ -5018,6 +5049,11 @@ object SparkEntry {
         s"${spanDedupSql("documents", 5)} ORDER BY doc_id",
 
       "dedup_span_chars" ->
+        s"${spanDedupCharsSql("documents", 30)} ORDER BY doc_id",
+
+      // sharded ≡ unsharded row-for-row (every gram group lands in
+      // exactly one shard), so the oracle is the identical replay
+      "dedup_span_chars_sharded" ->
         s"${spanDedupCharsSql("documents", 30)} ORDER BY doc_id",
 
       "t_fingerprint" ->
@@ -6491,6 +6527,38 @@ object SparkEntry {
       .select(col("query_id"), col("id").as("neighbor_id"), col("dist"),
         col("rank").cast("long").as("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Streaming near-dup maintenance harness: replay `documents` as 3
+    * micro-batch files; each `foreachBatch` flush appends intra-batch
+    * LSH pairs plus batch-vs-corpus cross pairs (canonicalized
+    * a = least, b = greatest) to the maintained pair table, then folds
+    * the batch into the corpus. Final read-back = the live pair table
+    * as the last flush left it. */
+  private def streamNearDupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val tmp = {
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_b10neardup")
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      }
+      java.nio.file.Files.createDirectories(p).toString
+    }
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    withShufflePartitions(s, 8) {
+      graft.streaming.StreamingIngest.nearDupMaintenance(
+        stream, "doc_id", "text", s"$tmp/work", s"$tmp/ckpt",
+        numHashes = 8, bands = 4, shingle = 3, maxBucket = DedupMaxBucket)
+        .awaitTermination()
+    }
+    // distinct for replay idempotence (a restarted flush may re-append)
+    s.read.parquet(s"$tmp/work/pairs").distinct().orderBy("a", "b")
   }
 
   private val ClassifierDim = 64

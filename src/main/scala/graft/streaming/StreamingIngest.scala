@@ -73,6 +73,57 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming near-duplicate maintenance: keep a cross-batch LSH pair
+    * table live under `workDir` — the streaming twin of the one-shot
+    * MinHash-LSH screen. Per micro-batch: intra-batch pairs
+    * ([[graft.operators.Dedup.minhashLshPairs]]) plus batch-vs-corpus
+    * cross pairs ([[graft.operators.Dedup.minhashLshPairsAgainst]],
+    * canonicalized a = least, b = greatest) append to `workDir/pairs`,
+    * then the batch folds into `workDir/corpus`. Cross-side pairing
+    * only, so per-flush cost scales with the batch's bucket overlap —
+    * the corpus is never re-paired against itself.
+    *
+    * Every (a,b) pair has exactly one emitting flush — the later doc's
+    * (same-flush → intra, earlier corpus → cross) — so the maintained
+    * table equals the one-shot batch screen over the union of batches,
+    * PROVIDED no band bucket exceeds `maxBucket` at final corpus size
+    * (the guard sees per-flush partial buckets; a bucket degenerate
+    * only in aggregate would stream pairs the batch screen excludes).
+    * Read the live table with `spark.read.parquet(s"$workDir/pairs")`
+    * (distinct() for replay idempotence — a checkpoint-restarted flush
+    * may re-append). */
+  def nearDupMaintenance(stream: DataFrame, idCol: String, textCol: String,
+                         workDir: String, checkpointDir: String,
+                         numHashes: Int = 8, bands: Int = 4,
+                         shingle: Int = 3, maxBucket: Int = 10000,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = stream.sparkSession
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val intra = graft.operators.Dedup.minhashLshPairs(
+            b, idCol, textCol, numHashes, bands, shingle, maxBucket)
+          val corpusPath = new org.apache.hadoop.fs.Path(s"$workDir/corpus")
+          val fs = corpusPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val pairs =
+            if (!fs.exists(corpusPath)) intra
+            else intra.unionByName(
+              graft.operators.Dedup.minhashLshPairsAgainst(
+                  b, spark.read.parquet(s"$workDir/corpus"),
+                  idCol, textCol, numHashes, bands, shingle, maxBucket)
+                .select(least(col("new_id"), col("old_id")).as("a"),
+                  greatest(col("new_id"), col("old_id")).as("b")))
+          pairs.write.mode("append").parquet(s"$workDir/pairs")
+          b.write.mode("append").parquet(s"$workDir/corpus")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Event-time windowed aggregation with watermark — the streaming form
     * of the engine's hourly rollup (events_hourly). State is bounded by
     * the watermark horizon. */

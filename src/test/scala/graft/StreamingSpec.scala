@@ -312,6 +312,44 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(0L, 1L, 11L), s"corpus after screened ingest: $ids")
   }
 
+  test("streaming near-dup maintenance: cross-batch pair table equals the one-shot batch screen") {
+    // planted dup groups SPANNING batches: docs 0/10/20 are near-dups
+    // arriving in three different micro-batches (the pair only a
+    // cross-batch screen can find), 1/11 share a batch boundary, 2 and
+    // 12 are singletons. The maintained table must equal the one-shot
+    // minhashLshPairs over the union — each pair found by exactly one
+    // flush (intra for same-batch, cross for earlier-corpus).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = Files.createTempDirectory("streamneardup").toString
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val b1 = Seq((0L, base), (1L, "spark engines stream micro batches fast"),
+      (2L, "completely unrelated singleton text about geology rocks"))
+    val b2 = Seq((10L, base.replace("jumps", "leaps")),
+      (11L, "spark engines stream micro batches quickly"))
+    val b3 = Seq((20L, base.replace("dog", "cat")),
+      (12L, "another unrelated singleton about deep sea creatures"))
+
+    val source = MemoryStream[(Long, String)]
+    def drain(): Unit = StreamingIngest.nearDupMaintenance(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/work", s"$tmp/ckpt").awaitTermination()
+    source.addData(b1: _*); drain()
+    source.addData(b2: _*); drain()
+    source.addData(b3: _*); drain()
+
+    val got = s.read.parquet(s"$tmp/work/pairs").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val want = graft.operators.Dedup.minhashLshPairs(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"stream-maintained $got vs batch $want")
+    // the cross-batch-only pair is present (would be missed by
+    // per-batch screening without the corpus side)
+    assert(want.exists { case (a, b) => Set(a, b).subsetOf(Set(0L, 10L, 20L)) })
+  }
+
   test("flush → incremental IMAGE dedup: dHash screens each batch against the corpus") {
     // the multimodal twin of the text screen above: on every flush the
     // new batch's perceptual hashes are blocked-Hamming-screened
