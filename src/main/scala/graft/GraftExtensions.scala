@@ -115,12 +115,20 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` hook (session-build-time registration). */
+/** `spark.sql.extensions` hook (session-build-time registration):
+  * scalar kernels plus the pipeline table functions
+  * ([[GraftTableFunctions]] — `SELECT * FROM minhash_pairs(...)`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
         builder))
     }
+    GraftTableFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
+        builder))
+    }
+  }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import graft.operators.{Chunker, Curation, Dedup, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** SQL table-function surface for the pipeline operators — the curation
+  * path for SQL-first users. The scalar kernels ([[GraftFunctions]])
+  * cover per-row work; these cover the WHOLE-RELATION operators (pair
+  * screens, dedup, splits, chunking, quality gating), callable as
+  * `SELECT * FROM fn('table', ...)` with a table or temp-view name.
+  *
+  * Registration mirrors [[GraftFunctions]]:
+  *  - at session build: `.withExtensions(new GraftExtensions)` /
+  *    `spark.sql.extensions=graft.GraftExtensions`;
+  *  - on a live session: `GraftTableFunctions.register(spark)`.
+  *
+  * Each builder resolves its first argument through
+  * `SparkSession.active.table` (temp views and catalog tables alike) and
+  * returns the SAME logical plan the Scala API builds — Catalyst then
+  * optimizes the composed query as one plan (the screen's filters and
+  * projections still push down into the scan), so the SQL route costs
+  * nothing over the Scala route.
+  *
+  * Registered table functions:
+  *  - `minhash_pairs(table, id, text [, numHashes, bands, shingle, maxBucket])`
+  *    — MinHash-LSH near-duplicate candidate pairs (a, b)
+  *  - `dedup_exact(table, id, text)` — rows surviving exact
+  *    (hash-groupBy) dedup, keep-first semantics
+  *  - `hash_split(table, id, 'train:0.9,val:0.05,test:0.05' [, salt])`
+  *    — all input columns + a deterministic `split` label
+  *    (append-stable: a row's split never changes as the corpus grows)
+  *  - `token_chunks(table, id, text, chunkTokens, overlap)` — fixed-size
+  *    word windows: (id, chunk_id, chunk_text, n_chunk_tokens)
+  *  - `quality_gate(table, text)` — rows passing the Gopher quality
+  *    gate at the paper's thresholds
+  */
+object GraftTableFunctions {
+
+  private def table(fn: String, args: Seq[Expression], i: Int): DataFrame =
+    SparkSession.active.table(strArg(fn, args, i))
+
+  private def strArg(fn: String, args: Seq[Expression], i: Int): String =
+    args(i) match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal, got $other")
+    }
+
+  private def intArg(fn: String, args: Seq[Expression], i: Int,
+                     default: => Int): Int =
+    args.lift(i) match {
+      case None => default
+      case Some(Literal(v: Int, IntegerType)) => v
+      case Some(Literal(v: Long, LongType)) => v.toInt
+      case Some(other) => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  /** `'train:0.9,test:0.1'` → Seq(("train", 0.9), ("test", 0.1)). */
+  private[graft] def parseWeights(spec: String): Seq[(String, Double)] =
+    spec.split(",").toSeq.map { part =>
+      part.split(":") match {
+        case Array(name, w) => (name.trim, w.trim.toDouble)
+        case _ => throw new IllegalArgumentException(
+          s"hash_split: malformed weight entry '$part' " +
+            "(expected 'name:weight,name:weight,...')")
+      }
+    }
+
+  val all: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
+    ("minhash_pairs",
+      "_FUNC_(table, id, text[, numHashes, bands, shingle, maxBucket]) - " +
+        "MinHash-LSH near-duplicate candidate pairs (a, b)",
+      (args: Seq[Expression]) => {
+        require(args.length >= 3 && args.length <= 7,
+          s"minhash_pairs expects 3-7 arguments, got ${args.length}")
+        plan(Dedup.minhashLshPairs(table("minhash_pairs", args, 0),
+          strArg("minhash_pairs", args, 1), strArg("minhash_pairs", args, 2),
+          numHashes = intArg("minhash_pairs", args, 3, 8),
+          bands = intArg("minhash_pairs", args, 4, 4),
+          shingle = intArg("minhash_pairs", args, 5, 3),
+          maxBucket = intArg("minhash_pairs", args, 6, 10000)))
+      }),
+    ("dedup_exact",
+      "_FUNC_(table, id, text) - rows surviving exact dedup (keep-first)",
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"dedup_exact expects 3 arguments, got ${args.length}")
+        plan(Dedup.exactKeepFirst(table("dedup_exact", args, 0),
+          strArg("dedup_exact", args, 1), strArg("dedup_exact", args, 2)))
+      }),
+    ("hash_split",
+      "_FUNC_(table, id, 'train:0.9,test:0.1'[, salt]) - deterministic " +
+        "append-stable split label on every row",
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 4,
+          s"hash_split expects 3-4 arguments, got ${args.length}")
+        val df = table("hash_split", args, 0)
+        val weights = parseWeights(strArg("hash_split", args, 2))
+        val salt =
+          if (args.length == 4) strArg("hash_split", args, 3) else ""
+        plan(df.withColumn("split", Sampling.splitColumn(
+          col(strArg("hash_split", args, 1)), weights, salt)))
+      }),
+    ("token_chunks",
+      "_FUNC_(table, id, text, chunkTokens, overlap) - fixed-size word " +
+        "windows (id, chunk_id, chunk_text, n_chunk_tokens)",
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          s"token_chunks expects 5 arguments, got ${args.length}")
+        plan(Chunker.chunk(table("token_chunks", args, 0),
+          strArg("token_chunks", args, 1), strArg("token_chunks", args, 2),
+          chunkTokens = intArg("token_chunks", args, 3, sys.error("unreachable")),
+          overlap = intArg("token_chunks", args, 4, sys.error("unreachable"))))
+      }),
+    ("quality_gate",
+      "_FUNC_(table, text) - rows passing the Gopher quality gate " +
+        "(paper-default thresholds)",
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"quality_gate expects 2 arguments, got ${args.length}")
+        val df = table("quality_gate", args, 0)
+        plan(df.filter(Curation.gopherPass(
+          col(strArg("quality_gate", args, 1)))))
+      }))
+
+  /** Register every pipeline table function on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      ColumnBridge.registerTempTableFunction(spark, name, builder)
+    }
+}

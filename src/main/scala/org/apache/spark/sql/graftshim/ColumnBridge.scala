@@ -26,4 +26,13 @@ object ColumnBridge {
                            builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Register a temp TABLE function (`SELECT * FROM fn(...)`) on an
+    * existing session — the live-session twin of
+    * `SparkSessionExtensions.injectTableFunction`. */
+  def registerTempTableFunction(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** SQL surface for the codegen kernels, registered on a live session. */
 class GraftExtensionsSpec extends SparkSpec {
 
@@ -76,5 +78,70 @@ class GraftExtensionsSpec extends SparkSpec {
         |ORDER BY dist ASC, a.id ASC LIMIT 3""".stripMargin).collect()
     assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 0.0)
     assert(top.map(_.getDouble(1)).sameElements(top.map(_.getDouble(1)).sorted))
+  }
+
+  test("pipeline table functions: dedup screens are callable from pure SQL") {
+    GraftTableFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    Seq((0L, base), (1L, base.replace("jumps", "leaps")),
+      (2L, "totally different words about geology and rocks here"),
+      (3L, base)) // exact copy of 0
+      .toDF("doc_id", "text").createOrReplaceTempView("docs_tf")
+    // near-dup pair screen from SQL == the Scala API
+    val sqlPairs = spark.sql(
+      "SELECT * FROM minhash_pairs('docs_tf', 'doc_id', 'text') ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val apiPairs = graft.operators.Dedup.minhashLshPairs(
+        spark.table("docs_tf"), "doc_id", "text").orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sqlPairs == apiPairs && sqlPairs.contains((0L, 3L)))
+    // exact keep-first dedup from SQL: doc 3 (copy of 0) drops
+    val kept = spark.sql(
+      "SELECT doc_id FROM dedup_exact('docs_tf', 'doc_id', 'text')")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L))
+    // composability: table function in a CTE with further SQL on top
+    val nPairs = spark.sql(
+      """WITH p AS (SELECT * FROM minhash_pairs('docs_tf', 'doc_id', 'text'))
+        |SELECT count(*) AS n FROM p WHERE a = 0""".stripMargin)
+      .head().getLong(0)
+    assert(nPairs == sqlPairs.count(_._1 == 0L))
+  }
+
+  test("pipeline table functions: split, chunking, quality gate from pure SQL") {
+    GraftTableFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    (0L until 200L).map(i => (i, s"word$i " * 8))
+      .toDF("doc_id", "text").createOrReplaceTempView("split_tf")
+    // hash_split: labels match the Scala splitColumn exactly; all rows labeled
+    val sqlSplit = spark.sql(
+      "SELECT doc_id, split FROM hash_split('split_tf', 'doc_id', 'train:0.8,test:0.2', 's1')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val apiSplit = spark.table("split_tf").select(col("doc_id"),
+        graft.operators.Sampling.splitColumn(col("doc_id"),
+          Seq(("train", 0.8), ("test", 0.2)), "s1").as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(sqlSplit == apiSplit)
+    assert(sqlSplit.values.toSet == Set("train", "test"))
+    // chunk_tokens: 9 tokens, size 4, overlap 1 → stride 3 → 3 chunks
+    Seq((7L, (1 to 9).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text").createOrReplaceTempView("chunk_tf")
+    val chunks = spark.sql(
+      """SELECT chunk_id, chunk_text FROM
+        |token_chunks('chunk_tf', 'doc_id', 'text', 4, 1) ORDER BY chunk_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(chunks == Seq((0L, "t1 t2 t3 t4"), (1L, "t4 t5 t6 t7"),
+      (2L, "t7 t8 t9")))
+    // quality_gate: a long stopword-bearing doc passes, a short one fails
+    val good = ("the and that with for was are this from they " * 8).trim
+    Seq((0L, good), (1L, "too short")).toDF("doc_id", "text")
+      .createOrReplaceTempView("qg_tf")
+    val passed = spark.sql(
+      "SELECT doc_id FROM quality_gate('qg_tf', 'text')")
+      .collect().map(_.getLong(0)).toSet
+    assert(passed == Set(0L))
   }
 }
