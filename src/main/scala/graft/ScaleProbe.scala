@@ -182,23 +182,56 @@ object ScaleProbe {
           numPartitions = hnswParts, params = hnswParams).count())
       // the reference's core ANN acceptance (test_hnsw.py:141-153:
       // recall ≥ 0.7 on ≥ 80% of queries) measured AT CORPUS SCALE, not
-      // toy N: 10 queries, recall@10 vs exact kNN, ef=100
-      tp("hnsw_recall_ef100") { hnswEdges } {
+      // toy N: 10 queries, recall@10 vs exact kNN, ef sweep — beam
+      // width and build params are the two quality knobs on the
+      // uniform-random corpus (the distance-concentration worst case
+      // for graph ANN; the m=8/efC=50 maintenance config that is fine
+      // at bench N degrades here, which is WHY the gate is measured)
+      def recallSweep(edges: => org.apache.spark.sql.DataFrame,
+                      p: graft.operators.Hnsw.Params, tag: String): Long = {
         val qs = df.filter(col("id") < 10).select("id", "embedding")
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-        val got = graft.operators.Hnsw.searchEdges(hnswEdges, df, "id",
-            "embedding", qs, k = 10, ef = 100,
-            numPartitions = hnswParts, params = hnswParams)
-          .select("query_id", "id").collect().groupBy(_.getLong(0))
-          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-        val good = qs.count { case (qid, qv) =>
-          val exact = Search.knnExact(df, "id", "embedding", qv.toSeq, 10)
+        val exact = qs.map { case (qid, qv) =>
+          qid -> Search.knnExact(df, "id", "embedding", qv.toSeq, 10)
             .select("id").collect().map(_.getLong(0)).toSet
-          got.getOrElse(qid, Set.empty).intersect(exact).size >= 7
+        }.toMap
+        var best = 0L
+        Seq(100, 200, 400).foreach { ef =>
+          val t0 = System.nanoTime()
+          val got = graft.operators.Hnsw.searchEdges(edges, df, "id",
+              "embedding", qs, k = 10, ef = ef,
+              numPartitions = hnswParts, params = p)
+            .select("query_id", "id").collect().groupBy(_.getLong(0))
+            .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+          val rec = qs.map { case (qid, _) =>
+            got.getOrElse(qid, Set.empty).intersect(exact(qid)).size / 10.0 }
+          val good = rec.count(_ >= 0.7)
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"        hnsw recall [$tag] ef=$ef%-4d $good/10 queries >= 0.7@10, mean=${rec.sum / rec.size}%.2f, $dt%.1f s  ${if (good >= 8) "GATE PASS" else "gate miss"}")
+          best = math.max(best, good.toLong)
         }
-        println(s"        hnsw recall gate: $good/10 queries >= 0.7@10 (ef=100)")
-        good.toLong
+        best
       }
+      tp("hnsw_recall_sweep_m8") { hnswEdges }(
+        recallSweep(hnswEdges, hnswParams, "m8/efC50"))
+
+      // quality-parameter graphs (the reference's defaults m=16/
+      // efC=200) — the recall-gate configuration; build timed
+      // separately so the build-cost ↔ recall trade is two recorded
+      // rows, not a guess
+      val hnswQDir = s"$dir-hnswedges-q"
+      val hnswQParams = graft.operators.Hnsw.Params(m = 16,
+        efConstruction = 200)
+      def writeHnswQ(): Unit =
+        graft.operators.Hnsw.buildEdges(df, "id", "embedding", hnswQParams,
+            hnswParts)
+          .write.mode("overwrite").parquet(hnswQDir)
+      t("hnsw_build_edges_m16") { writeHnswQ(); n }
+      lazy val hnswQEdges = {
+        ensure(hnswQDir)(writeHnswQ()); spark.read.parquet(hnswQDir)
+      }
+      tp("hnsw_recall_sweep_m16") { hnswQEdges }(
+        recallSweep(hnswQEdges, hnswQParams, "m16/efC200"))
 
       // greedy k-center: k sequential passes over the persisted
       // (id, emb, md) projection — the probe pins the per-round cost as
