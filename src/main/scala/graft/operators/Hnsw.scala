@@ -29,7 +29,21 @@ import scala.collection.mutable
   * Scale: build is embarrassingly parallel per shard; search touches
   * ~ef·M nodes per shard. For serving-size corpora prefer IVF (O6) —
   * this operator exists for capability parity and for in-memory-shard
-  * regimes (each executor holds its shard's graph).
+  * regimes (each executor holds its shard's graph). Per-partition graph
+  * memory is `numPartitions`-bounded: a shard of s vectors holds
+  * ~s·(4·dim + 16·M levels) bytes (~110 MB at 10M rows / 32 parts /
+  * dim 64 / M=8), so size partitions to executor memory, not to core
+  * count.
+  *
+  * Measured quality knobs (ScaleProbe `hnsw_*`, uniform-random 64-dim —
+  * the distance-concentration worst case; recall@10 vs exact over 10
+  * queries): the cheap maintenance config m=8/efC=50 that is fine at
+  * bench N degrades at corpus scale — at 1M it misses the gate at
+  * ef=100 (7/10 ≥ 0.7) and recovers at ef=200 (9/10) / ef=400 (10/10);
+  * at 10M it needs the reference-default build m=16/efC=200, which
+  * passes at every swept ef at 1M (10/10, mean 0.90–0.99). Build cost
+  * trade at 1M/32 parts: 25.9 s (m8/efC50) vs 188.5 s (m16/efC200).
+  * Raise ef first (search-time, no rebuild), then M/efConstruction.
   */
 object Hnsw {
 
