@@ -38,6 +38,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *    word windows: (id, chunk_id, chunk_text, n_chunk_tokens)
   *  - `quality_gate(table, text)` — rows passing the Gopher quality
   *    gate at the paper's thresholds
+  *  - `near_dedup(table, id, text)` — rows surviving near-duplicate
+  *    removal (LSH pair screen → connected components → keep the
+  *    lowest-id member per cluster). NOTE: the component labeling is
+  *    iterative, so the screen + CC run as jobs at ANALYSIS time (when
+  *    `spark.sql` plans the query); the returned plan is the final
+  *    anti-join. Semantics match `Dedup.keepCanonical ∘
+  *    connectedComponents ∘ minhashLshPairs` exactly.
   */
 object GraftTableFunctions {
 
@@ -129,6 +136,20 @@ object GraftTableFunctions {
         val df = table("quality_gate", args, 0)
         plan(df.filter(Curation.gopherPass(
           col(strArg("quality_gate", args, 1)))))
+      }),
+    ("near_dedup",
+      "_FUNC_(table, id, text) - rows surviving near-duplicate removal: " +
+        "MinHash-LSH pair screen -> connected components -> keep the " +
+        "lowest-id member of each near-dup cluster",
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"near_dedup expects 3 arguments, got ${args.length}")
+        val df = table("near_dedup", args, 0)
+        val id = strArg("near_dedup", args, 1)
+        val text = strArg("near_dedup", args, 2)
+        val comps = Dedup.connectedComponents(
+          Dedup.minhashLshPairs(df, id, text))
+        plan(Dedup.keepCanonical(df, id, comps))
       }))
 
   /** Register every pipeline table function on a live session. */

@@ -180,6 +180,18 @@ object ScaleProbe {
         graft.operators.Hnsw.searchEdges(hnswEdges, df, "id", "embedding",
           Seq((0L, q.toArray)), k = 10, ef = 100,
           numPartitions = hnswParts, params = hnswParams).count())
+      // batched: the per-call cost is the vectors⊳⊲edges cogroup +
+      // per-shard graph reconstruct, NOT the beam — so queries must be
+      // batched into one call (the searchBatch shape); this probe pins
+      // the amortization (expect ≈ the 1-query wall, ~100× cheaper
+      // per query)
+      tp("hnsw_search_100q_ef100") { hnswEdges } {
+        val qs = df.filter(col("id") < 100).select("id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        graft.operators.Hnsw.searchEdges(hnswEdges, df, "id", "embedding",
+          qs, k = 10, ef = 100,
+          numPartitions = hnswParts, params = hnswParams).count()
+      }
       // the reference's core ANN acceptance (test_hnsw.py:141-153:
       // recall ≥ 0.7 on ≥ 80% of queries) measured AT CORPUS SCALE, not
       // toy N: 10 queries, recall@10 vs exact kNN, ef sweep — beam

@@ -108,6 +108,12 @@ class GraftExtensionsSpec extends SparkSpec {
         |SELECT count(*) AS n FROM p WHERE a = 0""".stripMargin)
       .head().getLong(0)
     assert(nPairs == sqlPairs.count(_._1 == 0L))
+    // full near-dedup composition from SQL: 0/1/3 form one near-dup
+    // cluster (keep lowest id 0), 2 is untouched
+    val survivors = spark.sql(
+      "SELECT doc_id FROM near_dedup('docs_tf', 'doc_id', 'text')")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 2L), s"near_dedup survivors: $survivors")
   }
 
   test("pipeline table functions: split, chunking, quality gate from pure SQL") {
