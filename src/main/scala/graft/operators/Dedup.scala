@@ -86,6 +86,58 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("minhash"))
   }
 
+  /** LSH band rows (`__id`, `band_id`, `band_hash`) of a corpus — the
+    * compact per-doc index state (bands rows × ~50 B per doc, no text):
+    * what a flush loop PERSISTS so later batches band-join against it
+    * without ever re-scanning corpus text
+    * ([[graft.streaming.StreamingIngest.nearDupMaintenance]]). Same
+    * construction [[minhashLshPairs]]/[[minhashLshPairsAgainst]] use
+    * internally. */
+  private[graft] def bandedSignatures(df: DataFrame, idCol: String,
+                                      textCol: String, numHashes: Int,
+                                      bands: Int, shingle: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    signatureOnly(df, idCol, textCol, numHashes, shingle)
+      .select(col("__mid").as("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|",
+            slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as(Seq("band_id", "band_hash")))
+  }
+
+  /** Cross-side candidate pairs from PRE-BANDED sides — the flush-loop
+    * core of [[minhashLshPairsAgainst]] operating on persisted band
+    * rows instead of text. Same bucket rule (≥ 1 doc of each side,
+    * ≤ maxBucket distinct docs total), same (new_id, old_id) output. */
+  private[graft] def lshPairsAgainstBanded(batchBands: DataFrame,
+                                           corpusBands: DataFrame,
+                                           maxBucket: Int): DataFrame =
+    batchBands.withColumn("__new", lit(true))
+      .unionByName(corpusBands.withColumn("__new", lit(false)))
+      .groupBy("band_id", "band_hash")
+      .agg(
+        collect_set(when(col("__new"), col("__id"))).as("new_ids"),
+        collect_set(when(!col("__new"), col("__id"))).as("old_ids"))
+      .filter(size(col("new_ids")) > 0 && size(col("old_ids")) > 0 &&
+        size(array_union(col("new_ids"), col("old_ids"))) <= maxBucket)
+      .select(explode(col("new_ids")).as("new_id"), col("old_ids"))
+      .select(col("new_id"), explode(col("old_ids")).as("old_id"))
+      .filter(col("new_id") =!= col("old_id"))
+      .distinct()
+
+  /** Intra-side candidate pairs from PRE-BANDED rows —
+    * [[minhashLshPairs]]'s bucket pairing over persisted band rows.
+    * Same bucket rule (2..maxBucket docs), same (a, b) output. */
+  private[graft] def lshPairsBanded(bandRows: DataFrame,
+                                    maxBucket: Int): DataFrame =
+    intraBucketPairs(
+      bandRows.groupBy("band_id", "band_hash")
+        .agg(collect_list(col("__id")).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket),
+      "ids", "a", "b").distinct()
+
   /** LSH banding over the MinHash signature: band hash = md5 of the
     * concatenated band slice. Docs sharing any band hash are candidate
     * near-duplicates. Returns candidate pairs (a < b), distinct.
@@ -98,24 +150,13 @@ object Dedup {
     * runs opt in with Int.MaxValue. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 8, bands: Int = 4, shingle: Int = 3,
-                      maxBucket: Int = 10000): DataFrame = {
-    require(numHashes % bands == 0, s"numHashes ($numHashes) must divide by bands ($bands)")
-    val rowsPerBand = numHashes / bands
-    val signed = signatureOnly(df, idCol, textCol, numHashes, shingle)
-      .select(col("__mid").as("__id"), col("minhash"))
-    val banded = signed.select(col("__id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws("|", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-          .as(Seq("band_id", "band_hash")))
+                      maxBucket: Int = 10000): DataFrame =
     // single-pass bucket pairing: group ids per (band, hash) bucket and
     // emit intra-bucket pairs — no self-join, so the signature pipeline
     // runs once, and the shuffle carries one row per bucket.
-    intraBucketPairs(
-      banded.groupBy("band_id", "band_hash")
-        .agg(collect_list(col("__id")).as("ids"))
-        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket),
-      "ids", "a", "b").distinct()
-  }
+    lshPairsBanded(
+      bandedSignatures(df, idCol, textCol, numHashes, bands, shingle),
+      maxBucket)
 
   /** Incremental (cross-corpus) MinHash-LSH: candidate near-duplicate
     * pairs between a NEW ingest batch and the EXISTING corpus — the
@@ -138,34 +179,15 @@ object Dedup {
                              idCol: String, textCol: String,
                              numHashes: Int = 8, bands: Int = 4,
                              shingle: Int = 3,
-                             maxBucket: Int = 10000): DataFrame = {
-    require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must divide by bands ($bands)")
-    val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame, isNew: Boolean) =
-      signatureOnly(df, idCol, textCol, numHashes, shingle)
-        .select(col("__mid").as("__id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => md5(concat_ws("|",
-              slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-            .as(Seq("band_id", "band_hash")),
-          lit(isNew).as("__new"))
-    banded(batch, isNew = true).unionByName(banded(corpus, isNew = false))
-      .groupBy("band_id", "band_hash")
-      .agg(
-        collect_set(when(col("__new"), col("__id"))).as("new_ids"),
-        collect_set(when(!col("__new"), col("__id"))).as("old_ids"))
-      .filter(size(col("new_ids")) > 0 && size(col("old_ids")) > 0 &&
-        // DISTINCT docs, not side-set sizes summed: a re-ingested id
-        // sits in both sets and must count once, matching the
-        // documented "≤ maxBucket docs total" contract (and the
-        // oracle's count(DISTINCT doc_id)).
-        size(array_union(col("new_ids"), col("old_ids"))) <= maxBucket)
-      .select(explode(col("new_ids")).as("new_id"), col("old_ids"))
-      .select(col("new_id"), explode(col("old_ids")).as("old_id"))
-      .filter(col("new_id") =!= col("old_id"))
-      .distinct()
-  }
+                             maxBucket: Int = 10000): DataFrame =
+    // bucket rule in lshPairsAgainstBanded counts DISTINCT docs, not
+    // side-set sizes summed: a re-ingested id sits in both sets and
+    // must count once, matching the documented "≤ maxBucket docs total"
+    // contract (and the oracle's count(DISTINCT doc_id)).
+    lshPairsAgainstBanded(
+      bandedSignatures(batch, idCol, textCol, numHashes, bands, shingle),
+      bandedSignatures(corpus, idCol, textCol, numHashes, bands, shingle),
+      maxBucket)
 
   /** Intra-bucket combination pairs: each bucket's id array is
     * deduplicated, sorted, and exploded into its C(s,2) ordered pairs

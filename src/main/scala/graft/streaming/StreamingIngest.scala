@@ -75,13 +75,17 @@ object StreamingIngest {
 
   /** Streaming near-duplicate maintenance: keep a cross-batch LSH pair
     * table live under `workDir` — the streaming twin of the one-shot
-    * MinHash-LSH screen. Per micro-batch: intra-batch pairs
-    * ([[graft.operators.Dedup.minhashLshPairs]]) plus batch-vs-corpus
-    * cross pairs ([[graft.operators.Dedup.minhashLshPairsAgainst]],
-    * canonicalized a = least, b = greatest) append to `workDir/pairs`,
-    * then the batch folds into `workDir/corpus`. Cross-side pairing
-    * only, so per-flush cost scales with the batch's bucket overlap —
-    * the corpus is never re-paired against itself.
+    * MinHash-LSH screen. Per micro-batch: the batch's band rows are
+    * computed ONCE ([[graft.operators.Dedup.bandedSignatures]] —
+    * (id, band_id, band_hash), ~`bands` rows × ~50 B per doc, no text),
+    * intra-batch pairs and batch-vs-corpus cross pairs (canonicalized
+    * a = least, b = greatest) append to `workDir/pairs`, and the band
+    * rows fold into `workDir/bands`. The persisted state is the BAND
+    * INDEX, never corpus text: a flush re-reads the compact band table
+    * but re-hashes nothing — per-flush compute scales with the batch
+    * (signature + banding) plus one band-keyed aggregation whose
+    * corpus side is bytes-small. Cross-side pairing only, so the
+    * corpus is never re-paired against itself.
     *
     * Every (a,b) pair has exactly one emitting flush — the later doc's
     * (same-flush → intra, earlier corpus → cross) — so the maintained
@@ -102,24 +106,26 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
+        // band rows are reused by intra pairs, cross pairs, AND the
+        // index append — eagerly materialized so the signature
+        // aggregation runs once per flush
+        val bb = graft.operators.Dedup.bandedSignatures(
+          batch, idCol, textCol, numHashes, bands, shingle).persist()
         try {
-          val intra = graft.operators.Dedup.minhashLshPairs(
-            b, idCol, textCol, numHashes, bands, shingle, maxBucket)
-          val corpusPath = new org.apache.hadoop.fs.Path(s"$workDir/corpus")
-          val fs = corpusPath.getFileSystem(
+          val intra = graft.operators.Dedup.lshPairsBanded(bb, maxBucket)
+          val bandsPath = new org.apache.hadoop.fs.Path(s"$workDir/bands")
+          val fs = bandsPath.getFileSystem(
             spark.sparkContext.hadoopConfiguration)
           val pairs =
-            if (!fs.exists(corpusPath)) intra
+            if (!fs.exists(bandsPath)) intra
             else intra.unionByName(
-              graft.operators.Dedup.minhashLshPairsAgainst(
-                  b, spark.read.parquet(s"$workDir/corpus"),
-                  idCol, textCol, numHashes, bands, shingle, maxBucket)
+              graft.operators.Dedup.lshPairsAgainstBanded(
+                  bb, spark.read.parquet(s"$workDir/bands"), maxBucket)
                 .select(least(col("new_id"), col("old_id")).as("a"),
                   greatest(col("new_id"), col("old_id")).as("b")))
           pairs.write.mode("append").parquet(s"$workDir/pairs")
-          b.write.mode("append").parquet(s"$workDir/corpus")
-        } finally { b.unpersist(); () }
+          bb.write.mode("append").parquet(s"$workDir/bands")
+        } finally { bb.unpersist(); () }
       }
       .start()
   }
