@@ -598,6 +598,40 @@ object ScaleProbe {
         spark.catalog.dropTempView(name)
         r
       }
+
+      // streaming near-dup maintenance at corpus scale: n docs with
+      // planted dup groups (~5 docs per group, members spread across
+      // the id range so pairs SPAN micro-batches), replayed as 5
+      // flushes. The persisted state is the band index (never text);
+      // the claim under test is that 5 incremental flushes cost a
+      // bounded factor over the one-shot screen — not 5× the corpus
+      // signature work
+      t("stream_neardup_5b") {
+        val groups = math.max(n / 5L, 1L)
+        val docsN = spark.range(n).select(col("id"),
+          concat_ws(" ", (0 until 12).map(j =>
+            // group-determined text with one doc-salted tail token →
+            // ~5-doc near-dup families, Jaccard ≈ 11/13 across members
+            (if (j < 11)
+               pmod(xxhash64(pmod(col("id"), lit(groups)) * 16 + j), lit(5000))
+             else pmod(xxhash64(col("id")), lit(7))).cast("string")): _*)
+            .as("text"))
+        docsN.repartition(5).write.mode("overwrite")
+          .parquet(s"$sdir/ndocs")
+        val sch = spark.read.parquet(s"$sdir/ndocs").schema
+        val q = graft.streaming.StreamingIngest.nearDupMaintenance(
+          spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(s"$sdir/ndocs"),
+          "id", "text", s"$sdir/ndwork", s"$sdir/ndckpt")
+        q.awaitTermination()
+        spark.read.parquet(s"$sdir/ndwork/pairs").distinct().count()
+      }
+      // the one-shot twin on the identical corpus — the overhead
+      // denominator for the probe above
+      t("stream_neardup_oneshot") {
+        Dedup.minhashLshPairs(spark.read.parquet(s"$sdir/ndocs"),
+          "id", "text").count()
+      }
     }
 
     if (text) {
