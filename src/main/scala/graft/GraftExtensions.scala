@@ -130,5 +130,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
         builder))
     }
+    // planner rule for the deferred-execution leaf near_dedup composes
+    ext.injectPlannerStrategy(_ => graft.plans.DeferredRelationStrategy)
   }
 }

@@ -2,8 +2,9 @@ package graft
 
 import graft.operators.{Chunker, Curation, Dedup, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, FunctionTableSubqueryArgumentExpression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
@@ -40,16 +41,35 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *    gate at the paper's thresholds
   *  - `near_dedup(table, id, text)` — rows surviving near-duplicate
   *    removal (LSH pair screen → connected components → keep the
-  *    lowest-id member per cluster). NOTE: the component labeling is
-  *    iterative, so the screen + CC run as jobs at ANALYSIS time (when
-  *    `spark.sql` plans the query); the returned plan is the final
-  *    anti-join. Semantics match `Dedup.keepCanonical ∘
-  *    connectedComponents ∘ minhashLshPairs` exactly.
+  *    lowest-id member per cluster). The iterative component labeling
+  *    is wrapped in a [[graft.plans.DeferredRelation]]: planning —
+  *    `EXPLAIN`, `DESCRIBE`, view re-resolution — is side-effect-free,
+  *    and the screen + CC jobs fire once at the query's first action
+  *    (memoized per plan instance). Semantics match
+  *    `Dedup.keepCanonical ∘ connectedComponents ∘ minhashLshPairs`
+  *    exactly.
+  *
+  * Each function's `table` argument is either a name string literal
+  * (`'docs'` — temp views and catalog tables alike) or a relation
+  * argument (`TABLE(docs)` / `TABLE(SELECT ...)`), so a subquery or CTE
+  * feeds straight in without a temp-view detour.
   */
 object GraftTableFunctions {
 
+  /** First argument: a table/temp-view NAME ('docs') or a relation
+    * argument (`TABLE(docs)`, `TABLE(SELECT ... FROM docs)`) — the
+    * latter lets SQL users feed a subquery or CTE straight into a
+    * pipeline function without materializing a temp view first. */
   private def table(fn: String, args: Seq[Expression], i: Int): DataFrame =
-    SparkSession.active.table(strArg(fn, args, i))
+    args(i) match {
+      case f: FunctionTableSubqueryArgumentExpression =>
+        ColumnBridge.ofRows(SparkSession.active, f.plan)
+      case Literal(s, StringType) if s != null =>
+        SparkSession.active.table(s.toString)
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a table name string literal " +
+          s"or a TABLE(...) argument, got $other")
+    }
 
   private def strArg(fn: String, args: Seq[Expression], i: Int): String =
     args(i) match {
@@ -63,7 +83,12 @@ object GraftTableFunctions {
     args.lift(i) match {
       case None => default
       case Some(Literal(v: Int, IntegerType)) => v
-      case Some(Literal(v: Long, LongType)) => v.toInt
+      // toIntExact: an out-of-Int-range literal must fail loud, not wrap
+      case Some(Literal(v: Long, LongType)) =>
+        try java.lang.Math.toIntExact(v)
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"$fn: argument ${i + 1} ($v) exceeds Int range") }
       case Some(other) => throw new IllegalArgumentException(
         s"$fn: argument ${i + 1} must be an integer literal, got $other")
     }
@@ -140,21 +165,41 @@ object GraftTableFunctions {
     ("near_dedup",
       "_FUNC_(table, id, text) - rows surviving near-duplicate removal: " +
         "MinHash-LSH pair screen -> connected components -> keep the " +
-        "lowest-id member of each near-dup cluster",
+        "lowest-id member of each near-dup cluster. The screen + " +
+        "component jobs run at the query's FIRST ACTION (memoized per " +
+        "plan), never at EXPLAIN/DESCRIBE/view-resolution time.",
       (args: Seq[Expression]) => {
         require(args.length == 3,
           s"near_dedup expects 3 arguments, got ${args.length}")
         val df = table("near_dedup", args, 0)
         val id = strArg("near_dedup", args, 1)
         val text = strArg("near_dedup", args, 2)
-        val comps = Dedup.connectedComponents(
-          Dedup.minhashLshPairs(df, id, text))
-        plan(Dedup.keepCanonical(df, id, comps))
+        // CC is iterative (driver-side jobs just to know its output), so
+        // the loser set is a DeferredRelation: planning this function is
+        // side-effect-free, and the jobs fire once at first execution
+        val losersSchema = df.select(col(id).as("__loser")).schema
+        val thunk = () => {
+          val comps = Dedup.connectedComponents(
+            Dedup.minhashLshPairs(df, id, text))
+          comps.filter(col("id") =!= col("comp"))
+            .select(col("id").as("__loser"))
+        }
+        val losers = ColumnBridge.ofRows(SparkSession.active,
+          graft.plans.DeferredRelation(
+            DataTypeUtils.toAttributes(losersSchema),
+            s"near_dedup($id) losers", thunk))
+        plan(df.join(losers, col(id) === col("__loser"), "left_anti"))
       }))
 
-  /** Register every pipeline table function on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Register every pipeline table function on a live session (and the
+    * planner strategy the deferred `near_dedup` leaf needs). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, _, builder) =>
       ColumnBridge.registerTempTableFunction(spark, name, builder)
     }
+    val extra = spark.experimental.extraStrategies
+    if (!extra.contains(graft.plans.DeferredRelationStrategy))
+      spark.experimental.extraStrategies =
+        extra :+ graft.plans.DeferredRelationStrategy
+  }
 }

@@ -61,8 +61,16 @@ object ScaleProbe {
         val s0 = spillBytes.get(); val w0 = shuffleWriteBytes.get()
         val t0 = System.nanoTime(); val r = f
         val dt = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously — settle before reading
-        Thread.sleep(300)
+        // listener events drain asynchronously — settle until two
+        // consecutive reads agree (a fixed sleep under-waits when the
+        // bus lags, bleeding deltas into the next probe's window)
+        var prev = (spillBytes.get(), shuffleWriteBytes.get())
+        var settled = false; var waited = 0
+        while (!settled && waited < 5000) {
+          Thread.sleep(200); waited += 200
+          val cur = (spillBytes.get(), shuffleWriteBytes.get())
+          settled = cur == prev; prev = cur
+        }
         val sp = (spillBytes.get() - s0) / 1e9
         val sw = (shuffleWriteBytes.get() - w0) / 1e9
         println(f"SCALE $name%-26s $dt%8.2f s  (rows=$r, spill=$sp%.1f GB, shuffle_write=$sw%.1f GB)")
@@ -208,7 +216,11 @@ object ScaleProbe {
             .select("id").collect().map(_.getLong(0)).toSet
         }.toMap
         var best = 0L
-        Seq(100, 200, 400).foreach { ef =>
+        // ef=50 first: the API default (GraftConfig.ef mirrors
+        // api/models.py:19) — the configuration every defaults-taking
+        // user actually runs, so the gate row it produces is the one
+        // that decides whether searchApi may pass ef through unscaled
+        Seq(50, 100, 200, 400).foreach { ef =>
           val t0 = System.nanoTime()
           val got = graft.operators.Hnsw.searchEdges(edges, df, "id",
               "embedding", qs, k = 10, ef = ef,
@@ -606,9 +618,9 @@ object ScaleProbe {
       // the claim under test is that 5 incremental flushes cost a
       // bounded factor over the one-shot screen — not 5× the corpus
       // signature work
-      t("stream_neardup_5b") {
+      def writeNdocs(): Unit = {
         val groups = math.max(n / 5L, 1L)
-        val docsN = spark.range(n).select(col("id"),
+        spark.range(n).select(col("id"),
           concat_ws(" ", (0 until 12).map(j =>
             // group-determined text with one doc-salted tail token →
             // ~5-doc near-dup families, Jaccard ≈ 11/13 across members
@@ -616,8 +628,10 @@ object ScaleProbe {
                pmod(xxhash64(pmod(col("id"), lit(groups)) * 16 + j), lit(5000))
              else pmod(xxhash64(col("id")), lit(7))).cast("string")): _*)
             .as("text"))
-        docsN.repartition(5).write.mode("overwrite")
-          .parquet(s"$sdir/ndocs")
+          .repartition(5).write.mode("overwrite").parquet(s"$sdir/ndocs")
+      }
+      t("stream_neardup_5b") {
+        writeNdocs()
         val sch = spark.read.parquet(s"$sdir/ndocs").schema
         val q = graft.streaming.StreamingIngest.nearDupMaintenance(
           spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
@@ -627,8 +641,9 @@ object ScaleProbe {
         spark.read.parquet(s"$sdir/ndwork/pairs").distinct().count()
       }
       // the one-shot twin on the identical corpus — the overhead
-      // denominator for the probe above
-      t("stream_neardup_oneshot") {
+      // denominator for the probe above; ensure() materializes the
+      // planted corpus when a name filter skipped the 5-flush probe
+      tp("stream_neardup_oneshot") { ensure(s"$sdir/ndocs")(writeNdocs()) } {
         Dedup.minhashLshPairs(spark.read.parquet(s"$sdir/ndocs"),
           "id", "text").count()
       }

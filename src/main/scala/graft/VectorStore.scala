@@ -92,10 +92,26 @@ class VectorStore private (val spark: SparkSession, val path: String,
 
   /** O3: HNSW-equivalent search (per-partition graphs). The metadata
     * filter composes before the graph search (pre-filtering — strictly
-    * better recall than the reference's navigate-through-filtered beam). */
-  def searchHnsw(query: Seq[Float], k: Int, ef: Int = 50,
-                 metadataFilter: Map[String, String] = Map.empty): DataFrame =
-    Hnsw.search(live(metadataFilter), "id", "embedding", query, k, ef)
+    * better recall than the reference's navigate-through-filtered beam).
+    *
+    * `ef <= 0` (the default) = scale-aware auto beam: the config
+    * default (GraftConfig.ef = 50, mirroring api/models.py:19) holds
+    * the reference recall gate only up to the measured per-shard
+    * anchor (Hnsw.EfAnchorShardN — at 10M rows / 32 shards it measures
+    * 4/10 vs the required 8/10), so the default-taking path widens it
+    * as `50 · (perShardN/anchor)^0.30` via [[Hnsw.scaledEf]]. Costs one
+    * count() of the (filtered) corpus — noise next to the shard-graph
+    * build the search itself performs. An explicit `ef > 0` passes
+    * through unscaled. */
+  def searchHnsw(query: Seq[Float], k: Int, ef: Int = 0,
+                 metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+    val corpus = live(metadataFilter)
+    val eff =
+      if (ef > 0) ef
+      else Hnsw.scaledEf(graft.core.GraftConfig.default.ef, corpus.count(),
+        spark.sparkContext.defaultParallelism)
+    Hnsw.search(corpus, "id", "embedding", query, k, eff)
+  }
 
   private def live(metadataFilter: Map[String, String]): DataFrame = {
     val base = snapshot().filter(!col("is_deleted"))
@@ -257,7 +273,11 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val k = params.get("top_k").map(_.toInt).getOrElse(cfg.topK)
     params.getOrElse("index", "exact") match {
       case "hnsw" =>
-        searchHnsw(query, k, params.get("ef").map(_.toInt).getOrElse(cfg.ef),
+        // no explicit ef in the request -> the scale-aware auto beam
+        // (searchHnsw's ef<=0 path scales cfg.ef with per-shard N);
+        // an explicit ef passes through unscaled like the reference's
+        // kwargs pass-through
+        searchHnsw(query, k, params.get("ef").map(_.toInt).getOrElse(0),
           metadataFilter)
       case "ivf" =>
         searchIvf(query, params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe),

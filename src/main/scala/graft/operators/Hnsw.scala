@@ -40,15 +40,47 @@ import scala.collection.mutable
   * queries): the cheap maintenance config m=8/efC=50 that is fine at
   * bench N degrades at corpus scale — at 1M it misses the gate at
   * ef=100 (7/10 ≥ 0.7) and recovers at ef=200 (9/10) / ef=400 (10/10);
-  * at 10M it needs the reference-default build m=16/efC=200, which
-  * passes at every swept ef at 1M (10/10, mean 0.90–0.99). Build cost
-  * trade at 1M/32 parts: 25.9 s (m8/efC50) vs 188.5 s (m16/efC200).
-  * Raise ef first (search-time, no rebuild), then M/efConstruction.
+  * at 10M it needs the reference-default build m=16/efC=200. On the
+  * m16/efC200 build the API-DEFAULT beam ef=50 (GraftConfig.ef) is
+  * itself scale-bounded: it passes at 1M/32 shards (9/10, mean 0.78)
+  * and fails at 10M/32 (4/10, mean 0.57), where ef=100 passes (9/10,
+  * 0.82), ef=200 10/10 (0.88), ef=400 10/10 (0.95). Hence
+  * [[scaledEf]]: the default-taking search paths widen the beam as
+  * perShardN^0.30 past the measured 31,250-rows/shard anchor. Build
+  * cost trade at 1M/32 parts: 25.9 s (m8/efC50) vs 188.5 s
+  * (m16/efC200). Raise ef first (search-time, no rebuild), then
+  * M/efConstruction.
   */
 object Hnsw {
 
   case class Params(m: Int = 16, efConstruction: Int = 200, ef: Int = 50,
                     seed: Long = 42L)
+
+  /** Measured anchor for the default search beam (ScaleProbe
+    * `hnsw_recall_sweep_m16`, uniform-random 64-dim, m=16/efC=200,
+    * 32 shards): ef=50 holds the reference recall gate
+    * (test_hnsw.py:141-153) at per-shard N = 31,250 (1M rows: 9/10
+    * queries ≥ 0.7@10, mean 0.78) and FAILS it at per-shard
+    * N = 312,500 (10M rows: 4/10, mean 0.57), where doubling the beam
+    * passes (ef=100: 9/10, mean 0.82). */
+  val EfAnchorShardN: Long = 31250L
+
+  /** Power-law fit through the two measured (per-shard N, ef-needed)
+    * points above: ef grows as perShardN^0.30 (= ln 2 / ln 10 — the
+    * beam doubles per decade of shard size). */
+  val EfScaleExponent: Double = 0.30
+
+  /** Scale a search beam with per-shard corpus size so the DEFAULT
+    * `ef` keeps the measured recall gate as the corpus grows: identity
+    * at/below the measured anchor shard size, `ef ·
+    * (perShardN/anchor)^0.30` (rounded up) above it. Callers that set
+    * ef explicitly should pass their value through unscaled. */
+  def scaledEf(ef: Int, n: Long, numPartitions: Int): Int = {
+    val perShard = math.max(n / math.max(numPartitions, 1), 1L)
+    if (perShard <= EfAnchorShardN) ef
+    else math.ceil(ef *
+      math.pow(perShard.toDouble / EfAnchorShardN, EfScaleExponent)).toInt
+  }
 
   /** Partition-local HNSW graph (standard algorithm, double-precision
     * distances, (dist, id) tie-break everywhere). */

@@ -20,6 +20,14 @@ object ColumnBridge {
   def resolvedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * private[sql] in Spark 4). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a temp SQL function on an existing session
     * (`sessionState` is private[sql] too). */
   def registerTempFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -116,6 +116,76 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(survivors == Set(0L, 2L), s"near_dedup survivors: $survivors")
   }
 
+  test("near_dedup SQL planning is side-effect-free (jobs only at first action)") {
+    GraftTableFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    Seq((0L, base), (1L, base.replace("jumps", "leaps")),
+      (2L, "totally different words about geology and rocks here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("lazy_tf")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // planning-only surfaces: analysis, EXPLAIN (physical planning
+      // included), and view definition — none may run the screen/CC jobs
+      val df = spark.sql(
+        "SELECT doc_id FROM near_dedup('lazy_tf', 'doc_id', 'text')")
+      df.queryExecution.executedPlan // force full physical planning
+      spark.sql(
+        "EXPLAIN SELECT * FROM near_dedup('lazy_tf', 'doc_id', 'text')")
+        .collect()
+      // listener bus is async — settle until two consecutive reads agree
+      var prev = -1; var waited = 0
+      while (jobs.get() != prev && waited < 5000) {
+        prev = jobs.get(); Thread.sleep(250); waited += 250
+      }
+      assert(jobs.get() == 0,
+        s"near_dedup planning ran ${jobs.get()} jobs; must run none")
+      // first action fires the deferred screen+CC and answers correctly
+      val survivors = df.collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(0L, 2L), s"survivors: $survivors")
+      assert(jobs.get() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("table functions accept TABLE(...) relation arguments (subquery/CTE, no temp view)") {
+    GraftTableFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    Seq((0L, base), (1L, base.replace("jumps", "leaps")),
+      (2L, "totally different words about geology and rocks here"),
+      (3L, base))
+      .toDF("doc_id", "text").createOrReplaceTempView("tblarg_tf")
+    // subquery argument: filter feeds straight into the function
+    val kept = spark.sql(
+      """SELECT doc_id FROM dedup_exact(
+        |  TABLE(SELECT * FROM tblarg_tf WHERE doc_id < 3),
+        |  'doc_id', 'text')""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L), s"dedup_exact over TABLE(subquery): $kept")
+    // bare relation argument
+    val survivors = spark.sql(
+      "SELECT doc_id FROM near_dedup(TABLE(tblarg_tf), 'doc_id', 'text')")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 2L), s"near_dedup over TABLE(name): $survivors")
+    // quality_gate + minhash_pairs over TABLE args match the name-string route
+    val viaTable = spark.sql(
+      "SELECT * FROM minhash_pairs(TABLE(tblarg_tf), 'doc_id', 'text') ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaName = spark.sql(
+      "SELECT * FROM minhash_pairs('tblarg_tf', 'doc_id', 'text') ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaTable == viaName && viaTable.nonEmpty)
+  }
+
   test("pipeline table functions: split, chunking, quality gate from pure SQL") {
     GraftTableFunctions.register(spark)
     val s = spark

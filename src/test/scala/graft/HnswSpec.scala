@@ -217,4 +217,19 @@ class HnswSpec extends SparkSpec {
     assert(fromInt.toSeq == fromLong.toSeq)
     assert(fromInt.exists { case (q, _, id, d) => q == 0L && id == 5L && d < 1e-6 })
   }
+
+  test("scaledEf: identity at the measured anchor, perShardN^0.30 growth above it") {
+    // at/below the anchor shard size the configured beam passes through
+    assert(Hnsw.scaledEf(50, 1000000L, 32) == 50)   // 31,250/shard = anchor
+    assert(Hnsw.scaledEf(50, 1000L, 4) == 50)
+    // the two measured sweep points: ef=50 fails at 312,500/shard where
+    // ef=100 passes — the fit must land exactly on the passing beam
+    assert(Hnsw.scaledEf(50, 10000000L, 32) == 100)
+    // monotone in corpus size, and another decade doubles the beam again
+    assert(Hnsw.scaledEf(50, 100000000L, 32) == 200)
+    // more shards = smaller per-shard graphs = less widening needed
+    assert(Hnsw.scaledEf(50, 10000000L, 320) == 50)
+    // degenerate partition counts clamp instead of dividing by zero
+    assert(Hnsw.scaledEf(50, 31250L, 0) == 50)
+  }
 }
