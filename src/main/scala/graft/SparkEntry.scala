@@ -1887,7 +1887,8 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === QueryVecId)
         .select("embedding").head.getSeq[Float](0).toSeq
       Hnsw.search(emb, "vec_id", "embedding", q, k = 10, ef = 200,
-          Hnsw.Params(m = 8, efConstruction = 50),
+          Hnsw.Params(), // library default m16/efC200 — the config that
+                         // holds the 10M recall gate (Hnsw knob table)
           filter = Some(col("label") === 3))
         .select(col("id").as("vec_id"), col("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc)
@@ -1926,7 +1927,7 @@ object SparkEntry {
     // ---- B1/B3: HNSW build — edge histogram per level (rows-only)
     "b1_hnsw_edges" -> ((s, dir) =>
       Hnsw.buildEdges(Tables.embeddings(s, dir), "vec_id", "embedding",
-          Hnsw.Params(m = 8, efConstruction = 50), numPartitions = 4)
+          Hnsw.Params(), numPartitions = 4)
         .groupBy("level").agg(count(lit(1)).as("n_edges"))
         .orderBy("level")),
 
@@ -1936,7 +1937,8 @@ object SparkEntry {
     // the incremental ≡ rebuild recall contract is gated in HnswSpec)
     "b1_hnsw_incremental" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val params = Hnsw.Params(m = 8, efConstruction = 50)
+      val params = Hnsw.Params() // default m16/efC200 (knob table: the
+                                 // 10M-gate config; m8/efC50 fails there)
       val base = emb.filter(col("vec_id") % 5 =!= 0)
       val batch = emb.filter(col("vec_id") % 5 === 0)
       val edges = Hnsw.buildEdges(base, "vec_id", "embedding", params, numPartitions = 4)
@@ -2273,7 +2275,8 @@ object SparkEntry {
       import s.implicits._
       val tmp = {
         val p = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_b10hll")
+          System.getProperty("java.io.tmpdir"),
+          s"graft_b10hll_${ProcessHandle.current().pid()}")
         if (java.nio.file.Files.exists(p)) {
           val walk = java.nio.file.Files.walk(p)
           try walk.sorted(java.util.Comparator.reverseOrder())
@@ -2303,7 +2306,8 @@ object SparkEntry {
       import s.implicits._
       val tmp = {
         val p = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_b10kll")
+          System.getProperty("java.io.tmpdir"),
+          s"graft_b10kll_${ProcessHandle.current().pid()}")
         if (java.nio.file.Files.exists(p)) {
           val walk = java.nio.file.Files.walk(p)
           try walk.sorted(java.util.Comparator.reverseOrder())
@@ -6420,7 +6424,8 @@ object SparkEntry {
     import s.implicits._
     val tmp = {
       val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_b10funnel")
+        System.getProperty("java.io.tmpdir"),
+        s"graft_b10funnel_${ProcessHandle.current().pid()}")
       if (java.nio.file.Files.exists(p)) {
         val walk = java.nio.file.Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder())
@@ -6491,8 +6496,13 @@ object SparkEntry {
   private def streamIndexPipeline(s: SparkSession, dir: String, ef: Int,
                                   tmpName: String): DataFrame = {
     val tmp = {
+      // PID-suffixed: two concurrent Verify runs on one machine (the
+      // run_probe.sh pattern) must not clobber each other's checkpoint/
+      // work dirs mid-stream; within one process reruns still reuse and
+      // wipe the same directory
       val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), tmpName)
+        System.getProperty("java.io.tmpdir"),
+        s"${tmpName}_${ProcessHandle.current().pid()}")
       if (java.nio.file.Files.exists(p)) {
         val walk = java.nio.file.Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder())
@@ -6505,7 +6515,11 @@ object SparkEntry {
     emb.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
     val stream = s.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-    val params = Hnsw.Params(m = 8, efConstruction = 50)
+    // the maintenance config a user copies into a long-lived stream must
+    // be the one that holds the recall gate at corpus scale: library
+    // default m16/efC200 (the 10M sweep measures m8/efC50 at 1/10 —
+    // see the Hnsw.scala knob table for the build-cost trade)
+    val params = Hnsw.Params()
     withShufflePartitions(s, 8) {
       val q = graft.streaming.StreamingIngest.upsertStream(
         stream, "vec_id", s"$tmp/snap", s"$tmp/ckpt", flushThreshold = 1,
@@ -6537,8 +6551,11 @@ object SparkEntry {
     * as the last flush left it. */
   private def streamNearDupPipeline(s: SparkSession, dir: String): DataFrame = {
     val tmp = {
+      // PID-suffixed for concurrent-run isolation (see
+      // streamIndexPipeline); delete-on-entry keeps rerun hygiene
       val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_b10neardup")
+        System.getProperty("java.io.tmpdir"),
+        s"graft_b10neardup_${ProcessHandle.current().pid()}")
       if (java.nio.file.Files.exists(p)) {
         val walk = java.nio.file.Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder())
