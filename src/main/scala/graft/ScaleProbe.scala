@@ -647,6 +647,23 @@ object ScaleProbe {
         Dedup.minhashLshPairs(spark.read.parquet(s"$sdir/ndocs"),
           "id", "text").count()
       }
+      // state-hygiene twin: identical corpus/flushes with compactEvery=2
+      // — pair count must match the uncompacted run, and the printed
+      // file counts pin the small-file bound (window, not stream length)
+      tp("stream_neardup_compact") { ensure(s"$sdir/ndocs")(writeNdocs()) } {
+        def pf(d: String): Int = Option(new java.io.File(d).listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+        val sch = spark.read.parquet(s"$sdir/ndocs").schema
+        graft.streaming.StreamingIngest.nearDupMaintenance(
+          spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(s"$sdir/ndocs"),
+          "id", "text", s"$sdir/ndworkc", s"$sdir/ndckptc",
+          compactEvery = 2).awaitTermination()
+        println(s"        neardup state files (bands, pairs): " +
+          s"uncompacted=(${pf(s"$sdir/ndwork/bands")}, ${pf(s"$sdir/ndwork/pairs")}), " +
+          s"compacted=(${pf(s"$sdir/ndworkc/bands")}, ${pf(s"$sdir/ndworkc/pairs")})")
+        spark.read.parquet(s"$sdir/ndworkc/pairs").distinct().count()
+      }
     }
 
     if (text) {

@@ -6569,9 +6569,13 @@ object SparkEntry {
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
     withShufflePartitions(s, 8) {
+      // compactEvery=2: the mid-stream state compaction runs under this
+      // query's oracle too — the maintained pair table must be
+      // bit-identical with and without the rewrite
       graft.streaming.StreamingIngest.nearDupMaintenance(
         stream, "doc_id", "text", s"$tmp/work", s"$tmp/ckpt",
-        numHashes = 8, bands = 4, shingle = 3, maxBucket = DedupMaxBucket)
+        numHashes = 8, bands = 4, shingle = 3, maxBucket = DedupMaxBucket,
+        compactEvery = 2)
         .awaitTermination()
     }
     // distinct for replay idempotence (a restarted flush may re-append)

@@ -95,17 +95,29 @@ object StreamingIngest {
     * only in aggregate would stream pairs the batch screen excludes).
     * Read the live table with `spark.read.parquet(s"$workDir/pairs")`
     * (distinct() for replay idempotence — a checkpoint-restarted flush
-    * may re-append). */
+    * may re-append).
+    *
+    * State hygiene: every flush appends one parquet write to both state
+    * dirs, so a long-lived stream accumulates small files; every
+    * `compactEvery`-th flush therefore rewrites `bands`/`pairs` toward
+    * `compactTargetBytes`-sized files ([[graft.core.SnapshotIO
+    * .compactFiles]] — content-preserving, crash-safe publish), keeping
+    * the file count bounded by the compaction window instead of the
+    * stream length (`compactEvery = 0` disables). Deletions:
+    * [[nearDupRetract]] removes a document's band rows (and its pairs)
+    * so it stops pairing against future ingests. */
   def nearDupMaintenance(stream: DataFrame, idCol: String, textCol: String,
                          workDir: String, checkpointDir: String,
                          numHashes: Int = 8, bands: Int = 4,
                          shingle: Int = 3, maxBucket: Int = 10000,
-                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         compactEvery: Int = 16,
+                         compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery = {
     val spark = stream.sparkSession
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // band rows are reused by intra pairs, cross pairs, AND the
         // index append — eagerly materialized so the signature
         // aggregation runs once per flush
@@ -125,9 +137,48 @@ object StreamingIngest {
                   greatest(col("new_id"), col("old_id")).as("b")))
           pairs.write.mode("append").parquet(s"$workDir/pairs")
           bb.write.mode("append").parquet(s"$workDir/bands")
+          // periodic small-file compaction, keyed on the checkpointed
+          // batchId so a restart resumes the same cadence
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            graft.core.SnapshotIO.compactFiles(spark, s"$workDir/bands",
+              compactTargetBytes)
+            graft.core.SnapshotIO.compactFiles(spark, s"$workDir/pairs",
+              compactTargetBytes)
+            ()
+          }
         } finally { bb.unpersist(); () }
       }
       .start()
+  }
+
+  /** Retract documents from the maintained near-dup state: drop their
+    * band rows from `workDir/bands` (so a deleted document never pairs
+    * against future ingests — without this its index entries outlive it
+    * forever) and, with `dropPairs`, every recorded pair touching them.
+    * `ids` is a one-column DataFrame of document ids (any integral
+    * type) — an anti-join, so deletion sets of any size work without
+    * driver collection. Run between flushes (or with the stream
+    * stopped): the rewrite uses the crash-safe snapshot publish, but a
+    * concurrent flush appending mid-rename could land in the displaced
+    * directory. Re-ingesting a retracted id later is a normal insert:
+    * fresh band rows, pairs re-emitted only against still-live docs. */
+  def nearDupRetract(spark: SparkSession, workDir: String, ids: DataFrame,
+                     dropPairs: Boolean = true): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a single-column DataFrame, got ${ids.columns.toSeq}")
+    val gone = ids.select(col(ids.columns.head).as("__retract_id")).distinct()
+    graft.core.SnapshotIO.read(spark, s"$workDir/bands").foreach { b =>
+      graft.core.SnapshotIO.publish(
+        b.join(gone, b("__id") === gone("__retract_id"), "left_anti"),
+        s"$workDir/bands")
+    }
+    if (dropPairs)
+      graft.core.SnapshotIO.read(spark, s"$workDir/pairs").foreach { p =>
+        graft.core.SnapshotIO.publish(
+          p.join(gone, p("a") === gone("__retract_id"), "left_anti")
+            .join(gone, p("b") === gone("__retract_id"), "left_anti"),
+          s"$workDir/pairs")
+      }
   }
 
   /** Event-time windowed aggregation with watermark — the streaming form

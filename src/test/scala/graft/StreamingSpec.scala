@@ -350,6 +350,71 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists { case (a, b) => Set(a, b).subsetOf(Set(0L, 10L, 20L)) })
   }
 
+  test("near-dup maintenance compaction: file count bounded across many flushes, pairs unchanged") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    def doc(i: Long) = (i, if (i % 3 == 0) base else s"unique text $i about topic ${i * 7}")
+    def parquetFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+
+    def run(tmp: String, compactEvery: Int): (Int, Int, Set[(Long, Long)]) = {
+      val source = MemoryStream[(Long, String)]
+      def drain(): Unit = StreamingIngest.nearDupMaintenance(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$tmp/work", s"$tmp/ckpt", compactEvery = compactEvery).awaitTermination()
+      (0L until 10L).foreach { b => source.addData(doc(b)); drain() }
+      val got = s.read.parquet(s"$tmp/work/pairs").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (parquetFiles(s"$tmp/work/bands"), parquetFiles(s"$tmp/work/pairs"), got)
+    }
+    val off = run(Files.createTempDirectory("ndcompact_off").toString, 0)
+    val on = run(Files.createTempDirectory("ndcompact_on").toString, 3)
+    // identical maintained pairs (compaction is content-preserving) and
+    // a file count bounded by the compaction window, not the stream
+    // length: 10 uncompacted flushes append >= 10 files per dir
+    assert(on._3 == off._3 && on._3.nonEmpty, s"pairs ${on._3} vs ${off._3}")
+    assert(off._1 >= 10, s"uncompacted bands files: ${off._1}")
+    assert(on._1 < off._1 && on._2 < off._2,
+      s"compacted files bands=${on._1} pairs=${on._2} vs uncompacted ${off._1}/${off._2}")
+    assert(on._1 <= 2 + 3 * 2, s"bands file count not window-bounded: ${on._1}")
+  }
+
+  test("near-dup retraction: deleted doc's bands and pairs drop; re-ingest does not self-pair") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = Files.createTempDirectory("ndretract").toString
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val source = MemoryStream[(Long, String)]
+    def drain(): Unit = StreamingIngest.nearDupMaintenance(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/work", s"$tmp/ckpt").awaitTermination()
+    source.addData((0L, base), (1L, "unrelated geology text entirely")); drain()
+    source.addData((2L, base.replace("jumps", "leaps"))); drain()
+    val before = s.read.parquet(s"$tmp/work/pairs").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == Set((0L, 2L)), s"pre-retract pairs: $before")
+
+    // retract doc 0: its band rows AND its pairs disappear
+    StreamingIngest.nearDupRetract(s, s"$tmp/work", Seq(0L).toDF("doc_id"))
+    val bandIds = s.read.parquet(s"$tmp/work/bands")
+      .select("__id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!bandIds.contains(0L) && bandIds.contains(2L), s"band ids: $bandIds")
+    val afterRetract = s.read.parquet(s"$tmp/work/pairs").distinct().count()
+    assert(afterRetract == 0L, s"pairs after retract: $afterRetract")
+
+    // re-ingest the retracted id: it must NOT pair against its own stale
+    // band rows (the bug retraction exists to prevent); it DOES pair
+    // against the still-live near-dup doc 2
+    source.addData((0L, base)); drain()
+    val after = s.read.parquet(s"$tmp/work/pairs").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set((0L, 2L)), s"post-re-ingest pairs: $after")
+  }
+
   test("flush → incremental IMAGE dedup: dHash screens each batch against the corpus") {
     // the multimodal twin of the text screen above: on every flush the
     // new batch's perceptual hashes are blocked-Hamming-screened
