@@ -3426,6 +3426,36 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // ---- JSONL INGEST round-trip (the READ front door — real corpora
+    // arrive as jsonl.gz, not parquet): write the docs as gzipped JSON
+    // lines, plant three corrupt lines (broken syntax / missing
+    // required key / un-coercible id type), read back through
+    // Tables.documentsJsonl. The oracle is the plain documents table —
+    // so the gate proves gz-transparent parsing is content-exact AND
+    // every planted line landed in quarantine, never in the corpus
+    // (a quarantine miscount fails the query loudly).
+    "ingest_jsonl" -> ((s, dir) => {
+      val out = s"/tmp/graft_ingest_jsonl_${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${ProcessHandle.current().pid()}"
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .toJSON.write.mode("overwrite")
+        .option("compression", "gzip").text(s"$out/in")
+      Seq("{this is not json",
+          """{"text": "valid json, but no doc_id"}""",
+          """{"doc_id": "not-a-number", "text": "id will not coerce"}""")
+        .toDF("value").write.mode("append").text(s"$out/in")
+      val good = Tables.documentsJsonl(s, s"$out/in",
+        quarantineDir = Some(s"$out/bad"))
+      val quarantined = s.read.text(s"$out/bad").count()
+      require(quarantined == 3,
+        s"expected 3 quarantined lines, got $quarantined")
+      good.select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6255,6 +6285,12 @@ object SparkEntry {
       },
 
       "export_jsonl" ->
+        """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // the READ-direction twin: good rows out of the jsonl.gz ingest
+      // (corrupt lines quarantined) must equal the plain table exactly
+      "ingest_jsonl" ->
         """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
 

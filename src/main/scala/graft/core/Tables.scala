@@ -100,6 +100,61 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
 
+  /** The `documents` table's canonical column layout — what
+    * [[documentsJsonl]] validates arriving JSON lines against. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
+  /** JSONL ingest front door: read newline-delimited JSON (plain or
+    * `.gz` — Spark's text source decompresses by extension, so a
+    * directory of `.jsonl.gz` shards works unchanged) against an
+    * expected schema,
+    * quarantining corrupt lines instead of nulling or dropping them
+    * silently.
+    *
+    * A line is CORRUPT when it is not parseable JSON under `schema`
+    * (malformed syntax, or a type that won't coerce — `from_json`
+    * yields a null struct) or when any of `required` is null after
+    * parsing (missing key, JSON null, or per-field coercion failure).
+    * With `quarantineDir` set, the raw offending lines are written
+    * there verbatim (overwrite, text format) so ingest debugging sees
+    * the original bytes — one extra pass over the text scan, the
+    * standard quarantine trade; pass None to skip the write and get
+    * the good rows in a single lazy scan.
+    *
+    * Returns the VALID rows, column-pruned and typed to `schema`.
+    * Scale: a pure per-line map over a splittable listing (gz files
+    * parallelize per-file) — no shuffle, no driver state; filters on
+    * the result push into the JSON parse via Spark's JSON pruning. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType = documentsSchema,
+                required: Seq[String] = Seq("doc_id", "text"),
+                quarantineDir: Option[String] = None): DataFrame = {
+    val bad = required.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty, s"required columns $bad missing from schema")
+    val lines = spark.read.text(path)
+    val parsed = lines.select(col("value"),
+      from_json(col("value"), schema).as("__j"))
+    val isCorrupt = col("__j").isNull ||
+      required.map(c => col(s"__j.$c").isNull).reduce(_ || _)
+    quarantineDir.foreach { q =>
+      parsed.filter(isCorrupt).select(col("value"))
+        .write.mode("overwrite").text(q)
+    }
+    parsed.filter(!isCorrupt).select(col("__j.*"))
+  }
+
+  /** [[readJsonl]] pinned to the documents layout — the jsonl.gz twin
+    * of [[documents]]. */
+  def documentsJsonl(spark: SparkSession, path: String,
+                     quarantineDir: Option[String] = None): DataFrame =
+    readJsonl(spark, path, documentsSchema, Seq("doc_id", "text"),
+      quarantineDir)
+
   /** Adapt the driver's `embeddings` table to the canonical node schema,
     * using `label` as a filterable metadata key (FIXTURES.md §A). */
   def embeddingsAsNodes(spark: SparkSession, dir: String): DataFrame =
