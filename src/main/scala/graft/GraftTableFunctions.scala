@@ -39,6 +39,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *    word windows: (id, chunk_id, chunk_text, n_chunk_tokens)
   *  - `quality_gate(table, text)` — rows passing the Gopher quality
   *    gate at the paper's thresholds
+  *  - `read_jsonl(path)` — schema-validated documents JSONL/gz ingest
+  *    (valid rows; [[graft.core.Tables.readJsonl]] for quarantine)
+  *  - `read_warc(path)` — WARC crawl-record ingest
+  *    ([[graft.sources.Warc.read]])
   *  - `near_dedup(table, id, text)` — rows surviving near-duplicate
   *    removal (LSH pair screen → connected components → keep the
   *    lowest-id member per cluster). The iterative component labeling
@@ -161,6 +165,25 @@ object GraftTableFunctions {
         val df = table("quality_gate", args, 0)
         plan(df.filter(Curation.gopherPass(
           col(strArg("quality_gate", args, 1)))))
+      }),
+    ("read_jsonl",
+      "_FUNC_(path) - schema-validated documents JSONL read (plain or " +
+        ".gz; valid rows only — use Tables.readJsonl with a " +
+        "quarantineDir to capture corrupt lines)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"read_jsonl expects 1 argument, got ${args.length}")
+        plan(graft.core.Tables.documentsJsonl(SparkSession.active,
+          strArg("read_jsonl", args, 0)))
+      }),
+    ("read_warc",
+      "_FUNC_(path) - WARC crawl records (file, warc_type, record_id, " +
+        "target_uri, warc_date, content_type, content_length, payload)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"read_warc expects 1 argument, got ${args.length}")
+        plan(graft.sources.Warc.read(SparkSession.active,
+          strArg("read_warc", args, 0)))
       }),
     ("near_dedup",
       "_FUNC_(table, id, text) - rows surviving near-duplicate removal: " +

@@ -3456,6 +3456,86 @@ object SparkEntry {
       good.select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // ---- CSV ingest round-trip: same quarantine contract as
+    // ingest_jsonl over to_csv lines (headerless, schema-positional).
+    // Planted corrupt lines: empty required field, uncoercible id,
+    // broken quoting.
+    "ingest_csv" -> ((s, dir) => {
+      val out = s"/tmp/graft_ingest_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${ProcessHandle.current().pid()}"
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(to_csv(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(s"$out/in")
+      Seq(""",text with empty id,en,web,5""",
+          """not-a-number,uncoercible id,en,web,5""",
+          ",,,,")
+        .toDF("value").write.mode("append").text(s"$out/in")
+      val good = Tables.readCsvLines(s, s"$out/in",
+        quarantineDir = Some(s"$out/bad"))
+      val quarantined = s.read.text(s"$out/bad").count()
+      require(quarantined == 3,
+        s"expected 3 quarantined lines, got $quarantined")
+      good.select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- WARC ingest: the crawl-corpus front door (Common Crawl ships
+    // .warc.gz). The corpus is synthesized as per-partition gzipped
+    // WARC segment files — one gzip member per record, a warcinfo
+    // header record, and planted garbage between members to exercise
+    // the lenient marker resync — then read back through Warc.read;
+    // the oracle is the plain documents table (payload md5 + UTF-8
+    // byte length), so parse fidelity is hash-gated.
+    "ingest_warc" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"/tmp/graft_ingest_warc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${ProcessHandle.current().pid()}"
+      val root = new java.io.File(out)
+      if (root.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(root)
+      }
+      root.mkdirs()
+      // segment writer: local-FS fixture generation (the READ direction
+      // is the product; local[*] tasks share the driver's filesystem)
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)].repartition(2)
+        .mapPartitions { rows =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val bos = new java.io.ByteArrayOutputStream()
+          bos.write(graft.sources.Warc.gzipMember(
+            graft.sources.Warc.recordBytes("warcinfo", "urn:graft:warcinfo",
+              "", "graft synthetic crawl".getBytes("UTF-8"),
+              "application/warc-fields")))
+          var c = 0L
+          rows.foreach { case (id, text) =>
+            if (c == 0) // malformed member: header line without a colon
+              bos.write(graft.sources.Warc.gzipMember(
+                "WARC/1.0\r\nbroken header no colon\r\n\r\n".getBytes("UTF-8")))
+            bos.write(graft.sources.Warc.gzipMember(
+              graft.sources.Warc.recordBytes("resource", s"urn:graft:doc:$id",
+                s"graft://documents/$id", text.getBytes("UTF-8"))))
+            c += 1
+          }
+          val f = new java.io.File(out, f"seg-$pid%05d.warc.gz")
+          val fo = new java.io.FileOutputStream(f)
+          try fo.write(bos.toByteArray) finally fo.close()
+          Iterator.single(c)
+        }.collect()
+      graft.sources.Warc.read(s, out)
+        .filter(col("warc_type") === "resource")
+        .select(regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          md5(col("payload")).as("text_md5"),
+          col("content_length").as("n_bytes"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6292,6 +6372,16 @@ object SparkEntry {
       // (corrupt lines quarantined) must equal the plain table exactly
       "ingest_jsonl" ->
         """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "ingest_csv" ->
+        """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // strlen = BYTE length in DuckDB — matches the WARC
+      // Content-Length of the UTF-8 payload
+      "ingest_warc" ->
+        """SELECT doc_id, md5(text) AS text_md5, strlen(text) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       // exhaustive-ef HNSW ≡ exact kNN (deterministic build, connected

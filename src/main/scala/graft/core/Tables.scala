@@ -155,6 +155,36 @@ object Tables {
     readJsonl(spark, path, documentsSchema, Seq("doc_id", "text"),
       quarantineDir)
 
+  /** CSV twin of [[readJsonl]] — same corrupt-line quarantine contract
+    * over comma-separated lines (headerless; columns by schema
+    * position; `.gz` transparent like the text source underneath).
+    * A line is corrupt when `from_csv` can't parse it under `schema`
+    * (broken quoting, row-level malformation) or any `required` column
+    * is null afterwards (missing field, empty value — the CSV
+    * `nullValue` default treats `""` as null — or a type that won't
+    * coerce). `options` passes through to the CSV parser (`sep`,
+    * `quote`, `nullValue`, ...). Corrupt originals land verbatim in
+    * `quarantineDir`. */
+  def readCsvLines(spark: SparkSession, path: String,
+                   schema: StructType = documentsSchema,
+                   required: Seq[String] = Seq("doc_id", "text"),
+                   quarantineDir: Option[String] = None,
+                   options: Map[String, String] = Map.empty): DataFrame = {
+    val bad = required.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty, s"required columns $bad missing from schema")
+    val lines = spark.read.text(path)
+    val parsed = lines.select(col("value"),
+      from_csv(col("value"), schema,
+        Map("mode" -> "PERMISSIVE") ++ options).as("__c"))
+    val isCorrupt = col("__c").isNull ||
+      required.map(c => col(s"__c.$c").isNull).reduce(_ || _)
+    quarantineDir.foreach { q =>
+      parsed.filter(isCorrupt).select(col("value"))
+        .write.mode("overwrite").text(q)
+    }
+    parsed.filter(!isCorrupt).select(col("__c.*"))
+  }
+
   /** Adapt the driver's `embeddings` table to the canonical node schema,
     * using `label` as a filterable metadata key (FIXTURES.md §A). */
   def embeddingsAsNodes(spark: SparkSession, dir: String): DataFrame =

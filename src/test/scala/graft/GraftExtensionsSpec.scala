@@ -155,6 +155,25 @@ class GraftExtensionsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("ingest table functions: read_jsonl and read_warc from pure SQL") {
+    GraftTableFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tvf_ingest").toString
+    Seq("""{"doc_id": 5, "text": "from sql"}""", "{corrupt")
+      .toDF("value").write.text(s"$dir/jl")
+    val rows = spark.sql(s"SELECT doc_id, text FROM read_jsonl('$dir/jl')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((5L, "from sql")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+      graft.sources.Warc.recordBytes("resource", "urn:doc:8", "u",
+        "warc payload".getBytes("UTF-8")))
+    val w = spark.sql(
+      s"SELECT record_id, payload FROM read_warc('$dir/a.warc')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(w == Seq(("urn:doc:8", "warc payload")))
+  }
+
   test("table functions accept TABLE(...) relation arguments (subquery/CTE, no temp view)") {
     GraftTableFunctions.register(spark)
     val s = spark
