@@ -157,14 +157,18 @@ object GraftTableFunctions {
           overlap = intArg("token_chunks", args, 4, sys.error("unreachable"))))
       }),
     ("quality_gate",
-      "_FUNC_(table, text) - rows passing the Gopher quality gate " +
-        "(paper-default thresholds)",
+      "_FUNC_(table, text[, minWords, maxWords, minStopHits]) - rows " +
+        "passing the Gopher quality gate (defaults = the paper's " +
+        "thresholds: 50, 100000, 2)",
       (args: Seq[Expression]) => {
-        require(args.length == 2,
-          s"quality_gate expects 2 arguments, got ${args.length}")
+        require(args.length >= 2 && args.length <= 5,
+          s"quality_gate expects 2-5 arguments, got ${args.length}")
         val df = table("quality_gate", args, 0)
         plan(df.filter(Curation.gopherPass(
-          col(strArg("quality_gate", args, 1)))))
+          col(strArg("quality_gate", args, 1)),
+          minWords = intArg("quality_gate", args, 2, 50).toLong,
+          maxWords = intArg("quality_gate", args, 3, 100000).toLong,
+          minStopHits = intArg("quality_gate", args, 4, 2).toLong)))
       }),
     ("read_jsonl",
       "_FUNC_(path) - schema-validated documents JSONL read (plain or " +

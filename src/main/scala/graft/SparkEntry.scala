@@ -3536,6 +3536,35 @@ object SparkEntry {
           md5(col("payload")).as("text_md5"),
           col("content_length").as("n_bytes"))
         .orderBy("doc_id")
+    }),
+
+    // ---- SQL-first ingest pipeline flagship: the curation front end
+    // in ONE SQL statement over a jsonl.gz corpus — schema-validated
+    // read → Gopher quality gate → exact dedup (keep-first) →
+    // deterministic leakage-stable split — composed from the table
+    // functions via TABLE(...) arguments, no temp views, no Scala.
+    // Catalyst plans the whole statement as one query (the gate's
+    // filter sits directly on the JSON scan). Oracle = the identical
+    // pipeline in DuckDB over the plain documents table.
+    "pipeline_sql_ingest" -> ((s, dir) => {
+      val out = s"/tmp/graft_sqlingest_${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${ProcessHandle.current().pid()}"
+      Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .toJSON.write.mode("overwrite")
+        .option("compression", "gzip").text(s"$out/in")
+      GraftTableFunctions.register(s) // idempotent on a live session
+      s.sql(
+        s"""SELECT split, count(*) AS n,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM hash_split(
+           |  TABLE(SELECT * FROM dedup_exact(
+           |    TABLE(SELECT * FROM quality_gate(
+           |      TABLE(SELECT * FROM read_jsonl('$out/in')),
+           |      'text', 30, 90, 1)),
+           |    'doc_id', 'text')),
+           |  'doc_id', 'train:0.75,val:0.125,test:0.125')
+           |GROUP BY split ORDER BY split""".stripMargin)
     })
   )
 
@@ -6383,6 +6412,25 @@ object SparkEntry {
       "ingest_warc" ->
         """SELECT doc_id, md5(text) AS text_md5, strlen(text) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // the one-statement SQL pipeline, replayed in DuckDB: gopher gate
+      // (30/90/1 — gopherRulesSql's thresholds) ∘ keep-first dedup ∘
+      // the md5 split-label formula (sample_hash_split's oracle)
+      "pipeline_sql_ingest" ->
+        s"""SELECT split, count(*) AS n,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (
+           |  SELECT CASE WHEN u < CAST('0.75' AS DOUBLE) THEN 'train'
+           |              WHEN u < CAST('0.875' AS DOUBLE) THEN 'val'
+           |              ELSE 'test' END AS split, n_chars
+           |  FROM (SELECT d.doc_id, d.n_chars,
+           |      CAST(concat('0x', left(md5(CAST(d.doc_id AS VARCHAR)), 8)) AS UBIGINT)
+           |        / 4294967296.0 AS u
+           |    FROM documents d
+           |    JOIN (${gopherRulesSql("documents")}) g ON d.doc_id = g.doc_id
+           |    WHERE g.gopher_pass
+           |      AND d.doc_id IN (SELECT min(doc_id) FROM documents
+           |                       GROUP BY md5(text))) h) s
+           |GROUP BY split ORDER BY split""".stripMargin,
 
       // exhaustive-ef HNSW ≡ exact kNN (deterministic build, connected
       // shards, exact merge) — the same oracle pattern as o6_ivf_exhaustive
