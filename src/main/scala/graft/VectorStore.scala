@@ -108,7 +108,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val corpus = live(metadataFilter)
     val eff =
       if (ef > 0) ef
-      else Hnsw.scaledEf(graft.core.GraftConfig.default.ef, corpus.count(),
+      else Hnsw.scaledEf(sessionConfig.ef, corpus.count(),
         spark.sparkContext.defaultParallelism)
     Hnsw.search(corpus, "id", "embedding", query, k, eff)
   }
@@ -262,14 +262,25 @@ class VectorStore private (val spark: SparkSession, val path: String,
   def compactFiles(targetBytes: Long = 128L * 1024 * 1024): Long =
     graft.core.SnapshotIO.compactFiles(spark, dataPath, targetBytes)
 
+  /** E5 config source, live: `GraftConfig` defaults overridden by any
+    * `graft.*` keys set on the session
+    * (`spark.conf.set("graft.search.topK", ...)`, or session-build
+    * `.config(...)`) — the engine's analog of the reference's
+    * config.yaml load at service start. Read per call so runtime
+    * `spark.conf.set` takes effect like the reference's env reload. */
+  private def sessionConfig: graft.core.GraftConfig =
+    graft.core.GraftConfig.from(
+      spark.conf.getAll.filter(_._1.startsWith("graft.")))
+
   /** §2.5 `/search` analog: one entry point with the reference's request
     * shape — `top_k`/`ef`/`n_probe` defaults from `GraftConfig`
-    * (api/models.py:16-20), index selection via `params("index")`, and
+    * (api/models.py:16-20, overridable via session `graft.*` conf —
+    * [[sessionConfig]]), index selection via `params("index")`, and
     * unknown params ignored exactly as the reference's index kwargs
     * pass-through does (api/app.py:196-205, hnsw.py:331). */
   def searchApi(query: Seq[Float], params: Map[String, String] = Map.empty,
                 metadataFilter: Map[String, String] = Map.empty): DataFrame = {
-    val cfg = graft.core.GraftConfig.default
+    val cfg = sessionConfig
     val k = params.get("top_k").map(_.toInt).getOrElse(cfg.topK)
     params.getOrElse("index", "exact") match {
       case "hnsw" =>

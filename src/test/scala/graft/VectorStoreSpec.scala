@@ -72,6 +72,11 @@ class VectorStoreSpec extends SparkSpec {
       Map("index" -> "ivf", "top_k" -> "3", "n_probe" -> "4", "bogus" -> "x"))
     assert(viaIvf.count() == 3)
     assert(viaIvf.collect().head.getAs[Double]("dist") < 1e-6)
+    // E5 live config source: session graft.* conf overrides the default
+    // (the reference's config.yaml -> request-default chain)
+    spark.conf.set("graft.search.topK", "7")
+    try assert(store.searchApi(data(3)._2.toSeq).count() == 7)
+    finally spark.conf.unset("graft.search.topK")
   }
 
   test("buildIvf facade: planted skew splits via the default balanced path") {
