@@ -676,6 +676,51 @@ object ScaleProbe {
       // session warmup (see above) when the vectors group didn't run
       docs.agg(sum(length(col("text")))).count()
 
+      // ingest front door at corpus scale: n docs written as gzipped
+      // JSON lines (32 shards — the wire shape crawl corpora arrive
+      // in), read back through the schema-validating quarantine path.
+      // Pure per-line map over a per-file-parallel listing, no shuffle;
+      // the probe pins jsonl parse throughput (rows gated non-null)
+      val jlDir = s"/tmp/graft_jsonl_$n"
+      def writeJsonl(): Unit =
+        docs.select(col("id").as("doc_id"), col("text"))
+          .withColumn("lang", lit("en")).withColumn("source", lit("probe"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .repartition(32).toJSON
+          .write.mode("overwrite").option("compression", "gzip").text(jlDir)
+      t("jsonl_write_gz")(
+        { writeJsonl(); spark.read.text(jlDir).count() })
+      tp("jsonl_ingest_validated") { ensure(jlDir)(writeJsonl()) }(
+        graft.core.Tables.documentsJsonl(spark, jlDir).count())
+
+      // WARC ingest at corpus scale: the same docs as 32 gzipped WARC
+      // segment files (one gzip member per record), read through the
+      // lenient record scanner — per-FILE parallelism, whole-segment
+      // inflate per task (the Common Crawl processing shape)
+      val warcDir = s"/tmp/graft_warc_$n"
+      def writeWarc(): Unit = {
+        new java.io.File(warcDir).mkdirs()
+        docs.select(col("id"), col("text")).repartition(32)
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.File(warcDir, f"seg-$pid%05d.warc.gz")
+            val out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(f), 1 << 20)
+            try rows.foreach { r =>
+              out.write(graft.sources.Warc.gzipMember(
+                graft.sources.Warc.recordBytes("resource",
+                  s"urn:graft:${r.getLong(0)}",
+                  s"graft://documents/${r.getLong(0)}",
+                  r.getString(1).getBytes("UTF-8"))))
+            } finally out.close()
+          }
+      }
+      def haveWarc: Boolean = Option(new java.io.File(warcDir).listFiles())
+        .exists(_.nonEmpty)
+      t("warc_write_gz") { writeWarc(); n }
+      tp("warc_ingest_scan") { if (!haveWarc) writeWarc() }(
+        graft.sources.Warc.read(spark, warcDir).count())
+
       t("embed_docs_dim64") {
         // .head on the sum, not .count(): a count over an ungrouped
         // aggregate is constant-folded and would prune the embedding
