@@ -421,6 +421,29 @@ class PlanSpec extends SparkSpec {
       s"phrase rewrite should be a pure per-row scan:\n$plan")
   }
 
+  test("ingest readers are pure per-line/per-file maps: no Exchange in any plan") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan_ingest").toString
+    Seq("""{"doc_id": 1, "text": "t"}""").toDF("value").write.text(s"$dir/jl")
+    Seq("1,t,en,web,1").toDF("value").write.text(s"$dir/csv")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+      graft.sources.Warc.recordBytes("resource", "urn:1", "u",
+        "t".getBytes("UTF-8")))
+    // a filter composed on top must also stay shuffle-free (the 100 TB
+    // gate-at-the-scan shape: parse + gate ride one pass over the files)
+    val jl = graft.core.Tables.documentsJsonl(s, s"$dir/jl")
+      .filter(col("doc_id") > 0).queryExecution.executedPlan.toString
+    val cs = graft.core.Tables.readCsvLines(s, s"$dir/csv")
+      .filter(col("doc_id") > 0).queryExecution.executedPlan.toString
+    val wc = graft.sources.Warc.read(s, s"$dir/a.warc")
+      .filter(col("warc_type") === "resource")
+      .queryExecution.executedPlan.toString
+    for ((p, name) <- Seq(jl -> "jsonl", cs -> "csv", wc -> "warc"))
+      assert(!p.contains("Exchange"),
+        s"$name ingest must be a pure map over the file listing:\n$p")
+  }
+
   test("funnel: no window functions — per-step filtered min aggregations") {
     val s = spark
     import s.implicits._
