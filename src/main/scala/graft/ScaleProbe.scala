@@ -664,6 +664,24 @@ object ScaleProbe {
           s"compacted=(${pf(s"$sdir/ndworkc/bands")}, ${pf(s"$sdir/ndworkc/pairs")})")
         spark.read.parquet(s"$sdir/ndworkc/pairs").distinct().count()
       }
+      // retraction cost at corpus scale: drop 1% of docs from the
+      // maintained band index (anti-join rewrite of the whole state) —
+      // the delete path's bill is one state rewrite, independent of
+      // how the deletion set was produced
+      tp("stream_neardup_retract") {
+        ensure(s"$sdir/ndocs")(writeNdocs())
+        ensure(s"$sdir/ndworkc/bands") {
+          Dedup.bandedSignatures(spark.read.parquet(s"$sdir/ndocs"),
+              "id", "text", 8, 4, 3)
+            .write.mode("overwrite").parquet(s"$sdir/ndworkc/bands")
+        }
+      } {
+        val ids = spark.range(math.max(n / 100L, 1L))
+          .select((col("id") * 100L).as("doc_id"))
+        graft.streaming.StreamingIngest.nearDupRetract(
+          spark, s"$sdir/ndworkc", ids)
+        spark.read.parquet(s"$sdir/ndworkc/bands").count()
+      }
     }
 
     if (text) {
