@@ -22,6 +22,7 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   *  - sign_pack(v), hamming_dist(a, b) — BQ code + Hamming
   *  - lang_id / quality_score / token_count / subword_count (text)
   *  - simhash64(text), doc_fingerprint(text, shingle)
+  *  - blocklist_hits(text, p1, ...) — Aho-Corasick multi-pattern hits
   */
 object GraftFunctions {
 
@@ -98,6 +99,24 @@ object GraftFunctions {
         }
         ColumnBridge.resolvedExpression(graft.functions.TextFunctions.fingerprint(
           ColumnBridge.column(args(0)), n))
+      }),
+    ("blocklist_hits", "_FUNC_(text, p1[, p2, ...]) - distinct blocklist " +
+      "patterns occurring in text as substrings, in argument order; " +
+      "size(_FUNC_(...)) > 0 is the C4 bad-word page gate. ONE " +
+      "Aho-Corasick pass per row regardless of pattern count (the " +
+      "automaton builds once at plan time), where contains() OR chains " +
+      "rescan the text once per pattern.",
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          s"blocklist_hits expects text plus at least 1 pattern, got ${args.length}")
+        val pats = args.tail.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+                       org.apache.spark.sql.types.StringType) if s != null =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"blocklist_hits: patterns must be non-null string literals, got $other")
+        }
+        graft.expressions.MultiPatternMatches(args(0), pats)
       }))
 
   /** Lift a Column-level composite into a SQL function builder. */

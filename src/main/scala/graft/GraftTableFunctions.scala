@@ -43,6 +43,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *    (valid rows; [[graft.core.Tables.readJsonl]] for quarantine)
   *  - `read_warc(path)` — WARC crawl-record ingest
   *    ([[graft.sources.Warc.read]])
+  *  - `read_csv(path)` — schema-validated documents CSV ingest
+  *    (valid rows; [[graft.core.Tables.readCsvLines]] for quarantine)
   *  - `near_dedup(table, id, text)` — rows surviving near-duplicate
   *    removal (LSH pair screen → connected components → keep the
   *    lowest-id member per cluster). The iterative component labeling
@@ -188,6 +190,17 @@ object GraftTableFunctions {
           s"read_warc expects 1 argument, got ${args.length}")
         plan(graft.sources.Warc.read(SparkSession.active,
           strArg("read_warc", args, 0)))
+      }),
+    ("read_csv",
+      "_FUNC_(path) - schema-validated documents CSV read (headerless, " +
+        "columns by documents-schema position; plain or .gz; valid rows " +
+        "only — use Tables.readCsvLines with a quarantineDir to capture " +
+        "corrupt lines)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"read_csv expects 1 argument, got ${args.length}")
+        plan(graft.core.Tables.readCsvLines(SparkSession.active,
+          strArg("read_csv", args, 0)))
       }),
     ("near_dedup",
       "_FUNC_(table, id, text) - rows surviving near-duplicate removal: " +

@@ -31,6 +31,27 @@ object SparkEntry {
   private val DedupMaxBucket = 10000
   private val DedupMaxDocFreq = 10000
 
+  /** t_blocklist pattern list, shared by the Spark query and its
+    * unrolled oracle SQL: multi-word phrases over the corpus
+    * vocabulary, with a nested pair (`batch batch` inside
+    * `batch batch batch`) and overlapping phrases (`fast key` /
+    * `key order`) so the oracle pins the automaton's fail-closure
+    * outputs, not just disjoint hits. */
+  private val BlockPatterns = Seq(
+    "batch batch", "batch batch batch", "slow join", "window window",
+    "fast key", "key order", "merge merge", "sort sort", "stream stream",
+    "query row data", "hash scan join", "customer line", "agg line",
+    "value merge", "row column column", "the fast", "group query",
+    "data line join", "vector window", "dup dup")
+
+  /** t_blocklist_words pattern list (un-padded; the query and oracle
+    * both space-pad them against the normalized text): `windo` is the
+    * deliberate near-word — as a SUBSTRING it hits every `window`, so
+    * the word-bounded result differing from a substring run is the
+    * boundary semantics under test. */
+  private val WordBlockPatterns =
+    Seq("key", "merge", "windo", "batch batch", "slow join")
+
   /** Late-interaction query segments shared by mv_maxsim and its oracle
     * (each segment is one query-side vector; see
     * [[graft.operators.MultiVec]]). */
@@ -1310,6 +1331,45 @@ object SparkEntry {
           TextKernels.charEntropy(col("text")).as("h_nats"))
         .withColumn("h_bits", col("h_nats") / lit(0.6931471805599453))
         .orderBy("doc_id")),
+
+    // ---- Curation: multi-pattern blocklist gate (C4 / Raffel et al.
+    // 2020 §2.2 — drop any page containing a listed word or phrase;
+    // production lists run to thousands of entries). ONE Aho-Corasick
+    // automaton pass per row riding the scan — per-row cost independent
+    // of |patterns|, where the naive plan rescans the text once per
+    // pattern (the 1M×2000-pattern probe measures that gap). The
+    // pattern list includes a nested pair and overlapping phrases so
+    // the oracle pins the automaton's fail-closure outputs, and the
+    // report keeps WHICH patterns hit (the audit trail a silent gate
+    // loses).
+    "t_blocklist" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.blocklistMatches(col("text"), BlockPatterns).as("hits"))
+        .filter(size(col("hits")) > 0)
+        .select(col("doc_id"), size(col("hits")).cast("long").as("n_hits"),
+          array_join(col("hits"), "|").as("matched"))
+        .orderBy("doc_id")),
+
+    // ---- The WORD-BOUNDED blocklist gate — the composition the kernel
+    // scaladoc names instead of a boundary flag: collapse non-alnum
+    // runs to single spaces (lowercased), pad the text ends, and
+    // space-pad every pattern; `windo` in the list proves the
+    // semantics (as a substring it would hit every `window`). The
+    // normalization is one regexp per row riding the scan; the
+    // automaton pass is unchanged.
+    "t_blocklist_words" -> ((s, dir) => {
+      val padded = WordBlockPatterns.map(p => s" $p ")
+      Tables.documents(s, dir)
+        .withColumn("t", concat(lit(" "),
+          regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), lit(" ")))
+        .select(col("doc_id"),
+          TextFunctions.blocklistMatches(col("t"), padded).as("hits"))
+        .filter(size(col("hits")) > 0)
+        .select(col("doc_id"), size(col("hits")).cast("long").as("n_hits"),
+          array_join(transform(col("hits"), h => trim(h)), "|").as("matched"))
+        .orderBy("doc_id")
+    }),
 
     // ---- Text analysis: Gopher-style repetition signals (word-level
     // dup fractions + top-bigram coverage; per-row scan, no shuffle)
@@ -3260,6 +3320,25 @@ object SparkEntry {
     // ---- O7 composition on the BQ tier: metadata filter BEFORE the
     // Hamming screen + rerank (exclusion contract: non-matching rows
     // can never appear; window is filled from the filtered subset)
+    // ---- Centered BQ on a NON-centered corpus — the configuration
+    // zero-threshold BQ is blind on (all-positive embeddings pack one
+    // constant code; ScaleProbe bq_recall_sweep measured 0/10 recall at
+    // every rerank window). The corpus shifts +5 in-query so every
+    // component is positive; Bq.trainThresholds (per-dim range
+    // midpoints, order-free exact like SQ8's grid) re-centers the bits,
+    // and BOTH the training and the screen+rerank replay in SQL.
+    "o6_bq_centered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), v => v + lit(5.0f)).as("embedding"))
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val th = Bq.trainThresholds(emb, "embedding").toSeq
+      Bq.rerankSearch(Bq.encode(emb, "embedding", thresholds = th),
+          "vec_id", "bq_code", "embedding", q, k = 10, rerank = 30,
+          thresholds = th)
+        .select(col("vec_id"), col("dist"))
+    }),
+
     "o7_bq_filtered" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") === QueryVecId)
@@ -5147,6 +5226,31 @@ object SparkEntry {
           |FROM documents d JOIN s ON d.doc_id = s.doc_id
           |ORDER BY d.doc_id""".stripMargin,
 
+      // list_filter(contains) replays the automaton's distinct-match
+      // set in the same pattern-list order; the filter and the joined
+      // report replay the gate exactly
+      "t_blocklist" ->
+        s"""WITH m AS (SELECT doc_id,
+          |  list_filter([${BlockPatterns.map(p => s"'$p'").mkString(", ")}],
+          |    p -> contains(text, p)) AS hits
+          |  FROM documents)
+          |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+          |  array_to_string(hits, '|') AS matched
+          |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+      // the word-bounded twin: identical normalization chain (regexp
+      // collapse + end padding) on both engines, space-padded patterns
+      "t_blocklist_words" ->
+        s"""WITH nrm AS (SELECT doc_id,
+          |  ' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')
+          |    || ' ' AS t FROM documents),
+          |m AS (SELECT doc_id,
+          |  list_filter([${WordBlockPatterns.map(p => s"' $p '").mkString(", ")}],
+          |    p -> contains(t, p)) AS hits FROM nrm)
+          |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+          |  array_to_string(list_transform(hits, h -> trim(h)), '|') AS matched
+          |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
       "t_repetition" ->
         """WITH toks AS (
           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -6372,6 +6476,31 @@ object SparkEntry {
            |  FROM embeddings e CROSS JOIN q WHERE e.label = 3
            |  ORDER BY ham ASC, vec_id ASC LIMIT 30)
            |SELECT vec_id, label, ${l2("embedding", "qe")} AS dist
+           |FROM bqh ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      // centered BQ: the +5 shift replays as an exact double sum cast
+      // back to float (≡ float add); threshold training is the same
+      // order-free min/max stats pass as sq8's grid; the thresholded
+      // CASE-weight words mirror SignPackFloat's double comparison
+      "o6_bq_centered" ->
+        s"""WITH se AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    v -> CAST(CAST(v AS DOUBLE) + 5.0 AS FLOAT)) AS emb
+           |  FROM embeddings),
+           |bq_stats AS (
+           |  SELECT i, (CAST(min(v) AS DOUBLE) + CAST(max(v) AS DOUBLE))
+           |    / 2.0 AS t
+           |  FROM (SELECT unnest(emb) AS v,
+           |        generate_subscripts(emb, 1) AS i FROM se)
+           |  GROUP BY i),
+           |bq_ts AS (SELECT list(t ORDER BY i) AS ts FROM bq_stats),
+           |q AS (SELECT emb AS qe FROM se WHERE vec_id = $QueryVecId),
+           |bqh AS (
+           |  SELECT se.vec_id AS vec_id, se.emb AS embedding, q.qe AS qe,
+           |    ${OracleSql.bqHammingThresh("se.emb", "q.qe", "ts")} AS ham
+           |  FROM se CROSS JOIN q CROSS JOIN bq_ts
+           |  ORDER BY ham ASC, vec_id ASC LIMIT 30)
+           |SELECT vec_id, ${l2("embedding", "qe")} AS dist
            |FROM bqh ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
       "b9_pq_encode_fixed" -> {

@@ -144,14 +144,24 @@ class VectorStore private (val spark: SparkSession, val path: String,
 
   /** O6: n_probe pruned search over the partitioned IVF table (probing
     * is parquet partition pruning; the metadata filter pushes down below
-    * the probe filter). */
+    * the probe filter).
+    *
+    * `nProbe <= 0` (the auto default) = scale-aware probing: the config
+    * default n_probe=10 (GraftConfig.nProbe, mirroring api/models.py:20)
+    * measured 1/10 vs the required 7/10 recall gate at 1M rows / 1000
+    * lists and 0/10 at 10M / 3162 — so the default-taking path probes
+    * at least [[Ivf.ScaledProbeFraction]] of the lists via
+    * [[Ivf.scaledNProbe]] (identity for every index with k ≤ 100). An
+    * explicit `nProbe > 0` passes through unscaled. */
   def searchIvf(query: Seq[Float], nProbe: Int, k: Int,
                 metadataFilter: Map[String, String] = Map.empty): DataFrame = {
     val model = Ivf.load(spark, ivfModelPath, "embedding")
+    val np = if (nProbe > 0) nProbe
+      else Ivf.scaledNProbe(sessionConfig.nProbe, model.k)
     val assigned = spark.read.parquet(ivfDataPath)
     val pred = if (metadataFilter.isEmpty) None
       else Some(Search.metadataFilter(col("metadata"), metadataFilter))
-    Ivf.search(assigned, model, "id", query, nProbe, k, pred)
+    Ivf.search(assigned, model, "id", query, np, k, pred)
   }
 
   private def ivfPqModelPath = s"$path/ivfpq_model"
@@ -184,13 +194,18 @@ class VectorStore private (val spark: SparkSession, val path: String,
     require(rerank == 0 || rerank >= k,
       s"rerank ($rerank) must be 0 (off) or >= k ($k)")
     val model = IvfPq.load(spark, ivfPqModelPath, "embedding")
+    // nProbe <= 0 = the same scale-aware auto probing as searchIvf —
+    // the coarse quantizer is the same IVF geometry, so the measured
+    // 10%-of-lists rule transfers
+    val np = if (nProbe > 0) nProbe
+      else Ivf.scaledNProbe(sessionConfig.nProbe, model.ivf.k)
     val table = spark.read.parquet(ivfPqDataPath)
     val pred = if (metadataFilter.isEmpty) None
       else Some(Search.metadataFilter(col("metadata"), metadataFilter))
     if (rerank == 0)
-      IvfPq.search(table, model, "id", query, nProbe, k, 0, pred)
+      IvfPq.search(table, model, "id", query, np, k, 0, pred)
     else {
-      val short = IvfPq.search(table, model, "id", query, nProbe, rerank, 0, pred)
+      val short = IvfPq.search(table, model, "id", query, np, rerank, 0, pred)
         .select("id")
       Search.knnExact(
         snapshot().filter(!col("is_deleted")).join(short, "id"),
@@ -219,15 +234,31 @@ class VectorStore private (val spark: SparkSession, val path: String,
       "id", "sq_code", m, query, k)
   }
 
-  /** BQ tier: train-free 1-bit screen + exact rerank over live rows
-    * (no model to persist — the code column is derived on scan; persist
-    * it as a column via [[graft.operators.Bq.encode]] when the corpus
-    * is large enough to warrant it). */
+  /** BQ tier: 1-bit screen + exact rerank over live rows (the code
+    * column is derived on scan; persist it via
+    * [[graft.operators.Bq.encode]] when the corpus is large enough to
+    * warrant it).
+    *
+    * `centered = true` (the default) thresholds each dim at its range
+    * midpoint ([[Bq.trainThresholds]] — one order-free stats pass, same
+    * cost class as the encode scan this method already pays). The
+    * zero-threshold sign sketch is BLIND on non-centered corpora —
+    * all-positive embeddings pack a constant code and ScaleProbe
+    * `bq_recall_sweep` measures 0/10 recall at every rerank window —
+    * while on already-centered data midpoints ≈ 0 and the behavior is
+    * unchanged. Pass `centered = false` for raw sign bits (matching
+    * codes encoded elsewhere with no thresholds). */
   def searchBq(query: Seq[Float], k: Int, rerank: Int = 0,
-               metadataFilter: Map[String, String] = Map.empty): DataFrame = {
-    val enc = Bq.encode(live(metadataFilter), "embedding")
-    if (rerank <= 0) Bq.hammingSearch(enc, "id", "bq_code", query, k)
-    else Bq.rerankSearch(enc, "id", "bq_code", "embedding", query, k, rerank)
+               metadataFilter: Map[String, String] = Map.empty,
+               centered: Boolean = true): DataFrame = {
+    val corpus = live(metadataFilter)
+    val th = if (centered) Bq.trainThresholds(corpus, "embedding").toSeq
+      else Nil
+    val enc = Bq.encode(corpus, "embedding", thresholds = th)
+    if (rerank <= 0)
+      Bq.hammingSearch(enc, "id", "bq_code", query, k, thresholds = th)
+    else Bq.rerankSearch(enc, "id", "bq_code", "embedding", query, k, rerank,
+      thresholds = th)
   }
 
   /** B8/B9/B11: train PQ codebook (persisted alongside the store). */
@@ -291,7 +322,11 @@ class VectorStore private (val spark: SparkSession, val path: String,
         searchHnsw(query, k, params.get("ef").map(_.toInt).getOrElse(0),
           metadataFilter)
       case "ivf" =>
-        searchIvf(query, params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe),
+        // no explicit n_probe in the request -> the scale-aware auto
+        // probe (searchIvf's nProbe<=0 path scales cfg.nProbe with the
+        // index's list count); an explicit n_probe passes through
+        // unscaled like the reference's kwargs pass-through
+        searchIvf(query, params.get("n_probe").map(_.toInt).getOrElse(0),
           k, metadataFilter)
       case "pq" =>
         // `pq_chunks` (api/models.py:18) is a train-time property of the
@@ -308,12 +343,15 @@ class VectorStore private (val spark: SparkSession, val path: String,
       case "bq" =>
         // default to a 3k rerank window so the facade's output schema
         // (a "dist" column) is consistent across index types; an
-        // explicit rerank=0 opts into the raw Hamming screen ("ham")
+        // explicit rerank=0 opts into the raw Hamming screen ("ham").
+        // centered=false opts out of the midpoint thresholds (raw sign
+        // bits — only sensible on corpora already centered at 0)
         searchBq(query, k, params.get("rerank").map(_.toInt).getOrElse(3 * k),
-          metadataFilter)
+          metadataFilter,
+          centered = params.get("centered").forall(_.toBoolean))
       case "ivfpq" =>
         searchIvfPq(query,
-          params.get("n_probe").map(_.toInt).getOrElse(cfg.nProbe), k,
+          params.get("n_probe").map(_.toInt).getOrElse(0), k,
           params.get("rerank").map(_.toInt).getOrElse(0), metadataFilter)
       case "exact" => search(query, k, metadataFilter)
       case other => throw new IllegalArgumentException(

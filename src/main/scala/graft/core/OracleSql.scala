@@ -108,4 +108,30 @@ object OracleSql {
     }
     s"CAST(${words.mkString(" + ")} AS BIGINT)"
   }
+
+  /** CENTERED BQ word: bit_d = [a_d ≥ ts_d] with per-dim thresholds
+    * from a list expression `ts` (the SignPackFloat thresholds path —
+    * comparison in DOUBLE on both engines). */
+  def bqWordThresh(a: String, ts: String, w: Int, dim: Int = Dim,
+                   wordBits: Int = 32): String = {
+    val dims = (w * wordBits) until math.min((w + 1) * wordBits, dim)
+    require(dims.nonEmpty, s"bqWordThresh: word $w empty at dim $dim")
+    val width = dims.size
+    val terms = dims.zipWithIndex.map { case (d, j) =>
+      val weight = 1L << (width - 1 - j)
+      s"CASE WHEN CAST($a[${d + 1}] AS DOUBLE) >= $ts[${d + 1}] " +
+        s"THEN CAST($weight AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
+  /** Hamming distance over centered codes (thresholds list `ts`). */
+  def bqHammingThresh(a: String, b: String, ts: String, dim: Int = Dim,
+                      wordBits: Int = 32): String = {
+    val words = (0 until (dim + wordBits - 1) / wordBits).map { w =>
+      s"bit_count(xor(${bqWordThresh(a, ts, w, dim, wordBits)}, " +
+        s"${bqWordThresh(b, ts, w, dim, wordBits)}))"
+    }
+    s"CAST(${words.mkString(" + ")} AS BIGINT)"
+  }
 }

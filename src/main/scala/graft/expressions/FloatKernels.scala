@@ -362,12 +362,21 @@ case class AdcLookupFloat(child: Expression, table: Array[Array[Double]])
 
 /** Sign-bit pack: array<float> → array<long> of `wordBits`-bit words.
   * Word w is a left fold over its dims d = w·wordBits + j (j ascending):
-  * acc = acc·2 + [v_d ≥ 0] — so bit weights are MSB-first within the
-  * word and a trailing partial word simply folds fewer bits. The ≥ is
-  * the Java primitive comparison (−0.0f packs as 1, NaN as 0); the
+  * acc = acc·2 + [v_d ≥ t_d] — so bit weights are MSB-first within the
+  * word and a trailing partial word simply folds fewer bits. The
+  * default threshold is 0 for every dim (plain sign bits); a
+  * `thresholds` array (CENTERED BQ — the per-dim range midpoints
+  * [[graft.operators.Bq.trainThresholds]] produces) compares each dim
+  * against its own cut in DOUBLE precision, which is what makes BQ
+  * informative on non-centered corpora: on all-positive embeddings
+  * (count vectors, [0,1)-normalized features) plain sign bits are
+  * constant and the Hamming screen is blind — measured 0/10 recall at
+  * every rerank window in ScaleProbe `bq_recall_sweep`. The ≥ is the
+  * Java primitive comparison (−0.0f packs as 1 at t=0, NaN as 0); the
   * DuckDB oracle spells the identical CASE-weight sum. 1-bit binary
   * quantization for Hamming pre-screening (64× smaller than float32). */
-case class SignPackFloat(child: Expression, wordBits: Int)
+case class SignPackFloat(child: Expression, wordBits: Int,
+                         thresholds: Seq[Double] = Nil)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(wordBits >= 1 && wordBits <= 62,
     s"sign_pack_float: wordBits $wordBits outside [1, 62] (63+ risks sign overflow)")
@@ -380,14 +389,19 @@ case class SignPackFloat(child: Expression, wordBits: Int)
       s"$prettyName requires array<float>, got ${dt.simpleString}")
   }
 
+  @transient private lazy val threshArr: Array[Double] = thresholds.toArray
+
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (threshArr.nonEmpty) require(n <= threshArr.length,
+      s"sign_pack_float: ${threshArr.length} thresholds for a $n-dim vector")
     val out = new Array[Long]((n + wordBits - 1) / wordBits)
     var d = 0
     while (d < n) {
       val w = d / wordBits
-      out(w) = out(w) * 2L + (if (x.getFloat(d) >= 0f) 1L else 0L)
+      val t = if (threshArr.isEmpty) 0.0 else threshArr(d)
+      out(w) = out(w) * 2L + (if (x.getFloat(d) >= t) 1L else 0L)
       d += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -398,12 +412,26 @@ case class SignPackFloat(child: Expression, wordBits: Int)
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val d = ctx.freshName("d")
+      val cmp =
+        if (thresholds.isEmpty) s"$v.getFloat($d) >= 0f"
+        else {
+          val t = ctx.addReferenceObj("thresh", threshArr, "double[]")
+          s"((double) $v.getFloat($d)) >= $t[$d]"
+        }
+      val guard =
+        if (thresholds.isEmpty) ""
+        else {
+          val t = ctx.addReferenceObj("threshG", threshArr, "double[]")
+          s"""if ($n > $t.length) throw new IllegalArgumentException(
+             |  "sign_pack_float: " + $t.length + " thresholds for a " + $n + "-dim vector");""".stripMargin
+        }
       s"""
          |int $n = $v.numElements();
+         |$guard
          |long[] $out = new long[($n + $wordBits - 1) / $wordBits];
          |for (int $d = 0; $d < $n; $d++) {
          |  $out[$d / $wordBits] =
-         |    $out[$d / $wordBits] * 2L + ($v.getFloat($d) >= 0f ? 1L : 0L);
+         |    $out[$d / $wordBits] * 2L + ($cmp ? 1L : 0L);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -500,6 +528,10 @@ object FloatKernels {
   /** Sign-bit pack an array<float> into array<long> words (1-bit BQ). */
   def signPack(vec: Column, wordBits: Int): Column =
     c(SignPackFloat(e(vec), wordBits))
+
+  /** Centered sign pack: bit_d = [v_d ≥ thresholds(d)]. */
+  def signPack(vec: Column, wordBits: Int, thresholds: Seq[Double]): Column =
+    c(SignPackFloat(e(vec), wordBits, thresholds))
 
   /** Hamming distance between two packed-word array<long> codes. */
   def hamming(a: Column, b: Column): Column = c(HammingLongs(e(a), e(b)))

@@ -755,6 +755,152 @@ case class XxCountEmbed(child: Expression, dim: Int, normalize: Boolean)
   override def prettyName: String = "xx_count_embed"
 }
 
+/** Aho-Corasick multi-pattern matcher invoked from generated code —
+  * the C4-style blocklist gate (Raffel et al. 2020 §2.2 drop any page
+  * containing a listed word/phrase; lists run to thousands of entries).
+  * ONE automaton pass per row, O(n_chars + matches), where the naive
+  * plan is |patterns| separate contains() scans — the automaton is
+  * built once on the driver and ships to executors through the plan's
+  * reference array, so per-row work is independent of list size. */
+object MultiPatternUtil {
+
+  /** Immutable matching automaton. Matching is over UTF-16 code units
+    * (Java String semantics — identical to substring `contains`, and
+    * byte-equal to DuckDB's `contains` on any valid UTF-8 input because
+    * a UTF-8 substring match and a UTF-16 substring match agree on
+    * well-formed text). Patterns must be non-empty. */
+  final class Automaton(patternStrings: Array[String]) extends Serializable {
+    require(patternStrings.nonEmpty, "pattern list must be non-empty")
+    require(patternStrings.forall(_.nonEmpty), "patterns must be non-empty")
+    require(patternStrings.distinct.length == patternStrings.length,
+      "patterns must be distinct")
+
+    private val numPatterns = patternStrings.length
+    // goto trie over chars; HashMap transitions (the alphabet is all of
+    // UTF-16, so dense rows are not an option), fail links, and per-node
+    // pattern-id output lists with fail-closure merged in at build time
+    private val gotoMaps =
+      scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Character, Integer]())
+    private val failBuf = scala.collection.mutable.ArrayBuffer(0)
+    private val outBuf = scala.collection.mutable.ArrayBuffer[Array[Int]](Array.empty)
+
+    patternStrings.zipWithIndex.foreach { case (p, pid) =>
+      var node = 0
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        val next = gotoMaps(node).get(c)
+        node = if (next != null) next.intValue()
+          else {
+            gotoMaps += new java.util.HashMap[Character, Integer]()
+            failBuf += 0
+            outBuf += Array.empty
+            val id = gotoMaps.length - 1
+            gotoMaps(node).put(c, Integer.valueOf(id))
+            id
+          }
+        i += 1
+      }
+      outBuf(node) = outBuf(node) :+ pid
+    }
+    // BFS fail links; out(v) ++= out(fail(v)) so a hit at v reports every
+    // pattern ending at v OR at any proper suffix of the current path
+    locally {
+      val queue = new java.util.ArrayDeque[Integer]()
+      gotoMaps(0).forEach { (_, v) => failBuf(v) = 0; queue.add(v); () }
+      while (!queue.isEmpty) {
+        val u = queue.poll().intValue()
+        gotoMaps(u).forEach { (c, v) =>
+          var f = failBuf(u)
+          while (f != 0 && !gotoMaps(f).containsKey(c)) f = failBuf(f)
+          val fv = gotoMaps(f).get(c)
+          val target = if (fv != null && fv.intValue() != v.intValue())
+            fv.intValue() else 0
+          failBuf(v) = target
+          if (outBuf(target).nonEmpty)
+            outBuf(v) = outBuf(v) ++ outBuf(target)
+          queue.add(v)
+          ()
+        }
+      }
+    }
+    private val gotoArr: Array[java.util.HashMap[Character, Integer]] = gotoMaps.toArray
+    private val fail: Array[Int] = failBuf.toArray
+    private val out: Array[Array[Int]] = outBuf.toArray
+    // result strings pre-encoded once; matchesDistinct returns these by
+    // reference (UTF8String is immutable)
+    private val patternUtf8: Array[UTF8String] =
+      patternStrings.map(UTF8String.fromString)
+
+    /** Distinct matched patterns, in pattern-list order (= DuckDB
+      * `list_filter(patterns, p -> contains(text, p))` order). */
+    def matchesDistinct(text: UTF8String): GenericArrayData = {
+      val s = text.toString
+      val seen = new Array[Boolean](numPatterns)
+      var remaining = numPatterns
+      var node = 0
+      var i = 0
+      while (i < s.length && remaining > 0) {
+        val c = Character.valueOf(s.charAt(i))
+        var next = gotoArr(node).get(c)
+        while (next == null && node != 0) {
+          node = fail(node)
+          next = gotoArr(node).get(c)
+        }
+        if (next != null) node = next.intValue()
+        val hits = out(node)
+        var h = 0
+        while (h < hits.length) {
+          if (!seen(hits(h))) { seen(hits(h)) = true; remaining -= 1 }
+          h += 1
+        }
+        i += 1
+      }
+      val res = new Array[AnyRef](numPatterns - remaining)
+      var p = 0
+      var w = 0
+      while (p < numPatterns) {
+        if (seen(p)) { res(w) = patternUtf8(p); w += 1 }
+        p += 1
+      }
+      new GenericArrayData(res)
+    }
+  }
+}
+
+/** text → array<string> of the DISTINCT blocklist patterns occurring in
+  * it as substrings, in pattern-list order — `size(...) > 0` is the C4
+  * bad-word page gate, `size(...)` the per-doc hit count. Exact
+  * substring semantics (compose word boundaries by normalizing text and
+  * padding patterns with the boundary char). One Aho-Corasick pass per
+  * row riding the scan — no shuffle, per-row cost independent of
+  * |patterns| where a contains() chain pays |patterns| rescans. */
+case class MultiPatternMatches(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  @transient private lazy val ac =
+    new MultiPatternUtil.Automaton(patterns.toArray)
+
+  override def nullSafeEval(v: Any): Any =
+    ac.matchesDistinct(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ac", ac,
+      classOf[MultiPatternUtil.Automaton].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $acRef.matchesDistinct($t);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "multi_pattern_matches"
+}
+
 object TextKernels {
   /** Distinct lowercase word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column =
@@ -807,4 +953,10 @@ object TextKernels {
   /** 64-bit xxhash64 simhash of a token-array column. */
   def simhashXx(tokens: Column): Column =
     ColumnBridge.column(SimhashXx(ColumnBridge.expression(tokens)))
+
+  /** Distinct blocklist patterns occurring in a text column as
+    * substrings (pattern-list order) — one Aho-Corasick pass per row. */
+  def multiPatternMatches(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(
+      MultiPatternMatches(ColumnBridge.expression(text), patterns))
 }

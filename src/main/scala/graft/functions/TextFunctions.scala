@@ -27,6 +27,23 @@ object TextFunctions {
     size(filter(split(text, "(?<=[\\s\\p{Punct}])|(?=[\\s\\p{Punct}])"),
       t => trim(t) =!= "")).cast("long")
 
+  /** The distinct blocklist patterns occurring in `text` as substrings,
+    * in pattern-list order — the C4-style bad-word page gate (Raffel et
+    * al. 2020 §2.2: drop any page containing a listed word or phrase;
+    * production lists run to thousands of entries). One Aho-Corasick
+    * automaton pass per row, built once and shipped via the plan's
+    * reference array, so per-row cost is O(n_chars), independent of
+    * list size — where the naive `contains() OR contains() …` chain
+    * rescans the text |patterns| times. Exact substring semantics;
+    * compose word boundaries by normalizing the text (collapse
+    * non-letters to spaces, pad the ends) and space-padding patterns. */
+  def blocklistMatches(text: Column, patterns: Seq[String]): Column =
+    graft.expressions.TextKernels.multiPatternMatches(text, patterns)
+
+  /** True when any blocklist pattern occurs in `text` — the page gate. */
+  def blocklistAny(text: Column, patterns: Seq[String]): Column =
+    size(blocklistMatches(text, patterns)) > 0
+
   /** Stopword-marker language scores. Marker sets are tiny per-language
     * function-word lists (public linguistic knowledge). */
   val langMarkers: Map[String, Seq[String]] = Map(

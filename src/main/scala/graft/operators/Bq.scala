@@ -29,20 +29,59 @@ object Bq {
     * representable in both engines' BIGINT arithmetic with headroom. */
   val WordBits = 32
 
-  /** `bq_code`: array<long> of sign-bit words (MSB-first within word). */
-  def encodeColumn(embCol: Column): Column =
-    FloatKernels.signPack(embCol, WordBits)
+  /** `bq_code`: array<long> of sign-bit words (MSB-first within word).
+    * `thresholds` non-empty = CENTERED BQ (bit_d = [v_d ≥ t_d]) — see
+    * [[trainThresholds]] for why the zero-threshold default is blind on
+    * non-centered corpora. */
+  def encodeColumn(embCol: Column, thresholds: Seq[Double] = Nil): Column =
+    FloatKernels.signPack(embCol, WordBits, thresholds)
 
   def encode(df: DataFrame, embCol: String,
-             codeCol: String = "bq_code"): DataFrame =
-    df.withColumn(codeCol, encodeColumn(col(embCol)))
+             codeCol: String = "bq_code",
+             thresholds: Seq[Double] = Nil): DataFrame =
+    df.withColumn(codeCol, encodeColumn(col(embCol), thresholds))
+
+  /** Per-dim thresholds for centered BQ: the RANGE MIDPOINT
+    * (min+max)/2 of each dimension, in double — the same order-free
+    * exact stats pass as [[Sq.train]]'s grid (deterministic, seedless,
+    * in-SQL replayable), one aggregation over the corpus.
+    *
+    * Why it exists (measured, ScaleProbe `bq_recall_sweep` at 1M): on
+    * an all-positive corpus ([0,1)-uniform — the shape of count
+    * embeddings, ReLU features, normalized scores) plain sign bits are
+    * CONSTANT, every Hamming distance is 0, and the screen returns the
+    * id-ascending head: 0/10 recall at every rerank window up to 300×k.
+    * Midpoint thresholds split each dim's occupied range instead of the
+    * origin — identical behavior on already-centered data (midpoint ≈ 0)
+    * and informative bits everywhere else. Midpoint, not mean/median:
+    * min/max are order-free (bit-exact under any partitioning, like
+    * SQ8's grid) where an IEEE mean depends on fold order. */
+  def trainThresholds(df: DataFrame, embCol: String): Array[Double] = {
+    val stats = df
+      .select(posexplode(col(embCol)).as(Seq("__i", "__v")))
+      .groupBy("__i")
+      .agg(min(col("__v")).cast("double").as("mn"),
+        max(col("__v")).cast("double").as("mx"),
+        count(lit(1)).as("cnt"))
+      .orderBy("__i")
+      .collect()
+    require(stats.nonEmpty, "cannot train BQ thresholds on an empty table")
+    require(stats.length == stats.last.getAs[Int]("__i") + 1 &&
+        stats.map(_.getAs[Long]("cnt")).distinct.length == 1,
+      "ragged embedding dims in BQ threshold training input")
+    stats.map(r => (r.getAs[Double]("mn") + r.getAs[Double]("mx")) / 2.0)
+  }
 
   /** Driver-side encode of a query vector (same fold as the kernel). */
-  def encodeQuery(query: Seq[Float]): Array[Long] = {
+  def encodeQuery(query: Seq[Float],
+                  thresholds: Seq[Double] = Nil): Array[Long] = {
+    if (thresholds.nonEmpty) require(query.length <= thresholds.length,
+      s"${thresholds.length} thresholds for a ${query.length}-dim query")
     val out = new Array[Long]((query.length + WordBits - 1) / WordBits)
     query.indices.foreach { d =>
+      val t = if (thresholds.isEmpty) 0.0 else thresholds(d)
       out(d / WordBits) = out(d / WordBits) * 2L +
-        (if (query(d) >= 0f) 1L else 0L)
+        (if (query(d).toDouble >= t) 1L else 0L)
     }
     out
   }
@@ -57,12 +96,15 @@ object Bq {
     * exclusion contract — non-matching rows can never appear). */
   def hammingSearch(encoded: DataFrame, idCol: String, codeCol: String,
                     query: Seq[Float], k: Int,
-                    filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+                    filter: Option[org.apache.spark.sql.Column] = None,
+                    thresholds: Seq[Double] = Nil): DataFrame =
     filter.fold(encoded)(encoded.filter)
       // null codes (null embeddings) would yield ham = null, which sorts
       // FIRST ascending in Spark — garbage rows must not crowd the top
       .filter(col(codeCol).isNotNull)
-      .withColumn("ham", hammingColumn(col(codeCol), encodeQuery(query)))
+      // thresholds must match the ones the code column was encoded with
+      .withColumn("ham", hammingColumn(col(codeCol),
+        encodeQuery(query, thresholds)))
       .orderBy(col("ham").asc, col(idCol).asc)
       .limit(k)
 
@@ -73,9 +115,10 @@ object Bq {
   def rerankSearch(encoded: DataFrame, idCol: String, codeCol: String,
                    embCol: String, query: Seq[Float], k: Int,
                    rerank: Int,
-                   filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                   filter: Option[org.apache.spark.sql.Column] = None,
+                   thresholds: Seq[Double] = Nil): DataFrame = {
     require(rerank >= k, s"rerank window $rerank smaller than k=$k")
-    hammingSearch(encoded, idCol, codeCol, query, rerank, filter)
+    hammingSearch(encoded, idCol, codeCol, query, rerank, filter, thresholds)
       .withColumn("dist",
         graft.functions.VectorFunctions.l2(col(embCol), lit(query.toArray)))
       .orderBy(col("dist").asc, col(idCol).asc)

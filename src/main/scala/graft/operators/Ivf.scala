@@ -39,6 +39,29 @@ object Ivf {
     def k: Int = centroids.length
   }
 
+  /** Measured anchor for the default probe count (ScaleProbe
+    * `ivf_recall_sweep`, uniform-random 64-dim, √N lists, short-Lloyd
+    * build): the API default n_probe=10 (GraftConfig.nProbe, mirroring
+    * api/models.py:20) holds the reference recall gate
+    * (test_ivf.py:127-166: ≥0.6 recall on ≥70% of queries) only while
+    * 10 lists are a large share of the index — at 1M rows / k=1000 it
+    * scores 1/10 (probing 1% of lists) and at 10M / k=3162 it scores
+    * 0/10 (0.3%), while probing 10% of lists passes decisively at BOTH
+    * tiers (9/10 and 10/10; 3.1% sits at the gate edge — 3/10 at 1M,
+    * 7/10 at 10M). The controlling variable is the probed FRACTION of
+    * lists, so the scale rule preserves it. */
+  val ScaledProbeFraction: Double = 0.1
+
+  /** Scale a probe count with index list count so the DEFAULT n_probe
+    * keeps the measured recall gate as k grows: at least `base`
+    * (identity for k ≤ base/fraction — every toy/reference-sized index
+    * is unchanged), at least [[ScaledProbeFraction]] of the lists above
+    * that, clamped to k (small indexes probe exhaustively, which the
+    * reference permits: 1 ≤ n_probe ≤ k). Callers that set n_probe
+    * explicitly pass their value through unscaled. */
+  def scaledNProbe(base: Int, k: Int): Int =
+    math.min(k, math.max(base, math.ceil(k * ScaledProbeFraction).toInt))
+
   /** Bounded UNBIASED training sample: a seeded Bernoulli sample sized
     * from a fast count, then a limit as the hard cap. A bare limit()
     * would take the physical head of the table — on time- or

@@ -103,4 +103,52 @@ class BqSpec extends SparkSpec {
         k = 10, rerank = 5)
     }
   }
+
+  test("centered BQ: zero-threshold codes are constant on an all-positive " +
+      "corpus; midpoint thresholds make the screen informative") {
+    val s = spark
+    import s.implicits._
+    // all-positive corpus (the [0,1)-feature / count-embedding shape)
+    val r = new scala.util.Random(5)
+    val df = (0L until 400L).map(i => (i, Seq.fill(16)(r.nextFloat())))
+      .toDF("id", "embedding")
+    // zero-threshold: every code identical -> Hamming 0 everywhere
+    val plain = Bq.encode(df, "embedding")
+      .select("bq_code").distinct().count()
+    assert(plain == 1, s"expected one constant code, got $plain distinct")
+    // centered: thresholds are per-dim range midpoints (order-free)
+    val th = Bq.trainThresholds(df, "embedding")
+    assert(th.length == 16 && th.forall(t => t > 0.2 && t < 0.8))
+    val reTh = Bq.trainThresholds(df.repartition(7), "embedding")
+    assert(th.toSeq == reTh.toSeq, "thresholds depend on partitioning")
+    val enc = Bq.encode(df, "embedding", thresholds = th.toSeq)
+    assert(enc.select("bq_code").distinct().count() > 100,
+      "centered codes should spread")
+    // the centered screen finds true neighborhoods where plain cannot:
+    // a screen-only (no-rerank) Hamming cut must beat the id-ascending
+    // head plain BQ degenerates to
+    val q = df.filter(col("id") === 7L).select("embedding")
+      .head.getSeq[Float](0).toSeq
+    val exact = Search.knnExact(df, "id", "embedding", q, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val centeredHits = Bq.hammingSearch(enc, "id", "bq_code", q, 40,
+        thresholds = th.toSeq)
+      .select("id").collect().map(_.getLong(0)).toSet.intersect(exact).size
+    val plainHits = Bq.hammingSearch(Bq.encode(df, "embedding"), "id",
+        "bq_code", q, 40)
+      .select("id").collect().map(_.getLong(0)).toSet.intersect(exact).size
+    assert(centeredHits > plainHits,
+      s"centered screen ($centeredHits/10) should beat blind plain ($plainHits/10)")
+    // kernel ≡ driver fold with thresholds
+    val rows = enc.select("embedding", "bq_code").collect()
+    rows.take(50).foreach { row =>
+      assert(row.getSeq[Long](1) ==
+        Bq.encodeQuery(row.getSeq[Float](0), th.toSeq).toSeq)
+    }
+    // ragged input fails loud in training
+    val ragged = Seq((0L, Seq(1f, 2f)), (1L, Seq(1f))).toDF("id", "embedding")
+    intercept[IllegalArgumentException] {
+      Bq.trainThresholds(ragged, "embedding")
+    }
+  }
 }

@@ -174,6 +174,46 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(w == Seq(("urn:doc:8", "warc payload")))
   }
 
+  test("ingest table function: read_csv from pure SQL") {
+    GraftTableFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tvf_csv").toString
+    // headerless CSV in documents-schema column order; one corrupt line
+    Seq("7,csv text,en,src,8", "not,a,valid,row,because,extra,cols")
+      .toDF("value").write.text(s"$dir/c")
+    val rows = spark.sql(s"SELECT doc_id, text FROM read_csv('$dir/c')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((7L, "csv text")))
+  }
+
+  test("blocklist_hits scalar: SQL route equals the Scala API, literal guard") {
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "x batch batch batch y"), (1L, "clean"),
+      (2L, "the fast key order"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("blk_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, blocklist_hits(text,
+        |  'batch batch', 'batch batch batch', 'fast key', 'key order') AS h
+        |FROM blk_docs ORDER BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toSeq
+    val pats = Seq("batch batch", "batch batch batch", "fast key", "key order")
+    val viaApi = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.blocklistMatches(col("text"), pats).as("h"))
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.head._2 == Seq("batch batch", "batch batch batch"))
+    // non-literal pattern arguments fail loud, not silently per-row
+    val err = intercept[Exception] {
+      spark.sql("SELECT blocklist_hits(text, text) FROM blk_docs").collect()
+    }
+    assert(err.getMessage.contains("string literal"))
+  }
+
   test("table functions accept TABLE(...) relation arguments (subquery/CTE, no temp view)") {
     GraftTableFunctions.register(spark)
     val s = spark

@@ -201,4 +201,42 @@ class IvfSpec extends SparkSpec {
     assert(loaded.k == model.k)
     assert(loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
   }
+
+  test("scaledNProbe: identity at reference scale, fraction-preserving above, clamped") {
+    // identity for every toy/reference-sized index (k <= base/fraction)
+    assert(Ivf.scaledNProbe(10, 64) == 10)
+    assert(Ivf.scaledNProbe(10, 100) == 10)
+    // above the identity range: at least 10% of lists (ceil)
+    assert(Ivf.scaledNProbe(10, 101) == 11)
+    assert(Ivf.scaledNProbe(10, 1000) == 100)  // measured 9/10 GATE PASS at 1M
+    assert(Ivf.scaledNProbe(10, 3162) == 317)  // measured 10/10 at 10M
+    // small indexes clamp to exhaustive (reference permits n_probe = k;
+    // the UNscaled default 10 > k would fail search's range check)
+    assert(Ivf.scaledNProbe(10, 4) == 4)
+    // monotone in k
+    val vals = Seq(1, 10, 100, 1000, 10000).map(Ivf.scaledNProbe(10, _))
+    assert(vals == vals.sorted)
+  }
+
+  test("searchIvf auto probe (nProbe <= 0) equals the explicit scaled value") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfauto").toString
+    val store = graft.VectorStore.open(spark, dir, dim = 8)
+    val rows = toDF(corpus(60, 8))
+      .select(col("embedding"), concat(lit("doc"), col("id")).as("content"))
+    store.ingest(rows)
+    store.buildIvf(k = 6)
+    val q = corpus(60, 8)(3)._2.toSeq
+    val auto = store.searchIvf(q, nProbe = 0, k = 5)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    // k=6 <= 100: the auto path is identity on the config base (10),
+    // clamped to k -> exhaustive probing of all 6 lists
+    val explicit = store.searchIvf(q, nProbe = 6, k = 5)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(auto == explicit)
+    // searchApi without n_probe takes the auto path (no range error on
+    // a small index, where the raw config default 10 > k would throw)
+    val api = store.searchApi(q, Map("index" -> "ivf", "top_k" -> "5"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(api == explicit)
+  }
 }

@@ -247,4 +247,64 @@ class TextFunctionsSpec extends SparkSpec {
       .toDF("id", "t").select(charEntropy(col("t"))).head.getDouble(0)
     assert(prose > 2.0 && prose < Math.log(44.0))
   }
+
+  test("blocklistMatches: nested/overlapping patterns, order, edges, null") {
+    val s = spark
+    import s.implicits._
+    val pats = Seq("batch batch", "batch batch batch", "fast key",
+      "key order", "zz end", "start zz")
+    val df = Seq(
+      (1L, "x batch batch batch y"),   // nested: both batch patterns
+      (2L, "the fast key order sort"), // overlapping spans both report
+      (3L, "no hits here"),
+      (4L, "start zz mid zz end"),     // pattern at start AND end of text
+      (5L, ""),                        // empty text → empty array
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val r = df.select(col("id"),
+        TextFunctions.blocklistMatches(col("t"), pats).as("hits"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[String](1)))).toMap
+    // distinct matches, reported in PATTERN-LIST order (the oracle's
+    // list_filter order), fail-closure reports the nested shorter hit
+    assert(r(1L).get == Seq("batch batch", "batch batch batch"))
+    assert(r(2L).get == Seq("fast key", "key order"))
+    assert(r(3L).get == Seq.empty)
+    assert(r(4L).get == Seq("zz end", "start zz"))
+    assert(r(5L).get == Seq.empty)
+    assert(r(6L).isEmpty, "null passes through")
+  }
+
+  test("blocklistMatches agrees with a per-pattern contains() reference") {
+    val s = spark
+    import s.implicits._
+    val pats = Seq("ab", "abc", "bca", "cab", "aaa", "bb c", "c a b")
+    // pseudo-random 3-letter soup exercises dense overlap/fail paths
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 200L).map { i =>
+      (i, (0 until 30).map(_ => "abc ".charAt(rng.nextInt(4))).mkString)
+    }.toDF("id", "t")
+    val kernel = docs.select(col("id"),
+        TextFunctions.blocklistMatches(col("t"), pats).as("hits"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val naive = docs.collect().map { r =>
+      r.getLong(0) -> pats.filter(r.getString(1).contains(_))
+    }.toMap
+    assert(kernel == naive)
+    // the boolean gate is the size>0 composition
+    val anyCount = docs.filter(TextFunctions.blocklistAny(col("t"), pats)).count()
+    assert(anyCount == naive.values.count(_.nonEmpty))
+  }
+
+  test("blocklistMatches rejects degenerate pattern lists") {
+    intercept[IllegalArgumentException] {
+      new graft.expressions.MultiPatternUtil.Automaton(Array.empty[String])
+    }
+    intercept[IllegalArgumentException] {
+      new graft.expressions.MultiPatternUtil.Automaton(Array("ok", ""))
+    }
+    intercept[IllegalArgumentException] {
+      new graft.expressions.MultiPatternUtil.Automaton(Array("dup", "dup"))
+    }
+  }
 }
