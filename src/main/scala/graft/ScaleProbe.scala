@@ -202,6 +202,47 @@ object ScaleProbe {
       tp("pq_adc_top10_stored") { codes; pqCodebook() }(
         Pq.adcSearch(codes, "id", "pq_code", pqCodebook(), q, 10).count())
 
+      // PQ tier recall at corpus scale, pure ADC vs ADC→exact-rerank
+      // (same ≥0.6@10 on ≥7/10 yardstick as the other tier sweeps).
+      // Stored codes carry no floats (the 32× win), so the rerank stage
+      // point-joins the shortlist back to the corpus — the
+      // VectorStore.searchIvfPq deployment shape.
+      tp("pq_recall_sweep") { codes; pqCodebook() } {
+        val qs = df.filter(col("id") < 10).select("id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+        val exact = qs.map { case (qid, qv) =>
+          qid -> Search.knnExact(df, "id", "embedding", qv, 10)
+            .select("id").collect().map(_.getLong(0)).toSet
+        }.toMap
+        var best = 0L
+        // fixed windows plus √N-scaled ones (the BQ sweep's measured
+        // growth shape — the candidates for a scaled default)
+        (Seq(0, 30, 100, 300, 1000) ++
+          Seq(math.sqrt(n.toDouble).toInt, 3 * math.sqrt(n.toDouble).toInt))
+          .distinct.sorted.foreach { w =>
+          val t0 = System.nanoTime()
+          val good = qs.count { case (qid, qv) =>
+            val ids =
+              if (w == 0)
+                Pq.adcSearch(codes, "id", "pq_code", pqCodebook(), qv, 10)
+                  .select("id").collect().map(_.getLong(0)).toSet
+              else {
+                val short = Pq.adcSearch(codes, "id", "pq_code",
+                  pqCodebook(), qv, w).select("id")
+                Search.knnExact(df.join(short, "id"), "id", "embedding",
+                    qv, 10)
+                  .select("id").collect().map(_.getLong(0)).toSet
+              }
+            ids.intersect(exact(qid)).size / 10.0 >= 0.6
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          val tag = if (w == 0) "pure-adc" else s"rerank=$w"
+          println(f"        pq recall [$tag%-11s] $good/10 queries >= 0.6@10, $dt%.1f s  ${if (good >= 7) "GATE PASS" else "gate miss"}")
+          best = math.max(best, good.toLong)
+        }
+        best
+      }
+
       // BQ tier: train-free encode persisted once; Hamming screen and
       // screen+rerank run over stored 2-long codes (32x smaller scans)
       val bqDir = s"$dir-bqcodes"
@@ -447,6 +488,64 @@ object ScaleProbe {
       lazy val sqCodes = { ensure(sqDir)(writeSqCodes()); spark.read.parquet(sqDir) }
       tp("sq8_adc_top10_stored") { sqCodes; sqModel() }(
         graft.operators.Sq.adcSearch(sqCodes, "id", "sq_code", sqModel(), q, 10).count())
+
+      // SQ8 tier recall at corpus scale (same yardstick as the other
+      // tier sweeps): 8 bits/dim keeps per-dim error at 1/255 of the
+      // occupied range, so unlike PQ's 8-bits-per-8-dims this tier's
+      // pure-ADC ranking is expected to hold without a rerank stage —
+      // this probe is the measured check on that expectation.
+      tp("sq_recall_sweep") { sqCodes; sqModel() } {
+        val qs = df.filter(col("id") < 10).select("id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+        val exact = qs.map { case (qid, qv) =>
+          qid -> Search.knnExact(df, "id", "embedding", qv, 10)
+            .select("id").collect().map(_.getLong(0)).toSet
+        }.toMap
+        val t0 = System.nanoTime()
+        val good = qs.count { case (qid, qv) =>
+          val got = graft.operators.Sq.adcSearch(sqCodes, "id", "sq_code",
+              sqModel(), qv, 10)
+            .select("id").collect().map(_.getLong(0)).toSet
+          got.intersect(exact(qid)).size / 10.0 >= 0.6
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"        sq recall [pure-adc] $good/10 queries >= 0.6@10, $dt%.1f s  ${if (good >= 7) "GATE PASS" else "gate miss"}")
+        good.toLong
+      }
+
+      // LSH tier recall at corpus scale (o3_lsh_search's config: 16
+      // tables × 8 bits, probeBits=2). Unlike the probe-budget tiers
+      // (HNSW beam, IVF lists, BQ/PQ windows), hyperplane LSH's recall
+      // is governed by the per-neighbor bucket-collision probability —
+      // a function of ANGLE, not corpus size — so the fixed default is
+      // EXPECTED to hold as N grows (the candidate set grows, but the
+      // exact rerank absorbs it). This probe is the measured check on
+      // the one tier whose defaults should NOT need scaling.
+      val lshDir = s"$dir-lshsigs"
+      lazy val lshModel =
+        graft.operators.Lsh.fitBanded(dim = 64, bitsPerTable = 8, nTables = 16)
+      def writeLshSigs(): Unit =
+        graft.operators.Lsh.assign(df, "embedding", lshModel)
+          .write.mode("overwrite").parquet(lshDir)
+      lazy val lshSigs = { ensure(lshDir)(writeLshSigs()); spark.read.parquet(lshDir) }
+      tp("lsh_recall_sweep") { lshSigs } {
+        val qs = df.filter(col("id") < 10).select("id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+        val exact = qs.map { case (qid, qv) =>
+          qid -> Search.knnExact(df, "id", "embedding", qv, 10)
+            .select("id").collect().map(_.getLong(0)).toSet
+        }.toMap
+        val t0 = System.nanoTime()
+        val good = qs.count { case (qid, qv) =>
+          val got = graft.operators.Lsh.search(lshSigs, lshModel, "id",
+              "embedding", qv, k = 10, probeBits = 2)
+            .select("id").collect().map(_.getLong(0)).toSet
+          got.intersect(exact(qid)).size / 10.0 >= 0.6
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"        lsh recall [16x8b probe2] $good/10 queries >= 0.6@10, $dt%.1f s  ${if (good >= 7) "GATE PASS" else "gate miss"}")
+        good.toLong
+      }
 
       // IVF-PQ composite over the stored corpus: residual encode persisted
       // cluster-partitioned, then two-stage search over codes only

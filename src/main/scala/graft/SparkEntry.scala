@@ -3369,6 +3369,21 @@ object SparkEntry {
         .orderBy(col("dist").asc, col("vec_id").asc)
     }),
 
+    // ---- PQ two-stage: ADC top-30 shortlist → exact L2 rerank to
+    // top-10 (the deployment shape that closes the quantization error
+    // on the final ranking; Bq.rerankSearch / IvfPq-rerank's sibling).
+    // Fixed codebook, so the shortlist boundary AND both distance
+    // stages replay in SQL.
+    "o6_pq_adc_rerank_fixed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      Pq.adcRerankSearch(Pq.encode(emb, "embedding", fixedPqCodebook),
+          "vec_id", "pq_code", "embedding", fixedPqCodebook, q,
+          k = 10, rerank = 30)
+        .select("vec_id", "dist")
+    }),
+
     // ---- O6 with fixed deterministic centroids: the k-means path is
     // rows-only (clustering isn't SQL-expressible), but the SEARCH
     // semantics — assign to nearest centroid, rank centroids to the
@@ -6520,6 +6535,27 @@ object SparkEntry {
         s"""${queryCte(QueryVecId)}, enc AS (SELECT vec_id, $encCols FROM embeddings)
            |SELECT vec_id, sqrt(${("0.0" +: terms).mkString(" + ")}) AS dist
            |FROM enc CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+      },
+
+      // the rerank twin: the ADC CASE-table distance picks the top-30
+      // boundary, exact per-dim L2 re-scores the survivors
+      "o6_pq_adc_rerank_fixed" -> {
+        val encCols = (0 until 8).map(c => s"(${pqCodeSql(c)}) AS c$c").mkString(", ")
+        val terms = (0 until 8).map { c =>
+          s"""(CASE c$c WHEN 0 THEN (${adcTableSql(c, 0)})
+             |WHEN 1 THEN (${adcTableSql(c, 1)})
+             |WHEN 2 THEN (${adcTableSql(c, 2)})
+             |ELSE (${adcTableSql(c, 3)}) END)""".stripMargin
+        }
+        s"""${queryCte(QueryVecId)},
+           |enc AS (SELECT vec_id, embedding, $encCols FROM embeddings),
+           |adc AS (
+           |  SELECT vec_id, embedding, q.qe AS qe,
+           |    sqrt(${("0.0" +: terms).mkString(" + ")}) AS dist_adc
+           |  FROM enc CROSS JOIN q
+           |  ORDER BY dist_adc ASC, vec_id ASC LIMIT 30)
+           |SELECT vec_id, ${l2("embedding", "qe")} AS dist
+           |FROM adc ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
       },
 
       "export_jsonl" ->

@@ -247,7 +247,14 @@ class VectorStore private (val spark: SparkSession, val path: String,
     * `bq_recall_sweep` measures 0/10 recall at every rerank window —
     * while on already-centered data midpoints ≈ 0 and the behavior is
     * unchanged. Pass `centered = false` for raw sign bits (matching
-    * codes encoded elsewhere with no thresholds). */
+    * codes encoded elsewhere with no thresholds).
+    *
+    * `rerank = 0` (the default) is the raw Hamming screen; `rerank < 0`
+    * is the scale-aware auto window — every fixed multiple of k fails
+    * the measured recall margin at corpus scale (3·k: 0/10 at 1M AND
+    * 10M), so the auto path sizes the exact-rerank shortlist as
+    * max(3·k, ⌈3·√N⌉) via [[Bq.scaledRerank]] (costs one count()). An
+    * explicit `rerank > 0` passes through unscaled. */
   def searchBq(query: Seq[Float], k: Int, rerank: Int = 0,
                metadataFilter: Map[String, String] = Map.empty,
                centered: Boolean = true): DataFrame = {
@@ -255,9 +262,10 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val th = if (centered) Bq.trainThresholds(corpus, "embedding").toSeq
       else Nil
     val enc = Bq.encode(corpus, "embedding", thresholds = th)
-    if (rerank <= 0)
+    val w = if (rerank >= 0) rerank else Bq.scaledRerank(k, corpus.count())
+    if (w == 0)
       Bq.hammingSearch(enc, "id", "bq_code", query, k, thresholds = th)
-    else Bq.rerankSearch(enc, "id", "bq_code", "embedding", query, k, rerank,
+    else Bq.rerankSearch(enc, "id", "bq_code", "embedding", query, k, w,
       thresholds = th)
   }
 
@@ -269,12 +277,27 @@ class VectorStore private (val spark: SparkSession, val path: String,
   }
 
   /** ADC extension: memory-bounded approximate search through the
-    * persisted codebook (encode + table-lookup distance, scan-only). */
+    * persisted codebook (encode + table-lookup distance, scan-only).
+    * `rerank > 0` adds the exact top-k rerank over the ADC shortlist
+    * ([[Pq.adcRerankSearch]]) — the standard two-stage deployment that
+    * closes the quantization error on the final ranking. `rerank < 0`
+    * is the scale-aware auto window: PURE ADC measured 0/10 vs the
+    * recall gate at both 1M and 10M (the error reaches the ranking),
+    * while an exact rerank of the ⌈√N⌉-row shortlist measured 10/10 at
+    * both — so the auto path sizes the window as max(3·k, ⌈√N⌉) via
+    * [[Pq.scaledRerank]] (one count()). `rerank = 0` stays pure ADC. */
   def searchAdc(query: Seq[Float], k: Int,
-                metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+                metadataFilter: Map[String, String] = Map.empty,
+                rerank: Int = 0): DataFrame = {
+    require(rerank <= 0 || rerank >= k,
+      s"rerank ($rerank) must be 0 (off), < 0 (auto), or >= k ($k)")
     val cb = Pq.load(spark, pqModelPath)
-    Pq.adcSearch(Pq.encode(live(metadataFilter), "embedding", cb),
-      "id", "pq_code", cb, query, k)
+    val corpus = live(metadataFilter)
+    val w = if (rerank >= 0) rerank else Pq.scaledRerank(k, corpus.count())
+    val enc = Pq.encode(corpus, "embedding", cb)
+    if (w == 0) Pq.adcSearch(enc, "id", "pq_code", cb, query, k)
+    else Pq.adcRerankSearch(enc, "id", "pq_code", "embedding", cb, query,
+      k, w)
   }
 
   /** S5: tombstone delete + persisted snapshot. */
@@ -338,15 +361,22 @@ class VectorStore private (val spark: SparkSession, val path: String,
           require(c == cb.chunks,
             s"pq_chunks ($c) does not match the trained codebook (${cb.chunks})")
         }
-        searchAdc(query, k, metadataFilter)
+        // no explicit rerank in the request -> the scale-aware auto
+        // window (searchAdc's rerank<0 path: max(3k, √N) — pure ADC is
+        // 0/10 vs the recall gate at 1M+); an explicit rerank passes
+        // through unscaled, rerank=0 opts into pure ADC
+        searchAdc(query, k, metadataFilter,
+          rerank = params.get("rerank").map(_.toInt).getOrElse(-1))
       case "sq8" => searchSq(query, k, metadataFilter)
       case "bq" =>
-        // default to a 3k rerank window so the facade's output schema
-        // (a "dist" column) is consistent across index types; an
+        // no explicit rerank in the request -> the scale-aware auto
+        // window (searchBq's rerank<0 path sizes it as max(3k, 3·√N) —
+        // the measured margin; a fixed 3k multiple is 0/10 at 1M+).
+        // The output schema stays a "dist" column either way; an
         // explicit rerank=0 opts into the raw Hamming screen ("ham").
         // centered=false opts out of the midpoint thresholds (raw sign
         // bits — only sensible on corpora already centered at 0)
-        searchBq(query, k, params.get("rerank").map(_.toInt).getOrElse(3 * k),
+        searchBq(query, k, params.get("rerank").map(_.toInt).getOrElse(-1),
           metadataFilter,
           centered = params.get("centered").forall(_.toBoolean))
       case "ivfpq" =>

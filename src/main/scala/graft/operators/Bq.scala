@@ -72,6 +72,25 @@ object Bq {
     stats.map(r => (r.getAs[Double]("mn") + r.getAs[Double]("mx")) / 2.0)
   }
 
+  /** Measured anchor for the default rerank window (ScaleProbe
+    * `bq_recall_sweep`, centered codes, 64-bit uniform-random worst
+    * case, yardstick ≥0.6@10 on ≥7/10 queries): every fixed multiple
+    * of k fails at corpus scale (3·k: 0/10 at 1M AND 10M; even 300·k
+    * only 0→7/10), because the 64-bit Hamming ranker's discrimination
+    * is fixed while the number of near-tied codes grows with N. The
+    * window that holds a 9/10 margin tracks ≈3·√N: 1M → 3,000 (9/10),
+    * 10M → 10,000 (9/10). More code bits (dim > 64) shift the anchor
+    * down; compose BQ below IVF partition pruning when √N windows are
+    * too hot. */
+  val RerankScaleFactor: Double = 3.0
+
+  /** Scale the exact-rerank window with corpus size so the DEFAULT
+    * screen keeps the measured margin: max(3·k, ⌈3·√n⌉). Callers that
+    * set a window explicitly pass it through unscaled. */
+  def scaledRerank(k: Int, n: Long): Int =
+    math.max(3 * k,
+      math.ceil(RerankScaleFactor * math.sqrt(math.max(n, 0L).toDouble)).toInt)
+
   /** Driver-side encode of a query vector (same fold as the kernel). */
   def encodeQuery(query: Seq[Float],
                   thresholds: Seq[Double] = Nil): Array[Long] = {

@@ -102,6 +102,45 @@ object Pq {
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
 
+  /** Measured anchor for the default rerank window (ScaleProbe
+    * `pq_recall_sweep`, 8×256 codebook on the uniform-random worst
+    * case, yardstick ≥0.6@10 on ≥7/10 queries): PURE ADC fails the
+    * gate at corpus scale — 0/10 at both 1M and 10M — because the
+    * quantization error reaches the final ranking; an exact rerank of
+    * the ⌈√N⌉-row ADC shortlist scores 10/10 at BOTH tiers (1M →
+    * w=1000, 10M → w=3162; √N/3 is the 9/10 edge at 1M and 6/10 at
+    * 10M). A tighter ranker than BQ's 64-bit Hamming (whose margin
+    * needs 3·√N), hence the smaller factor. */
+  val RerankScaleFactor: Double = 1.0
+
+  /** Scale the exact-rerank window with corpus size: max(3·k, ⌈√n⌉).
+    * Callers that set a window explicitly pass it through unscaled. */
+  def scaledRerank(k: Int, n: Long): Int =
+    math.max(3 * k,
+      math.ceil(RerankScaleFactor * math.sqrt(math.max(n, 0L).toDouble)).toInt)
+
+  /** Two-stage PQ search: ADC top-`rerank` shortlist, then exact L2
+    * rerank of the survivors to top-k — the same screen-then-rerank
+    * shape as [[Bq.rerankSearch]] and the IvfPq rerank stage, closing
+    * the quantization error on the final ranking while the corpus scan
+    * still reads only codes. `encoded` must retain the float `embCol`
+    * alongside the code (when codes are persisted WITHOUT floats —
+    * the 32× storage win — fetch the shortlist's vectors with a
+    * point-join first, as `VectorStore.searchIvfPq` does). Output
+    * `dist` is the EXACT distance; the screen's ADC distance rides
+    * along as `dist_adc`. */
+  def adcRerankSearch(encoded: DataFrame, idCol: String, codeCol: String,
+                      embCol: String, cb: Codebook, query: Seq[Float],
+                      k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank smaller than k=$k")
+    adcSearch(encoded, idCol, codeCol, cb, query, rerank)
+      .withColumnRenamed("dist", "dist_adc")
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2(col(embCol), lit(query.toArray)))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** B11: codebook persistence — parquet round-trip of the chunks×k×subdim
     * centroid tensor (the engine's analog of the reference's pickled
     * service-held centroids, inference_service pattern / ivf.py:217-241). */

@@ -151,4 +151,17 @@ class BqSpec extends SparkSpec {
       Bq.trainThresholds(ragged, "embedding")
     }
   }
+
+  test("scaledRerank: 3k floor at toy N, ~3·sqrt(N) above, monotone") {
+    // floor: tiny corpora keep the fixed multiple
+    assert(Bq.scaledRerank(10, 0L) == 30)
+    assert(Bq.scaledRerank(10, 100L) == 30)
+    // measured anchors: 1M -> 3000 (9/10 margin), 10M -> ~9487 >= the
+    // measured 9/10 window shape
+    assert(Bq.scaledRerank(10, 1000000L) == 3000)
+    val w10m = Bq.scaledRerank(10, 10000000L)
+    assert(w10m >= 9486 && w10m <= 9500)
+    val vals = Seq(0L, 1000L, 1000000L, 100000000L).map(Bq.scaledRerank(10, _))
+    assert(vals == vals.sorted)
+  }
 }

@@ -70,4 +70,44 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pq.adcDistanceColumn(col("pq_code"), cb, Seq(1f, 2f, 3f)))
   }
+
+  test("ADC rerank: exact top-k within the shortlist, recall >= pure ADC, " +
+      "window guard") {
+    val data = corpus(300, 16, seed = 9L)
+    val df = toDF(data)
+    val cb = Pq.train(df, "embedding", 16, chunks = 4, k = 4)
+    val enc = Pq.encode(df, "embedding", cb)
+    val q = data(5)._2.toSeq
+    val exact = graft.operators.Search.knnExact(df, "id", "embedding", q, 10)
+      .select("id").collect().map(_.getLong(0))
+    val rer = Pq.adcRerankSearch(enc, "id", "pq_code", "embedding", cb, q,
+      k = 10, rerank = 60)
+    val rerIds = rer.select("id").collect().map(_.getLong(0))
+    val adcIds = Pq.adcSearch(enc, "id", "pq_code", cb, q, 10)
+      .select("id").collect().map(_.getLong(0))
+    // self-match survives the coarse screen and reranks to the top with
+    // exact distance 0
+    assert(rerIds.head == 5L)
+    assert(rer.select("dist").head.getDouble(0) < 1e-6)
+    // rerank can only improve on pure ADC at the same k
+    assert(rerIds.toSet.intersect(exact.toSet).size >=
+      adcIds.toSet.intersect(exact.toSet).size)
+    // output ranking is exact within the survivors: distances ascend
+    val dists = rer.select("dist").collect().map(_.getDouble(0))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    intercept[IllegalArgumentException] {
+      Pq.adcRerankSearch(enc, "id", "pq_code", "embedding", cb, q,
+        k = 10, rerank = 5)
+    }
+  }
+
+  test("scaledRerank: 3k floor at toy N, sqrt(N) above, monotone") {
+    assert(Pq.scaledRerank(10, 0L) == 30)
+    assert(Pq.scaledRerank(10, 500L) == 30)
+    // measured anchors: sqrt(N) windows score 10/10 at both tiers
+    assert(Pq.scaledRerank(10, 1000000L) == 1000)
+    assert(Pq.scaledRerank(10, 10000000L) == 3163) // ceil(sqrt(1e7))
+    val vals = Seq(0L, 1000L, 1000000L, 100000000L).map(Pq.scaledRerank(10, _))
+    assert(vals == vals.sorted)
+  }
 }
