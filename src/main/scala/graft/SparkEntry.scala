@@ -3093,6 +3093,34 @@ object SparkEntry {
         "doc_id", "n_tok", capacity = 2048, numPartitions = 8)
         .orderBy("doc_id")),
 
+    // ---- Curriculum ordering (Bengio et al. 2009, ICML: train
+    // easy→hard): difficulty stages by a data-independent token-count
+    // threshold, a DETERMINISTIC within-stage shuffle, and the loader
+    // windows packed in that order. The shuffle is a 40-bit
+    // bit-reversal permutation of doc_id — a true bijection (no hash
+    // ties to break, no global row_number window, which would be a
+    // single-reducer sort), scattering adjacent ids across the stage
+    // the way a low-discrepancy sequence does. The total order
+    // (stage · 2^40 + bitrev) materializes ONLY through packOffsets'
+    // two-pass distributed prefix sum, so nothing here is a scale
+    // killer; the oracle replays the permutation bit for bit.
+    "pipeline_curriculum" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      val stage = when(col("n_tok") < 40L, 0L)
+        .when(col("n_tok") < 80L, 1L).otherwise(2L)
+      val rev = (0 until 40).map(i =>
+          shiftleft(shiftright(col("doc_id"), i).bitwiseAND(lit(1L)), 39 - i))
+        .reduce(_ + _)
+      val keyed = docs.withColumn("stage", stage)
+        .withColumn("ord", col("stage") * lit(1L << 40) + rev)
+      Chunker.packOffsets(keyed, "ord", "n_tok", capacity = 2048,
+          numPartitions = 8)
+        .select(col("doc_id"), col("stage"), col("ord"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Full sequence-packing plan: one row per (document, training
     // window) overlap, with in-document slice offsets and in-window
     // placement — what a training loader consumes to assemble
@@ -6418,6 +6446,31 @@ object SparkEntry {
           |  CAST(cum // 2048 AS BIGINT) AS pack_id,
           |  CAST(cum % 2048 AS BIGINT) AS pack_offset
           |FROM c ORDER BY doc_id""".stripMargin,
+
+      // curriculum replay: stage CASE + the 40-term bit-reversal sum
+      // (integer shifts are exact on both engines), then the same
+      // running-sum pack replay ordered by the composite key
+      "pipeline_curriculum" -> {
+        val rev = (0 until 40).map(i =>
+          s"(((doc_id >> $i) & 1) << ${39 - i})").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id,
+           |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |k AS (SELECT doc_id, n_tok,
+           |  CAST(CASE WHEN n_tok < 40 THEN 0 WHEN n_tok < 80 THEN 1
+           |    ELSE 2 END AS BIGINT) AS stage,
+           |  CAST($rev AS BIGINT) AS rev FROM toks),
+           |o AS (SELECT doc_id, n_tok, stage,
+           |  stage * 1099511627776 + rev AS ord FROM k),
+           |c AS (SELECT doc_id, stage, ord,
+           |  COALESCE(SUM(n_tok) OVER (ORDER BY ord
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           |  FROM o)
+           |SELECT doc_id, stage, ord,
+           |  CAST(cum // 2048 AS BIGINT) AS pack_id,
+           |  CAST(cum % 2048 AS BIGINT) AS pack_offset
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
 
       // window overlap replay: doc spans [cum, cum+n_tok) of the token
       // stream; generate_series enumerates the windows it crosses and

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.functions.HashingEmbedder
-import graft.operators.{Bq, Crud, Hnsw, Ivf, IvfPq, Pq, Search, Sq}
+import graft.operators.{Bq, Crud, Hnsw, Ivf, IvfPq, Lsh, Pq, Search, Sq}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,23 @@ class VectorStore private (val spark: SparkSession, val path: String,
     else base.filter(Search.metadataFilter(col("metadata"), metadataFilter))
   }
 
+  /** LSH tier: banded hyperplane signatures derived on scan (train-free
+    * beyond the seeded plane matrix — deterministic for a fixed dim),
+    * multi-probe bucket cut, exact (dist, id) rerank of the candidates.
+    * The one approximate tier whose RECALL is N-independent by
+    * construction — bucket collision is a function of angle, not corpus
+    * size — and the `lsh_recall_sweep` probe is the measured check
+    * (16 tables × 8 bits, probeBits = 2: 10/10 at 1M). The cost shape
+    * is a full signature scan per query (the candidate cut is a filter,
+    * not partition pruning) — persist `Lsh.assign`'s signature column
+    * when querying repeatedly. */
+  def searchLsh(query: Seq[Float], k: Int, probeBits: Int = 2,
+                metadataFilter: Map[String, String] = Map.empty): DataFrame = {
+    val model = Lsh.fitBanded(dim, bitsPerTable = 8, nTables = 16)
+    Lsh.search(Lsh.assign(live(metadataFilter), "embedding", model), model,
+      "id", "embedding", query, k, probeBits)
+  }
+
   /** B4: build the IVF index; persists model + cluster-partitioned data.
     * Defaults to the skew-hardened [[Ivf.buildBalanced]] path with a
     * self-scaling cap: clusters above 4× the fair 1/k corpus share are
@@ -191,8 +208,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
                   metadataFilter: Map[String, String] = Map.empty): DataFrame = {
     // mirror IvfPq.search's guard: this path re-purposes `rerank` as the
     // shortlist size, which would otherwise silently truncate top_k
-    require(rerank == 0 || rerank >= k,
-      s"rerank ($rerank) must be 0 (off) or >= k ($k)")
+    require(rerank <= 0 || rerank >= k,
+      s"rerank ($rerank) must be 0 (off), < 0 (auto), or >= k ($k)")
     val model = IvfPq.load(spark, ivfPqModelPath, "embedding")
     // nProbe <= 0 = the same scale-aware auto probing as searchIvf —
     // the coarse quantizer is the same IVF geometry, so the measured
@@ -200,12 +217,19 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val np = if (nProbe > 0) nProbe
       else Ivf.scaledNProbe(sessionConfig.nProbe, model.ivf.k)
     val table = spark.read.parquet(ivfPqDataPath)
+    // rerank < 0 = the same scale-aware auto window as searchAdc: the
+    // residual-PQ ADC ranking within the probed lists carries the same
+    // quantization error the pq_recall_sweep measured at 0/10, so the
+    // auto window is Pq.scaledRerank over the candidate-pool size (the
+    // full code-table count is the conservative bound; a count() of
+    // parquet footers)
+    val w = if (rerank >= 0) rerank else Pq.scaledRerank(k, table.count())
     val pred = if (metadataFilter.isEmpty) None
       else Some(Search.metadataFilter(col("metadata"), metadataFilter))
-    if (rerank == 0)
+    if (w == 0)
       IvfPq.search(table, model, "id", query, np, k, 0, pred)
     else {
-      val short = IvfPq.search(table, model, "id", query, np, rerank, 0, pred)
+      val short = IvfPq.search(table, model, "id", query, np, w, 0, pred)
         .select("id")
       Search.knnExact(
         snapshot().filter(!col("is_deleted")).join(short, "id"),
@@ -380,12 +404,18 @@ class VectorStore private (val spark: SparkSession, val path: String,
           metadataFilter,
           centered = params.get("centered").forall(_.toBoolean))
       case "ivfpq" =>
+        // defaults-taking path: scale-aware probe count AND rerank
+        // window (explicit values pass through unscaled; rerank=0 opts
+        // into the pure residual-ADC ranking)
         searchIvfPq(query,
           params.get("n_probe").map(_.toInt).getOrElse(0), k,
-          params.get("rerank").map(_.toInt).getOrElse(0), metadataFilter)
+          params.get("rerank").map(_.toInt).getOrElse(-1), metadataFilter)
+      case "lsh" =>
+        searchLsh(query, k,
+          params.get("probe_bits").map(_.toInt).getOrElse(2), metadataFilter)
       case "exact" => search(query, k, metadataFilter)
       case other => throw new IllegalArgumentException(
-        s"unknown index type '$other' (expected exact, hnsw, ivf, ivfpq, pq, sq8, or bq)")
+        s"unknown index type '$other' (expected exact, hnsw, ivf, ivfpq, pq, sq8, bq, or lsh)")
     }
   }
 

@@ -181,6 +181,18 @@ class VectorStoreSpec extends SparkSpec {
         "rerank" -> "20", "bogus" -> "x"))
     assert(api.count() == 3)
     assert(api.collect().head.getAs[Double]("dist") < 1e-6)
+    // defaults-taking path: auto probe count + auto rerank window (the
+    // exact-rerank stage puts the self-match first with exact dist 0)
+    val auto = store.searchApi(data(3)._2.toSeq,
+      Map("index" -> "ivfpq", "top_k" -> "3"))
+    assert(auto.count() == 3)
+    assert(auto.collect().head.getAs[Double]("dist") < 1e-6)
+    // lsh dispatch: exact rerank of the bucket candidates — self-match
+    // always collides with its own buckets, so it comes back first
+    val lsh = store.searchApi(data(3)._2.toSeq,
+      Map("index" -> "lsh", "top_k" -> "3"))
+    assert(lsh.count() == 3)
+    assert(lsh.collect().head.getAs[Double]("dist") < 1e-6)
   }
 
   test("metadata_json fidelity: int/list values round-trip and filter (test_embed_api.py:153-160)") {
