@@ -96,6 +96,16 @@ object ScaleProbe {
       // isn't charged one-time session costs
       df.agg(sum(element_at(col("embedding"), 1))).count()
 
+      // shared ground truth for the tier recall sweeps (ivf/bq/pq/sq/
+      // lsh): same 10 queries, same exact top-10 — computed once per
+      // run instead of once per sweep (5 × 10 full-corpus kNN scans)
+      lazy val recallQs = df.filter(col("id") < 10).select("id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+      lazy val recallExact = recallQs.map { case (qid, qv) =>
+        qid -> Search.knnExact(df, "id", "embedding", qv, 10)
+          .select("id").collect().map(_.getLong(0)).toSet
+      }.toMap
+
       t("exact_knn_top10")(Search.knnExact(df, "id", "embedding", q, 10).count())
       var model: Ivf.Model = null
       t("ivf_build_k64") { val (a, m) = Ivf.build(df, "embedding", 64); model = m; a.count() }
@@ -133,12 +143,8 @@ object ScaleProbe {
       tp("ivf_recall_sweep") { ensure(ivfSweepDir)(writeIvfSweep()) } {
         val m = Ivf.load(spark, s"$ivfSweepDir-model", "embedding")
         val table = spark.read.parquet(ivfSweepDir)
-        val qs = df.filter(col("id") < 10).select("id", "embedding")
-          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
-        val exact = qs.map { case (qid, qv) =>
-          qid -> Search.knnExact(df, "id", "embedding", qv, 10)
-            .select("id").collect().map(_.getLong(0)).toSet
-        }.toMap
+        val qs = recallQs
+        val exact = recallExact
         var best = 0L
         // 10 first: the API default — the row that decides whether
         // searchApi may pass n_probe through unscaled; then the probed
@@ -208,12 +214,8 @@ object ScaleProbe {
       // point-joins the shortlist back to the corpus — the
       // VectorStore.searchIvfPq deployment shape.
       tp("pq_recall_sweep") { codes; pqCodebook() } {
-        val qs = df.filter(col("id") < 10).select("id", "embedding")
-          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
-        val exact = qs.map { case (qid, qv) =>
-          qid -> Search.knnExact(df, "id", "embedding", qv, 10)
-            .select("id").collect().map(_.getLong(0)).toSet
-        }.toMap
+        val qs = recallQs
+        val exact = recallExact
         var best = 0L
         // fixed windows plus √N-scaled ones (the BQ sweep's measured
         // growth shape — the candidates for a scaled default)
@@ -277,20 +279,19 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(bqcDir)
       lazy val bqcCodes = { ensure(bqcDir)(writeBqCentered()); spark.read.parquet(bqcDir) }
       tp("bq_recall_sweep") { bqCodes; bqcCodes } {
-        val qs = df.filter(col("id") < 10).select("id", "embedding")
-          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
-        val exact = qs.map { case (qid, qv) =>
-          qid -> Search.knnExact(df, "id", "embedding", qv, 10)
-            .select("id").collect().map(_.getLong(0)).toSet
-        }.toMap
+        val qs = recallQs
+        val exact = recallExact
         var best = 0L
         Seq(("zero-thresh", bqCodes, Nil: Seq[Double]),
             ("centered", bqcCodes, bqThresh)).foreach { case (tag, codes, th) =>
           // fixed multipliers of k plus N-proportional windows — the 1M
           // run showed the gate needs ~0.1% of the corpus, so the rule
-          // under test is fraction-of-N, not multiple-of-k
+          // under test is fraction-of-N, not multiple-of-k. Floor at 3k:
+          // a small-n smoke run's proportional windows must not violate
+          // rerankSearch's rerank >= k contract
           (Seq(30, 100, 300, 1000, 3000) ++
-            Seq(n / 1000, 3 * n / 1000).map(_.toInt)).distinct.sorted.foreach { w =>
+            Seq(n / 1000, 3 * n / 1000).map(v => math.max(v.toInt, 30)))
+            .distinct.sorted.foreach { w =>
             val t0 = System.nanoTime()
             val good = qs.count { case (qid, qv) =>
               val got = graft.operators.Bq.rerankSearch(codes, "id",
@@ -495,12 +496,8 @@ object ScaleProbe {
       // pure-ADC ranking is expected to hold without a rerank stage —
       // this probe is the measured check on that expectation.
       tp("sq_recall_sweep") { sqCodes; sqModel() } {
-        val qs = df.filter(col("id") < 10).select("id", "embedding")
-          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
-        val exact = qs.map { case (qid, qv) =>
-          qid -> Search.knnExact(df, "id", "embedding", qv, 10)
-            .select("id").collect().map(_.getLong(0)).toSet
-        }.toMap
+        val qs = recallQs
+        val exact = recallExact
         val t0 = System.nanoTime()
         val good = qs.count { case (qid, qv) =>
           val got = graft.operators.Sq.adcSearch(sqCodes, "id", "sq_code",
@@ -529,12 +526,8 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(lshDir)
       lazy val lshSigs = { ensure(lshDir)(writeLshSigs()); spark.read.parquet(lshDir) }
       tp("lsh_recall_sweep") { lshSigs } {
-        val qs = df.filter(col("id") < 10).select("id", "embedding")
-          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
-        val exact = qs.map { case (qid, qv) =>
-          qid -> Search.knnExact(df, "id", "embedding", qv, 10)
-            .select("id").collect().map(_.getLong(0)).toSet
-        }.toMap
+        val qs = recallQs
+        val exact = recallExact
         val t0 = System.nanoTime()
         val good = qs.count { case (qid, qv) =>
           val got = graft.operators.Lsh.search(lshSigs, lshModel, "id",

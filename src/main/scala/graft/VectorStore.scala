@@ -279,12 +279,41 @@ class VectorStore private (val spark: SparkSession, val path: String,
     * 10M), so the auto path sizes the exact-rerank shortlist as
     * max(3·k, ⌈3·√N⌉) via [[Bq.scaledRerank]] (costs one count()). An
     * explicit `rerank > 0` passes through unscaled. */
+  private def bqModelPath = s"$path/bq_thresholds"
+
+  /** Optional BQ build step (the tier stays train-free without it):
+    * train the centered-code midpoint thresholds ONCE on the live rows
+    * and persist them beside the other model artifacts — repeated
+    * `searchBq` calls then skip the per-query stats pass. Re-run after
+    * ingests large enough to move per-dim ranges. */
+  def trainBq(): Array[Double] = {
+    val th = Bq.trainThresholds(snapshot().filter(!col("is_deleted")),
+      "embedding")
+    import spark.implicits._
+    th.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("i", "t")
+      .coalesce(1).write.mode("overwrite").parquet(bqModelPath)
+    th
+  }
+
+  private def bqThresholdsIfPersisted(): Option[Seq[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(bqModelPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(bqModelPath).orderBy("i")
+      .collect().map(_.getDouble(1)).toSeq)
+  }
+
   def searchBq(query: Seq[Float], k: Int, rerank: Int = 0,
                metadataFilter: Map[String, String] = Map.empty,
                centered: Boolean = true): DataFrame = {
     val corpus = live(metadataFilter)
-    val th = if (centered) Bq.trainThresholds(corpus, "embedding").toSeq
-      else Nil
+    // persisted thresholds (trainBq) win; else train on the fly. A
+    // filter matching zero rows (or an empty/all-tombstoned store)
+    // must yield an EMPTY RESULT, not a training error — None falls
+    // back to raw sign bits, and the search over zero rows is empty
+    val th = if (!centered) Nil
+      else bqThresholdsIfPersisted().getOrElse(
+        Bq.trainThresholdsOpt(corpus, "embedding").fold(Seq.empty[Double])(_.toSeq))
     val enc = Bq.encode(corpus, "embedding", thresholds = th)
     val w = if (rerank >= 0) rerank else Bq.scaledRerank(k, corpus.count())
     if (w == 0)

@@ -412,19 +412,18 @@ case class SignPackFloat(child: Expression, wordBits: Int,
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val d = ctx.freshName("d")
+      // one reference slot serves both the guard and the loop
+      val tRef =
+        if (thresholds.isEmpty) ""
+        else ctx.addReferenceObj("thresh", threshArr, "double[]")
       val cmp =
         if (thresholds.isEmpty) s"$v.getFloat($d) >= 0f"
-        else {
-          val t = ctx.addReferenceObj("thresh", threshArr, "double[]")
-          s"((double) $v.getFloat($d)) >= $t[$d]"
-        }
+        else s"((double) $v.getFloat($d)) >= $tRef[$d]"
       val guard =
         if (thresholds.isEmpty) ""
-        else {
-          val t = ctx.addReferenceObj("threshG", threshArr, "double[]")
-          s"""if ($n > $t.length) throw new IllegalArgumentException(
-             |  "sign_pack_float: " + $t.length + " thresholds for a " + $n + "-dim vector");""".stripMargin
-        }
+        else
+          s"""if ($n > $tRef.length) throw new IllegalArgumentException(
+             |  "sign_pack_float: " + $tRef.length + " thresholds for a " + $n + "-dim vector");""".stripMargin
       s"""
          |int $n = $v.numElements();
          |$guard

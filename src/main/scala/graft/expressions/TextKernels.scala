@@ -778,11 +778,15 @@ object MultiPatternUtil {
     private val numPatterns = patternStrings.length
     // goto trie over chars; HashMap transitions (the alphabet is all of
     // UTF-16, so dense rows are not an option), fail links, and per-node
-    // pattern-id output lists with fail-closure merged in at build time
-    private val gotoMaps =
+    // pattern-id output lists with fail-closure merged in at build time.
+    // Builder buffers are @transient: the automaton ships to executors
+    // through the plan's reference array, and only the final arrays
+    // below are read after construction — serializing the buffers would
+    // double the shipped size of a production-scale list
+    @transient private val gotoMaps =
       scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Character, Integer]())
-    private val failBuf = scala.collection.mutable.ArrayBuffer(0)
-    private val outBuf = scala.collection.mutable.ArrayBuffer[Array[Int]](Array.empty)
+    @transient private val failBuf = scala.collection.mutable.ArrayBuffer(0)
+    @transient private val outBuf = scala.collection.mutable.ArrayBuffer[Array[Int]](Array.empty)
 
     patternStrings.zipWithIndex.foreach { case (p, pid) =>
       var node = 0

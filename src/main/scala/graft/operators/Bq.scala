@@ -56,7 +56,16 @@ object Bq {
     * and informative bits everywhere else. Midpoint, not mean/median:
     * min/max are order-free (bit-exact under any partitioning, like
     * SQ8's grid) where an IEEE mean depends on fold order. */
-  def trainThresholds(df: DataFrame, embCol: String): Array[Double] = {
+  def trainThresholds(df: DataFrame, embCol: String): Array[Double] =
+    trainThresholdsOpt(df, embCol).getOrElse(
+      throw new IllegalArgumentException(
+        "cannot train BQ thresholds on an empty table"))
+
+  /** [[trainThresholds]] that reports an empty corpus (no rows, or all
+    * embeddings null) as None instead of throwing — the facade's
+    * default path maps a filter matching zero rows to an empty RESULT,
+    * never a crash (the exclusion contract). Ragged dims still throw. */
+  def trainThresholdsOpt(df: DataFrame, embCol: String): Option[Array[Double]] = {
     val stats = df
       .select(posexplode(col(embCol)).as(Seq("__i", "__v")))
       .groupBy("__i")
@@ -65,11 +74,13 @@ object Bq {
         count(lit(1)).as("cnt"))
       .orderBy("__i")
       .collect()
-    require(stats.nonEmpty, "cannot train BQ thresholds on an empty table")
-    require(stats.length == stats.last.getAs[Int]("__i") + 1 &&
-        stats.map(_.getAs[Long]("cnt")).distinct.length == 1,
-      "ragged embedding dims in BQ threshold training input")
-    stats.map(r => (r.getAs[Double]("mn") + r.getAs[Double]("mx")) / 2.0)
+    if (stats.isEmpty) None
+    else {
+      require(stats.length == stats.last.getAs[Int]("__i") + 1 &&
+          stats.map(_.getAs[Long]("cnt")).distinct.length == 1,
+        "ragged embedding dims in BQ threshold training input")
+      Some(stats.map(r => (r.getAs[Double]("mn") + r.getAs[Double]("mx")) / 2.0))
+    }
   }
 
   /** Measured anchor for the default rerank window (ScaleProbe

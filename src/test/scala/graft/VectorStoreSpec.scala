@@ -156,6 +156,19 @@ class VectorStoreSpec extends SparkSpec {
       Map("index" -> "bq", "top_k" -> "3", "rerank" -> "30", "bogus" -> "x"))
     assert(api.count() == 3)
     assert(api.collect().head.getAs[Double]("dist") < 1e-6)
+    // exclusion contract survives the centered default: a filter
+    // matching zero rows is an EMPTY RESULT, not a threshold-training
+    // error (the corpus the thresholds would train on has no rows)
+    assert(store.searchBq(data(3)._2.toSeq, k = 5, rerank = 30,
+      metadataFilter = Map("no_such_key" -> "nope")).count() == 0)
+    // trainBq persists the midpoint thresholds; the persisted-model
+    // path returns the same ranking as the per-query training path
+    val onTheFly = store.searchBq(data(3)._2.toSeq, k = 5, rerank = 30)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    store.trainBq()
+    val persisted = store.searchBq(data(3)._2.toSeq, k = 5, rerank = 30)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(persisted == onTheFly)
   }
 
   test("IVF-PQ build + two-stage search through the facade") {
