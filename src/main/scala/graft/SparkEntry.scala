@@ -1582,6 +1582,36 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // ---- URL canonicalization + host census (the URL-level dedup
+    // precursor — C4 keeps one page per URL; RefinedWeb §3.1 dedups the
+    // frontier by normalized URL — and the per-host quota key). URLs
+    // are planted deterministically with the messes canonicalization
+    // exists for: mixed-case schemes/hosts, userinfo, default and
+    // non-default ports, fragments, query strings, and a bare non-URL
+    // string. Canon + host are pure regexp column expressions riding
+    // the scan; the oracle spells identical RE2∩Java patterns (each
+    // matching at most once, so replace-first ≡ replace-all).
+    "t_url_canon" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val url = when(col("doc_id") % 11 === 0, lit("not a url #x"))
+        .otherwise(concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+          when(col("doc_id") % 5 === 0, lit("crawler@")).otherwise(lit("")),
+          lit("WWW"), (col("doc_id") % 7).cast("string"),
+          lit("."), col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 3 === 0,
+              when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+            .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(""))
+            .otherwise(concat(lit("/p/"), col("doc_id").cast("string"))),
+          when(col("doc_id") % 6 === 0, lit("?q=1&ref=RSS")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 1, lit("#Section-2")).otherwise(lit(""))))
+      val canon = Curation.canonicalizeUrl(url)
+      docs.select(col("doc_id"), url.as("url"), canon.as("canon"),
+          Curation.urlHost(canon).as("host"))
+        .orderBy("doc_id")
+    }),
+
     // ---- S1: upsert (update-in-place + insert, storage.py:198-230)
     "s1_upsert" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -5268,6 +5298,48 @@ object SparkEntry {
           |    AS h_bits
           |FROM documents d JOIN s ON d.doc_id = s.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      // URL canonicalization replay: identical planting CASE chains,
+      // identical RE2∩Java patterns (each matches at most once, so
+      // DuckDB's replace-first ≡ Spark's replace-all), and DuckDB's
+      // regexp_extract returns '' on no match exactly like Spark's
+      "t_url_canon" -> {
+        val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+        s"""WITH u AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 11 = 0 THEN 'not a url #x'
+           |  ELSE
+           |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN 'crawler@' ELSE '' END) ||
+           |    'WWW' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||
+           |    '.Example.COM' ||
+           |    (CASE WHEN doc_id % 3 = 0 THEN
+           |        (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+           |      WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+           |    (CASE WHEN doc_id % 4 = 0 THEN ''
+           |      ELSE '/p/' || CAST(doc_id AS VARCHAR) END) ||
+           |    (CASE WHEN doc_id % 6 = 0 THEN '?q=1&ref=RSS' ELSE '' END) ||
+           |    (CASE WHEN doc_id % 2 = 1 THEN '#Section-2' ELSE '' END)
+           |  END AS url FROM documents),
+           |nf AS (SELECT doc_id, url,
+           |  regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
+           |p AS (SELECT doc_id, url, nofrag,
+           |  lower(regexp_extract(nofrag, '$schemeRe', 1)) AS scheme,
+           |  lower(regexp_replace(regexp_extract(nofrag, '$schemeRe', 2),
+           |    '^[^@]*@', '')) AS auth,
+           |  regexp_extract(nofrag, '$schemeRe', 3) AS rest FROM nf),
+           |c AS (SELECT doc_id, url,
+           |  CASE WHEN regexp_matches(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://')
+           |  THEN scheme || '://' ||
+           |    (CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+           |          WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+           |          ELSE auth END) ||
+           |    (CASE WHEN rest = '' THEN '/' ELSE rest END)
+           |  ELSE nofrag END AS canon FROM p)
+           |SELECT doc_id, url, canon,
+           |  regexp_replace(regexp_extract(canon,
+           |    '^[a-z][a-z0-9+.-]*://([^/?#]*).*$$', 1), ':[0-9]+$$', '') AS host
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
 
       // list_filter(contains) replays the automaton's distinct-match
       // set in the same pattern-list order; the filter and the joined

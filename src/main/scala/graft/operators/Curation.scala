@@ -467,4 +467,44 @@ object Curation {
     * empty string — the metadata companion to [[htmlStrip]]. */
   def htmlTitle(html: Column): Column =
     htmlStrip(regexp_extract(html, "(?si)<title[^>]*>(.*?)</title>", 1))
+
+  /** URL canonicalization — the URL-level dedup precursor every
+    * web-corpus pipeline runs before content dedup (C4 keeps one page
+    * per URL; RefinedWeb §3.1 dedups the crawl frontier by normalized
+    * URL): drop the fragment, lowercase the scheme and authority, strip
+    * userinfo and the scheme's default port (:80 for http, :443 for
+    * https), and normalize an empty path to '/'. Query strings are
+    * KEPT — dropping them conflates distinct resources; strip known
+    * tracking params upstream if desired.
+    *
+    * Pure regexp/string column expressions riding the scan (no UDF).
+    * Regex dialect is the RE2∩Java common subset, and every pattern
+    * matches at most once per value, so Spark's replace-all and
+    * DuckDB's replace-first agree — the oracle spells the identical
+    * patterns. A value that is not scheme://… passes through with only
+    * the fragment dropped (canonicalization never invents structure). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+    val scheme = lower(regexp_extract(noFrag, schemeRe, 1))
+    val auth = lower(regexp_replace(
+      regexp_extract(noFrag, schemeRe, 2), "^[^@]*@", ""))
+    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val rest = regexp_extract(noFrag, schemeRe, 3)
+    val restNorm = when(rest === "", lit("/")).otherwise(rest)
+    when(noFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+        concat(scheme, lit("://"), authNoPort, restNorm))
+      .otherwise(noFrag)
+  }
+
+  /** Registrable-host extraction from a CANONICALIZED url ([[
+    * canonicalizeUrl]] output): the authority minus any port — the
+    * domain-census / per-host-quota key (public-suffix collapsing is a
+    * data file, not an algorithm; compose it upstream when available). */
+  def urlHost(canonUrl: Column): Column =
+    regexp_replace(
+      regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/?#]*).*$", 1),
+      ":[0-9]+$", "")
 }

@@ -255,4 +255,43 @@ class CurationSpec extends SparkSpec {
       assert(got == expect, s"shards=$k diverged from unsharded")
     }
   }
+
+  test("canonicalizeUrl: case, userinfo, default ports, fragment, empty path; " +
+      "idempotent; non-URLs pass through") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, default port stripped, fragment dropped
+      (1L, "HTTP://WWW.Ex.COM:80/A/b?Q=1#frag", "http://www.ex.com/A/b?Q=1"),
+      // https default port; path case PRESERVED (paths are case-sensitive)
+      (2L, "HTTPS://Host.Com:443/Path", "https://host.com/Path"),
+      // non-default port kept; userinfo stripped
+      (3L, "https://user:pw@Host.com:8080/x", "https://host.com:8080/x"),
+      // empty path -> '/'
+      (4L, "http://A.b", "http://a.b/"),
+      (5L, "http://A.b#only-frag", "http://a.b/"),
+      // query kept even with empty path
+      (6L, "http://A.b?q=2", "http://a.b?q=2"),
+      // :80 is http's default, NOT https's
+      (7L, "https://h.com:80/x", "https://h.com:80/x"),
+      // non-URL: only the fragment is dropped
+      (8L, "plain text #tag", "plain text "),
+      (9L, "mailto:a@b.c", "mailto:a@b.c"))
+    val df = cases.map { case (i, u, _) => (i, u) }.toDF("id", "url")
+    val got = df.select(col("id"),
+        Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, u, want) =>
+      assert(got(i) == want, s"canon($u) = ${got(i)}, want $want")
+    }
+    // idempotent: canon(canon(x)) == canon(x)
+    val twice = df.select(col("id"), Curation.canonicalizeUrl(
+        Curation.canonicalizeUrl(col("url"))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got)
+    // host extraction drops the (non-default) port
+    val host = df.filter(col("id") === 3L).select(
+      Curation.urlHost(Curation.canonicalizeUrl(col("url")))).head.getString(0)
+    assert(host == "host.com")
+  }
 }
