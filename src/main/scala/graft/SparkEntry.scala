@@ -1612,6 +1612,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- URL-level dedup (one page per canonical URL — C4's very
+    // first pass, BEFORE any content is fetched or compared): the same
+    // planted corpus as t_url_canon, keep the LOWEST doc_id per
+    // canonical URL. One hash aggregation on the canon key (map-side
+    // combined, ~50 B/row shuffle regardless of page size) + a
+    // left-semi join back — the exact dedup_exact shape with the
+    // canonicalizer supplying the key, which is the point: URL dedup
+    // IS exact dedup over a normalized key column.
+    "dedup_url" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val url = when(col("doc_id") % 11 === 0, lit("not a url #x"))
+        .otherwise(concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+          when(col("doc_id") % 5 === 0, lit("crawler@")).otherwise(lit("")),
+          lit("WWW"), (col("doc_id") % 7).cast("string"),
+          lit("."), col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 3 === 0,
+              when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+            .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(""))
+            .otherwise(concat(lit("/p/"), col("doc_id").cast("string"))),
+          when(col("doc_id") % 6 === 0, lit("?q=1&ref=RSS")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 1, lit("#Section-2")).otherwise(lit(""))))
+      val keyed = docs.select(col("doc_id"),
+        Curation.canonicalizeUrl(url).as("canon"))
+      val keepers = keyed.groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      keyed.join(keepers,
+          keyed("doc_id") === keepers("keep_id"), "left_semi")
+        .select(col("doc_id"), col("canon"))
+        .orderBy("doc_id")
+    }),
+
     // ---- S1: upsert (update-in-place + insert, storage.py:198-230)
     "s1_upsert" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -5339,6 +5372,46 @@ object SparkEntry {
            |  regexp_replace(regexp_extract(canon,
            |    '^[a-z][a-z0-9+.-]*://([^/?#]*).*$$', 1), ':[0-9]+$$', '') AS host
            |FROM c ORDER BY doc_id""".stripMargin
+      },
+
+      // URL dedup replay: the t_url_canon chain down to `canon`, then
+      // min-doc_id-per-canon keep-first
+      "dedup_url" -> {
+        val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+        s"""WITH u AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 11 = 0 THEN 'not a url #x'
+           |  ELSE
+           |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN 'crawler@' ELSE '' END) ||
+           |    'WWW' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||
+           |    '.Example.COM' ||
+           |    (CASE WHEN doc_id % 3 = 0 THEN
+           |        (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+           |      WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+           |    (CASE WHEN doc_id % 4 = 0 THEN ''
+           |      ELSE '/p/' || CAST(doc_id AS VARCHAR) END) ||
+           |    (CASE WHEN doc_id % 6 = 0 THEN '?q=1&ref=RSS' ELSE '' END) ||
+           |    (CASE WHEN doc_id % 2 = 1 THEN '#Section-2' ELSE '' END)
+           |  END AS url FROM documents),
+           |nf AS (SELECT doc_id,
+           |  regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
+           |p AS (SELECT doc_id, nofrag,
+           |  lower(regexp_extract(nofrag, '$schemeRe', 1)) AS scheme,
+           |  lower(regexp_replace(regexp_extract(nofrag, '$schemeRe', 2),
+           |    '^[^@]*@', '')) AS auth,
+           |  regexp_extract(nofrag, '$schemeRe', 3) AS rest FROM nf),
+           |c AS (SELECT doc_id,
+           |  CASE WHEN regexp_matches(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://')
+           |  THEN scheme || '://' ||
+           |    (CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+           |          WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+           |          ELSE auth END) ||
+           |    (CASE WHEN rest = '' THEN '/' ELSE rest END)
+           |  ELSE nofrag END AS canon FROM p),
+           |k AS (SELECT canon, min(doc_id) AS keep_id FROM c GROUP BY canon)
+           |SELECT c.doc_id, c.canon FROM c
+           |JOIN k ON c.doc_id = k.keep_id
+           |ORDER BY c.doc_id""".stripMargin
       },
 
       // list_filter(contains) replays the automaton's distinct-match
