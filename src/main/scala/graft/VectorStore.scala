@@ -174,7 +174,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
                 metadataFilter: Map[String, String] = Map.empty): DataFrame = {
     val model = Ivf.load(spark, ivfModelPath, "embedding")
     val np = if (nProbe > 0) nProbe
-      else Ivf.scaledNProbe(sessionConfig.nProbe, model.k)
+      else Ivf.scaledNProbe(sessionConfig.nProbe, model.k,
+        sessionConfig.ivfProbeFraction)
     val assigned = spark.read.parquet(ivfDataPath)
     val pred = if (metadataFilter.isEmpty) None
       else Some(Search.metadataFilter(col("metadata"), metadataFilter))
@@ -215,7 +216,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
     // the coarse quantizer is the same IVF geometry, so the measured
     // 10%-of-lists rule transfers
     val np = if (nProbe > 0) nProbe
-      else Ivf.scaledNProbe(sessionConfig.nProbe, model.ivf.k)
+      else Ivf.scaledNProbe(sessionConfig.nProbe, model.ivf.k,
+        sessionConfig.ivfProbeFraction)
     val table = spark.read.parquet(ivfPqDataPath)
     // rerank < 0 = the same scale-aware auto window as searchAdc: the
     // residual-PQ ADC ranking within the probed lists carries the same
@@ -223,7 +225,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
     // auto window is Pq.scaledRerank over the candidate-pool size (the
     // full code-table count is the conservative bound; a count() of
     // parquet footers)
-    val w = if (rerank >= 0) rerank else Pq.scaledRerank(k, table.count())
+    val w = if (rerank >= 0) rerank
+      else Pq.scaledRerank(k, table.count(), sessionConfig.pqRerankFactor)
     val pred = if (metadataFilter.isEmpty) None
       else Some(Search.metadataFilter(col("metadata"), metadataFilter))
     if (w == 0)
@@ -315,7 +318,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
       else bqThresholdsIfPersisted().getOrElse(
         Bq.trainThresholdsOpt(corpus, "embedding").fold(Seq.empty[Double])(_.toSeq))
     val enc = Bq.encode(corpus, "embedding", thresholds = th)
-    val w = if (rerank >= 0) rerank else Bq.scaledRerank(k, corpus.count())
+    val w = if (rerank >= 0) rerank
+      else Bq.scaledRerank(k, corpus.count(), sessionConfig.bqRerankFactor)
     if (w == 0)
       Bq.hammingSearch(enc, "id", "bq_code", query, k, thresholds = th)
     else Bq.rerankSearch(enc, "id", "bq_code", "embedding", query, k, w,
@@ -346,7 +350,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
       s"rerank ($rerank) must be 0 (off), < 0 (auto), or >= k ($k)")
     val cb = Pq.load(spark, pqModelPath)
     val corpus = live(metadataFilter)
-    val w = if (rerank >= 0) rerank else Pq.scaledRerank(k, corpus.count())
+    val w = if (rerank >= 0) rerank
+      else Pq.scaledRerank(k, corpus.count(), sessionConfig.pqRerankFactor)
     val enc = Pq.encode(corpus, "embedding", cb)
     if (w == 0) Pq.adcSearch(enc, "id", "pq_code", cb, query, k)
     else Pq.adcRerankSearch(enc, "id", "pq_code", "embedding", cb, query,

@@ -14,7 +14,14 @@ case class GraftConfig(
     flushThreshold: Long = 1000, // persistence batching (config.yaml:8)
     capacity: Long = 1000000,    // store capacity (config.yaml:12); soft in Spark
     kmeansMaxIter: Int = 100,    // ivf.py:75, pq.py:11
-    seed: Long = 42)             // indexing_service.py:57
+    seed: Long = 42,             // indexing_service.py:57
+    // scale-aware default knobs (engine extension — each anchor is a
+    // MEASURED recall row, see the Ivf/Bq/Pq scaladocs): the fraction
+    // of IVF lists the auto probe covers, and the √N multipliers the
+    // auto BQ/PQ rerank windows use
+    ivfProbeFraction: Double = graft.operators.Ivf.ScaledProbeFraction,
+    bqRerankFactor: Double = graft.operators.Bq.RerankScaleFactor,
+    pqRerankFactor: Double = graft.operators.Pq.RerankScaleFactor)
 
 object GraftConfig {
   val default: GraftConfig = GraftConfig()
@@ -24,6 +31,7 @@ object GraftConfig {
     val d = default
     def i(k: String, v: Int) = settings.get(k).map(_.toInt).getOrElse(v)
     def l(k: String, v: Long) = settings.get(k).map(_.toLong).getOrElse(v)
+    def dd(k: String, v: Double) = settings.get(k).map(_.toDouble).getOrElse(v)
     GraftConfig(
       dim = i("graft.dim", d.dim),
       m = i("graft.hnsw.m", d.m),
@@ -34,6 +42,9 @@ object GraftConfig {
       flushThreshold = l("graft.flushThreshold", d.flushThreshold),
       capacity = l("graft.capacity", d.capacity),
       kmeansMaxIter = i("graft.kmeans.maxIter", d.kmeansMaxIter),
-      seed = l("graft.seed", d.seed))
+      seed = l("graft.seed", d.seed),
+      ivfProbeFraction = dd("graft.ivf.probeFraction", d.ivfProbeFraction),
+      bqRerankFactor = dd("graft.bq.rerankFactor", d.bqRerankFactor),
+      pqRerankFactor = dd("graft.pq.rerankFactor", d.pqRerankFactor))
   }
 }

@@ -98,9 +98,10 @@ object Bq {
   /** Scale the exact-rerank window with corpus size so the DEFAULT
     * screen keeps the measured margin: max(3·k, ⌈3·√n⌉). Callers that
     * set a window explicitly pass it through unscaled. */
-  def scaledRerank(k: Int, n: Long): Int =
+  def scaledRerank(k: Int, n: Long,
+                   factor: Double = RerankScaleFactor): Int =
     math.max(3 * k,
-      math.ceil(RerankScaleFactor * math.sqrt(math.max(n, 0L).toDouble)).toInt)
+      math.ceil(factor * math.sqrt(math.max(n, 0L).toDouble)).toInt)
 
   /** Driver-side encode of a query vector (same fold as the kernel). */
   def encodeQuery(query: Seq[Float],

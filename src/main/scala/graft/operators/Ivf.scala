@@ -59,8 +59,9 @@ object Ivf {
     * that, clamped to k (small indexes probe exhaustively, which the
     * reference permits: 1 ≤ n_probe ≤ k). Callers that set n_probe
     * explicitly pass their value through unscaled. */
-  def scaledNProbe(base: Int, k: Int): Int =
-    math.min(k, math.max(base, math.ceil(k * ScaledProbeFraction).toInt))
+  def scaledNProbe(base: Int, k: Int,
+                   fraction: Double = ScaledProbeFraction): Int =
+    math.min(k, math.max(base, math.ceil(k * fraction).toInt))
 
   /** Bounded UNBIASED training sample: a seeded Bernoulli sample sized
     * from a fast count, then a limit as the hard cap. A bare limit()

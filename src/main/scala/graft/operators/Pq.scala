@@ -115,9 +115,10 @@ object Pq {
 
   /** Scale the exact-rerank window with corpus size: max(3·k, ⌈√n⌉).
     * Callers that set a window explicitly pass it through unscaled. */
-  def scaledRerank(k: Int, n: Long): Int =
+  def scaledRerank(k: Int, n: Long,
+                   factor: Double = RerankScaleFactor): Int =
     math.max(3 * k,
-      math.ceil(RerankScaleFactor * math.sqrt(math.max(n, 0L).toDouble)).toInt)
+      math.ceil(factor * math.sqrt(math.max(n, 0L).toDouble)).toInt)
 
   /** Two-stage PQ search: ADC top-`rerank` shortlist, then exact L2
     * rerank of the survivors to top-k — the same screen-then-rerank

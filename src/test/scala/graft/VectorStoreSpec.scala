@@ -77,6 +77,18 @@ class VectorStoreSpec extends SparkSpec {
     spark.conf.set("graft.search.topK", "7")
     try assert(store.searchApi(data(3)._2.toSeq).count() == 7)
     finally spark.conf.unset("graft.search.topK")
+    // the scale-rule knobs flow through the same live-config chain,
+    // with the measured anchors as defaults
+    val cfg = graft.core.GraftConfig.from(Map(
+      "graft.ivf.probeFraction" -> "0.25",
+      "graft.bq.rerankFactor" -> "5.0", "graft.pq.rerankFactor" -> "2.0"))
+    assert(cfg.ivfProbeFraction == 0.25 && cfg.bqRerankFactor == 5.0 &&
+      cfg.pqRerankFactor == 2.0)
+    val d = graft.core.GraftConfig.default
+    assert(d.ivfProbeFraction == graft.operators.Ivf.ScaledProbeFraction &&
+      d.bqRerankFactor == graft.operators.Bq.RerankScaleFactor &&
+      d.pqRerankFactor == graft.operators.Pq.RerankScaleFactor)
+    assert(graft.operators.Ivf.scaledNProbe(10, 1000, fraction = 0.25) == 250)
   }
 
   test("buildIvf facade: planted skew splits via the default balanced path") {
