@@ -98,7 +98,10 @@ object ScaleProbe {
 
       // shared ground truth for the tier recall sweeps (ivf/bq/pq/sq/
       // lsh): same 10 queries, same exact top-10 — computed once per
-      // run instead of once per sweep (5 × 10 full-corpus kNN scans)
+      // run instead of once per sweep (5 × 10 full-corpus kNN scans).
+      // Lazy + forced in each sweep's UNTIMED setup block, so the cost
+      // never lands inside a sweep's timed window (which sweep pays
+      // would otherwise depend on the name filter)
       lazy val recallQs = df.filter(col("id") < 10).select("id", "embedding")
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
       lazy val recallExact = recallQs.map { case (qid, qv) =>
@@ -140,7 +143,7 @@ object ScaleProbe {
         Ivf.writePartitioned(a, ivfSweepDir)
         Ivf.save(m, s"$ivfSweepDir-model")
       }
-      tp("ivf_recall_sweep") { ensure(ivfSweepDir)(writeIvfSweep()) } {
+      tp("ivf_recall_sweep") { ensure(ivfSweepDir)(writeIvfSweep()); recallExact } {
         val m = Ivf.load(spark, s"$ivfSweepDir-model", "embedding")
         val table = spark.read.parquet(ivfSweepDir)
         val qs = recallQs
@@ -213,7 +216,7 @@ object ScaleProbe {
       // Stored codes carry no floats (the 32× win), so the rerank stage
       // point-joins the shortlist back to the corpus — the
       // VectorStore.searchIvfPq deployment shape.
-      tp("pq_recall_sweep") { codes; pqCodebook() } {
+      tp("pq_recall_sweep") { codes; pqCodebook(); recallExact } {
         val qs = recallQs
         val exact = recallExact
         var best = 0L
@@ -278,7 +281,7 @@ object ScaleProbe {
           .select("id", "embedding", "bq_code")
           .write.mode("overwrite").parquet(bqcDir)
       lazy val bqcCodes = { ensure(bqcDir)(writeBqCentered()); spark.read.parquet(bqcDir) }
-      tp("bq_recall_sweep") { bqCodes; bqcCodes } {
+      tp("bq_recall_sweep") { bqCodes; bqcCodes; recallExact } {
         val qs = recallQs
         val exact = recallExact
         var best = 0L
@@ -495,7 +498,7 @@ object ScaleProbe {
       // occupied range, so unlike PQ's 8-bits-per-8-dims this tier's
       // pure-ADC ranking is expected to hold without a rerank stage —
       // this probe is the measured check on that expectation.
-      tp("sq_recall_sweep") { sqCodes; sqModel() } {
+      tp("sq_recall_sweep") { sqCodes; sqModel(); recallExact } {
         val qs = recallQs
         val exact = recallExact
         val t0 = System.nanoTime()
@@ -525,7 +528,7 @@ object ScaleProbe {
         graft.operators.Lsh.assign(df, "embedding", lshModel)
           .write.mode("overwrite").parquet(lshDir)
       lazy val lshSigs = { ensure(lshDir)(writeLshSigs()); spark.read.parquet(lshDir) }
-      tp("lsh_recall_sweep") { lshSigs } {
+      tp("lsh_recall_sweep") { lshSigs; recallExact } {
         val qs = recallQs
         val exact = recallExact
         val t0 = System.nanoTime()
@@ -925,9 +928,15 @@ object ScaleProbe {
       // lenient record scanner — per-FILE parallelism, whole-segment
       // inflate per task (the Common Crawl processing shape)
       val warcDir = s"/tmp/graft_warc_$n"
+      // segments must stay CRAWL-SIZED: the reader inflates a whole
+      // segment per task (the Common Crawl shape, ~1 GB gz), so a
+      // fixed 32 shards at 100M rows would mean ~2 GB single
+      // allocations and GC collapse — scale the shard count with n
+      // (~1M records/segment) exactly as a real crawl does
+      val warcShards = math.max(32, (n / 1000000L).toInt)
       def writeWarc(): Unit = {
         new java.io.File(warcDir).mkdirs()
-        docs.select(col("id"), col("text")).repartition(32)
+        docs.select(col("id"), col("text")).repartition(warcShards)
           .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val f = new java.io.File(warcDir, f"seg-$pid%05d.warc.gz")

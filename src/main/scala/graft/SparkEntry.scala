@@ -52,6 +52,65 @@ object SparkEntry {
   private val WordBlockPatterns =
     Seq("key", "merge", "windo", "batch batch", "slow join")
 
+  /** Deterministic messy-URL planting shared by t_url_canon and
+    * dedup_url (and replayed by [[urlCanonCtes]] in both oracles):
+    * mixed-case schemes/hosts, userinfo, default and non-default
+    * ports, fragments, query strings, and a bare non-URL row. The
+    * FOUR copies this logic would otherwise be (two queries, two
+    * oracle CTE chains) must stay byte-identical for the oracle
+    * comparison to mean anything — hence one def and one CTE string. */
+  private def plantedUrl: org.apache.spark.sql.Column =
+    when(col("doc_id") % 11 === 0, lit("not a url #x"))
+      .otherwise(concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        when(col("doc_id") % 5 === 0, lit("crawler@")).otherwise(lit("")),
+        lit("WWW"), (col("doc_id") % 7).cast("string"),
+        lit("."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0,
+            when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+          .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(""))
+          .otherwise(concat(lit("/p/"), col("doc_id").cast("string"))),
+        when(col("doc_id") % 6 === 0, lit("?q=1&ref=RSS")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 1, lit("#Section-2")).otherwise(lit(""))))
+
+  /** Shared oracle CTE chain for the planted-URL queries: plant →
+    * fragment drop → scheme/auth/rest split → canon. Yields CTE
+    * `urlc(doc_id, url, canon)`. */
+  private def urlCanonCtes: String = {
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+    s"""u AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 11 = 0 THEN 'not a url #x'
+       |  ELSE
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN 'crawler@' ELSE '' END) ||
+       |    'WWW' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||
+       |    '.Example.COM' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN
+       |        (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+       |      WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN ''
+       |      ELSE '/p/' || CAST(doc_id AS VARCHAR) END) ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN '?q=1&ref=RSS' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 2 = 1 THEN '#Section-2' ELSE '' END)
+       |  END AS url FROM documents),
+       |nf AS (SELECT doc_id, url,
+       |  regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
+       |p AS (SELECT doc_id, url, nofrag,
+       |  lower(regexp_extract(nofrag, '$schemeRe', 1)) AS scheme,
+       |  lower(regexp_replace(regexp_extract(nofrag, '$schemeRe', 2),
+       |    '^[^@]*@', '')) AS auth,
+       |  regexp_extract(nofrag, '$schemeRe', 3) AS rest FROM nf),
+       |urlc AS (SELECT doc_id, url,
+       |  CASE WHEN regexp_matches(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://')
+       |  THEN scheme || '://' ||
+       |    (CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+       |          WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+       |          ELSE auth END) ||
+       |    (CASE WHEN rest = '' THEN '/' ELSE rest END)
+       |  ELSE nofrag END AS canon FROM p)""".stripMargin
+  }
+
   /** Late-interaction query segments shared by mv_maxsim and its oracle
     * (each segment is one query-side vector; see
     * [[graft.operators.MultiVec]]). */
@@ -1593,19 +1652,7 @@ object SparkEntry {
     // matching at most once, so replace-first ≡ replace-all).
     "t_url_canon" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val url = when(col("doc_id") % 11 === 0, lit("not a url #x"))
-        .otherwise(concat(
-          when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
-          when(col("doc_id") % 5 === 0, lit("crawler@")).otherwise(lit("")),
-          lit("WWW"), (col("doc_id") % 7).cast("string"),
-          lit("."), col("source"), lit(".Example.COM"),
-          when(col("doc_id") % 3 === 0,
-              when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
-            .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
-          when(col("doc_id") % 4 === 0, lit(""))
-            .otherwise(concat(lit("/p/"), col("doc_id").cast("string"))),
-          when(col("doc_id") % 6 === 0, lit("?q=1&ref=RSS")).otherwise(lit("")),
-          when(col("doc_id") % 2 === 1, lit("#Section-2")).otherwise(lit(""))))
+      val url = plantedUrl
       val canon = Curation.canonicalizeUrl(url)
       docs.select(col("doc_id"), url.as("url"), canon.as("canon"),
           Curation.urlHost(canon).as("host"))
@@ -1622,19 +1669,7 @@ object SparkEntry {
     // IS exact dedup over a normalized key column.
     "dedup_url" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val url = when(col("doc_id") % 11 === 0, lit("not a url #x"))
-        .otherwise(concat(
-          when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
-          when(col("doc_id") % 5 === 0, lit("crawler@")).otherwise(lit("")),
-          lit("WWW"), (col("doc_id") % 7).cast("string"),
-          lit("."), col("source"), lit(".Example.COM"),
-          when(col("doc_id") % 3 === 0,
-              when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
-            .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
-          when(col("doc_id") % 4 === 0, lit(""))
-            .otherwise(concat(lit("/p/"), col("doc_id").cast("string"))),
-          when(col("doc_id") % 6 === 0, lit("?q=1&ref=RSS")).otherwise(lit("")),
-          when(col("doc_id") % 2 === 1, lit("#Section-2")).otherwise(lit(""))))
+      val url = plantedUrl
       val keyed = docs.select(col("doc_id"),
         Curation.canonicalizeUrl(url).as("canon"))
       val keepers = keyed.groupBy(col("canon"))
@@ -5336,83 +5371,22 @@ object SparkEntry {
       // identical RE2∩Java patterns (each matches at most once, so
       // DuckDB's replace-first ≡ Spark's replace-all), and DuckDB's
       // regexp_extract returns '' on no match exactly like Spark's
-      "t_url_canon" -> {
-        val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
-        s"""WITH u AS (SELECT doc_id,
-           |  CASE WHEN doc_id % 11 = 0 THEN 'not a url #x'
-           |  ELSE
-           |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
-           |    (CASE WHEN doc_id % 5 = 0 THEN 'crawler@' ELSE '' END) ||
-           |    'WWW' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||
-           |    '.Example.COM' ||
-           |    (CASE WHEN doc_id % 3 = 0 THEN
-           |        (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
-           |      WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
-           |    (CASE WHEN doc_id % 4 = 0 THEN ''
-           |      ELSE '/p/' || CAST(doc_id AS VARCHAR) END) ||
-           |    (CASE WHEN doc_id % 6 = 0 THEN '?q=1&ref=RSS' ELSE '' END) ||
-           |    (CASE WHEN doc_id % 2 = 1 THEN '#Section-2' ELSE '' END)
-           |  END AS url FROM documents),
-           |nf AS (SELECT doc_id, url,
-           |  regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
-           |p AS (SELECT doc_id, url, nofrag,
-           |  lower(regexp_extract(nofrag, '$schemeRe', 1)) AS scheme,
-           |  lower(regexp_replace(regexp_extract(nofrag, '$schemeRe', 2),
-           |    '^[^@]*@', '')) AS auth,
-           |  regexp_extract(nofrag, '$schemeRe', 3) AS rest FROM nf),
-           |c AS (SELECT doc_id, url,
-           |  CASE WHEN regexp_matches(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://')
-           |  THEN scheme || '://' ||
-           |    (CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
-           |          WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
-           |          ELSE auth END) ||
-           |    (CASE WHEN rest = '' THEN '/' ELSE rest END)
-           |  ELSE nofrag END AS canon FROM p)
+      "t_url_canon" ->
+        s"""WITH $urlCanonCtes
            |SELECT doc_id, url, canon,
            |  regexp_replace(regexp_extract(canon,
-           |    '^[a-z][a-z0-9+.-]*://([^/?#]*).*$$', 1), ':[0-9]+$$', '') AS host
-           |FROM c ORDER BY doc_id""".stripMargin
-      },
+           |    '^[a-z][a-z0-9+.-]*://([^/?#]*).*$$', 1), ':[0-9]+$$', '')
+           |    AS host
+           |FROM urlc ORDER BY doc_id""".stripMargin,
 
       // URL dedup replay: the t_url_canon chain down to `canon`, then
       // min-doc_id-per-canon keep-first
-      "dedup_url" -> {
-        val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
-        s"""WITH u AS (SELECT doc_id,
-           |  CASE WHEN doc_id % 11 = 0 THEN 'not a url #x'
-           |  ELSE
-           |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
-           |    (CASE WHEN doc_id % 5 = 0 THEN 'crawler@' ELSE '' END) ||
-           |    'WWW' || CAST(doc_id % 7 AS VARCHAR) || '.' || source ||
-           |    '.Example.COM' ||
-           |    (CASE WHEN doc_id % 3 = 0 THEN
-           |        (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
-           |      WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
-           |    (CASE WHEN doc_id % 4 = 0 THEN ''
-           |      ELSE '/p/' || CAST(doc_id AS VARCHAR) END) ||
-           |    (CASE WHEN doc_id % 6 = 0 THEN '?q=1&ref=RSS' ELSE '' END) ||
-           |    (CASE WHEN doc_id % 2 = 1 THEN '#Section-2' ELSE '' END)
-           |  END AS url FROM documents),
-           |nf AS (SELECT doc_id,
-           |  regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
-           |p AS (SELECT doc_id, nofrag,
-           |  lower(regexp_extract(nofrag, '$schemeRe', 1)) AS scheme,
-           |  lower(regexp_replace(regexp_extract(nofrag, '$schemeRe', 2),
-           |    '^[^@]*@', '')) AS auth,
-           |  regexp_extract(nofrag, '$schemeRe', 3) AS rest FROM nf),
-           |c AS (SELECT doc_id,
-           |  CASE WHEN regexp_matches(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://')
-           |  THEN scheme || '://' ||
-           |    (CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
-           |          WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
-           |          ELSE auth END) ||
-           |    (CASE WHEN rest = '' THEN '/' ELSE rest END)
-           |  ELSE nofrag END AS canon FROM p),
-           |k AS (SELECT canon, min(doc_id) AS keep_id FROM c GROUP BY canon)
-           |SELECT c.doc_id, c.canon FROM c
-           |JOIN k ON c.doc_id = k.keep_id
-           |ORDER BY c.doc_id""".stripMargin
-      },
+      "dedup_url" ->
+        s"""WITH $urlCanonCtes,
+           |k AS (SELECT canon, min(doc_id) AS keep_id FROM urlc GROUP BY canon)
+           |SELECT urlc.doc_id, urlc.canon FROM urlc
+           |JOIN k ON urlc.doc_id = k.keep_id
+           |ORDER BY urlc.doc_id""".stripMargin,
 
       // list_filter(contains) replays the automaton's distinct-match
       // set in the same pattern-list order; the filter and the joined

@@ -287,11 +287,12 @@ class VectorStore private (val spark: SparkSession, val path: String,
   /** Optional BQ build step (the tier stays train-free without it):
     * train the centered-code midpoint thresholds ONCE on the live rows
     * and persist them beside the other model artifacts — repeated
-    * `searchBq` calls then skip the per-query stats pass. Re-run after
-    * ingests large enough to move per-dim ranges. */
+    * UNFILTERED `searchBq` calls then skip the per-query stats pass
+    * (metadata-filtered searches keep training on the filtered corpus:
+    * global midpoints can be blind for a clustered filter). Re-run
+    * after ingests large enough to move per-dim ranges. */
   def trainBq(): Array[Double] = {
-    val th = Bq.trainThresholds(snapshot().filter(!col("is_deleted")),
-      "embedding")
+    val th = Bq.trainThresholds(live(Map.empty), "embedding")
     import spark.implicits._
     th.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("i", "t")
       .coalesce(1).write.mode("overwrite").parquet(bqModelPath)
@@ -299,7 +300,10 @@ class VectorStore private (val spark: SparkSession, val path: String,
   }
 
   private def bqThresholdsIfPersisted(): Option[Seq[Double]] = {
-    val p = new org.apache.hadoop.fs.Path(bqModelPath)
+    // gate on the _SUCCESS marker, not bare directory existence — a
+    // trainBq() killed mid-write leaves the dir with only _temporary,
+    // which must read as "not persisted", not as a permanent error
+    val p = new org.apache.hadoop.fs.Path(bqModelPath, "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else Some(spark.read.parquet(bqModelPath).orderBy("i")
@@ -310,13 +314,19 @@ class VectorStore private (val spark: SparkSession, val path: String,
                metadataFilter: Map[String, String] = Map.empty,
                centered: Boolean = true): DataFrame = {
     val corpus = live(metadataFilter)
-    // persisted thresholds (trainBq) win; else train on the fly. A
-    // filter matching zero rows (or an empty/all-tombstoned store)
-    // must yield an EMPTY RESULT, not a training error — None falls
-    // back to raw sign bits, and the search over zero rows is empty
+    // UNfiltered searches prefer the persisted thresholds (trainBq);
+    // filtered searches always train on the FILTERED corpus — global
+    // midpoints can be uninformative for a clustered filter (every
+    // matching vector on the same side of every cut packs one code),
+    // and per-filter training is what the pre-persistence behavior
+    // was. A filter matching zero rows (or an empty/all-tombstoned
+    // store) must yield an EMPTY RESULT, not a training error — None
+    // falls back to raw sign bits, and the search over zero rows is
+    // empty
     val th = if (!centered) Nil
-      else bqThresholdsIfPersisted().getOrElse(
-        Bq.trainThresholdsOpt(corpus, "embedding").fold(Seq.empty[Double])(_.toSeq))
+      else (if (metadataFilter.isEmpty) bqThresholdsIfPersisted() else None)
+        .getOrElse(
+          Bq.trainThresholdsOpt(corpus, "embedding").fold(Seq.empty[Double])(_.toSeq))
     val enc = Bq.encode(corpus, "embedding", thresholds = th)
     val w = if (rerank >= 0) rerank
       else Bq.scaledRerank(k, corpus.count(), sessionConfig.bqRerankFactor)
