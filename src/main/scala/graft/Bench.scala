@@ -88,8 +88,12 @@ object Bench {
     // bench_full_r{N}.json with N = 1 + the highest committed
     // BENCH_r{N}.json (i.e. the round this run belongs to); override
     // with SPARK_GRAFT_BENCH_FULL, skipped when no repo root is found.
+    // candidate roots: the CWD, then user.dir (the JVM may have been
+    // launched from a tool wrapper) — derived, never a hardcoded
+    // absolute path; SPARK_GRAFT_BENCH_FULL overrides outright
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_FULL").orElse {
-      Seq(new java.io.File("."), new java.io.File("/root/repo"))
+      Seq(new java.io.File("."),
+          new java.io.File(System.getProperty("user.dir", ".")))
         .find(d => new java.io.File(d, "BENCH_r01.json").exists())
         .map { root =>
           val n = root.listFiles().map(_.getName)

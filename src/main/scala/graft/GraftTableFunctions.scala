@@ -218,11 +218,17 @@ object GraftTableFunctions {
         // the loser set is a DeferredRelation: planning this function is
         // side-effect-free, and the jobs fire once at first execution
         val losersSchema = df.select(col(id).as("__loser")).schema
+        // connectedComponents emits LONG ids; the deferred leaf's
+        // positional-type contract declares the SOURCE id type, so cast
+        // back (lossless — these are the original id values). Without
+        // it an int-id table reads 8-byte longs through a 4-byte
+        // declared column.
+        val idType = losersSchema.head.dataType
         val thunk = () => {
           val comps = Dedup.connectedComponents(
             Dedup.minhashLshPairs(df, id, text))
           comps.filter(col("id") =!= col("comp"))
-            .select(col("id").as("__loser"))
+            .select(col("id").cast(idType).as("__loser"))
         }
         val losers = ColumnBridge.ofRows(SparkSession.active,
           graft.plans.DeferredRelation(

@@ -52,6 +52,22 @@ object SparkEntry {
   private val WordBlockPatterns =
     Seq("key", "merge", "windo", "batch batch", "slow join")
 
+  /** PID-suffixed scratch dir under java.io.tmpdir: two concurrent
+    * Verify runs on one machine (the run_probe.sh pattern) must not
+    * clobber each other's checkpoint/work dirs mid-stream, while
+    * same-process reruns wipe and reuse the same directory. */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"${name}_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(p).toString
+  }
+
   /** Deterministic messy-URL planting shared by t_url_canon and
     * dedup_url (and replayed by [[urlCanonCtes]] in both oracles):
     * mixed-case schemes/hosts, userinfo, default and non-default
@@ -2431,18 +2447,7 @@ object SparkEntry {
     // and the final estimate hash-matches the batch sketch_hll oracle
     "b10_stream_hll" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
-      val tmp = {
-        val p = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_b10hll_${ProcessHandle.current().pid()}")
-        if (java.nio.file.Files.exists(p)) {
-          val walk = java.nio.file.Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-          finally walk.close()
-        }
-        java.nio.file.Files.createDirectories(p).toString
-      }
+      val tmp = scratchDir("graft_b10hll")
       val ev = Tables.events(s, dir).select(col("user_id"))
       ev.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
       val stream = s.readStream.schema(ev.schema)
@@ -2462,18 +2467,7 @@ object SparkEntry {
     // split and the estimates hash-match the batch sketch_kll oracle
     "b10_stream_kll" -> ((s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
-      val tmp = {
-        val p = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_b10kll_${ProcessHandle.current().pid()}")
-        if (java.nio.file.Files.exists(p)) {
-          val walk = java.nio.file.Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-          finally walk.close()
-        }
-        java.nio.file.Files.createDirectories(p).toString
-      }
+      val tmp = scratchDir("graft_b10kll")
       val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
       docs.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
       val stream = s.readStream.schema(docs.schema)
@@ -6933,18 +6927,7 @@ object SparkEntry {
     * min). */
   private def streamFunnelPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = {
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_b10funnel_${ProcessHandle.current().pid()}")
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-        finally walk.close()
-      }
-      java.nio.file.Files.createDirectories(p).toString
-    }
+    val tmp = scratchDir("graft_b10funnel")
     val ev = Tables.events(s, dir).select(col("user_id"),
       unix_micros(col("ts")).as("ts_us"), col("event_type"))
     val bounds = ev.agg(min(col("ts_us")), max(col("ts_us"))).head
@@ -7006,22 +6989,7 @@ object SparkEntry {
     * mark the replay files already-processed and skip them). */
   private def streamIndexPipeline(s: SparkSession, dir: String, ef: Int,
                                   tmpName: String): DataFrame = {
-    val tmp = {
-      // PID-suffixed: two concurrent Verify runs on one machine (the
-      // run_probe.sh pattern) must not clobber each other's checkpoint/
-      // work dirs mid-stream; within one process reruns still reuse and
-      // wipe the same directory
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"${tmpName}_${ProcessHandle.current().pid()}")
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-        finally walk.close()
-      }
-      java.nio.file.Files.createDirectories(p).toString
-    }
+    val tmp = scratchDir(tmpName)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     emb.repartition(2).write.mode("overwrite").parquet(s"$tmp/in")
     val stream = s.readStream.schema(emb.schema)
@@ -7061,20 +7029,7 @@ object SparkEntry {
     * the batch into the corpus. Final read-back = the live pair table
     * as the last flush left it. */
   private def streamNearDupPipeline(s: SparkSession, dir: String): DataFrame = {
-    val tmp = {
-      // PID-suffixed for concurrent-run isolation (see
-      // streamIndexPipeline); delete-on-entry keeps rerun hygiene
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_b10neardup_${ProcessHandle.current().pid()}")
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-        finally walk.close()
-      }
-      java.nio.file.Files.createDirectories(p).toString
-    }
+    val tmp = scratchDir("graft_b10neardup")
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     docs.repartition(3).write.mode("overwrite").parquet(s"$tmp/in")
     val stream = s.readStream.schema(docs.schema)

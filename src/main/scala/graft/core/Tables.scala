@@ -133,20 +133,9 @@ object Tables {
   def readJsonl(spark: SparkSession, path: String,
                 schema: StructType = documentsSchema,
                 required: Seq[String] = Seq("doc_id", "text"),
-                quarantineDir: Option[String] = None): DataFrame = {
-    val bad = required.filterNot(schema.fieldNames.contains)
-    require(bad.isEmpty, s"required columns $bad missing from schema")
-    val lines = spark.read.text(path)
-    val parsed = lines.select(col("value"),
-      from_json(col("value"), schema).as("__j"))
-    val isCorrupt = col("__j").isNull ||
-      required.map(c => col(s"__j.$c").isNull).reduce(_ || _)
-    quarantineDir.foreach { q =>
-      parsed.filter(isCorrupt).select(col("value"))
-        .write.mode("overwrite").text(q)
-    }
-    parsed.filter(!isCorrupt).select(col("__j.*"))
-  }
+                quarantineDir: Option[String] = None): DataFrame =
+    readLines(spark, path, schema, required, quarantineDir,
+      from_json(col("value"), schema))
 
   /** [[readJsonl]] pinned to the documents layout — the jsonl.gz twin
     * of [[documents]]. */
@@ -169,20 +158,29 @@ object Tables {
                    schema: StructType = documentsSchema,
                    required: Seq[String] = Seq("doc_id", "text"),
                    quarantineDir: Option[String] = None,
-                   options: Map[String, String] = Map.empty): DataFrame = {
+                   options: Map[String, String] = Map.empty): DataFrame =
+    readLines(spark, path, schema, required, quarantineDir,
+      from_csv(col("value"), schema, Map("mode" -> "PERMISSIVE") ++ options))
+
+  /** Shared line-ingest pipeline behind [[readJsonl]] / [[readCsvLines]]
+    * — only the parser expression differs, and the quarantine contract
+    * (required-column precheck, null-struct-or-null-required corruption
+    * predicate, verbatim overwrite write, column-pruned valid rows)
+    * must stay byte-identical between the two front doors. */
+  private def readLines(spark: SparkSession, path: String,
+                        schema: StructType, required: Seq[String],
+                        quarantineDir: Option[String],
+                        parser: org.apache.spark.sql.Column): DataFrame = {
     val bad = required.filterNot(schema.fieldNames.contains)
     require(bad.isEmpty, s"required columns $bad missing from schema")
-    val lines = spark.read.text(path)
-    val parsed = lines.select(col("value"),
-      from_csv(col("value"), schema,
-        Map("mode" -> "PERMISSIVE") ++ options).as("__c"))
-    val isCorrupt = col("__c").isNull ||
-      required.map(c => col(s"__c.$c").isNull).reduce(_ || _)
+    val parsed = spark.read.text(path).select(col("value"), parser.as("__p"))
+    val isCorrupt = col("__p").isNull ||
+      required.map(c => col(s"__p.$c").isNull).reduce(_ || _)
     quarantineDir.foreach { q =>
       parsed.filter(isCorrupt).select(col("value"))
         .write.mode("overwrite").text(q)
     }
-    parsed.filter(!isCorrupt).select(col("__c.*"))
+    parsed.filter(!isCorrupt).select(col("__p.*"))
   }
 
   /** Adapt the driver's `embeddings` table to the canonical node schema,

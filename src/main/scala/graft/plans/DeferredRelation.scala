@@ -18,8 +18,14 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * Wrapping the iterative part in a DeferredRelation keeps planning
   * side-effect-free: the thunk fires inside [[DeferredRelationExec
   * .doExecute]], i.e. at the first ACTION on the composed query, and is
-  * memoized so repeated executions of the same plan instance (broadcast
-  * + probe, AQE stage retries, `df.count(); df.show()`) compute it once.
+  * memoized in a [[DeferredMemo]] cell OWNED BY THE LOGICAL NODE — not
+  * the physical one, which is rebuilt by every re-planning: each action
+  * (`df.count(); df.show()`), each reference in a multi-branch plan,
+  * and each AQE re-optimization constructs a fresh exec node, so a
+  * per-exec lazy val would re-run the whole screen per action. The memo
+  * travels through `copy()`/canonicalization because it is a
+  * constructor argument, so every plan copy of one TVF call shares one
+  * computation.
   *
   * The thunk's result schema must match `output` positionally (types,
   * not exprIds — downstream operators bind by ordinal through this
@@ -28,21 +34,35 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * AQE on, the runtime size of the leaf's shuffle output still converts
   * eligible joins to broadcast.
   */
+/** Single-slot driver-side memo for a deferred computation: one
+  * evaluation no matter how many physical plan instances reference it.
+  * `@transient lazy` — the exec node only dereferences it on the
+  * driver (doExecute), never on executors. */
+final class DeferredMemo(thunk: () => DataFrame) extends Serializable {
+  @transient lazy val value: DataFrame = thunk()
+}
+
 case class DeferredRelation(output: Seq[Attribute], label: String,
-                            thunk: () => DataFrame) extends LeafNode {
+                            memo: DeferredMemo) extends LeafNode {
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = conf.defaultSizeInBytes)
   override def simpleString(maxFields: Int): String =
     s"DeferredRelation [$label], deferred to first execution"
 }
 
-/** Physical twin: runs the thunk at doExecute (never at planning). */
+object DeferredRelation {
+  def apply(output: Seq[Attribute], label: String,
+            thunk: () => DataFrame): DeferredRelation =
+    DeferredRelation(output, label, new DeferredMemo(thunk))
+}
+
+/** Physical twin: dereferences the SHARED memo at doExecute (never at
+  * planning) — re-planning builds new exec nodes, but they all point at
+  * the logical node's one cell. */
 case class DeferredRelationExec(output: Seq[Attribute], label: String,
-                                thunk: () => DataFrame) extends LeafExecNode {
-  // memoized: one computation per plan instance, not per execute() call
-  @transient private lazy val materialized: DataFrame = thunk()
+                                memo: DeferredMemo) extends LeafExecNode {
   override protected def doExecute(): RDD[InternalRow] =
-    materialized.queryExecution.toRdd
+    memo.value.queryExecution.toRdd
   override def simpleString(maxFields: Int): String =
     s"DeferredRelationExec [$label], runs at first action"
 }
@@ -52,8 +72,8 @@ case class DeferredRelationExec(output: Seq[Attribute], label: String,
   * `spark.experimental.extraStrategies` (live session). */
 object DeferredRelationStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case DeferredRelation(out, label, thunk) =>
-      DeferredRelationExec(out, label, thunk) :: Nil
+    case DeferredRelation(out, label, memo) =>
+      DeferredRelationExec(out, label, memo) :: Nil
     case _ => Nil
   }
 }

@@ -38,7 +38,11 @@ object Warc {
     * `.warc` / `.warc.gz`). Columns: file, warc_type, record_id,
     * target_uri, warc_date, content_type, content_length, payload. */
   def read(spark: SparkSession, path: String,
-           maxFileBytes: Long = 2L * 1024 * 1024 * 1024): DataFrame = {
+           // default just under Int.MaxValue: the inflate buffer is a
+           // JVM byte array (Int-indexed), so a larger bound could
+           // never fire — the array growth would OOM first with an
+           // opaque error instead of this guard's split-the-file advice
+           maxFileBytes: Long = Int.MaxValue - 16L): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
@@ -54,7 +58,11 @@ object Warc {
     if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(raw))
-      val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+      // sizing hint only — clamp the Long product: raw.length * 4 as a
+      // bare Int multiply wraps negative past 512 MiB of gz input and
+      // the constructor throws before a byte is inflated
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(raw.length.toLong * 4, Int.MaxValue - 16L).toInt)
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n >= 0) {

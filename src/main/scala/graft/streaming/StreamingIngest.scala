@@ -125,16 +125,22 @@ object StreamingIngest {
           batch, idCol, textCol, numHashes, bands, shingle).persist()
         try {
           val intra = graft.operators.Dedup.lshPairsBanded(bb, maxBucket)
-          val bandsPath = new org.apache.hadoop.fs.Path(s"$workDir/bands")
-          val fs = bandsPath.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          val pairs =
-            if (!fs.exists(bandsPath)) intra
-            else intra.unionByName(
-              graft.operators.Dedup.lshPairsAgainstBanded(
-                  bb, spark.read.parquet(s"$workDir/bands"), maxBucket)
+          // the corpus band index must be read through SnapshotIO's
+          // crash recovery, NOT a raw exists + read: compactFiles /
+          // nearDupRetract rewrite this dir with the rename protocol,
+          // and a crash between its renames leaves the complete state
+          // in bands.tmp — a bare exists() check would then read the
+          // corpus as EMPTY and silently orphan every accumulated band
+          // row (no future ingest would ever pair against them)
+          val corpusBands =
+            graft.core.SnapshotIO.read(spark, s"$workDir/bands")
+          val pairs = corpusBands match {
+            case None => intra
+            case Some(cb) => intra.unionByName(
+              graft.operators.Dedup.lshPairsAgainstBanded(bb, cb, maxBucket)
                 .select(least(col("new_id"), col("old_id")).as("a"),
                   greatest(col("new_id"), col("old_id")).as("b")))
+          }
           pairs.write.mode("append").parquet(s"$workDir/pairs")
           bb.write.mode("append").parquet(s"$workDir/bands")
           // periodic small-file compaction, keyed on the checkpointed

@@ -152,6 +152,26 @@ class GraftExtensionsSpec extends SparkSpec {
       val survivors = df.collect().map(_.getLong(0)).toSet
       assert(survivors == Set(0L, 2L), s"survivors: $survivors")
       assert(jobs.get() > 0)
+      // the memo lives in the LOGICAL node, so a SECOND action on the
+      // same df re-plans a fresh exec node but must NOT re-run the
+      // iterative screen: only the (cheap) anti-join jobs of the new
+      // action may appear, never the multi-round CC job burst. Measure
+      // by comparing job deltas: the first action's burst includes the
+      // screen; the second must be strictly smaller.
+      var settled = -1; var w2 = 0
+      while (jobs.get() != settled && w2 < 5000) {
+        settled = jobs.get(); Thread.sleep(250); w2 += 250
+      }
+      val afterFirst = jobs.get()
+      assert(df.collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+      var settled2 = -1; var w3 = 0
+      while (jobs.get() != settled2 && w3 < 5000) {
+        settled2 = jobs.get(); Thread.sleep(250); w3 += 250
+      }
+      val secondBurst = jobs.get() - afterFirst
+      assert(secondBurst < afterFirst,
+        s"second action ran $secondBurst jobs vs first burst $afterFirst — " +
+          "the deferred screen is re-running per action instead of memoizing")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
