@@ -88,12 +88,14 @@ object Bench {
     // bench_full_r{N}.json with N = 1 + the highest committed
     // BENCH_r{N}.json (i.e. the round this run belongs to); override
     // with SPARK_GRAFT_BENCH_FULL, skipped when no repo root is found.
-    // candidate roots: the CWD, then user.dir (the JVM may have been
-    // launched from a tool wrapper) — derived, never a hardcoded
+    // candidate roots: user.dir and every ancestor (a tool wrapper may
+    // launch the JVM from a subdirectory) — derived, never a hardcoded
     // absolute path; SPARK_GRAFT_BENCH_FULL overrides outright
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_FULL").orElse {
-      Seq(new java.io.File("."),
-          new java.io.File(System.getProperty("user.dir", ".")))
+      Iterator.iterate(
+          new java.io.File(System.getProperty("user.dir", ".")).getAbsoluteFile
+        )(_.getParentFile)
+        .takeWhile(_ != null).take(16).toSeq
         .find(d => new java.io.File(d, "BENCH_r01.json").exists())
         .map { root =>
           val n = root.listFiles().map(_.getName)
@@ -108,6 +110,9 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"BENCH full per-query map -> $path")
     }
+    if (benchOut.isEmpty)
+      System.err.println("BENCH full per-query map SKIPPED: no repo root " +
+        "(BENCH_r01.json) found above user.dir and SPARK_GRAFT_BENCH_FULL unset")
     spark.stop()
   }
 }

@@ -55,6 +55,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *    `Dedup.keepCanonical ∘ connectedComponents ∘ minhashLshPairs`
   *    exactly.
   *
+  *    Memo lifetime = the STATEMENT's logical plan, not the session:
+  *    a DataFrame held across actions keeps serving the loser set its
+  *    FIRST action computed, even if the underlying table is replaced
+  *    in between (a snapshot-at-first-action view — deliberate, so
+  *    `df.count(); df.show()` agree with each other). To observe
+  *    table changes, issue the SQL again: each new statement parses a
+  *    fresh TVF call with a fresh memo cell. GraftExtensionsSpec pins
+  *    both halves of this contract.
+  *
   * Each function's `table` argument is either a name string literal
   * (`'docs'` — temp views and catalog tables alike) or a relation
   * argument (`TABLE(docs)` / `TABLE(SELECT ...)`), so a subquery or CTE

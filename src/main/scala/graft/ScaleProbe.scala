@@ -38,6 +38,7 @@ object ScaleProbe {
     // delta between sharded and unsharded runs)
     val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
     val shuffleWriteBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val outputBytes = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -46,6 +47,7 @@ object ScaleProbe {
           if (m != null) {
             spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
             shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            outputBytes.addAndGet(m.outputMetrics.bytesWritten)
             ()
           }
         }
@@ -59,6 +61,7 @@ object ScaleProbe {
       if (sel(name)) {
         setup
         val s0 = spillBytes.get(); val w0 = shuffleWriteBytes.get()
+        val o0 = outputBytes.get()
         val t0 = System.nanoTime(); val r = f
         val dt = (System.nanoTime() - t0) / 1e9
         // listener events drain asynchronously — settle until two
@@ -73,7 +76,8 @@ object ScaleProbe {
         }
         val sp = (spillBytes.get() - s0) / 1e9
         val sw = (shuffleWriteBytes.get() - w0) / 1e9
-        println(f"SCALE $name%-26s $dt%8.2f s  (rows=$r, spill=$sp%.1f GB, shuffle_write=$sw%.1f GB)")
+        val ob = (outputBytes.get() - o0) / 1e9
+        println(f"SCALE $name%-26s $dt%8.2f s  (rows=$r, spill=$sp%.1f GB, shuffle_write=$sw%.1f GB, files_written=$ob%.2f GB)")
       }
     def t(name: String)(f: => Long): Unit = tp(name)(())(f)
     // untimed on-demand setup for probes whose input a name filter's
@@ -876,6 +880,38 @@ object ScaleProbe {
           spark, s"$sdir/ndworkc", ids)
         spark.read.parquet(s"$sdir/ndworkc/bands").count()
       }
+
+      // ---- merge-on-read streaming upsert vs the full-rewrite shape it
+      // replaced: base corpus of n rows, then 5 flushes of n/1000 rows
+      // each. The delta path appends O(batch) per flush (compare
+      // files_written between the two probes — the rewrite twin pays
+      // ~5 full corpus publishes); the 100 TB claim is exactly that
+      // ratio growing with corpus size while the delta cost does not.
+      val upB = math.max(n / 1000L, 1L)
+      def upBatch(i: Long) =
+        spark.range(n + (i - 1) * upB, n + i * upB).select(col("id"),
+          xxhash64(col("id")).cast("string").as("payload"))
+      def upBase = spark.range(n).select(col("id"),
+        xxhash64(col("id")).cast("string").as("payload"))
+      tp("stream_upsert_delta_5f") {
+        graft.core.DeltaLog.append(upBase, s"$sdir/dstore", 0L)
+        graft.core.DeltaLog.compact(spark, s"$sdir/dstore", "id")
+      } {
+        (1L to 5L).foreach(i =>
+          graft.core.DeltaLog.append(upBatch(i), s"$sdir/dstore", i))
+        graft.core.DeltaLog.readMerged(spark, s"$sdir/dstore", "id")
+          .get.count()
+      }
+      tp("stream_upsert_rewrite_5f") {
+        graft.core.SnapshotIO.publish(upBase, s"$sdir/rstore")
+      } {
+        (1L to 5L).foreach { i =>
+          val cur = graft.core.SnapshotIO.read(spark, s"$sdir/rstore").get
+          graft.core.SnapshotIO.publish(
+            graft.operators.Crud.upsert(cur, upBatch(i), "id"), s"$sdir/rstore")
+        }
+        spark.read.parquet(s"$sdir/rstore").count()
+      }
     }
 
     if (text) {
@@ -905,6 +941,23 @@ object ScaleProbe {
       t("blocklist_ac_2000")(
         docs.filter(graft.functions.TextFunctions.blocklistAny(
           col("text"), blockPats)).count())
+
+      // connected components on the WORST-case chain graph (a single
+      // n-node path — diameter n−1): one-hop min-label would need n−1
+      // E-sized shuffle rounds, structurally impossible at any corpus
+      // size; the pointer-halving loop's reach doubles per round, so
+      // the measured rounds must track ⌈log2(n+1)⌉ (≈20 at 1M, ≈24 at
+      // 10M), each one E-shuffle — the log-round evidence behind the
+      // near-dup canonicalization path.
+      t("cc_chain_diameter_n") {
+        val chain = spark.range(n - 1)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        val c = Dedup.connectedComponents(chain, localThreshold = 0L)
+          .filter(col("comp") === 0L).count()
+        println(s"        cc chain rounds=${Dedup.lastCcIterations} " +
+          s"(log2(n)=${(math.log(n.toDouble) / math.log(2)).round})")
+        c
+      }
 
       // ingest front door at corpus scale: n docs written as gzipped
       // JSON lines (32 shards — the wire shape crawl corpora arrive

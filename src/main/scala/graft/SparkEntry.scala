@@ -7000,16 +7000,23 @@ object SparkEntry {
     // see the Hnsw.scala knob table for the build-cost trade)
     val params = Hnsw.Params()
     withShufflePartitions(s, 8) {
+      // compactEvery=2: the mid-stream delta fold runs under this
+      // query's oracle too — the merged view must be identical with
+      // and without a compaction between flushes
       val q = graft.streaming.StreamingIngest.upsertStream(
         stream, "vec_id", s"$tmp/snap", s"$tmp/ckpt", flushThreshold = 1,
+        compactEvery = 2,
         onFlush = { _ =>
-          Hnsw.refreshEdges(s.read.parquet(s"$tmp/snap"), s"$tmp/edges",
-            "vec_id", "embedding", numPartitions = 4, params)
+          Hnsw.refreshEdges(
+            graft.core.DeltaLog.readMerged(s, s"$tmp/snap", "vec_id")
+              .getOrElse(sys.error("no streamed snapshot state")),
+            s"$tmp/edges", "vec_id", "embedding", numPartitions = 4, params)
           ()
         })
       q.awaitTermination()
     }
-    val snap = s.read.parquet(s"$tmp/snap")
+    val snap = graft.core.DeltaLog.readMerged(s, s"$tmp/snap", "vec_id")
+      .getOrElse(sys.error("no streamed snapshot state"))
     val edges = graft.core.SnapshotIO.read(s, s"$tmp/edges")
       .getOrElse(sys.error("no edges snapshot published by the stream"))
     val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 3)

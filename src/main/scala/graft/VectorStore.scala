@@ -57,6 +57,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
       .select("id", "embedding", "content", "metadata", "metadata_json", "is_deleted")
     val merged = Crud.upsert(cur, withIds, "id")
     graft.core.SnapshotIO.publish(merged, dataPath)
+    invalidateDerivedCaches()
     start
   }
 
@@ -119,22 +120,54 @@ class VectorStore private (val spark: SparkSession, val path: String,
     else base.filter(Search.metadataFilter(col("metadata"), metadataFilter))
   }
 
-  /** LSH tier: banded hyperplane signatures derived on scan (train-free
-    * beyond the seeded plane matrix — deterministic for a fixed dim),
-    * multi-probe bucket cut, exact (dist, id) rerank of the candidates.
-    * The one approximate tier whose RECALL is N-independent by
-    * construction — bucket collision is a function of angle, not corpus
-    * size — and the `lsh_recall_sweep` probe is the measured check
-    * (16 tables × 8 bits, probeBits = 2: 10/10 at 1M). The cost shape
-    * is a full signature scan per query (the candidate cut is a filter,
-    * not partition pruning) — persist `Lsh.assign`'s signature column
-    * when querying repeatedly. */
-  def searchLsh(query: Seq[Float], k: Int, probeBits: Int = 2,
-                metadataFilter: Map[String, String] = Map.empty): DataFrame = {
-    val model = Lsh.fitBanded(dim, bitsPerTable = 8, nTables = 16)
-    Lsh.search(Lsh.assign(live(metadataFilter), "embedding", model), model,
-      "id", "embedding", query, k, probeBits)
+  private def lshModelPath = s"$path/lsh_model"
+  private def lshSigPath = s"$path/lsh_signatures"
+
+  /** Optional LSH build step: persist the plane matrix AND the per-id
+    * signature table (id, lsh_sigs — ~70 B/row, no vectors), so
+    * repeated [[searchLsh]] calls filter the compact signature table
+    * instead of recomputing every row's L·b plane dots per query (the
+    * measured bill at 10M rows was ~75 s/query, almost all signature
+    * recompute). Staleness trade (same as every persisted tier): rows
+    * ingested after the build have no signatures and cannot surface
+    * until `trainLsh()` re-runs; deleted rows are dropped by the
+    * live-join at query time. */
+  def trainLsh(bitsPerTable: Int = 8, nTables: Int = 16): Lsh.Model = {
+    val m = Lsh.fitBanded(dim, bitsPerTable, nTables)
+    Lsh.save(m, lshModelPath, spark)
+    Lsh.assign(live(Map.empty), "embedding", m)
+      .select(col("id"), col(Lsh.SigsCol))
+      .write.mode("overwrite").parquet(lshSigPath)
+    m
   }
+
+  /** LSH tier: banded hyperplane signatures, multi-probe bucket cut,
+    * exact (dist, id) rerank of the candidates. The one approximate
+    * tier whose RECALL is N-independent by construction — bucket
+    * collision is a function of angle, not corpus size — and the
+    * `lsh_recall_sweep` probe is the measured check (16 tables × 8
+    * bits, probeBits = 2: 10/10 at 1M). After [[trainLsh]], the probe
+    * cut runs over the PERSISTED signature table and only the
+    * candidate ids join back to the snapshot (a point-join on a small
+    * set) — per-query cost is a bytes-small signature scan. Without
+    * it, signatures derive on scan per call (train-free, fine for
+    * one-shot queries; persist for repeated ones). */
+  def searchLsh(query: Seq[Float], k: Int, probeBits: Int = 2,
+                metadataFilter: Map[String, String] = Map.empty): DataFrame =
+    if (successAt(lshModelPath) && successAt(lshSigPath)) {
+      val model = Lsh.load(spark, lshModelPath)
+      val cand = spark.read.parquet(lshSigPath)
+        .filter(Lsh.probeCondition(model, query, probeBits))
+        .select("id")
+      // live-join drops tombstoned/compacted ids; the metadata filter
+      // composes on the snapshot side, same contract as the direct path
+      Search.knnExact(live(metadataFilter).join(cand, "id"),
+        "id", "embedding", query, k)
+    } else {
+      val model = Lsh.fitBanded(dim, bitsPerTable = 8, nTables = 16)
+      Lsh.search(Lsh.assign(live(metadataFilter), "embedding", model), model,
+        "id", "embedding", query, k, probeBits)
+    }
 
   /** B4: build the IVF index; persists model + cluster-partitioned data.
     * Defaults to the skew-hardened [[Ivf.buildBalanced]] path with a
@@ -299,16 +332,38 @@ class VectorStore private (val spark: SparkSession, val path: String,
     th
   }
 
-  private def bqThresholdsIfPersisted(): Option[Seq[Double]] = {
-    // gate on the _SUCCESS marker, not bare directory existence — a
-    // trainBq() killed mid-write leaves the dir with only _temporary,
-    // which must read as "not persisted", not as a permanent error
-    val p = new org.apache.hadoop.fs.Path(bqModelPath, "_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+  // gate persisted artifacts on the _SUCCESS marker, not bare directory
+  // existence — a build killed mid-write leaves the dir with only
+  // _temporary, which must read as "not persisted", not as a permanent
+  // error
+  private def successAt(dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def bqThresholdsIfPersisted(): Option[Seq[Double]] =
+    if (!successAt(bqModelPath)) None
     else Some(spark.read.parquet(bqModelPath).orderBy("i")
       .collect().map(_.getDouble(1)).toSeq)
-  }
+
+  // Per-filter BQ threshold cache: a metadata-filtered `searchBq` must
+  // train on the FILTERED corpus (global midpoints can be blind under a
+  // clustered filter), but repeated queries with the SAME filter should
+  // not pay the full-corpus stats aggregation each time. Keyed by the
+  // canonicalized filter map; store-instance-local, invalidated by this
+  // instance's mutations (ingest/delete/compact). Staleness trade: a
+  // writer mutating the store through ANOTHER VectorStore instance (or
+  // raw SnapshotIO) leaves cached thresholds stale until this instance
+  // mutates or is reopened — thresholds only steer the Hamming screen,
+  // the exact rerank stays correct, so staleness costs recall margin,
+  // never wrong distances.
+  @transient private lazy val bqFilterThresholds =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+  private[graft] val bqTrainCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private def filterKey(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s"$k\u0000$v" }.mkString("\u0001")
+  private def invalidateDerivedCaches(): Unit = bqFilterThresholds.clear()
 
   def searchBq(query: Seq[Float], k: Int, rerank: Int = 0,
                metadataFilter: Map[String, String] = Map.empty,
@@ -323,10 +378,18 @@ class VectorStore private (val spark: SparkSession, val path: String,
     // store) must yield an EMPTY RESULT, not a training error — None
     // falls back to raw sign bits, and the search over zero rows is
     // empty
+    def train(): Seq[Double] = {
+      bqTrainCount.incrementAndGet()
+      Bq.trainThresholdsOpt(corpus, "embedding").fold(Seq.empty[Double])(_.toSeq)
+    }
     val th = if (!centered) Nil
-      else (if (metadataFilter.isEmpty) bqThresholdsIfPersisted() else None)
-        .getOrElse(
-          Bq.trainThresholdsOpt(corpus, "embedding").fold(Seq.empty[Double])(_.toSeq))
+      else if (metadataFilter.isEmpty)
+        bqThresholdsIfPersisted().getOrElse(train())
+      else
+        // per-filter memo: identical filtered searches share ONE stats
+        // pass (see the cache's staleness scaladoc above)
+        bqFilterThresholds.computeIfAbsent(filterKey(metadataFilter),
+          _ => train())
     val enc = Bq.encode(corpus, "embedding", thresholds = th)
     val w = if (rerank >= 0) rerank
       else Bq.scaledRerank(k, corpus.count(), sessionConfig.bqRerankFactor)
@@ -369,13 +432,17 @@ class VectorStore private (val spark: SparkSession, val path: String,
   }
 
   /** S5: tombstone delete + persisted snapshot. */
-  def delete(ids: Seq[Long]): Unit =
+  def delete(ids: Seq[Long]): Unit = {
     graft.core.SnapshotIO.publish(Crud.tombstone(snapshot(), "id", ids), dataPath)
+    invalidateDerivedCaches()
+  }
 
   /** Compaction: physically drop tombstoned rows. */
-  def compact(): Unit =
+  def compact(): Unit = {
     graft.core.SnapshotIO.publish(
       Crud.compact(snapshot()).withColumn("is_deleted", lit(false)), dataPath)
+    invalidateDerivedCaches()
+  }
 
   /** File compaction: merge the snapshot's accumulated small parquet
     * files toward `targetBytes` each (the post-streaming-ingest
@@ -446,7 +513,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
         // bits — only sensible on corpora already centered at 0)
         searchBq(query, k, params.get("rerank").map(_.toInt).getOrElse(-1),
           metadataFilter,
-          centered = params.get("centered").forall(_.toBoolean))
+          centered = params.get("centered").forall(parseBool("centered", _)))
       case "ivfpq" =>
         // defaults-taking path: scale-aware probe count AND rerank
         // window (explicit values pass through unscaled; rerank=0 opts
@@ -462,6 +529,17 @@ class VectorStore private (val spark: SparkSession, val path: String,
         s"unknown index type '$other' (expected exact, hnsw, ivf, ivfpq, pq, sq8, bq, or lsh)")
     }
   }
+
+  // explicit boolean parse: a clear error naming the parameter, like
+  // the numeric params' NumberFormatException — `"1".toBoolean` would
+  // throw an anonymous IllegalArgumentException instead
+  private def parseBool(name: String, v: String): Boolean =
+    v.trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"parameter '$name' must be true or false, got '$other'")
+    }
 
   /** S2/S4: point lookup and live count. */
   def get(id: Long): Option[org.apache.spark.sql.Row] =

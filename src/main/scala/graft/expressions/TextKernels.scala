@@ -889,8 +889,11 @@ case class MultiPatternMatches(child: Expression, patterns: Seq[String])
       s"$prettyName requires string, got ${dt.simpleString}")
   }
 
+  // duplicate patterns collapse (first occurrence wins): a SQL user
+  // passing the same literal twice gets gate semantics, not the
+  // Automaton's duplicate-rejection crash
   @transient private lazy val ac =
-    new MultiPatternUtil.Automaton(patterns.toArray)
+    new MultiPatternUtil.Automaton(patterns.distinct.toArray)
 
   override def nullSafeEval(v: Any): Any =
     ac.matchesDistinct(v.asInstanceOf[UTF8String])

@@ -101,6 +101,39 @@ object Lsh {
     sig +: (one ++ two)
   }
 
+  /** Persist a model's plane matrix (one row per plane, components as
+    * array<float>) — the B11-style artifact that lets a store serve
+    * repeated LSH queries from PERSISTED signatures instead of
+    * recomputing every row's L·b plane dots per call. */
+  def save(m: Model, path: String,
+           spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    m.planes.toSeq.zipWithIndex
+      .map { case (p, i) => (i, m.bitsPerTable, p.toSeq) }
+      .toDF("i", "bits_per_table", "plane")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path).orderBy("i").collect()
+    require(rows.nonEmpty, s"empty LSH model at $path")
+    Model(rows.map(_.getSeq[Float](2).toArray), rows.head.getInt(1))
+  }
+
+  /** Bucket-probe predicate for one query over an assigned/persisted
+    * `lsh_sigs` column — candidates are rows matching ANY table's
+    * probed bucket set. Exactly the cut [[search]] applies, factored
+    * out so a signature TABLE (no vectors) can be filtered without
+    * re-deriving signatures from embeddings. */
+  def probeCondition(model: Model, query: Seq[Float],
+                     probeBits: Int = 2): Column = {
+    val sigs = signatures(query, model)
+    (0 until model.nTables).map { t =>
+      col(SigsCol).getItem(t)
+        .isin(probes(sigs(t), model.bitsPerTable, probeBits): _*)
+    }.reduce(_ || _)
+  }
+
   /** Approximate top-k: candidates from any table whose probed bucket
     * set contains the row's signature, exact (dist, id) rerank on the
     * survivors. Per-table probe count is 1 + b + C(b,2) at the default
@@ -108,11 +141,7 @@ object Lsh {
   def search(assigned: DataFrame, model: Model, idCol: String, embCol: String,
              query: Seq[Float], k: Int, probeBits: Int = 2,
              filter: Option[Column] = None): DataFrame = {
-    val sigs = signatures(query, model)
-    val cond = (0 until model.nTables).map { t =>
-      col(SigsCol).getItem(t)
-        .isin(probes(sigs(t), model.bitsPerTable, probeBits): _*)
-    }.reduce(_ || _)
+    val cond = probeCondition(model, query, probeBits)
     // metadata pre-filter composes WITH the bucket probe (both conjuncts
     // reach the scan): filtered-out rows are structurally excluded —
     // the reference's exclusion contract (test_search_api.py:149-172)

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -23,23 +25,163 @@ import org.apache.spark.sql.types.DecimalType
   * size) with left-to-right folds that mirror SQL `list_reduce`, so
   * loadings and the eigenvalue are also hash-exact.
   *
-  * Scale: the corpus is touched ONCE (the dim²-way per-row expansion is
-  * collapsed by map-side partial aggregation to ≤ dim² rows per
-  * partition before the single shuffle); everything after is
-  * driver-local on dim² doubles. At dim = 1024 the expansion is 1M
-  * products per row — callers with very wide embeddings should sample
-  * rows (the [[Sketch.sampledQuantiles]] discipline), not shrink dim.
+  * Scale: the corpus is touched ONCE — each row folds its dim·(dim+1)/2
+  * products into a packed per-partition decimal buffer in place (the
+  * KMeans dense-buffer discipline; no per-row struct generation, no
+  * wide-key hash aggregate), and only numPartitions serialized buffers
+  * cross the shuffle; everything after is driver-local on dim² doubles.
+  * Row sampling (the [[Sketch.sampledQuantiles]] discipline) remains
+  * the lever for very wide embeddings — the per-row arithmetic is still
+  * O(dim²).
   */
 object Pca {
 
+  /** Dense upper-triangle Gram accumulator: ONE buffer of dim·(dim+1)/2
+    * exact decimals per partition, updated in place per row — no
+    * per-row struct generation, no dim²/2-key hash aggregate, nothing
+    * but the packed buffer crosses the (single-row) shuffle. Arithmetic
+    * is kept OPERATION-FOR-OPERATION identical to the SQL route it
+    * replaces ([[secondMomentExplode]]), so results stay bit-exact and
+    * DuckDB-replayable:
+    *   - per-term decimal = `CAST(double AS DECIMAL(38,18))` semantics:
+    *     shortest-decimal rendering (`Double.toString`, what Spark's
+    *     `Decimal(d)` parses) rounded to scale 18 HALF_UP; NaN/Infinity
+    *     skip as null-casts, finite out-of-range products throw —
+    *     exactly the measured ANSI cast behavior;
+    *   - cell sum = exact scale-18 decimal addition (order-free);
+    *   - final value = decimal→double correct rounding (`doubleValue`).
+    * Buffer ships kryo-serialized only at the partial→final boundary
+    * (numPartitions rows); finish unpacks to (i, j, m) tuples. */
+  private final class GramAgg(dim: Int) extends Aggregator[
+      Seq[Double], Array[java.math.BigDecimal], Seq[(Int, Int, Double)]] {
+    private val n = dim * (dim + 1) / 2
+
+    override def zero: Array[java.math.BigDecimal] =
+      Array.fill(n)(java.math.BigDecimal.ZERO.setScale(18))
+
+    override def reduce(buf: Array[java.math.BigDecimal],
+                        v: Seq[Double]): Array[java.math.BigDecimal] = {
+      if (v == null) return buf
+      // ANSI element_at semantics, same as the SQL route: an array
+      // shorter than dim is an error (extra elements beyond dim are
+      // simply unread on both routes)
+      if (v.length < dim)
+        throw new ArrayIndexOutOfBoundsException(
+          s"vector has ${v.length} elements; the Gram aggregation reads dim=$dim")
+      val len = dim
+      val arr = new Array[Double](len)
+      var c = 0
+      while (c < len) { arr(c) = v(c); c += 1 }
+      var i = 0
+      var idx = 0
+      while (i < len) {
+        val vi = arr(i)
+        // rows i with i >= len contribute nothing; their packed cells
+        // are skipped by jumping idx to the row start each iteration
+        idx = i * dim - i * (i - 1) / 2
+        var j = i
+        while (j < len) {
+          val p = vi * arr(j)
+          // ANSI cast semantics, same as the SQL route (measured, not
+          // assumed — PcaSpec pins both): NaN/Infinity cast to null and
+          // the term is skipped, while a FINITE value past
+          // DECIMAL(38,18)'s range is an error
+          if (!java.lang.Double.isNaN(p) && !java.lang.Double.isInfinite(p)) {
+            val term = new java.math.BigDecimal(java.lang.Double.toString(p))
+              .setScale(18, java.math.RoundingMode.HALF_UP)
+            if (term.precision > 38)
+              throw new ArithmeticException(
+                s"product $p cannot be represented as Decimal(38,18)")
+            buf(idx) = buf(idx).add(term)
+          }
+          idx += 1
+          j += 1
+        }
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[java.math.BigDecimal],
+                       b: Array[java.math.BigDecimal]): Array[java.math.BigDecimal] = {
+      var i = 0
+      while (i < n) { a(i) = a(i).add(b(i)); i += 1 }
+      a
+    }
+
+    override def finish(r: Array[java.math.BigDecimal]): Seq[(Int, Int, Double)] = {
+      val out = new Array[(Int, Int, Double)](n)
+      var idx = 0
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          // ANSI sum-overflow check, mirrored from Decimal sum's final
+          // changePrecision (signs can cancel, so only the final value
+          // is checked)
+          if (r(idx).precision > 38)
+            throw new ArithmeticException(
+              s"Gram sum ${r(idx)} cannot be represented as Decimal(38,18)")
+          out(idx) = (i, j, r(idx).doubleValue)
+          idx += 1
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+
+    override def bufferEncoder: Encoder[Array[java.math.BigDecimal]] =
+      Encoders.kryo[Array[java.math.BigDecimal]]
+    override def outputEncoder: Encoder[Seq[(Int, Int, Double)]] =
+      ExpressionEncoder[Seq[(Int, Int, Double)]]()
+  }
+
   /** Second-moment (uncentered Gram) matrix as a (i, j, m) table,
-    * i, j ∈ [0, dim). Decimal-routed exact sums → double.
+    * i, j ∈ [0, dim). Decimal-routed exact sums → double, bit-exact
+    * under any partitioning.
     *
-    * Only the upper triangle (i ≤ j) is aggregated — M is symmetric and
-    * the decimal sum is order-independent, so mirroring M_ij into M_ji
-    * afterward is bit-identical to aggregating both (same products,
-    * same exact sum) at half the explode fan-out. */
+    * Only the upper triangle (i ≤ j) is accumulated — M is symmetric
+    * and the decimal sum is order-independent, so mirroring M_ij into
+    * M_ji afterward is bit-identical to accumulating both. The
+    * accumulation is a [[GramAgg]] dense-buffer aggregation (each row
+    * updates a packed in-place buffer), NOT a dim²/2-way per-row
+    * explode — the row-expansion shape made this the plan to rewrite
+    * before a 100× scale-up (at dim 1024 it generated 1M structs per
+    * input row; the buffer pays the same decimal arithmetic with zero
+    * row fan-out). [[secondMomentExplode]] keeps the SQL-route twin
+    * that the DuckDB oracle replays; PcaSpec pins bit-equality.
+    *
+    * Note: over an EMPTY input this emits the n zero cells (a global
+    * aggregate always yields its zero buffer) where the explode route
+    * emits no rows — [[topComponent]] sees the same all-zero matrix
+    * either way. */
   def secondMoment(df: DataFrame, vecCol: Column, dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // null ELEMENTS map to NaN before the typed boundary: in the SQL
+    // route a null component nullifies (→ skips) every product touching
+    // it, and NaN has exactly that skip semantics in the aggregator —
+    // while a bare null would break Seq[Double] deserialization
+    val upper = df.select(transform(vecCol.cast("array<double>"),
+        x => coalesce(x, lit(Double.NaN))).as("__v"))
+      .filter(col("__v").isNotNull)
+      .as[Seq[Double]]
+      .select(new GramAgg(dim).toColumn) // typed select: global aggregate
+      .toDF("g")
+      .select(explode(col("g")).as("e"))
+      .select(col("e._1").as("i"), col("e._2").as("j"), col("e._3").as("m"))
+    mirror(upper)
+  }
+
+  /** The SQL-route second moment (per-row upper-triangle explode →
+    * decimal-sum hash aggregate) — the shape the DuckDB oracle replays
+    * literally. Kept as the bit-equality twin for [[secondMoment]]'s
+    * dense-buffer aggregator; prefer [[secondMoment]] everywhere (same
+    * values, no dim²/2-per-row generate). */
+  private[graft] def secondMomentExplode(df: DataFrame, vecCol: Column,
+                                         dim: Int): DataFrame = {
     require(dim >= 2, s"dim must be >= 2, got $dim")
     val upper = df.select(vecCol.as("__v"))
       .select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
@@ -50,9 +192,13 @@ object Pca {
         .as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum(col("e.p").cast(DecimalType(38, 18))).cast("double").as("m"))
-    // mirror AFTER the aggregation (a generate over ≤ dim² rows) — a
-    // union of two references to `upper` would re-plan the whole
-    // corpus aggregation twice
+    mirror(upper)
+  }
+
+  // mirror AFTER the aggregation (a generate over ≤ dim² rows) — a
+  // union of two references to `upper` would re-plan the whole corpus
+  // aggregation twice
+  private def mirror(upper: DataFrame): DataFrame =
     upper.select(explode(
         when(col("i") === col("j"),
           array(struct(col("i").as("i"), col("j").as("j"), col("m").as("m"))))
@@ -61,7 +207,6 @@ object Pca {
             struct(col("j").as("i"), col("i").as("j"), col("m").as("m")))))
         .as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.m").as("m"))
-  }
 
   /** Dominant eigen-direction of the second-moment matrix by `iters`
     * power iterations from the all-ones start vector. Returns one row

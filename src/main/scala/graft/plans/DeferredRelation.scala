@@ -39,7 +39,15 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * `@transient lazy` — the exec node only dereferences it on the
   * driver (doExecute), never on executors. */
 final class DeferredMemo(thunk: () => DataFrame) extends Serializable {
-  @transient lazy val value: DataFrame = thunk()
+  // driver-side only (like `value`); lazy so deserialization re-creates
+  // rather than nulls it
+  @transient private lazy val evals =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  /** How many times the thunk actually ran — 0 until the first action,
+    * 1 ever after. The direct (non-timing) observable for memoization
+    * tests: Spark job counts are delivered async and vary with AQE. */
+  def evalCount: Int = evals.get()
+  @transient lazy val value: DataFrame = { evals.incrementAndGet(); thunk() }
 }
 
 case class DeferredRelation(output: Seq[Attribute], label: String,

@@ -24,48 +24,59 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingIngest {
 
-  /** Start a micro-batch upsert stream into `targetDir` (parquet
-    * snapshot). `onFlush(totalRows)` fires after any batch that leaves
-    * the snapshot at ≥ flushThreshold rows — the reference's threshold
-    * semantics (indexing_service.py:87-89 checks total store size, with
-    * a dirty flag limiting redundant saves; callers keep that dirty
-    * logic and rebuild/republish index artifacts here).
+  /** Start a micro-batch upsert stream into the [[graft.core.DeltaLog]]
+    * store at `targetDir`. `onFlush(totalRows)` fires after any batch
+    * that leaves the store at ≥ flushThreshold rows — the reference's
+    * threshold semantics (indexing_service.py:87-89 checks total store
+    * size, with a dirty flag limiting redundant saves; callers keep that
+    * dirty logic and rebuild/republish index artifacts here). Read the
+    * live state with `DeltaLog.readMerged(spark, targetDir, idCol)`.
+    *
+    * Per-batch I/O is O(batch), NOT O(corpus): each flush appends one
+    * delta dir (rows + optional tombstones); every `compactEvery`-th
+    * flush folds the delta tail into the base snapshot (the same
+    * cadence discipline [[nearDupMaintenance]] uses for its band
+    * index), so a 1 GB flush into a 100 TB store writes ~1 GB, and the
+    * full-corpus rewrite happens once per window instead of once per
+    * batch. `compactEvery = 0` never compacts in-stream (run
+    * `DeltaLog.compact` externally).
     *
     * A batch carrying several rows for one id resolves to a single row:
     * by max `versionCol` when given, else an arbitrary-but-single row —
     * preserving the store's id-uniqueness invariant (S1 update-in-place,
-    * storage.py:198-230). `trigger` defaults to AvailableNow (drain the
+    * storage.py:198-230). Rows with `tombstoneCol` true are deletions
+    * (S5 in-stream). `trigger` defaults to AvailableNow (drain the
     * backlog and stop — the replay shape); pass a processing-time
-    * trigger for continuous ingest. */
+    * trigger for continuous ingest. Crash/replay: the checkpoint
+    * replays a batch by rewriting its own delta dir (overwrite by
+    * batchId) — idempotent against every compaction crash point
+    * (DeltaLog scaladoc). */
   def upsertStream(stream: DataFrame, idCol: String, targetDir: String,
                    checkpointDir: String, flushThreshold: Long = 1000L,
                    onFlush: Long => Unit = _ => (),
                    versionCol: Option[String] = None,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   compactEvery: Int = 16,
+                   tombstoneCol: Option[String] = None): StreamingQuery = {
     val spark = stream.sparkSession
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val batchOne = versionCol match {
           case Some(v) => Crud.upsertVersioned(batch, idCol, v)
           case None => batch.dropDuplicates(idCol)
         }
-        // SnapshotIO.read runs crash recovery and returns None only when
-        // no snapshot was ever published — a corrupt/missing-mid-publish
-        // state recovers from .tmp/.bak instead of being treated as
-        // "first batch" (which would drop all prior rows).
-        val merged = graft.core.SnapshotIO.read(spark, targetDir) match {
-          case Some(cur) => Crud.upsert(cur, batchOne, idCol)
-          case None => batchOne
+        graft.core.DeltaLog.append(batchOne, targetDir, batchId, tombstoneCol)
+        // cadence keyed on the checkpointed batchId so a restart
+        // resumes the same compaction rhythm
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.core.DeltaLog.compact(spark, targetDir, idCol)
+          ()
         }
-        // crash-safe publish: write tmp, rename current aside, rename
-        // tmp in; the checkpoint replays the batch on restart and the
-        // upsert is idempotent.
-        graft.core.SnapshotIO.publish(merged, targetDir)
         if (flushThreshold != Long.MaxValue) {
-          // parquet count() is a footer-metadata scan, not a data read
-          val total = spark.read.parquet(targetDir).count()
+          val total = graft.core.DeltaLog.readMerged(spark, targetDir, idCol)
+            .map(_.count()).getOrElse(0L)
           if (total >= flushThreshold) onFlush(total)
         }
         ()

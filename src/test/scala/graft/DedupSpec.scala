@@ -423,6 +423,25 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 80 && comp.values.forall(_ == 0L))
   }
 
+  test("connected components: a 10k-node path (diameter 9999) converges within default maxIter") {
+    val s = spark
+    import s.implicits._
+    // the boilerplate/pagination chain shape at corpus scale: one-hop
+    // min-label alone needs diameter rounds (9999 ≫ maxIter 25); the
+    // pointer-halving shortcut reaches distance 2^k − 1 after k rounds,
+    // so this must close in ⌈log2(10001)⌉ = 14 rounds — inside the
+    // default budget with margin, no maxIter override
+    val n = 10000L
+    val chain = s.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val comp = Dedup.connectedComponents(chain, localThreshold = 0L)
+    assert(comp.filter(col("comp") =!= 0L).count() == 0L,
+      "every chain node must label to the minimum id 0")
+    assert(comp.count() == n)
+    assert(Dedup.lastCcIterations <= 16,
+      s"diameter 9999 took ${Dedup.lastCcIterations} rounds — halving " +
+        "should close it in ~14")
+  }
+
   test("boilerplateRemove drops cross-doc repeated segments, preserves order") {
     val s = spark
     import s.implicits._

@@ -124,55 +124,47 @@ class GraftExtensionsSpec extends SparkSpec {
     Seq((0L, base), (1L, base.replace("jumps", "leaps")),
       (2L, "totally different words about geology and rocks here"))
       .toDF("doc_id", "text").createOrReplaceTempView("lazy_tf")
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      // planning-only surfaces: analysis, EXPLAIN (physical planning
-      // included), and view definition — none may run the screen/CC jobs
-      val df = spark.sql(
-        "SELECT doc_id FROM near_dedup('lazy_tf', 'doc_id', 'text')")
-      df.queryExecution.executedPlan // force full physical planning
-      spark.sql(
-        "EXPLAIN SELECT * FROM near_dedup('lazy_tf', 'doc_id', 'text')")
-        .collect()
-      // listener bus is async — settle until two consecutive reads agree
-      var prev = -1; var waited = 0
-      while (jobs.get() != prev && waited < 5000) {
-        prev = jobs.get(); Thread.sleep(250); waited += 250
-      }
-      assert(jobs.get() == 0,
-        s"near_dedup planning ran ${jobs.get()} jobs; must run none")
-      // first action fires the deferred screen+CC and answers correctly
-      val survivors = df.collect().map(_.getLong(0)).toSet
-      assert(survivors == Set(0L, 2L), s"survivors: $survivors")
-      assert(jobs.get() > 0)
-      // the memo lives in the LOGICAL node, so a SECOND action on the
-      // same df re-plans a fresh exec node but must NOT re-run the
-      // iterative screen: only the (cheap) anti-join jobs of the new
-      // action may appear, never the multi-round CC job burst. Measure
-      // by comparing job deltas: the first action's burst includes the
-      // screen; the second must be strictly smaller.
-      var settled = -1; var w2 = 0
-      while (jobs.get() != settled && w2 < 5000) {
-        settled = jobs.get(); Thread.sleep(250); w2 += 250
-      }
-      val afterFirst = jobs.get()
-      assert(df.collect().map(_.getLong(0)).toSet == Set(0L, 2L))
-      var settled2 = -1; var w3 = 0
-      while (jobs.get() != settled2 && w3 < 5000) {
-        settled2 = jobs.get(); Thread.sleep(250); w3 += 250
-      }
-      val secondBurst = jobs.get() - afterFirst
-      assert(secondBurst < afterFirst,
-        s"second action ran $secondBurst jobs vs first burst $afterFirst — " +
-          "the deferred screen is re-running per action instead of memoizing")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    // count thunk invocations DIRECTLY via the memo cell in the logical
+    // plan — job-count deltas are async-delivered and AQE-variable
+    def screenEvals(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case d: graft.plans.DeferredRelation => d.memo.evalCount
+      }.sum
+
+    // planning-only surfaces: analysis, EXPLAIN (physical planning
+    // included), and view definition — none may run the screen/CC jobs
+    val df = spark.sql(
+      "SELECT doc_id FROM near_dedup('lazy_tf', 'doc_id', 'text')")
+    df.queryExecution.executedPlan // force full physical planning
+    spark.sql(
+      "EXPLAIN SELECT * FROM near_dedup('lazy_tf', 'doc_id', 'text')")
+      .collect()
+    assert(screenEvals(df) == 0,
+      s"near_dedup planning ran the deferred screen ${screenEvals(df)} times; must run it zero")
+    // first action fires the deferred screen+CC and answers correctly
+    val survivors = df.collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 2L), s"survivors: $survivors")
+    assert(screenEvals(df) == 1)
+    // the memo lives in the LOGICAL node, so a SECOND action on the
+    // same df re-plans a fresh exec node but must NOT re-run the
+    // iterative screen
+    assert(df.collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+    assert(screenEvals(df) == 1,
+      "the deferred screen re-ran on the second action instead of memoizing")
+
+    // invalidation contract: the memo is per-STATEMENT, not per-session.
+    // Replacing the underlying view does not disturb the held df (it
+    // keeps its snapshot-at-first-action answer)…
+    Seq((0L, base), (1L, base.replace("jumps", "leaps")))
+      .toDF("doc_id", "text").createOrReplaceTempView("lazy_tf")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(0L, 2L),
+      "a held df must keep serving its first-action snapshot")
+    // …while re-issuing the SQL parses a fresh TVF call with a fresh
+    // memo and sees the new table state
+    val fresh = spark.sql(
+      "SELECT doc_id FROM near_dedup('lazy_tf', 'doc_id', 'text')")
+      .collect().map(_.getLong(0)).toSet
+    assert(fresh == Set(0L), s"fresh statement must see the replaced view: $fresh")
   }
 
   test("ingest table functions: read_jsonl and read_warc from pure SQL") {

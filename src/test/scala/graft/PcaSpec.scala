@@ -43,6 +43,43 @@ class PcaSpec extends SparkSpec {
     assert(m(2) == m(9), "decimal-routed sums must not depend on partitioning")
   }
 
+  test("dense-buffer aggregator equals the SQL explode route bit for bit") {
+    val s = spark
+    import s.implicits._
+    // planted data PLUS the edge rows the SQL route defines semantics
+    // for: a NaN component (ANSI casts NaN → null → term skipped), a
+    // null vector (explode of null → dropped), and tiny magnitudes
+    // that round at scale 18
+    val edge = Seq(
+      (1001L, Array(Float.NaN, 1f, 2f, 3f)),
+      (1004L, Array(1e-12f, 2e-12f, -3e-12f, 4e-12f)),
+      (1005L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "vec")
+    // a null ELEMENT (not a null array): every product touching it is
+    // a null cast → skipped, on both routes
+    val nullElem = s.sql(
+      "SELECT 1002L AS id, array(CAST(NULL AS float), 1.0f, 2.0f, 3.0f) AS vec")
+    val df = planted.unionByName(edge).unionByName(nullElem)
+    def bits(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("i", "j").collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSeq
+    val dense = bits(Pca.secondMoment(df, col("vec"), 4))
+    val sql = bits(Pca.secondMomentExplode(df, col("vec"), 4))
+    assert(dense == sql,
+      "dense-buffer Gram must replay the SQL decimal route bit for bit")
+    assert(dense.length == 16)
+
+    // ANSI edge parity: finite-but-out-of-range products and short
+    // vectors are ERRORS on both routes (ANSI cast / element_at)
+    for (bad <- Seq(Array(Float.MaxValue, Float.MaxValue, 1f, 1f),
+                    Array(5f, 6f))) {
+      val b = planted.unionByName(Seq((2000L, bad)).toDF("id", "vec"))
+      intercept[Exception] { Pca.secondMoment(b, col("vec"), 4).collect() }
+      intercept[Exception] { Pca.secondMomentExplode(b, col("vec"), 4).collect() }
+    }
+  }
+
   test("projectOut: residuals orthogonal to the component, norm shrinks") {
     val df = planted
     val comp = Pca.topComponent(df, col("vec"), dim = 4, iters = 8)

@@ -9,6 +9,12 @@ import java.nio.file.Files
   * publish, threshold flush (B10), and watermarked windowed aggregation. */
 class StreamingSpec extends SparkSpec {
 
+  /** Live view of a DeltaLog store (base + delta tail, merged). */
+  private def merged(s: org.apache.spark.sql.SparkSession, dir: String,
+                     idCol: String = "id"): org.apache.spark.sql.DataFrame =
+    graft.core.DeltaLog.readMerged(s, dir, idCol)
+      .getOrElse(sys.error(s"no delta-log state at $dir"))
+
   test("upsert stream applies micro-batches; updates win; flush fires at threshold") {
     val s = spark
     import s.implicits._
@@ -23,7 +29,7 @@ class StreamingSpec extends SparkSpec {
       flushThreshold = 3, onFlush = _ => { flushes.incrementAndGet(); () })
     q1.awaitTermination()
 
-    var snap = s.read.parquet(s"$tmp/snap").orderBy("id")
+    var snap = merged(s, s"$tmp/snap").orderBy("id")
       .collect().map(r => r.getLong(0) -> r.getString(1))
     assert(snap.toSeq == Seq(0L -> "a", 1L -> "b"))
     assert(flushes.get() == 0) // 2 rows < threshold 3
@@ -34,10 +40,56 @@ class StreamingSpec extends SparkSpec {
       flushThreshold = 3, onFlush = _ => { flushes.incrementAndGet(); () })
     q2.awaitTermination()
 
-    snap = s.read.parquet(s"$tmp/snap").orderBy("id")
+    snap = merged(s, s"$tmp/snap").orderBy("id")
       .collect().map(r => r.getLong(0) -> r.getString(1))
     assert(snap.toSeq == Seq(0L -> "a", 1L -> "B", 2L -> "c"))
     assert(flushes.get() == 1) // 2 + 2 rows >= threshold
+  }
+
+  test("delta upsert stream: checkpoint replay after a crash is idempotent, compaction included") {
+    // a file source (unlike MemoryStream) is replayable across query
+    // restarts, so deleting the newest checkpoint commit genuinely
+    // re-runs that batchId — the crash shape the delta log must absorb:
+    // the replayed flush rewrites its own delta dir (same seq) and any
+    // compaction it already triggered stays folded
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("streamreplay").toString
+    Seq((0L, "a"), (1L, "b")).toDF("id", "v")
+      .write.parquet(s"$tmp/in/f0")
+    Seq((1L, "B"), (2L, "c")).toDF("id", "v")
+      .write.parquet(s"$tmp/in/f1")
+    Seq((0L, "A2"), (3L, "d")).toDF("id", "v")
+      .write.parquet(s"$tmp/in/f2")
+    val schema = s.read.parquet(s"$tmp/in/f0").schema
+
+    def drain(): Unit = StreamingIngest.upsertStream(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in/*"), "id", s"$tmp/store", s"$tmp/ckpt",
+      flushThreshold = Long.MaxValue, compactEvery = 2).awaitTermination()
+    drain()
+    val want = Map(0L -> "A2", 1L -> "B", 2L -> "c", 3L -> "d")
+    def state() = merged(s, s"$tmp/store").select("id", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() == want)
+    assert(graft.core.DeltaLog.watermark(s, s"$tmp/store") >= 1L,
+      "compactEvery=2 must have folded at least the first window")
+
+    // crash simulation: the newest batch committed its delta + data but
+    // the checkpoint commit was lost — restart replays that batchId
+    val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    // drop the Hadoop checksum twin too — LocalFS renames fail on a
+    // stale .N.crc left behind
+    new java.io.File(s"$tmp/ckpt/commits/.${commits.last.getName}.crc").delete()
+    assert(commits.last.delete())
+    drain()
+    assert(state() == want, "replayed batch must leave the store unchanged")
+    // and the replayed seq did not duplicate: one live delta dir at most
+    // per surviving batchId
+    val seqs = graft.core.DeltaLog.deltaSeqs(s, s"$tmp/store")
+    assert(seqs == seqs.distinct)
   }
 
   test("stream ingest → threshold flush → IVF rebuild → search sees new rows") {
@@ -64,7 +116,7 @@ class StreamingSpec extends SparkSpec {
       source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
       flushThreshold = 10, onFlush = _ => {
         rebuilds.incrementAndGet()
-        val snap = s.read.parquet(s"$tmp/snap")
+        val snap = merged(s, s"$tmp/snap")
         val (assigned, m) = graft.operators.Ivf.build(snap, "embedding", k = 4)
         graft.operators.Ivf.writePartitioned(assigned, s"$tmp/by_cluster")
         model = m
@@ -105,7 +157,7 @@ class StreamingSpec extends SparkSpec {
     val q1 = StreamingIngest.upsertStream(
       source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
       flushThreshold = 10, onFlush = _ => {
-        val snap = s.read.parquet(s"$tmp/snap")
+        val snap = merged(s, s"$tmp/snap")
         if (model == null) model = graft.operators.Ivf.build(snap, "embedding", k = 4)._2
         else {
           val (_, m2, fired) = graft.operators.Ivf.maintain(
@@ -124,7 +176,7 @@ class StreamingSpec extends SparkSpec {
     StreamingIngest.upsertStream(
       source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
       flushThreshold = 10, onFlush = _ => {
-        val snap = s.read.parquet(s"$tmp/snap")
+        val snap = merged(s, s"$tmp/snap")
         val (_, m2, fired) = graft.operators.Ivf.maintain(
           snap, model, k = 4, driftThreshold = 0.5)
         model = m2
@@ -139,7 +191,7 @@ class StreamingSpec extends SparkSpec {
     StreamingIngest.upsertStream(
       source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
       flushThreshold = 10, onFlush = _ => {
-        val snap = s.read.parquet(s"$tmp/snap")
+        val snap = merged(s, s"$tmp/snap")
         val (assigned, m2, fired) = graft.operators.Ivf.maintain(
           snap, model, k = 4, driftThreshold = 0.5)
         model = m2
@@ -179,7 +231,7 @@ class StreamingSpec extends SparkSpec {
       source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
       flushThreshold = 1, onFlush = { _ =>
         flushes.incrementAndGet()
-        val snap = s.read.parquet(s"$tmp/snap")
+        val snap = merged(s, s"$tmp/snap")
         graft.operators.Hnsw.refreshEdges(snap, s"$tmp/edges", "id", "embedding",
           parts, params)
         val assigned = if (ivfModel == null) {
@@ -203,7 +255,7 @@ class StreamingSpec extends SparkSpec {
     assert(flushes.get() == 2, "each drained micro-batch must flush")
     assert(ivfRebuilds.get() == 0, "stationary data must not re-train")
 
-    val snap = s.read.parquet(s"$tmp/snap")
+    val snap = merged(s, s"$tmp/snap")
     assert(snap.count() == 150)
     val edges = graft.core.SnapshotIO.read(s, s"$tmp/edges").get
     // batch-2 ids got linked into the persisted graph (incremental path ran)
@@ -266,7 +318,7 @@ class StreamingSpec extends SparkSpec {
         col("text"), dim, weights, bias = 0.0) > 0)
     StreamingIngest.upsertStream(gated, "id", s"$tmp/corpus", s"$tmp/ckpt",
       flushThreshold = Long.MaxValue, onFlush = _ => ()).awaitTermination()
-    val ids = s.read.parquet(s"$tmp/corpus").select("id")
+    val ids = merged(s, s"$tmp/corpus").select("id")
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(0L, 2L), s"spam doc must be gated out, got $ids")
   }
@@ -298,7 +350,7 @@ class StreamingSpec extends SparkSpec {
     val batch = Seq(
       (10L, "the quick brown fox leaps over the lazy dog"),
       (11L, "novel content never seen in the corpus before")).toDF("id", "text")
-    val corpus = s.read.parquet(s"$tmp/corpus")
+    val corpus = merged(s, s"$tmp/corpus")
     val flagged = graft.operators.Dedup.minhashLshPairsAgainst(
         batch, corpus, "id", "text", numHashes = 8, bands = 4, shingle = 3)
       .select("new_id").distinct().collect().map(_.getLong(0)).toSet
@@ -307,7 +359,7 @@ class StreamingSpec extends SparkSpec {
 
     source.addData((11L, "novel content never seen in the corpus before"))
     drain()
-    val ids = s.read.parquet(s"$tmp/corpus").select("id")
+    val ids = merged(s, s"$tmp/corpus").select("id")
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(0L, 1L, 11L), s"corpus after screened ingest: $ids")
   }
@@ -461,14 +513,14 @@ class StreamingSpec extends SparkSpec {
     def hashes(df: org.apache.spark.sql.DataFrame) =
       Multimodal.imageDHash(df, "id", "media")
     val flagged = Dedup.hammingNearDupPairsAgainst(
-        hashes(batch), hashes(s.read.parquet(s"$tmp/corpus")),
+        hashes(batch), hashes(merged(s, s"$tmp/corpus")),
         "id", "dhash", maxDist = 3, hashBits = 56)
       .select("new_id").distinct().collect().map(_.getLong(0)).toSet
     assert(flagged == Set(10L), s"expected only the edited re-encode, got $flagged")
 
     source.addData((11L, img(9, flip = true)))
     drain()
-    val ids = s.read.parquet(s"$tmp/corpus").select("id")
+    val ids = merged(s, s"$tmp/corpus").select("id")
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(0L, 1L, 11L), s"corpus after screened ingest: $ids")
   }
@@ -544,7 +596,7 @@ class StreamingSpec extends SparkSpec {
     def drain(): Unit = StreamingIngest.upsertStream(
       source.toDF().toDF("id", "embedding"), "id", s"$tmp/snap", s"$tmp/ckpt",
       flushThreshold = 1, onFlush = { _ =>
-        val snap = s.read.parquet(s"$tmp/snap")
+        val snap = merged(s, s"$tmp/snap")
         val dupes =
           if (model == null) {
             val (d, m) = graft.operators.Dedup.semDedupAuto(snap, "id",

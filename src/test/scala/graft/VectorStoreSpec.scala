@@ -183,6 +183,65 @@ class VectorStoreSpec extends SparkSpec {
     assert(persisted == onTheFly)
   }
 
+  test("filtered BQ: identical filters share one stats pass; mutation invalidates") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storebqcache").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(40, 8)
+    store.ingest(data.map { case (i, v) =>
+      (v, Map("parity" -> (i % 2).toString)) }.toDF("embedding", "metadata"))
+
+    def run(filter: Map[String, String]) =
+      store.searchBq(data(3)._2.toSeq, k = 3, rerank = 9,
+        metadataFilter = filter).collect()
+
+    val first = run(Map("parity" -> "1"))
+    assert(store.bqTrainCount.get() == 1)
+    // the SAME filter again: cached thresholds, no second stats pass,
+    // identical answer
+    val second = run(Map("parity" -> "1"))
+    assert(store.bqTrainCount.get() == 1,
+      "identical filtered search retrained instead of using the cache")
+    assert(first.map(_.toString).toSeq == second.map(_.toString).toSeq)
+    // a DIFFERENT filter trains its own thresholds
+    run(Map("parity" -> "0"))
+    assert(store.bqTrainCount.get() == 2)
+    // mutation through this instance invalidates the cache
+    store.delete(Seq(first.head.getAs[Long]("id")))
+    run(Map("parity" -> "1"))
+    assert(store.bqTrainCount.get() == 3,
+      "post-delete filtered search served stale cached thresholds")
+  }
+
+  test("LSH tier: persisted-signature path equals the direct path; serves post-train deletes") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storelsh").toString
+    val store = VectorStore.open(s, dir, dim = 16)
+    val data = corpus(80, 16)
+    store.ingest(data.map { case (i, v) =>
+      (v, Map("parity" -> (i % 2).toString)) }.toDF("embedding", "metadata"))
+
+    def hits(filter: Map[String, String] = Map.empty) =
+      store.searchLsh(data(7)._2.toSeq, k = 5, probeBits = 2, filter)
+        .select("id", "dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val direct = hits()
+    val directFiltered = hits(Map("parity" -> "1"))
+    store.trainLsh()
+    assert(hits() == direct,
+      "persisted-signature search must equal the on-scan path")
+    assert(hits(Map("parity" -> "1")) == directFiltered,
+      "metadata filter must compose identically through the persisted path")
+    // deletes AFTER the build drop out via the live-join
+    val top = direct.head._1
+    store.delete(Seq(top))
+    assert(!hits().map(_._1).contains(top),
+      "tombstoned id must not surface from stale persisted signatures")
+  }
+
   test("IVF-PQ build + two-stage search through the facade") {
     val s = spark
     import s.implicits._
