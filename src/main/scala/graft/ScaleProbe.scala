@@ -547,6 +547,28 @@ object ScaleProbe {
         good.toLong
       }
 
+      // facade per-query bill, before vs after trainLsh(): the on-scan
+      // path re-derives every row's 128 plane dots per call (the
+      // measured 10M bill that motivated persistence); the persisted
+      // path filters a (id, sigs) table ~70 B/row and point-joins only
+      // the candidates back for the exact rerank
+      val lshSigOnlyDir = s"$dir-lshsigsonly"
+      tp("lsh_facade_onscan_1q") { () } {
+        graft.operators.Lsh.search(
+          graft.operators.Lsh.assign(df, "embedding", lshModel),
+          lshModel, "id", "embedding", q, 10, 2).count()
+      }
+      tp("lsh_facade_persisted_1q") {
+        ensure(lshSigOnlyDir)(
+          lshSigs.select("id", graft.operators.Lsh.SigsCol)
+            .write.mode("overwrite").parquet(lshSigOnlyDir))
+      } {
+        val cand = spark.read.parquet(lshSigOnlyDir)
+          .filter(graft.operators.Lsh.probeCondition(lshModel, q, 2))
+          .select("id")
+        Search.knnExact(df.join(cand, "id"), "id", "embedding", q, 10).count()
+      }
+
       // IVF-PQ composite over the stored corpus: residual encode persisted
       // cluster-partitioned, then two-stage search over codes only
       val ivfpqDir = s"$dir-ivfpq"

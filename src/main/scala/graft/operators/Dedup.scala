@@ -836,8 +836,10 @@ object Dedup {
     * after k rounds is 2^k − 1 hops, so convergence is O(log diameter)
     * rounds, NOT O(diameter): the chain-shaped graphs sliding
     * boilerplate/pagination produces (a 10k-doc path, diameter 9999)
-    * close in 14 rounds — DedupSpec pins this inside the default
-    * maxIter = 25, which covers diameters up to ~2^25. Each round is
+    * close in 14 rounds, a measured 10M-node path (diameter 10^7 − 1)
+    * in 25 — and the default maxIter = 50 covers diameters past 2^48
+    * (a converged run exits at its fixpoint, so the budget costs
+    * nothing unless the graph needs it). Each round is
     * one E-sized shuffle join, one V-sized aggregation, and one V-vs-V
     * label join — never all-pairs, no driver-side graph. Lineage is
     * cut with localCheckpoint every round so plans stay O(1) deep
@@ -851,7 +853,7 @@ object Dedup {
     * output either way (min-id labels are algorithm-independent);
     * pass 0 to force the distributed path. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
-                          bCol: String = "b", maxIter: Int = 25,
+                          bCol: String = "b", maxIter: Int = 50,
                           localThreshold: Long = 1000000L): DataFrame = {
     // integral ids only: a blind cast would turn string ids into nulls
     // (distributed path) or 0 via null-unboxing (local path), silently
