@@ -934,6 +934,35 @@ object ScaleProbe {
         }
         spark.read.parquet(s"$sdir/rstore").count()
       }
+
+      // the read-side bill of merge-on-read: a merged read pays the
+      // latest-seq-wins resolution + base anti-join per call, growing
+      // with the DELTA TAIL length — the cost the compaction cadence
+      // exists to bound. Measured: read wall at tail 0 / 16 / 64 tiny
+      // deltas over the n-row base, then post-compaction.
+      tp("stream_merged_read_tail") {
+        graft.core.DeltaLog.append(upBase, s"$sdir/mstore", 0L)
+        graft.core.DeltaLog.compact(spark, s"$sdir/mstore", "id")
+      } {
+        def readWall(): Double = {
+          val t0 = System.nanoTime()
+          graft.core.DeltaLog.readMerged(spark, s"$sdir/mstore", "id")
+            .get.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val w0 = readWall()
+        (1L to 16L).foreach(i =>
+          graft.core.DeltaLog.append(upBatch(i), s"$sdir/mstore", i))
+        val w16 = readWall()
+        (17L to 64L).foreach(i =>
+          graft.core.DeltaLog.append(upBatch(i), s"$sdir/mstore", i))
+        val w64 = readWall()
+        graft.core.DeltaLog.compact(spark, s"$sdir/mstore", "id")
+        val wc = readWall()
+        println(f"        merged read wall: tail0=$w0%.2f s  tail16=$w16%.2f s  " +
+          f"tail64=$w64%.2f s  post-compact=$wc%.2f s")
+        graft.core.DeltaLog.deltaSeqs(spark, s"$sdir/mstore").length.toLong
+      }
     }
 
     if (text) {

@@ -2460,6 +2460,41 @@ object SparkEntry {
       Sketch.hllEstimate(state.get().toSeq.toDF("bucket", "r"), p = 6)
     }: DataFrame),
 
+    // ---- Delta-log streaming upsert WITH in-stream tombstones: the
+    // documents corpus ingests as flush 1; flush 2 carries updates
+    // (doc_id % 7 = 0 → lang uppercased) and deletions (doc_id % 5 = 0,
+    // tombstone rows) in one batch. compactEvery=2 folds the delta tail
+    // into the base MID-PIPELINE, so the oracle gates the whole
+    // merge-on-read chain: O(batch) append → latest-seq-wins merge →
+    // tombstone shadowing of base rows → crash-safe fold — the final
+    // state must equal the plain SQL the oracle runs over `documents`.
+    "b10_stream_tombstone" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val tmp = scratchDir("graft_b10tomb")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      docs.withColumn("__del", lit(false))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b0")
+      val schema = s.read.parquet(s"$tmp/in/b0").schema
+      def drain(): Unit = graft.streaming.StreamingIngest.upsertStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/in/*"),
+        "doc_id", s"$tmp/store", s"$tmp/ckpt",
+        flushThreshold = Long.MaxValue, compactEvery = 2,
+        tombstoneCol = Some("__del")).awaitTermination()
+      drain()
+      // flush 2 is written only after flush 1 fully drained, so the
+      // update/delete batch is unambiguously the LATER delta seq
+      docs.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, upper(col("lang")))
+            .otherwise(col("lang")).as("lang"),
+          (col("doc_id") % 5 === 0).as("__del"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b1")
+      drain()
+      graft.core.DeltaLog.readMerged(s, s"$tmp/store", "doc_id")
+        .getOrElse(sys.error("no delta-log state published by the stream"))
+        .orderBy("doc_id")
+    }: DataFrame),
+
     // ---- Streaming quantile-sketch maintenance: fold each micro-
     // batch's per-group bottom-k-by-hash samples into the running state
     // — idempotent exact-union merge (replayed rows dedup by hash), so
@@ -4847,6 +4882,13 @@ object SparkEntry {
           |  quantile_cont(v, 0.5) AS p50, quantile_cont(v, 0.9) AS p90,
           |  quantile_cont(v, 0.99) AS p99
           |FROM ranked WHERE rn <= 256 GROUP BY g ORDER BY lang""".stripMargin,
+
+      // delta-log upsert + tombstones: the merged stream state must
+      // equal the plain update/delete SQL over the same corpus
+      "b10_stream_tombstone" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 7 = 0 THEN upper(lang) ELSE lang END AS lang
+          |FROM documents WHERE doc_id % 5 <> 0 ORDER BY doc_id""".stripMargin,
 
       // streaming fold ≡ batch sketch (idempotent union merge): same
       // oracle as sketch_kll
