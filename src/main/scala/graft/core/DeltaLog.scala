@@ -157,14 +157,27 @@ object DeltaLog {
     * the watermark, then drop the folded dirs. Returns the new
     * watermark (unchanged when the tail was empty). O(corpus) by
     * design — run on a cadence so its cost amortizes to
-    * O(corpus / compactEvery) per flush, not on every flush. */
-  def compact(spark: SparkSession, dir: String, idCol: String): Long = {
+    * O(corpus / compactEvery) per flush, not on every flush.
+    *
+    * `retainGenerations > 0` archives the DISPLACED base as a
+    * numbered generation ([[SnapshotIO.publishRetained]]), so each
+    * compaction becomes a time-travel point: `SnapshotIO
+    * .readGeneration(spark, s"$dir/base", g)` reads any kept fold for
+    * rollback / [[graft.operators.Crud.snapshotDiff]] audits. The log
+    * assumes ONE writer (the owning streaming query or an external
+    * maintenance job between flushes) — concurrent compactions from
+    * two processes are not coordinated. */
+  def compact(spark: SparkSession, dir: String, idCol: String,
+              retainGenerations: Int = 0): Long = {
     val w = watermark(spark, dir)
     val live = deltaSeqs(spark, dir).filter(_ > w)
     if (live.isEmpty) return w
     val hi = live.max
-    readMerged(spark, dir, idCol).foreach(m =>
-      SnapshotIO.publish(m, basePath(dir)))
+    readMerged(spark, dir, idCol).foreach { m =>
+      if (retainGenerations > 0)
+        SnapshotIO.publishRetained(m, basePath(dir), retainGenerations)
+      else SnapshotIO.publish(m, basePath(dir))
+    }
     setWatermark(spark, dir, hi)
     // only delete BELOW the just-durable watermark — includes stale
     // dirs ≤ the previous watermark left by an earlier crashed cleanup

@@ -118,6 +118,24 @@ class DeltaLogSpec extends SparkSpec {
     assert(rows(dir) == Map(0L -> "a2"))
   }
 
+  test("retained compaction archives each displaced fold as a generation") {
+    val dir = Files.createTempDirectory("dloggen").toString
+    DeltaLog.append(df(0L -> "v1"), dir, 0L)
+    DeltaLog.compact(spark, dir, "id", retainGenerations = 2)
+    DeltaLog.append(df(0L -> "v2"), dir, 1L)
+    DeltaLog.compact(spark, dir, "id", retainGenerations = 2)
+    DeltaLog.append(df(0L -> "v3"), dir, 2L)
+    DeltaLog.compact(spark, dir, "id", retainGenerations = 2)
+    assert(rows(dir) == Map(0L -> "v3"))
+    // the two displaced folds are readable generations (v1, v2)
+    val gens = SnapshotIO.generations(spark, s"$dir/base")
+    assert(gens.length == 2, s"generations: $gens")
+    val vals = gens.map(g =>
+      SnapshotIO.readGeneration(spark, s"$dir/base", g).get
+        .select("v").head.getString(0))
+    assert(vals == Seq("v1", "v2"), s"generation contents: $vals")
+  }
+
   test("torn delta dir (no _SUCCESS) is invisible to readers") {
     val dir = Files.createTempDirectory("dlogtorn").toString
     DeltaLog.append(df(0L -> "a"), dir, 0L)
