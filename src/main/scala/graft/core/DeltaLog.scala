@@ -70,8 +70,11 @@ object DeltaLog {
     val normalized = tombstoneCol match {
       case Some(c) =>
         require(batch.columns.contains(c), s"tombstone column '$c' missing")
-        batch.withColumn(TombCol,
-          coalesce(col(c).cast("boolean"), lit(false))).drop(c)
+        val marked = batch.withColumn(TombCol,
+          coalesce(col(c).cast("boolean"), lit(false)))
+        // a caller naming TombCol itself already normalized in place —
+        // dropping would discard the marker it just wrote
+        if (c == TombCol) marked else marked.drop(c)
       case None =>
         require(!batch.columns.contains(TombCol),
           s"reserved column '$TombCol' present — pass it as tombstoneCol")

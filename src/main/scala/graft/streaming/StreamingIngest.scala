@@ -50,7 +50,14 @@ object StreamingIngest {
     * trigger for continuous ingest. Crash/replay: the checkpoint
     * replays a batch by rewriting its own delta dir (overwrite by
     * batchId) — idempotent against every compaction crash point
-    * (DeltaLog scaladoc). */
+    * (DeltaLog scaladoc).
+    *
+    * Cost note: a finite `flushThreshold` prices one merged COUNT per
+    * batch (column-pruned to the id column, but still a base scan) —
+    * the exact store-size trigger the reference's threshold semantics
+    * ask for. Streams that rebuild artifacts on every flush anyway
+    * (flushThreshold = 1) already pay a merged read in their hook;
+    * pass Long.MaxValue to skip counting entirely. */
   def upsertStream(stream: DataFrame, idCol: String, targetDir: String,
                    checkpointDir: String, flushThreshold: Long = 1000L,
                    onFlush: Long => Unit = _ => (),

@@ -55,6 +55,13 @@ class DeltaLogSpec extends SparkSpec {
     // delete-then-reinsert is a normal insert
     DeltaLog.append(df(1L -> "back"), dir, 2L)
     assert(rows(dir)(1L) == "back")
+    // a batch already carrying the normalized marker column name works:
+    // the marker must survive normalization, not be dropped with it
+    DeltaLog.append(
+      Seq((1L, "x", true)).toDF("id", "v", DeltaLog.TombCol),
+      dir, 3L, tombstoneCol = Some(DeltaLog.TombCol))
+    assert(!rows(dir).contains(1L),
+      "tombstone named __tomb directly must still delete")
   }
 
   test("per-flush write is O(batch): base untouched between compactions") {
