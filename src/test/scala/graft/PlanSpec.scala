@@ -120,6 +120,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("delta-log merged read: base side never shuffles; the anti-join broadcasts the delta ids") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("dlogplan").toString
+    graft.core.DeltaLog.append(
+      (0L until 500L).map(i => (i, s"row $i")).toDF("id", "v"), dir, 0L)
+    graft.core.DeltaLog.compact(spark, dir, "id")
+    graft.core.DeltaLog.append(
+      Seq((1L, "upd")).toDF("id", "v"), dir, 1L)
+    val merged = graft.core.DeltaLog.readMerged(spark, dir, "id").get
+    merged.count() // let AQE finalize the adaptive plan
+    val plan = merged.queryExecution.executedPlan.toString
+    // the base-shadowing anti join must be broadcast (delta-id build
+    // side), not a sort-merge that shuffles the whole base
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti-join on the base side, plan:\n$plan")
+    val smj = plan.split("\n").count(_.contains("SortMergeJoin"))
+    assert(smj == 0, s"merged read must not sort-merge the base, plan:\n$plan")
+  }
+
   test("metadata filter on a parquet table is pushed into the scan") {
     val dir = Files.createTempDirectory("pushdown").toString + "/t"
     val s = spark
