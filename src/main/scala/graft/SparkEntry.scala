@@ -2049,6 +2049,31 @@ object SparkEntry {
         .orderBy(col("dist").asc, col("vec_id").asc)
     }),
 
+    // ---- The LSH PERSISTED-SIGNATURE deployment shape under the same
+    // oracle: build step persists the (id, sigs) table — exactly what
+    // VectorStore.trainLsh stores — then the query filters the compact
+    // signature table with the probe cut and point-joins only the
+    // candidates back for the exact (dist, id) rerank. Same model, same
+    // probe cut ⇒ same candidate set as o3_lsh_search, so the exact-kNN
+    // oracle gates the whole persisted chain (assign → persist → probe
+    // filter → hydrate-join → rerank).
+    "o3_lsh_persisted" -> ((s, dir) => {
+      val tmp = scratchDir("graft_lshpersist")
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val model = Lsh.fitBanded(dim = 64, bitsPerTable = 8, nTables = 16)
+      Lsh.assign(emb, "embedding", model)
+        .select(col("vec_id"), col(graft.operators.Lsh.SigsCol))
+        .write.mode("overwrite").parquet(s"$tmp/sigs")
+      val cand = s.read.parquet(s"$tmp/sigs")
+        .filter(Lsh.probeCondition(model, q, probeBits = 2))
+        .select("vec_id")
+      Search.knnExact(emb.join(cand, "vec_id"), "vec_id", "embedding", q, 10)
+        .select("vec_id", "dist")
+        .orderBy(col("dist").asc, col("vec_id").asc)
+    }),
+
     // ---- O7 × O3: metadata filter composed below the HNSW path
     // (test_search_api.py:149-172 exclusion semantics). The filter
     // applies before graph construction, so each per-shard graph holds
@@ -4185,6 +4210,12 @@ object SparkEntry {
       // banded LSH at 16×8 bits + 2-bit multi-probe achieves full
       // top-10 recall on this data, so the exact-kNN SQL is its oracle
       "o3_lsh_search" ->
+        s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      // the persisted-signature path probes the same buckets -> same
+      // candidate set -> the same exact-kNN oracle
+      "o3_lsh_persisted" ->
         s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
            |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
 
