@@ -21,7 +21,10 @@ object ScaleProbe {
     val text = group == "all" || group == "text"
     val layout = group == "all" || group == "layout"
     val stream = group == "all" || group == "stream"
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[16]")
+    // SPARK_GRAFT_CPUS mirrors Bench's knob (default 16 keeps published
+    // probe rows comparable; raise for the 100M-tier runs)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(16)
+    val spark = org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
