@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   * open a store at a path, write/read/delete/search, with index build
   * (IVF/PQ/HNSW) as explicit batch operations.
   *
-  * Everything is a DataFrame→DataFrame transformation over a parquet
-  * snapshot; the only driver-side state is the store path and small
-  * model artifacts (k centroids, chunks×k codebook).
+  * Everything is a DataFrame→DataFrame transformation over a
+  * merge-on-read delta log ([[graft.core.DeltaLog]]: compacted base +
+  * per-mutation delta dirs); the only driver-side state is the store
+  * path and small model artifacts (k centroids, chunks×k codebook).
+  * Mutations (ingest/delete) are O(batch) delta appends — the
+  * reference's save is likewise an O(1) slot write (storage.py:198-230)
+  * — and [[compact]] folds the tail on the caller's cadence. Pre-delta
+  * stores (plain snapshot at the vectors root) are adopted by renames
+  * on first read.
   */
 class VectorStore private (val spark: SparkSession, val path: String,
                            val dim: Int) {
@@ -22,27 +28,66 @@ class VectorStore private (val spark: SparkSession, val path: String,
   private def ivfModelPath = s"$path/ivf_model"
   private def ivfDataPath = s"$path/vectors_by_cluster"
 
-  /** Current snapshot (empty on a fresh store). SnapshotIO recovers
-    * torn publishes; only a never-written store reads as empty.
+  /** Current merged state (empty on a fresh store): the delta-log base
+    * shadowed by every live delta, tombstone flags included —
+    * [[graft.core.DeltaLog.readMerged]]. A store written by the
+    * pre-delta-log code (plain snapshot at the vectors root) is adopted
+    * as the initial base on first read (file renames, no rewrite).
     * Stores persisted before the `metadata_json` fidelity column are
-    * padded with nulls so old and new snapshots union cleanly. */
+    * padded with nulls so old and new layouts read uniformly. */
   def snapshot(): DataFrame = {
-    val df = graft.core.SnapshotIO.read(spark, dataPath).getOrElse(
+    val df = graft.core.DeltaLog.readMerged(spark, dataPath, "id").getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Tables.nodeSchema))
-    if (df.columns.contains("metadata_json")) df
-    else df.withColumn("metadata_json", lit(null).cast("string"))
-      .select("id", "embedding", "content", "metadata", "metadata_json", "is_deleted")
+    val padded =
+      if (df.columns.contains("metadata_json")) df
+      else df.withColumn("metadata_json", lit(null).cast("string"))
+    padded.select("id", "embedding", "content", "metadata", "metadata_json",
+      "is_deleted")
   }
 
-  /** S6 write path: validate dims, assign ids from next_id, upsert,
-    * persist (mmap_vector_store.py:83-125). Rows: (embedding, content?,
-    * metadata?). */
+  // Next-id high-water mark (`$path/next_id`): ids are reserved by
+  // bumping this marker BEFORE the batch's delta lands, so a crash
+  // between the bump and the write leaves an id GAP, never a collision
+  // that would silently shadow earlier rows on replay. Absent marker
+  // (legacy store / first ingest) falls back to max(id)+1 over the
+  // merged state once, then stays O(1). The reference's next_id is the
+  // same max+1 contract (storage.py:276-280); gaps after a crash are
+  // the documented deviation reserve-then-write buys.
+  private def nextIdPath = new org.apache.hadoop.fs.Path(s"$path/next_id")
+  private def hfs = nextIdPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def readNextId(): Long = {
+    val f = hfs
+    if (!f.exists(nextIdPath)) Crud.nextId(snapshot(), "id")
+    else {
+      val in = f.open(nextIdPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      // a torn marker degrades to the max-scan, never to a crash or a
+      // silently colliding id range
+      s.toLongOption.getOrElse(Crud.nextId(snapshot(), "id"))
+    }
+  }
+  private def writeNextId(v: Long): Unit = {
+    val f = hfs
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/next_id.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(nextIdPath, false)
+    if (!f.rename(tmp, nextIdPath) && !f.exists(nextIdPath))
+      throw new java.io.IOException(s"rename $tmp -> $nextIdPath failed")
+  }
+
+  /** S6 write path: validate dims, assign contiguous ids from the
+    * next-id high-water mark, append ONE delta (mmap_vector_store.py:
+    * 83-125 — whose save is likewise an O(1) slot write, storage.py:
+    * 198-230, not a store rewrite). Per-call I/O is O(batch): the
+    * corpus is never read or rewritten; folding happens in [[compact]]
+    * on the caller's cadence. Rows: (embedding, content?, metadata?).
+    * Returns the first assigned id. */
   def ingest(rows: DataFrame, embCol: String = "embedding"): Long = {
-    val cur = snapshot()
-    val start = Crud.nextId(cur, "id")
     val validated = Tables.validateDim(rows, embCol, dim)
-    val withIds = Crud.assignIdsFast(validated, start)
+    val full = validated
       .withColumn("content", coalesce(tryCol(validated, "content"), lit(null).cast("string")))
       .withColumn("metadata", coalesce(tryCol(validated, "metadata"),
         lit(null).cast("map<string,string>")))
@@ -54,11 +99,36 @@ class VectorStore private (val spark: SparkSession, val path: String,
         to_json(coalesce(tryCol(validated, "metadata"),
           lit(null).cast("map<string,string>")))))
       .withColumn("is_deleted", lit(false))
-      .select("id", "embedding", "content", "metadata", "metadata_json", "is_deleted")
-    val merged = Crud.upsert(cur, withIds, "id")
-    graft.core.SnapshotIO.publish(merged, dataPath)
-    invalidateDerivedCaches()
-    start
+      .select(col(embCol).as("embedding"), col("content"), col("metadata"),
+        col("metadata_json"), col("is_deleted"))
+      .persist()
+    try {
+      val start = readNextId()
+      val (withIds, n) = Crud.assignIdsRange(full, start)
+      // reserve the exact range BEFORE the delta lands (crash ⇒ gap)
+      writeNextId(start + n)
+      val ordered = withIds.select("id", "embedding", "content", "metadata",
+        "metadata_json", "is_deleted")
+      val seq = graft.core.DeltaLog.nextSeq(spark, dataPath)
+      graft.core.DeltaLog.append(ordered, dataPath, seq)
+      // incremental LSH maintenance: a persisted signature table stays
+      // fresh across ingests — assign signatures for the NEW rows only
+      // (read back from the delta that just landed, so the signature
+      // rows match the persisted ids exactly) and append; no full
+      // trainLsh rebuild. A crash between the two appends leaves the
+      // batch signature-less until the next trainLsh — recall-only
+      // staleness, the live-join keeps distances exact.
+      if (successAt(lshModelPath) && successAt(lshSigPath)) {
+        val m = Lsh.load(spark, lshModelPath)
+        val landed = spark.read.parquet(
+          graft.core.DeltaLog.deltaPath(dataPath, seq))
+        Lsh.assign(landed, "embedding", m)
+          .select(col("id"), col(Lsh.SigsCol))
+          .write.mode("append").parquet(lshSigPath)
+      }
+      invalidateDerivedCaches()
+      start
+    } finally { full.unpersist(); () }
   }
 
   private def tryCol(df: DataFrame, name: String): Column =
@@ -356,7 +426,11 @@ class VectorStore private (val spark: SparkSession, val path: String,
   // raw SnapshotIO) leaves cached thresholds stale until this instance
   // mutates or is reopened — thresholds only steer the Hamming screen,
   // the exact rerank stays correct, so staleness costs recall margin,
-  // never wrong distances.
+  // never wrong distances. Bounded: a long-lived read-only instance
+  // serving many DISTINCT filters would otherwise accumulate one
+  // dim-length Seq per filter forever; at the cap the map clears
+  // (entries are cheap to recompute — one stats pass each).
+  private val BqFilterCacheMax = 1024
   @transient private lazy val bqFilterThresholds =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
   private[graft] val bqTrainCount =
@@ -385,11 +459,14 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val th = if (!centered) Nil
       else if (metadataFilter.isEmpty)
         bqThresholdsIfPersisted().getOrElse(train())
-      else
+      else {
         // per-filter memo: identical filtered searches share ONE stats
         // pass (see the cache's staleness scaladoc above)
+        if (bqFilterThresholds.size() >= BqFilterCacheMax)
+          bqFilterThresholds.clear()
         bqFilterThresholds.computeIfAbsent(filterKey(metadataFilter),
           _ => train())
+      }
     val enc = Bq.encode(corpus, "embedding", thresholds = th)
     val w = if (rerank >= 0) rerank
       else Bq.scaledRerank(k, corpus.count(), sessionConfig.bqRerankFactor)
@@ -431,25 +508,43 @@ class VectorStore private (val spark: SparkSession, val path: String,
       k, w)
   }
 
-  /** S5: tombstone delete + persisted snapshot. */
+  /** S5: tombstone delete — ONE delta append of the flipped rows.
+    * Bytes written are O(|ids|), never O(corpus): `delete(Seq(42))` on
+    * a 100 TB store writes one ~row-sized delta, where the pre-delta
+    * shape re-published the whole snapshot to flip one flag. The
+    * tombstoned rows stay visible in [[snapshot]] with
+    * `is_deleted = true` (reference dangling-id tolerance) until
+    * [[compact]] physically drops them. */
   def delete(ids: Seq[Long]): Unit = {
-    graft.core.SnapshotIO.publish(Crud.tombstone(snapshot(), "id", ids), dataPath)
+    val hit = snapshot().filter(col("id").isin(ids: _*))
+      .withColumn("is_deleted", lit(true))
+    graft.core.DeltaLog.append(hit, dataPath,
+      graft.core.DeltaLog.nextSeq(spark, dataPath))
     invalidateDerivedCaches()
   }
 
-  /** Compaction: physically drop tombstoned rows. */
+  /** Compaction: fold the delta tail into the base AND physically drop
+    * tombstoned rows — the one deliberately O(corpus) maintenance pass
+    * (every ingest/delete between compactions stayed O(batch)). Run on
+    * a cadence, like the streaming path's `compactEvery`. */
   def compact(): Unit = {
-    graft.core.SnapshotIO.publish(
-      Crud.compact(snapshot()).withColumn("is_deleted", lit(false)), dataPath)
+    graft.core.DeltaLog.compact(spark, dataPath, "id",
+      transform = m => Crud.compact(m).withColumn("is_deleted", lit(false)),
+      foldEmptyTail = true)
     invalidateDerivedCaches()
   }
 
-  /** File compaction: merge the snapshot's accumulated small parquet
-    * files toward `targetBytes` each (the post-streaming-ingest
-    * OPTIMIZE pass; content unchanged, no shuffle). Returns the target
-    * file count. */
-  def compactFiles(targetBytes: Long = 128L * 1024 * 1024): Long =
-    graft.core.SnapshotIO.compactFiles(spark, dataPath, targetBytes)
+  /** File compaction: merge the BASE snapshot's accumulated small
+    * parquet files toward `targetBytes` each (the post-ingest OPTIMIZE
+    * pass; content unchanged, no shuffle). Delta dirs are left alone —
+    * [[compact]] is what folds them. Returns the resulting file
+    * count. */
+  def compactFiles(targetBytes: Long = 128L * 1024 * 1024): Long = {
+    // reading merged first adopts a legacy root layout, so the file
+    // pass below always targets the delta-log base
+    graft.core.DeltaLog.readMerged(spark, dataPath, "id")
+    graft.core.SnapshotIO.compactFiles(spark, s"$dataPath/base", targetBytes)
+  }
 
   /** E5 config source, live: `GraftConfig` defaults overridden by any
     * `graft.*` keys set on the session

@@ -59,6 +59,69 @@ object DeltaLog {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // -----------------------------------------------------------------
+  // Legacy-layout adoption: a store written by the pre-delta-log code
+  // is a plain SnapshotIO snapshot AT `dir` ITSELF (parquet files +
+  // _SUCCESS at the root). Reading such a dir through the delta-log
+  // paths alone would silently return empty (no base/ subdir) and
+  // orphan every pre-existing row, so [[readMerged]] detects the
+  // legacy root and ADOPTS it as the initial base — pure file RENAMES
+  // (O(files), no data rewrite; a 100 TB legacy store migrates in
+  // metadata time). Crash-safe via a `_adopting` resume marker:
+  //  - marker created, files partially moved → next read resumes the
+  //    move (each file is either at the root or in base__adopt —
+  //    idempotent).
+  //  - tmp renamed to base, marker not yet deleted → resume sees base
+  //    present, drops leftovers and the marker.
+  // Single-writer, like every other mutation in this log.
+  // -----------------------------------------------------------------
+
+  private def adoptIfLegacy(spark: SparkSession, dir: String): Unit = {
+    val rootP = new Path(dir)
+    val f = fs(spark, rootP)
+    // a legacy root mid-SnapshotIO-publish crash (dir renamed aside):
+    // promote tmp/bak exactly as SnapshotIO.read would — only when dir
+    // itself is missing, matching that recovery contract
+    if (!f.exists(rootP) &&
+        (f.exists(new Path(dir + ".tmp", "_SUCCESS")) ||
+          f.exists(new Path(dir + ".bak")))) {
+      SnapshotIO.read(spark, dir); ()
+    }
+    if (!f.exists(rootP)) return
+    val marker = new Path(rootP, "_adopting")
+    val legacy = f.exists(new Path(rootP, "_SUCCESS"))
+    if (!legacy && !f.exists(marker)) return
+    // resume marker FIRST: every later crash point replays through here
+    if (!f.exists(marker)) f.create(marker, true).close()
+    val baseP = new Path(basePath(dir))
+    val tmp = new Path(rootP, "base__adopt")
+    if (f.exists(baseP)) {
+      // a resumed adoption that already renamed tmp → base: the file
+      // moves all preceded that rename, so the root is clean — drop
+      // leftovers and the marker
+      f.delete(tmp, true)
+    } else {
+      if (!f.mkdirs(tmp) && !f.exists(tmp))
+        throw new java.io.IOException(s"mkdir $tmp failed")
+      // move every root-level FILE (parquet parts, _SUCCESS, committer
+      // sidecars); delta-layout files and subdirs (delta/, markers)
+      // stay put
+      val keep = Set("_adopting", "_watermark", "_watermark.tmp",
+        "_basecount", "_basecount.tmp")
+      f.listStatus(rootP).toSeq
+        .filter(st => st.isFile && !keep(st.getPath.getName))
+        .foreach { st =>
+          val to = new Path(tmp, st.getPath.getName)
+          if (!f.rename(st.getPath, to) && !f.exists(to))
+            throw new java.io.IOException(s"rename ${st.getPath} -> $to failed")
+        }
+      if (!f.rename(tmp, baseP) && !f.exists(baseP))
+        throw new java.io.IOException(s"rename $tmp -> $baseP failed")
+    }
+    f.delete(marker, false)
+    ()
+  }
+
   /** Append one flush as delta `seq`. Overwrite-mode so a checkpoint
     * replay of the same batchId rewrites rather than duplicates. Rows
     * where `tombstoneCol` is true are recorded as deletions of their
@@ -110,6 +173,19 @@ object DeltaLog {
       throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 
+  /** The delta dir for one seq — for reading back a just-appended
+    * batch (e.g. to derive index-side rows from exactly what landed). */
+  def deltaPath(dir: String, seq: Long): String = seqDir(dir, seq)
+
+  /** Next unused delta seq for BATCH (non-streaming) appends: one past
+    * the max of the watermark and every complete delta on disk. A torn
+    * previous append (no `_SUCCESS`) is invisible here, so its seq is
+    * reused and overwritten — the same idempotence a streaming replay
+    * relies on. Single-writer, like every mutation in this log. */
+  def nextSeq(spark: SparkSession, dir: String): Long =
+    math.max(watermark(spark, dir),
+      deltaSeqs(spark, dir).lastOption.getOrElse(-1L)) + 1
+
   /** Every complete (`_SUCCESS`-marked) delta seq on disk, sorted. A
     * dir without the marker is an in-flight or torn write — invisible
     * until its replay completes it. */
@@ -131,16 +207,23 @@ object DeltaLog {
     * ever written. The base side is scanned once with NO shuffle — the
     * only exchange is over the delta tail (bounded by the compaction
     * cadence) plus the anti-join against its id set (broadcast when the
-    * tail is small, which the cadence guarantees). */
+    * tail is small, which the cadence guarantees).
+    *
+    * A pre-delta-log plain snapshot at the dir ROOT is adopted as the
+    * initial base first ([[adoptIfLegacy]] — file renames only), so
+    * opening a legacy store through the log never reads it as empty.
+    * Unions tolerate schema drift between base and deltas (columns
+    * added by newer writers pad null on the older side). */
   def readMerged(spark: SparkSession, dir: String,
                  idCol: String): Option[DataFrame] = {
+    adoptIfLegacy(spark, dir)
     val base = SnapshotIO.read(spark, basePath(dir))
     val w = watermark(spark, dir)
     val live = deltaSeqs(spark, dir).filter(_ > w)
     if (live.isEmpty) return base
     val deltas = live.map(s0 =>
         spark.read.parquet(seqDir(dir, s0)).withColumn(SeqCol, lit(s0)))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     // latest-seq-wins per id; within one seq the append is id-unique
     val win = Window.partitionBy(col(idCol)).orderBy(col(SeqCol).desc)
     val resolved = deltas.withColumn("__rn", row_number().over(win))
@@ -152,7 +235,8 @@ object DeltaLog {
         // tombstoned ids participate in the shadow set: their base rows
         // must disappear even though they contribute no delta row
         alive.unionByName(
-          b.join(resolved.select(col(idCol)), Seq(idCol), "left_anti"))
+          b.join(resolved.select(col(idCol)), Seq(idCol), "left_anti"),
+          allowMissingColumns = true)
     })
   }
 
@@ -169,24 +253,112 @@ object DeltaLog {
     * rollback / [[graft.operators.Crud.snapshotDiff]] audits. The log
     * assumes ONE writer (the owning streaming query or an external
     * maintenance job between flushes) — concurrent compactions from
-    * two processes are not coordinated. */
+    * two processes are not coordinated.
+    *
+    * `transform` rewrites the folded view before it is published (the
+    * facade drops its tombstone-flagged rows here). It must keep
+    * `idCol` and be stable under re-merge: a crash between the base
+    * publish and the watermark write re-applies the folded deltas over
+    * the transformed base, so rows the transform dropped can reappear
+    * (with their pre-transform payload) until the next compaction —
+    * acceptable for row filters like tombstone removal, wrong for
+    * anything a re-applied delta row would contradict. */
   def compact(spark: SparkSession, dir: String, idCol: String,
-              retainGenerations: Int = 0): Long = {
+              retainGenerations: Int = 0,
+              transform: DataFrame => DataFrame = identity,
+              foldEmptyTail: Boolean = false): Long = {
     val w = watermark(spark, dir)
-    val live = deltaSeqs(spark, dir).filter(_ > w)
-    if (live.isEmpty) return w
+    val all = deltaSeqs(spark, dir)
+    val live = all.filter(_ > w)
+    val f = fs(spark, new Path(dir))
+    if (live.isEmpty) {
+      // a checkpoint replay can rewrite a delta at seq ≤ watermark
+      // (crash during the compaction's own batch); reads ignore it, but
+      // leave no stale dirs behind even when there is nothing to fold
+      all.filter(_ <= w).foreach(s0 => f.delete(new Path(seqDir(dir, s0)), true))
+      // `foldEmptyTail` still pushes the transform through the base —
+      // the facade's physical tombstone drop must apply even when every
+      // delete already folded (e.g. right after a legacy adoption)
+      if (foldEmptyTail) {
+        adoptIfLegacy(spark, dir)
+        SnapshotIO.read(spark, basePath(dir)).foreach { b =>
+          if (retainGenerations > 0)
+            SnapshotIO.publishRetained(transform(b), basePath(dir), retainGenerations)
+          else SnapshotIO.publish(transform(b), basePath(dir))
+          setBaseCount(spark, dir, w, spark.read.parquet(basePath(dir)).count())
+        }
+      }
+      return w
+    }
     val hi = live.max
     readMerged(spark, dir, idCol).foreach { m =>
       if (retainGenerations > 0)
-        SnapshotIO.publishRetained(m, basePath(dir), retainGenerations)
-      else SnapshotIO.publish(m, basePath(dir))
+        SnapshotIO.publishRetained(transform(m), basePath(dir), retainGenerations)
+      else SnapshotIO.publish(transform(m), basePath(dir))
     }
     setWatermark(spark, dir, hi)
+    // record the folded base's row count, PAIRED with the watermark it
+    // belongs to (stale pairs from a crash between the two writes are
+    // detected by the seq mismatch) — an O(delta) store-size tracker
+    // reads this instead of counting the corpus. Zero-column scan:
+    // parquet serves it from row-group metadata.
+    setBaseCount(spark, dir, hi, spark.read.parquet(basePath(dir)).count())
     // only delete BELOW the just-durable watermark — includes stale
     // dirs ≤ the previous watermark left by an earlier crashed cleanup
-    val f = fs(spark, new Path(dir))
     deltaSeqs(spark, dir).filter(_ <= hi)
       .foreach(s0 => f.delete(new Path(seqDir(dir, s0)), true))
     hi
+  }
+
+  /** Row count of the compacted base, valid only when recorded by the
+    * compaction that produced the CURRENT watermark (None before the
+    * first compaction, after a legacy adoption, or when a crash split
+    * the watermark/count writes — callers fall back to counting). */
+  def baseCount(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new Path(dir, "_basecount")
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      s.split(':') match {
+        case Array(wm, n) =>
+          (wm.toLongOption, n.toLongOption) match {
+            case (Some(w), Some(c)) if w == watermark(spark, dir) => Some(c)
+            case _ => None // stale or torn — recount
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** Upper bound on the merged live row count, from O(delta) state:
+    * the base count recorded at the last fold (falling back to one
+    * zero-column base scan when the pair is missing or stale) plus
+    * each live delta's non-tombstone row count (footer-cheap scans of
+    * the tail only). An upper bound because duplicate-id inserts are
+    * double-counted and tombstone hits are not subtracted — exact
+    * resolution of the overlap is the merged count, which a
+    * threshold-tracking caller only needs once this bound says a
+    * crossing is possible. */
+  def sizeUpperBound(spark: SparkSession, dir: String): Long = {
+    val bc = baseCount(spark, dir).getOrElse(
+      SnapshotIO.read(spark, basePath(dir)).map(_.count()).getOrElse(0L))
+    val w = watermark(spark, dir)
+    bc + deltaSeqs(spark, dir).filter(_ > w).map(s0 =>
+      spark.read.parquet(seqDir(dir, s0)).filter(!col(TombCol)).count()).sum
+  }
+
+  private def setBaseCount(spark: SparkSession, dir: String, wm: Long,
+                           n: Long): Unit = {
+    val p = new Path(dir, "_basecount")
+    val tmp = new Path(dir, "_basecount.tmp")
+    val f = fs(spark, p)
+    val out = f.create(tmp, true)
+    try out.write(s"$wm:$n".getBytes("UTF-8")) finally out.close()
+    f.delete(p, false)
+    if (!f.rename(tmp, p) && !f.exists(p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 }

@@ -878,7 +878,13 @@ object MultiPatternUtil {
   * substring semantics (compose word boundaries by normalizing text and
   * padding patterns with the boundary char). One Aho-Corasick pass per
   * row riding the scan — no shuffle, per-row cost independent of
-  * |patterns| where a contains() chain pays |patterns| rescans. */
+  * |patterns| where a contains() chain pays |patterns| rescans.
+  *
+  * Duplicate patterns in the input list collapse (first occurrence
+  * wins), so oracle parity is against a DISTINCT pattern list: pair
+  * this with `list_filter(list_distinct(patterns), ...)` — a literal
+  * list_filter over a duplicate-bearing list would count a repeated
+  * pattern once per occurrence where this expression reports it once. */
 case class MultiPatternMatches(child: Expression, patterns: Seq[String])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -60,6 +60,37 @@ object Crud {
   def assignIdsFast(df: DataFrame, startId: Long, idCol: String = "id"): DataFrame =
     df.withColumn(idCol, monotonically_increasing_id() + lit(startId))
 
+  /** Contiguous parallel id assignment with a KNOWN range: ids exactly
+    * `[startId, startId + n)` in partition order, plus `n` itself —
+    * what a reserve-then-write ingest needs to bump its next-id
+    * high-water mark BEFORE any row lands (a crash after the bump
+    * leaves an id gap, never a collision; the sparse
+    * [[assignIdsFast]] ids have no computable upper bound to reserve).
+    * Cost: one counting pass for per-partition offsets + the consuming
+    * pass — no single-partition window, no shuffle; persist `df` first
+    * so the two passes see one materialization. */
+  def assignIdsRange(df: DataFrame, startId: Long,
+                     idCol: String = "id"): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val counts = df.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false) +: df.schema.fields)
+    val rdd = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      var next = startId + offsets(i)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(next +: r.toSeq)
+        next += 1L
+        out
+      }
+    }
+    (spark.createDataFrame(rdd, schema), n)
+  }
+
   /** B11-analog snapshot persistence: parquet write + read-back. */
   def snapshot(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -52,20 +52,30 @@ object StreamingIngest {
     * batchId) — idempotent against every compaction crash point
     * (DeltaLog scaladoc).
     *
-    * Cost note: a finite `flushThreshold` prices one merged COUNT per
-    * batch (column-pruned to the id column, but still a base scan) —
-    * the exact store-size trigger the reference's threshold semantics
-    * ask for. Streams that rebuild artifacts on every flush anyway
-    * (flushThreshold = 1) already pay a merged read in their hook;
-    * pass Long.MaxValue to skip counting entirely. */
+    * Cost note: the default (no threshold) pays NOTHING beyond the
+    * append — per-batch I/O is strictly O(batch). A finite
+    * `flushThreshold` tracks the store size through an incrementally
+    * maintained UPPER BOUND (base count recorded at each fold + live
+    * delta row counts — O(delta) state, no base scan), and pays the
+    * exact merged count ONLY once the bound says a crossing is
+    * possible; `onFlush` always receives that exact total, so
+    * threshold semantics are unchanged from the always-count shape —
+    * the reference's store-size trigger, costed lazily. Once the store
+    * genuinely sits at ≥ threshold, every batch re-counts (the hook's
+    * contract is an exact total per qualifying batch — the reference's
+    * dirty flag limiting redundant saves lives in the caller). */
   def upsertStream(stream: DataFrame, idCol: String, targetDir: String,
-                   checkpointDir: String, flushThreshold: Long = 1000L,
+                   checkpointDir: String, flushThreshold: Long = Long.MaxValue,
                    onFlush: Long => Unit = _ => (),
                    versionCol: Option[String] = None,
                    trigger: Trigger = Trigger.AvailableNow(),
                    compactEvery: Int = 16,
                    tombstoneCol: Option[String] = None): StreamingQuery = {
     val spark = stream.sparkSession
+    // size upper bound: -1 = not yet initialized (restored from
+    // O(delta) disk state on the first batch, so restarts resume
+    // without a corpus scan when the last fold recorded its count)
+    var upper = -1L
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -77,14 +87,30 @@ object StreamingIngest {
         graft.core.DeltaLog.append(batchOne, targetDir, batchId, tombstoneCol)
         // cadence keyed on the checkpointed batchId so a restart
         // resumes the same compaction rhythm
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        val compacted = compactEvery > 0 && (batchId + 1) % compactEvery == 0
+        if (compacted) {
           graft.core.DeltaLog.compact(spark, targetDir, idCol)
           ()
         }
         if (flushThreshold != Long.MaxValue) {
-          val total = graft.core.DeltaLog.readMerged(spark, targetDir, idCol)
-            .map(_.count()).getOrElse(0L)
-          if (total >= flushThreshold) onFlush(total)
+          if (upper < 0L || compacted)
+            // (re)anchor from O(delta) disk state — after a fold this
+            // is the exact base count the compaction just recorded
+            upper = graft.core.DeltaLog.sizeUpperBound(spark, targetDir)
+          else
+            // O(batch): count the non-tombstone rows of the delta that
+            // just landed (duplicate ids overcount — it's a bound)
+            upper += spark.read
+              .parquet(graft.core.DeltaLog.deltaPath(targetDir, batchId))
+              .filter(!org.apache.spark.sql.functions.col(
+                graft.core.DeltaLog.TombCol)).count()
+          if (upper >= flushThreshold) {
+            val total = graft.core.DeltaLog.readMerged(spark, targetDir, idCol)
+              .map(_.count()).getOrElse(0L)
+            // the exact count can only tighten the bound downward
+            upper = total
+            if (total >= flushThreshold) onFlush(total)
+          }
         }
         ()
       }

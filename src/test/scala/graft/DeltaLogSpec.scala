@@ -143,6 +143,89 @@ class DeltaLogSpec extends SparkSpec {
     assert(vals == Seq("v1", "v2"), s"generation contents: $vals")
   }
 
+  test("legacy plain snapshot at the root is adopted as the initial base") {
+    val dir = Files.createTempDirectory("dlogleg").toString + "/store"
+    // a pre-delta-log store: parquet files + _SUCCESS directly at dir
+    df(0L -> "old0", 1L -> "old1").write.mode("overwrite").parquet(dir)
+    assert(rows(dir) == Map(0L -> "old0", 1L -> "old1"),
+      "legacy root must read as the base, not as an empty store")
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new Path(s"$dir/base/_SUCCESS")), "root adopted into base/")
+    assert(!f.exists(new Path(s"$dir/_adopting")), "resume marker cleaned")
+    assert(!f.exists(new Path(s"$dir/_SUCCESS")), "root files moved, not copied")
+    // the adopted store mutates like a native one
+    DeltaLog.append(df(1L -> "new1", 2L -> "new2"), dir, 0L)
+    assert(rows(dir) == Map(0L -> "old0", 1L -> "new1", 2L -> "new2"))
+    DeltaLog.compact(spark, dir, "id")
+    assert(rows(dir) == Map(0L -> "old0", 1L -> "new1", 2L -> "new2"))
+  }
+
+  test("crashed adoption (marker + partial move) resumes on next read") {
+    val dir = Files.createTempDirectory("dlogadoptcrash").toString + "/store"
+    df(0L -> "a", 1L -> "b").write.mode("overwrite").parquet(dir)
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: marker written, ONE file already moved
+    f.create(new Path(s"$dir/_adopting"), true).close()
+    f.mkdirs(new Path(s"$dir/base__adopt"))
+    val firstPart = f.listStatus(new Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .head.getPath
+    assert(f.rename(firstPart, new Path(s"$dir/base__adopt/${firstPart.getName}")))
+    // the next read must resume the move, not read a partial snapshot
+    assert(rows(dir) == Map(0L -> "a", 1L -> "b"))
+    assert(!f.exists(new Path(s"$dir/_adopting")))
+    assert(f.exists(new Path(s"$dir/base/_SUCCESS")))
+  }
+
+  test("empty-tail compaction still removes stale replayed delta dirs") {
+    val dir = Files.createTempDirectory("dlogstale").toString
+    DeltaLog.append(df(0L -> "a"), dir, 0L)
+    DeltaLog.compact(spark, dir, "id")
+    // checkpoint replays batch 0 post-fold: dead dir at seq <= watermark
+    DeltaLog.append(df(0L -> "a"), dir, 0L)
+    assert(DeltaLog.deltaSeqs(spark, dir) == Seq(0L))
+    DeltaLog.compact(spark, dir, "id") // tail empty — cleanup must still run
+    assert(DeltaLog.deltaSeqs(spark, dir).isEmpty,
+      "stale pre-watermark dir must not linger past an empty-tail compaction")
+    assert(rows(dir) == Map(0L -> "a"))
+  }
+
+  test("baseCount: recorded at compaction, watermark-paired, stale pairs rejected") {
+    val dir = Files.createTempDirectory("dlogbc").toString
+    DeltaLog.append(df(0L -> "a", 1L -> "b"), dir, 0L)
+    assert(DeltaLog.baseCount(spark, dir).isEmpty, "no count before first fold")
+    DeltaLog.compact(spark, dir, "id")
+    assert(DeltaLog.baseCount(spark, dir) == Some(2L))
+    DeltaLog.append(df(2L -> "c"), dir, 1L)
+    DeltaLog.compact(spark, dir, "id")
+    assert(DeltaLog.baseCount(spark, dir) == Some(3L))
+    // a pair from a DIFFERENT watermark (crash split the two writes)
+    // must be rejected, not served as the current base's count
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new Path(s"$dir/_basecount"), true)
+    out.write("0:999".getBytes("UTF-8")); out.close()
+    assert(DeltaLog.baseCount(spark, dir).isEmpty, "stale pair must read None")
+  }
+
+  test("compaction transform rewrites the fold; foldEmptyTail reaches a quiet base") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("dlogtr").toString
+    DeltaLog.append(Seq((0L, "keep"), (1L, "drop"), (2L, "keep")).toDF("id", "v"),
+      dir, 0L)
+    DeltaLog.compact(spark, dir, "id",
+      transform = m => m.filter(col("v") =!= "drop"))
+    assert(rows(dir) == Map(0L -> "keep", 2L -> "keep"))
+    assert(DeltaLog.baseCount(spark, dir) == Some(2L),
+      "recorded count reflects the TRANSFORMED base")
+    // no live tail: a plain compact is a no-op on base content, but
+    // foldEmptyTail pushes a new transform through anyway
+    DeltaLog.compact(spark, dir, "id",
+      transform = m => m.filter(col("id") =!= 2L), foldEmptyTail = true)
+    assert(rows(dir) == Map(0L -> "keep"))
+    assert(DeltaLog.baseCount(spark, dir) == Some(1L))
+  }
+
   test("torn delta dir (no _SUCCESS) is invisible to readers") {
     val dir = Files.createTempDirectory("dlogtorn").toString
     DeltaLog.append(df(0L -> "a"), dir, 0L)

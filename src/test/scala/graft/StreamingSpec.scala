@@ -46,6 +46,41 @@ class StreamingSpec extends SparkSpec {
     assert(flushes.get() == 1) // 2 + 2 rows >= threshold
   }
 
+  test("threshold totals are exact under the O(delta) bound gate") {
+    // the size tracker is an UPPER bound (base count + delta inserts);
+    // onFlush must still see exact merged totals: a bound crossing
+    // caused purely by overlapping upserts (bound 6, true 3) must NOT
+    // fire, and real crossings report the true count, tombstones
+    // subtracted
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = Files.createTempDirectory("streambound").toString
+    val totals = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    val source = MemoryStream[(Long, String, Boolean)]
+    def drain(): Unit = StreamingIngest.upsertStream(
+      source.toDF().toDF("id", "v", "del"), "id", s"$tmp/snap", s"$tmp/ckpt",
+      flushThreshold = 4, compactEvery = 0, tombstoneCol = Some("del"),
+      onFlush = t => { totals += t; () }).awaitTermination()
+
+    source.addData((0L, "a", false), (1L, "b", false), (2L, "c", false))
+    drain() // 3 rows: bound 3 < 4 — no count, no flush
+    assert(totals.isEmpty)
+    source.addData((0L, "A", false), (1L, "B", false), (2L, "C", false))
+    drain() // bound 6 >= 4 but TRUE total 3 < 4 — exact count gates it
+    assert(totals.isEmpty, "overlapping upserts must not fake a crossing")
+    source.addData((3L, "d", false))
+    drain() // true total 4 — fires with the exact count
+    assert(totals.toSeq == Seq(4L))
+    source.addData((0L, "", true), (4L, "e", false), (5L, "f", false))
+    drain() // delete 0, add 4,5: true total 5
+    assert(totals.toSeq == Seq(4L, 5L))
+    val live = merged(s, s"$tmp/snap").select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(live.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("delta upsert stream: checkpoint replay after a crash is idempotent, compaction included") {
     // a file source (unlike MemoryStream) is replayable across query
     // restarts, so deleting the newest checkpoint commit genuinely

@@ -279,6 +279,117 @@ class VectorStoreSpec extends SparkSpec {
     assert(lsh.collect().head.getAs[Double]("dist") < 1e-6)
   }
 
+  test("mutations are delta appends: delete(1 id) leaves the base untouched") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storedelta").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(500, 8)
+    val first = store.ingest(data.map { case (i, v) => (v, s"doc $i") }
+      .toDF("embedding", "content"))
+    // contiguous reserve-then-write ids: exactly [0, 500)
+    assert(first == 0L)
+    val ids = store.snapshot().select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 500L), "ids must be the reserved range")
+    store.compact() // corpus now lives in base
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val basePath = new org.apache.hadoop.fs.Path(s"$dir/vectors/base")
+    val baseStamp = f.listStatus(basePath)
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val baseBytes = f.getContentSummary(basePath).getLength
+
+    // one-id delete: O(|ids|) bytes written, base files untouched
+    store.delete(Seq(42L))
+    assert(f.listStatus(basePath)
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap == baseStamp,
+      "delete must not rewrite the base")
+    // parquet's fixed footer floor (~2 KB) dominates a 1-row file at
+    // test scale; the scale claim is delta ≪ base (exact O(ids) vs
+    // O(corpus) separation is the ScaleProbe's job at 1M/10M rows)
+    val deltaBytes = f.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$dir/vectors/delta")).getLength
+    assert(deltaBytes < baseBytes / 4,
+      s"1-row delete wrote $deltaBytes B vs $baseBytes B base — must be O(ids)")
+    assert(store.size() == 499L)
+    assert(store.get(42L).isEmpty)
+
+    // small ingest: another delta append, base still untouched
+    store.ingest(data.take(3).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    assert(f.listStatus(basePath)
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap == baseStamp,
+      "ingest must not rewrite the base")
+    assert(store.size() == 502L)
+    // compaction folds + physically drops the tombstoned row
+    store.compact()
+    assert(store.size() == 502L)
+    assert(s.read.parquet(s"$dir/vectors/base")
+      .filter(col("id") === 42L).count() == 0L, "compact drops tombstones")
+  }
+
+  test("next-id high-water mark survives reopen and crashes forward, never backward") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storenid").toString
+    val store = VectorStore.open(s, dir, dim = 4)
+    val vecs = (0 until 10).map(i => Array.fill(4)(i.toFloat))
+    assert(store.ingest(vecs.map(Tuple1(_)).toDF("embedding")) == 0L)
+    // a fresh handle keeps counting from the persisted mark
+    val reopened = VectorStore.open(s, dir, dim = 4)
+    assert(reopened.ingest(vecs.take(3).map(Tuple1(_)).toDF("embedding")) == 10L)
+    // ids never collide across handles
+    val all = reopened.snapshot().select("id").collect().map(_.getLong(0))
+    assert(all.distinct.length == 13)
+    // torn marker degrades to the max-scan, not a collision
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/next_id"), true)
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    assert(VectorStore.open(s, dir, dim = 4)
+      .ingest(vecs.take(1).map(Tuple1(_)).toDF("embedding")) == 13L)
+  }
+
+  test("incremental LSH: post-train ingests surface without a retrain") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storelshinc").toString
+    val store = VectorStore.open(s, dir, dim = 16)
+    val data = corpus(60, 16)
+    store.ingest(data.take(40).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    store.trainLsh()
+    // ingest AFTER the build: signatures are appended for the new rows
+    store.ingest(data.drop(40).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    val newSelf = data(50)._2.toSeq // a post-train row, queried as itself
+    val hits = store.searchLsh(newSelf, k = 3).collect()
+    assert(hits.nonEmpty && hits.head.getAs[Double]("dist") < 1e-6,
+      "a row ingested after trainLsh must be findable without retraining")
+    // and the persisted path is still in play (signature table exists)
+    assert(s.read.parquet(s"$dir/lsh_signatures").count() == 60L)
+  }
+
+  test("legacy store migrates through mutations: delete + compact + reopen") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storelegmig").toString
+    val data = corpus(6, 8)
+    data.map { case (i, v) => (i.toLong, v, s"doc $i",
+        Map("k" -> "v"), false) }
+      .toDF("id", "embedding", "content", "metadata", "is_deleted")
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    val store = VectorStore.open(s, dir, dim = 8)
+    assert(store.size() == 6L)
+    store.delete(Seq(2L)) // first mutation adopts the root, then appends
+    assert(store.size() == 5L)
+    val next = store.ingest(data.take(2).map { case (_, v) => Tuple1(v) }
+      .toDF("embedding"))
+    assert(next == 6L, "next id continues past the legacy max")
+    store.compact()
+    val reopened = VectorStore.open(s, dir, dim = 8)
+    assert(reopened.size() == 7L)
+    assert(reopened.get(2L).isEmpty)
+    assert(reopened.get(0L).nonEmpty)
+  }
+
   test("metadata_json fidelity: int/list values round-trip and filter (test_embed_api.py:153-160)") {
     val s = spark
     import s.implicits._
