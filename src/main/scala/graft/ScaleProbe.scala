@@ -960,11 +960,34 @@ object ScaleProbe {
         (17L to 64L).foreach(i =>
           graft.core.DeltaLog.append(upBatch(i), s"$sdir/mstore", i))
         val w64 = readWall()
+        val tc0 = System.nanoTime()
         graft.core.DeltaLog.compact(spark, s"$sdir/mstore", "id")
+        val wcompact = (System.nanoTime() - tc0) / 1e9
         val wc = readWall()
         println(f"        merged read wall: tail0=$w0%.2f s  tail16=$w16%.2f s  " +
-          f"tail64=$w64%.2f s  post-compact=$wc%.2f s")
+          f"tail64=$w64%.2f s  compaction=$wcompact%.2f s  post-compact=$wc%.2f s")
         graft.core.DeltaLog.deltaSeqs(spark, s"$sdir/mstore").length.toLong
+      }
+
+      // facade mutation cost: delete(ONE id) on an n-row store must
+      // WRITE O(1) bytes (a single tombstone-row delta — compare
+      // files_written here against the n-scaled store size), never
+      // re-publish the corpus; the read side is one pushdown filter
+      // scan. The pre-round-14 facade paid a full snapshot republish
+      // for the same call.
+      tp("facade_delete_1id") {
+        val st = graft.VectorStore.open(spark, s"$sdir/fstore", 8)
+        if (st.size() == 0L) {
+          st.ingest(spark.range(n).select(
+            transform(sequence(lit(0), lit(7)), j =>
+              (pmod(xxhash64(col("id") * 8 + j), lit(1000)).cast("float") /
+                lit(100.0f)).cast("float")).as("embedding")))
+          st.compact()
+        }
+      } {
+        val st = graft.VectorStore.open(spark, s"$sdir/fstore", 8)
+        st.delete(Seq(42L))
+        st.size()
       }
     }
 
@@ -999,10 +1022,11 @@ object ScaleProbe {
       // connected components on the WORST-case chain graph (a single
       // n-node path — diameter n−1): one-hop min-label would need n−1
       // E-sized shuffle rounds, structurally impossible at any corpus
-      // size; the pointer-halving loop's reach doubles per round, so
-      // the measured rounds must track ⌈log2(n+1)⌉ (≈20 at 1M, ≈24 at
-      // 10M), each one E-shuffle — the log-round evidence behind the
-      // near-dup canonicalization path.
+      // size; alternating large-star/small-star contraction closes in
+      // ~⌈log2 n⌉ alternations here (≈21 at 1M, ≈24 at 10M — the
+      // O(log² n) worst case never bites on paths), and the edge set
+      // it shuffles CONTRACTS as stars form — the log-round evidence
+      // behind the near-dup canonicalization path.
       t("cc_chain_diameter_n") {
         val chain = spark.range(n - 1)
           .select(col("id").as("a"), (col("id") + 1).as("b"))

@@ -1715,6 +1715,32 @@ object SparkEntry {
       Tables.embeddings(s, dir)
         .agg(coalesce(max(col("vec_id")) + 1, lit(0)).cast("long").as("next_id"))),
 
+    // ---- S1/S5 through the FACADE's delta-log layout (round 14): a
+    // full mutation lifecycle — ingest (delta append, reserve-then-
+    // write ids) → delete (tombstone delta) → compact (fold +
+    // physical drop) → second ingest (next-id high-water continues) —
+    // and the merged read must equal the plain SQL the oracle runs.
+    // Output is content-keyed (ids are engine-internal).
+    "s1_store_delta_roundtrip" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val tmp = scratchDir("graft_s1store")
+      val store = VectorStore.open(s, tmp, dim = 2)
+      val docs = Tables.documents(s, dir)
+      def rowsFor(pred: Column) = docs.filter(pred)
+        .select(array(lit(0.0f), lit(1.0f)).as("embedding"),
+          col("text").as("content"))
+      store.ingest(rowsFor(col("doc_id") < 200))
+      // delete every doc whose content starts with 'a' (ids resolved
+      // through the store, the facade's own lookup path)
+      val delIds = store.snapshot()
+        .filter(col("content").startsWith("a"))
+        .select("id").collect().map(_.getLong(0)).toSeq
+      store.delete(delIds)
+      store.compact()
+      store.ingest(rowsFor(col("doc_id") >= 200 && col("doc_id") < 250))
+      store.snapshot().filter(!col("is_deleted"))
+        .select("content").orderBy("content")
+    }),
+
     // ---- B4: IVF build — cluster size histogram (rows-only: KMeans)
     "b4_ivf_build" -> ((s, dir) => {
       val (assigned, _) = Ivf.build(Tables.embeddings(s, dir), "embedding", k = 8)
@@ -5552,6 +5578,12 @@ object SparkEntry {
 
       "s6_next_id" ->
         "SELECT CAST(coalesce(max(vec_id) + 1, 0) AS BIGINT) AS next_id FROM embeddings",
+
+      "s1_store_delta_roundtrip" ->
+        """SELECT text AS content FROM documents
+          |WHERE (doc_id < 200 AND NOT starts_with(text, 'a'))
+          |   OR (doc_id >= 200 AND doc_id < 250)
+          |ORDER BY content""".stripMargin,
 
       "o7_ivf_filtered" ->
         s"""$cte SELECT e.vec_id AS vec_id, CAST(e.label AS BIGINT) AS label,

@@ -48,20 +48,48 @@ object Ivf {
     * scores 1/10 (probing 1% of lists) and at 10M / k=3162 it scores
     * 0/10 (0.3%), while probing 10% of lists passes decisively at BOTH
     * tiers (9/10 and 10/10; 3.1% sits at the gate edge — 3/10 at 1M,
-    * 7/10 at 10M). The controlling variable is the probed FRACTION of
-    * lists, so the scale rule preserves it. */
+    * 7/10 at 10M). The controlling variable up through these tiers is
+    * the probed FRACTION of lists, so the scale rule preserves it. */
   val ScaledProbeFraction: Double = 0.1
+
+  /** The √k arm of the probe rule. Across three measured decades
+    * (1M/10M/100M, k = √N lists) the gate tracks the probed LIST COUNT
+    * once k is large: ~100 lists sit at the gate edge at EVERY decade
+    * (100 → 9/10 at 1M; 98 → 7/10 at 10M; 100 → 8/10 at 100M) and
+    * ~300+ passes everywhere (316 → 10/10 at 10M; 312 → 9/10 and
+    * 1000 → 10/10 at 100M) — geometrically, per-list occupancy √N and
+    * centroid density both grow with N, concentrating a query's true
+    * neighbors in a roughly scale-free number of nearby cells. Probing
+    * `10·√k` lists (≈3× the measured gate edge, = the 10% fraction
+    * exactly at k = 10⁴/100M rows) therefore holds the gate at every
+    * measured decade while letting the scanned CORPUS FRACTION fall
+    * past 100M — 10·√k/k → 0 — instead of pinning an O(N) scan bill
+    * per query forever (1% of lists at 100M already measured 8/10;
+    * a constant fraction was 3× the needed list count there and
+    * growing). */
+  val ProbeListScale: Double = 10.0
 
   /** Scale a probe count with index list count so the DEFAULT n_probe
     * keeps the measured recall gate as k grows: at least `base`
     * (identity for k ≤ base/fraction — every toy/reference-sized index
-    * is unchanged), at least [[ScaledProbeFraction]] of the lists above
-    * that, clamped to k (small indexes probe exhaustively, which the
-    * reference permits: 1 ≤ n_probe ≤ k). Callers that set n_probe
-    * explicitly pass their value through unscaled. */
+    * is unchanged), at least min([[ScaledProbeFraction]] of the lists,
+    * [[ProbeListScale]]·√k) above that — the two arms agree at
+    * k = 10⁴ (the 100M-row anchor, where both say 1000 lists); below
+    * it the fraction arm is the binding (measured) one, above it the
+    * √k arm lets the probed fraction fall with scale — clamped to k
+    * (small indexes probe exhaustively, which the reference permits:
+    * 1 ≤ n_probe ≤ k). Callers that set n_probe explicitly pass their
+    * value through unscaled. */
   def scaledNProbe(base: Int, k: Int,
-                   fraction: Double = ScaledProbeFraction): Int =
-    math.min(k, math.max(base, math.ceil(k * fraction).toInt))
+                   fraction: Double = ScaledProbeFraction): Int = {
+    val byFraction = math.ceil(k * fraction)
+    // the list-count arm scales WITH the knob: raising the fraction
+    // raises both arms proportionally, so a tuned-up knob still means
+    // "probe more" at every k (exhaustive intent = explicit n_probe=k)
+    val byListCount = math.ceil(
+      ProbeListScale * (fraction / ScaledProbeFraction) * math.sqrt(k.toDouble))
+    math.min(k, math.max(base, math.min(byFraction, byListCount).toInt))
+  }
 
   /** Bounded UNBIASED training sample: a seeded Bernoulli sample sized
     * from a fast count, then a limit as the hard cap. A bare limit()

@@ -216,6 +216,17 @@ class IvfSpec extends SparkSpec {
     // monotone in k
     val vals = Seq(1, 10, 100, 1000, 10000).map(Ivf.scaledNProbe(10, _))
     assert(vals == vals.sorted)
+    // the two arms agree at the 100M anchor (k = 10^4: both 1000)...
+    assert(Ivf.scaledNProbe(10, 10000) == 1000)
+    // ...and past it the 10·√k list-count arm binds, so the probed
+    // FRACTION falls with scale instead of pinning an O(N) scan/query
+    // (recall tracks probed-list count across the measured decades:
+    // ~100 lists = gate edge, ~300+ = pass, at 1M AND 10M AND 100M)
+    assert(Ivf.scaledNProbe(10, 100000) == 3163)   // 3.2%, not 10000
+    assert(Ivf.scaledNProbe(10, 1000000) == 10000) // 1.0%, not 100000
+    // a raised knob raises BOTH arms proportionally
+    assert(Ivf.scaledNProbe(10, 1000, fraction = 0.25) == 250)
+    assert(Ivf.scaledNProbe(10, 1000000, fraction = 0.2) == 20000)
   }
 
   test("searchIvf auto probe (nProbe <= 0) equals the explicit scaled value") {
