@@ -427,10 +427,11 @@ class DedupSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     // the boilerplate/pagination chain shape at corpus scale: one-hop
-    // min-label alone needs diameter rounds (9999 ≫ maxIter 25); the
-    // pointer-halving shortcut reaches distance 2^k − 1 after k rounds,
-    // so this must close in ⌈log2(10001)⌉ = 14 rounds — inside the
-    // default budget with margin, no maxIter override
+    // min-label alone needs diameter rounds (9999 ≫ the default
+    // budget); star-contraction alternations roughly double the
+    // contracted distance per round, so this must close in
+    // ~⌈log2(10001)⌉ ≈ 14 alternations — inside the default budget
+    // with margin, no maxIter override
     val n = 10000L
     val chain = s.range(n - 1).select(col("id").as("a"), (col("id") + 1).as("b"))
     val comp = Dedup.connectedComponents(chain, localThreshold = 0L)
@@ -440,6 +441,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lastCcIterations <= 16,
       s"diameter 9999 took ${Dedup.lastCcIterations} rounds — halving " +
         "should close it in ~14")
+  }
+
+  test("star-contraction CC equals driver union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    // seeded random graphs across shapes the pair generators emit:
+    // sparse forests, clique-ish dup clusters, and a mixed batch with
+    // self-pairs — the distributed path must agree with ccLocal row
+    // for row (min-id labels are algorithm-independent)
+    val rnd = new scala.util.Random(1234L)
+    for (trial <- 0 until 3) {
+      val n = 120 + trial * 40
+      val pairs = (0 until (n * 2)).map { _ =>
+        val shape = rnd.nextInt(3)
+        val a = rnd.nextInt(n).toLong
+        val b = shape match {
+          case 0 => rnd.nextInt(n).toLong           // uniform
+          case 1 => math.min(a + 1 + rnd.nextInt(3), n - 1).toLong // chainy
+          case 2 => (a / 10) * 10L                  // clique-ish hubs
+        }
+        (a, b)
+      } :+ ((n - 1).toLong, (n - 1).toLong) // one self-pair
+      val df = pairs.toDF("a", "b")
+      val dist = Dedup.connectedComponents(df, localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val local = Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      assert(dist.toSeq == local.toSeq,
+        s"trial $trial: distributed star-contraction diverged from union-find")
+    }
   }
 
   test("boilerplateRemove drops cross-doc repeated segments, preserves order") {
