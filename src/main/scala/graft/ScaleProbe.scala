@@ -42,6 +42,7 @@ object ScaleProbe {
     val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
     val shuffleWriteBytes = new java.util.concurrent.atomic.AtomicLong(0)
     val outputBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -51,6 +52,7 @@ object ScaleProbe {
             spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
             shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             outputBytes.addAndGet(m.outputMetrics.bytesWritten)
+            inputBytes.addAndGet(m.inputMetrics.bytesRead)
             ()
           }
         }
@@ -64,7 +66,7 @@ object ScaleProbe {
       if (sel(name)) {
         setup
         val s0 = spillBytes.get(); val w0 = shuffleWriteBytes.get()
-        val o0 = outputBytes.get()
+        val o0 = outputBytes.get(); val i0 = inputBytes.get()
         val t0 = System.nanoTime(); val r = f
         val dt = (System.nanoTime() - t0) / 1e9
         // listener events drain asynchronously — settle until two
@@ -80,7 +82,8 @@ object ScaleProbe {
         val sp = (spillBytes.get() - s0) / 1e9
         val sw = (shuffleWriteBytes.get() - w0) / 1e9
         val ob = (outputBytes.get() - o0) / 1e9
-        println(f"SCALE $name%-26s $dt%8.2f s  (rows=$r, spill=$sp%.1f GB, shuffle_write=$sw%.1f GB, files_written=$ob%.2f GB)")
+        val ib = (inputBytes.get() - i0) / 1e9
+        println(f"SCALE $name%-26s $dt%8.2f s  (rows=$r, spill=$sp%.1f GB, shuffle_write=$sw%.1f GB, files_written=$ob%.2f GB, files_read=$ib%.2f GB)")
       }
     def t(name: String)(f: => Long): Unit = tp(name)(())(f)
     // untimed on-demand setup for probes whose input a name filter's
@@ -988,6 +991,31 @@ object ScaleProbe {
         val st = graft.VectorStore.open(spark, s"$sdir/fstore", 8)
         st.delete(Seq(42L))
         st.size()
+      }
+
+      // the DEFAULT-threshold streaming bill: 5 micro-batches of
+      // n/1000 rows through upsertStream itself (file source, real
+      // checkpoint) over an n-row base. With the round-14 default
+      // (no threshold -> no merged count) per-batch READ bytes must be
+      // O(batch) — compare files_read here against the base size the
+      // pre-round-14 default paid per batch (a merged count = full
+      // base id scan, 5x per run).
+      tp("stream_upsert_default_5f") {
+        val st = s"$sdir/ustore"
+        if (graft.core.DeltaLog.watermark(spark, st) < 0L) {
+          graft.core.DeltaLog.append(upBase, st, 0L)
+          graft.core.DeltaLog.compact(spark, st, "id")
+        }
+        (1L to 5L).foreach(i => upBatch(i).coalesce(1)
+          .write.mode("overwrite").parquet(s"$sdir/uin/b$i"))
+      } {
+        val schema = spark.read.parquet(s"$sdir/uin/b1").schema
+        graft.streaming.StreamingIngest.upsertStream(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$sdir/uin/*"),
+          "id", s"$sdir/ustore", s"$sdir/uckpt",
+          compactEvery = 0).awaitTermination()
+        graft.core.DeltaLog.deltaSeqs(spark, s"$sdir/ustore").length.toLong
       }
     }
 

@@ -179,7 +179,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val corpus = live(metadataFilter)
     val eff =
       if (ef > 0) ef
-      else Hnsw.scaledEf(sessionConfig.ef, corpus.count(),
+      else Hnsw.scaledEf(sessionConfig.ef, scaleCount(corpus, metadataFilter),
         spark.sparkContext.defaultParallelism)
     Hnsw.search(corpus, "id", "embedding", query, k, eff)
   }
@@ -437,7 +437,35 @@ class VectorStore private (val spark: SparkSession, val path: String,
     new java.util.concurrent.atomic.AtomicInteger(0)
   private def filterKey(m: Map[String, String]): String =
     m.toSeq.sorted.map { case (k, v) => s"$k\u0000$v" }.mkString("\u0001")
-  private def invalidateDerivedCaches(): Unit = bqFilterThresholds.clear()
+
+  // Unfiltered live row count, memoized: every scale-aware default
+  // (hnsw auto beam, bq/pq auto rerank windows) prices one corpus
+  // count per call otherwise. Same invalidation + cross-instance
+  // staleness contract as the BQ threshold cache above — a stale
+  // count only mis-sizes a recall window, never a distance.
+  @transient private lazy val liveCountCache =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+  private def liveCount(): Long = {
+    val c = liveCountCache.get()
+    if (c >= 0L) c
+    else {
+      val n = snapshot().filter(!col("is_deleted")).count()
+      liveCountCache.set(n)
+      n
+    }
+  }
+  /** Count for scale rules: memoized for the unfiltered corpus, exact
+    * per call under a metadata filter (filtered counts are
+    * filter-specific and already bounded by the filtered scan the
+    * search itself performs). */
+  private def scaleCount(corpus: DataFrame,
+                         metadataFilter: Map[String, String]): Long =
+    if (metadataFilter.isEmpty) liveCount() else corpus.count()
+
+  private def invalidateDerivedCaches(): Unit = {
+    bqFilterThresholds.clear()
+    liveCountCache.set(-1L)
+  }
 
   def searchBq(query: Seq[Float], k: Int, rerank: Int = 0,
                metadataFilter: Map[String, String] = Map.empty,
@@ -469,7 +497,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
       }
     val enc = Bq.encode(corpus, "embedding", thresholds = th)
     val w = if (rerank >= 0) rerank
-      else Bq.scaledRerank(k, corpus.count(), sessionConfig.bqRerankFactor)
+      else Bq.scaledRerank(k, scaleCount(corpus, metadataFilter),
+        sessionConfig.bqRerankFactor)
     if (w == 0)
       Bq.hammingSearch(enc, "id", "bq_code", query, k, thresholds = th)
     else Bq.rerankSearch(enc, "id", "bq_code", "embedding", query, k, w,
@@ -501,7 +530,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val cb = Pq.load(spark, pqModelPath)
     val corpus = live(metadataFilter)
     val w = if (rerank >= 0) rerank
-      else Pq.scaledRerank(k, corpus.count(), sessionConfig.pqRerankFactor)
+      else Pq.scaledRerank(k, scaleCount(corpus, metadataFilter),
+        sessionConfig.pqRerankFactor)
     val enc = Pq.encode(corpus, "embedding", cb)
     if (w == 0) Pq.adcSearch(enc, "id", "pq_code", cb, query, k)
     else Pq.adcRerankSearch(enc, "id", "pq_code", "embedding", cb, query,
@@ -517,6 +547,23 @@ class VectorStore private (val spark: SparkSession, val path: String,
     * [[compact]] physically drops them. */
   def delete(ids: Seq[Long]): Unit = {
     val hit = snapshot().filter(col("id").isin(ids: _*))
+      .withColumn("is_deleted", lit(true))
+    graft.core.DeltaLog.append(hit, dataPath,
+      graft.core.DeltaLog.nextSeq(spark, dataPath))
+    invalidateDerivedCaches()
+  }
+
+  /** Bulk [[delete]]: the ids arrive as a one-column DataFrame (any
+    * integral type), tombstoned via a semi-join instead of a driver
+    * `isin` literal — deletion sets of any size work without
+    * collecting them (a curation pipeline's "remove these 10M doc
+    * ids" shape). Same delta-append write path: bytes written are
+    * O(matched rows). */
+  def deleteIds(ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a single-column DataFrame, got ${ids.columns.toSeq}")
+    val keyed = ids.select(col(ids.columns.head).cast("long").as("__del_id"))
+    val hit = snapshot().join(keyed, col("id") === col("__del_id"), "left_semi")
       .withColumn("is_deleted", lit(true))
     graft.core.DeltaLog.append(hit, dataPath,
       graft.core.DeltaLog.nextSeq(spark, dataPath))

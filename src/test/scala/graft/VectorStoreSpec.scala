@@ -327,6 +327,25 @@ class VectorStoreSpec extends SparkSpec {
       .filter(col("id") === 42L).count() == 0L, "compact drops tombstones")
   }
 
+  test("deleteIds: DataFrame deletion set tombstones via semi-join, O(matched) delta") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storedelids").toString
+    val store = VectorStore.open(s, dir, dim = 4)
+    val vecs = (0 until 50).map(i => Array.fill(4)(i.toFloat))
+    store.ingest(vecs.map(Tuple1(_)).toDF("embedding"))
+    // delete every even id via a DataFrame (int-typed: cast must widen)
+    store.deleteIds(s.range(0, 50, 2).select(col("id").cast("int")))
+    assert(store.size() == 25L)
+    assert(store.get(2L).isEmpty && store.get(3L).nonEmpty)
+    // ids not present are a no-op; compact drops the flagged rows
+    store.deleteIds(Seq(9999).toDF("id"))
+    store.compact()
+    assert(store.size() == 25L)
+    assert(s.read.parquet(s"$dir/vectors/base")
+      .filter(col("id") % 2 === 0).count() == 0L)
+  }
+
   test("next-id high-water mark survives reopen and crashes forward, never backward") {
     val s = spark
     import s.implicits._
