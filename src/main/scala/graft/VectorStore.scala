@@ -28,6 +28,40 @@ class VectorStore private (val spark: SparkSession, val path: String,
   private def ivfModelPath = s"$path/ivf_model"
   private def ivfDataPath = s"$path/vectors_by_cluster"
 
+  // Tombstone SIDECARS for the persisted index tables: the IVF /
+  // IVF-PQ layouts keep materialized rows, so a delete must reach
+  // them too — but re-deriving the tombstone set from the corpus per
+  // query would cost a linear id scan, defeating the tiers'
+  // partition-pruned sublinearity. Instead each delete appends its id
+  // list (O(|ids|) bytes) to a per-tier sidecar that searches
+  // anti-join against (broadcast — sized by deletes since the last
+  // build, not by the corpus); each build starts a fresh table and
+  // clears its sidecar.
+  private def ivfTombPath = s"$path/ivf_tombstones"
+  private def ivfPqTombPath = s"$path/ivfpq_tombstones"
+  private def appendIndexTombstones(ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    lazy val df = ids.toDF("id")
+    if (successAt(ivfDataPath)) df.write.mode("append").parquet(ivfTombPath)
+    if (successAt(ivfPqDataPath)) df.write.mode("append").parquet(ivfPqTombPath)
+  }
+  private def dropSidecarTombs(table: DataFrame, tombPath: String,
+                               idCol: String = "id"): DataFrame = {
+    val f = new org.apache.hadoop.fs.Path(tombPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(f.makeQualified(new org.apache.hadoop.fs.Path(tombPath))))
+      table
+    else table.join(
+      broadcast(spark.read.parquet(tombPath).select(col("id").as("__tomb_id"))
+        .distinct()),
+      col(idCol) === col("__tomb_id"), "left_anti")
+  }
+  private def clearDir(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
   /** Current merged state (empty on a fresh store): the delta-log base
     * shadowed by every live delta, tombstone flags included —
     * [[graft.core.DeltaLog.readMerged]]. A store written by the
@@ -111,20 +145,44 @@ class VectorStore private (val spark: SparkSession, val path: String,
         "metadata_json", "is_deleted")
       val seq = graft.core.DeltaLog.nextSeq(spark, dataPath)
       graft.core.DeltaLog.append(ordered, dataPath, seq)
-      // incremental LSH maintenance: a persisted signature table stays
-      // fresh across ingests — assign signatures for the NEW rows only
-      // (read back from the delta that just landed, so the signature
-      // rows match the persisted ids exactly) and append; no full
-      // trainLsh rebuild. A crash between the two appends leaves the
-      // batch signature-less until the next trainLsh — recall-only
-      // staleness, the live-join keeps distances exact.
+      // incremental index maintenance: every persisted tier stays
+      // fresh across ingests by deriving index rows for the NEW batch
+      // only (read back from the delta that just landed, so index ids
+      // match persisted ids exactly) and appending — no full rebuild.
+      // A crash between the delta append and an index append leaves
+      // that batch invisible to the affected tier until its next
+      // build — recall-only staleness, never wrong distances.
+      lazy val landed = spark.read.parquet(
+        graft.core.DeltaLog.deltaPath(dataPath, seq))
+      // LSH: signatures for the new rows (assign-new-only discipline)
       if (successAt(lshModelPath) && successAt(lshSigPath)) {
         val m = Lsh.load(spark, lshModelPath)
-        val landed = spark.read.parquet(
-          graft.core.DeltaLog.deltaPath(dataPath, seq))
         Lsh.assign(landed, "embedding", m)
           .select(col("id"), col(Lsh.SigsCol))
           .write.mode("append").parquet(lshSigPath)
+      }
+      // IVF: stale-centroid assignment (B5 semantics) appended into
+      // the cluster-partitioned layout — searches pick the new files
+      // up through partition discovery
+      if (successAt(ivfModelPath) && successAt(ivfDataPath)) {
+        val m = Ivf.load(spark, ivfModelPath, "embedding")
+        Ivf.assign(landed.select("id", "embedding", "content", "metadata",
+            "metadata_json", "is_deleted"), m)
+          .repartition(col(Ivf.ClusterCol))
+          .write.mode("append").partitionBy(Ivf.ClusterCol).parquet(ivfDataPath)
+      }
+      // IVF-PQ: encode the new rows through the persisted two-level
+      // model and append to the code table (same schema as the build).
+      // The model persists as ivf/ + pq/ SUBDIRS — gate on the inner
+      // markers, the model root itself carries no _SUCCESS
+      if (successAt(s"$ivfPqModelPath/ivf") && successAt(s"$ivfPqModelPath/pq") &&
+          successAt(ivfPqDataPath)) {
+        val m = IvfPq.load(spark, ivfPqModelPath, "embedding")
+        IvfPq.encode(landed, "embedding", m)
+          .select(col("id"), col(Ivf.ClusterCol), col(IvfPq.CodeCol),
+            col("metadata"))
+          .repartition(col(Ivf.ClusterCol))
+          .write.mode("append").partitionBy(Ivf.ClusterCol).parquet(ivfPqDataPath)
       }
       invalidateDerivedCaches()
       start
@@ -198,10 +256,12 @@ class VectorStore private (val spark: SparkSession, val path: String,
     * repeated [[searchLsh]] calls filter the compact signature table
     * instead of recomputing every row's L·b plane dots per query (the
     * measured bill at 10M rows was ~75 s/query, almost all signature
-    * recompute). Staleness trade (same as every persisted tier): rows
-    * ingested after the build have no signatures and cannot surface
-    * until `trainLsh()` re-runs; deleted rows are dropped by the
-    * live-join at query time. */
+    * recompute). The table stays FRESH across mutations: [[ingest]]
+    * appends signatures for each new batch (assign-new-only, the
+    * incremental-LSH discipline) and deleted rows are dropped by the
+    * live-join at query time — a full re-train is only needed to
+    * change the plane geometry (bits/tables) or to recover the one
+    * crash window between ingest's data and signature appends. */
   def trainLsh(bitsPerTable: Int = 8, nTables: Int = 16): Lsh.Model = {
     val m = Lsh.fitBanded(dim, bitsPerTable, nTables)
     Lsh.save(m, lshModelPath, spark)
@@ -259,6 +319,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
         maxClusterFraction = frac)
     Ivf.save(model, ivfModelPath)
     Ivf.writePartitioned(assigned, ivfDataPath)
+    clearDir(ivfTombPath) // fresh table is built from live rows only
     model
   }
 
@@ -279,7 +340,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val np = if (nProbe > 0) nProbe
       else Ivf.scaledNProbe(sessionConfig.nProbe, model.k,
         sessionConfig.ivfProbeFraction)
-    val assigned = spark.read.parquet(ivfDataPath)
+    val assigned = dropSidecarTombs(
+      spark.read.parquet(ivfDataPath), ivfTombPath)
     val pred = if (metadataFilter.isEmpty) None
       else Some(Search.metadataFilter(col("metadata"), metadataFilter))
     Ivf.search(assigned, model, "id", query, np, k, pred)
@@ -300,6 +362,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
     Ivf.writePartitioned(
       encoded.select(col("id"), col(Ivf.ClusterCol), col(IvfPq.CodeCol),
         col("metadata")), ivfPqDataPath)
+    clearDir(ivfPqTombPath) // fresh table is built from live rows only
     model
   }
 
@@ -321,7 +384,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val np = if (nProbe > 0) nProbe
       else Ivf.scaledNProbe(sessionConfig.nProbe, model.ivf.k,
         sessionConfig.ivfProbeFraction)
-    val table = spark.read.parquet(ivfPqDataPath)
+    val table = dropSidecarTombs(
+      spark.read.parquet(ivfPqDataPath), ivfPqTombPath)
     // rerank < 0 = the same scale-aware auto window as searchAdc: the
     // residual-PQ ADC ranking within the probed lists carries the same
     // quantization error the pq_recall_sweep measured at 0/10, so the
@@ -550,6 +614,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
       .withColumn("is_deleted", lit(true))
     graft.core.DeltaLog.append(hit, dataPath,
       graft.core.DeltaLog.nextSeq(spark, dataPath))
+    appendIndexTombstones(ids)
     invalidateDerivedCaches()
   }
 
@@ -567,6 +632,10 @@ class VectorStore private (val spark: SparkSession, val path: String,
       .withColumn("is_deleted", lit(true))
     graft.core.DeltaLog.append(hit, dataPath,
       graft.core.DeltaLog.nextSeq(spark, dataPath))
+    val tombs = keyed.select(col("__del_id").as("id"))
+    if (successAt(ivfDataPath)) tombs.write.mode("append").parquet(ivfTombPath)
+    if (successAt(ivfPqDataPath))
+      tombs.write.mode("append").parquet(ivfPqTombPath)
     invalidateDerivedCaches()
   }
 

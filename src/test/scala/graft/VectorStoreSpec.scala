@@ -386,6 +386,45 @@ class VectorStoreSpec extends SparkSpec {
     assert(s.read.parquet(s"$dir/lsh_signatures").count() == 60L)
   }
 
+  test("IVF/IVF-PQ tiers stay live: post-build ingests surface, deletes drop, no rebuild") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storeivflive").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(60, 8)
+    store.ingest(data.take(40).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    store.buildIvf(4)
+    store.buildIvfPq(kClusters = 4, chunks = 4, kCodes = 4)
+    // ingest AFTER both builds: the appended index rows must surface
+    store.ingest(data.drop(40).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    val newSelf = data(50)._2.toSeq
+    val ivfHit = store.searchIvf(newSelf, nProbe = 4, k = 3).collect()
+    assert(ivfHit.head.getAs[Double]("dist") < 1e-6,
+      "a row ingested after buildIvf must be findable without a rebuild")
+    // rerank window spans the table: the claim under test is the new
+    // row's VISIBILITY in the appended code rows (exact rerank then
+    // scores it 0), not the coarse 4×4 codebook's ADC ranking
+    val pqHit = store.searchIvfPq(newSelf, nProbe = 4, k = 3, rerank = 60).collect()
+    assert(pqHit.head.getAs[Double]("dist") < 1e-6,
+      "a row ingested after buildIvfPq must be findable without a rebuild")
+    // delete AFTER the builds: the sidecar must drop it from both tiers
+    val gone = ivfHit.head.getAs[Long]("id")
+    store.delete(Seq(gone))
+    assert(!store.searchIvf(newSelf, nProbe = 4, k = 5).collect()
+      .map(_.getAs[Long]("id")).contains(gone),
+      "a tombstoned id must not surface from the stale IVF table")
+    assert(!store.searchIvfPq(newSelf, nProbe = 4, k = 5, rerank = 60).collect()
+      .map(_.getAs[Long]("id")).contains(gone),
+      "a tombstoned id must not surface from the stale code table")
+    // a rebuild starts a fresh table and clears the sidecar
+    store.buildIvf(4)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_tombstones")))
+    assert(!store.searchIvf(newSelf, nProbe = 4, k = 5).collect()
+      .map(_.getAs[Long]("id")).contains(gone))
+  }
+
   test("legacy store migrates through mutations: delete + compact + reopen") {
     val s = spark
     import s.implicits._
