@@ -40,6 +40,25 @@ class PlanSpec extends SparkSpec {
       s"ADC scan should read pq_code, not vectors, plan:\n$plan")
   }
 
+  test("facade IVF search with a tombstone sidecar keeps partition pruning + broadcast anti-join") {
+    val data = corpus(100, 8)
+    val dir = Files.createTempDirectory("ivfside").toString
+    val store = graft.VectorStore.open(spark, dir, dim = 8)
+    store.ingest(toDF(data).select("embedding"))
+    store.buildIvf(4)
+    store.delete(Seq(3L)) // creates the sidecar
+    val plan = store.searchIvf(data.head._2.toSeq, nProbe = 2, k = 5)
+      .queryExecution.executedPlan.toString
+    // the probe filter must still prune the PARTITIONED scan — pushed
+    // through the anti-join's left side, not evaluated above it
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"sidecar anti-join must not break partition pruning, plan:\n$plan")
+    // the sidecar side is deletes-since-last-build — broadcast, never
+    // a shuffled join of the index table
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"sidecar must join as a broadcast anti-join, plan:\n$plan")
+  }
+
   test("exact kNN plans as TakeOrderedAndProject (no global sort)") {
     val plan = Search.knnExact(toDF(corpus(50, 8)), "id", "embedding",
       corpus(1, 8).head._2.toSeq, 5).queryExecution.executedPlan.toString
