@@ -179,6 +179,48 @@ object ScaleProbe {
         best
       }
 
+      // task #7 decade study — k GROWING FASTER than sqrt(N): a
+      // 10*sqrt(N)-list index at the same corpus. The cross-decade
+      // sweeps show the recall gate tracks the probed LIST COUNT
+      // (~100 lists = edge, ~300+ = pass at 1M/10M/100M with k =
+      // sqrt(N)); if that holds when the list geometry densifies
+      // (here: 10x the lists, per-list occupancy sqrt(N)/10), then a
+      // fixed list-count probe scans a FALLING corpus fraction — the
+      // measured basis for scaledNProbe's 10*sqrt(k) arm beyond the
+      // 100M anchor. Short-Lloyd build (lists partition, they need
+      // not converge).
+      val ivfOverDir = s"$dir-ivfover"
+      val kOver = math.max(640, 10 * math.sqrt(n.toDouble).toInt)
+      def writeIvfOver(): Unit = {
+        val (a, m) = Ivf.build(df, "embedding", kOver, maxIter = 10)
+        Ivf.writePartitioned(a, ivfOverDir)
+        Ivf.save(m, s"$ivfOverDir-model")
+      }
+      tp("ivf_recall_overlists") { ensure(ivfOverDir)(writeIvfOver()); recallExact } {
+        val m = Ivf.load(spark, s"$ivfOverDir-model", "embedding")
+        val table = spark.read.parquet(ivfOverDir)
+        val qs = recallQs
+        val exact = recallExact
+        var best = 0L
+        // include the deployment rule's own pick (the 10·√k arm binds
+        // here once kOver > 10⁴ — this row is the rule's direct test)
+        val probes = (Seq(100, 316, 1000, kOver / 10) :+
+            Ivf.scaledNProbe(10, kOver))
+          .map(math.min(_, kOver)).distinct.sorted
+        probes.foreach { np =>
+          val t0 = System.nanoTime()
+          val good = qs.count { case (qid, qv) =>
+            val got = Ivf.search(table, m, "id", qv, np, 10)
+              .select("id").collect().map(_.getLong(0)).toSet
+            got.intersect(exact(qid)).size / 10.0 >= 0.6
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"        ivf overlists [k=$kOver] n_probe=$np%-5d (${np * 100.0 / kOver}%5.2f%% of lists, ${np * 100.0 / kOver / 10}%5.3f%% of corpus) $good/10 queries >= 0.6@10, $dt%.1f s  ${if (good >= 7) "GATE PASS" else "gate miss"}")
+          best = math.max(best, good.toLong)
+        }
+        best
+      }
+
       // skew hardening: 90% of rows in one tight blob — buildBalanced
       // recursively splits the hot list below the fraction cap, so
       // partition pruning keeps pruning and the knnJoinIvf shuffle

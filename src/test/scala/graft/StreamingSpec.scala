@@ -46,6 +46,27 @@ class StreamingSpec extends SparkSpec {
     assert(flushes.get() == 1) // 2 + 2 rows >= threshold
   }
 
+  test("upsertStream onto a legacy plain-snapshot store adopts it, never orphans it") {
+    // the pre-delta-log layout was a plain parquet snapshot AT the
+    // target dir; pointing the stream at such a store must surface the
+    // old rows through the merged read (adopted as the initial base by
+    // rename), not silently read them as an empty store
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = Files.createTempDirectory("streamlegacy").toString
+    Seq((0L, "old0"), (1L, "old1")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/store")
+    val source = MemoryStream[(Long, String)]
+    source.addData((1L, "NEW1"), (2L, "new2"))
+    StreamingIngest.upsertStream(source.toDF().toDF("id", "v"), "id",
+      s"$tmp/store", s"$tmp/ckpt").awaitTermination()
+    val got = merged(s, s"$tmp/store").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.toSeq == Seq(0L -> "old0", 1L -> "NEW1", 2L -> "new2"),
+      "legacy rows must survive adoption and be shadowed by the stream's updates")
+  }
+
   test("threshold totals are exact under the O(delta) bound gate") {
     // the size tracker is an UPPER bound (base count + delta inserts);
     // onFlush must still see exact merged totals: a bound crossing
