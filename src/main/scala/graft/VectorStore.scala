@@ -306,7 +306,15 @@ class VectorStore private (val spark: SparkSession, val path: String,
     * `knnJoinIvf`'s shuffle stays balanced at any k — while small-k
     * builds (where even a perfectly fair share exceeds a flat cap)
     * never micro-split. Pass an explicit `maxClusterFraction` to
-    * override, or ≥ 1.0 to disable splitting (plain [[Ivf.build]]). */
+    * override, or ≥ 1.0 to disable splitting (plain [[Ivf.build]]).
+    *
+    * List-count guidance at corpus scale: prefer k ≈ 10·√N over the
+    * classic √N — the measured decade study (COVERAGE r14,
+    * `ivf_recall_overlists`) shows the recall gate tracks the probed
+    * LIST COUNT, so a denser geometry serves the same recall from a
+    * ~20× smaller scanned corpus fraction, and [[searchIvf]]'s
+    * scale-aware default ([[Ivf.scaledNProbe]]'s 10·√k arm) is sized
+    * for exactly that shape. */
   def buildIvf(k: Int, seed: Long = 42L,
                maxClusterFraction: Double = Double.NaN): Ivf.Model = {
     val frac =
