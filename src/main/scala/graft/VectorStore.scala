@@ -650,9 +650,16 @@ class VectorStore private (val spark: SparkSession, val path: String,
   /** Compaction: fold the delta tail into the base AND physically drop
     * tombstoned rows — the one deliberately O(corpus) maintenance pass
     * (every ingest/delete between compactions stayed O(batch)). Run on
-    * a cadence, like the streaming path's `compactEvery`. */
-  def compact(): Unit = {
+    * a cadence, like the streaming path's `compactEvery`.
+    *
+    * `retainGenerations > 0` archives each displaced base as a numbered
+    * generation ([[graft.core.SnapshotIO.publishRetained]]) — every
+    * compaction becomes a time-travel point readable via
+    * `SnapshotIO.readGeneration(spark, s"$path/vectors/base", g)` for
+    * rollback and [[graft.operators.Crud.snapshotDiff]] audits. */
+  def compact(retainGenerations: Int = 0): Unit = {
     graft.core.DeltaLog.compact(spark, dataPath, "id",
+      retainGenerations = retainGenerations,
       transform = m => Crud.compact(m).withColumn("is_deleted", lit(false)),
       foldEmptyTail = true)
     invalidateDerivedCaches()

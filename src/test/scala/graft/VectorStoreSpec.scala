@@ -327,6 +327,25 @@ class VectorStoreSpec extends SparkSpec {
       .filter(col("id") === 42L).count() == 0L, "compact drops tombstones")
   }
 
+  test("retained compaction through the facade: each fold is a readable generation") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storegen").toString
+    val store = VectorStore.open(s, dir, dim = 4)
+    val vecs = (0 until 6).map(i => Array.fill(4)(i.toFloat))
+    store.ingest(vecs.map(Tuple1(_)).toDF("embedding"))
+    store.compact(retainGenerations = 2) // gen point: 6 rows
+    store.delete(Seq(0L))
+    store.compact(retainGenerations = 2) // gen point: 5 rows
+    assert(store.size() == 5L)
+    val basePath = s"$dir/vectors/base"
+    val gens = graft.core.SnapshotIO.generations(s, basePath)
+    assert(gens.nonEmpty, "displaced folds must be archived as generations")
+    // the newest archived generation is the pre-delete 6-row state
+    val prev = graft.core.SnapshotIO.readGeneration(s, basePath, gens.last).get
+    assert(prev.count() == 6L)
+  }
+
   test("deleteIds: DataFrame deletion set tombstones via semi-join, O(matched) delta") {
     val s = spark
     import s.implicits._
