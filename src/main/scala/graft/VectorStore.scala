@@ -42,24 +42,105 @@ class VectorStore private (val spark: SparkSession, val path: String,
   private def appendIndexTombstones(ids: Seq[Long]): Unit = {
     import spark.implicits._
     lazy val df = ids.toDF("id")
-    if (successAt(ivfDataPath)) df.write.mode("append").parquet(ivfTombPath)
-    if (successAt(ivfPqDataPath)) df.write.mode("append").parquet(ivfPqTombPath)
+    if (indexSuccessAt(ivfDataPath)) df.write.mode("append").parquet(ivfTombPath)
+    if (indexSuccessAt(ivfPqDataPath)) df.write.mode("append").parquet(ivfPqTombPath)
   }
+  /** Broadcast ceiling for the sidecar anti-join's build side: below it
+    * the tombstone set ships to every task (no shuffle of the index
+    * table); above it — a delete-heavy backlog, e.g. a curation pass
+    * tombstoning 10% of a 10¹⁰-row corpus — forcing the hint would OOM
+    * the driver/executors, so the join falls back to a shuffle
+    * anti-join and lets AQE plan it. Compaction ([[compact]]) folds the
+    * backlog away, so the big-sidecar regime is transient. */
+  private val SidecarBroadcastMaxBytes = 64L * 1024 * 1024
   private def dropSidecarTombs(table: DataFrame, tombPath: String,
                                idCol: String = "id"): DataFrame = {
-    val f = new org.apache.hadoop.fs.Path(tombPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(f.makeQualified(new org.apache.hadoop.fs.Path(tombPath))))
-      table
-    else table.join(
-      broadcast(spark.read.parquet(tombPath).select(col("id").as("__tomb_id"))
-        .distinct()),
-      col(idCol) === col("__tomb_id"), "left_anti")
+    val p = new org.apache.hadoop.fs.Path(tombPath)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(f.makeQualified(p))) table
+    else {
+      val tombs = spark.read.parquet(tombPath)
+        .select(col("id").as("__tomb_id")).distinct()
+      val side =
+        if (f.getContentSummary(f.makeQualified(p)).getLength
+              <= SidecarBroadcastMaxBytes) broadcast(tombs)
+        else tombs
+      table.join(side, col(idCol) === col("__tomb_id"), "left_anti")
+    }
   }
   private def clearDir(dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     ()
+  }
+
+  // -----------------------------------------------------------------
+  // Compact-time sidecar fold: [[compact]] rewrites each persisted
+  // index table without its tombstoned ids and clears the sidecar —
+  // the same amortization the delta log applies to the vector log, so
+  // sidecars are bounded by deletes SINCE THE LAST COMPACT, not since
+  // the last build. The fold's tombstone set is the sidecar UNION the
+  // merged log's is_deleted ids, which also heals the delete() crash
+  // window (delta landed, sidecar append lost → the id would resurface
+  // from the IVF tiers forever; here it is dropped at the next
+  // compact). Swap protocol (single-writer, crash-resumable):
+  //   1. write kept rows → dataDir__fold (+_SUCCESS)
+  //   2. rename dataDir → dataDir__dropped
+  //   3. rename dataDir__fold → dataDir
+  //   4. delete dataDir__dropped, clear sidecar
+  // [[recoverIndexFold]] resumes: dataDir absent + complete __fold ⇒
+  // redo step 3; dataDir present ⇒ drop leftovers (a pre-step-2 crash
+  // left the sidecar in place, so the next compact refolds —
+  // idempotent).
+  // -----------------------------------------------------------------
+  private def recoverIndexFold(dataDir: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def q(s: String) = f.makeQualified(new org.apache.hadoop.fs.Path(s))
+    val data = q(dataDir); val tmp = q(s"${dataDir}__fold")
+    val dropped = q(s"${dataDir}__dropped")
+    if (!f.exists(data) &&
+        f.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      if (!f.rename(tmp, data) && !f.exists(data))
+        throw new java.io.IOException(s"rename $tmp -> $data failed")
+    }
+    if (f.exists(data)) { f.delete(tmp, true); f.delete(dropped, true); () }
+  }
+  /** successAt for the swap-managed index tables: recovery first, so a
+    * crash mid-fold reads as "tier present" again once resumable. */
+  private def indexSuccessAt(dataDir: String): Boolean = {
+    recoverIndexFold(dataDir)
+    successAt(dataDir)
+  }
+  private def foldIndexTable(dataDir: String, tombDir: String,
+                             deleted: DataFrame): Unit = {
+    recoverIndexFold(dataDir)
+    if (!successAt(dataDir)) return
+    val f = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def q(s: String) = f.makeQualified(new org.apache.hadoop.fs.Path(s))
+    val hasSidecar = f.exists(q(tombDir))
+    val tombs = (if (hasSidecar)
+        spark.read.parquet(tombDir).select(col("id").cast("long").as("id"))
+          .unionByName(deleted)
+      else deleted).distinct()
+    if (tombs.isEmpty) { if (hasSidecar) clearDir(tombDir); return }
+    val kept = spark.read.parquet(dataDir)
+      .join(tombs.select(col("id").as("__tomb_id")),
+        col("id") === col("__tomb_id"), "left_anti")
+    val tmp = s"${dataDir}__fold"
+    // same pre-shuffle as Ivf.writePartitioned: bounds the file count
+    // by (writer-task × held-cluster), and the rewrite doubles as the
+    // OPTIMIZE pass for incremental-append small files
+    kept.repartition(col(Ivf.ClusterCol))
+      .write.mode("overwrite").partitionBy(Ivf.ClusterCol).parquet(tmp)
+    if (!f.rename(q(dataDir), q(s"${dataDir}__dropped")) &&
+        f.exists(q(dataDir)))
+      throw new java.io.IOException(s"rename $dataDir aside failed")
+    if (!f.rename(q(tmp), q(dataDir)) && !f.exists(q(dataDir)))
+      throw new java.io.IOException(s"rename $tmp -> $dataDir failed")
+    f.delete(q(s"${dataDir}__dropped"), true)
+    if (hasSidecar) clearDir(tombDir)
   }
 
   /** Current merged state (empty on a fresh store): the delta-log base
@@ -90,16 +171,38 @@ class VectorStore private (val spark: SparkSession, val path: String,
   // the documented deviation reserve-then-write buys.
   private def nextIdPath = new org.apache.hadoop.fs.Path(s"$path/next_id")
   private def hfs = nextIdPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Fallback when the high-water marker is absent/torn: max(id)+1 over
+    * the merged snapshot, ALSO maxed against the index sidecars and the
+    * LSH signature table — after delete()+compact() the snapshot max can
+    * shrink below ids still recorded there, and re-issuing one of those
+    * ids would silently anti-join the new row out of the IVF tiers (its
+    * id sits in a tombstone sidecar) or duplicate it in the signature
+    * table. One bounded max-aggregation per small table, paid only on
+    * the no-marker path. */
+  private def fallbackNextId(): Long = {
+    var next = Crud.nextId(snapshot(), "id")
+    def bump(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(f.makeQualified(p)))
+        spark.read.parquet(dir).agg(max(col("id").cast("long"))).head match {
+          case r if !r.isNullAt(0) => next = math.max(next, r.getLong(0) + 1)
+          case _ => ()
+        }
+    }
+    Seq(ivfTombPath, ivfPqTombPath, lshSigPath).foreach(bump)
+    next
+  }
   private def readNextId(): Long = {
     val f = hfs
-    if (!f.exists(nextIdPath)) Crud.nextId(snapshot(), "id")
+    if (!f.exists(nextIdPath)) fallbackNextId()
     else {
       val in = f.open(nextIdPath)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       // a torn marker degrades to the max-scan, never to a crash or a
       // silently colliding id range
-      s.toLongOption.getOrElse(Crud.nextId(snapshot(), "id"))
+      s.toLongOption.getOrElse(fallbackNextId())
     }
   }
   private def writeNextId(v: Long): Unit = {
@@ -164,7 +267,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
       // IVF: stale-centroid assignment (B5 semantics) appended into
       // the cluster-partitioned layout — searches pick the new files
       // up through partition discovery
-      if (successAt(ivfModelPath) && successAt(ivfDataPath)) {
+      if (successAt(ivfModelPath) && indexSuccessAt(ivfDataPath)) {
         val m = Ivf.load(spark, ivfModelPath, "embedding")
         Ivf.assign(landed.select("id", "embedding", "content", "metadata",
             "metadata_json", "is_deleted"), m)
@@ -176,7 +279,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
       // The model persists as ivf/ + pq/ SUBDIRS — gate on the inner
       // markers, the model root itself carries no _SUCCESS
       if (successAt(s"$ivfPqModelPath/ivf") && successAt(s"$ivfPqModelPath/pq") &&
-          successAt(ivfPqDataPath)) {
+          indexSuccessAt(ivfPqDataPath)) {
         val m = IvfPq.load(spark, ivfPqModelPath, "embedding")
         IvfPq.encode(landed, "embedding", m)
           .select(col("id"), col(Ivf.ClusterCol), col(IvfPq.CodeCol),
@@ -348,6 +451,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val np = if (nProbe > 0) nProbe
       else Ivf.scaledNProbe(sessionConfig.nProbe, model.k,
         sessionConfig.ivfProbeFraction)
+    recoverIndexFold(ivfDataPath) // resume a crashed compact-fold swap
     val assigned = dropSidecarTombs(
       spark.read.parquet(ivfDataPath), ivfTombPath)
     val pred = if (metadataFilter.isEmpty) None
@@ -392,16 +496,21 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val np = if (nProbe > 0) nProbe
       else Ivf.scaledNProbe(sessionConfig.nProbe, model.ivf.k,
         sessionConfig.ivfProbeFraction)
+    recoverIndexFold(ivfPqDataPath) // resume a crashed compact-fold swap
     val table = dropSidecarTombs(
       spark.read.parquet(ivfPqDataPath), ivfPqTombPath)
     // rerank < 0 = the same scale-aware auto window as searchAdc: the
     // residual-PQ ADC ranking within the probed lists carries the same
     // quantization error the pq_recall_sweep measured at 0/10, so the
-    // auto window is Pq.scaledRerank over the candidate-pool size (the
-    // full code-table count is the conservative bound; a count() of
-    // parquet footers)
+    // auto window sizes over the memoized live count — the same
+    // scale-rule memo every other auto default uses — instead of
+    // pricing a code-table count() (a full file listing on a 100 TB
+    // table) per query. The code table can hold slightly MORE rows
+    // (deletes since the last build sit in the sidecar), but √N-window
+    // sizing is insensitive to that margin and a stale count only
+    // mis-sizes a recall window, never a distance.
     val w = if (rerank >= 0) rerank
-      else Pq.scaledRerank(k, table.count(), sessionConfig.pqRerankFactor)
+      else Pq.scaledRerank(k, liveCount(), sessionConfig.pqRerankFactor)
     val pred = if (metadataFilter.isEmpty) None
       else Some(Search.metadataFilter(col("metadata"), metadataFilter))
     if (w == 0)
@@ -638,12 +747,20 @@ class VectorStore private (val spark: SparkSession, val path: String,
     val keyed = ids.select(col(ids.columns.head).cast("long").as("__del_id"))
     val hit = snapshot().join(keyed, col("id") === col("__del_id"), "left_semi")
       .withColumn("is_deleted", lit(true))
-    graft.core.DeltaLog.append(hit, dataPath,
-      graft.core.DeltaLog.nextSeq(spark, dataPath))
-    val tombs = keyed.select(col("__del_id").as("id"))
-    if (successAt(ivfDataPath)) tombs.write.mode("append").parquet(ivfTombPath)
-    if (successAt(ivfPqDataPath))
-      tombs.write.mode("append").parquet(ivfPqTombPath)
+    val seq = graft.core.DeltaLog.nextSeq(spark, dataPath)
+    graft.core.DeltaLog.append(hit, dataPath, seq)
+    // sidecar tombstones derive from the delta that actually LANDED
+    // (read back, like ingest's index appends) — a non-deterministic
+    // ids source (sample, unordered limit) evaluated twice could
+    // otherwise tombstone a different id set in the index sidecars
+    // than in the delta log
+    if (indexSuccessAt(ivfDataPath) || indexSuccessAt(ivfPqDataPath)) {
+      val tombs = spark.read.parquet(
+        graft.core.DeltaLog.deltaPath(dataPath, seq)).select("id")
+      if (successAt(ivfDataPath)) tombs.write.mode("append").parquet(ivfTombPath)
+      if (successAt(ivfPqDataPath))
+        tombs.write.mode("append").parquet(ivfPqTombPath)
+    }
     invalidateDerivedCaches()
   }
 
@@ -658,6 +775,15 @@ class VectorStore private (val spark: SparkSession, val path: String,
     * `SnapshotIO.readGeneration(spark, s"$path/vectors/base", g)` for
     * rollback and [[graft.operators.Crud.snapshotDiff]] audits. */
   def compact(retainGenerations: Int = 0): Unit = {
+    // fold the index-tier tombstone sidecars FIRST, while the merged
+    // log still carries the is_deleted flags the fold unions in (the
+    // delta compact below drops those rows) — bounds each sidecar by
+    // deletes since the last compact and heals the delete-crash window
+    // (see the fold scaladoc above)
+    val deleted = snapshot().filter(col("is_deleted"))
+      .select(col("id").cast("long").as("id"))
+    foldIndexTable(ivfDataPath, ivfTombPath, deleted)
+    foldIndexTable(ivfPqDataPath, ivfPqTombPath, deleted)
     graft.core.DeltaLog.compact(spark, dataPath, "id",
       retainGenerations = retainGenerations,
       transform = m => Crud.compact(m).withColumn("is_deleted", lit(false)),

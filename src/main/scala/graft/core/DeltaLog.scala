@@ -101,8 +101,18 @@ object DeltaLog {
       // leftovers and the marker
       f.delete(tmp, true)
     } else {
-      if (!f.mkdirs(tmp) && !f.exists(tmp))
+      // two concurrent READERS of the same legacy store can both enter
+      // adoption (reads are mutating here, by design): whichever renames
+      // tmp → base first wins, and the loser's next file/dir operation
+      // fails with base present and tmp gone. That is a WIN, not an
+      // error — every file already landed in base via the winner — so
+      // each failure point below stands down when base exists, the same
+      // race tolerance SnapshotIO.read applies to its publish renames.
+      def concurrentWin(): Boolean = f.exists(baseP)
+      if (!f.mkdirs(tmp) && !f.exists(tmp)) {
+        if (concurrentWin()) { f.delete(marker, false); return }
         throw new java.io.IOException(s"mkdir $tmp failed")
+      }
       // move every root-level FILE (parquet parts, _SUCCESS, committer
       // sidecars); delta-layout files and subdirs (delta/, markers)
       // stay put
@@ -112,8 +122,10 @@ object DeltaLog {
         .filter(st => st.isFile && !keep(st.getPath.getName))
         .foreach { st =>
           val to = new Path(tmp, st.getPath.getName)
-          if (!f.rename(st.getPath, to) && !f.exists(to))
+          if (!f.rename(st.getPath, to) && !f.exists(to)) {
+            if (concurrentWin()) { f.delete(marker, false); return }
             throw new java.io.IOException(s"rename ${st.getPath} -> $to failed")
+          }
         }
       if (!f.rename(tmp, baseP) && !f.exists(baseP))
         throw new java.io.IOException(s"rename $tmp -> $baseP failed")

@@ -911,26 +911,23 @@ object Dedup {
         .select(cur("src").as("src"),
           coalesce(col("m"), cur("dst")).as("dst"))
       // small-star: for each node u (grouping the oriented edges, so
-      // every neighbor is smaller), the not-larger neighbors and u
-      // itself re-attach to m = min(neighbors). ONE window pass
-      // (shuffle-by-src + in-partition min) replaces the agg+join
-      // pair — a full E-row shuffle stage less per round; the (u, m)
-      // self-rows it duplicates per group collapse in the distinct's
-      // map-side partial aggregate before they ever reach the wire.
-      // Exact-duplicate rows surviving from large-star likewise only
-      // fan the same output rows out again — distinct folds them
-      // dst-ascending ordering makes the running min THE group min on
-      // every row AND row_number() = 1 exactly on the (u, min) row —
-      // one WindowExec computes both, branch two emits a single
-      // (u, m) row per group instead of one per edge
-      val winS = Window.partitionBy("src").orderBy("dst")
-      val withM = large
-        .withColumn("m", min(col("dst")).over(winS))
-        .withColumn("__rn", row_number().over(winS))
-      val small = withM.filter(col("__rn") > 1)
+      // every neighbor is smaller), the neighbors and u itself
+      // re-attach to m = min(neighbors). The group min is a groupBy
+      // aggregation — partial (map-side) aggregation keeps a hub node
+      // distributable, where the earlier single-window form funneled
+      // an inverted-star center's ENTIRE neighbor list (degree ~E,
+      // plus any exact-duplicate rows large-star is allowed to emit)
+      // through one task's O(deg log deg) sort. The join fans each
+      // group's edges back out to rewrite them, but that's a
+      // shuffle-join AQE can skew-split, not a single-task sort.
+      // Emitted rows keep the src > dst canonical orientation: every
+      // neighbor v and m are both < u with m the minimum, so v > m on
+      // the v ≠ m rows, and u > m always.
+      val minsS = large.groupBy("src").agg(min(col("dst")).as("m"))
+      val small = large.join(minsS, "src")
+        .filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .unionByName(withM.filter(col("__rn") === 1)
-          .select(col("src"), col("m").as("dst")))
+        .unionByName(minsS.select(col("src"), col("m").as("dst")))
         .repartition(col("src"))
         .dropDuplicates("src", "dst")
         .localCheckpoint()

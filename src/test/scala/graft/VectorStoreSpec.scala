@@ -444,6 +444,89 @@ class VectorStoreSpec extends SparkSpec {
       .map(_.getAs[Long]("id")).contains(gone))
   }
 
+  test("compact folds the index sidecars: tables drop tombstoned ids, sidecars clear") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storefold").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(60, 8)
+    store.ingest(data.map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    store.buildIvf(4)
+    store.buildIvfPq(kClusters = 4, chunks = 4, kCodes = 4)
+    store.delete(Seq(7L, 8L, 9L))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_tombstones")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/ivfpq_tombstones")))
+    store.compact()
+    // sidecars are folded INTO the tables and cleared
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_tombstones")),
+      "compact must clear the IVF sidecar")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/ivfpq_tombstones")),
+      "compact must clear the IVF-PQ sidecar")
+    assert(s.read.parquet(s"$dir/vectors_by_cluster")
+      .filter(col("id").isin(7L, 8L, 9L)).count() == 0L,
+      "folded IVF table must not hold tombstoned ids")
+    assert(s.read.parquet(s"$dir/codes_by_cluster")
+      .filter(col("id").isin(7L, 8L, 9L)).count() == 0L,
+      "folded code table must not hold tombstoned ids")
+    // searches stay correct over the folded tables
+    val self = data(20)._2.toSeq
+    val ivfHit = store.searchIvf(self, nProbe = 4, k = 3).collect()
+    assert(ivfHit.head.getAs[Double]("dist") < 1e-6)
+    assert(!store.searchIvf(data(7)._2.toSeq, nProbe = 4, k = 10).collect()
+      .map(_.getAs[Long]("id")).contains(7L))
+    val pqHit = store.searchIvfPq(self, nProbe = 4, k = 3, rerank = 60).collect()
+    assert(pqHit.head.getAs[Double]("dist") < 1e-6)
+    // no leftover swap dirs
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors_by_cluster__fold")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors_by_cluster__dropped")))
+  }
+
+  test("delete-crash window heals at compact: lost sidecar append cannot ghost forever") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storeheal").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(40, 8)
+    store.ingest(data.map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    store.buildIvf(4)
+    store.delete(Seq(5L))
+    // simulate the crash window: the delete delta landed but the
+    // sidecar append was lost (pre-fix this id resurfaced from
+    // searchIvf until the next full build)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/ivf_tombstones"), true)
+    assert(store.searchIvf(data(5)._2.toSeq, nProbe = 4, k = 3).collect()
+      .map(_.getAs[Long]("id")).contains(5L),
+      "precondition: with the sidecar lost, the ghost row resurfaces")
+    store.compact() // the fold unions the merged log's is_deleted ids
+    assert(!store.searchIvf(data(5)._2.toSeq, nProbe = 4, k = 10).collect()
+      .map(_.getAs[Long]("id")).contains(5L),
+      "compact must heal the lost-sidecar ghost")
+  }
+
+  test("next-id fallback never re-issues ids still in the LSH signature table") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storenextid").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(6, 8)
+    store.ingest(data.map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    store.trainLsh()
+    store.delete(Seq(5L)) // the max id
+    store.compact()       // physically dropped: snapshot max shrinks to 4
+    // simulate a torn/absent high-water marker (legacy store shape)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/next_id"), false)
+    val next = store.ingest(data.take(1).map { case (_, v) => Tuple1(v) }
+      .toDF("embedding"))
+    assert(next >= 6L,
+      s"fallback must max against the signature table (id 5 lives there), got $next")
+  }
+
   test("legacy store migrates through mutations: delete + compact + reopen") {
     val s = spark
     import s.implicits._
