@@ -1760,6 +1760,20 @@ object SparkEntry {
         .orderBy("cluster_id", "dim_pos")
     }),
 
+    // ---- B4 hierarchical twin: the two-level coarse quantizer's
+    // ASSIGNMENT (super argmin, then child argmin within the chosen
+    // super, global contiguous ids) over a fixed deterministic
+    // supers/children geometry — oracle-exact, pinning the
+    // TwoLevelNearestCentroidFloat kernel the way o6_ivf_fixed pins
+    // the flat argmin. The seeded buildHier path is recall-gated in
+    // IvfSpec/ScaleProbe; the arithmetic is pinned here.
+    "b4_hier_fixed" -> ((s, dir) => {
+      Ivf.assignHier(Tables.embeddings(s, dir), fixedHierModel)
+        .select(col("vec_id"),
+          col(Ivf.ClusterCol).cast("long").as("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     // ---- O6: IVF n_probe pruned search (rows-only: KMeans)
     "o6_ivf_search" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1792,6 +1806,20 @@ object SparkEntry {
         .select("embedding").head.getSeq[Float](0).toSeq
       val (assigned, model) = Ivf.build(emb, "embedding", k = 8)
       Ivf.search(assigned, model, "vec_id", q, nProbe = model.k, topK = 10)
+        .select("vec_id", "dist")
+    }),
+
+    // ---- O6 through the HIERARCHICAL build with n_probe = k:
+    // exhaustive probe ≡ brute-force kNN regardless of centroid
+    // placement, so the whole two-level chain (super fit → distributed
+    // per-group child fits → two-level assignment → flat-view search)
+    // is oracle-checked end to end.
+    "o6_hier_exhaustive" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      val (assigned, hm) = Ivf.buildHier(emb, "embedding", k = 9)
+      Ivf.search(assigned, hm.flat, "vec_id", q, nProbe = hm.k, topK = 10)
         .select("vec_id", "dist")
     }),
 
@@ -4068,6 +4096,17 @@ object SparkEntry {
     Array.fill(8)(Array.fill(OracleSql.Dim)(rnd.nextFloat() * 2f - 1f))
   }
 
+  /** Fixed deterministic two-level quantizer (3 supers with 2/3/2
+    * children, global ids 0..6) for the hierarchical-assignment oracle
+    * twin — same literal-embedding contract as [[fixedIvfCentroids]]. */
+  private[graft] lazy val fixedHierModel: graft.operators.Ivf.HierModel = {
+    val rnd = new java.util.Random(22093L)
+    def v() = Array.fill(OracleSql.Dim)(rnd.nextFloat() * 2f - 1f)
+    val supers = Array.fill(3)(v())
+    val children = Array(Array.fill(2)(v()), Array.fill(3)(v()), Array.fill(2)(v()))
+    graft.operators.Ivf.HierModel(supers, children, "embedding")
+  }
+
   /** IVF-PQ fixed-model oracle: the full composite path in SQL —
     * assignment argmin (list_min position ≡ lowest-index tie-break),
     * residual = double-subtract rounded to REAL (≡ the engine's float
@@ -5594,6 +5633,36 @@ object SparkEntry {
       "o6_ivf_exhaustive" ->
         s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
            |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      "o6_hier_exhaustive" ->
+        s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      "b4_hier_fixed" -> {
+        val m = fixedHierModel
+        def distSql(cent: Array[Float]): String =
+          ("0.0" +: (0 until OracleSql.Dim).map { d =>
+            val c = cent(d).toDouble.toString
+            val x = s"(CAST(embedding[${d + 1}] AS DOUBLE) - $c)"
+            s"$x * $x"
+          }).mkString(" + ")
+        val sv = m.supers.map(c => s"(${distSql(c)})").mkString(", ")
+        val cvCols = m.children.indices.map { g =>
+          val cv = m.children(g).map(c => s"(${distSql(c)})").mkString(", ")
+          s"list_value($cv) AS cv$g"
+        }.mkString(",\n  ")
+        val cases = m.children.indices.map { g =>
+          s"WHEN $g THEN ${m.offsets(g)} + (list_position(cv$g, list_min(cv$g)) - 1)"
+        }.mkString(" ")
+        s"""WITH base AS (SELECT vec_id, embedding, list_value($sv) AS sv
+           |  FROM embeddings),
+           |sup AS (SELECT vec_id, embedding,
+           |  (list_position(sv, list_min(sv)) - 1) AS g FROM base),
+           |ch AS (SELECT vec_id, g,
+           |  $cvCols FROM sup)
+           |SELECT vec_id, CAST(CASE g $cases END AS BIGINT) AS cluster_id
+           |FROM ch ORDER BY vec_id""".stripMargin
+      },
 
       "o2_knn_join_ivf" ->
         s"""WITH q AS (

@@ -26,6 +26,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
 
   private def dataPath = s"$path/vectors"
   private def ivfModelPath = s"$path/ivf_model"
+  private def ivfSupersPath = s"$path/ivf_supers"
   private def ivfDataPath = s"$path/vectors_by_cluster"
 
   // Tombstone SIDECARS for the persisted index tables: the IVF /
@@ -268,9 +269,17 @@ class VectorStore private (val spark: SparkSession, val path: String,
       // the cluster-partitioned layout — searches pick the new files
       // up through partition discovery
       if (successAt(ivfModelPath) && indexSuccessAt(ivfDataPath)) {
-        val m = Ivf.load(spark, ivfModelPath, "embedding")
-        Ivf.assign(landed.select("id", "embedding", "content", "metadata",
-            "metadata_json", "is_deleted"), m)
+        val proj = landed.select("id", "embedding", "content", "metadata",
+          "metadata_json", "is_deleted")
+        // a hierarchical model assigns through the two-level kernel
+        // (O(2·√k·dim)/row) — the flat O(k·dim) scan would be the
+        // exact per-row cliff the hierarchy exists to remove
+        val assignedNew =
+          if (successAt(ivfSupersPath))
+            Ivf.assignHier(proj,
+              Ivf.loadHier(spark, ivfModelPath, ivfSupersPath, "embedding"))
+          else Ivf.assign(proj, Ivf.load(spark, ivfModelPath, "embedding"))
+        assignedNew
           .repartition(col(Ivf.ClusterCol))
           .write.mode("append").partitionBy(Ivf.ClusterCol).parquet(ivfDataPath)
       }
@@ -419,19 +428,38 @@ class VectorStore private (val spark: SparkSession, val path: String,
     * scale-aware default ([[Ivf.scaledNProbe]]'s 10·√k arm) is sized
     * for exactly that shape. */
   def buildIvf(k: Int, seed: Long = 42L,
-               maxClusterFraction: Double = Double.NaN): Ivf.Model = {
-    val frac =
-      if (maxClusterFraction.isNaN) math.min(1.0, 4.0 / k)
-      else maxClusterFraction
+               maxClusterFraction: Double = Double.NaN,
+               hierarchical: Option[Boolean] = None): Ivf.Model = {
     val live = snapshot().filter(!col("is_deleted"))
-    val (assigned, model) =
-      if (frac >= 1.0) Ivf.build(live, "embedding", k, seed)
-      else Ivf.buildBalanced(live, "embedding", k, seed,
-        maxClusterFraction = frac)
-    Ivf.save(model, ivfModelPath)
-    Ivf.writePartitioned(assigned, ivfDataPath)
-    clearDir(ivfTombPath) // fresh table is built from live rows only
-    model
+    val useHier = hierarchical.getOrElse(k > Ivf.FlatBuildMaxK)
+    if (useHier) {
+      // two-level quantizer: the only build path that can DELIVER the
+      // 10·√N-list geometry past ~1B rows (flat throws for
+      // k > sampleSize and flat assign is O(k·dim)/row). Skew is
+      // handled structurally — child counts are allocated proportional
+      // to super-cluster occupancy — so the recursive splitting of the
+      // flat path isn't needed here.
+      val (assigned, hm) = Ivf.buildHier(live, "embedding", k, seed)
+      Ivf.saveHier(hm, ivfModelPath, ivfSupersPath)
+      Ivf.writePartitioned(assigned, ivfDataPath)
+      clearDir(ivfTombPath) // fresh table is built from live rows only
+      hm.flat
+    } else {
+      val frac =
+        if (maxClusterFraction.isNaN) math.min(1.0, 4.0 / k)
+        else maxClusterFraction
+      val (assigned, model) =
+        if (frac >= 1.0) Ivf.build(live, "embedding", k, seed)
+        else Ivf.buildBalanced(live, "embedding", k, seed,
+          maxClusterFraction = frac)
+      Ivf.save(model, ivfModelPath)
+      Ivf.writePartitioned(assigned, ivfDataPath)
+      clearDir(ivfTombPath) // fresh table is built from live rows only
+      // a flat rebuild over an earlier hierarchical one must not leave
+      // the stale super table steering ingest-time assignment
+      clearDir(ivfSupersPath)
+      model
+    }
   }
 
   /** O6: n_probe pruned search over the partitioned IVF table (probing

@@ -12,12 +12,20 @@ package graft.core
   */
 object LocalKMeans {
 
-  /** @return k×dim centroids (deterministic for fixed inputs/seed). */
+  /** @return k×dim centroids (deterministic for fixed inputs/seed).
+    * `threads` picks the intra-fit pool size: the default 16 suits a
+    * driver-side fit; EXECUTOR-side per-group fits (the hierarchical
+    * IVF child level, where many fits already run concurrently across
+    * tasks) should pass 1 to avoid pool-per-task oversubscription.
+    * Results are thread-count-INDEPENDENT in structure but the partial
+    * -sum merge order is fixed per thread count, so determinism holds
+    * for a given (points, k, seed, threads). */
   def fit(points: Array[Array[Float]], k: Int, maxIter: Int = 100,
-          seed: Long = 42L): Array[Array[Float]] = {
+          seed: Long = 42L, threads: Int = 16): Array[Array[Float]] = {
     require(points.nonEmpty, "Cannot build index from empty node list")
     require(points.length >= k,
       s"Need at least $k nodes to build index with $k clusters")
+    require(threads >= 1, s"threads must be >= 1, got $threads")
     val dim = points.head.length
     val rng = new scala.util.Random(seed)
     // minit='points': k distinct sample indices
@@ -25,9 +33,6 @@ object LocalKMeans {
     var centroids = init.map(i => points(i).map(_.toDouble)).toArray
 
     val assign = new Array[Int](points.length)
-    // fixed thread count → fixed partial-sum merge order → results are
-    // deterministic for given (points, k, seed) on any machine
-    val threads = 16
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     try {
       var iter = 0

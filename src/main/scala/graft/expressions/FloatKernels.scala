@@ -180,6 +180,113 @@ case class NearestCentroidFloat(child: Expression,
   override def prettyName: String = "nearest_centroid_float"
 }
 
+/** Two-level argmin-distance assignment: argmin over `supers`
+  * (coarse level), then argmin over that super-cluster's `children`,
+  * returning the GLOBAL child index (children flattened in super
+  * order). This is the hierarchical-IVF assignment kernel: per row it
+  * scans k₁ + k₂(g) centroids — O(2·√k·dim) at the balanced geometry —
+  * where the flat [[NearestCentroidFloat]] scans all k. The two levels
+  * use the same double-accumulated L2² fold and first-match tie-break
+  * as the flat kernel, so a one-super model degenerates to it exactly.
+  * Offsets are precomputed once per expression instance; the (ragged)
+  * child matrix rides along as a referenced object. */
+case class TwoLevelNearestCentroidFloat(child: Expression,
+                                        supers: Array[Array[Float]],
+                                        childGroups: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(supers.nonEmpty, "two_level_nearest_centroid: empty super set")
+  require(childGroups.length == supers.length,
+    s"two_level_nearest_centroid: ${childGroups.length} child groups for " +
+      s"${supers.length} supers")
+  require(childGroups.forall(_.nonEmpty),
+    "two_level_nearest_centroid: a super-cluster with zero children " +
+      "would leave its rows unassignable")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${dt.simpleString}")
+  }
+
+  private val dim = supers(0).length
+  // global id of group g's first child = count of all children before g
+  @transient private lazy val offsets: Array[Int] =
+    childGroups.scanLeft(0)(_ + _.length).init
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dim ${a.numElements()} != centroid dim $dim")
+    def argmin(cents: Array[Array[Float]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var j = 0
+      while (j < cents.length) {
+        val c = cents(j); var s = 0.0; var i = 0
+        while (i < c.length) {
+          val d = a.getFloat(i).toDouble - c(i); s += d * d; i += 1
+        }
+        if (s < bestD) { bestD = s; best = j }
+        j += 1
+      }
+      best
+    }
+    val g = argmin(supers)
+    offsets(g) + argmin(childGroups(g))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sup = ctx.addReferenceObj("supers", supers, "float[][]")
+    val kids = ctx.addReferenceObj("childGroups", childGroups, "float[][][]")
+    val off = ctx.addReferenceObj("offsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val g = ctx.freshName("g")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val bd = ctx.freshName("bestD")
+      val cj = ctx.freshName("cj")
+      val grp = ctx.freshName("grp")
+      val cb = ctx.freshName("cb")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector dim " + $a.numElements() +
+         |    " != centroid dim $dim");
+         |}
+         |int $g = 0;
+         |double $bd = Double.MAX_VALUE;
+         |for (int $j = 0; $j < $sup.length; $j++) {
+         |  float[] $cj = $sup[$j];
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $cj.length; $i++) {
+         |    double $d = (double)$a.getFloat($i) - (double)$cj[$i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bd) { $bd = $s; $g = $j; }
+         |}
+         |float[][] $grp = $kids[$g];
+         |int $cb = 0;
+         |$bd = Double.MAX_VALUE;
+         |for (int $j = 0; $j < $grp.length; $j++) {
+         |  float[] $cj = $grp[$j];
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $cj.length; $i++) {
+         |    double $d = (double)$a.getFloat($i) - (double)$cj[$i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bd) { $bd = $s; $cb = $j; }
+         |}
+         |${ev.value} = $off[$g] + $cb;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "two_level_nearest_centroid_float"
+}
+
 /** Hyperplane-signature helper invoked from generated code: all L·b
   * plane dots in one pass over the vector row, one static call per row.
   * Bit j of table t = [dot(v, planes[t·b + j]) ≥ 0], with the engine-wide
@@ -507,6 +614,12 @@ object FloatKernels {
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]],
                       offset: Int = 0): Column =
     c(NearestCentroidFloat(e(vec), centroids, offset))
+
+  /** Two-level assignment: nearest super, then nearest child within it;
+    * returns the global child index (hierarchical-IVF kernel). */
+  def nearestCentroidTwoLevel(vec: Column, supers: Array[Array[Float]],
+                              children: Array[Array[Array[Float]]]): Column =
+    c(TwoLevelNearestCentroidFloat(e(vec), supers, children))
 
   /** ADC table-lookup fold over an array<int> PQ code column. */
   def adcLookup(code: Column, table: Array[Array[Double]]): Column =

@@ -248,6 +248,195 @@ object Ivf {
     df.withColumn(ClusterCol,
       FloatKernels.nearestCentroid(col(model.embCol), model.centroids))
 
+  // -----------------------------------------------------------------
+  // Hierarchical (two-level) coarse quantizer. The r14 decade study
+  // validated k ≈ 10·√N lists probed at 10·√k — but the FLAT build
+  // cannot deliver that k past ~1B rows: `build` requires
+  // sample ≥ k (so k > sampleSize throws), LocalKMeans is a driver
+  // O(sample·k·dim·iters) fit, and flat `assign` scans all k
+  // centroids per row (O(k·dim) — 6.4M flops/row at k = 10⁵,
+  // dim 64). The two-level quantizer removes all three cliffs:
+  //   level 1: ⌈√k⌉ super-centroids fit on the bounded driver sample
+  //            (cost O(sample·√k·dim·iters));
+  //   level 2: each super-cluster trains its OWN ~√k children on a
+  //            bounded sample of its own rows — √k independent fits
+  //            distributed across executors (mapGroups, one per
+  //            super);
+  //   assign:  two nested codegen argmin scans, O(2·√k·dim)/row
+  //            ([[graft.expressions.TwoLevelNearestCentroidFloat]]).
+  // The SEARCH side is unchanged: the flattened child list IS a flat
+  // k-centroid model (global ids contiguous in [0, k)), so
+  // probeClusters / partition pruning / scaledNProbe all apply as-is.
+  // Same B4/B5/O6 semantics as the reference (ivf.py:49-85, :87-117,
+  // :138-199) — only the quantizer depth differs.
+  // -----------------------------------------------------------------
+
+  /** Flat-build ceiling: above this k, [[graft.VectorStore.buildIvf]]
+    * takes the hierarchical path by default. 10⁴ is the largest
+    * measured-fine flat geometry (the 100M anchor; k = 31620 built but
+    * with a minutes-scale driver fit). */
+  val FlatBuildMaxK = 10000
+
+  case class HierModel(supers: Array[Array[Float]],
+                       children: Array[Array[Array[Float]]],
+                       embCol: String) {
+    /** Global id of group g's first child. */
+    lazy val offsets: Array[Int] = children.scanLeft(0)(_ + _.length).init
+    def k: Int = children.iterator.map(_.length).sum
+    def k1: Int = supers.length
+    /** Flat view — the global-id-ordered child list. Feeds the
+      * unchanged search side (driver probe ranking over all k). */
+    def flat: Model = Model(children.flatten, embCol)
+  }
+
+  /** Proportional child allocation: group g gets ~k·size_g/n children
+    * (largest-remainder rounding), at least 1 when non-empty, so list
+    * occupancy stays ~n/k everywhere regardless of super-cluster skew.
+    * Empty supers get 0 here (they still receive one placeholder child
+    * — the super itself — at assembly, so every row stays assignable). */
+  private[graft] def allocateChildren(k: Int, k1: Int,
+                                          sizes: Map[Int, Long]): Array[Int] = {
+    val n = math.max(1L, sizes.values.sum)
+    val raw = Array.tabulate(k1)(g => k.toDouble * sizes.getOrElse(g, 0L) / n)
+    val base = raw.map(x => math.floor(x).toInt)
+    (0 until k1).foreach { g =>
+      if (sizes.getOrElse(g, 0L) > 0 && base(g) == 0) base(g) = 1
+    }
+    var rem = k - base.sum
+    val nonEmpty = (0 until k1).filter(g => sizes.getOrElse(g, 0L) > 0)
+    if (rem > 0 && nonEmpty.nonEmpty) {
+      val order = nonEmpty.sortBy(g => (-(raw(g) - math.floor(raw(g))), g))
+      var i = 0
+      while (rem > 0) { base(order(i % order.length)) += 1; rem -= 1; i += 1 }
+    } else if (rem < 0) {
+      // min-1 floors over-allocated (many tiny supers): trim largest
+      val order = (0 until k1).sortBy(g => (-base(g), g))
+      var i = 0
+      while (rem < 0) {
+        val g = order(i % order.length)
+        if (base(g) > 1) { base(g) -= 1; rem += 1 }
+        i += 1
+      }
+    }
+    base
+  }
+
+  /** B4, hierarchical: build a k-list IVF index through the two-level
+    * quantizer. Returns (rows + cluster_id, model); model.k may land
+    * slightly BELOW the target k when a super-cluster's bounded child
+    * sample cannot support its allocation (k is a geometry target, not
+    * a contract — the search side reads k off the model).
+    *
+    * Scale shape: one bounded driver fit (√k supers), one k₁-row size
+    * aggregation, one Bernoulli sampling pass that draws every
+    * super-cluster's child-training sample at once, √k independent
+    * executor-side fits (each over ≤ childSampleSize rows,
+    * single-threaded — task-level parallelism already covers the
+    * cores), one codegen'd two-level assignment scan. No step is
+    * O(corpus·√k) or driver-O(k²). */
+  def buildHier(df: DataFrame, embCol: String, k: Int, seed: Long = 42L,
+                maxIter: Int = 100, sampleSize: Int = DefaultSampleSize,
+                childMaxIter: Int = 25,
+                childSampleSize: Int = 10000): (DataFrame, HierModel) = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val sample = trainingSample(df, embCol, sampleSize, seed)
+    if (sample.isEmpty) throw new IllegalArgumentException(
+      "Cannot build index from empty node list")
+    if (sample.length < k1) throw new IllegalArgumentException(
+      s"Need at least $k1 nodes to build index with $k1 super-clusters")
+    val supers = LocalKMeans.fit(sample, k1, maxIter, seed)
+    val superCol = "__super"
+    val withSuper = df.withColumn(superCol,
+      FloatKernels.nearestCentroid(col(embCol), supers))
+    val sizes = withSuper.groupBy(superCol).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = sizes.values.sum
+    if (n < k) throw new IllegalArgumentException(
+      s"Need at least $k nodes to build index with $k clusters")
+    val counts = allocateChildren(k, k1, sizes)
+    // one pass draws every super's child-training sample: seeded
+    // Bernoulli at a per-super rate (literal array lookup — k₁ doubles)
+    val rates = (0 until k1).map { g =>
+      val s = sizes.getOrElse(g, 0L)
+      if (s == 0L) 0.0 else math.min(1.0, childSampleSize * 1.2 / s)
+    }
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val cap = childSampleSize
+    val fitted = withSuper
+      .filter(rand(seed ^ 0x5deece66dL) <
+        element_at(typedlit(rates), col(superCol) + 1))
+      .select(col(superCol), col(embCol))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        // bounded per-group buffer (≈1.2·cap rows land here); stable
+        // content-hash order makes the fit insensitive to Spark's
+        // nondeterministic group-iteration order
+        val pts = it.map(_._2.toArray).take(cap * 2).toArray
+          .sortBy(java.util.Arrays.hashCode)
+        val kk = math.min(bcCounts.value(g), math.min(pts.length, cap))
+        val cents =
+          if (kk < 1) Seq.empty[Seq[Float]]
+          else LocalKMeans.fit(pts.take(cap), kk, childMaxIter,
+            seed ^ (g + 1).toLong, threads = 1).toSeq.map(_.toSeq)
+        (g, cents)
+      }
+      .collect().toMap
+    // assembly: fitted children per super; an empty/undersampled super
+    // keeps itself as its single child so its (few) rows stay
+    // assignable and global ids stay contiguous
+    val children = Array.tabulate(k1) { g =>
+      val cs = fitted.getOrElse(g, Seq.empty)
+      if (cs.isEmpty) Array(supers(g)) else cs.map(_.toArray).toArray
+    }
+    val model = HierModel(supers, children, embCol)
+    (assignHier(df, model), model)
+  }
+
+  /** B5, hierarchical: two nested codegen argmin scans, O(2·√k·dim)
+    * per row — the incremental-add path for hierarchical indexes
+    * (stale-centroid semantics, same as flat [[assign]]). */
+  def assignHier(df: DataFrame, model: HierModel): DataFrame =
+    df.withColumn(ClusterCol,
+      FloatKernels.nearestCentroidTwoLevel(col(model.embCol),
+        model.supers, model.children))
+
+  /** B11, hierarchical: the child table persists POSITIONALLY
+    * compatible with the flat [[load]] (centroid_id, centroid, …) —
+    * the search side never needs to know the model is hierarchical —
+    * plus a super_id column and a separate super-centroid table for
+    * [[loadHier]]/[[assignHier]]. */
+  def saveHier(model: HierModel, modelPath: String,
+               supersPath: String): Unit = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val rows = for {
+      g <- model.children.indices
+      (c, j) <- model.children(g).zipWithIndex
+    } yield (model.offsets(g) + j, c.toSeq, g)
+    rows.toDF("centroid_id", "centroid", "super_id")
+      .coalesce(1).write.mode("overwrite").parquet(modelPath)
+    model.supers.zipWithIndex.map { case (c, g) => (g, c.toSeq) }.toSeq
+      .toDF("super_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(supersPath)
+  }
+
+  def loadHier(spark: SparkSession, modelPath: String, supersPath: String,
+               embCol: String): HierModel = {
+    val supers = spark.read.parquet(supersPath).orderBy("super_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val buf = Array.fill(supers.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Float]])
+    spark.read.parquet(modelPath)
+      .select("centroid_id", "centroid", "super_id").orderBy("centroid_id")
+      .collect()
+      .foreach(r => buf(r.getInt(2)) += r.getSeq[Float](1).toArray)
+    HierModel(supers, buf.map(_.toArray), embCol)
+  }
+
   /** Persist as a cluster-partitioned table: probing = partition
     * pruning. Rows are hash-clustered on [[ClusterCol]] BEFORE the
     * partitioned write: a bare `partitionBy` writes one file per

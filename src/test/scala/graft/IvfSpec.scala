@@ -250,4 +250,72 @@ class IvfSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(api == explicit)
   }
+
+  // ---- hierarchical (two-level) quantizer ----
+
+  test("two-level kernel equals the composed flat argmins (global ids)") {
+    val dim = 8
+    val data = corpus(200, dim, seed = 7L)
+    // fixed two-level geometry: 3 supers with 2/3/1 children
+    val rng = new scala.util.Random(5)
+    def vec() = Array.fill(dim)(rng.nextFloat())
+    val supers = Array.fill(3)(vec())
+    val children = Array(Array.fill(2)(vec()), Array.fill(3)(vec()), Array(vec()))
+    val m = Ivf.HierModel(supers, children, "embedding")
+    assert(m.k == 6 && m.offsets.toSeq == Seq(0, 2, 5))
+    val got = Ivf.assignHier(toDF(data), m)
+      .select("id", Ivf.ClusterCol).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // reference computation in plain Scala (same double L2^2 fold)
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    def argmin(cs: Array[Array[Float]], v: Array[Float]): Int =
+      cs.zipWithIndex.minBy { case (c, i) => (d2(c, v), i) }._2
+    data.foreach { case (id, v) =>
+      val g = argmin(supers, v)
+      val expect = m.offsets(g) + argmin(children(g), v)
+      assert(got(id) == expect, s"id $id: got ${got(id)}, expect $expect")
+    }
+  }
+
+  test("buildHier: contiguous ids, conservation, exhaustive probe = exact kNN") {
+    val data = corpus(300, 8, seed = 11L)
+    val df = toDF(data).cache()
+    val (assigned, hm) = Ivf.buildHier(df, "embedding", k = 16, seed = 1L)
+    assert(hm.k >= 12 && hm.k <= 16, s"achieved k ${hm.k} far from target")
+    assert(hm.k1 == 4)
+    val ids = assigned.select(Ivf.ClusterCol).distinct().collect().map(_.getInt(0))
+    assert(ids.forall(c => c >= 0 && c < hm.k), "cluster ids contiguous in [0, k)")
+    assert(assigned.count() == 300L)
+    // exhaustive probe over the FLAT view = exact kNN
+    val q = data(13)._2.toSeq
+    val got = Ivf.search(assigned, hm.flat, "id", q, nProbe = hm.k, topK = 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val exact = Search.knnExact(df, "id", "embedding", q, 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
+  test("hier save/load round-trip preserves supers, children, and the flat view") {
+    val data = corpus(120, 8, seed = 3L)
+    val (_, hm) = Ivf.buildHier(toDF(data), "embedding", k = 9, seed = 2L)
+    val dir = java.nio.file.Files.createTempDirectory("hiermodel").toString
+    Ivf.saveHier(hm, s"$dir/model", s"$dir/supers")
+    val back = Ivf.loadHier(spark, s"$dir/model", s"$dir/supers", "embedding")
+    assert(back.supers.map(_.toSeq).toSeq == hm.supers.map(_.toSeq).toSeq)
+    assert(back.children.map(_.map(_.toSeq).toSeq).toSeq ==
+      hm.children.map(_.map(_.toSeq).toSeq).toSeq)
+    // the flat load() of the SAME model table serves the search side
+    val flat = Ivf.load(spark, s"$dir/model", "embedding")
+    assert(flat.centroids.map(_.toSeq).toSeq == hm.flat.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("allocateChildren: proportional, min-1 for non-empty, sums to k") {
+    val sizes = Map(0 -> 700L, 1 -> 200L, 2 -> 99L, 3 -> 1L, 4 -> 0L)
+    val a = Ivf.allocateChildren(10, 5, sizes)
+    assert(a.sum == 10, s"sum ${a.sum}")
+    assert(a(0) >= 6 && a(1) >= 2, "large supers get proportional shares")
+    assert(a(3) >= 1, "non-empty super gets at least one child")
+    assert(a(4) == 0, "empty super gets none")
+  }
 }

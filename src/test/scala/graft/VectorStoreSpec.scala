@@ -527,6 +527,42 @@ class VectorStoreSpec extends SparkSpec {
       s"fallback must max against the signature table (id 5 lives there), got $next")
   }
 
+  test("buildIvf hierarchical: searches serve, ingest assigns two-level, flat rebuild clears supers") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storehier").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(200, 8)
+    store.ingest(data.take(150).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    val model = store.buildIvf(12, hierarchical = Some(true))
+    assert(model.k >= 9 && model.k <= 12)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_supers")),
+      "hier build persists the super table")
+    // exhaustive probe over the persisted table = exact self-hit
+    val self = data(37)._2.toSeq
+    val hit = store.searchIvf(self, nProbe = model.k, k = 3).collect()
+    assert(hit.head.getAs[Double]("dist") < 1e-6)
+    // ingest AFTER the hier build: assignment runs through the two-level
+    // model and the new row surfaces without a rebuild
+    store.ingest(data.drop(150).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    val newSelf = data(170)._2.toSeq
+    val hit2 = store.searchIvf(newSelf, nProbe = model.k, k = 3).collect()
+    assert(hit2.head.getAs[Double]("dist") < 1e-6,
+      "a row ingested after the hier build must be findable")
+    // appended cluster ids must stay within the hier model's range
+    val maxCid = s.read.parquet(s"$dir/vectors_by_cluster")
+      .agg(max(col(graft.operators.Ivf.ClusterCol))).head.getInt(0)
+    assert(maxCid < model.k, s"appended cluster id $maxCid out of range")
+    // a FLAT rebuild must clear the stale hierarchy
+    store.buildIvf(4)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_supers")),
+      "flat rebuild clears the super table")
+    val hit3 = store.searchIvf(self, nProbe = 4, k = 3).collect()
+    assert(hit3.head.getAs[Double]("dist") < 1e-6)
+  }
+
   test("legacy store migrates through mutations: delete + compact + reopen") {
     val s = spark
     import s.implicits._
