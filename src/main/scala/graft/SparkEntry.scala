@@ -2087,6 +2087,34 @@ object SparkEntry {
         q, k = 10, ef = 5000).select("id", "dist")
     }),
 
+    // ---- O3 through the FACADE's persisted-graph deployment shape:
+    // ingest → buildHnsw (edges + params + watermark persisted) →
+    // ingest MORE rows (served as an exact tail below the graph
+    // results) → searchHnsw with an exhaustive beam. With ef far above
+    // every shard the graph side ≡ exact kNN over the built rows, the
+    // tail side is exact by construction, and the (dist, id) merge is
+    // the engine-wide tie-break — so the whole persisted chain
+    // (buildEdges → parquet → searchEdges reconstruct → watermark
+    // split → merge) is oracle-checked against brute-force kNN.
+    // Store ids differ from vec_ids (ingest assigns its own), so the
+    // compare key is the content column carrying the vec_id.
+    "o3_hnsw_store_exh" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val tmp = scratchDir("graft_hnswstore")
+      val store = VectorStore.open(s, tmp, dim = 64)
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === QueryVecId)
+        .select("embedding").head.getSeq[Float](0).toSeq
+      def rowsFor(pred: Column) = emb.filter(pred)
+        .select(col("embedding"), col("vec_id").cast("string").as("content"))
+      store.ingest(rowsFor(col("vec_id") < 400))
+      store.buildHnsw(numPartitions = 4)
+      store.ingest(rowsFor(col("vec_id") >= 400))
+      store.searchHnsw(q, k = 10, ef = 5000)
+        .join(store.snapshot().select("id", "content"), "id")
+        .select(col("content"), col("dist"))
+        .orderBy(col("dist").asc, col("content").asc)
+    }),
+
     // ---- O3/O6 second scale path: banded hyperplane-LSH ANN, 16 tables
     // × 8 bits with 2-bit multi-probe. Approximate by contract, but at
     // these settings the candidate set provably covers the true top-10
@@ -5633,6 +5661,12 @@ object SparkEntry {
       "o6_ivf_exhaustive" ->
         s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist
            |FROM embeddings e CROSS JOIN q ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+      "o3_hnsw_store_exh" ->
+        s"""$cte SELECT CAST(e.vec_id AS VARCHAR) AS content,
+           |${l2("e.embedding", "q.qe")} AS dist
+           |FROM embeddings e CROSS JOIN q
+           |ORDER BY dist ASC, content ASC LIMIT 10""".stripMargin,
 
       "o6_hier_exhaustive" ->
         s"""$cte SELECT e.vec_id AS vec_id, ${l2("e.embedding", "q.qe")} AS dist

@@ -347,11 +347,78 @@ class VectorStore private (val spark: SparkSession, val path: String,
   def searchHnsw(query: Seq[Float], k: Int, ef: Int = 0,
                  metadataFilter: Map[String, String] = Map.empty): DataFrame = {
     val corpus = live(metadataFilter)
-    val eff =
-      if (ef > 0) ef
-      else Hnsw.scaledEf(sessionConfig.ef, scaleCount(corpus, metadataFilter),
-        spark.sparkContext.defaultParallelism)
-    Hnsw.search(corpus, "id", "embedding", query, k, eff)
+    if (successAt(hnswModelPath) && successAt(hnswEdgesPath)) {
+      // persisted-graph serving (the B11 load path): search the edges
+      // table [[buildHnsw]] wrote instead of rebuilding every shard
+      // graph per query. Rows ingested AFTER the build (id ≥ the build
+      // watermark) are served by an EXACT scan of that tail, merged
+      // with the graph results — so post-build ingests surface
+      // immediately with exact (not just graph-approximate) ranking,
+      // ingest() stays O(batch), and the tail bill amortizes away at
+      // the next buildHnsw. Deletes need nothing: the live-join drops
+      // tombstoned ids and the graph search skips the dangling edges
+      // (the reference's B2 tolerance, hnsw.py:370-373).
+      val mrow = spark.read.parquet(hnswModelPath).head
+      val params = Hnsw.Params(mrow.getAs[Int]("m"),
+        mrow.getAs[Int]("ef_construction"), seed = mrow.getAs[Long]("seed"))
+      val parts = mrow.getAs[Int]("num_partitions")
+      val watermark = mrow.getAs[Long]("built_next_id")
+      val eff =
+        if (ef > 0) ef
+        else Hnsw.scaledEf(sessionConfig.ef,
+          scaleCount(corpus, metadataFilter), parts)
+      val graphSide = Hnsw.searchEdges(spark.read.parquet(hnswEdgesPath),
+          corpus.filter(col("id") < watermark), "id", "embedding",
+          Seq((0L, query.toArray)), k, eff, parts, params)
+        .select("id", "dist")
+      val tailSide = Search.knnExact(corpus.filter(col("id") >= watermark),
+          "id", "embedding", query, k)
+        .select("id", "dist")
+      graphSide.unionByName(tailSide)
+        .orderBy(col("dist").asc, col("id").asc).limit(k)
+    } else {
+      val eff =
+        if (ef > 0) ef
+        else Hnsw.scaledEf(sessionConfig.ef,
+          scaleCount(corpus, metadataFilter),
+          spark.sparkContext.defaultParallelism)
+      Hnsw.search(corpus, "id", "embedding", query, k, eff)
+        .select("id", "dist")
+    }
+  }
+
+  private def hnswModelPath = s"$path/hnsw_model"
+  private def hnswEdgesPath = s"$path/hnsw_edges"
+
+  /** B3/B11 through the facade: build per-shard HNSW graphs over the
+    * live rows ONCE and persist the edges table + build params, so
+    * [[searchHnsw]] serves from the persisted graph instead of paying
+    * the O(N log N) shard-graph construction on every call (the same
+    * upgrade [[trainLsh]] gave the LSH tier). The build watermark
+    * (next-id at build time) splits later serving: ids below it route
+    * through the graph, ids ingested after it are exact-scanned as a
+    * tail until the next build — mutation paths stay O(batch).
+    * `numPartitions` defaults to the session parallelism; it is pinned
+    * in the model because [[graft.operators.Hnsw.searchEdges]] must
+    * re-shard vectors with the build-time hash. */
+  def buildHnsw(m: Int = 16, efConstruction: Int = 200,
+                numPartitions: Int = 0, seed: Long = 42L): Unit = {
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val params = Hnsw.Params(m, efConstruction, seed = seed)
+    val watermark = readNextId()
+    // the model row is the serving gate: drop it FIRST so a crash
+    // mid-edge-write leaves the tier off (rebuild-per-query fallback)
+    // rather than serving new edges through stale build params — a
+    // num_partitions mismatch would re-shard vectors against the wrong
+    // adjacency and silently degrade recall
+    clearDir(hnswModelPath)
+    Hnsw.buildEdges(live(Map.empty), "id", "embedding", params, parts)
+      .write.mode("overwrite").parquet(hnswEdgesPath)
+    import spark.implicits._
+    Seq((m, efConstruction, seed, parts, watermark))
+      .toDF("m", "ef_construction", "seed", "num_partitions", "built_next_id")
+      .coalesce(1).write.mode("overwrite").parquet(hnswModelPath)
   }
 
   private def live(metadataFilter: Map[String, String]): DataFrame = {

@@ -563,6 +563,40 @@ class VectorStoreSpec extends SparkSpec {
     assert(hit3.head.getAs[Double]("dist") < 1e-6)
   }
 
+  test("persisted HNSW: build once, serve graph + exact tail, tolerate deletes") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storehnsw").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(200, 8)
+    store.ingest(data.take(150).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    store.buildHnsw(m = 8, efConstruction = 50, numPartitions = 4)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/hnsw_edges/_SUCCESS")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/hnsw_model/_SUCCESS")))
+    // exhaustive beam over the persisted graph: self-hit at dist ~0
+    val self = data(42)._2.toSeq
+    val hit = store.searchHnsw(self, k = 3, ef = 1000).collect()
+    assert(hit.head.getAs[Double]("dist") < 1e-6)
+    val hitId = hit.head.getAs[Long]("id")
+    // rows ingested AFTER the build are served exactly from the tail
+    store.ingest(data.drop(150).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
+    val newSelf = data(180)._2.toSeq
+    val hit2 = store.searchHnsw(newSelf, k = 3, ef = 1000).collect()
+    assert(hit2.head.getAs[Double]("dist") < 1e-6,
+      "a row ingested after buildHnsw must surface via the exact tail")
+    // deletes drop via the live-join (dangling edges tolerated)
+    store.delete(Seq(hitId))
+    assert(!store.searchHnsw(self, k = 5, ef = 1000).collect()
+      .map(_.getAs[Long]("id")).contains(hitId),
+      "a tombstoned id must not surface from the persisted graph")
+    // compact keeps serving (ids stable through the fold)
+    store.compact()
+    val hit3 = store.searchHnsw(newSelf, k = 3, ef = 1000).collect()
+    assert(hit3.head.getAs[Double]("dist") < 1e-6)
+  }
+
   test("legacy store migrates through mutations: delete + compact + reopen") {
     val s = spark
     import s.implicits._
