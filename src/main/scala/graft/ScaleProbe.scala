@@ -221,6 +221,97 @@ object ScaleProbe {
         best
       }
 
+      // round-15: the HIERARCHICAL two-level quantizer at the same
+      // 10·√N over-dense geometry as ivf_recall_overlists — the build
+      // path that stays feasible when the flat driver fit hits its
+      // ceiling. Same corpus, same k, same probe settings as the flat
+      // overlists sweep, so the two recall tables compare the
+      // QUANTIZER QUALITY (flat Lloyd's vs super+child two-level)
+      // apples-to-apples; the build row measures the wall the two-level
+      // decomposition buys.
+      val ivfHierDir = s"$dir-ivfhier"
+      var hierModel: Ivf.HierModel = null
+      def hierM(): Ivf.HierModel = {
+        if (hierModel == null) {
+          if (new java.io.File(s"$ivfHierDir-model", "_SUCCESS").exists())
+            hierModel = Ivf.loadHier(spark, s"$ivfHierDir-model",
+              s"$ivfHierDir-supers", "embedding")
+          else {
+            val (a, m) = Ivf.buildHier(df, "embedding", kOver, maxIter = 25)
+            Ivf.writePartitioned(a, ivfHierDir)
+            Ivf.saveHier(m, s"$ivfHierDir-model", s"$ivfHierDir-supers")
+            hierModel = m
+          }
+        }
+        hierModel
+      }
+      t("ivf_hier_build") { val m = hierM(); println(
+        s"        hier build: target k=$kOver achieved k=${m.k} (k1=${m.k1})")
+        m.k.toLong }
+      tp("ivf_hier_recall") { hierM(); recallExact } {
+        val m = hierM()
+        val flat = m.flat
+        val table = spark.read.parquet(ivfHierDir)
+        val qs = recallQs
+        val exact = recallExact
+        var best = 0L
+        val probes = (Seq(100, 316, 1000, m.k / 10) :+
+            Ivf.scaledNProbe(10, m.k))
+          .map(x => math.min(math.max(x, 1), m.k)).distinct.sorted
+        probes.foreach { np =>
+          val t0 = System.nanoTime()
+          val good = qs.count { case (qid, qv) =>
+            val got = Ivf.search(table, flat, "id", qv, np, 10)
+              .select("id").collect().map(_.getLong(0)).toSet
+            got.intersect(exact(qid)).size / 10.0 >= 0.6
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"        ivf hier [k=${m.k}] n_probe=$np%-5d (${np * 100.0 / m.k}%5.2f%% of lists) $good/10 queries >= 0.6@10, $dt%.1f s  ${if (good >= 7) "GATE PASS" else "gate miss"}")
+          best = math.max(best, good.toLong)
+        }
+        best
+      }
+      // assignment-cost rows: the per-row argmin bill is the hierarchy's
+      // second win (O(2·√k·dim) vs O(k·dim)). Measured over a bounded
+      // slice with synthetic centroid matrices (cost is geometry-
+      // independent); flat at k=31620 = the largest flat-built decade.
+      // flat at k=31620 measured 667 s PER MILLION ROWS (1M smoke) —
+      // the slice is capped so the row stays a per-row-cost measurement,
+      // not an hours-long reenactment of the cliff it documents
+      val flatSliceN = math.min(n, 100000L)
+      val hierSliceN = math.min(n, 10000000L)
+      def synthCents(k: Int): Array[Array[Float]] =
+        Array.tabulate(k)(j => Array.tabulate(64)(i =>
+          (((j.toLong * 64 + i) % 10000L) / 10000.0).toFloat))
+      t("ivf_assign_flat_k31620") {
+        val slice = df.filter(col("id") < flatSliceN)
+        Ivf.assign(slice, Ivf.Model(synthCents(31620), "embedding"))
+          .agg(sum(col(Ivf.ClusterCol).cast("long"))).head.getLong(0)
+        flatSliceN
+      }
+      t(s"ivf_assign_hier_k$kOver") {
+        val slice = df.filter(col("id") < hierSliceN)
+        val m = hierM()
+        Ivf.assignHier(slice, m)
+          .agg(sum(col(Ivf.ClusterCol).cast("long"))).head.getLong(0)
+        hierSliceN
+      }
+      // the NEXT decade's geometry (k = 10·√1e9 ≈ 316k — the config the
+      // flat build THROWS on: k > sampleSize): prove the two-level path
+      // builds it and assigns through it at full corpus width. Recall
+      // at the truly binding 1B-row decade needs ~250 GB of corpus —
+      // disk-bound here; the k=10⁵-on-100M sweep above (same over-
+      // density, one decade earlier) is the nearest measurable anchor.
+      t("ivf_hier_build_316k") {
+        val (a, m) = Ivf.buildHier(df, "embedding", 316228, maxIter = 25)
+        println(s"        hier 316k: achieved k=${m.k} (k1=${m.k1})")
+        // force the full-corpus two-level assignment scan (no persist —
+        // a 316k-dir partitioned write is a file-count bill this probe
+        // doesn't need to measure recall)
+        a.agg(max(col(Ivf.ClusterCol))).head
+        m.k.toLong
+      }
+
       // skew hardening: 90% of rows in one tight blob — buildBalanced
       // recursively splits the hot list below the fraction cap, so
       // partition pruning keeps pruning and the knnJoinIvf shuffle
@@ -384,6 +475,15 @@ object ScaleProbe {
         graft.operators.Hnsw.searchEdges(hnswEdges, df, "id", "embedding",
           Seq((0L, q.toArray)), k = 10, ef = 100,
           numPartitions = hnswParts, params = hnswParams).count())
+      // round-15 facade-parity row: the same single query WITHOUT a
+      // persisted graph — per-shard graphs rebuilt from scratch inside
+      // the call, the shape VectorStore.searchHnsw paid on EVERY query
+      // before buildHnsw existed. The ratio of this wall to
+      // hnsw_search_ef100's is the persisted-serving win.
+      t("hnsw_rebuild_1q_ef100")(
+        graft.operators.Hnsw.search(df, "id", "embedding", q, k = 10,
+          ef = 100, params = hnswParams).count())
+
       // batched: the per-call cost is the vectors⊳⊲edges cogroup +
       // per-shard graph reconstruct, NOT the beam — so queries must be
       // batched into one call (the searchBatch shape); this probe pins
@@ -1032,6 +1132,63 @@ object ScaleProbe {
       } {
         val st = graft.VectorStore.open(spark, s"$sdir/fstore", 8)
         st.delete(Seq(42L))
+        st.size()
+      }
+
+      // round-15 delete-heavy regime: deleteIds on 10% of the n-row
+      // store with BOTH sidecar tiers live, every tier searched green
+      // (no tombstoned id surfaces), then compact() folds the sidecars
+      // into the index tables and the searches stay green with the
+      // sidecars gone. Prints the sidecar size the anti-join's build
+      // side carried (the 64 MB broadcast ceiling decides hint vs
+      // shuffle anti-join) and the delete/search/compact walls.
+      tp("facade_delete10pct") {
+        val st = graft.VectorStore.open(spark, s"$sdir/fstore", 8)
+        if (st.size() == 0L) {
+          st.ingest(spark.range(n).select(
+            transform(sequence(lit(0), lit(7)), j =>
+              (pmod(xxhash64(col("id") * 8 + j), lit(1000)).cast("float") /
+                lit(100.0f)).cast("float")).as("embedding")))
+          st.compact()
+        }
+        if (!new java.io.File(s"$sdir/fstore/vectors_by_cluster", "_SUCCESS").exists())
+          st.buildIvf(math.max(64, math.sqrt(n.toDouble).toInt))
+        if (!new java.io.File(s"$sdir/fstore/codes_by_cluster", "_SUCCESS").exists())
+          st.buildIvfPq(kClusters = 64, chunks = 4, kCodes = 16)
+      } {
+        val st = graft.VectorStore.open(spark, s"$sdir/fstore", 8)
+        val qv = st.snapshot().filter(col("id") === 1L)
+          .select("embedding").head.getSeq[Float](0).toSeq
+        val t0 = System.nanoTime()
+        st.deleteIds(spark.range(n / 10).select((col("id") * 10).as("id")))
+        val wDel = (System.nanoTime() - t0) / 1e9
+        val scBytes = Seq("ivf_tombstones", "ivfpq_tombstones").map { d =>
+          val dir = new java.io.File(s"$sdir/fstore/$d")
+          Option(dir.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+        }.sum
+        def tierGreen(name: String)(rows: => Array[org.apache.spark.sql.Row]): Double = {
+          val s0 = System.nanoTime()
+          val r = rows
+          val w = (System.nanoTime() - s0) / 1e9
+          require(r.nonEmpty, s"$name returned no rows")
+          require(!r.map(_.getAs[Long]("id")).exists(_ % 10 == 0),
+            s"$name surfaced a tombstoned id")
+          w
+        }
+        val wIvf = tierGreen("ivf")(st.searchIvf(qv, 0, 10).collect())
+        val wPq = tierGreen("ivfpq")(
+          st.searchIvfPq(qv, 0, 10, rerank = 30).collect())
+        val tc = System.nanoTime()
+        st.compact()
+        val wCompact = (System.nanoTime() - tc) / 1e9
+        require(!new java.io.File(s"$sdir/fstore/ivf_tombstones").exists(),
+          "compact must clear the IVF sidecar")
+        val wIvf2 = tierGreen("ivf_postfold")(st.searchIvf(qv, 0, 10).collect())
+        val wPq2 = tierGreen("ivfpq_postfold")(
+          st.searchIvfPq(qv, 0, 10, rerank = 30).collect())
+        println(f"        delete10pct: delete=$wDel%.1f s sidecar=${scBytes / 1e6}%.1f MB " +
+          f"(broadcast<=64MB) ivf=$wIvf%.1f/$wIvf2%.1f s ivfpq=$wPq%.1f/$wPq2%.1f s " +
+          f"compact_fold=$wCompact%.1f s")
         st.size()
       }
 
