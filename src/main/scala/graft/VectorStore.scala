@@ -347,7 +347,15 @@ class VectorStore private (val spark: SparkSession, val path: String,
   def searchHnsw(query: Seq[Float], k: Int, ef: Int = 0,
                  metadataFilter: Map[String, String] = Map.empty): DataFrame = {
     val corpus = live(metadataFilter)
-    if (successAt(hnswModelPath) && successAt(hnswEdgesPath)) {
+    // metadata-filtered searches keep the PRE-FILTER rebuild path: the
+    // persisted graph was built over the whole corpus, so serving a
+    // filtered query through it would dangle every non-matching node
+    // out of the beams (biased routing, degraded recall), where the
+    // rebuild constructs shard graphs over exactly the matching rows —
+    // the strictly-better-recall composition the facade has always
+    // used (and the o7 exclusion semantics hold either way).
+    if (metadataFilter.isEmpty &&
+        successAt(hnswModelPath) && successAt(hnswEdgesPath)) {
       // persisted-graph serving (the B11 load path): search the edges
       // table [[buildHnsw]] wrote instead of rebuilding every shard
       // graph per query. Rows ingested AFTER the build (id ≥ the build
@@ -374,7 +382,11 @@ class VectorStore private (val spark: SparkSession, val path: String,
       val tailSide = Search.knnExact(corpus.filter(col("id") >= watermark),
           "id", "embedding", query, k)
         .select("id", "dist")
-      graphSide.unionByName(tailSide)
+      // dropDuplicates: in the window between a refreshHnsw publish and
+      // its watermark bump, tail ids are ALSO in the graph — both sides
+      // return them at identical distances, and the dedup (≤ 2k rows)
+      // keeps the merge correct rather than double-counting one id
+      graphSide.unionByName(tailSide).dropDuplicates("id")
         .orderBy(col("dist").asc, col("id").asc).limit(k)
     } else {
       val eff =
@@ -417,6 +429,34 @@ class VectorStore private (val spark: SparkSession, val path: String,
       .write.mode("overwrite").parquet(hnswEdgesPath)
     import spark.implicits._
     Seq((m, efConstruction, seed, parts, watermark))
+      .toDF("m", "ef_construction", "seed", "num_partitions", "built_next_id")
+      .coalesce(1).write.mode("overwrite").parquet(hnswModelPath)
+  }
+
+  /** B1 incremental through the facade: fold the exact-scan tail into
+    * the persisted graph with shard-local inserts
+    * ([[graft.operators.Hnsw.refreshEdges]] — each new id routes to its
+    * build-time shard, the shard graph reconstructs once per refresh,
+    * the batch inserts in sorted-id order) instead of a full rebuild —
+    * the amortization knob between [[buildHnsw]] calls, the same
+    * per-flush refresh the streaming path uses (B10 → B1). The
+    * watermark bumps only AFTER the crash-safe edge publish; in
+    * between, tail ids are served by BOTH sides of the search merge,
+    * which dedups them. Cost: one pass over the corpus vectors + the
+    * touched shards' adjacency — run it on a cadence, like
+    * [[compact]]. */
+  def refreshHnsw(): Unit = {
+    require(successAt(hnswModelPath) && successAt(hnswEdgesPath),
+      "refreshHnsw needs a persisted graph — call buildHnsw() first")
+    val mrow = spark.read.parquet(hnswModelPath).head
+    val params = Hnsw.Params(mrow.getAs[Int]("m"),
+      mrow.getAs[Int]("ef_construction"), seed = mrow.getAs[Long]("seed"))
+    val parts = mrow.getAs[Int]("num_partitions")
+    val newWatermark = readNextId()
+    Hnsw.refreshEdges(live(Map.empty).select("id", "embedding"),
+      hnswEdgesPath, "id", "embedding", parts, params)
+    import spark.implicits._
+    Seq((params.m, params.efConstruction, params.seed, parts, newWatermark))
       .toDF("m", "ef_construction", "seed", "num_partitions", "built_next_id")
       .coalesce(1).write.mode("overwrite").parquet(hnswModelPath)
   }

@@ -165,9 +165,16 @@ object Hnsw {
       out
     }
 
-    /** Keep the M closest of a candidate set (simple pruning heuristic). */
+    /** Keep the M closest of a candidate set (simple pruning heuristic).
+      * Dangling ids are dropped, not scored: a graph reconstructed from
+      * persisted adjacency over a DELETE-filtered vector table carries
+      * tombstoned neighbors in its lists (the same B2 tolerance the
+      * search paths apply, hnsw.py:370-373), and an incremental insert
+      * prunes exactly those lists — on a freshly built graph every
+      * candidate is present and the filter is a no-op. */
     private def selectNeighbors(q: Array[Float], cands: Seq[Long], count: Int): Seq[Long] =
-      cands.distinct.map(c => (distTo(q, c), c)).sorted.take(count).map(_._2)
+      cands.distinct.filter(vectors.contains)
+        .map(c => (distTo(q, c), c)).sorted.take(count).map(_._2)
 
     def insert(id: Long, vec: Array[Float]): Unit = {
       if (vectors.contains(id)) return // idempotent re-insert (hnsw.py:152-155)

@@ -595,6 +595,18 @@ class VectorStoreSpec extends SparkSpec {
     store.compact()
     val hit3 = store.searchHnsw(newSelf, k = 3, ef = 1000).collect()
     assert(hit3.head.getAs[Double]("dist") < 1e-6)
+    // refreshHnsw folds the tail into the graph incrementally: the
+    // watermark advances and the tail-served row now serves from the
+    // persisted adjacency
+    store.refreshHnsw()
+    val wm = s.read.parquet(s"$dir/hnsw_model").head
+      .getAs[Long]("built_next_id")
+    assert(wm >= 200L, s"watermark must cover the folded tail, got $wm")
+    val hit4 = store.searchHnsw(newSelf, k = 3, ef = 1000).collect()
+    assert(hit4.head.getAs[Double]("dist") < 1e-6,
+      "a tail row must stay findable after the incremental fold")
+    assert(hit4.map(_.getAs[Long]("id")).distinct.length == hit4.length,
+      "merge must not duplicate ids")
   }
 
   test("legacy store migrates through mutations: delete + compact + reopen") {
