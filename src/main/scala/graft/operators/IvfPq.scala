@@ -34,7 +34,14 @@ object IvfPq {
   val ResidualCol = "residual"
   val CodeCol = "pq_code"
 
-  final case class Model(ivf: Ivf.Model, pq: Pq.Codebook)
+  /** `hier` carries the two-level coarse quantizer when the index was
+    * built past the flat driver-fit ceiling ([[Ivf.FlatBuildMaxK]]):
+    * the SEARCH side only ever needs the flat `ivf` view (probe
+    * ranking + ADC tables by global centroid id), but the ENCODE side
+    * must assign through the hierarchy or every ingested row pays the
+    * O(k·dim) flat scan the hierarchy exists to remove. */
+  final case class Model(ivf: Ivf.Model, pq: Pq.Codebook,
+                         hier: Option[Ivf.HierModel] = None)
 
   /** x − centroid(cluster) as array<float> — float subtraction per
     * component (bit-identical to double-subtract-then-round-to-float,
@@ -48,7 +55,7 @@ object IvfPq {
   /** Assign + residual-encode. Output drops the residual: the index
     * payload is (… input cols …, cluster_id, pq_code). */
   def encode(df: DataFrame, embCol: String, model: Model): DataFrame =
-    Ivf.assign(df, model.ivf)
+    model.hier.fold(Ivf.assign(df, model.ivf))(h => Ivf.assignHier(df, h))
       .withColumn(CodeCol,
         Pq.encodeColumn(
           residualColumn(col(embCol), col(Ivf.ClusterCol), model.ivf.centroids),
@@ -59,15 +66,29 @@ object IvfPq {
     * Returns (encoded rows, model). */
   def build(df: DataFrame, embCol: String, kClusters: Int, chunks: Int,
             kCodes: Int, seed: Long = 42L,
-            sampleSize: Int = Ivf.DefaultSampleSize): (DataFrame, Model) = {
-    val (assigned, ivfM) = Ivf.build(df, embCol, kClusters, seed,
-      sampleSize = sampleSize)
+            sampleSize: Int = Ivf.DefaultSampleSize,
+            hierarchical: Option[Boolean] = None): (DataFrame, Model) = {
+    // past the flat driver-fit ceiling the coarse level builds through
+    // the two-level quantizer (same auto rule as VectorStore.buildIvf);
+    // the residual/PQ stages are hierarchy-agnostic — they see only the
+    // flat centroid view and the global cluster ids
+    val useHier = hierarchical.getOrElse(kClusters > Ivf.FlatBuildMaxK)
+    val (assigned, ivfM, hierM) =
+      if (useHier) {
+        val (a, h) = Ivf.buildHier(df, embCol, kClusters, seed,
+          sampleSize = sampleSize)
+        (a, h.flat, Some(h))
+      } else {
+        val (a, m) = Ivf.build(df, embCol, kClusters, seed,
+          sampleSize = sampleSize)
+        (a, m, None)
+      }
     val dim = ivfM.centroids.head.length
     val withRes = assigned.withColumn(ResidualCol,
       residualColumn(col(embCol), col(Ivf.ClusterCol), ivfM.centroids))
     val pq = Pq.train(withRes, ResidualCol, dim, chunks, kCodes, seed,
       sampleSize = sampleSize)
-    val model = Model(ivfM, pq)
+    val model = Model(ivfM, pq, hierM)
     (withRes.withColumn(CodeCol, Pq.encodeColumn(col(ResidualCol), pq))
       .drop(ResidualCol), model)
   }
@@ -118,11 +139,33 @@ object IvfPq {
     * (coarse centroids via [[Ivf.save]], residual codebook via
     * [[Pq.save]]). */
   def save(model: Model, path: String): Unit = {
-    Ivf.save(model.ivf, s"$path/ivf")
+    model.hier match {
+      case Some(h) =>
+        // the child table at ivf/ stays positionally compatible with
+        // the flat load; the super table rides in a sibling subdir
+        Ivf.saveHier(h, s"$path/ivf", s"$path/supers")
+      case None =>
+        Ivf.save(model.ivf, s"$path/ivf")
+        // a flat re-train over an earlier hierarchical model must not
+        // leave a stale super table re-hier-ifying the next load
+        val p = new org.apache.hadoop.fs.Path(s"$path/supers")
+        p.getFileSystem(org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+    }
     Pq.save(model.pq, s"$path/pq")
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
-           embCol: String): Model =
-    Model(Ivf.load(spark, s"$path/ivf", embCol), Pq.load(spark, s"$path/pq"))
+           embCol: String): Model = {
+    val supers = new org.apache.hadoop.fs.Path(s"$path/supers/_SUCCESS")
+    val hasHier = supers.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(supers)
+    val hier =
+      if (hasHier)
+        Some(Ivf.loadHier(spark, s"$path/ivf", s"$path/supers", embCol))
+      else None
+    Model(Ivf.load(spark, s"$path/ivf", embCol), Pq.load(spark, s"$path/pq"),
+      hier)
+  }
 }

@@ -77,4 +77,33 @@ class IvfPqSpec extends SparkSpec {
     }
     assert(hits >= 7, s"only $hits/10 queries cleared the recall gate")
   }
+
+  test("hierarchical coarse level: encode two-level, save/load round-trip, search green") {
+    val data = corpus(300, 16, seed = 9L)
+    val df = toDF(data).cache()
+    val (encoded, model) = IvfPq.build(df, "embedding", kClusters = 16,
+      chunks = 4, kCodes = 4, hierarchical = Some(true))
+    assert(model.hier.nonEmpty, "explicit hierarchical build carries the hier model")
+    assert(model.ivf.k == model.hier.get.k)
+    // assignment through the composite equals the hier kernel directly
+    val viaHier = graft.operators.Ivf.assignHier(df, model.hier.get)
+      .select("id", graft.operators.Ivf.ClusterCol).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    encoded.select("id", graft.operators.Ivf.ClusterCol).collect().foreach { r =>
+      assert(r.getInt(1) == viaHier(r.getLong(0)))
+    }
+    // exhaustive probe + rerank finds self
+    val got = IvfPq.search(encoded, model, "id", data(11)._2.toSeq,
+      nProbe = model.ivf.k, topK = 5, rerank = 50)
+    assert(got.collect().head.getAs[Long]("id") == 11L)
+    // save/load preserves the hierarchy (encode-after-load = encode-before)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqhier").toString
+    IvfPq.save(model, dir)
+    val back = IvfPq.load(spark, dir, "embedding")
+    assert(back.hier.nonEmpty, "load must rehydrate the hier model")
+    val enc2 = IvfPq.encode(df, "embedding", back)
+      .select("id", graft.operators.Ivf.ClusterCol).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(enc2 == viaHier)
+  }
 }
