@@ -972,4 +972,225 @@ object TextKernels {
   def multiPatternMatches(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(
       MultiPatternMatches(ColumnBridge.expression(text), patterns))
+
+  /** md5 gram-bucket ids (unigrams then bigrams) of a token-array
+    * column — the [[graft.operators.Classifier.gramBuckets]] hot path
+    * as one static call per row. */
+  def gramBucketsMd5(tokens: Column, dim: Int): Column =
+    ColumnBridge.column(GramBucketsMd5(ColumnBridge.expression(tokens), dim))
+
+  /** Per-doc (bucket, count) pairs over the md5 gram buckets, bias
+    * entry (dim, 1.0) appended — Classifier.train's whole feature
+    * build for one doc in one call (replaces explode + groupBy). */
+  def gramBucketCountsMd5(tokens: Column, dim: Int): Column =
+    ColumnBridge.column(
+      GramBucketCountsMd5(ColumnBridge.expression(tokens), dim))
+
+  /** bias + Σ weights(bucket) over the md5 gram buckets in gram order —
+    * the hashedLinearLogit scoring fold as one static call per row. */
+  def hashedLogitMd5(tokens: Column, dim: Int, weights: Seq[Double],
+                     bias: Double): Column =
+    ColumnBridge.column(
+      HashedLogitMd5(ColumnBridge.expression(tokens), dim, weights, bias))
+}
+
+/** md5 gram-bucket helpers invoked from generated code: ONE static call
+  * per row replaces the interpreted HOF chain (filter → transform
+  * bigrams → transform/aggregate with per-gram
+  * `conv(substring(md5(g),1,8),16,10)`) the classifier/DSIR family
+  * previously paid — higher-order functions are CodegenFallback, so
+  * every gram paid interpreted dispatch plus a 32-hex-char string
+  * round-trip per hash. Semantics are EXACTLY the declarative form's
+  * (and the DuckDB oracle's replay): tokens are the raw
+  * `split(lower(text), "\\s+")` output, empty tokens are dropped, grams
+  * are the surviving unigrams left→right then the adjacent bigrams
+  * (tok_i ∥ " " ∥ tok_{i+1}) left→right, and
+  * bucket = (unsigned int of md5 digest bytes 0–3) mod dim
+  * (≡ conv(substring(md5(gram), 1, 8), 16, 10) % dim — the
+  * [[CountEmbedUtil.embedMd5]] identity). */
+object GramBucketUtil {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Space = UTF8String.fromString(" ")
+
+  private def bucket(md: java.security.MessageDigest, s: UTF8String,
+                     dim: Int): Int = {
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    (v % dim).toInt
+  }
+
+  /** Non-empty tokens in order ("\\s+" split only yields empties at the
+    * ends, so dropping them never changes bigram adjacency — identical
+    * to the `filter(toks, w => w =!= "")` the declarative form used). */
+  private def nonEmpty(tokens: ArrayData): Array[UTF8String] = {
+    val n = tokens.numElements()
+    val buf = new Array[UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) { buf(m) = t; m += 1 }
+      i += 1
+    }
+    if (m == n) buf else java.util.Arrays.copyOf(buf, m)
+  }
+
+  def gramBuckets(tokens: ArrayData, dim: Int): ArrayData = {
+    val toks = nonEmpty(tokens)
+    val md = mdLocal.get()
+    val nUni = toks.length
+    val nBi = math.max(0, nUni - 1)
+    val out = new Array[Any](nUni + nBi)
+    var i = 0
+    while (i < nUni) { out(i) = bucket(md, toks(i), dim); i += 1 }
+    i = 0
+    while (i < nBi) {
+      out(nUni + i) =
+        bucket(md, UTF8String.concat(toks(i), Space, toks(i + 1)), dim)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bucketCounts(tokens: ArrayData, dim: Int): ArrayData = {
+    val toks = nonEmpty(tokens)
+    val md = mdLocal.get()
+    val cnt = new Array[Int](dim)
+    val order = new Array[Int](math.min(dim, 2 * math.max(1, toks.length)))
+    var nOrder = 0
+    def add(b: Int): Unit = {
+      if (cnt(b) == 0) { order(nOrder) = b; nOrder += 1 }
+      cnt(b) += 1
+    }
+    var i = 0
+    while (i < toks.length) { add(bucket(md, toks(i), dim)); i += 1 }
+    i = 0
+    while (i + 1 < toks.length) {
+      add(bucket(md, UTF8String.concat(toks(i), Space, toks(i + 1)), dim))
+      i += 1
+    }
+    val out = new Array[Any](nOrder + 1)
+    i = 0
+    while (i < nOrder) {
+      val b = order(i)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b, cnt(b).toDouble))
+      i += 1
+    }
+    // the constant bias feature at bucket `dim`: every doc (even a
+    // gram-less one) carries exactly one (dim, 1.0) row
+    out(nOrder) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dim, 1.0))
+    new GenericArrayData(out)
+  }
+
+  def hashedLogit(tokens: ArrayData, weights: Array[Double], bias: Double,
+                  dim: Int): Double = {
+    val toks = nonEmpty(tokens)
+    val md = mdLocal.get()
+    // left fold in gram order (unigrams then bigrams), bias added last —
+    // the exact IEEE addition order of
+    // `lit(bias) + aggregate(grams, 0.0, acc + w(bucket))`
+    var acc = 0.0
+    var i = 0
+    while (i < toks.length) { acc += weights(bucket(md, toks(i), dim)); i += 1 }
+    i = 0
+    while (i + 1 < toks.length) {
+      acc += weights(bucket(md, UTF8String.concat(toks(i), Space, toks(i + 1)), dim))
+      i += 1
+    }
+    bias + acc
+  }
+}
+
+/** array<string> of raw split tokens → array<int> of md5 gram buckets
+  * (unigrams then bigrams over the non-empty tokens). */
+case class GramBucketsMd5(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GramBucketUtil.gramBuckets(v.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.GramBucketUtil.gramBuckets($t, $dim);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "gram_buckets_md5"
+}
+
+/** array<string> of raw split tokens → array<struct<b:int,c:double>> of
+  * per-doc (bucket, count) pairs, bias entry (dim, 1.0) last. */
+case class GramBucketCountsMd5(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("c", DoubleType,
+        nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GramBucketUtil.bucketCounts(v.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.GramBucketUtil.bucketCounts($t, $dim);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "gram_bucket_counts_md5"
+}
+
+/** array<string> of raw split tokens → double logit
+  * (bias + Σ weights(bucket) in gram order). */
+case class HashedLogitMd5(child: Expression, dim: Int,
+                          weights: Seq[Double], bias: Double)
+    extends UnaryExpression {
+  require(weights.length == dim, s"need $dim weights, got ${weights.length}")
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    GramBucketUtil.hashedLogit(v.asInstanceOf[ArrayData], wArr, bias, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("weights", wArr, "double[]")
+    // bias ships as a reference object: interpolating a double literal
+    // into Java source would mis-render NaN/Infinity
+    val bRef = ctx.addReferenceObj("bias", java.lang.Double.valueOf(bias),
+      "java.lang.Double")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.expressions.GramBucketUtil.hashedLogit(" +
+        s"$t, $wRef, $bRef.doubleValue(), $dim);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "hashed_logit_md5"
 }

@@ -117,18 +117,13 @@ object TextFunctions {
   def hashedLinearLogit(text: Column, dim: Int, weights: Seq[Double],
                         bias: Double): Column = {
     require(weights.length == dim, s"need $dim weights, got ${weights.length}")
-    val wl = lit(weights.toArray)
-    ColumnOps.bindOnce(filter(split(lower(text), "\\s+"), w => w =!= lit(""))) {
-      toks =>
-        val bigrams = when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2), i =>
-            concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))
-        val grams = concat(toks, bigrams)
-        lit(bias) + aggregate(grams, lit(0.0), (acc, g) =>
-          acc + element_at(wl,
-            (graft.operators.Sketch.hash32(g) % dim).cast("int") + 1))
-    }
+    // one codegen kernel call per row (graft.expressions.GramBucketUtil
+    // .hashedLogit) — same gram order, bucket arithmetic, and IEEE fold
+    // order as the declarative filter/transform/aggregate chain this
+    // replaces, which was CodegenFallback (interpreted dispatch + a
+    // 32-hex-char md5 string round-trip per gram)
+    graft.expressions.TextKernels.hashedLogitMd5(
+      split(lower(text), "\\s+"), dim, weights, bias)
   }
 
   /** Document fingerprint: minimum md5 over character shingles — the

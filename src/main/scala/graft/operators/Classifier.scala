@@ -81,19 +81,27 @@ object Classifier {
   /** Hashed gram-bucket array of a text column — EXACTLY the gram and
     * bucket construction of `hashedLinearLogit` (lowercase whitespace
     * unigrams left→right, then bigrams left→right, md5-derived hash32
-    * mod dim), so trained weights score consistently. */
+    * mod dim), so trained weights score consistently. One codegen
+    * kernel call per row ([[graft.expressions.GramBucketUtil]]) — the
+    * declarative filter/transform/aggregate HOF chain this replaces is
+    * CodegenFallback and paid interpreted dispatch plus a 32-hex-char
+    * md5 string round-trip per gram. */
   def gramBuckets(text: Column, dim: Int): Column =
-    ColumnOps.bindOnce(filter(split(lower(text), "\\s+"), w => w =!= lit(""))) {
-      toks =>
-        val bigrams = when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2), i =>
-            concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))
-        transform(concat(toks, bigrams),
-          g => (Sketch.hash32(g) % dim).cast("int"))
-    }
+    graft.expressions.TextKernels.gramBucketsMd5(
+      split(lower(text), "\\s+"), dim)
 
   /** Full-batch hard-sigmoid GD from zero-initialized weights.
+    *
+    * Each iteration is ONE exchange-free pass over the cached feature
+    * table: the per-doc z is a window sum over the doc partition key
+    * (the cache is hash-partitioned AND sorted by doc id, so the window
+    * needs no exchange and no per-iteration sort), the error term is
+    * computed inline from the label column the features carry, and only
+    * the dim+1-group gradient aggregation shuffles (dim+1 doubles). The
+    * previous shape paid a groupBy + two co-partitioned joins per
+    * iteration — 3 cache scans and ~5 stages each; this is 1 scan and
+    * 2 stages. All cross-row sums stay DECIMAL(38,18)-routed (exact and
+    * order-independent), so the learned weights are bit-identical.
     *
     * @param label 0/1 double column (evaluated against `df`'s columns)
     * @param lr    learning rate η; update is w −= η·(g/n) per step
@@ -103,36 +111,52 @@ object Classifier {
     require(dim >= 1 && iters >= 1 && lr > 0,
       s"bad hyperparameters: dim=$dim iters=$iters lr=$lr")
     val dec = DecimalType(38, 18)
-    val base = df.select(col(idCol).as("__id"),
-      label.cast("double").as("__y"),
-      gramBuckets(col(textCol), dim).as("__bs"))
-    // (doc, bucket, count) + the constant bias feature at bucket `dim`;
-    // partitioned by doc so the per-iteration z groupBy and error join
-    // run exchange-free over the cached table
-    val bucketed = base
-      .select(col("__id"), explode(col("__bs")).as("__b"))
-      .groupBy("__id", "__b").agg(count(lit(1)).cast("double").as("__c"))
-      .unionByName(base.select(col("__id"), lit(dim).as("__b"),
-        lit(1.0).as("__c")))
+    // per-doc (bucket, count) pairs — including the constant bias
+    // feature at bucket `dim`, so every doc (even a gram-less one) has
+    // a feature row and one aggregation updates weights AND bias —
+    // computed by ONE kernel call per row
+    // ([[graft.expressions.GramBucketUtil.bucketCounts]]): no explode +
+    // groupBy shuffle of the corpus-sized gram table, no bias-branch
+    // union. The one shuffle is the doc-keyed repartition of the
+    // UN-exploded rows (one skinny row per doc); rows explode after it
+    // (Generate preserves partitioning) and sort by doc id, so the
+    // per-iteration window runs exchange-free and sort-free over the
+    // cached table. A null text coalesces to no tokens → bias row only,
+    // the same rows the explode-branch/bias-branch union produced.
+    val feats = df
+      .select(col(idCol).as("__id"), label.cast("double").as("__y"),
+        graft.expressions.TextKernels.gramBucketCountsMd5(
+          coalesce(split(lower(col(textCol)), "\\s+"),
+            array().cast("array<string>")), dim).as("__p"))
       .repartition(col("__id"))
+      // explode_outer, not explode: the array is never empty (bias entry
+      // always present), but plain explode makes the optimizer infer a
+      // size(__p) > 0 filter and push it into the scan — re-evaluating
+      // the gram kernel (the md5 pass) TWICE per row
+      .select(col("__id"), col("__y"), explode_outer(col("__p")).as("__e"))
+      .select(col("__id"), col("__y"),
+        col("__e.b").as("__b"), col("__e.c").as("__c"))
+      .sortWithinPartitions("__id")
       .persist()
-    val labels = base.select(col("__id"), col("__y"))
-      .repartition(col("__id")).persist()
-    val nD = labels.count().toDouble
+    // doc count = bias-row count (one per doc) — off the cache, not a
+    // second corpus scan
+    val nD = feats.filter(col("__b") === dim).count().toDouble
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("__id")
 
     val w = Array.fill(dim + 1)(0.0) // w(dim) = bias
     for (_ <- 1 to iters) {
       val wl = lit(w)
-      val zs = bucketed
-        .select(col("__id"),
-          (col("__c") * element_at(wl, col("__b") + 1)).as("__zc"))
-        .groupBy("__id").agg(sum(col("__zc").cast(dec)).cast("double").as("__z"))
-      val es = labels.join(zs, "__id")
-        .select(col("__id"),
-          (greatest(lit(0.0), least(lit(1.0),
-            lit(0.5) + col("__z") * lit(0.25))) - col("__y")).as("__e"))
-      val grad = es.join(bucketed, "__id")
-        .select(col("__b"), (col("__e") * col("__c")).as("__g"))
+      // z_d = Σ_b c_db·w_b (decimal window sum — same addends, same
+      // exact sum as the previous groupBy+join form), then the hard-
+      // sigmoid error rides each feature row inline
+      val grad = feats
+        .withColumn("__z",
+          sum((col("__c") * element_at(wl, col("__b") + 1)).cast(dec))
+            .over(win).cast("double"))
+        .select(col("__b"),
+          ((greatest(lit(0.0), least(lit(1.0),
+            lit(0.5) + col("__z") * lit(0.25))) - col("__y")) * col("__c"))
+            .as("__g"))
         .groupBy("__b").agg(sum(col("__g").cast(dec)).cast("double").as("__g"))
         .collect()
       grad.foreach { r =>
@@ -140,8 +164,7 @@ object Classifier {
         w(k) = w(k) - lr * (r.getDouble(1) / nD)
       }
     }
-    bucketed.unpersist()
-    labels.unpersist()
+    feats.unpersist()
     Model(w.take(dim), w(dim), dim)
   }
 }

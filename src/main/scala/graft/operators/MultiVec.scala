@@ -108,23 +108,23 @@ object MultiVec {
       require(qv.exists(_ != 0.0), s"query segment '$seg' has no tokens")
     }
     import graft.functions.ColumnOps.bindOnce
-    val scored = bindOnce(
-      filter(split(lower(col("wtext")), "\\s+"), t => t =!= lit(""))) { toks =>
-      bindOnce(transform(toks, t => {
-        val (b, s) = HashingEmbedder.md5BucketSignCols(t, dim)
-        struct(b.as("b"), s.as("s"))
-      })) { ps =>
-        val nsq = aggregate(ps, lit(0.0), (acc, p) =>
-          acc + p.getField("s") * aggregate(ps, lit(0.0), (a2, q) =>
-            a2 + when(q.getField("b") === p.getField("b"), q.getField("s"))
-              .otherwise(lit(0.0))))
-        val dots = qvecs.zipWithIndex.map { case (qv, i) =>
-          (aggregate(ps, lit(0.0), (acc, p) =>
-            acc + p.getField("s") * element_at(lit(qv), p.getField("b") + 1))
-            + lit(0.0)).as(s"d$i")
-        }
-        struct(nsq.as("nsq") +: dots: _*)
+    // per-window signed-count vector via the codegen md5 kernel (the
+    // [[CountEmbedUtil.embedMd5]] bucket/sign identity — shared with
+    // embedMd5Counts, so the hash can't drift), then norm² and the Q
+    // query dots as codegen float folds. Every value is an exact
+    // integer in double (signs, counts, and the driver-side qv counts
+    // all < 2²⁴, so the float components are exact too): any summation
+    // order yields the identical double, so this is bit-identical to
+    // the interpreted per-token T² fold it replaces — which paid
+    // CodegenFallback dispatch per token PAIR per window.
+    val scored = bindOnce(graft.expressions.TextKernels.md5CountEmbed(
+      split(lower(col("wtext")), "\\s+"), dim, normalize = false)) { emb =>
+      val nsq = graft.expressions.FloatKernels.dot(emb, emb)
+      val dots = qvecs.zipWithIndex.map { case (qv, i) =>
+        (graft.expressions.FloatKernels.dot(emb,
+          lit(qv.map(_.toFloat))) + lit(0.0)).as(s"d$i")
       }
+      struct(nsq.as("nsq") +: dots: _*)
     }
     val perWin = windows(df, idCol, textCol, width)
       .select(col(idCol), scored.as("__sc"))
