@@ -206,6 +206,46 @@ object Dedup {
       .select(col(aCol),
         explode(slice(col("__s"), col("__i") + 2, size(col("__s")))).as(bCol))
 
+  /** Bounded-state distinct-id collector behind the gram-universe
+    * cutoff ([[ngramJaccardPairs]]'s one-pass screen): buffer =
+    * ascending distinct ids, hard-capped at cap + 1 elements — the
+    * cap+1-th DISTINCT insert marks the gram poisoned (> cap distinct
+    * docs) and the buffer stops growing, so per-gram aggregation state
+    * is bounded at any corpus size (the KmvAgg insert discipline).
+    * finish() = null for poisoned grams (dropped from the universe). */
+  final class BoundedDistinctIdsAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    require(cap >= 1, s"cutoff must be positive, got $cap")
+    private val poisonLen = cap + 1
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], id: Long): Array[Long] = insert(b, id)
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      if (x.length >= poisonLen) x
+      else if (y.length >= poisonLen) y
+      else y.foldLeft(x)(insert)
+    override def finish(b: Array[Long]): Array[Long] =
+      if (b.length >= poisonLen) null else b
+
+    private def insert(b: Array[Long], id: Long): Array[Long] = {
+      if (b.length >= poisonLen) return b // poisoned: stop growing
+      val pos = java.util.Arrays.binarySearch(b, id)
+      if (pos >= 0) b // distinct set: already present
+      else {
+        val ins = -pos - 1
+        val out = new Array[Long](b.length + 1)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = id
+        System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+        out
+      }
+    }
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** SimHash (64-bit, via xxhash64): sign-sum of token hash bits.
     * Per-row scan, no shuffle, one codegen kernel call per row (the
     * aggregate/zip_with HOF form this replaces paid interpreted dispatch
@@ -498,38 +538,75 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     }
-    // Guarded path. The ultra-common gram set is usually tiny, and
-    // DISTINCT docs per gram (as documented), not rows: a re-ingested
-    // identical row must not push a gram over the cutoff. Two-phase
-    // screen: a plain per-gram ROW count (map-side partial longs — no
-    // distinct state) upper-bounds the distinct-doc count, so only
-    // grams whose row count crosses the cutoff pay the exact distinct
-    // count; when none do (the normal corpus) AQE sees the empty side
-    // and collapses the second pass to an empty relation without
-    // scanning. The hot/common joins are deliberately UNHINTED: AQE
-    // broadcasts them when they are actually small (the normal case)
-    // but degrades to a shuffle join on a boilerplate-dominated corpus
-    // where the hot set itself is corpus-sized — a forced broadcast
-    // there would BE the failure mode the guard exists to prevent.
-    val hot = grams0.groupBy("gram").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxDocFreq).select("gram")
-    val common = grams0.join(hot, Seq("gram"), "left_semi")
-      .groupBy("gram").agg(count_distinct(col("__id")).as("__df"))
-      .filter(col("__df") > maxDocFreq).select("gram")
-    // no pre-bucketing distinct: collect_set below dedups (gram, id)
-    // during the ONE shuffle the gram table pays, so a doc ingested
-    // twice cannot double intersections or its recomputed set size —
-    // the explicit distinct() this replaces paid a second full shuffle
-    // of the corpus-sized gram table for the same guarantee
-    val kept = grams0.drop("sz").join(common, Seq("gram"), "left_anti")
-    // one aggregation produces the buckets; the per-doc sizes over the
-    // filtered universe fall out of the buckets themselves (explode
-    // back + count — the bucket table is maxDocFreq-bounded), so the
-    // corpus-sized exploded-gram table is shuffled exactly once and the
-    // size lookups join the CANDIDATE-PAIR table, not the gram table.
-    // The one-bucket grams (size 1) still count toward sizes, so the
-    // filter to pairable buckets happens after the explode-back split.
-    val buckets = kept.groupBy("gram").agg(collect_set(col("__id")).as("ids"))
+    // Guarded path: the cutoff is DISTINCT docs per gram (as
+    // documented), not rows — a re-ingested identical row must not push
+    // a gram over it. Integral-id corpora (every production shape) take
+    // the ONE-PASS bounded-state screen: a capped distinct-id
+    // aggregator ([[BoundedDistinctIdsAgg]]) collects each gram's
+    // bucket directly — per-gram state is hard-capped at
+    // maxDocFreq + 1 ids (~80 KB at the default cutoff), the cap+1-th
+    // distinct id marks the gram poisoned and drops it from the
+    // universe — so the corpus-sized exploded-gram table is SCANNED
+    // once and shuffled once. The two-phase row-count/exact-distinct
+    // pre-screen this replaces paid two extra full gram-table scans and
+    // a vocabulary-sized shuffle before the bucket pass even started
+    // (r16 measurement: 3 scans → 1 cut the screen ~30% at sf0.1).
+    // Shuffle-byte trade on a boilerplate-dominated corpus: a hot gram
+    // now ships ≤ cap+1 ids per map partition (the pre-screen shipped
+    // none after its anti-join) — bounded by partitions × cap × 8 B,
+    // which AQE handles, where the OLD cost was two extra corpus scans
+    // on EVERY corpus. Non-integral ids (no production call site) keep
+    // the two-phase screen — the bounded agg buffers primitive longs.
+    val idType = df.schema(idCol).dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case dt: org.apache.spark.sql.types.DecimalType
+          if dt.scale == 0 && dt.precision <= 18 => true
+      case _ => false
+    }
+    // the bucket table is the sole downstream input: per-doc sizes over
+    // the filtered universe fall out of the buckets themselves (explode
+    // back + count — the bucket table is maxDocFreq-bounded), so size
+    // lookups join the CANDIDATE-PAIR table, not the gram table. The
+    // one-bucket grams (size 1) still count toward sizes, so the filter
+    // to pairable buckets happens after the explode-back split.
+    val buckets =
+      if (integralId) {
+        val bd = udaf(new BoundedDistinctIdsAgg(maxDocFreq),
+          org.apache.spark.sql.Encoders.scalaLong)
+        grams0.drop("sz")
+          // nulls never pair (collect_set dropped them from buckets
+          // too); the primitive-long aggregator needs them gone first
+          .filter(col("__id").isNotNull)
+          .groupBy("gram")
+          .agg(bd(col("__id").cast("long")).as("__l"))
+          .filter(col("__l").isNotNull) // poisoned = over the cutoff
+          .select(col("gram"),
+            col("__l").cast(s"array<${idType.simpleString}>").as("ids"))
+      } else {
+        // two-phase screen: a plain per-gram ROW count (map-side
+        // partial longs — no distinct state) upper-bounds the
+        // distinct-doc count, so only grams whose row count crosses the
+        // cutoff pay the exact distinct count; when none do (the normal
+        // corpus) AQE sees the empty side and collapses the second pass
+        // to an empty relation without scanning. The hot/common joins
+        // are deliberately UNHINTED: AQE broadcasts them when they are
+        // actually small but degrades to a shuffle join on a
+        // boilerplate-dominated corpus where the hot set itself is
+        // corpus-sized. collect_set dedups (gram, id) during the one
+        // shuffle, so a doc ingested twice cannot double intersections
+        // or its recomputed set size.
+        val hot = grams0.groupBy("gram").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxDocFreq).select("gram")
+        val common = grams0.join(hot, Seq("gram"), "left_semi")
+          .groupBy("gram").agg(count_distinct(col("__id")).as("__df"))
+          .filter(col("__df") > maxDocFreq).select("gram")
+        grams0.drop("sz").join(common, Seq("gram"), "left_anti")
+          .groupBy("gram").agg(collect_set(col("__id")).as("ids"))
+      }
     val sizes = buckets.select(explode(col("ids")).as("__id"))
       .groupBy("__id").agg(count(lit(1)).as("sz"))
     // shuffle_hash on the sizes side: the static planner estimates the
@@ -575,23 +652,70 @@ object Dedup {
     // once per row, so lower() may inline into it directly
     val lowered = df.select(col(idCol).as("__id"),
       charGramSet(lower(col(textCol)), n).as("__g"))
+    val idType = df.schema(idCol).dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case dt: org.apache.spark.sql.types.DecimalType
+          if dt.scale == 0 && dt.precision <= 18 => true
+      case _ => false
+    }
+    if (maxDocFreq != Int.MaxValue && integralId) {
+      // ONE-PASS bounded-state screen (the ngramJaccardPairs guarded
+      // path applied to char grams): a capped distinct-id aggregator
+      // collects each gram's bucket directly — per-gram state hard-
+      // capped at maxDocFreq + 1 ids, the cap+1-th distinct id drops
+      // the gram from the universe — so the corpus-sized char-gram
+      // table is scanned once and shuffled ONCE. The previous shape
+      // shuffled it three times (distinct-count screen, per-doc
+      // collect_set window for sizes, bucket aggregation); per-doc
+      // sizes now fall out of the bucket table itself (explode back +
+      // count — maxDocFreq-bounded) and join the candidate-pair table,
+      // not the gram table. Set semantics are unchanged: ids dedup per
+      // bucket, a doc's size counts each kept gram once (union across
+      // re-ingested payloads), cutoff = DISTINCT docs.
+      val grams0 = lowered.select(col("__id"), explode(col("__g")).as("gram"))
+      val bd = udaf(new BoundedDistinctIdsAgg(maxDocFreq),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val buckets = grams0
+        .filter(col("__id").isNotNull)
+        .groupBy("gram")
+        .agg(bd(col("__id").cast("long")).as("__l"))
+        .filter(col("__l").isNotNull) // poisoned = over the cutoff
+        .select(col("gram"),
+          col("__l").cast(s"array<${idType.simpleString}>").as("ids"))
+      val sizes = buckets.select(explode(col("ids")).as("__id"))
+        .groupBy("__id").agg(count(lit(1)).as("sz"))
+      // shuffle_hash on the sizes side — the ngramJaccardPairs
+      // rationale: the candidate-pair aggregate's stats mis-estimate
+      // under the broadcast threshold and the static planner would
+      // build the PAIR side (an 8 GiB broadcast abort on a
+      // duplication-dense corpus); sizes is corpus-sized so
+      // broadcasting it is the opposite trap
+      return intraBucketPairs(buckets.filter(size(col("ids")) > 1),
+          "ids", "a", "b")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("__id").as("a"), col("sz").as("sza"))
+          .hint("shuffle_hash"), "a")
+        .join(sizes.select(col("__id").as("b"), col("sz").as("szb"))
+          .hint("shuffle_hash"), "b")
+        .withColumn("jaccard",
+          col("inter") / (col("sza") + col("szb") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    }
     val grams = if (maxDocFreq == Int.MaxValue)
       lowered.select(col("__id"), size(col("__g")).cast("long").as("sz"),
         explode(col("__g")).as("gram"))
     else {
-      // df counts DISTINCT docs via map-side-combined aggregation
-      // (skew-safe: a degenerate gram partial-aggregates per mapper,
-      // unlike a window over gram which would buffer all its rows in
-      // one partition; distinct — not row count — so a re-ingested
-      // identical row cannot push a gram over the cutoff and change
-      // unrelated pairs). The common-gram set is tiny after the
-      // cutoff — broadcast anti-join. The kept-set size is a
-      // collect_set window over __id — set semantics so a re-ingested
-      // id counts each kept gram once (union across payloads, matching
-      // the distinct()+groupBy shape this replaces at one shuffle
-      // less); partition memory is bounded by per-doc distinct grams
-      // ≤ text length. Duplicate bucket entries collapse in
-      // intraBucketPairs' array_distinct since (id, sz) structs agree.
+      // non-integral ids (no production call site): the previous
+      // three-shuffle shape — df counts DISTINCT docs via map-side-
+      // combined aggregation, broadcast anti-join of the tiny common
+      // set, per-doc collect_set window for kept sizes. Duplicate
+      // bucket entries collapse in intraBucketPairs' array_distinct
+      // since (id, sz) structs agree.
       val grams0 = lowered.select(col("__id"), explode(col("__g")).as("gram"))
       val common = grams0.groupBy("gram")
         .agg(count_distinct(col("__id")).as("__df"))
