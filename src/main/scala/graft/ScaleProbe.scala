@@ -312,6 +312,84 @@ object ScaleProbe {
         m.k.toLong
       }
 
+      // SERVE-side hierarchy (r16): per-query probe-rank cost and
+      // driver-resident bytes, hier vs flat, at the 1B-rule geometry
+      // (k = 316k) and the 100 TB north star (k = 10⁶, dim 384).
+      // Centroid VALUES don't affect rank cost (same flop count per
+      // centroid either way), so the models are synthetic — this probe
+      // measures the driver-side ranking bill, not recall (recall is
+      // ivf_hier_recall_hierrank below, on the real corpus model).
+      def synthHier(k: Int, dim: Int): Ivf.HierModel = {
+        val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+        val sizes = Array.tabulate(k1)(g => k / k1 + (if (g < k % k1) 1 else 0))
+        Ivf.HierModel(
+          Array.tabulate(k1)(g => Array.tabulate(dim)(i =>
+            (((g.toLong * dim + i) % 10000L) / 10000.0).toFloat)),
+          Array.tabulate(k1)(g => Array.tabulate(sizes(g))(j =>
+            Array.tabulate(dim)(i =>
+              ((((g.toLong * 131 + j) * dim + i) % 10000L) / 10000.0).toFloat))),
+          "embedding")
+      }
+      def usedHeap(): Long = {
+        System.gc(); Thread.sleep(200); System.gc()
+        Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+      }
+      def rankCostRow(k: Int, dim: Int, alsoFlat: Boolean): Unit = {
+        val m = synthHier(k, dim)
+        val np = Ivf.scaledNProbe(10, m.k) // the 10·√k serve arm
+        val qv = Array.tabulate(dim)(i => (i % 100) / 100.0f).toSeq
+        val h0 = usedHeap()
+        var s = 0
+        val reps = 20
+        var t0 = System.nanoTime()
+        (0 until reps).foreach { r =>
+          s += Ivf.probeClustersHier(m, qv, np).length + r }
+        val hierUs = (System.nanoTime() - t0) / 1e3 / reps
+        val hHier = usedHeap() - h0
+        if (alsoFlat) {
+          val flat = m.flat // materializes the second driver copy
+          val hFlat = usedHeap() - h0
+          t0 = System.nanoTime()
+          (0 until reps).foreach { r =>
+            s += Ivf.probeClusters(flat, qv, np).length + r }
+          val flatUs = (System.nanoTime() - t0) / 1e3 / reps
+          println(f"        probe_rank k=${m.k} dim=$dim n_probe=$np: hier $hierUs%.0f µs/q vs flat $flatUs%.0f µs/q (${flatUs / hierUs}%.1fx); extra driver heap after .flat ${hFlat / 1e6}%.0f MB (grouped-only delta ${hHier / 1e6}%.0f MB)")
+        } else
+          println(f"        probe_rank k=${m.k} dim=$dim n_probe=$np: hier $hierUs%.0f µs/q, grouped-model heap delta ${hHier / 1e6}%.0f MB (flat skipped: the ranking this geometry can't afford)")
+        require(s != 0) // keep the JIT honest
+      }
+      t("ivf_probe_rank_316k") { rankCostRow(316228, 64, alsoFlat = true); 316228L }
+      t("ivf_probe_rank_1m_d384") { rankCostRow(1000000, 384, alsoFlat = false); 1000000L }
+
+      // recall re-gate for the HIERARCHICAL probe ranking (same corpus
+      // model, same queries/ground truth as ivf_hier_recall, which ranks
+      // through the flat view): the 10·√k arm must still pass the
+      // ≥0.6@10-on-≥7/10 gate, and the β margin sweep records how much
+      // super over-coverage that takes (Ivf.HierProbeBeta provenance).
+      tp("ivf_hier_recall_hierrank") { hierM(); recallExact } {
+        val m = hierM()
+        val table = spark.read.parquet(ivfHierDir)
+        val qs = recallQs
+        val exact = recallExact
+        var best = 0L
+        val np = math.min(Ivf.scaledNProbe(10, m.k), m.k)
+        Seq(1.0, 2.0, 4.0).foreach { beta =>
+          val t0 = System.nanoTime()
+          val good = qs.count { case (qid, qv) =>
+            val probed = Ivf.probeClustersHier(m, qv, np, beta)
+            val got = Search.knnExact(
+                table.filter(col(Ivf.ClusterCol).isin(probed: _*)),
+                "id", "embedding", qv, 10)
+              .select("id").collect().map(_.getLong(0)).toSet
+            got.intersect(exact(qid)).size / 10.0 >= 0.6
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"        hier-rank [k=${m.k}] n_probe=$np beta=$beta%.1f $good/10 queries >= 0.6@10, $dt%.1f s  ${if (good >= 7) "GATE PASS" else "gate miss"}")
+          best = math.max(best, good.toLong)
+        }
+        best
+      }
+
       // skew hardening: 90% of rows in one tight blob — buildBalanced
       // recursively splits the hot list below the fraction cap, so
       // partition pruning keeps pruning and the knnJoinIvf shuffle

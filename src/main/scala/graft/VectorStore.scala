@@ -52,8 +52,16 @@ class VectorStore private (val spark: SparkSession, val path: String,
     * tombstoning 10% of a 10¹⁰-row corpus — forcing the hint would OOM
     * the driver/executors, so the join falls back to a shuffle
     * anti-join and lets AQE plan it. Compaction ([[compact]]) folds the
-    * backlog away, so the big-sidecar regime is transient. */
-  private val SidecarBroadcastMaxBytes = 64L * 1024 * 1024
+    * backlog away, so the big-sidecar regime is transient.
+    *
+    * The gate compares the sidecar's COMPRESSED on-disk bytes, but the
+    * broadcast build side is the decoded distinct-long hash relation —
+    * ~16 B/id plus relation overhead, several × the parquet footprint
+    * (delta/dict-encoded ids compress hard). 16 MB on-disk therefore
+    * bounds the materialized broadcast to low-hundreds-of-MB worst
+    * case (r15 ADVICE: the previous 64 MB ceiling admitted multi-
+    * hundred-MB broadcasts just under the line). */
+  private val SidecarBroadcastMaxBytes = 16L * 1024 * 1024
   private def dropSidecarTombs(table: DataFrame, tombPath: String,
                                idCol: String = "id"): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(tombPath)
@@ -192,6 +200,14 @@ class VectorStore private (val spark: SparkSession, val path: String,
         }
     }
     Seq(ivfTombPath, ivfPqTombPath, lshSigPath).foreach(bump)
+    // the persisted HNSW graph covers every id below its build
+    // watermark (r15 ADVICE: after delete()+compact() with a torn
+    // marker, re-issuing an id still present in hnsw_edges would serve
+    // the reborn row only through stale adjacency — below the
+    // watermark, so never by the exact tail). built_next_id is already
+    // a next-id, so it maxes in directly (no +1).
+    if (successAt(hnswModelPath))
+      next = math.max(next, hnswModel().watermark)
     next
   }
   private def readNextId(): Long = {
@@ -347,15 +363,25 @@ class VectorStore private (val spark: SparkSession, val path: String,
   def searchHnsw(query: Seq[Float], k: Int, ef: Int = 0,
                  metadataFilter: Map[String, String] = Map.empty): DataFrame = {
     val corpus = live(metadataFilter)
-    // metadata-filtered searches keep the PRE-FILTER rebuild path: the
-    // persisted graph was built over the whole corpus, so serving a
-    // filtered query through it would dangle every non-matching node
-    // out of the beams (biased routing, degraded recall), where the
-    // rebuild constructs shard graphs over exactly the matching rows —
-    // the strictly-better-recall composition the facade has always
-    // used (and the o7 exclusion semantics hold either way).
-    if (metadataFilter.isEmpty &&
-        successAt(hnswModelPath) && successAt(hnswEdgesPath)) {
+    val persisted = successAt(hnswModelPath) && successAt(hnswEdgesPath)
+    // metadata-filtered searches route by SELECTIVITY when a persisted
+    // graph exists: a TIGHT filter keeps the pre-filter rebuild (shard
+    // graphs over exactly the matching rows — rebuilding over a small
+    // match set is cheap and exact-composed), while a LOOSE filter
+    // (match fraction ≥ graft.hnsw.postFilterMinFraction, default 0.5)
+    // serves from the persisted graph with an over-fetched beam and a
+    // post-filter — the standard ANN composition; at 10M rows the
+    // rebuild costs ~471 s/query vs ~38 s persisted (r15 probe), so a
+    // 90%-selectivity filter was paying ~12× for recall the over-fetch
+    // keeps anyway (re-gated in VectorStoreSpec: ≥0.7@80% in the
+    // loose-filter regime).
+    val filteredN = if (metadataFilter.isEmpty) 0L else corpus.count()
+    val postFilterRoute = metadataFilter.nonEmpty && persisted && {
+      val total = liveCount()
+      total > 0L &&
+        filteredN.toDouble / total >= sessionConfig.hnswPostFilterMinFraction
+    }
+    if (persisted && (metadataFilter.isEmpty || postFilterRoute)) {
       // persisted-graph serving (the B11 load path): search the edges
       // table [[buildHnsw]] wrote instead of rebuilding every shard
       // graph per query. Rows ingested AFTER the build (id ≥ the build
@@ -366,20 +392,30 @@ class VectorStore private (val spark: SparkSession, val path: String,
       // the next buildHnsw. Deletes need nothing: the live-join drops
       // tombstoned ids and the graph search skips the dangling edges
       // (the reference's B2 tolerance, hnsw.py:370-373).
-      val mrow = spark.read.parquet(hnswModelPath).head
-      val params = Hnsw.Params(mrow.getAs[Int]("m"),
-        mrow.getAs[Int]("ef_construction"), seed = mrow.getAs[Long]("seed"))
-      val parts = mrow.getAs[Int]("num_partitions")
-      val watermark = mrow.getAs[Long]("built_next_id")
-      val eff =
+      val m = hnswModel() // instance memo — no per-call model-row read
+      // the graph was built over the UNFILTERED corpus, so the graph
+      // side always walks the unfiltered rows below the watermark; a
+      // filtered query over-fetches (k ÷ match fraction, 2× margin) and
+      // post-filters, and its beam widens to cover the fetch window
+      val unfiltered = if (metadataFilter.isEmpty) corpus else live(Map.empty)
+      val kFetch = if (!postFilterRoute) k
+        else math.min(Int.MaxValue.toLong, math.max(k.toLong,
+          math.ceil(2.0 * k * liveCount().toDouble /
+            math.max(1L, filteredN)).toLong)).toInt
+      val eff0 =
         if (ef > 0) ef
-        else Hnsw.scaledEf(sessionConfig.ef,
-          scaleCount(corpus, metadataFilter), parts)
-      val graphSide = Hnsw.searchEdges(spark.read.parquet(hnswEdgesPath),
-          corpus.filter(col("id") < watermark), "id", "embedding",
-          Seq((0L, query.toArray)), k, eff, parts, params)
+        else Hnsw.scaledEf(sessionConfig.ef, liveCount(), m.parts)
+      // only the over-fetch route widens the beam (it must cover the
+      // fetch window); the unfiltered path keeps its ef contract
+      val eff = if (postFilterRoute) math.max(eff0, kFetch) else eff0
+      val graphRaw = Hnsw.searchEdges(spark.read.parquet(hnswEdgesPath),
+          unfiltered.filter(col("id") < m.watermark), "id", "embedding",
+          Seq((0L, query.toArray)), kFetch, eff, m.parts, m.params)
         .select("id", "dist")
-      val tailSide = Search.knnExact(corpus.filter(col("id") >= watermark),
+      val graphSide = if (!postFilterRoute) graphRaw
+        else graphRaw.join(corpus.select("id"), "id")
+          .orderBy(col("dist").asc, col("id").asc).limit(k)
+      val tailSide = Search.knnExact(corpus.filter(col("id") >= m.watermark),
           "id", "embedding", query, k)
         .select("id", "dist")
       // dropDuplicates: in the window between a refreshHnsw publish and
@@ -392,10 +428,37 @@ class VectorStore private (val spark: SparkSession, val path: String,
       val eff =
         if (ef > 0) ef
         else Hnsw.scaledEf(sessionConfig.ef,
-          scaleCount(corpus, metadataFilter),
+          if (metadataFilter.isEmpty) liveCount() else filteredN,
           spark.sparkContext.defaultParallelism)
       Hnsw.search(corpus, "id", "embedding", query, k, eff)
         .select("id", "dist")
+    }
+  }
+
+  /** Persisted HNSW build params + watermark, memoized per instance —
+    * `searchHnsw` previously re-read the one-row model parquet (a file
+    * listing + head job) on EVERY call. Same invalidation and
+    * cross-instance staleness contract as the live-count memo:
+    * build/refresh/mutations clear it; a writer refreshing through
+    * another instance leaves this one's watermark stale until it
+    * mutates or reopens, which can only mis-split graph vs exact-tail
+    * serving for the refresh window's ids — the merge dedup keeps
+    * results correct either way. */
+  private case class HnswModelRow(params: Hnsw.Params, parts: Int,
+                                  watermark: Long)
+  @transient private lazy val hnswModelCache =
+    new java.util.concurrent.atomic.AtomicReference[HnswModelRow](null)
+  private def hnswModel(): HnswModelRow = {
+    val c = hnswModelCache.get()
+    if (c != null) c
+    else {
+      val mrow = spark.read.parquet(hnswModelPath).head
+      val r = HnswModelRow(
+        Hnsw.Params(mrow.getAs[Int]("m"), mrow.getAs[Int]("ef_construction"),
+          seed = mrow.getAs[Long]("seed")),
+        mrow.getAs[Int]("num_partitions"), mrow.getAs[Long]("built_next_id"))
+      hnswModelCache.set(r)
+      r
     }
   }
 
@@ -431,6 +494,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
     Seq((m, efConstruction, seed, parts, watermark))
       .toDF("m", "ef_construction", "seed", "num_partitions", "built_next_id")
       .coalesce(1).write.mode("overwrite").parquet(hnswModelPath)
+    hnswModelCache.set(HnswModelRow(params, parts, watermark))
   }
 
   /** B1 incremental through the facade: fold the exact-scan tail into
@@ -448,10 +512,9 @@ class VectorStore private (val spark: SparkSession, val path: String,
   def refreshHnsw(): Unit = {
     require(successAt(hnswModelPath) && successAt(hnswEdgesPath),
       "refreshHnsw needs a persisted graph — call buildHnsw() first")
-    val mrow = spark.read.parquet(hnswModelPath).head
-    val params = Hnsw.Params(mrow.getAs[Int]("m"),
-      mrow.getAs[Int]("ef_construction"), seed = mrow.getAs[Long]("seed"))
-    val parts = mrow.getAs[Int]("num_partitions")
+    val m = hnswModel()
+    val params = m.params
+    val parts = m.parts
     val newWatermark = readNextId()
     Hnsw.refreshEdges(live(Map.empty).select("id", "embedding"),
       hnswEdgesPath, "id", "embedding", parts, params)
@@ -459,6 +522,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
     Seq((params.m, params.efConstruction, params.seed, parts, newWatermark))
       .toDF("m", "ef_construction", "seed", "num_partitions", "built_next_id")
       .coalesce(1).write.mode("overwrite").parquet(hnswModelPath)
+    hnswModelCache.set(HnswModelRow(params, parts, newWatermark))
   }
 
   private def live(metadataFilter: Map[String, String]): DataFrame = {
@@ -582,17 +646,37 @@ class VectorStore private (val spark: SparkSession, val path: String,
     * explicit `nProbe > 0` passes through unscaled. */
   def searchIvf(query: Seq[Float], nProbe: Int, k: Int,
                 metadataFilter: Map[String, String] = Map.empty): DataFrame = {
-    val model = Ivf.load(spark, ivfModelPath, "embedding")
-    val np = if (nProbe > 0) nProbe
-      else Ivf.scaledNProbe(sessionConfig.nProbe, model.k,
-        sessionConfig.ivfProbeFraction)
     recoverIndexFold(ivfDataPath) // resume a crashed compact-fold swap
     val assigned = dropSidecarTombs(
       spark.read.parquet(ivfDataPath), ivfTombPath)
     val pred = if (metadataFilter.isEmpty) None
       else Some(Search.metadataFilter(col("metadata"), metadataFilter))
-    Ivf.search(assigned, model, "id", query, np, k, pred)
+    // a hierarchical store serves through the GROUPED model: probe
+    // ranking scores √k supers then only the top supers' children
+    // (O((√k + β·nProbe)·dim)/query, Ivf.probeClustersHier) instead of
+    // the flat O(k·dim) driver scan — the serve-side twin of the
+    // two-level build, and the flat child array is never materialized
+    // as a second driver copy. Stores at or below FlatBuildMaxK lists
+    // keep the exact flat ranking (searchHier routes internally).
+    hierModelIfPersisted() match {
+      case Some(hm) =>
+        val np = if (nProbe > 0) nProbe
+          else Ivf.scaledNProbe(sessionConfig.nProbe, hm.k,
+            sessionConfig.ivfProbeFraction)
+        Ivf.searchHier(assigned, hm, "id", query, np, k, pred)
+      case None =>
+        val model = Ivf.load(spark, ivfModelPath, "embedding")
+        val np = if (nProbe > 0) nProbe
+          else Ivf.scaledNProbe(sessionConfig.nProbe, model.k,
+            sessionConfig.ivfProbeFraction)
+        Ivf.search(assigned, model, "id", query, np, k, pred)
+    }
   }
+
+  private def hierModelIfPersisted(): Option[Ivf.HierModel] =
+    if (successAt(ivfSupersPath) && successAt(ivfModelPath))
+      Some(Ivf.loadHier(spark, ivfModelPath, ivfSupersPath, "embedding"))
+    else None
 
   private def ivfPqModelPath = s"$path/ivfpq_model"
   private def ivfPqDataPath = s"$path/codes_by_cluster"
@@ -781,6 +865,7 @@ class VectorStore private (val spark: SparkSession, val path: String,
   private def invalidateDerivedCaches(): Unit = {
     bqFilterThresholds.clear()
     liveCountCache.set(-1L)
+    hnswModelCache.set(null)
   }
 
   def searchBq(query: Seq[Float], k: Int, rerank: Int = 0,

@@ -21,7 +21,13 @@ case class GraftConfig(
     // auto BQ/PQ rerank windows use
     ivfProbeFraction: Double = graft.operators.Ivf.ScaledProbeFraction,
     bqRerankFactor: Double = graft.operators.Bq.RerankScaleFactor,
-    pqRerankFactor: Double = graft.operators.Pq.RerankScaleFactor)
+    pqRerankFactor: Double = graft.operators.Pq.RerankScaleFactor,
+    // metadata-filtered HNSW routing: at or above this match fraction a
+    // filtered search serves from the persisted graph with over-fetch +
+    // post-filter instead of the per-query pre-filter rebuild (the
+    // rebuild measured ~12× the persisted serve at 10M; recall in the
+    // loose regime re-gated in VectorStoreSpec)
+    hnswPostFilterMinFraction: Double = 0.5)
 
 object GraftConfig {
   val default: GraftConfig = GraftConfig()
@@ -45,6 +51,8 @@ object GraftConfig {
       seed = l("graft.seed", d.seed),
       ivfProbeFraction = dd("graft.ivf.probeFraction", d.ivfProbeFraction),
       bqRerankFactor = dd("graft.bq.rerankFactor", d.bqRerankFactor),
-      pqRerankFactor = dd("graft.pq.rerankFactor", d.pqRerankFactor))
+      pqRerankFactor = dd("graft.pq.rerankFactor", d.pqRerankFactor),
+      hnswPostFilterMinFraction =
+        dd("graft.hnsw.postFilterMinFraction", d.hnswPostFilterMinFraction))
   }
 }

@@ -226,11 +226,24 @@ object Hnsw {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
-    df.select(col(idCol).cast("long"), col(embCol))
-      .repartition(parts, col(idCol))
-      .mapPartitions { rows =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val g = buildLocal(rows, params, pid)
+    // the shard id is an EXPLICIT column — pmod(murmur3(long id), parts),
+    // the exact mapping [[searchEdges]]/[[insertEdges]] re-derive — and
+    // shards assemble through groupByKey, NOT TaskContext.getPartitionId
+    // after a repartition: when an upstream exchange already satisfies
+    // hashpartitioning(id, parts) the repartition elides, AQE coalesces
+    // the small post-shuffle partitions, and every row lands in task 0 —
+    // the persisted partition_id column then disagrees with the
+    // pmod-derived re-shard at serve time, silently degrading recall
+    // (caught by the r16 filtered-routing spec; the healthy path's
+    // mapping is preserved bit-for-bit, same per-shard rng and insert
+    // order).
+    df.select(pmod(hash(col(idCol).cast("long")), lit(parts)).as("pid"),
+        col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (pid, rows) =>
+        val g = buildLocal(rows.map { case (_, id, emb) => (id, emb.toArray) },
+          params, pid)
         g.neighbors.iterator.flatMap { case (src, levels) =>
           levels.iterator.zipWithIndex.flatMap { case (nbs, level) =>
             nbs.iterator.map(dst => (pid, src, level, dst))
@@ -239,12 +252,12 @@ object Hnsw {
       }.toDF("partition_id", "src", "level", "dst")
   }
 
-  private def buildLocal(rows: Iterator[Row], params: Params, pid: Int): LocalGraph = {
+  private def buildLocal(rows: Iterator[(Long, Array[Float])], params: Params,
+                         pid: Int): LocalGraph = {
     val rng = new scala.util.Random(params.seed + pid)
     val g = new LocalGraph(params, rng)
     // deterministic build order: sort the shard by id before inserting
-    rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq.sortBy(_._1)
+    rows.toSeq.sortBy(_._1)
       .foreach { case (id, v) => g.insert(id, v) }
     g
   }
@@ -270,8 +283,13 @@ object Hnsw {
       .select(col(idCol).cast("long"), col(embCol))
       .repartition(parts, col(idCol))
       .mapPartitions { rows =>
+        // pid here is only the per-shard rng seed of this TRANSIENT
+        // graph (build + search in one task, nothing persisted), so the
+        // task partition id is a valid shard label — unlike buildEdges,
+        // where the persisted id must match the serve-time re-shard
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val g = buildLocal(rows, params, pid)
+        val g = buildLocal(rows.map(r =>
+          (r.getLong(0), r.getSeq[Float](1).toArray)), params, pid)
         bq.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) }
         }

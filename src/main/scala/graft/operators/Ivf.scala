@@ -284,9 +284,12 @@ object Ivf {
     lazy val offsets: Array[Int] = children.scanLeft(0)(_ + _.length).init
     def k: Int = children.iterator.map(_.length).sum
     def k1: Int = supers.length
-    /** Flat view — the global-id-ordered child list. Feeds the
-      * unchanged search side (driver probe ranking over all k). */
-    def flat: Model = Model(children.flatten, embCol)
+    /** Flat view — the global-id-ordered child list (memoized: callers
+      * on the small-k path rank through it repeatedly). The hierarchical
+      * serve path ([[probeClustersHier]]) never materializes it — at the
+      * 100 TB geometry (k ≈ 10⁶, dim 384) the flatten is a second
+      * multi-GB driver copy of bytes the grouped model already holds. */
+    lazy val flat: Model = Model(children.flatten, embCol)
   }
 
   /** Proportional child allocation: group g gets ~k·size_g/n children
@@ -466,16 +469,92 @@ object Ivf {
     Search.knnExact(base, idCol, model.embCol, query, topK, filter)
   }
 
+  private def l2sqTo(query: Array[Double])(a: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - query(i); s += d * d; i += 1 }
+    s
+  }
+
   /** The n_probe nearest centroid ids to the query (driver-side: k rows). */
   def probeClusters(model: Model, query: Seq[Float], nProbe: Int): Seq[Int] = {
     val dim = model.centroids.headOption.map(_.length).getOrElse(0)
     require(query.length == dim,
       s"query dim ${query.length} != centroid dim $dim") // zip would silently truncate
-    def l2sq(a: Array[Float]): Double =
-      a.zip(query).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val q = query.iterator.map(_.toDouble).toArray
+    val l2sq = l2sqTo(q) _
     model.centroids.zipWithIndex
       .map { case (c, i) => (l2sq(c), i) }
       .sortBy(identity).take(nProbe).map(_._2).toSeq
+  }
+
+  /** Margin of super-clusters the hierarchical probe ranking keeps
+    * beyond the minimum that covers nProbe children: rank the top
+    * (HierProbeBeta × enough-to-cover) supers' children, take the
+    * nProbe nearest. β = 2 is the measured default (RecallProbe
+    * `hier_probe_beta` sweep — see OPTIMIZATION_r16.md): at the 100M
+    * anchor β = 1 and β = 2 both hold the 10·√k recall gate 10/10;
+    * β = 2 keeps a 2× super margin for clustered corpora at unmeasured
+    * decades while staying O(β·nProbe·dim) per query. */
+  val HierProbeBeta: Double = 2.0
+
+  /** [[probeClusters]] through the hierarchy — the serve-side analog of
+    * the two-level build (VERDICT r15 #1): rank the k₁ supers
+    * (O(√k·dim)), accumulate the nearest supers until their child count
+    * covers `beta × nProbe`, then rank ONLY those supers' children and
+    * take the nProbe nearest global ids. Per-query cost is
+    * O((√k + β·nProbe)·dim) instead of the flat O(k·dim) — at the
+    * 100 TB geometry (k ≈ 10⁶, dim 384, nProbe = 10·√k) that is ~50×
+    * fewer driver flops — and the grouped model is scanned, never
+    * flattened. Exhaustive requests (nProbe ≥ k) rank nothing: every
+    * list is probed, exactly like the flat path, so oracle-exact
+    * exhaustive queries are unchanged. Ties break on (dist, id) both
+    * levels, same as [[probeClusters]]. */
+  def probeClustersHier(model: HierModel, query: Seq[Float], nProbe: Int,
+                        beta: Double = HierProbeBeta): Seq[Int] = {
+    require(nProbe >= 1 && nProbe <= model.k,
+      s"n_probe must be between 1 and ${model.k}, got $nProbe")
+    val dim = model.supers.headOption.map(_.length).getOrElse(0)
+    require(query.length == dim,
+      s"query dim ${query.length} != centroid dim $dim")
+    if (nProbe >= model.k) return (0 until model.k)
+    val q = query.iterator.map(_.toDouble).toArray
+    val l2sq = l2sqTo(q) _
+    val superRank = model.supers.zipWithIndex
+      .map { case (c, g) => (l2sq(c), g) }
+      .sortBy(identity)
+    // nearest supers until their children cover beta·nProbe lists
+    val want = math.max(nProbe.toLong, math.ceil(beta * nProbe).toLong)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var covered = 0L
+    val it = superRank.iterator
+    while (covered < want && it.hasNext) {
+      val g = it.next()._2
+      picked += g
+      covered += model.children(g).length
+    }
+    picked.iterator.flatMap { g =>
+      val off = model.offsets(g)
+      model.children(g).iterator.zipWithIndex
+        .map { case (c, j) => (l2sq(c), off + j) }
+    }.toArray.sortBy(identity).take(nProbe).map(_._2).toSeq
+  }
+
+  /** O6 through the hierarchical ranking: [[search]] semantics
+    * (ivf.py:138-199 — probe the nProbe nearest lists, exact top-k over
+    * survivors), with the probe set ranked hierarchically above
+    * [[FlatBuildMaxK]] lists and flat below it (small indexes keep the
+    * exact flat ranking — measured-fine there, and bit-identical to the
+    * historical behavior every declared query pins). */
+  def searchHier(assigned: DataFrame, model: HierModel, idCol: String,
+                 query: Seq[Float], nProbe: Int, topK: Int,
+                 filter: Option[Column] = None): DataFrame = {
+    require(nProbe >= 1 && nProbe <= model.k,
+      s"n_probe must be between 1 and ${model.k}, got $nProbe")
+    val probed =
+      if (model.k <= FlatBuildMaxK) probeClusters(model.flat, query, nProbe)
+      else probeClustersHier(model, query, nProbe)
+    val base = assigned.filter(col(ClusterCol).isin(probed: _*))
+    Search.knnExact(base, idCol, model.embCol, query, topK, filter)
   }
 
   /** Centroid-drift metric for streaming maintenance: mean L2 distance

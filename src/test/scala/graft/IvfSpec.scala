@@ -310,6 +310,62 @@ class IvfSpec extends SparkSpec {
     assert(flat.centroids.map(_.toSeq).toSeq == hm.flat.centroids.map(_.toSeq).toSeq)
   }
 
+  test("probeClustersHier: exhaustive = all lists; covers nProbe; matches " +
+      "the two-level ranking on a hand-built model") {
+    val rng = new scala.util.Random(7)
+    def vec(dim: Int) = Array.fill(dim)(rng.nextFloat())
+    val supers = Array.fill(4)(vec(8))
+    val children = Array(Array.fill(3)(vec(8)), Array.fill(2)(vec(8)),
+      Array.fill(4)(vec(8)), Array(vec(8)))
+    val m = Ivf.HierModel(supers, children, "embedding")
+    assert(m.k == 10)
+    val q = vec(8).toSeq
+    // exhaustive request probes every list (the oracle-exact contract)
+    assert(Ivf.probeClustersHier(m, q, m.k).sorted == (0 until m.k))
+    assert(Ivf.probeClustersHier(m, q, m.k + 0).length == m.k)
+    // pruned request: exactly nProbe lists, and they are the nProbe
+    // nearest CHILDREN among the top supers covering beta*nProbe lists
+    def d2(a: Array[Float]): Double =
+      a.zip(q).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val nProbe = 3
+    val got = Ivf.probeClustersHier(m, q, nProbe, beta = 2.0)
+    assert(got.length == nProbe)
+    val superRank = supers.zipWithIndex.map { case (c, g) => (d2(c), g) }
+      .sortBy(identity).map(_._2)
+    // accumulate supers until >= 6 children (beta 2.0 * 3)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var covered = 0
+    superRank.iterator.takeWhile(_ => covered < 6).foreach { g =>
+      picked += g; covered += children(g).length
+    }
+    val expect = picked.flatMap { g =>
+      children(g).zipWithIndex.map { case (c, j) => (d2(c), m.offsets(g) + j) }
+    }.sortBy(identity).take(nProbe).map(_._2)
+    assert(got == expect.toSeq, s"got $got expect $expect")
+  }
+
+  test("searchHier: flat ranking below FlatBuildMaxK = identical results " +
+      "to the flat search; exhaustive = exact kNN") {
+    val data = corpus(300, 8, seed = 21L)
+    val df = toDF(data).cache()
+    val (assigned, hm) = Ivf.buildHier(df, "embedding", k = 16, seed = 4L)
+    val q = data(7)._2.toSeq
+    // small-k stores keep the exact flat ranking — bit-identical probes
+    val viaHier = Ivf.searchHier(assigned, hm, "id", q, nProbe = 5, topK = 10)
+      .select("id", "dist")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaFlat = Ivf.search(assigned, hm.flat, "id", q, nProbe = 5, topK = 10)
+      .select("id", "dist")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaHier == viaFlat)
+    // exhaustive probe through searchHier = exact kNN
+    val got = Ivf.searchHier(assigned, hm, "id", q, nProbe = hm.k, topK = 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val exact = Search.knnExact(df, "id", "embedding", q, 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
   test("allocateChildren: proportional, min-1 for non-empty, sums to k") {
     val sizes = Map(0 -> 700L, 1 -> 200L, 2 -> 99L, 3 -> 1L, 4 -> 0L)
     val a = Ivf.allocateChildren(10, 5, sizes)

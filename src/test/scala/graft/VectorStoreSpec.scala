@@ -681,4 +681,50 @@ class VectorStoreSpec extends SparkSpec {
     legacy.ingest(data.drop(2).take(2).map { case (_, v) => Tuple1(v) }.toDF("embedding"))
     assert(legacy.size() == 4L)
   }
+
+  test("filtered HNSW routing: loose filter serves the persisted graph " +
+      "(over-fetch + post-filter), tight filter keeps the rebuild; recall holds") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("storehnswroute").toString
+    val store = VectorStore.open(s, dir, dim = 8)
+    val data = corpus(200, 8, seed = 9L)
+    // 90% of rows carry g=big (the loose-filter regime), 10% g=small
+    store.ingest(data.map { case (i, v) =>
+      (v, Map("g" -> (if (i % 10 == 0) "small" else "big")))
+    }.toDF("embedding", "metadata"))
+    store.buildHnsw(m = 8, efConstruction = 50, numPartitions = 4)
+    val q = data(3)._2.toSeq
+    def exactFiltered(g: String, k: Int): Seq[Long] =
+      store.search(q, k, Map("g" -> g)).collect().map(_.getAs[Long]("id")).toSeq
+    // LOOSE filter (match fraction 0.9 >= default 0.5 threshold): the
+    // post-filter route, exhaustive beam — over-fetch must keep the
+    // reference recall gate (>= 0.7 of top-10; with ef far above every
+    // shard both routes are exact-composed here, so assert equality)
+    val loose = store.searchHnsw(q, k = 10, ef = 1000, Map("g" -> "big"))
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val looseExact = exactFiltered("big", 10)
+    assert(loose.toSet.intersect(looseExact.toSet).size >= 7,
+      s"loose-filter recall under the post-filter route: $loose vs $looseExact")
+    assert(loose.head == looseExact.head, "self-hit must survive the route")
+    // every returned row matches the filter (exclusion semantics hold
+    // through the over-fetch + post-filter composition)
+    val looseRows = store.searchHnsw(q, k = 10, ef = 1000, Map("g" -> "big"))
+      .join(store.snapshot(), "id").collect()
+    assert(looseRows.forall(_.getAs[Map[String, String]]("metadata")("g") == "big"))
+    // TIGHT filter (0.1 < threshold): the pre-filter rebuild — exact
+    // composition, so exhaustive beam = exact filtered kNN
+    val tight = store.searchHnsw(q, k = 5, ef = 1000, Map("g" -> "small"))
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(tight == exactFiltered("small", 5),
+      "tight-filter rebuild route must stay exact-composed")
+    // the routing threshold is a live session knob
+    s.conf.set("graft.hnsw.postFilterMinFraction", "1.1")
+    try {
+      val forcedRebuild = store.searchHnsw(q, k = 10, ef = 1000, Map("g" -> "big"))
+        .collect().map(_.getAs[Long]("id")).toSeq
+      assert(forcedRebuild == looseExact,
+        "threshold 1.1 forces the rebuild route (exact-composed)")
+    } finally s.conf.unset("graft.hnsw.postFilterMinFraction")
+  }
 }
