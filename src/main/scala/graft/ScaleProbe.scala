@@ -353,9 +353,9 @@ object ScaleProbe {
           (0 until reps).foreach { r =>
             s += Ivf.probeClusters(flat, qv, np).length + r }
           val flatUs = (System.nanoTime() - t0) / 1e3 / reps
-          println(f"        probe_rank k=${m.k} dim=$dim n_probe=$np: hier $hierUs%.0f µs/q vs flat $flatUs%.0f µs/q (${flatUs / hierUs}%.1fx); extra driver heap after .flat ${hFlat / 1e6}%.0f MB (grouped-only delta ${hHier / 1e6}%.0f MB)")
+          println(f"        probe_rank k=${m.k} dim=$dim n_probe=$np: hier $hierUs%.0f us/q vs flat $flatUs%.0f us/q (${flatUs / hierUs}%.1fx); extra driver heap after .flat ${hFlat / 1e6}%.0f MB (shallow ref array — the flat view's cost is the O(k*dim) scan, not bytes; grouped-only delta ${hHier / 1e6}%.0f MB)")
         } else
-          println(f"        probe_rank k=${m.k} dim=$dim n_probe=$np: hier $hierUs%.0f µs/q, grouped-model heap delta ${hHier / 1e6}%.0f MB (flat skipped: the ranking this geometry can't afford)")
+          println(f"        probe_rank k=${m.k} dim=$dim n_probe=$np: hier $hierUs%.0f us/q, grouped-model heap delta ${hHier / 1e6}%.0f MB (flat ranking skipped: ~10^9 flops/query at this geometry)")
         require(s != 0) // keep the JIT honest
       }
       t("ivf_probe_rank_316k") { rankCostRow(316228, 64, alsoFlat = true); 316228L }

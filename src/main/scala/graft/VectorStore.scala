@@ -655,8 +655,8 @@ class VectorStore private (val spark: SparkSession, val path: String,
     // ranking scores √k supers then only the top supers' children
     // (O((√k + β·nProbe)·dim)/query, Ivf.probeClustersHier) instead of
     // the flat O(k·dim) driver scan — the serve-side twin of the
-    // two-level build, and the flat child array is never materialized
-    // as a second driver copy. Stores at or below FlatBuildMaxK lists
+    // two-level build (14.8× rank cost at k = 316k, ScaleProbe
+    // ivf_probe_rank_316k). Stores at or below FlatBuildMaxK lists
     // keep the exact flat ranking (searchHier routes internally).
     hierModelIfPersisted() match {
       case Some(hm) =>

@@ -285,10 +285,14 @@ object Ivf {
     def k: Int = children.iterator.map(_.length).sum
     def k1: Int = supers.length
     /** Flat view — the global-id-ordered child list (memoized: callers
-      * on the small-k path rank through it repeatedly). The hierarchical
-      * serve path ([[probeClustersHier]]) never materializes it — at the
-      * 100 TB geometry (k ≈ 10⁶, dim 384) the flatten is a second
-      * multi-GB driver copy of bytes the grouped model already holds. */
+      * on the small-k path rank through it repeatedly). The flatten is
+      * shallow (a k-pointer reference array, ~8 B/child — measured
+      * 3 MB at k = 316k, ScaleProbe ivf_probe_rank_316k), so the
+      * hierarchical serve path's win is the RANKING cost: probing
+      * through [[probeClustersHier]] is O((√k + β·nProbe)·dim)/query
+      * vs the flat O(k·dim) scan — 14.8× at k = 316k, and the only
+      * affordable shape at the 100 TB geometry (k ≈ 10⁶, dim 384,
+      * ~10⁹ flat flops/query). */
     lazy val flat: Model = Model(children.flatten, embCol)
   }
 
