@@ -189,24 +189,25 @@ object Curation {
     *
     * Scale shape: lines shuffle ONCE, keyed on their content, into a
     * map-side-combinable `min(struct(id, pos))` aggregation (never a
-    * corpus-wide window sort); the winner set joins back onto the line
-    * table, and one per-doc regroup rebuilds the text. State per
-    * distinct line is one (id, pos) pair — no driver collection
-    * anywhere. Duplicate-heavy corpora SHRINK the aggregation output
-    * (distinct lines), so the operator gets cheaper exactly when it
-    * matters.
+    * corpus-wide window sort). The winner rows ARE the kept set — each
+    * distinct line survives exactly at its winning (id, pos), so the
+    * per-doc regroup reads the aggregation output directly; the former
+    * left-semi join back onto the corpus-sized line table re-derived
+    * the very rows the aggregation already held (r16: two corpus-sized
+    * shuffle sides removed, 5 exchanges → 3 in dedup_lines_global).
+    * State per distinct line is one (id, pos) pair — no driver
+    * collection anywhere. Duplicate-heavy corpora SHRINK the
+    * aggregation output (distinct lines), so the operator gets cheaper
+    * exactly when it matters.
     *
     * Output: idCol, text_dedup (kept lines joined by `joinDelim`; ""
     * when every line was a repeat), n_kept, n_dropped. */
   def globalLineDedup(df: DataFrame, idCol: String, lines: Column,
                       joinDelim: String = "\n"): DataFrame = {
     val ln = df.select(col(idCol).as("__id"), posexplode(lines).as(Seq("pos", "line")))
-    val first = ln.groupBy(col("line"))
+    val kept = ln.groupBy(col("line"))
       .agg(min(struct(col("__id"), col("pos"))).as("w"))
-      .select(col("line"), col("w.__id").as("__wid"), col("w.pos").as("__wpos"))
-    val kept = ln.join(first,
-      ln("line") === first("line") && ln("__id") === first("__wid") &&
-        ln("pos") === first("__wpos"), "left_semi")
+      .select(col("w.__id").as("__id"), col("w.pos").as("pos"), col("line"))
       .groupBy(col("__id"))
       .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("ks"))
       .select(col("__id"),
