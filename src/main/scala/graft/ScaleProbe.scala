@@ -373,7 +373,7 @@ object ScaleProbe {
         val exact = recallExact
         var best = 0L
         val np = math.min(Ivf.scaledNProbe(10, m.k), m.k)
-        Seq(1.0, 2.0, 4.0).foreach { beta =>
+        Seq(1.0, 2.0, 4.0, 8.0).foreach { beta =>
           val t0 = System.nanoTime()
           val good = qs.count { case (qid, qv) =>
             val probed = Ivf.probeClustersHier(m, qv, np, beta)

@@ -494,12 +494,15 @@ object Ivf {
   /** Margin of super-clusters the hierarchical probe ranking keeps
     * beyond the minimum that covers nProbe children: rank the top
     * (HierProbeBeta × enough-to-cover) supers' children, take the
-    * nProbe nearest. β = 2 is the measured default (RecallProbe
-    * `hier_probe_beta` sweep — see OPTIMIZATION_r16.md): at the 100M
-    * anchor β = 1 and β = 2 both hold the 10·√k recall gate 10/10;
-    * β = 2 keeps a 2× super margin for clustered corpora at unmeasured
-    * decades while staying O(β·nProbe·dim) per query. */
-  val HierProbeBeta: Double = 2.0
+    * nProbe nearest. β = 4 is the MEASURED default (ScaleProbe
+    * `ivf_hier_recall_hierrank` sweep at the 100M anchor, k = 10⁵,
+    * n_probe = 10·√k — see OPTIMIZATION_r16.md): β = 1 → 1/10, β = 2 →
+    * 6/10 (both miss the ≥7/10 gate), β = 4 → 8/10 GATE PASS, vs the
+    * flat ranking's 10/10 at the same arm — the recall the super
+    * pre-filter costs needs a real child-coverage margin. Per-query
+    * rank cost stays O((√k + β·nProbe)·dim): ~7× under flat at
+    * k = 316k even at β = 4. */
+  val HierProbeBeta: Double = 4.0
 
   /** [[probeClusters]] through the hierarchy — the serve-side analog of
     * the two-level build (VERDICT r15 #1): rank the k₁ supers
